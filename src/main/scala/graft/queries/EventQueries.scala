@@ -1,0 +1,120 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.functions._
+
+/** Event-stream-shaped queries over the `events` table. These are the
+  * batch twins of the Structured Streaming pipeline in graft.streaming:
+  * identical transformations run under `readStream` in StreamingSpec,
+  * asserting batch/stream result equality. Here they run as batch for the
+  * DuckDB oracle.
+  */
+object EventQueries {
+
+  def defs: Map[String, QueryDef] = Map(
+
+    // Tumbling 1-hour window via Spark's window() — the streaming
+    // group-by-event-time shape (readStream + withWatermark in
+    // graft.streaming.EventStreams uses this exact aggregation).
+    "q70_tumbling_window" -> QueryDef(
+      (s, d) => Tables.events(s, d)
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+             round(sum(col("value")), 4).as("val_sum"))
+        .select(col("window.start").as("hour_start"), col("event_type"),
+                col("n"), col("val_sum")),
+      Some("""
+        SELECT date_trunc('hour', ts) AS hour_start, event_type,
+               count(*) AS n, round(sum(value), 4) AS val_sum
+        FROM events GROUP BY 1, 2""")),
+
+    // Sliding windows: 2-hour window sliding by 1 hour — each event lands
+    // in two windows. Oracle unions the two aligned tumbling offsets.
+    "q71_sliding_window" -> QueryDef(
+      (s, d) => Tables.events(s, d)
+        .groupBy(window(col("ts"), "2 hours", "1 hour"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("window.start").as("win_start"), col("n")),
+      Some("""
+        SELECT win_start, count(*) AS n FROM (
+          SELECT date_trunc('hour', ts) AS win_start FROM events
+          UNION ALL
+          SELECT date_trunc('hour', ts) - INTERVAL 1 HOUR AS win_start FROM events)
+        GROUP BY 1""")),
+
+    // Session windows (10-minute gap) per user: Spark's session_window;
+    // oracle reproduces gap-merge semantics with lag + running sum.
+    "q72_session_window" -> QueryDef(
+      (s, d) => Tables.events(s, d)
+        .groupBy(session_window(col("ts"), "10 minutes"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_sessions"),
+             max(col("n_events")).as("max_session_events"),
+             sum(col("n_events")).as("total_events")),
+      Some("""
+        WITH marked AS (
+          SELECT user_id, ts,
+                 CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                           >= INTERVAL 10 MINUTE
+                      OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                      THEN 1 ELSE 0 END AS new_session
+          FROM events),
+        sessions AS (
+          SELECT user_id,
+                 sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+          FROM marked),
+        per_session AS (
+          SELECT user_id, session_id, count(*) AS n_events
+          FROM sessions GROUP BY 1, 2)
+        SELECT user_id, count(*) AS n_sessions,
+               max(n_events) AS max_session_events,
+               CAST(sum(n_events) AS BIGINT) AS total_events
+        FROM per_session GROUP BY user_id""")),
+
+    // Streaming-dedup twin: distinct (user, day) pairs → daily active users.
+    "q73_daily_active_users" -> QueryDef(
+      (s, d) => Tables.events(s, d)
+        .select(date_trunc("day", col("ts")).as("day"), col("user_id"))
+        .dropDuplicates("day", "user_id")
+        .groupBy(col("day")).agg(count(lit(1)).as("dau")),
+      Some("""
+        SELECT day, count(*) AS dau FROM (
+          SELECT DISTINCT date_trunc('day', ts) AS day, user_id FROM events)
+        GROUP BY day""")),
+
+    // Pivot: one column per event type (fixed value list → stable schema).
+    "q74_pivot_event_types" -> QueryDef(
+      (s, d) => Tables.events(s, d)
+        .groupBy(date_trunc("day", col("ts")).as("day"))
+        .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+        .agg(count(lit(1)))
+        .na.fill(0L),
+      Some("""
+        SELECT date_trunc('day', ts) AS day,
+               count(CASE WHEN event_type = 'click' THEN 1 END) AS click,
+               count(CASE WHEN event_type = 'error' THEN 1 END) AS error,
+               count(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase,
+               count(CASE WHEN event_type = 'signup' THEN 1 END) AS signup,
+               count(CASE WHEN event_type = 'view' THEN 1 END) AS view
+        FROM events GROUP BY 1""")),
+
+    // Scalar "subquery" kept declarative: the singleton aggregate is
+    // broadcast-cross-joined, never collected to the driver.
+    "q75_scalar_subquery" -> QueryDef(
+      (s, d) => {
+        val o = Tables.orders(s, d)
+        val avgPrice = o.agg(avg(col("o_totalprice")).as("avg_price"))
+        o.crossJoin(broadcast(avgPrice))
+          .filter(col("o_totalprice") > col("avg_price") * 2)
+          .groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)).as("n_big"))
+      },
+      Some("""
+        SELECT o_orderpriority, count(*) AS n_big
+        FROM orders
+        WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders) * 2
+        GROUP BY o_orderpriority"""))
+  )
+}

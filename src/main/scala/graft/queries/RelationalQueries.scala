@@ -1,0 +1,536 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** SURVEY.md §2b relational surface, declared as Spark built-ins and
+  * checked against the DuckDB oracle. Every query is a deterministic SET
+  * of rows (unique ordering keys wherever limits/windows are involved) so
+  * the driver's sort-then-hash compare is stable. Float aggregates are
+  * rounded on BOTH sides to absorb summation-order differences.
+  *
+  * Scale notes (100 TB bar): every query below starts from a parquet scan
+  * with column pruning + predicate pushdown (verified via explain in
+  * PlanSpec); joins against the small dimension tables are broadcast;
+  * aggregations are hash-based with map-side partial aggregation, which
+  * is Catalyst's default for all of these shapes.
+  */
+object RelationalQueries {
+
+  def defs: Map[String, QueryDef] = agg ++ filterProject ++ joins ++
+    windows ++ sortLimit ++ setOps
+
+  // ---------------------------------------------------------------- agg
+
+  private def agg: Map[String, QueryDef] = Map(
+    // TPC-H Q1 shape: the classic pricing summary. Partial agg map-side,
+    // 2-col group key, all numeric sums rounded for oracle parity.
+    "q01_agg_pricing_summary" -> QueryDef(
+      (s, d) => Tables.lineitem(s, d)
+        .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          round(sum(col("l_quantity")), 2).as("sum_qty"),
+          round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))), 2).as("sum_charge"),
+          round(avg(col("l_quantity")), 6).as("avg_qty"),
+          round(avg(col("l_extendedprice")), 6).as("avg_price"),
+          round(avg(col("l_discount")), 6).as("avg_disc"),
+          count(lit(1)).as("count_order")),
+      Some("""
+        SELECT l_returnflag, l_linestatus,
+               round(sum(l_quantity), 2) AS sum_qty,
+               round(sum(l_extendedprice), 2) AS sum_base_price,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+               round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+               round(avg(l_quantity), 6) AS avg_qty,
+               round(avg(l_extendedprice), 6) AS avg_price,
+               round(avg(l_discount), 6) AS avg_disc,
+               count(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        GROUP BY l_returnflag, l_linestatus""")),
+
+    "q02_agg_count_distinct" -> QueryDef(
+      (s, d) => Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          countDistinct(col("l_suppkey")).as("n_supp"),
+          countDistinct(col("l_partkey")).as("n_part"),
+          countDistinct(col("l_orderkey"), col("l_linenumber")).as("n_lines"),
+          count(lit(1)).as("n_rows")),
+      Some("""
+        SELECT l_returnflag,
+               CAST(count(DISTINCT l_suppkey) AS BIGINT) AS n_supp,
+               CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_part,
+               CAST(count(DISTINCT (l_orderkey, l_linenumber)) AS BIGINT) AS n_lines,
+               count(*) AS n_rows
+        FROM lineitem GROUP BY l_returnflag""")),
+
+    "q03_agg_stats" -> QueryDef(
+      (s, d) => Tables.lineitem(s, d)
+        .groupBy(col("l_linestatus"))
+        .agg(
+          round(stddev_samp(col("l_quantity")), 6).as("sd_qty"),
+          round(var_samp(col("l_quantity")), 6).as("var_qty"),
+          round(corr(col("l_quantity"), col("l_extendedprice")), 6).as("corr_qty_price"),
+          round(covar_samp(col("l_quantity"), col("l_extendedprice")), 4).as("covar_qty_price"),
+          round(min(col("l_extendedprice")), 2).as("min_price"),
+          round(max(col("l_extendedprice")), 2).as("max_price")),
+      Some("""
+        SELECT l_linestatus,
+               round(stddev_samp(l_quantity), 6) AS sd_qty,
+               round(var_samp(l_quantity), 6) AS var_qty,
+               round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+               round(covar_samp(l_quantity, l_extendedprice), 4) AS covar_qty_price,
+               round(min(l_extendedprice), 2) AS min_price,
+               round(max(l_extendedprice), 2) AS max_price
+        FROM lineitem GROUP BY l_linestatus""")),
+
+    // ROLLUP: subtotal rows carry NULL group keys in both engines.
+    "q04_agg_rollup" -> QueryDef(
+      (s, d) => {
+        val c = Tables.customer(s, d)
+        val n = Tables.nation(s, d)
+        c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+          .rollup(col("n_name"), col("c_mktsegment"))
+          .agg(count(lit(1)).as("n_cust"),
+               round(sum(col("c_acctbal")), 2).as("sum_bal"))
+      },
+      Some("""
+        SELECT n_name, c_mktsegment, count(*) AS n_cust,
+               round(sum(c_acctbal), 2) AS sum_bal
+        FROM customer JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY ROLLUP (n_name, c_mktsegment)""")),
+
+    "q05_agg_cube" -> QueryDef(
+      (s, d) => Tables.lineitem(s, d)
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"),
+             round(sum(col("l_quantity")), 2).as("sum_qty")),
+      Some("""
+        SELECT l_returnflag, l_linestatus, count(*) AS n,
+               round(sum(l_quantity), 2) AS sum_qty
+        FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""")),
+
+    // Exact percentiles: Spark `percentile` and DuckDB `quantile_cont`
+    // both use linear interpolation over the sorted values.
+    "q06_agg_percentile" -> QueryDef(
+      (s, d) => Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          round(expr("percentile(l_quantity, 0.25)"), 6).as("p25_qty"),
+          round(expr("percentile(l_quantity, 0.5)"), 6).as("p50_qty"),
+          round(expr("percentile(l_extendedprice, 0.75)"), 6).as("p75_price")),
+      Some("""
+        SELECT l_returnflag,
+               round(CAST(quantile_cont(l_quantity, 0.25) AS DOUBLE), 6) AS p25_qty,
+               round(CAST(quantile_cont(l_quantity, 0.5) AS DOUBLE), 6) AS p50_qty,
+               round(CAST(quantile_cont(l_extendedprice, 0.75) AS DOUBLE), 6) AS p75_price
+        FROM lineitem GROUP BY l_returnflag""")),
+
+    // collect_set surface: emitted as a canonical sorted CSV string so the
+    // set-typed result hashes identically across engines.
+    "q07_agg_collect_set" -> QueryDef(
+      (s, d) => Tables.orders(s, d)
+        .groupBy(col("o_orderpriority"))
+        .agg(
+          array_join(array_sort(collect_set(col("o_orderstatus"))), ",").as("statuses"),
+          count(lit(1)).as("n")),
+      Some("""
+        SELECT o_orderpriority,
+               string_agg(DISTINCT o_orderstatus, ',' ORDER BY o_orderstatus) AS statuses,
+               count(*) AS n
+        FROM orders GROUP BY o_orderpriority""")),
+
+    "q08_agg_having" -> QueryDef(
+      (s, d) => Tables.orders(s, d)
+        .groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n_orders"),
+             round(sum(col("o_totalprice")), 2).as("spend"))
+        .filter(col("n_orders") >= 5),
+      Some("""
+        SELECT o_custkey, count(*) AS n_orders,
+               round(sum(o_totalprice), 2) AS spend
+        FROM orders GROUP BY o_custkey HAVING count(*) >= 5""")))
+
+  // ------------------------------------------------- filter / projection
+
+  private def filterProject: Map[String, QueryDef] = Map(
+    // Full boolean algebra + isin + like + between; Catalyst pushes all
+    // of it into the parquet scan (PushedFilters).
+    "q10_filter_boolean_algebra" -> QueryDef(
+      (s, d) => Tables.orders(s, d)
+        .filter(
+          (col("o_orderstatus").isin("O", "F") && col("o_totalprice") > 1000.0
+            || col("o_orderpriority").like("1-%"))
+          && !(col("o_custkey") % 7 === 0)
+          && col("o_totalprice").between(500.0, 400000.0))
+        .select(col("o_orderkey"), col("o_orderstatus"),
+                round(col("o_totalprice"), 2).as("price")),
+      Some("""
+        SELECT o_orderkey, o_orderstatus, round(o_totalprice, 2) AS price
+        FROM orders
+        WHERE ((o_orderstatus IN ('O','F') AND o_totalprice > 1000.0)
+               OR o_orderpriority LIKE '1-%')
+          AND NOT (o_custkey % 7 = 0)
+          AND o_totalprice BETWEEN 500.0 AND 400000.0""")),
+
+    // Null-safe equality (<=> / IS NOT DISTINCT FROM) over a column made
+    // nullable with nullif.
+    "q11_filter_null_safe" -> QueryDef(
+      (s, d) => Tables.customer(s, d)
+        .withColumn("seg", nullif(col("c_mktsegment"), lit("BUILDING")))
+        .filter(col("seg") <=> lit(null).cast("string") || col("seg") <=> lit("MACHINERY"))
+        .groupBy(col("c_mktsegment")).agg(count(lit(1)).as("n")),
+      Some("""
+        SELECT c_mktsegment, count(*) AS n FROM (
+          SELECT c_mktsegment, nullif(c_mktsegment, 'BUILDING') AS seg
+          FROM customer)
+        WHERE seg IS NOT DISTINCT FROM NULL OR seg IS NOT DISTINCT FROM 'MACHINERY'
+        GROUP BY c_mktsegment""")),
+
+    "q12_project_compute" -> QueryDef(
+      (s, d) => Tables.lineitem(s, d)
+        .select(
+          col("l_orderkey"), col("l_linenumber"),
+          round(col("l_extendedprice") * (lit(1) - col("l_discount")), 4).as("net"),
+          when(col("l_quantity") >= 40, "bulk")
+            .when(col("l_quantity") >= 10, "mid")
+            .otherwise("small").as("qty_band"),
+          (col("l_tax") > 0.05).as("high_tax"))
+        .filter(col("l_orderkey") % 100 === 0),
+      Some("""
+        SELECT l_orderkey, l_linenumber,
+               round(l_extendedprice * (1 - l_discount), 4) AS net,
+               CASE WHEN l_quantity >= 40 THEN 'bulk'
+                    WHEN l_quantity >= 10 THEN 'mid'
+                    ELSE 'small' END AS qty_band,
+               l_tax > 0.05 AS high_tax
+        FROM lineitem WHERE l_orderkey % 100 = 0""")))
+
+  // --------------------------------------------------------------- joins
+
+  private def joins: Map[String, QueryDef] = Map(
+    // TPC-H Q5 shape: 4-way join; nation/region broadcast, orders↔lineitem
+    // shuffle-hash/SMJ on the fact keys.
+    "q20_join_revenue_by_nation" -> QueryDef(
+      (s, d) => {
+        val li = Tables.lineitem(s, d)
+        val o = Tables.orders(s, d)
+        val c = Tables.customer(s, d)
+        val n = Tables.nation(s, d)
+        li.join(o, li("l_orderkey") === o("o_orderkey"))
+          .join(c, o("o_custkey") === c("c_custkey"))
+          .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+          .groupBy(col("n_name"))
+          .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+               count(lit(1)).as("n_lines"))
+      },
+      Some("""
+        SELECT n_name,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+               count(*) AS n_lines
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY n_name""")),
+
+    // LEFT join keeps customers with zero orders (count(o_orderkey) skips
+    // the NULLs from the unmatched side).
+    "q21_join_left_outer" -> QueryDef(
+      (s, d) => {
+        val c = Tables.customer(s, d)
+        val o = Tables.orders(s, d)
+        c.join(o, c("c_custkey") === o("o_custkey"), "left")
+          .groupBy(col("c_mktsegment"))
+          .agg(countDistinct(col("c_custkey")).as("n_cust"),
+               count(col("o_orderkey")).as("n_orders"),
+               sum(when(col("o_orderkey").isNull, 1).otherwise(0)).as("n_orderless"))
+      },
+      Some("""
+        SELECT c_mktsegment,
+               CAST(count(DISTINCT c_custkey) AS BIGINT) AS n_cust,
+               count(o_orderkey) AS n_orders,
+               CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_orderless
+        FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        GROUP BY c_mktsegment""")),
+
+    "q22_join_right_outer" -> QueryDef(
+      (s, d) => {
+        val o = Tables.orders(s, d)
+        val c = Tables.customer(s, d)
+        o.join(c, o("o_custkey") === c("c_custkey"), "right")
+          .groupBy(col("c_mktsegment"))
+          .agg(count(col("o_orderkey")).as("n_orders"),
+               countDistinct(col("c_custkey")).as("n_cust"))
+      },
+      Some("""
+        SELECT c_mktsegment, count(o_orderkey) AS n_orders,
+               CAST(count(DISTINCT c_custkey) AS BIGINT) AS n_cust
+        FROM orders RIGHT JOIN customer ON o_custkey = c_custkey
+        GROUP BY c_mktsegment""")),
+
+    // FULL outer of two per-nation aggregates (some nations may lack
+    // suppliers at small SF).
+    "q23_join_full_outer" -> QueryDef(
+      (s, d) => {
+        val c = Tables.customer(s, d).groupBy(col("c_nationkey"))
+          .agg(count(lit(1)).as("n_cust"))
+        val su = Tables.supplier(s, d).groupBy(col("s_nationkey"))
+          .agg(count(lit(1)).as("n_supp"))
+        c.join(su, c("c_nationkey") === su("s_nationkey"), "full")
+          .select(
+            coalesce(col("c_nationkey"), col("s_nationkey")).as("nationkey"),
+            coalesce(col("n_cust"), lit(0L)).as("n_cust"),
+            coalesce(col("n_supp"), lit(0L)).as("n_supp"))
+      },
+      Some("""
+        SELECT coalesce(c.k, s.k) AS nationkey,
+               coalesce(c.n_cust, 0) AS n_cust,
+               coalesce(s.n_supp, 0) AS n_supp
+        FROM (SELECT c_nationkey AS k, count(*) AS n_cust FROM customer GROUP BY 1) c
+        FULL JOIN (SELECT s_nationkey AS k, count(*) AS n_supp FROM supplier GROUP BY 1) s
+        ON c.k = s.k""")),
+
+    // LEFT SEMI = EXISTS: customers owning at least one urgent open order.
+    "q24_join_semi" -> QueryDef(
+      (s, d) => {
+        val c = Tables.customer(s, d)
+        val o = Tables.orders(s, d)
+          .filter(col("o_orderpriority") === "1-URGENT" && col("o_orderstatus") === "O")
+        c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+          .groupBy(col("c_mktsegment")).agg(count(lit(1)).as("n"))
+      },
+      Some("""
+        SELECT c_mktsegment, count(*) AS n FROM customer
+        WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                      AND o_orderpriority = '1-URGENT' AND o_orderstatus = 'O')
+        GROUP BY c_mktsegment""")),
+
+    // LEFT ANTI = NOT EXISTS: parts never shipped.
+    "q25_join_anti" -> QueryDef(
+      (s, d) => {
+        val p = Tables.part(s, d)
+        val li = Tables.lineitem(s, d)
+        p.join(li, p("p_partkey") === li("l_partkey"), "left_anti")
+          .groupBy(col("p_brand")).agg(count(lit(1)).as("n_unsold"))
+      },
+      Some("""
+        SELECT p_brand, count(*) AS n_unsold FROM part
+        WHERE NOT EXISTS (SELECT 1 FROM lineitem WHERE l_partkey = p_partkey)
+        GROUP BY p_brand""")),
+
+    "q26_join_cross" -> QueryDef(
+      (s, d) => {
+        val r = Tables.region(s, d).select(col("r_name"))
+        val n = Tables.nation(s, d)
+        r.crossJoin(n).groupBy(col("r_name"))
+          .agg(count(lit(1)).as("n_pairs"),
+               sum(col("n_nationkey").cast("long")).as("key_sum"))
+      },
+      Some("""
+        SELECT r_name, count(*) AS n_pairs,
+               CAST(sum(n_nationkey) AS BIGINT) AS key_sum
+        FROM region CROSS JOIN nation GROUP BY r_name""")),
+
+    // Equi + theta (inequality) join condition.
+    "q27_join_theta" -> QueryDef(
+      (s, d) => {
+        val c = Tables.customer(s, d)
+        val su = Tables.supplier(s, d)
+        c.join(su, c("c_nationkey") === su("s_nationkey")
+                 && c("c_acctbal") < su("s_acctbal"))
+          .groupBy(col("c_nationkey").as("nationkey"))
+          .agg(count(lit(1)).as("n_pairs"))
+      },
+      Some("""
+        SELECT c_nationkey AS nationkey, count(*) AS n_pairs
+        FROM customer JOIN supplier
+          ON c_nationkey = s_nationkey AND c_acctbal < s_acctbal
+        GROUP BY c_nationkey""")),
+
+    // Explicit broadcast hint: dimension build side replicated, no shuffle
+    // of the fact table.
+    "q28_join_broadcast_dim" -> QueryDef(
+      (s, d) => {
+        val li = Tables.lineitem(s, d)
+        val p = Tables.part(s, d)
+        li.join(broadcast(p), li("l_partkey") === p("p_partkey"))
+          .groupBy(col("p_brand"))
+          .agg(round(sum(col("l_extendedprice")), 2).as("gross"),
+               count(lit(1)).as("n"))
+      },
+      Some("""
+        SELECT p_brand, round(sum(l_extendedprice), 2) AS gross, count(*) AS n
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        GROUP BY p_brand""")))
+
+  // ------------------------------------------------------------- windows
+
+  private def windows: Map[String, QueryDef] = Map(
+    // Top-3 per group via row_number with a total (unique) ordering.
+    "q30_window_topk_per_group" -> QueryDef(
+      (s, d) => {
+        val w = Window.partitionBy(col("c_mktsegment"))
+          .orderBy(col("c_acctbal").desc, col("c_custkey").asc)
+        Tables.customer(s, d)
+          .withColumn("rn", row_number().over(w).cast("long"))
+          .filter(col("rn") <= 3)
+          .select(col("c_mktsegment"), col("rn"), col("c_custkey"),
+                  round(col("c_acctbal"), 2).as("bal"))
+      },
+      Some("""
+        SELECT c_mktsegment, rn, c_custkey, round(c_acctbal, 2) AS bal FROM (
+          SELECT c_mktsegment, c_custkey, c_acctbal,
+                 row_number() OVER (PARTITION BY c_mktsegment
+                                    ORDER BY c_acctbal DESC, c_custkey ASC) AS rn
+          FROM customer) WHERE rn <= 3""")),
+
+    // Running (cumulative) sum per customer, unique order within partition.
+    "q31_window_running_sum" -> QueryDef(
+      (s, d) => {
+        val w = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        Tables.orders(s, d)
+          .filter(col("o_custkey") % 10 === 0)
+          .withColumn("cum_spend", round(sum(col("o_totalprice")).over(w), 2))
+          .select(col("o_custkey"), col("o_orderkey"), col("cum_spend"))
+      },
+      Some("""
+        SELECT o_custkey, o_orderkey,
+               round(sum(o_totalprice) OVER (
+                 PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS cum_spend
+        FROM orders WHERE o_custkey % 10 = 0""")),
+
+    "q32_window_lag_lead" -> QueryDef(
+      (s, d) => {
+        val w = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+        Tables.orders(s, d)
+          .filter(col("o_custkey") % 20 === 0)
+          .select(
+            col("o_custkey"), col("o_orderkey"),
+            round(col("o_totalprice") - lag(col("o_totalprice"), 1).over(w), 4).as("delta_prev"),
+            lead(col("o_orderkey"), 1).over(w).as("next_order"),
+            first(col("o_orderkey")).over(w).as("first_order"))
+      },
+      Some("""
+        SELECT o_custkey, o_orderkey,
+               round(o_totalprice - lag(o_totalprice, 1) OVER w, 4) AS delta_prev,
+               lead(o_orderkey, 1) OVER w AS next_order,
+               first_value(o_orderkey) OVER w AS first_order
+        FROM orders WHERE o_custkey % 20 = 0
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC)""")),
+
+    "q33_window_rank_ntile" -> QueryDef(
+      (s, d) => {
+        val w = Window.partitionBy(col("s_nationkey"))
+          .orderBy(col("s_acctbal").desc, col("s_suppkey").asc)
+        Tables.supplier(s, d)
+          .select(col("s_nationkey"), col("s_suppkey"),
+                  rank().over(w).cast("long").as("rnk"),
+                  dense_rank().over(w).cast("long").as("drnk"),
+                  ntile(4).over(w).cast("long").as("quartile"))
+      },
+      Some("""
+        SELECT s_nationkey, s_suppkey,
+               rank() OVER w AS rnk,
+               dense_rank() OVER w AS drnk,
+               ntile(4) OVER w AS quartile
+        FROM supplier
+        WINDOW w AS (PARTITION BY s_nationkey ORDER BY s_acctbal DESC, s_suppkey ASC)""")),
+
+    // Sliding rows-frame moving average.
+    "q34_window_moving_avg" -> QueryDef(
+      (s, d) => {
+        val w = Window.partitionBy(col("o_orderpriority"))
+          .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+          .rowsBetween(-3, 0)
+        Tables.orders(s, d)
+          .filter(col("o_orderkey") % 50 === 0)
+          .select(col("o_orderpriority"), col("o_orderkey"),
+                  round(avg(col("o_totalprice")).over(w), 4).as("ma4"))
+      },
+      Some("""
+        SELECT o_orderpriority, o_orderkey,
+               round(avg(o_totalprice) OVER (
+                 PARTITION BY o_orderpriority ORDER BY o_orderdate ASC, o_orderkey ASC
+                 ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 4) AS ma4
+        FROM orders WHERE o_orderkey % 50 = 0""")))
+
+  // -------------------------------------------------------- sort / limit
+
+  private def sortLimit: Map[String, QueryDef] = Map(
+    // Top-k: Catalyst compiles orderBy+limit into TakeOrderedAndProject
+    // (per-partition heap + driver merge — no full sort at 100 TB).
+    "q40_topk_orders" -> QueryDef(
+      (s, d) => Tables.orders(s, d)
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        .limit(20)
+        .select(col("o_orderkey"), round(col("o_totalprice"), 2).as("price")),
+      Some("""
+        SELECT o_orderkey, round(o_totalprice, 2) AS price
+        FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 20""")),
+
+    "q41_limit_offset" -> QueryDef(
+      (s, d) => Tables.customer(s, d)
+        .orderBy(col("c_acctbal").desc, col("c_custkey").asc)
+        .offset(10).limit(15)
+        .select(col("c_custkey"), round(col("c_acctbal"), 2).as("bal")),
+      Some("""
+        SELECT c_custkey, round(c_acctbal, 2) AS bal
+        FROM customer ORDER BY c_acctbal DESC, c_custkey ASC LIMIT 15 OFFSET 10""")))
+
+  // ------------------------------------------------------------- set ops
+
+  private def setOps: Map[String, QueryDef] = Map(
+    "q45_union_distinct" -> QueryDef(
+      (s, d) => {
+        val o = Tables.orders(s, d)
+        val a = o.filter(col("o_orderpriority") === "1-URGENT").select(col("o_custkey"))
+        val b = o.filter(col("o_orderstatus") === "F").select(col("o_custkey"))
+        a.union(b).distinct().groupBy().agg(count(lit(1)).as("n_cust"))
+      },
+      Some("""
+        SELECT count(*) AS n_cust FROM (
+          SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+          UNION
+          SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')""")),
+
+    "q46_intersect" -> QueryDef(
+      (s, d) => {
+        val o = Tables.orders(s, d)
+        val jan = o.filter(month(col("o_orderdate")) === 1).select(col("o_custkey"))
+        val feb = o.filter(month(col("o_orderdate")) === 2).select(col("o_custkey"))
+        jan.intersect(feb)
+      },
+      Some("""
+        SELECT o_custkey FROM orders WHERE month(o_orderdate) = 1
+        INTERSECT
+        SELECT o_custkey FROM orders WHERE month(o_orderdate) = 2""")),
+
+    "q47_except" -> QueryDef(
+      (s, d) => {
+        val c = Tables.customer(s, d).select(col("c_custkey"))
+        val o = Tables.orders(s, d).select(col("o_custkey").as("c_custkey"))
+        c.except(o)
+      },
+      Some("""
+        SELECT c_custkey FROM customer
+        EXCEPT
+        SELECT o_custkey AS c_custkey FROM orders""")),
+
+    "q48_dropduplicates" -> QueryDef(
+      (s, d) => Tables.lineitem(s, d)
+        .select(col("l_returnflag"), col("l_linestatus"))
+        .dropDuplicates(),
+      Some("""
+        SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem""")))
+}
