@@ -10,7 +10,8 @@ import graft.queries._
 object SparkEntry {
 
   private def allDefs: Map[String, QueryDef] =
-    RelationalQueries.defs ++ ScalarQueries.defs ++ EventQueries.defs
+    RelationalQueries.defs ++ ScalarQueries.defs ++ EventQueries.defs ++
+      PipelineQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

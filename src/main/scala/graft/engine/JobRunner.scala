@@ -1,0 +1,215 @@
+package graft.engine
+
+import graft.api._
+import graft.model._
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import java.time.Instant
+import scala.util.control.NonFatal
+
+/** The engine runtime: turns an Integration + IngestionJob into the
+  * reference's 7-operation dataflow (SURVEY.md §3.3), expressed as one
+  * declarative Spark plan per job:
+  *
+  *   planTasks (O2, driver)  → Dataset[TaskSpec], one task per partition
+  *   fetchRaw  (O3, executor)→ flatMap to raw byte files + manifest
+  *   parse     (O4, executor)→ flatMap to typed rows
+  *   fetchStructured (O5)    → fused O3∘O4 for processed-kind integrations
+  *   write records           → columnar parquet under the reference layout
+  *   persist   (O6)          → TableSink / ForeachSink (+ at-most-once fence)
+  *   onJobCompleted (O7)     → driver callback
+  *
+  * Scale design: the driver never materializes record data — only the
+  * per-task manifest (size/md5/recordCount, parity with
+  * RemoteProcessedDataFile, worker-api/.../proto/RemoteDataFile.scala:20-27)
+  * ever comes back, and even that is written as a parquet manifest table.
+  * Raw bytes go executor→storage directly via the Hadoop FS API (works for
+  * file:// here and s3a:// on a cluster — the reference's S3 uploads,
+  * S3DataFileHandler.scala:62-96).
+  */
+final class JobRunner(spark: SparkSession, layout: StorageLayout) {
+  import JobRunner._
+
+  /** O1 — ValidateIntegration: structural checks + schema extraction,
+    * mirroring executor/.../run/ValidateIntegrationOperation.java:34-147
+    * (null-factory checks become null/parse/convert checks; errors are
+    * collected, not thrown).
+    */
+  def validate(integration: Integration): ValidationReport = {
+    val errors = Seq.newBuilder[ValidationError]
+    var fp: Option[String] = None
+    if (integration.name == null || integration.name.trim.isEmpty)
+      errors += ValidationError("integration name is null or empty")
+    try {
+      val sch = integration.schema
+      if (sch == null) errors += ValidationError("schema is null")
+      else {
+        val st = sch.structType // forces Avro JSON parse + Spark conversion
+        if (st.isEmpty) errors += ValidationError("schema has no fields")
+        fp = Some(sch.fingerprint)
+        val recomputed = IntegrationSchema.fromJson(sch.schemaJson)
+        if (!recomputed.sameAs(sch))
+          errors += ValidationError(
+            s"schema fingerprint mismatch: declared ${sch.fingerprint}, canonical ${recomputed.fingerprint}")
+      }
+    } catch {
+      case NonFatal(e) =>
+        errors += ValidationError(s"schema extraction failed: ${e.getMessage}",
+          Some(e.getClass.getName))
+    }
+    if (integration.persistingSemantics == null)
+      errors += ValidationError("persistingSemantics is null")
+    val errs = errors.result()
+    ValidationReport(integration.name, errs.isEmpty, fp,
+      integration.isRawData, integration.persistingSemantics, errs)
+  }
+
+  /** O2 — CreateIngestionTasks: the task list IS the partition plan; one
+    * reference task = one Spark partition (CommanderActor runs one task
+    * per worker; we run them all in parallel).
+    */
+  def planTasks(integration: Integration, job: IngestionJob): Seq[TaskSpec] = {
+    require(job.source.name == integration.name || integration.name.nonEmpty,
+      "job/source mismatch")
+    val tasks = integration.planTasks(job)
+    require(tasks.nonEmpty, "planTasks produced no tasks")
+    tasks
+  }
+
+  /** O3+O4 / O5 — produce the typed record DataFrame for the job, with a
+    * `task_number` column carrying task lineage. The raw path also writes
+    * each fetched byte file to the reference layout and returns its
+    * manifest.
+    */
+  def records(integration: Integration, job: IngestionJob,
+              tasks: Seq[TaskSpec]): DataFrame = {
+    val schema = integration.schema.structType
+    val withTask = StructType(schema.fields :+ StructField("task_number", IntegerType, false))
+    val sc = spark.sparkContext
+    // one task per partition — the reference's unit of parallel work
+    val taskRdd = sc.parallelize(tasks, tasks.size)
+    val rowRdd = integration match {
+      case ri: RawIntegration =>
+        val lay = layout
+        val jobB = job
+        val conf = new org.apache.spark.util.SerializableConfiguration(
+          spark.sessionState.newHadoopConf())
+        taskRdd.flatMap { task =>
+          ri.fetchRaw(task).zipWithIndex.flatMap { case (bytes, i) =>
+            // land the raw file (gzipped) exactly where the reference would
+            val path = new Path(lay.rawFile(jobB, task.taskNumber, i))
+            val fs = path.getFileSystem(conf.value)
+            val out = new java.util.zip.GZIPOutputStream(fs.create(path, true))
+            try out.write(bytes) finally out.close()
+            ri.parse(task, bytes)
+              .map(r => Row.fromSeq(r.toSeq :+ task.taskNumber))
+          }
+        }
+      case si: StructuredIntegration =>
+        taskRdd.flatMap { task =>
+          si.fetchStructured(task).map(r => Row.fromSeq(r.toSeq :+ task.taskNumber))
+        }
+    }
+    spark.createDataFrame(rowRdd, withTask)
+  }
+
+  /** Persist the record files under the reference layout (columnar parquet
+    * partitioned by task) and return the per-task manifest — the engine's
+    * RemoteProcessedDataFile analog.
+    */
+  def writeRecords(job: IngestionJob, recordsDf: DataFrame): DataFrame = {
+    val root = s"${layout.jobRoot(job)}/records"
+    recordsDf.write.mode("overwrite").partitionBy("task_number").parquet(root)
+    // normalize partition dirs to the reference's `task-N` key scheme
+    val fs = new Path(root).getFileSystem(spark.sessionState.newHadoopConf())
+    fs.listStatus(new Path(root)).foreach { st =>
+      val n = st.getPath.getName
+      if (n.startsWith("task_number="))
+        fs.rename(st.getPath, new Path(root, "task-" + n.stripPrefix("task_number=")))
+    }
+    spark.read.parquet(root + "/task-*")
+      .withColumn("task_number",
+        regexp_extract(input_file_name(), "task-(\\d+)/", 1).cast("int"))
+      .groupBy(col("task_number"))
+      .agg(count(lit(1)).as("record_count"))
+      .withColumn("records_dir", lit(root))
+  }
+
+  /** O6 — PersistProcessedData. TableSink rides Spark's commit protocol;
+    * ForeachSink mirrors the user-persister loop. Unsafe semantics get an
+    * at-most-once fence: a task that already holds a fence marker is
+    * skipped instead of re-run (reference ACKs before execution,
+    * TaskFSM.scala:102-115).
+    */
+  def persist(integration: Integration, job: IngestionJob,
+              recordsDf: DataFrame, sink: SinkSpec): Unit = sink match {
+    case TableSink(format, mode, path) =>
+      val target = path.getOrElse(s"${layout.jobRoot(job)}/persisted")
+      recordsDf.write.format(format).mode(mode).save(target)
+    case ForeachSink(fn) =>
+      val unsafe = integration.persistingSemantics == PersistingSemantics.Unsafe
+      val fenceRoot = s"${layout.jobRoot(job)}/persist-fence"
+      val conf = new org.apache.spark.util.SerializableConfiguration(
+        spark.sessionState.newHadoopConf())
+      // co-locate each task's rows, then walk task-runs within the
+      // partition (a partition may hold several tasks after hashing)
+      recordsDf.repartition(col("task_number"))
+        .sortWithinPartitions(col("task_number"))
+        .foreachPartition { (rows: Iterator[Row]) =>
+          val buf = rows.buffered
+          while (buf.hasNext) {
+            val taskNumber = buf.head.getAs[Int]("task_number")
+            val taskRows = new Iterator[Row] {
+              def hasNext: Boolean =
+                buf.hasNext && buf.head.getAs[Int]("task_number") == taskNumber
+              def next(): Row = buf.next()
+            }
+            val fence = new Path(s"$fenceRoot/task-$taskNumber")
+            val fs = fence.getFileSystem(conf.value)
+            val alreadyRun = unsafe && !fs.createNewFile(fence)
+            if (!alreadyRun) fn(taskNumber, taskRows)
+            while (taskRows.hasNext) taskRows.next() // drain if fn didn't
+          }
+        }
+  }
+
+  /** End-to-end O1→O7 with O8 failure mapping. */
+  def run(integration: Integration, job: IngestionJob,
+          sink: SinkSpec = TableSink()): Either[FailureReport, JobResult] =
+    try {
+      val report = validate(integration)
+      if (!report.isValid)
+        return Left(FailureReport("graft.ValidationFailed",
+          report.errors.map(_.message).mkString("; "), Nil, None))
+      val tasks = planTasks(integration, job)
+      val recs = records(integration, job, tasks)
+      val manifest = writeRecords(job, recs)
+      persist(integration, job,
+        spark.read.parquet(s"${layout.jobRoot(job)}/records/task-*")
+          .withColumn("task_number",
+            regexp_extract(input_file_name(), "task-(\\d+)/", 1).cast("int")),
+        sink)
+      val counts = manifest.select("task_number", "record_count")
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      integration.onJobCompleted(Instant.now(), job, tasks)
+      Right(JobResult(job, tasks.size, counts.values.sum, counts))
+    } catch {
+      case NonFatal(e) => Left(FailureReport.fromThrowable(rootSparkCause(e)))
+    }
+}
+
+object JobRunner {
+  final case class JobResult(job: IngestionJob, taskCount: Int,
+                             recordCount: Long, perTask: Map[Int, Long])
+
+  /** Unwrap Spark's task-failure wrapper to the user-code cause, the
+    * analog of the reference's structured exception chain
+    * (IntegrationException.scala:13-68).
+    */
+  def rootSparkCause(e: Throwable): Throwable = e match {
+    case se: org.apache.spark.SparkException if se.getCause != null => se.getCause
+    case other => other
+  }
+}

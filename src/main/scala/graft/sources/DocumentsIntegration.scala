@@ -1,0 +1,90 @@
+package graft.sources
+
+import graft.api._
+import graft.model._
+import org.apache.hadoop.fs.Path
+import org.apache.parquet.example.data.Group
+import org.apache.parquet.hadoop.ParquetReader
+import org.apache.parquet.hadoop.example.GroupReadSupport
+import org.apache.spark.sql.Row
+
+/** Fetcher-style integrations over the `documents` table: each task pulls
+  * ONE source's documents from an external store (here the parquet file,
+  * read with the raw parquet-hadoop Group API — deliberately NOT
+  * spark.read, because this models the reference's executor-side user
+  * fetcher hitting an external system:
+  * executor/.../run/FetchRawDataOperation.java:43-65).
+  *
+  * Task fan-out = one task per distinct `source` value, task arguments
+  * carry the source id — the reference's IngestionTaskCreator pattern
+  * (CreateIngestionTasksOperation.java:36-57). At 100 TB the per-task pull
+  * is a ranged scan against the upstream system; partition-per-task keeps
+  * it embarrassingly parallel.
+  */
+object DocumentsSource {
+
+  final case class Doc(docId: Long, text: String, lang: String, source: String, nChars: Long)
+
+  def scan(sfDir: String): Iterator[Doc] = {
+    val reader = ParquetReader
+      .builder(new GroupReadSupport(), new Path(s"$sfDir/documents.parquet"))
+      .build()
+    Iterator.continually(reader.read()).takeWhile(_ != null).map { g: Group =>
+      Doc(g.getLong("doc_id", 0), g.getString("text", 0), g.getString("lang", 0),
+          g.getString("source", 0), g.getLong("n_chars", 0))
+    } ++ { reader.close(); Iterator.empty }
+  }
+
+  /** Distinct sources, sorted — the deterministic task list. */
+  def sources(sfDir: String): Seq[String] =
+    scan(sfDir).map(_.source).toSeq.distinct.sorted
+
+  def planTasks(sfDir: String, job: IngestionJob): Seq[TaskSpec] =
+    sources(sfDir).zipWithIndex.map { case (src, i) =>
+      TaskSpec(job.id.toString, job.source.name, i, Map("source" -> src, "sfDir" -> sfDir))
+    }
+
+  def docsForTask(task: TaskSpec): Iterator[Doc] = {
+    val src = task.taskArguments("source")
+    scan(task.taskArguments("sfDir")).filter(_.source == src)
+  }
+}
+
+/** O5 path: fetch already-structured records (doc_id, lang, n_chars). */
+class DocumentsStructuredIntegration(sfDir: String) extends StructuredIntegration {
+  override def name: String = "documents-structured"
+  override def schema: IntegrationSchema = IntegrationSchema.fromJson(
+    """{"type":"record","name":"DocMeta","fields":[
+      |  {"name":"doc_id","type":"long"},
+      |  {"name":"lang","type":"string"},
+      |  {"name":"n_chars","type":"long"}]}""".stripMargin)
+  override def planTasks(job: IngestionJob): Seq[TaskSpec] =
+    DocumentsSource.planTasks(sfDir, job)
+  override def fetchStructured(task: TaskSpec): Iterator[Row] =
+    DocumentsSource.docsForTask(task).map(d => Row(d.docId, d.lang, d.nChars))
+}
+
+/** O3+O4 path: fetch each document as an opaque raw byte file
+  * ("{doc_id}\t{text}"), then parse it into a record. The parse output is
+  * the raw-file manifest itself (size + md5), which makes the whole
+  * fetch→land→parse loop oracle-checkable from SQL.
+  */
+class DocumentsRawIntegration(sfDir: String) extends RawIntegration {
+  override def name: String = "documents-raw"
+  override def schema: IntegrationSchema = IntegrationSchema.fromJson(
+    """{"type":"record","name":"RawDocManifest","fields":[
+      |  {"name":"doc_id","type":"long"},
+      |  {"name":"raw_size","type":"long"},
+      |  {"name":"raw_md5","type":"string"},
+      |  {"name":"n_words","type":"long"}]}""".stripMargin)
+  override def planTasks(job: IngestionJob): Seq[TaskSpec] =
+    DocumentsSource.planTasks(sfDir, job)
+  override def fetchRaw(task: TaskSpec): Iterator[Array[Byte]] =
+    DocumentsSource.docsForTask(task).map(d => s"${d.docId}\t${d.text}".getBytes("UTF-8"))
+  override def parse(task: TaskSpec, raw: Array[Byte]): Iterator[Row] = {
+    val s = new String(raw, "UTF-8")
+    val Array(id, text) = s.split("\t", 2)
+    Iterator(Row(id.toLong, raw.length.toLong,
+      IntegrationSchema.md5Hex(raw), text.split(" ").length.toLong))
+  }
+}

@@ -1,0 +1,27 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+/** Shared local[4] session for all specs (one JVM, reused via getOrCreate;
+  * the reference's analog is hyppo-test.conf's single-worker profile).
+  */
+trait SparkSpec extends AnyFunSuite with Matchers {
+  lazy val spark: SparkSession = SparkSpec.session
+  def sfDir: String = "/root/testdata/sf0.001"
+}
+
+object SparkSpec {
+  lazy val session: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-test")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+}

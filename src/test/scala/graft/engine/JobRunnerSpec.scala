@@ -1,0 +1,144 @@
+package graft.engine
+
+import graft.SparkSpec
+import graft.api._
+import graft.model._
+import java.nio.file.Files
+import java.time.Instant
+import java.util.UUID
+import java.util.concurrent.atomic.AtomicInteger
+
+/** End-to-end slice of SURVEY §7.2: validate → planTasks → fetch → write →
+  * persist → report, asserting the reference's observable behavior
+  * (record counts, storage keys, validation gates, unsafe fencing).
+  */
+class JobRunnerSpec extends SparkSpec {
+
+  private def freshRunner(): (JobRunner, StorageLayout) = {
+    val tmp = Files.createTempDirectory("graft-test").toString
+    val lay = StorageLayout(tmp)
+    (new JobRunner(spark, lay), lay)
+  }
+
+  private def job(name: String) = IngestionJob(
+    IngestionSource(name), UUID.randomUUID(),
+    startedAt = Instant.parse("2026-08-12T00:00:00Z"))
+
+  test("O1 validate: stub integration is valid with fingerprinted schema") {
+    val (runner, _) = freshRunner()
+    val rep = runner.validate(new Stubs.StubStructured)
+    rep.isValid shouldBe true
+    rep.schemaFingerprint.get should fullyMatch regex "[0-9a-f]{32}"
+    rep.isRawData shouldBe false
+    rep.persistingSemantics shouldBe PersistingSemantics.Safe
+  }
+
+  test("O1 validate: broken schema collects structured errors, does not throw") {
+    val (runner, _) = freshRunner()
+    val rep = runner.validate(new Stubs.BrokenSchema)
+    rep.isValid shouldBe false
+    rep.errors should not be empty
+  }
+
+  test("processed-kind e2e: exactly 1 record, reference storage keys (ProcessedDataTest.scala:17-57)") {
+    val (runner, lay) = freshRunner()
+    val j = job("Test Integration")
+    val result = runner.run(new Stubs.StubStructured, j)
+    val res = result.toOption.get
+    res.taskCount shouldBe 1
+    res.recordCount shouldBe 1L
+    res.perTask shouldBe Map(0 -> 1L)
+    val recDir = new java.io.File(s"${lay.jobRoot(j)}/records/task-0")
+    recDir.exists shouldBe true
+    val persisted = spark.read.parquet(s"${lay.jobRoot(j)}/persisted")
+    persisted.count() shouldBe 1
+    val row = persisted.select("name", "valueOne", "valueTwo").head()
+    (row.getString(0), row.getInt(1), row.getLong(2)) shouldBe (("Name Value", 1, 2L))
+  }
+
+  test("raw-kind e2e: 'hello' raw file lands gzipped at the reference key, 1 record (RawDataTest.scala:16-55)") {
+    val (runner, lay) = freshRunner()
+    val j = job("Raw Test Integration")
+    val res = runner.run(new Stubs.StubRaw, j).toOption.get
+    res.recordCount shouldBe 1L
+    val rawPath = new java.io.File(lay.rawFile(j, 0, 0))
+    rawPath.exists shouldBe true
+    val in = new java.util.zip.GZIPInputStream(new java.io.FileInputStream(rawPath))
+    new String(in.readAllBytes(), "UTF-8") shouldBe "hello"
+    in.close()
+  }
+
+  test("multi-task fan-out: per-task counts and partition-per-task parallelism") {
+    val (runner, lay) = freshRunner()
+    val j = job("FanOut")
+    val res = runner.run(new Stubs.FanOut(4, 25), j).toOption.get
+    res.taskCount shouldBe 4
+    res.recordCount shouldBe 100L
+    res.perTask shouldBe (0 until 4).map(_ -> 25L).toMap
+    (0 until 4).foreach { t =>
+      new java.io.File(s"${lay.jobRoot(j)}/records/task-$t").exists shouldBe true
+    }
+  }
+
+  test("O6 ForeachSink runs once per task partition") {
+    val (runner, _) = freshRunner()
+    val j = job("FanOut")
+    val counter = JobRunnerSpec.persistCalls
+    counter.set(0)
+    val res = runner.run(new Stubs.FanOut(3, 5), j,
+      ForeachSink((_, rows) => { rows.size; JobRunnerSpec.persistCalls.incrementAndGet(); () }))
+    res.isRight shouldBe true
+    counter.get shouldBe 3
+  }
+
+  test("O6 Unsafe fence: second persist attempt is skipped (at-most-once, TaskFSM.scala:102-115)") {
+    val (runner, lay) = freshRunner()
+    val j = job("Unsafe")
+    val integ = new Stubs.FanOut(2, 5) {
+      override def name = "Unsafe"
+      override def persistingSemantics: PersistingSemantics = PersistingSemantics.Unsafe
+    }
+    JobRunnerSpec.persistCalls.set(0)
+    val sink = ForeachSink((_, rows) => { rows.size; JobRunnerSpec.persistCalls.incrementAndGet(); () })
+    runner.run(integ, j, sink).isRight shouldBe true
+    JobRunnerSpec.persistCalls.get shouldBe 2
+    // run the persist stage again against the same fence dir: all skipped
+    val recs = spark.read.parquet(s"${lay.jobRoot(j)}/records/task-*")
+      .withColumn("task_number", org.apache.spark.sql.functions
+        .regexp_extract(org.apache.spark.sql.functions.input_file_name(), "task-(\\d+)/", 1).cast("int"))
+    runner.persist(integ, j, recs, sink)
+    JobRunnerSpec.persistCalls.get shouldBe 2
+  }
+
+  test("O7 completion hook fires with the planned tasks (HandleJobCompletedOperation.java:20-28)") {
+    val (runner, _) = freshRunner()
+    val j = job("Hooked")
+    var seen: Option[Int] = None
+    val integ = new Stubs.FanOut(2, 1) {
+      override def name = "Hooked"
+      override def onJobCompleted(at: Instant, jb: IngestionJob, tasks: Seq[TaskSpec]): Unit =
+        seen = Some(tasks.size)
+    }
+    runner.run(integ, j).isRight shouldBe true
+    seen shouldBe Some(2)
+  }
+
+  test("O8 failure mapping: executor-side user exception becomes a structured report") {
+    val (runner, _) = freshRunner()
+    val j = job("Failing")
+    val integ = new Stubs.FanOut(1, 1) {
+      override def name = "Failing"
+      override def fetchStructured(task: TaskSpec): Iterator[Row] =
+        throw new IllegalStateException("fetch exploded")
+    }
+    val Left(report) = runner.run(integ, j): @unchecked
+    report.summaryLines.mkString("\n") should include("fetch exploded")
+  }
+
+  type Row = org.apache.spark.sql.Row
+}
+
+object JobRunnerSpec {
+  // static so the counter survives closure serialization in local mode
+  val persistCalls = new AtomicInteger(0)
+}
