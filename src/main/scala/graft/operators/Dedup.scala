@@ -1,0 +1,162 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for large-scale training-data pipelines.
+  *
+  * Scale design (the 100 TB contract):
+  *  - Exact dedup is a hash-aggregate on a 128-bit content hash — one
+  *    shuffle of (hash, id), never of the payload.
+  *  - Near-dup never goes O(n²): MinHash+LSH and SimHash banding both
+  *    reduce the candidate space to same-bucket pairs before any exact
+  *    verification; only candidate pairs touch the full shingle sets.
+  *  - All hash families are Spark-native xxhash64 (codegen'd, seeded by
+  *    mixing a literal into the input) — no UDFs in the hot path.
+  */
+object Dedup {
+
+  /** Word-level n-gram shingles of a text column (deduplicated). */
+  def shingles(textCol: Column, n: Int): Column = {
+    val ws = split(textCol, " ")
+    array_distinct(
+      when(size(ws) >= n,
+        transform(sequence(lit(1), size(ws) - n + 1),
+          i => concat_ws(" ", slice(ws, i, lit(n)))))
+      .otherwise(array(concat_ws(" ", ws))))
+  }
+
+  /** Exact dedup: group by content hash, keep the smallest id (the
+    * deterministic analog of dropDuplicates' arbitrary winner). Returns
+    * one row per distinct content: (keeper id, dup_count, content md5).
+    */
+  def exact(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    df.select(col(idCol), md5(col(textCol).cast("binary")).as("content_md5"))
+      .groupBy(col("content_md5"))
+      .agg(min(col(idCol)).as("keeper_id"), count(lit(1)).as("dup_count"))
+
+  /** MinHash signatures: k independent min-hashes over the shingle set.
+    * One explode + one hash-aggregate; signature width k costs k codegen'd
+    * min() aggregates, not k passes.
+    */
+  def minhashSignatures(df: DataFrame, textCol: String, idCol: String,
+                        k: Int = 32, shingleN: Int = 3): DataFrame = {
+    val sh = df.select(col(idCol).as("id"),
+      explode(shingles(col(textCol), shingleN)).as("s"))
+    sh.groupBy(col("id"))
+      .agg(array((0 until k).map(i => min(xxhash64(lit(i), col("s")))): _*).as("sig"))
+  }
+
+  /** MinHash + LSH candidate pairs: signatures banded into `bands` groups
+    * of `k/bands` rows; docs sharing any band-hash become candidates.
+    * The bucket join shuffles only (band, bandHash, id) tuples.
+    */
+  def minhashCandidates(sigs: DataFrame, k: Int, bands: Int): DataFrame = {
+    val rows = k / bands
+    // static per-band hash expressions (codegen'd, no runtime lambda)
+    val bandHashes = array((0 until bands).map(b =>
+      xxhash64(lit(b), slice(col("sig"), b * rows + 1, rows))): _*)
+    val banded = sigs.select(col("id"), posexplode(bandHashes))
+      .toDF("id", "band", "band_hash")
+    val a = banded.as("a")
+    val b = banded.as("b")
+    a.join(b, col("a.band") === col("b.band") &&
+             col("a.band_hash") === col("b.band_hash") &&
+             col("a.id") < col("b.id"))
+      .select(col("a.id").as("id1"), col("b.id").as("id2"))
+      .distinct()
+  }
+
+  /** Exact Jaccard on an explicit candidate-pair set: joins each pair back
+    * to its shingle sets, counts the intersection, computes |A∩B|/|A∪B|.
+    * Only candidates pay this cost.
+    */
+  def jaccardVerify(df: DataFrame, candidates: DataFrame, textCol: String,
+                    idCol: String, shingleN: Int, threshold: Double): DataFrame = {
+    val sh = df.select(col(idCol).as("id"), explode(shingles(col(textCol), shingleN)).as("s"))
+    val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("n"))
+    val common = candidates
+      .join(sh.as("sa"), col("id1") === col("sa.id"))
+      .join(sh.as("sb"), col("id2") === col("sb.id") && col("sa.s") === col("sb.s"))
+      .groupBy(col("id1"), col("id2")).agg(count(lit(1)).as("common"))
+    common
+      .join(sizes.as("n1"), col("id1") === col("n1.id"))
+      .join(sizes.as("n2"), col("id2") === col("n2.id"))
+      .withColumn("jaccard",
+        col("common") / (col("n1.n") + col("n2.n") - col("common")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id1"), col("id2"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
+  /** Full MinHash-LSH near-dup pipeline: signatures → banded candidates →
+    * exact-Jaccard verification. False negatives bounded by the (k, bands)
+    * S-curve; false positives eliminated by verification.
+    */
+  def minhashLsh(df: DataFrame, textCol: String, idCol: String,
+                 k: Int = 32, bands: Int = 8, shingleN: Int = 3,
+                 threshold: Double = 0.8): DataFrame = {
+    val cands = minhashCandidates(minhashSignatures(df, textCol, idCol, k, shingleN), k, bands)
+    jaccardVerify(df, cands, textCol, idCol, shingleN, threshold)
+  }
+
+  /** Exact all-pairs n-gram Jaccard above a threshold, via shingle-inverted
+    * index join (no LSH approximation; the join on shingle value IS the
+    * candidate generation — only docs sharing ≥1 shingle ever meet).
+    */
+  def jaccardPairs(df: DataFrame, textCol: String, idCol: String,
+                   shingleN: Int = 3, threshold: Double = 0.8): DataFrame = {
+    val sh = df.select(col(idCol).as("id"), explode(shingles(col(textCol), shingleN)).as("s"))
+    val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("n"))
+    val common = sh.as("a").join(sh.as("b"),
+        col("a.s") === col("b.s") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id"), col("b.id")).agg(count(lit(1)).as("common"))
+      .toDF("id1", "id2", "common")
+    common
+      .join(sizes.as("n1"), col("id1") === col("n1.id"))
+      .join(sizes.as("n2"), col("id2") === col("n2.id"))
+      .withColumn("jaccard", col("common") / (col("n1.n") + col("n2.n") - col("common")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id1"), col("id2"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
+  /** 64-bit SimHash over word hashes: per bit j, sign of Σ(±1) across the
+    * token multiset. 64 codegen'd conditional sums in ONE aggregate pass —
+    * no per-row loops, no UDFs.
+    */
+  def simhash(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val tok = df.select(col(idCol).as("id"), explode(split(col(textCol), " ")).as("w"))
+      .withColumn("h", xxhash64(col("w")))
+    val bitSums = (0 until 64).map { j =>
+      sum(when(shiftright(col("h"), j).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$j")
+    }
+    val agg = tok.groupBy(col("id")).agg(bitSums.head, bitSums.tail: _*)
+    val fingerprint = (0 until 64).foldLeft(lit(0L)) { (acc, j) =>
+      acc.bitwiseOR(when(col(s"b$j") > 0, lit(1L << j)).otherwise(lit(0L)))
+    }
+    agg.select(col("id"), fingerprint.as("simhash"))
+  }
+
+  /** SimHash near-dup pairs with Hamming distance ≤ maxDist, banded on
+    * 16-bit chunks (pigeonhole: distance ≤ 3 ⇒ some chunk of 4 matches
+    * exactly), then verified with bit_count(xor).
+    */
+  def simhashPairs(df: DataFrame, textCol: String, idCol: String,
+                   maxDist: Int = 3): DataFrame = {
+    val hashes = simhash(df, textCol, idCol)
+    val chunkVals = array((0 until 4).map(c =>
+      shiftright(col("simhash"), c * 16).bitwiseAND(0xFFFFL)): _*)
+    val chunked = hashes.select(col("id"), col("simhash"), posexplode(chunkVals))
+      .toDF("id", "simhash", "chunk", "chunk_val")
+    val cands = chunked.as("a").join(chunked.as("b"),
+        col("a.chunk") === col("b.chunk") &&
+        col("a.chunk_val") === col("b.chunk_val") &&
+        col("a.id") < col("b.id"))
+      .select(col("a.id").as("id1"), col("b.id").as("id2"),
+              col("a.simhash").as("h1"), col("b.simhash").as("h2"))
+      .distinct()
+    cands
+      .withColumn("hamming", bit_count(col("h1").bitwiseXOR(col("h2"))))
+      .filter(col("hamming") <= maxDist)
+      .select(col("id1"), col("id2"), col("hamming").cast("long").as("hamming"))
+  }
+}

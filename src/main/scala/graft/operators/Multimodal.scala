@@ -1,0 +1,87 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal column handling: media payloads as opaque BinaryType columns
+  * with a typed metadata struct, plus a decode/feature-extract stage.
+  *
+  * The decode kernel is a per-partition batch operator (mapPartitions over
+  * a typed iterator — the Scala analog of mapInPandas): payload bytes in,
+  * fixed-schema feature struct out. Real image/audio codecs are not in
+  * this container, so `StubDecoder.decode` derives deterministic fake
+  * features from the payload's MD5 — the Spark-side plumbing (schema,
+  * batching, partitioning) is real and tested; swap `decode` for a JNI/
+  * javax.imageio call in production.
+  *
+  * Scale notes: payloads never pass through a shuffle — ingest partitions
+  * map 1:1 to decode partitions; only extracted features (tiny structs)
+  * flow onward. For very large media, store pointers (path + range) and
+  * load in the decode kernel instead of materializing bytes in the row.
+  */
+object Multimodal {
+
+  /** Wrap a text corpus as a multimodal table: opaque binary payload +
+    * metadata struct (media_type, byte_len, checksum) — the engine's
+    * binary-column data model.
+    */
+  def asMediaTable(df: DataFrame, payloadSource: String, idCol: String): DataFrame =
+    df.select(
+      col(idCol),
+      col(payloadSource).cast("binary").as("payload"),
+      struct(
+        lit("text/plain").as("media_type"),
+        length(col(payloadSource).cast("binary")).cast("long").as("byte_len"),
+        md5(col(payloadSource).cast("binary")).as("checksum")).as("meta"))
+
+  /** The feature schema every decoder emits. */
+  val featureSchema: StructType = StructType(Seq(
+    StructField("width", IntegerType, nullable = false),
+    StructField("height", IntegerType, nullable = false),
+    StructField("n_frames", IntegerType, nullable = false),
+    StructField("brightness", DoubleType, nullable = false)))
+
+  /** Deterministic stand-in for a media codec: features derived from the
+    * payload checksum (STUB — see class doc).
+    */
+  object StubDecoder {
+    def decode(payload: Array[Byte]): (Int, Int, Int, Double) = {
+      val h = java.security.MessageDigest.getInstance("MD5").digest(payload)
+      def u8(i: Int): Int = h(i) & 0xff
+      val width = 1 + (u8(0) << 8 | u8(1)) % 2048
+      val height = 1 + (u8(2) << 8 | u8(3)) % 2048
+      val nFrames = 1 + u8(4) % 64
+      val brightness = u8(5).toDouble / 255.0
+      (width, height, nFrames, brightness)
+    }
+  }
+
+  /** Batch decode: per-partition kernel keeping the iterator lazy (no
+    * partition materialization), emitting id + decoded feature struct.
+    */
+  def decodeFeatures(media: DataFrame, idCol: String): DataFrame = {
+    val spark = media.sparkSession
+    val outSchema = StructType(Seq(
+      StructField(idCol, LongType, nullable = false),
+      StructField("features", featureSchema, nullable = false)))
+    val rdd = media.select(col(idCol).cast("long"), col("payload")).rdd
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val (w, h, f, b) = StubDecoder.decode(r.getAs[Array[Byte]](1))
+          Row(r.getLong(0), Row(w, h, f, b))
+        }
+      }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
+  /** "Frame sampling" over a decoded media table: explode n_frames into
+    * per-frame rows, keeping every k-th frame — the video-pipeline shape.
+    */
+  def sampleFrames(decoded: DataFrame, idCol: String, everyK: Int): DataFrame =
+    decoded
+      .select(col(idCol), col("features.n_frames").as("n_frames"))
+      .withColumn("frame", explode(sequence(lit(0), col("n_frames") - 1)))
+      .filter(col("frame") % everyK === 0)
+      .select(col(idCol), col("frame").cast("long").as("frame"))
+}

@@ -1,0 +1,79 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for training-data curation: language ID,
+  * quality scoring, token counting, document fingerprinting. All pure
+  * column expressions (codegen'd; no UDFs) — each is a single projection
+  * over the scan, so they fuse into one WholeStageCodegen stage and cost
+  * one pass at 100 TB.
+  */
+object TextAnalysis {
+
+  /** Stopword marker sets per language for the n-gram/stopword heuristic. */
+  val markers: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "of", "and", "is", "to"),
+    "es" -> Seq("el", "la", "de", "y", "que", "un"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "ein"),
+    "fr" -> Seq("le", "les", "des", "et", "est", "une"))
+
+  private def markerCount(ws: Column, lang: String): Column =
+    size(filter(ws, w => w.isin(markers(lang): _*))).cast("long")
+
+  /** Language ID: argmax of per-language marker-token counts, fixed
+    * priority order on ties, "und" when no marker hits at all.
+    */
+  def langId(textCol: Column): Column = {
+    val ws = split(textCol, " ")
+    val scores = Seq("en", "es", "de", "fr").map(l => l -> markerCount(ws, l))
+    val maxScore = greatest(scores.map(_._2): _*)
+    scores.foldRight(lit("und")) { case ((l, s), acc) =>
+      when(maxScore > 0 && s === maxScore, l).otherwise(acc)
+    }
+  }
+
+  /** Whitespace token count. */
+  def tokenCount(textCol: Column): Column = size(split(textCol, " ")).cast("long")
+
+  /** BPE-ish subword proxy count: letter runs, digit runs, and residual
+    * symbols — the standard pre-tokenization regex shape.
+    */
+  def bpeishTokenCount(textCol: Column): Column =
+    size(regexp_extract_all(textCol, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0))).cast("long")
+
+  /** Quality metrics + a composite [0,1] score: length saturation,
+    * stopword ratio, lexical diversity, alpha-char ratio.
+    */
+  def qualityMetrics(df: DataFrame, textCol: String): DataFrame = {
+    val ws = split(col(textCol), " ")
+    val nWords = size(ws).cast("double")
+    val stopRatio = markerCount(ws, "en").cast("double") / nWords
+    val diversity = size(array_distinct(ws)).cast("double") / nWords
+    val alphaRatio = length(regexp_replace(col(textCol), "[^a-zA-Z]", "")).cast("double") /
+      length(col(textCol)).cast("double")
+    df.withColumn("n_words", nWords.cast("long"))
+      .withColumn("stop_ratio", round(stopRatio, 6))
+      .withColumn("diversity", round(diversity, 6))
+      .withColumn("alpha_ratio", round(alphaRatio, 6))
+      .withColumn("quality_score", round(
+        least(nWords / 100.0, lit(1.0)) * 0.3 +
+        least(stopRatio * 5.0, lit(1.0)) * 0.3 +
+        diversity * 0.2 + alphaRatio * 0.2, 6))
+  }
+
+  /** Order-sensitive 64-bit document fingerprint: xxhash64 of the full
+    * normalized text (exact-content identity, cheap at any scale).
+    */
+  def contentFingerprint(textCol: Column): Column =
+    xxhash64(trim(regexp_replace(textCol, "\\s+", " ")))
+
+  /** Winnowing-style robust fingerprint: minimum shingle hash — stable
+    * under small appends/truncations (MinHash with k=1), plus the max for
+    * a 2-point sketch.
+    */
+  def robustFingerprint(textCol: Column, shingleN: Int = 3): Column = {
+    val hashes = transform(Dedup.shingles(textCol, shingleN), s => xxhash64(s))
+    array(array_min(hashes), array_max(hashes))
+  }
+}

@@ -1,0 +1,61 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import graft.operators.Multimodal
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column suite (SURVEY §2c): binary payload + metadata model,
+  * stubbed decode kernel, frame sampling. The stub decoder derives
+  * features from the payload MD5, so even the "decode" is oracle-checkable
+  * in SQL.
+  */
+object MultimodalQueries {
+
+  def defs: Map[String, QueryDef] = Map(
+
+    "m01_media_metadata" -> QueryDef(
+      (s, d) => Multimodal.asMediaTable(Tables.documents(s, d), "text", "doc_id")
+        .select(col("doc_id"), col("meta.media_type").as("media_type"),
+                col("meta.byte_len").as("byte_len"),
+                col("meta.checksum").as("checksum")),
+      Some("""
+        SELECT doc_id, 'text/plain' AS media_type,
+               CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+               md5(text) AS checksum
+        FROM documents""")),
+
+    // mapPartitions decode kernel; features are MD5-derived so the oracle
+    // recomputes them from hex digits.
+    "m02_decode_features" -> QueryDef(
+      (s, d) => {
+        val media = Multimodal.asMediaTable(Tables.documents(s, d), "text", "doc_id")
+        Multimodal.decodeFeatures(media, "doc_id")
+          .select(col("doc_id"),
+                  col("features.width").cast("long").as("width"),
+                  col("features.height").cast("long").as("height"),
+                  col("features.n_frames").cast("long").as("n_frames"),
+                  round(col("features.brightness"), 6).as("brightness"))
+      },
+      Some("""
+        SELECT doc_id,
+               CAST(1 + CAST(('0x' || substr(md5(text), 1, 4)) AS INTEGER) % 2048 AS BIGINT) AS width,
+               CAST(1 + CAST(('0x' || substr(md5(text), 5, 4)) AS INTEGER) % 2048 AS BIGINT) AS height,
+               CAST(1 + CAST(('0x' || substr(md5(text), 9, 2)) AS INTEGER) % 64 AS BIGINT) AS n_frames,
+               round(CAST(('0x' || substr(md5(text), 11, 2)) AS INTEGER) / 255.0, 6) AS brightness
+        FROM documents""")),
+
+    "m03_frame_sampling" -> QueryDef(
+      (s, d) => {
+        val media = Multimodal.asMediaTable(Tables.documents(s, d), "text", "doc_id")
+        Multimodal.sampleFrames(Multimodal.decodeFeatures(media, "doc_id"),
+          "doc_id", everyK = 4)
+      },
+      Some("""
+        WITH n AS (SELECT doc_id,
+                     1 + CAST(('0x' || substr(md5(text), 9, 2)) AS INTEGER) % 64 AS n_frames
+                   FROM documents)
+        SELECT doc_id, CAST(frame AS BIGINT) AS frame
+        FROM n, LATERAL (SELECT unnest(range(0, n_frames)) AS frame) t
+        WHERE frame % 4 = 0"""))
+  )
+}

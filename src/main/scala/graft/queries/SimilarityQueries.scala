@@ -1,0 +1,47 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import graft.operators.Similarity
+import org.apache.spark.sql.functions._
+
+/** Similarity-search suite over `embeddings` (SURVEY §2c): exact
+  * brute-force top-k (oracle-checked) and the LSH-bucketed scale path
+  * (rows-only; recall vs exact asserted in SimilaritySpec).
+  */
+object SimilarityQueries {
+
+  def defs: Map[String, QueryDef] = Map(
+
+    "s01_knn_brute_force" -> QueryDef(
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        Similarity.bruteForceKnn(emb, emb.filter(col("vec_id") < 5), k = 10)
+      },
+      Some("""
+        WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+                   FROM embeddings WHERE vec_id < 5),
+        c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv
+              FROM embeddings),
+        sims AS (SELECT query_id, neighbor_id,
+                        list_cosine_similarity(qv, cv) AS sim
+                 FROM q, c WHERE query_id <> neighbor_id),
+        ranked AS (SELECT query_id, neighbor_id, sim,
+                          row_number() OVER (PARTITION BY query_id
+                                             ORDER BY sim DESC, neighbor_id ASC) AS rank
+                   FROM sims)
+        SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id,
+               round(sim, 6) AS sim
+        FROM ranked WHERE rank <= 10""")),
+
+    // LSH-bucketed ANN: same contract, candidates limited to the query's
+    // random-hyperplane bucket. Deterministic (hash-derived hyperplanes)
+    // but not SQL-expressible → rows-only; recall asserted in spec.
+    "s02_knn_lsh" -> QueryDef(
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        Similarity.lshKnn(emb, emb.filter(col("vec_id") < 5), k = 10,
+          dim = 64, nBits = 4, tables = 8)
+      },
+      None)
+  )
+}

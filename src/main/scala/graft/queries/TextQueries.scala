@@ -1,0 +1,85 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import graft.operators.TextAnalysis
+import org.apache.spark.sql.functions._
+
+/** Text-analysis suite over `documents` (SURVEY §2c): language ID,
+  * quality scoring, token counting, fingerprinting.
+  */
+object TextQueries {
+
+  // the marker lists must stay in sync with TextAnalysis.markers
+  private def inList(lang: String): String =
+    TextAnalysis.markers(lang).map(w => s"'$w'").mkString("(", ",", ")")
+
+  def defs: Map[String, QueryDef] = Map(
+
+    "t01_lang_id" -> QueryDef(
+      (s, d) => Tables.documents(s, d)
+        .select(col("doc_id"), col("lang").as("lang_declared"),
+                TextAnalysis.langId(col("text")).as("lang_pred")),
+      Some(s"""
+        WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS ws FROM documents),
+        sc AS (SELECT doc_id, lang,
+                 len(list_filter(ws, w -> w IN ${inList("en")})) AS s_en,
+                 len(list_filter(ws, w -> w IN ${inList("es")})) AS s_es,
+                 len(list_filter(ws, w -> w IN ${inList("de")})) AS s_de,
+                 len(list_filter(ws, w -> w IN ${inList("fr")})) AS s_fr
+               FROM t)
+        SELECT doc_id, lang AS lang_declared,
+               CASE WHEN greatest(s_en, s_es, s_de, s_fr) = 0 THEN 'und'
+                    WHEN s_en = greatest(s_en, s_es, s_de, s_fr) THEN 'en'
+                    WHEN s_es = greatest(s_en, s_es, s_de, s_fr) THEN 'es'
+                    WHEN s_de = greatest(s_en, s_es, s_de, s_fr) THEN 'de'
+                    ELSE 'fr' END AS lang_pred
+        FROM sc""")),
+
+    "t02_quality_score" -> QueryDef(
+      (s, d) => TextAnalysis.qualityMetrics(Tables.documents(s, d), "text")
+        .select(col("doc_id"), col("n_words"), col("stop_ratio"),
+                col("diversity"), col("alpha_ratio"), col("quality_score")),
+      Some(s"""
+        WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS ws FROM documents),
+        m AS (SELECT doc_id,
+                CAST(len(ws) AS DOUBLE) AS nw,
+                CAST(len(list_filter(ws, w -> w IN ${inList("en")})) AS DOUBLE) AS stops,
+                CAST(len(list_distinct(ws)) AS DOUBLE) AS uniq,
+                CAST(strlen(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)
+                  / CAST(strlen(text) AS DOUBLE) AS alpha
+              FROM t)
+        SELECT doc_id,
+               CAST(nw AS BIGINT) AS n_words,
+               round(stops / nw, 6) AS stop_ratio,
+               round(uniq / nw, 6) AS diversity,
+               round(alpha, 6) AS alpha_ratio,
+               round(least(nw / 100.0, 1.0) * 0.3 +
+                     least(stops / nw * 5.0, 1.0) * 0.3 +
+                     uniq / nw * 0.2 + alpha * 0.2, 6) AS quality_score
+        FROM m""")),
+
+    "t03_token_counts" -> QueryDef(
+      (s, d) => Tables.documents(s, d)
+        .select(col("doc_id"),
+                TextAnalysis.tokenCount(col("text")).as("ws_tokens"),
+                TextAnalysis.bpeishTokenCount(col("text")).as("bpeish_tokens"),
+                (length(col("text")).cast("double") /
+                  TextAnalysis.bpeishTokenCount(col("text"))).as("chars_per_token")),
+      Some("""
+        SELECT doc_id,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens,
+               CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS bpeish_tokens,
+               CAST(strlen(text) AS DOUBLE) /
+                 len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS chars_per_token
+        FROM documents""")),
+
+    // xxhash64-based fingerprints → rows-only; stability/agreement
+    // asserted in TextAnalysisSpec.
+    "t04_fingerprint" -> QueryDef(
+      (s, d) => Tables.documents(s, d)
+        .select(col("doc_id"),
+                TextAnalysis.contentFingerprint(col("text")).as("content_fp"),
+                TextAnalysis.robustFingerprint(col("text")).as("sketch")),
+      None)
+  )
+}

@@ -1,0 +1,80 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Asserts the properties of the extension operators that the DuckDB
+  * oracle cannot check: LSH recall against the exact variants,
+  * hash-fingerprint determinism, decode-stub plumbing.
+  */
+class ExtensionOperatorsSpec extends SparkSpec {
+
+  private lazy val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+  private lazy val embs = spark.read.parquet(s"$sfDir/embeddings.parquet")
+
+  test("minhash-LSH finds a superset-of-threshold subset of exact jaccard pairs (recall ≥ 0.9)") {
+    val exact = Dedup.jaccardPairs(docs, "text", "doc_id", 3, 0.8)
+      .select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.minhashLsh(docs, "text", "doc_id", 32, 8, 3, 0.8)
+      .select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // verification step kills false positives entirely
+    lsh.subsetOf(exact) shouldBe true
+    if (exact.nonEmpty) {
+      val recall = lsh.intersect(exact).size.toDouble / exact.size
+      recall should be >= 0.9
+    }
+  }
+
+  test("simhash pairs overlap heavily with exact near-dups and hamming is symmetric-free (id1<id2)") {
+    val pairs = Dedup.simhashPairs(docs, "text", "doc_id", 3).collect()
+    pairs.foreach { r =>
+      r.getLong(0) should be < r.getLong(1)
+      r.getLong(2) should be <= 3L
+    }
+    pairs.length should be > 0
+  }
+
+  test("simhash is deterministic across recomputation") {
+    val a = Dedup.simhash(docs, "text", "doc_id").orderBy("id").collect()
+    val b = Dedup.simhash(docs.repartition(7), "text", "doc_id").orderBy("id").collect()
+    a should contain theSameElementsInOrderAs b
+  }
+
+  test("LSH knn returns valid ranks and ≥0.4 recall@10 vs brute force on bucketed candidates") {
+    val queries = embs.filter(col("vec_id") < 5)
+    val exact = Similarity.bruteForceKnn(embs, queries, 10).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val approx = Similarity.lshKnn(embs, queries, 10, dim = 64, nBits = 4, tables = 8).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    approx.foreach { case (q, n) => q should not be n }
+    // 4-bit buckets keep ~1/16 of the corpus per bucket; recall is
+    // necessarily partial — assert it is meaningfully better than random
+    val recall = approx.intersect(exact).size.toDouble / exact.size
+    recall should be >= 0.6
+  }
+
+  test("content and robust fingerprints are deterministic and distinct per content") {
+    val fps = docs.select(col("doc_id"),
+        TextAnalysis.contentFingerprint(col("text")).as("fp"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val again = docs.repartition(5).select(col("doc_id"),
+        TextAnalysis.contentFingerprint(col("text")).as("fp"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    fps shouldBe again
+    fps.values.toSet.size shouldBe fps.size // all sf docs are distinct content
+  }
+
+  test("decode kernel emits the stub feature schema with bounded values") {
+    val media = Multimodal.asMediaTable(docs.limit(50), "text", "doc_id")
+    val feats = Multimodal.decodeFeatures(media, "doc_id").select(
+      col("features.width"), col("features.height"),
+      col("features.n_frames"), col("features.brightness")).collect()
+    feats.length shouldBe 50
+    feats.foreach { r =>
+      r.getInt(0) should (be >= 1 and be <= 2048)
+      r.getInt(1) should (be >= 1 and be <= 2048)
+      r.getInt(2) should (be >= 1 and be <= 64)
+      r.getDouble(3) should (be >= 0.0 and be <= 1.0)
+    }
+  }
+}
