@@ -1,0 +1,113 @@
+package graft.streaming
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, StreamingQuery, Trigger}
+
+/** Structured-Streaming ingestion surface — the data-plane analog of the
+  * reference's AMQP control plane (SURVEY.md §2b "Streaming" row). The
+  * reference only streams WORK (RabbitMQ queues with per-message TTL and
+  * dead-lettering, worker/.../actor/amqp/QueueHelpers.scala:57-82); here the
+  * same semantics apply to DATA:
+  *
+  *   work TTL / expired dead-letter  → withWatermark (late data dropped)
+  *   queue consumption               → readStream file/rate/memory sources
+  *   result publication              → writeStream / foreachBatch
+  *   at-least-once ACK-after-publish → idempotent foreachBatch (batchId fence)
+  *
+  * Every transform takes and returns a streaming DataFrame, so the same
+  * plan runs over a MemoryStream in tests, a file source locally, and
+  * Kafka on a cluster. All aggregations are watermark-bounded: state size
+  * is O(open windows), never O(stream) — the 100 TB/day requirement.
+  */
+object StreamingIngest {
+
+  /** File-source stream over an events-shaped directory (schema must be
+    * supplied — streaming sources don't infer). `maxFilesPerTrigger` is the
+    * reference's throttled-resource analog for a file feed
+    * (WorkResource.scala:29-43): it caps ingest rate per micro-batch.
+    */
+  def readEventFiles(spark: SparkSession, dir: String,
+                     schemaDDL: String,
+                     maxFilesPerTrigger: Int = 8): DataFrame =
+    spark.readStream
+      .schema(org.apache.spark.sql.types.StructType.fromDDL(schemaDDL))
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(dir)
+
+  /** Tumbling-window counts with late-data drop. Watermark = the work-TTL
+    * analog (reference default 1 h, reference.conf:18-19).
+    */
+  def tumblingCounts(events: DataFrame, tsCol: String = "ts",
+                     lateness: String = "1 hour",
+                     width: String = "1 hour"): DataFrame =
+    events
+      .withWatermark(tsCol, lateness)
+      .groupBy(window(col(tsCol), width), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum("value").as("sum_value"))
+      .select(col("window.start").as("window_start"),
+        col("event_type"), col("n"), col("sum_value"))
+
+  /** Sliding-window per-user activity. */
+  def slidingUserActivity(events: DataFrame, tsCol: String = "ts",
+                          lateness: String = "1 hour",
+                          width: String = "1 hour",
+                          slide: String = "30 minutes"): DataFrame =
+    events
+      .withWatermark(tsCol, lateness)
+      .groupBy(window(col(tsCol), width, slide), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("window_start"), col("user_id"), col("n"))
+
+  /** Session windows (gap-based) — state closes when the watermark passes
+    * the gap, so memory is bounded by concurrently-open sessions.
+    */
+  def sessionCounts(events: DataFrame, tsCol: String = "ts",
+                    lateness: String = "1 hour",
+                    gap: String = "30 minutes"): DataFrame =
+    events
+      .withWatermark(tsCol, lateness)
+      .groupBy(session_window(col(tsCol), gap), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("session_window.start").as("session_start"),
+        col("user_id"), col("n"))
+
+  /** Streaming exact dedup by key, state expired by watermark — the
+    * streaming analog of the exact-dedup batch operator. Without the
+    * watermark the key set grows unboundedly; with it, state is bounded by
+    * keys seen inside the lateness horizon.
+    */
+  def dedupByKey(events: DataFrame, keys: Seq[String],
+                 tsCol: String = "ts", lateness: String = "1 hour"): DataFrame =
+    events
+      .withWatermark(tsCol, lateness)
+      .dropDuplicatesWithinWatermark(keys)
+
+  /** Idempotent micro-batch sink: exactly-once parquet output via a
+    * batch-id fence, the streaming analog of the engine's at-most-once
+    * persist fence (JobRunner.persist; reference ACK placement
+    * TaskFSM.scala:102-115). A replayed batchId (restart between write and
+    * checkpoint commit) is skipped instead of duplicated.
+    */
+  def idempotentParquetSink(out: DataFrame, outDir: String,
+                            checkpointDir: String): DataStreamWriter[org.apache.spark.sql.Row] =
+    out.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val fence = new Path(s"$outDir/_fence/batch-$batchId")
+        val fs = fence.getFileSystem(batch.sparkSession.sessionState.newHadoopConf())
+        if (fs.createNewFile(fence)) {
+          batch.write.mode("append").parquet(s"$outDir/data")
+        }
+        ()
+      }
+
+  /** Run a streaming plan over all currently-available input and stop —
+    * the batch-over-stream execution mode (Trigger.AvailableNow) used for
+    * catch-up ingestion at scale.
+    */
+  def runAvailableNow(writer: DataStreamWriter[org.apache.spark.sql.Row]): StreamingQuery =
+    writer.trigger(Trigger.AvailableNow()).start()
+}

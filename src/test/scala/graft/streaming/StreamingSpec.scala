@@ -1,0 +1,148 @@
+package graft.streaming
+
+import java.sql.Timestamp
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** Streaming semantics vs the reference's control-plane behaviors:
+  * watermark late-drop ↔ message TTL expiry, session/tumbling windows,
+  * streaming dedup, idempotent foreachBatch ↔ ACK-after-publish, and the
+  * TaskTracker FSM ↔ TaskFSM + expired dead-letters
+  * (worker/.../actor/task/TaskFSM.scala, QueueHelpers.scala:57-82).
+  */
+class StreamingSpec extends SparkSpec {
+  import TaskTracker._
+
+  private def ts(minute: Int): Timestamp =
+    Timestamp.valueOf(f"2026-01-01 10:$minute%02d:00")
+
+  case class Ev(event_id: Long, ts: Timestamp, user_id: Long,
+                event_type: String, value: Double)
+
+  private def runBatches(out: DataFrame, name: String,
+                         feed: () => Unit): DataFrame = {
+    val q = out.writeStream.format("memory").queryName(name)
+      .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
+    try { feed(); q.processAllAvailable() } finally q.stop()
+    spark.table(name)
+  }
+
+  test("tumbling window counts close when watermark passes; late events dropped") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Ev]
+    val out = StreamingIngest.tumblingCounts(
+      in.toDF(), lateness = "10 minutes", width = "30 minutes")
+    val got = runBatches(out, "tumbling", { () =>
+      in.addData(Ev(1, ts(0), 1, "click", 1.0), Ev(2, ts(10), 2, "click", 2.0))
+      in.addData(Ev(3, ts(55), 1, "view", 1.0)) // advances watermark to 10:45
+      in.addData(Ev(4, ts(5), 3, "click", 9.9)) // late: before watermark, dropped
+      in.addData(Ev(5, ts(59, 0), 1, "view", 1.0))
+    })
+    val rows = got.collect().map(r => (r.getString(1), r.getLong(2))).toMap
+    rows("click") shouldBe 2L // the late event 4 must NOT be counted
+  }
+
+  private def ts(minute: Int, second: Int): Timestamp =
+    Timestamp.valueOf(f"2026-01-01 10:$minute%02d:$second%02d")
+
+  test("streaming dedup drops within-watermark duplicate keys") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Ev]
+    val out = StreamingIngest.dedupByKey(
+      in.toDF(), Seq("event_id"), lateness = "10 minutes")
+    val got = runBatches(out, "dedup", { () =>
+      in.addData(Ev(1, ts(0), 1, "click", 1.0), Ev(1, ts(1), 1, "click", 1.0))
+      in.addData(Ev(1, ts(2), 1, "click", 1.0), Ev(2, ts(3), 2, "view", 2.0))
+    })
+    got.select("event_id").as[Long].collect().sorted shouldBe Array(1L, 2L)
+  }
+
+  test("session windows split on gap") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Ev]
+    val out = StreamingIngest.sessionCounts(
+      in.toDF(), lateness = "5 minutes", gap = "10 minutes")
+    val got = runBatches(out, "sessions", { () =>
+      // user 1: events at 10:00, 10:05 (one session), then 10:30 (a second)
+      in.addData(Ev(1, ts(0), 1, "a", 0), Ev(2, ts(5), 1, "a", 0),
+        Ev(3, ts(30), 1, "a", 0))
+      in.addData(Ev(9, ts(59), 7, "a", 0)) // push watermark past both sessions
+    })
+    val sessions = got.filter(col("user_id") === 1).collect()
+    sessions.length shouldBe 2
+    sessions.map(_.getLong(2)).sorted shouldBe Array(1L, 2L)
+  }
+
+  test("idempotent foreachBatch sink: replayed batch is not double-written") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft-sink").toString
+    val in = MemoryStream[Ev]
+    val writer = StreamingIngest.idempotentParquetSink(
+      in.toDF(), s"$dir/out", s"$dir/ckpt")
+    val q = writer.trigger(Trigger.ProcessingTime(0)).start()
+    try { in.addData(Ev(1, ts(0), 1, "a", 0)); q.processAllAvailable() }
+    finally q.stop()
+    // simulate a replay of batch 0 (restart between write and commit):
+    // fence file for batch-0 already exists → write must be skipped
+    val replay = Seq(Ev(1, ts(0), 1, "a", 0)).toDF()
+    val fence = new org.apache.hadoop.fs.Path(s"$dir/out/_fence/batch-0")
+    val fs = fence.getFileSystem(spark.sessionState.newHadoopConf())
+    fs.exists(fence) shouldBe true
+    if (fs.createNewFile(fence)) replay.write.mode("append").parquet(s"$dir/out/data")
+    spark.read.parquet(s"$dir/out/data").count() shouldBe 1L
+  }
+
+  test("task tracker: completed and failed tasks report and drop state") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[TaskEvent]
+    val out = TaskTracker.track(spark, in.toDS(), workTimeoutMs = 3600 * 1000L)
+    val q = out.writeStream.format("memory").queryName("fsm")
+      .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      in.addData(
+        TaskEvent("job-1", 0, Started, ts(0), ""),
+        TaskEvent("job-1", 0, Progress, ts(1), ""),
+        TaskEvent("job-1", 0, Progress, ts(2), ""),
+        TaskEvent("job-1", 0, Completed, ts(3), "ok"),
+        TaskEvent("job-1", 1, Started, ts(0), ""),
+        TaskEvent("job-1", 1, Failed, ts(2), "boom"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table("fsm").as[TaskReport].collect()
+      .map(r => r.taskNumber -> r).toMap
+    rows(0).status shouldBe Completed
+    rows(0).updates shouldBe 2
+    rows(1).status shouldBe Failed
+    rows(1).reason shouldBe "boom"
+  }
+
+  test("task tracker: a task with no terminal event expires via event-time timeout") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[TaskEvent]
+    // 5-minute work timeout so watermark can overtake it quickly
+    val out = TaskTracker.track(spark, in.toDS(), workTimeoutMs = 5 * 60 * 1000L)
+    val q = out.writeStream.format("memory").queryName("fsm_exp")
+      .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      in.addData(TaskEvent("job-2", 7, Started, ts(0), ""))
+      q.processAllAvailable()
+      // other-key traffic advances the watermark past 10:05 + slack
+      in.addData(TaskEvent("job-2", 8, Started, ts(30), ""))
+      q.processAllAvailable()
+      in.addData(TaskEvent("job-2", 8, Progress, ts(45), ""))
+      q.processAllAvailable()
+    } finally q.stop()
+    val expired = spark.table("fsm_exp").as[TaskReport].collect()
+      .filter(_.status == Expired)
+    expired.map(_.taskNumber) should contain(7)
+  }
+}
