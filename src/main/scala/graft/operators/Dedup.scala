@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 
 /** Deduplication operators for large-scale training-data pipelines.
   *
@@ -16,6 +17,15 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  /** Shingles in more docs than this are dropped from the Jaccard universe
+    * (boilerplate/stop n-grams). No-op on the test corpora (max DF ≈ 70 at
+    * sf0.1) — it exists to bound the inverted-index self-join at scale.
+    * Mirrored in the d02 DuckDB oracle. */
+  val DefaultDfCap = 1000
+
+  /** LSH buckets larger than this are dropped before candidate self-joins. */
+  val DefaultBucketCap = 1000
+
   /** Word-level n-gram shingles of a text column (deduplicated). */
   def shingles(textCol: Column, n: Int): Column = {
     val ws = split(textCol, " ")
@@ -24,6 +34,26 @@ object Dedup {
         transform(sequence(lit(1), size(ws) - n + 1),
           i => concat_ws(" ", slice(ws, i, lit(n)))))
       .otherwise(array(concat_ws(" ", ws))))
+  }
+
+  /** Exploded (id, shingle) inverted index with a document-frequency cap:
+    * shingles present in more than `dfCap` documents are dropped from the
+    * universe before ANY pairwise work. A single boilerplate n-gram shared
+    * by 10^5 docs would otherwise contribute 10^10 rows to the inverted-
+    * index self-join — the cap bounds every shingle's contribution at
+    * dfCap² and de-skews the join key. The cap is part of the operator's
+    * semantics (Jaccard over the non-ubiquitous shingle universe) and is
+    * mirrored in the DuckDB oracle. `dfCap ≤ 0` disables the cap.
+    * One window shuffle by shingle; the downstream self-join reuses that
+    * partitioning.
+    */
+  def shingleIndex(df: DataFrame, textCol: String, idCol: String,
+                   shingleN: Int, dfCap: Int): DataFrame = {
+    val sh = df.select(col(idCol).as("id"),
+      explode(shingles(col(textCol), shingleN)).as("s"))
+    if (dfCap <= 0) sh
+    else sh.withColumn("df", count(lit(1)).over(Window.partitionBy(col("s"))))
+      .filter(col("df") <= dfCap).drop("df")
   }
 
   /** Exact dedup: group by content hash, keep the smallest id (the
@@ -40,24 +70,31 @@ object Dedup {
     * min() aggregates, not k passes.
     */
   def minhashSignatures(df: DataFrame, textCol: String, idCol: String,
-                        k: Int = 32, shingleN: Int = 3): DataFrame = {
-    val sh = df.select(col(idCol).as("id"),
-      explode(shingles(col(textCol), shingleN)).as("s"))
-    sh.groupBy(col("id"))
+                        k: Int = 32, shingleN: Int = 3,
+                        dfCap: Int = DefaultDfCap): DataFrame =
+    shingleIndex(df, textCol, idCol, shingleN, dfCap)
+      .groupBy(col("id"))
       .agg(array((0 until k).map(i => min(xxhash64(lit(i), col("s")))): _*).as("sig"))
-  }
 
   /** MinHash + LSH candidate pairs: signatures banded into `bands` groups
     * of `k/bands` rows; docs sharing any band-hash become candidates.
-    * The bucket join shuffles only (band, bandHash, id) tuples.
+    * The bucket join shuffles only (band, bandHash, id) tuples. Buckets
+    * larger than `bucketCap` are dropped before the self-join — an
+    * oversized bucket means near-universal content (the band hash has
+    * degenerated into a ubiquitous-shingle detector) and would contribute
+    * O(bucket²) candidate pairs.
     */
-  def minhashCandidates(sigs: DataFrame, k: Int, bands: Int): DataFrame = {
+  def minhashCandidates(sigs: DataFrame, k: Int, bands: Int,
+                        bucketCap: Int = DefaultBucketCap): DataFrame = {
     val rows = k / bands
     // static per-band hash expressions (codegen'd, no runtime lambda)
     val bandHashes = array((0 until bands).map(b =>
       xxhash64(lit(b), slice(col("sig"), b * rows + 1, rows))): _*)
     val banded = sigs.select(col("id"), posexplode(bandHashes))
       .toDF("id", "band", "band_hash")
+      .withColumn("sz", count(lit(1)).over(
+        Window.partitionBy(col("band"), col("band_hash"))))
+      .filter(col("sz") <= bucketCap).drop("sz")
     val a = banded.as("a")
     val b = banded.as("b")
     a.join(b, col("a.band") === col("b.band") &&
@@ -69,11 +106,19 @@ object Dedup {
 
   /** Exact Jaccard on an explicit candidate-pair set: joins each pair back
     * to its shingle sets, counts the intersection, computes |A∩B|/|A∪B|.
-    * Only candidates pay this cost.
+    * Only candidate documents' shingles are exploded at all — the corpus
+    * index is semi-joined down to candidate ids first, so verification
+    * cost tracks the candidate set, not the corpus.
     */
   def jaccardVerify(df: DataFrame, candidates: DataFrame, textCol: String,
-                    idCol: String, shingleN: Int, threshold: Double): DataFrame = {
-    val sh = df.select(col(idCol).as("id"), explode(shingles(col(textCol), shingleN)).as("s"))
+                    idCol: String, shingleN: Int, threshold: Double,
+                    dfCap: Int = DefaultDfCap): DataFrame = {
+    val candIds = candidates.select(col("id1").as("id"))
+      .union(candidates.select(col("id2").as("id"))).distinct()
+    // DF cap is computed over the FULL corpus (universe semantics), THEN
+    // the index is cut down to candidate docs
+    val sh = shingleIndex(df, textCol, idCol, shingleN, dfCap)
+      .join(candIds, Seq("id"), "left_semi")
     val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("n"))
     val common = candidates
       .join(sh.as("sa"), col("id1") === col("sa.id"))
@@ -94,18 +139,22 @@ object Dedup {
     */
   def minhashLsh(df: DataFrame, textCol: String, idCol: String,
                  k: Int = 32, bands: Int = 8, shingleN: Int = 3,
-                 threshold: Double = 0.8): DataFrame = {
-    val cands = minhashCandidates(minhashSignatures(df, textCol, idCol, k, shingleN), k, bands)
-    jaccardVerify(df, cands, textCol, idCol, shingleN, threshold)
+                 threshold: Double = 0.8, dfCap: Int = DefaultDfCap,
+                 bucketCap: Int = DefaultBucketCap): DataFrame = {
+    val cands = minhashCandidates(
+      minhashSignatures(df, textCol, idCol, k, shingleN, dfCap), k, bands, bucketCap)
+    jaccardVerify(df, cands, textCol, idCol, shingleN, threshold, dfCap)
   }
 
   /** Exact all-pairs n-gram Jaccard above a threshold, via shingle-inverted
     * index join (no LSH approximation; the join on shingle value IS the
     * candidate generation — only docs sharing ≥1 shingle ever meet).
+    * The DF cap (see [[shingleIndex]]) bounds the join's per-key fan-out.
     */
   def jaccardPairs(df: DataFrame, textCol: String, idCol: String,
-                   shingleN: Int = 3, threshold: Double = 0.8): DataFrame = {
-    val sh = df.select(col(idCol).as("id"), explode(shingles(col(textCol), shingleN)).as("s"))
+                   shingleN: Int = 3, threshold: Double = 0.8,
+                   dfCap: Int = DefaultDfCap): DataFrame = {
+    val sh = shingleIndex(df, textCol, idCol, shingleN, dfCap)
     val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("n"))
     val common = sh.as("a").join(sh.as("b"),
         col("a.s") === col("b.s") && col("a.id") < col("b.id"))
@@ -141,12 +190,15 @@ object Dedup {
     * exactly), then verified with bit_count(xor).
     */
   def simhashPairs(df: DataFrame, textCol: String, idCol: String,
-                   maxDist: Int = 3): DataFrame = {
+                   maxDist: Int = 3, bucketCap: Int = DefaultBucketCap): DataFrame = {
     val hashes = simhash(df, textCol, idCol)
     val chunkVals = array((0 until 4).map(c =>
       shiftright(col("simhash"), c * 16).bitwiseAND(0xFFFFL)): _*)
     val chunked = hashes.select(col("id"), col("simhash"), posexplode(chunkVals))
       .toDF("id", "simhash", "chunk", "chunk_val")
+      .withColumn("sz", count(lit(1)).over(
+        Window.partitionBy(col("chunk"), col("chunk_val"))))
+      .filter(col("sz") <= bucketCap).drop("sz")
     val cands = chunked.as("a").join(chunked.as("b"),
         col("a.chunk") === col("b.chunk") &&
         col("a.chunk_val") === col("b.chunk_val") &&

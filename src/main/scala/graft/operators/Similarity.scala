@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
+import graft.functions.GraftFunctions.dot
 
 /** Similarity search over embedding columns (Array[Float]).
   *
@@ -12,6 +13,10 @@ import org.apache.spark.sql.expressions.Window
   * The scale path is LSH (random-hyperplane signs): corpus and queries
   * bucketed by signature, candidates only within matching buckets — the
   * corpus shuffle is by bucket key, never all-pairs.
+  *
+  * All inner products run through [[graft.functions.ArrayDotProduct]], a
+  * whole-stage-codegen'd kernel — the interpreted higher-order-function
+  * route costs ~20× more per pair and dominates any all-pairs stage.
   */
 object Similarity {
 
@@ -21,10 +26,7 @@ object Similarity {
   def cosine(a: Column, b: Column): Column = {
     val ad = a.cast("array<double>")
     val bd = b.cast("array<double>")
-    val dot = aggregate(zip_with(ad, bd, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
-    val na = aggregate(transform(ad, x => x * x), lit(0.0), (acc, x) => acc + x)
-    val nb = aggregate(transform(bd, x => x * x), lit(0.0), (acc, x) => acc + x)
-    dot / (sqrt(na) * sqrt(nb))
+    dot(ad, bd) / (sqrt(dot(ad, ad)) * sqrt(dot(bd, bd)))
   }
 
   /** Exact brute-force top-k cosine neighbors for each query vector.
@@ -91,13 +93,83 @@ object Similarity {
               round(col("sim"), 6).as("sim"))
   }
 
-  /** All pairs above a cosine threshold (embedding near-dup detection). */
+  /** All pairs above a cosine threshold — EXACT, via a distributed block
+    * grid instead of a broadcast nested-loop cartesian.
+    *
+    * Exact all-pairs similarity is inherently Θ(n²) compute; what must NOT
+    * be Θ(n²) is any single executor's share. Rows are hashed into
+    * `gridBlocks` blocks; each of the B(B+1)/2 block-pair cells is an
+    * independent equi-join key, so the n² work spreads evenly across the
+    * cluster with O(n·B) shuffle volume and n/B-row build sides — no
+    * full-corpus broadcast anywhere. Norms are computed once per row, and
+    * the per-pair kernel is one codegen'd dot product.
+    *
+    * For high thresholds (real near-dup, sim ≳ 0.8) prefer
+    * [[cosinePairsLsh]], which is sub-quadratic; at low thresholds LSH
+    * bucket collisions are no longer selective and exact wins.
+    */
   def cosinePairs(corpus: DataFrame, threshold: Double,
-                  idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val a = corpus.select(col(idCol).as("id1"), col(vecCol).as("v1"))
-    val b = corpus.select(col(idCol).as("id2"), col(vecCol).as("v2"))
-    a.join(b, col("id1") < col("id2"))
-      .withColumn("sim", cosine(col("v1"), col("v2")))
+                  idCol: String = "vec_id", vecCol: String = "embedding",
+                  gridBlocks: Int = 8): DataFrame = {
+    val spark = corpus.sparkSession
+    val prepped = corpus.select(
+        col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
+      .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
+      .withColumn("blk", pmod(xxhash64(col("id")), lit(gridBlocks.toLong)))
+    // the grid of block-pair cells (bi ≤ bj) is tiny: B(B+1)/2 rows
+    val grid = spark.range(gridBlocks).select(col("id").as("bi"))
+      .crossJoin(spark.range(gridBlocks).select(col("id").as("bj")))
+      .filter(col("bi") <= col("bj"))
+      .withColumn("pk", col("bi") * gridBlocks + col("bj"))
+    val lefts = prepped.join(broadcast(grid), col("blk") === col("bi"))
+      .select(col("pk"), col("bi"), col("bj"), col("id").as("id1"),
+              col("v").as("v1"), col("nrm").as("n1"))
+    val rights = prepped.join(broadcast(grid), col("blk") === col("bj"))
+      .select(col("pk").as("pk2"), col("id").as("id2"),
+              col("v").as("v2"), col("nrm").as("n2"))
+    lefts.join(rights, col("pk") === col("pk2"))
+      // off-diagonal cells see each unordered pair exactly once (any id
+      // order); diagonal cells see both orders — keep one
+      .filter(col("bi") < col("bj") || col("id1") < col("id2"))
+      .withColumn("sim", dot(col("v1"), col("v2")) / (col("n1") * col("n2")))
+      .filter(col("sim") >= threshold)
+      .select(least(col("id1"), col("id2")).as("id1"),
+              greatest(col("id1"), col("id2")).as("id2"),
+              round(col("sim"), 6).as("sim"))
+  }
+
+  /** Sub-quadratic embedding near-dup for HIGH thresholds: candidates from
+    * multi-table random-hyperplane buckets (only same-bucket pairs meet),
+    * then exact cosine verification. Misses are bounded by the LSH S-curve
+    * (1-(1-p^nBits)^tables, p = 1 - θ/π); false positives: none (verified).
+    * At sim ≥ 0.9 and nBits = 12, a random pair collides with prob 2^-12
+    * per table while a near-dup pair survives with p^12 ≈ 0.3 per table —
+    * that asymmetry is what makes this o(n²); it vanishes at low
+    * thresholds, where [[cosinePairs]]' exact grid is the right tool.
+    */
+  def cosinePairsLsh(corpus: DataFrame, threshold: Double, dim: Int,
+                     nBits: Int = 12, tables: Int = 8,
+                     idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val vecs = corpus.select(
+        col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
+      .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
+    val buckets = vecs.select(col("id"),
+        posexplode(array((0 until tables).map(t =>
+          lshSignature(col("v"), dim, nBits, t)): _*)))
+      .toDF("id", "table", "bucket")
+    val cands = buckets.as("a").join(buckets.as("b"),
+        col("a.table") === col("b.table") &&
+        col("a.bucket") === col("b.bucket") &&
+        col("a.id") < col("b.id"))
+      .select(col("a.id").as("id1"), col("b.id").as("id2"))
+      .distinct()
+    cands
+      .join(vecs.select(col("id"), col("v").as("v1"), col("nrm").as("n1")),
+            col("id1") === col("id"))
+      .drop("id")
+      .join(vecs.select(col("id"), col("v").as("v2"), col("nrm").as("n2")),
+            col("id2") === col("id"))
+      .withColumn("sim", dot(col("v1"), col("v2")) / (col("n1") * col("n2")))
       .filter(col("sim") >= threshold)
       .select(col("id1"), col("id2"), round(col("sim"), 6).as("sim"))
   }

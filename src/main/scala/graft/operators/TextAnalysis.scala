@@ -69,11 +69,12 @@ object TextAnalysis {
     xxhash64(trim(regexp_replace(textCol, "\\s+", " ")))
 
   /** Winnowing-style robust fingerprint: minimum shingle hash — stable
-    * under small appends/truncations (MinHash with k=1), plus the max for
-    * a 2-point sketch.
+    * under small appends/truncations (MinHash with k=1). Exposed as two
+    * scalar columns (min, max) so downstream comparisons stay sortable.
     */
-  def robustFingerprint(textCol: Column, shingleN: Int = 3): Column = {
-    val hashes = transform(Dedup.shingles(textCol, shingleN), s => xxhash64(s))
-    array(array_min(hashes), array_max(hashes))
-  }
+  def robustFingerprintMin(textCol: Column, shingleN: Int = 3): Column =
+    array_min(transform(Dedup.shingles(textCol, shingleN), s => xxhash64(s)))
+
+  def robustFingerprintMax(textCol: Column, shingleN: Int = 3): Column =
+    array_max(transform(Dedup.shingles(textCol, shingleN), s => xxhash64(s)))
 }

@@ -13,13 +13,18 @@ import org.apache.spark.sql.functions._
   */
 object DedupQueries {
 
-  private val jaccardOracle = """
+  // mirrors Dedup.shingleIndex's document-frequency cap (Jaccard over the
+  // non-ubiquitous shingle universe)
+  private val jaccardOracle = s"""
     WITH d AS (SELECT doc_id, string_split(text, ' ') ws FROM documents),
     sh AS (SELECT DISTINCT doc_id, array_to_string(ws[i:i+2], ' ') AS s
            FROM d, LATERAL (SELECT unnest(range(1, len(ws) - 1)) AS i) t),
-    sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+    shc AS (SELECT doc_id, s FROM (
+              SELECT doc_id, s, count(*) OVER (PARTITION BY s) AS df FROM sh)
+            WHERE df <= ${graft.operators.Dedup.DefaultDfCap}),
+    sz AS (SELECT doc_id, count(*) AS n FROM shc GROUP BY 1),
     com AS (SELECT a.doc_id id1, b.doc_id id2, count(*) c
-            FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+            FROM shc a JOIN shc b ON a.s = b.s AND a.doc_id < b.doc_id
             GROUP BY 1, 2)
     SELECT id1, id2, round(c * 1.0 / (s1.n + s2.n - c), 6) AS jaccard
     FROM com JOIN sz s1 ON id1 = s1.doc_id JOIN sz s2 ON id2 = s2.doc_id

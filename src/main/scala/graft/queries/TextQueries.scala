@@ -79,7 +79,8 @@ object TextQueries {
       (s, d) => Tables.documents(s, d)
         .select(col("doc_id"),
                 TextAnalysis.contentFingerprint(col("text")).as("content_fp"),
-                TextAnalysis.robustFingerprint(col("text")).as("sketch")),
+                TextAnalysis.robustFingerprintMin(col("text")).as("fp_min"),
+                TextAnalysis.robustFingerprintMax(col("text")).as("fp_max")),
       None)
   )
 }

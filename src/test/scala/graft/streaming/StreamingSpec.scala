@@ -13,20 +13,27 @@ import org.apache.spark.sql.streaming.Trigger
   * TaskTracker FSM ↔ TaskFSM + expired dead-letters
   * (worker/.../actor/task/TaskFSM.scala, QueueHelpers.scala:57-82).
   */
+/** Top-level so Spark can derive an Encoder (inner-class case classes can't
+  * be encoded — they capture the spec instance as an outer pointer).
+  */
+case class Ev(event_id: Long, ts: Timestamp, user_id: Long,
+              event_type: String, value: Double)
+
 class StreamingSpec extends SparkSpec {
   import TaskTracker._
 
   private def ts(minute: Int): Timestamp =
     Timestamp.valueOf(f"2026-01-01 10:$minute%02d:00")
 
-  case class Ev(event_id: Long, ts: Timestamp, user_id: Long,
-                event_type: String, value: Double)
-
+  /** Runs each batch thunk, then drains the query, so the watermark advances
+    * BETWEEN batches — watermarks only move at micro-batch boundaries.
+    */
   private def runBatches(out: DataFrame, name: String,
-                         feed: () => Unit): DataFrame = {
+                         batches: Seq[() => Unit]): DataFrame = {
     val q = out.writeStream.format("memory").queryName(name)
       .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
-    try { feed(); q.processAllAvailable() } finally q.stop()
+    try { batches.foreach { b => b(); q.processAllAvailable() } }
+    finally q.stop()
     spark.table(name)
   }
 
@@ -36,12 +43,11 @@ class StreamingSpec extends SparkSpec {
     val in = MemoryStream[Ev]
     val out = StreamingIngest.tumblingCounts(
       in.toDF(), lateness = "10 minutes", width = "30 minutes")
-    val got = runBatches(out, "tumbling", { () =>
-      in.addData(Ev(1, ts(0), 1, "click", 1.0), Ev(2, ts(10), 2, "click", 2.0))
-      in.addData(Ev(3, ts(55), 1, "view", 1.0)) // advances watermark to 10:45
-      in.addData(Ev(4, ts(5), 3, "click", 9.9)) // late: before watermark, dropped
-      in.addData(Ev(5, ts(59, 0), 1, "view", 1.0))
-    })
+    val got = runBatches(out, "tumbling", Seq(
+      () => in.addData(Ev(1, ts(0), 1, "click", 1.0), Ev(2, ts(10), 2, "click", 2.0)),
+      () => in.addData(Ev(3, ts(55), 1, "view", 1.0)), // advances watermark to 10:45
+      () => in.addData(Ev(4, ts(5), 3, "click", 9.9)), // late: before watermark, dropped
+      () => in.addData(Ev(5, ts(59, 0), 1, "view", 1.0))))
     val rows = got.collect().map(r => (r.getString(1), r.getLong(2))).toMap
     rows("click") shouldBe 2L // the late event 4 must NOT be counted
   }
@@ -55,10 +61,9 @@ class StreamingSpec extends SparkSpec {
     val in = MemoryStream[Ev]
     val out = StreamingIngest.dedupByKey(
       in.toDF(), Seq("event_id"), lateness = "10 minutes")
-    val got = runBatches(out, "dedup", { () =>
-      in.addData(Ev(1, ts(0), 1, "click", 1.0), Ev(1, ts(1), 1, "click", 1.0))
-      in.addData(Ev(1, ts(2), 1, "click", 1.0), Ev(2, ts(3), 2, "view", 2.0))
-    })
+    val got = runBatches(out, "dedup", Seq(
+      () => in.addData(Ev(1, ts(0), 1, "click", 1.0), Ev(1, ts(1), 1, "click", 1.0)),
+      () => in.addData(Ev(1, ts(2), 1, "click", 1.0), Ev(2, ts(3), 2, "view", 2.0))))
     got.select("event_id").as[Long].collect().sorted shouldBe Array(1L, 2L)
   }
 
@@ -68,12 +73,11 @@ class StreamingSpec extends SparkSpec {
     val in = MemoryStream[Ev]
     val out = StreamingIngest.sessionCounts(
       in.toDF(), lateness = "5 minutes", gap = "10 minutes")
-    val got = runBatches(out, "sessions", { () =>
+    val got = runBatches(out, "sessions", Seq(
       // user 1: events at 10:00, 10:05 (one session), then 10:30 (a second)
-      in.addData(Ev(1, ts(0), 1, "a", 0), Ev(2, ts(5), 1, "a", 0),
-        Ev(3, ts(30), 1, "a", 0))
-      in.addData(Ev(9, ts(59), 7, "a", 0)) // push watermark past both sessions
-    })
+      () => in.addData(Ev(1, ts(0), 1, "a", 0), Ev(2, ts(5), 1, "a", 0),
+        Ev(3, ts(30), 1, "a", 0)),
+      () => in.addData(Ev(9, ts(59), 7, "a", 0)))) // push watermark past both sessions
     val sessions = got.filter(col("user_id") === 1).collect()
     sessions.length shouldBe 2
     sessions.map(_.getLong(2)).sorted shouldBe Array(1L, 2L)
