@@ -12,7 +12,8 @@ object SparkEntry {
   private def allDefs: Map[String, QueryDef] =
     RelationalQueries.defs ++ ScalarQueries.defs ++ EventQueries.defs ++
       PipelineQueries.defs ++ DedupQueries.defs ++ SimilarityQueries.defs ++
-      TextQueries.defs ++ MultimodalQueries.defs
+      TextQueries.defs ++ MultimodalQueries.defs ++ UdfQueries.defs ++
+      ApproxQueries.defs ++ SourceQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

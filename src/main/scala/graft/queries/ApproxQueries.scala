@@ -1,0 +1,64 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{IntegerType, StructField, StructType}
+
+/** Approximate aggregates, explicit grouping sets, and structural JSON
+  * (SURVEY §2b aggregation/scalar rows). At 100 TB the approx variants
+  * are what users actually run: HLL++ and quantile sketches are
+  * fixed-size, mergeable partial states — one shuffle of sketches, never
+  * of values. Sketch internals differ from DuckDB's, so q09 gets a
+  * rows-only gate; ApproxSpec asserts tolerance vs the exact answers.
+  */
+object ApproxQueries {
+
+  private val propsSchema = StructType(Seq(StructField("k", IntegerType)))
+
+  def defs: Map[String, QueryDef] = Map(
+
+    // HLL++ distinct sketch + approximate median, both mergeable partials
+    "q09_agg_approx" -> QueryDef(
+      (s, d) => Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(approx_count_distinct(col("l_orderkey")).as("approx_orders"),
+             percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000))
+               .as("approx_median_price")),
+      None),
+
+    // explicit GROUPING SETS with grouping_id (rollup/cube are gated as
+    // q04/q05; this is the free-form shape)
+    "q13_grouping_sets" -> QueryDef(
+      (s, d) => {
+        Tables.lineitem(s, d).createOrReplaceTempView("lineitem_gs")
+        s.sql("""
+          SELECT l_returnflag, l_linestatus,
+                 CAST(grouping_id(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+                 round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
+          FROM lineitem_gs
+          GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())""")
+      },
+      Some("""
+        SELECT l_returnflag, l_linestatus,
+               CAST(grouping(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+               round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())""")),
+
+    // from_json → typed struct → to_json round trip on events.props
+    // (reference job/task parameters are arbitrary nested JSON)
+    "q61_json_struct" -> QueryDef(
+      (s, d) => {
+        val parsed = from_json(col("props"), propsSchema)
+        Tables.events(s, d).filter(col("event_id") < 500)
+          .select(col("event_id"),
+                  parsed.getField("k").as("k"),
+                  to_json(parsed).as("props_json"))
+      },
+      Some("""
+        SELECT event_id,
+               CAST(props->>'$.k' AS INTEGER) AS k,
+               to_json({'k': CAST(props->>'$.k' AS INTEGER)}) AS props_json
+        FROM events WHERE event_id < 500"""))
+  )
+}

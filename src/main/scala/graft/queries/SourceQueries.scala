@@ -1,0 +1,90 @@
+package graft.queries
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+
+import graft.{QueryDef, Tables}
+import graft.sources.AvroRecordFiles
+import org.apache.spark.sql.functions._
+
+/** Non-parquet source/sink formats (SURVEY §2b scans row): csv, json,
+  * binaryFile, and Avro container files. Each query round-trips
+  * driver-generated parquet data through the format and reads it back, so
+  * the DuckDB oracle (reading the original parquet) checks lossless
+  * encode+decode — schema, types, and values.
+  *
+  * binaryFile is the analog of the reference's raw stage, where fetched
+  * payloads are opaque byte files (`executor/.../run/
+  * FetchRawDataOperation.java:59-64`); Avro container files are its
+  * processed-record wire format (see [[graft.sources.AvroRecordFiles]]).
+  */
+object SourceQueries {
+
+  /** Per-sf scratch dir so sf0.001/sf0.01/sf0.1 runs never mix files. */
+  private def exportDir(sfDir: String, name: String): String = {
+    val sf = Paths.get(sfDir).getFileName.toString
+    Paths.get(sys.props("java.io.tmpdir"), "graft_export", sf, name).toString
+  }
+
+  def defs: Map[String, QueryDef] = Map(
+
+    "src01_csv_roundtrip" -> QueryDef(
+      (s, d) => {
+        val out = exportDir(d, "nation_csv")
+        val nation = Tables.nation(s, d)
+        nation.write.mode("overwrite").option("header", "true").csv(out)
+        s.read.schema(nation.schema).option("header", "true").csv(out)
+      },
+      Some("SELECT n_nationkey, n_name, n_regionkey FROM nation")),
+
+    "src02_json_roundtrip" -> QueryDef(
+      (s, d) => {
+        val out = exportDir(d, "supplier_json")
+        val supplier = Tables.supplier(s, d)
+        supplier.write.mode("overwrite").json(out)
+        s.read.schema(supplier.schema).json(out)
+      },
+      Some("SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier")),
+
+    // opaque byte payloads on disk → (id, size, checksum); the raw-stage
+    // fetch shape. File fan-out is driver-side ONLY because this models an
+    // external system dropping files; the read path is the operator.
+    "src03_binaryfile_raw" -> QueryDef(
+      (s, d) => {
+        val out = Paths.get(exportDir(d, "raw_bin"))
+        if (Files.exists(out)) {
+          Files.list(out).forEach(p => Files.delete(p))
+        } else Files.createDirectories(out)
+        Tables.documents(s, d).filter(col("doc_id") < 20)
+          .select(col("doc_id"), col("text")).collect()
+          .foreach { r =>
+            Files.write(out.resolve(f"doc_${r.getLong(0)}%04d.bin"),
+              r.getString(1).getBytes(StandardCharsets.UTF_8))
+          }
+        s.read.format("binaryFile").load(out.toString)
+          .select(
+            regexp_extract(col("path"), "doc_(\\d+)\\.bin", 1).cast("long").as("doc_id"),
+            length(col("content")).cast("long").as("n_bytes"),
+            md5(col("content")).as("content_md5"))
+      },
+      Some("""
+        SELECT doc_id,
+               CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+               md5(text) AS content_md5
+        FROM documents WHERE doc_id < 20""")),
+
+    // snappy Avro container files written per partition, read back per file
+    "src04_avro_roundtrip" -> QueryDef(
+      (s, d) => {
+        val out = exportDir(d, "orders_avro")
+        val orders = Tables.orders(s, d)
+          .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+                  col("o_totalprice"), col("o_orderdate"))
+        AvroRecordFiles.write(orders, out)
+        AvroRecordFiles.read(s, out, orders.schema)
+      },
+      Some("""
+        SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate
+        FROM orders"""))
+  )
+}

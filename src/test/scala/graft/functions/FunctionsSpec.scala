@@ -1,0 +1,63 @@
+package graft.functions
+
+import graft.SparkSpec
+import graft.functions.GraftFunctions.dot
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.Row
+
+/** Unit coverage for the custom codegen expression and UDAF that the
+  * DuckDB gate exercises only end-to-end.
+  */
+class FunctionsSpec extends SparkSpec {
+
+  test("ArrayDotProduct matches the interpreted higher-order-function fold bit-for-bit") {
+    import spark.implicits._
+    val df = Seq(
+      (Array(1.0, 2.0, 3.0), Array(4.0, 5.0, 6.0)),
+      (Array(0.1, -0.2, 0.3), Array(-0.4, 0.5, 0.125)),
+      (Array.empty[Double], Array.empty[Double])
+    ).toDF("a", "b")
+    val got = df.select(
+      dot(col("a"), col("b")).as("fast"),
+      aggregate(zip_with(col("a"), col("b"), (x, y) => x * y),
+        lit(0.0), (acc, x) => acc + x).as("hof")).collect()
+    got.foreach { r => r.getDouble(0) shouldBe r.getDouble(1) }
+    got(0).getDouble(0) shouldBe 32.0
+  }
+
+  test("ArrayDotProduct interpreted eval (null-safe) agrees with codegen path") {
+    val schema = StructType(Seq(
+      StructField("a", ArrayType(DoubleType)), StructField("b", ArrayType(DoubleType))))
+    val rows = java.util.Arrays.asList(
+      Row(Seq(1.0, null, 2.0), Seq(3.0, 4.0, 5.0)),
+      Row(null, Seq(1.0)),
+      Row(Seq(2.0), Seq(7.0, 9.0)))
+    val df = spark.createDataFrame(rows, schema)
+    val got = df.select(dot(col("a"), col("b")).as("d")).collect()
+    got(0).getDouble(0) shouldBe 13.0 // null element contributes 0
+    got(1).isNullAt(0) shouldBe true  // null array → null result
+    got(2).getDouble(0) shouldBe 14.0 // length mismatch → shorter prefix
+  }
+
+  test("WeightedAvg aggregator matches the closed-form SQL expression") {
+    import spark.implicits._
+    val df = Seq((10.0, 1.0), (20.0, 3.0), (30.0, 6.0)).toDF("v", "w")
+    val wavg = udaf(WeightedAvg)
+    val got = df.agg(wavg(col("v"), col("w"))).head.getDouble(0)
+    got shouldBe (10.0 * 1 + 20.0 * 3 + 30.0 * 6) / 10.0
+  }
+
+  test("approx aggregates are within tolerance of exact answers") {
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+    val exact = li.agg(
+      countDistinct(col("l_orderkey")).cast("double"),
+      expr("percentile(l_extendedprice, 0.5)")).head
+    val approx = li.agg(
+      approx_count_distinct(col("l_orderkey")).cast("double"),
+      percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000))).head
+    // HLL++ default rsd is 5%; allow 2σ at this corpus size
+    math.abs(approx.getDouble(0) - exact.getDouble(0)) / exact.getDouble(0) should be < 0.1
+    math.abs(approx.getDouble(1) - exact.getDouble(1)) / exact.getDouble(1) should be < 0.05
+  }
+}

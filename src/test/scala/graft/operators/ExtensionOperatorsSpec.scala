@@ -53,6 +53,42 @@ class ExtensionOperatorsSpec extends SparkSpec {
     recall should be >= 0.6
   }
 
+  test("cosinePairsLsh finds planted high-sim near-dups (subset of exact, recall ≥ 0.8)") {
+    import spark.implicits._
+    // deterministic synthetic corpus: 100 bases + 20 perturbed near-copies
+    val dim = 64
+    def base(i: Int): Array[Float] =
+      Array.tabulate(dim)(j => math.sin(i * dim + j).toFloat)
+    val bases = (0 until 100).map(i => (i.toLong, base(i)))
+    val dups = (0 until 20).map { i =>
+      val v = base(i).clone(); v(0) = v(0) + 0.01f; (1000L + i, v)
+    }
+    val emb = (bases ++ dups).toDF("vec_id", "embedding")
+    val exact = Similarity.cosinePairs(emb, 0.95)
+      .select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Similarity.cosinePairsLsh(emb, 0.95, dim)
+      .select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    exact.size should be >= 20 // the planted pairs are above threshold
+    lsh.subsetOf(exact) shouldBe true // verification kills false positives
+    lsh.intersect(exact).size.toDouble / exact.size should be >= 0.8
+  }
+
+  test("cosinePairs block grid equals the naive cartesian on a small corpus") {
+    import spark.implicits._
+    val emb = (0 until 40).map(i =>
+      (i.toLong, Array.tabulate(8)(j => math.cos(i * 8 + j).toFloat))).toDF("vec_id", "embedding")
+    val grid = Similarity.cosinePairs(emb, 0.2, gridBlocks = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val a = emb.select(col("vec_id").as("id1"), col("embedding").as("v1"))
+    val b = emb.select(col("vec_id").as("id2"), col("embedding").as("v2"))
+    val naive = a.join(b, col("id1") < col("id2"))
+      .withColumn("sim", Similarity.cosine(col("v1"), col("v2")))
+      .filter(col("sim") >= 0.2)
+      .select(col("id1"), col("id2"), round(col("sim"), 6).as("sim"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    grid shouldBe naive
+  }
+
   test("content and robust fingerprints are deterministic and distinct per content") {
     val fps = docs.select(col("doc_id"),
         TextAnalysis.contentFingerprint(col("text")).as("fp"))
