@@ -115,26 +115,101 @@ final class JobRunner(spark: SparkSession, layout: StorageLayout) {
     spark.createDataFrame(rowRdd, withTask)
   }
 
-  /** Persist the record files under the reference layout (columnar parquet
-    * partitioned by task) and return the per-task manifest — the engine's
-    * RemoteProcessedDataFile analog.
+  /** Persist the record files under the reference layout — one Avro
+    * container file per task at `records/task-N/data.avro` (wire-format
+    * parity with the reference's processed-record files,
+    * `executor/.../run/ProcessRawDataOperation.java:70-84`) — and return
+    * the per-task manifest (record count, file size, file MD5; parity with
+    * RemoteProcessedDataFile, `worker-api/.../proto/RemoteDataFile.scala:
+    * 20-27`).
+    *
+    * Everything happens in ONE executor pass: records stream straight into
+    * the container encoder through a counting+digest wrapper, so there is
+    * no second scan to count, no driver-side renames, and the layout path
+    * is written directly (renames are copy+delete on object stores).
+    * `records()` gives one task per partition; a task split across
+    * partitions would clobber its own file — keep that invariant upstream.
     */
   def writeRecords(job: IngestionJob, recordsDf: DataFrame): DataFrame = {
-    val root = s"${layout.jobRoot(job)}/records"
-    recordsDf.write.mode("overwrite").partitionBy("task_number").parquet(root)
-    // normalize partition dirs to the reference's `task-N` key scheme
-    val fs = new Path(root).getFileSystem(spark.sessionState.newHadoopConf())
-    fs.listStatus(new Path(root)).foreach { st =>
-      val n = st.getPath.getName
-      if (n.startsWith("task_number="))
-        fs.rename(st.getPath, new Path(root, "task-" + n.stripPrefix("task_number=")))
+    import graft.sources.AvroRecordFiles
+    val full = recordsDf.schema
+    val taskIdx = full.fieldIndex("task_number")
+    val dataIdx = full.fields.indices.filterNot(_ == taskIdx)
+    val dataSchema = StructType(dataIdx.map(full.fields).toArray)
+    val avroJson = AvroRecordFiles.avroSchema(dataSchema).toString
+    val lay = layout
+    val jobB = job
+    val conf = new org.apache.spark.util.SerializableConfiguration(
+      spark.sessionState.newHadoopConf())
+    val manifestRows = recordsDf.rdd.mapPartitions { rows =>
+      val schema = new org.apache.avro.Schema.Parser().parse(avroJson)
+      final class Handle(task: Int) {
+        val file = lay.recordsFile(jobB, task)
+        private val path = new Path(file)
+        private val digest = java.security.MessageDigest.getInstance("MD5")
+        var bytes = 0L
+        var count = 0L
+        // counting + digesting tee: `out` inside the overrides is the
+        // inherited FilterOutputStream field (the raw FS stream)
+        private val cout = new java.io.FilterOutputStream(
+            path.getFileSystem(conf.value).create(path, true)) {
+          override def write(b: Int): Unit = { out.write(b); digest.update(b.toByte); bytes += 1 }
+          override def write(b: Array[Byte], off: Int, len: Int): Unit = {
+            out.write(b, off, len); digest.update(b, off, len); bytes += len
+          }
+        }
+        private val writer = new org.apache.avro.file.DataFileWriter(
+          new org.apache.avro.generic.GenericDatumWriter[org.apache.avro.generic.GenericRecord](schema))
+        writer.setCodec(org.apache.avro.file.CodecFactory.snappyCodec())
+        writer.create(schema, cout)
+        def append(row: Row): Unit = {
+          writer.append(AvroRecordFiles.toRecord(schema, row, dataIdx)); count += 1
+        }
+        def close(): String = {
+          writer.close()
+          digest.digest().map("%02x".format(_)).mkString
+        }
+      }
+      val open = scala.collection.mutable.LinkedHashMap[Int, Handle]()
+      rows.foreach { row =>
+        val t = row.getInt(taskIdx)
+        open.getOrElseUpdate(t, new Handle(t)).append(row)
+      }
+      open.iterator.map { case (t, h) =>
+        val md5 = h.close() // flush first — bytes is final only after close
+        Row(t, h.count, h.bytes, md5, h.file)
+      }.toVector.iterator
     }
-    spark.read.parquet(root + "/task-*")
-      .withColumn("task_number",
-        regexp_extract(input_file_name(), "task-(\\d+)/", 1).cast("int"))
-      .groupBy(col("task_number"))
-      .agg(count(lit(1)).as("record_count"))
-      .withColumn("records_dir", lit(root))
+    spark.createDataFrame(manifestRows, JobRunner.manifestSchema)
+  }
+
+  /** Reads a job's record files back (the O5-for-downstream / persist
+    * input path), re-attaching `task_number` from the layout key and
+    * verifying each file's MD5 against the manifest when provided —
+    * download-with-checksum parity (`S3DataFileHandler.scala:138-148`).
+    */
+  def readRecords(integration: Integration, job: IngestionJob,
+                  md5ByTask: Map[Int, String] = Map.empty): DataFrame = {
+    import graft.sources.AvroRecordFiles
+    val dataSchema = integration.schema.structType
+    val types = dataSchema.fields.map(_.dataType).toSeq
+    val root = new Path(s"${layout.jobRoot(job)}/records")
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val files = fs.globStatus(new Path(root, "task-*/data.avro"))
+      .map(_.getPath.toString).sorted.toSeq
+    def taskOf(f: String): Int =
+      "task-(\\d+)/".r.findFirstMatchIn(f).map(_.group(1).toInt)
+        .getOrElse(sys.error(s"no task number in $f"))
+    val rows = spark.sparkContext
+      .parallelize(files, math.max(files.size, 1))
+      .flatMap { f =>
+        val task = taskOf(f)
+        AvroRecordFiles.streamFile(f, types, md5ByTask.get(task))
+          .map(vals => Row.fromSeq(vals :+ task))
+      }
+    val withTask = StructType(dataSchema.fields :+
+      StructField("task_number", IntegerType, false))
+    spark.createDataFrame(rows, withTask)
   }
 
   /** O6 — PersistProcessedData. TableSink rides Spark's commit protocol;
@@ -186,13 +261,13 @@ final class JobRunner(spark: SparkSession, layout: StorageLayout) {
       val tasks = planTasks(integration, job)
       val recs = records(integration, job, tasks)
       val manifest = writeRecords(job, recs)
+        .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getString(3))).toMap
+      // persist re-reads the landed record files with checksum verification
+      // (never the live fetch plan — a fetch is not assumed re-runnable)
       persist(integration, job,
-        spark.read.parquet(s"${layout.jobRoot(job)}/records/task-*")
-          .withColumn("task_number",
-            regexp_extract(input_file_name(), "task-(\\d+)/", 1).cast("int")),
+        readRecords(integration, job, manifest.map { case (t, (_, m)) => t -> m }),
         sink)
-      val counts = manifest.select("task_number", "record_count")
-        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      val counts = manifest.map { case (t, (n, _)) => t -> n }
       integration.onJobCompleted(Instant.now(), job, tasks)
       Right(JobResult(job, tasks.size, counts.values.sum, counts))
     } catch {
@@ -203,6 +278,14 @@ final class JobRunner(spark: SparkSession, layout: StorageLayout) {
 object JobRunner {
   final case class JobResult(job: IngestionJob, taskCount: Int,
                              recordCount: Long, perTask: Map[Int, Long])
+
+  /** Per-task record-file manifest (RemoteDataFile parity). */
+  val manifestSchema: StructType = StructType(Seq(
+    StructField("task_number", IntegerType, nullable = false),
+    StructField("record_count", LongType, nullable = false),
+    StructField("file_size", LongType, nullable = false),
+    StructField("file_md5", StringType, nullable = false),
+    StructField("records_file", StringType, nullable = false)))
 
   /** Unwrap Spark's task-failure wrapper to the user-code cause, the
     * analog of the reference's structured exception chain

@@ -35,6 +35,8 @@ final class JobScheduler(
     backoffMinDelay: Duration = Duration.ofSeconds(5),
     backoffScale: Double = 0.2,
     affinityWindow: Duration = Duration.ofMinutes(10),
+    pollInterval: Duration = Duration.ofSeconds(5),
+    rateWindow: Duration = Duration.ofMinutes(5),
     random: Random = new Random()) {
 
   final case class Submission(
@@ -49,38 +51,76 @@ final class JobScheduler(
   private val exec = Executors.newFixedThreadPool(workerSlots)
   private implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(exec)
   private val prioritizer = WorkQueuePrioritizer.default(random)
-  @volatile private var lastIntegrationBySlot = Map[Long, (String, Instant)]()
+  // slot → (last integration, when): plain CHM — the read-modify-write is
+  // per-slot-keyed so puts never race on the same key
+  private val lastIntegrationBySlot =
+    new java.util.concurrent.ConcurrentHashMap[Long, (String, Instant)]()
+  // queue → completion timestamps inside rateWindow (QueueMetricsTracker
+  // analog: the reference merges REST snapshots + incremental deltas,
+  // worker/.../actor/queue/QueueMetricsTracker.scala:45-178; in-process we
+  // observe every completion directly)
+  private val completionLog =
+    new java.util.concurrent.ConcurrentHashMap[String, ConcurrentLinkedQueue[Instant]]()
+
+  /** The delegation tick — the reference polls for deliverable work every
+    * `task-polling-interval` (reference.conf:71-72, WorkerFSM.scala:252-259)
+    * so a submission requeued on resource contention retries WITHOUT a new
+    * submit arriving. Each tick offers every idle slot one drain pass.
+    */
+  private val ticker = Executors.newSingleThreadScheduledExecutor(r => {
+    val t = new Thread(r, "graft-delegation-tick"); t.setDaemon(true); t
+  })
+  ticker.scheduleWithFixedDelay(() =>
+    (0 until workerSlots).foreach(_ => Future(workLoop())),
+    pollInterval.toMillis, pollInterval.toMillis, TimeUnit.MILLISECONDS)
 
   /** Enqueue a job; returns a future of the structured result. */
   def submit(integration: Integration, job: IngestionJob,
              sink: SinkSpec = TableSink(),
              resources: Seq[String] = Nil): Future[Either[FailureReport, JobRunner.JobResult]] = {
-    val p = Promise[Either[FailureReport, JobRunner.JobResult]]()
-    val sub = Submission(integration, job, sink, resources, Instant.now(), p)
-    queues.computeIfAbsent(integration.name, _ => new ConcurrentLinkedQueue[Submission]())
-      .add(sub)
+    val p = enqueue(integration, job, sink, resources).promise
     Future(workLoop())
     p.future
   }
 
+  /** Queue a submission without kicking a slot (tests drive chooseNext). */
+  private[sched] def enqueue(integration: Integration, job: IngestionJob,
+                             sink: SinkSpec = TableSink(),
+                             resources: Seq[String] = Nil): Submission = {
+    val p = Promise[Either[FailureReport, JobRunner.JobResult]]()
+    val sub = Submission(integration, job, sink, resources, Instant.now(), p)
+    queues.computeIfAbsent(integration.name, _ => new ConcurrentLinkedQueue[Submission]())
+      .add(sub)
+    sub
+  }
+
+  /** Drain loop on a worker slot: keep delegating until a pass runs
+    * nothing (no work, or everything gated by contention backoff — the
+    * tick retries the latter).
+    */
+  private def workLoop(): Unit = while (runOnce()) {}
+
   /** One delegation pass: snapshot queues → affinity + priority + backoff
     * → lease resources → run. Mirrors WorkDelegation.scala:93-135 (on
-    * lease failure, advance to the next queue).
+    * lease failure, advance to the next queue). Returns true iff a job ran.
     */
-  private def workLoop(): Unit = {
+  private def runOnce(): Boolean = {
     val slot = Thread.currentThread().getId
     val next = chooseNext(slot)
-    next.foreach { sub =>
+    next.exists { sub =>
       val expired = Duration.between(sub.enqueuedAt, Instant.now())
         .compareTo(workTimeout) > 0
       if (expired) {
         // dead-letter analog: report expiry instead of running
         sub.promise.success(Left(FailureReport(
           "graft.WorkExpired", s"work expired after $workTimeout in queue", Nil, None)))
+        true
       } else pool.acquireAll(sub.resources) match {
         case Left(_) =>
-          // resource contention: requeue and let backoff gate the retry
+          // resource contention: requeue; the NEXT tick retries through the
+          // backoff gate (returning false here avoids a hot spin)
           queues.get(sub.integration.name).add(sub)
+          false
         case Right(lease) =>
           try {
             val group = s"graft-${sub.job.id}"
@@ -98,37 +138,66 @@ final class JobScheduler(
               spark.sparkContext.setLocalProperty("spark.scheduler.pool", null)
             }
             sub.resources.foreach(pool.clearContention)
-            lastIntegrationBySlot += slot -> (sub.integration.name, Instant.now())
+            lastIntegrationBySlot.put(slot, (sub.integration.name, Instant.now()))
+            recordCompletion(sub.integration.name)
           } finally lease.release()
+          true
       }
     }
   }
 
-  private def chooseNext(slot: Long): Option[Submission] = {
+  private[sched] def recordCompletion(queue: String): Unit = {
+    val log = completionLog.computeIfAbsent(queue, _ => new ConcurrentLinkedQueue[Instant]())
+    log.add(Instant.now())
+    val cutoff = Instant.now().minus(rateWindow)
+    while (Option(log.peek()).exists(_.isBefore(cutoff))) log.poll()
+  }
+
+  /** Observed consumption rate (completions/sec over `rateWindow`); 0.0
+    * for a queue nothing has drained yet, which ExpectedCompletionOrdering
+    * treats as estimate = ∞ → served first, exactly the reference's
+    * stalled-queue preference.
+    */
+  private def rateOf(queue: String): Double = {
+    val cutoff = Instant.now().minus(rateWindow)
+    Option(completionLog.get(queue))
+      .map(_.stream().filter(t => !t.isBefore(cutoff)).count().toDouble /
+        rateWindow.getSeconds.toDouble)
+      .getOrElse(0.0)
+  }
+
+  private[sched] def markAffinity(slot: Long, integration: String): Unit =
+    lastIntegrationBySlot.put(slot, (integration, Instant.now()))
+
+  private[sched] def chooseNext(slot: Long): Option[Submission] = {
     val snapshots = snapshotQueues()
     if (snapshots.isEmpty) return None
     val filter = new ContentionFilter(pool, backoffMinDelay, backoffScale, random)
-    val affinity = lastIntegrationBySlot.get(slot)
+    val affinity = Option(lastIntegrationBySlot.get(slot))
       .filter { case (_, at) =>
         Duration.between(at, Instant.now()).compareTo(affinityWindow) < 0 }
       .map(_._1)
     val (preferred, rest) = snapshots.partition(q => affinity.contains(q.name))
-    val ordered = preferred.iterator ++ prioritizer.prioritize(rest).filter(filter.allows)
+    val ordered = (preferred.iterator ++ prioritizer.prioritize(rest)).filter(filter.allows)
     ordered
       .flatMap(q => Option(queues.get(q.name)).flatMap(qq => Option(qq.poll())))
       .nextOption()
   }
 
-  private def snapshotQueues(): Seq[QueueSnapshot] = {
+  private[sched] def snapshotQueues(): Seq[QueueSnapshot] = {
     import scala.jdk.CollectionConverters._
     queues.asScala.toSeq.collect {
       case (name, q) if !q.isEmpty =>
         val subs = q.asScala.toSeq
-        QueueSnapshot(name, subs.size, subs.size, rate = 1.0,
+        QueueSnapshot(name, subs.size, subs.size, rate = rateOf(name),
           idleSince = subs.map(_.enqueuedAt).min,
           resources = subs.headOption.map(_.resources).getOrElse(Nil))
     }
   }
 
-  def shutdown(): Unit = { exec.shutdown(); exec.awaitTermination(30, TimeUnit.SECONDS) }
+  def shutdown(): Unit = {
+    ticker.shutdownNow()
+    exec.shutdown()
+    exec.awaitTermination(30, TimeUnit.SECONDS)
+  }
 }

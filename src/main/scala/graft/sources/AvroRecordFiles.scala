@@ -61,7 +61,7 @@ object AvroRecordFiles {
     }.endRecord()
   }
 
-  private def toAvro(v: Any): Any = v match {
+  private[graft] def toAvro(v: Any): Any = v match {
     case null => null
     case t: java.sql.Timestamp => DateTimeUtils.fromJavaTimestamp(t)
     case t: java.time.LocalDateTime => DateTimeUtils.localDateTimeToMicros(t)
@@ -114,6 +114,56 @@ object AvroRecordFiles {
     counts.fold(0L)(_ + _)
   }
 
+  /** Streams one container file's records as field sequences, optionally
+    * verifying the file's MD5 against `expectMd5` (the reference verifies
+    * each downloaded data file against its manifest checksum,
+    * `worker/.../data/S3DataFileHandler.scala:138-148`). The digest covers
+    * the raw file bytes; on exhaustion any unread tail is drained so the
+    * checksum is complete, then mismatches throw.
+    */
+  private[graft] def streamFile(path: String, types: Seq[DataType],
+                                expectMd5: Option[String] = None): Iterator[Seq[Any]] = {
+    val p = new HPath(path)
+    val raw = p.getFileSystem(new Configuration()).open(p)
+    val digest = java.security.MessageDigest.getInstance("MD5")
+    val in: java.io.InputStream = expectMd5 match {
+      case Some(_) => new java.security.DigestInputStream(raw, digest)
+      case None => raw
+    }
+    val stream = new DataFileStream(in, new GenericDatumReader[GenericRecord]())
+    new Iterator[Seq[Any]] {
+      private var closed = false
+      def hasNext: Boolean = {
+        val h = stream.hasNext
+        if (!h && !closed) {
+          closed = true
+          expectMd5.foreach { want =>
+            val buf = new Array[Byte](8192)
+            while (in.read(buf) != -1) {} // drain tail into the digest
+            val got = digest.digest().map("%02x".format(_)).mkString
+            if (got != want)
+              throw new java.io.IOException(
+                s"checksum mismatch for $path: manifest $want, downloaded $got")
+          }
+          stream.close()
+        }
+        h
+      }
+      def next(): Seq[Any] = {
+        val rec = stream.next()
+        types.indices.map(i => fromAvro(rec.get(i), types(i)))
+      }
+    }
+  }
+
+  /** Builds a GenericRecord from a row's fields at `indices`. */
+  private[graft] def toRecord(schema: Schema, row: Row, indices: Seq[Int]): GenericRecord = {
+    val rec = new GenericData.Record(schema)
+    var i = 0
+    while (i < indices.length) { rec.put(i, toAvro(row.get(indices(i)))); i += 1 }
+    rec
+  }
+
   /** Reads every `*.avro` container file under `dir` back into a
     * DataFrame with schema `st` (one input file per Spark partition).
     */
@@ -122,20 +172,9 @@ object AvroRecordFiles {
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
     val files = fs.listStatus(root).map(_.getPath.toString)
       .filter(_.endsWith(".avro")).sorted
-    val fieldTypes = st.fields.map(_.dataType)
+    val fieldTypes = st.fields.map(_.dataType).toSeq
     val rows = spark.sparkContext.parallelize(files.toSeq, math.max(files.length, 1))
-      .flatMap { f =>
-        val p = new HPath(f)
-        val in = p.getFileSystem(new Configuration()).open(p)
-        val stream = new DataFileStream(in, new GenericDatumReader[GenericRecord]())
-        new Iterator[Row] {
-          def hasNext: Boolean = { val h = stream.hasNext; if (!h) stream.close(); h }
-          def next(): Row = {
-            val rec = stream.next()
-            Row.fromSeq(fieldTypes.indices.map(i => fromAvro(rec.get(i), fieldTypes(i))))
-          }
-        }
-      }
+      .flatMap(f => streamFile(f, fieldTypes).map(Row.fromSeq))
     spark.createDataFrame(rows, st)
   }
 }

@@ -103,11 +103,34 @@ class JobRunnerSpec extends SparkSpec {
     runner.run(integ, j, sink).isRight shouldBe true
     JobRunnerSpec.persistCalls.get shouldBe 2
     // run the persist stage again against the same fence dir: all skipped
-    val recs = spark.read.parquet(s"${lay.jobRoot(j)}/records/task-*")
-      .withColumn("task_number", org.apache.spark.sql.functions
-        .regexp_extract(org.apache.spark.sql.functions.input_file_name(), "task-(\\d+)/", 1).cast("int"))
-    runner.persist(integ, j, recs, sink)
+    runner.persist(integ, j, runner.readRecords(integ, j), sink)
     JobRunnerSpec.persistCalls.get shouldBe 2
+  }
+
+  test("manifest carries true per-task avro file size + MD5; corruption fails the checksummed read") {
+    val (runner, lay) = freshRunner()
+    val j = job("FanOut")
+    val integ = new Stubs.FanOut(2, 10)
+    val recs = runner.records(integ, j, runner.planTasks(integ, j))
+    val manifest = runner.writeRecords(j, recs).collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2), r.getString(3), r.getString(4)))).toMap
+    manifest.keySet shouldBe Set(0, 1)
+    manifest.foreach { case (t, (count, size, md5, file)) =>
+      count shouldBe 10L
+      file shouldBe lay.recordsFile(j, t)
+      val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(file))
+      bytes.length.toLong shouldBe size
+      java.security.MessageDigest.getInstance("MD5").digest(bytes)
+        .map("%02x".format(_)).mkString shouldBe md5
+    }
+    // verified read succeeds; a manifest/file digest disagreement must fail
+    val md5s = manifest.map { case (t, (_, _, m, _)) => t -> m }
+    runner.readRecords(integ, j, md5s).count() shouldBe 20L
+    val bad = md5s.updated(0, "0" * 32)
+    val err = intercept[org.apache.spark.SparkException] {
+      runner.readRecords(integ, j, bad).count()
+    }
+    JobRunner.rootSparkCause(err).getMessage should include("checksum mismatch")
   }
 
   test("O7 completion hook fires with the planned tasks (HandleJobCompletedOperation.java:20-28)") {
