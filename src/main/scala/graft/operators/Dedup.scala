@@ -168,6 +168,48 @@ object Dedup {
       .select(col("id1"), col("id2"), round(col("jaccard"), 6).as("jaccard"))
   }
 
+  /** Near-dup CLUSTERING: pairs → connected components → keeper. What a
+    * real dedup pipeline emits is not a pair list but a per-document
+    * cluster assignment (keeper = the component's minimum id, matching
+    * [[exact]]'s deterministic winner).
+    *
+    * Algorithm: iterative min-label propagation over the undirected pair
+    * graph — each round every node takes the min label among itself and
+    * its neighbors; converges in O(component diameter) rounds (near-dup
+    * components are small, dense clusters, so typically 1–3). Each round
+    * is one join + one hash-aggregate, both shuffled by node id, so rounds
+    * reuse the same partitioning at scale; labels are persisted per round
+    * and lineage-truncated so the plan doesn't grow with iterations.
+    * Returns (id, component).
+    */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col("id1").as("a"), col("id2").as("b"))
+      .union(pairs.select(col("id2").as("a"), col("id1").as("b")))
+      .persist()
+    var labels = edges.select(col("a").as("id")).distinct()
+      .withColumn("component", col("id"))
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      val nbrMin = edges.join(labels, edges("b") === labels("id"))
+        .groupBy(col("a")).agg(min(col("component")).as("nbr_min"))
+      val updated = labels.join(nbrMin, labels("id") === nbrMin("a"), "left")
+        .select(col("id"), col("component"),
+          least(col("component"), coalesce(col("nbr_min"), col("component")))
+            .as("next"))
+        .persist()
+      converged = updated.filter(col("next") < col("component")).isEmpty
+      val prev = labels
+      labels = updated.select(col("id"), col("next").as("component"))
+        .localCheckpoint() // truncate lineage so round N's plan is O(1)
+      prev.unpersist()
+      updated.unpersist()
+      i += 1
+    }
+    edges.unpersist()
+    labels
+  }
+
   /** 64-bit SimHash over word hashes: per bit j, sign of Σ(±1) across the
     * token multiset. 64 codegen'd conditional sums in ONE aggregate pass —
     * no per-row loops, no UDFs.

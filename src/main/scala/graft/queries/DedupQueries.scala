@@ -58,6 +58,37 @@ object DedupQueries {
         maxDist = 3),
       None),
 
+    // Pairs → connected components → keeper: the per-document cluster
+    // assignment a dedup pipeline actually emits. Oracle = recursive
+    // transitive closure over the same (DF-capped) pair graph.
+    "d06_dedup_clusters" -> QueryDef(
+      (s, d) => Dedup.connectedComponents(
+          Dedup.jaccardPairs(Tables.documents(s, d), "text", "doc_id",
+            shingleN = 3, threshold = 0.8))
+        .select(col("id").as("doc_id"), col("component").as("cluster_keeper")),
+      Some(s"""
+        WITH RECURSIVE
+        d AS (SELECT doc_id, string_split(text, ' ') ws FROM documents),
+        sh AS (SELECT DISTINCT doc_id, array_to_string(ws[i:i+2], ' ') AS s
+               FROM d, LATERAL (SELECT unnest(range(1, len(ws) - 1)) AS i) t),
+        shc AS (SELECT doc_id, s FROM (
+                  SELECT doc_id, s, count(*) OVER (PARTITION BY s) AS df FROM sh)
+                WHERE df <= ${graft.operators.Dedup.DefaultDfCap}),
+        sz AS (SELECT doc_id, count(*) AS n FROM shc GROUP BY 1),
+        com AS (SELECT a.doc_id id1, b.doc_id id2, count(*) c
+                FROM shc a JOIN shc b ON a.s = b.s AND a.doc_id < b.doc_id
+                GROUP BY 1, 2),
+        pairs AS (SELECT id1, id2
+                  FROM com JOIN sz s1 ON id1 = s1.doc_id JOIN sz s2 ON id2 = s2.doc_id
+                  WHERE c * 1.0 / (s1.n + s2.n - c) >= 0.8),
+        edges AS (SELECT id1 AS a, id2 AS b FROM pairs
+                  UNION SELECT id2, id1 FROM pairs),
+        reach(a, b) AS (
+          SELECT a, b FROM edges
+          UNION SELECT a, a FROM edges
+          UNION SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
+        SELECT a AS doc_id, min(b) AS cluster_keeper FROM reach GROUP BY a""")),
+
     // Embedding-cosine near-dup (double-precision parity with the oracle).
     "d05_dedup_embedding" -> QueryDef(
       (s, d) => graft.operators.Similarity.cosinePairs(

@@ -73,6 +73,20 @@ object SourceQueries {
                md5(text) AS content_md5
         FROM documents WHERE doc_id < 20""")),
 
+    // JDBC sink + source against embedded Derby (the JDBC driver Spark
+    // ships for its metastore) — dialect type mapping + predicate-free
+    // full-table read; on a cluster the same code targets any warehouse
+    "src05_jdbc_roundtrip" -> QueryDef(
+      (s, d) => {
+        val props = new java.util.Properties()
+        props.setProperty("driver", "org.apache.derby.jdbc.EmbeddedDriver")
+        val url = s"jdbc:derby:${exportDir(d, "derby_db")};create=true"
+        val nation = Tables.nation(s, d)
+        nation.write.mode("overwrite").jdbc(url, "nation_tbl", props)
+        s.read.jdbc(url, "nation_tbl", props)
+      },
+      Some("SELECT n_nationkey, n_name, n_regionkey FROM nation")),
+
     // snappy Avro container files written per partition, read back per file
     "src04_avro_roundtrip" -> QueryDef(
       (s, d) => {

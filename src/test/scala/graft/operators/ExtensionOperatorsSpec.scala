@@ -89,6 +89,16 @@ class ExtensionOperatorsSpec extends SparkSpec {
     grid shouldBe naive
   }
 
+  test("connected components: chains collapse to min-id labels across hops") {
+    import spark.implicits._
+    // two components: a 4-chain 1-2-3-4 (diameter 3 → needs iteration) and
+    // a pair 10-11; isolated nodes never appear in the pair list
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L)).toDF("id1", "id2")
+    val got = Dedup.connectedComponents(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    got shouldBe Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 10L -> 10L, 11L -> 10L)
+  }
+
   test("content and robust fingerprints are deterministic and distinct per content") {
     val fps = docs.select(col("doc_id"),
         TextAnalysis.contentFingerprint(col("text")).as("fp"))

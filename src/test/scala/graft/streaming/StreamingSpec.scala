@@ -103,6 +103,29 @@ class StreamingSpec extends SparkSpec {
     spark.read.parquet(s"$dir/out/data").count() shouldBe 1L
   }
 
+  test("file source: newly landed files are picked up incrementally") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-filesrc").toString
+    Seq(Ev(1, ts(0), 1, "click", 1.0), Ev(2, ts(1), 2, "view", 1.0))
+      .toDF().write.mode("append").parquet(dir)
+    val stream = spark.readStream
+      .schema(Seq.empty[Ev].toDF().schema)
+      .parquet(dir)
+      .groupBy(col("event_type")).count()
+    val q = stream.writeStream.format("memory").queryName("filesrc")
+      .outputMode("complete").trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      q.processAllAvailable()
+      spark.table("filesrc").collect().map(r => r.getString(0) -> r.getLong(1))
+        .toMap shouldBe Map("click" -> 1L, "view" -> 1L)
+      // a second file lands: the SAME query must fold it in incrementally
+      Seq(Ev(3, ts(2), 3, "click", 1.0)).toDF().write.mode("append").parquet(dir)
+      q.processAllAvailable()
+      spark.table("filesrc").collect().map(r => r.getString(0) -> r.getLong(1))
+        .toMap shouldBe Map("click" -> 2L, "view" -> 1L)
+    } finally q.stop()
+  }
+
   test("task tracker: completed and failed tasks report and drop state") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
