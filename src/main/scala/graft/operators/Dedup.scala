@@ -183,9 +183,11 @@ object Dedup {
     * Returns (id, component).
     */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
-    val edges = pairs.select(col("id1").as("a"), col("id2").as("b"))
-      .union(pairs.select(col("id2").as("a"), col("id1").as("b")))
-      .persist()
+    // materialize the (usually expensive) pair lineage exactly ONCE — the
+    // union below and every loop round then read the checkpointed rows
+    val p = pairs.select(col("id1"), col("id2")).localCheckpoint()
+    val edges = p.select(col("id1").as("a"), col("id2").as("b"))
+      .union(p.select(col("id2").as("a"), col("id1").as("b")))
     var labels = edges.select(col("a").as("id")).distinct()
       .withColumn("component", col("id"))
     var converged = false
@@ -197,16 +199,12 @@ object Dedup {
         .select(col("id"), col("component"),
           least(col("component"), coalesce(col("nbr_min"), col("component")))
             .as("next"))
-        .persist()
-      converged = updated.filter(col("next") < col("component")).isEmpty
-      val prev = labels
-      labels = updated.select(col("id"), col("next").as("component"))
         .localCheckpoint() // truncate lineage so round N's plan is O(1)
-      prev.unpersist()
-      updated.unpersist()
+      // convergence check reads the checkpointed rows — no recompute
+      converged = updated.filter(col("next") < col("component")).isEmpty
+      labels = updated.select(col("id"), col("next").as("component"))
       i += 1
     }
-    edges.unpersist()
     labels
   }
 

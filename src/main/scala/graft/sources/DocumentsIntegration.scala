@@ -25,14 +25,37 @@ object DocumentsSource {
 
   final case class Doc(docId: Long, text: String, lang: String, source: String, nChars: Long)
 
-  def scan(sfDir: String): Iterator[Doc] = {
-    val reader = ParquetReader
+  /** Ranged scan: an optional source predicate is pushed into the parquet
+    * reader (row-group stats + dictionary + record-level filtering), the
+    * external-system analog of a keyed/ranged pull per task — each task
+    * reads its slice, not the whole store. The reader closes on
+    * exhaustion; both call sites consume the iterator fully.
+    */
+  def scan(sfDir: String, source: Option[String] = None): Iterator[Doc] = {
+    import org.apache.parquet.filter2.compat.FilterCompat
+    import org.apache.parquet.filter2.predicate.FilterApi
+    import org.apache.parquet.io.api.Binary
+    val builder = ParquetReader
       .builder(new GroupReadSupport(), new Path(s"$sfDir/documents.parquet"))
-      .build()
-    Iterator.continually(reader.read()).takeWhile(_ != null).map { g: Group =>
+    val reader = source.fold(builder) { src =>
+      builder.withFilter(FilterCompat.get(FilterApi.eq(
+        FilterApi.binaryColumn("source"), Binary.fromString(src))))
+    }.build()
+    val groups = new Iterator[Group] {
+      private var g: Group = advance()
+      private def advance(): Group = {
+        val n = reader.read(); if (n == null) reader.close(); n
+      }
+      def hasNext: Boolean = g != null
+      def next(): Group = { val c = g; g = advance(); c }
+    }
+    val docs = groups.map { g =>
       Doc(g.getLong("doc_id", 0), g.getString("text", 0), g.getString("lang", 0),
           g.getString("source", 0), g.getLong("n_chars", 0))
-    } ++ { reader.close(); Iterator.empty }
+    }
+    // residual filter: record-level pushdown already drops non-matching
+    // rows; this keeps correctness independent of filter support
+    source.fold(docs)(src => docs.filter(_.source == src))
   }
 
   /** Distinct sources, sorted — the deterministic task list. */
@@ -44,10 +67,8 @@ object DocumentsSource {
       TaskSpec(job.id.toString, job.source.name, i, Map("source" -> src, "sfDir" -> sfDir))
     }
 
-  def docsForTask(task: TaskSpec): Iterator[Doc] = {
-    val src = task.taskArguments("source")
-    scan(task.taskArguments("sfDir")).filter(_.source == src)
-  }
+  def docsForTask(task: TaskSpec): Iterator[Doc] =
+    scan(task.taskArguments("sfDir"), Some(task.taskArguments("source")))
 }
 
 /** O5 path: fetch already-structured records (doc_id, lang, n_chars). */
