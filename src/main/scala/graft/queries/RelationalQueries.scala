@@ -368,7 +368,30 @@ object RelationalQueries {
       Some("""
         SELECT p_brand, round(sum(l_extendedprice), 2) AS gross, count(*) AS n
         FROM lineitem JOIN part ON l_partkey = p_partkey
-        GROUP BY p_brand""")))
+        GROUP BY p_brand""")),
+
+    // As-of join (union + forward-fill window — one shuffle, no range
+    // fan-out; graft.operators.AsOfJoin). Oracle: DuckDB's native ASOF.
+    "q29_join_asof" -> QueryDef(
+      (s, d) => {
+        val ev = Tables.events(s, d).select(col("event_id"), col("user_id"), col("ts"))
+        // dedupe the history side to one row per (key, instant) for
+        // deterministic ties, mirrored in the oracle
+        val ord = Tables.orders(s, d)
+          .groupBy(col("o_custkey"), col("o_orderdate"))
+          .agg(max(col("o_orderkey")).as("o_orderkey"))
+        graft.operators.AsOfJoin.asOf(ev, ord,
+          leftKey = "user_id", rightKey = "o_custkey",
+          leftTs = "ts", rightTs = "o_orderdate",
+          payload = Seq("o_orderkey", "o_orderdate"))
+      },
+      Some("""
+        WITH ord AS (
+          SELECT o_custkey, o_orderdate, max(o_orderkey) AS o_orderkey
+          FROM orders GROUP BY 1, 2)
+        SELECT e.event_id, e.user_id, e.ts, o.o_orderkey, o.o_orderdate
+        FROM events e ASOF LEFT JOIN ord o
+          ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate""")))
 
   // ------------------------------------------------------------- windows
 

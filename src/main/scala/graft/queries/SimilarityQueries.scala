@@ -42,6 +42,21 @@ object SimilarityQueries {
         Similarity.lshKnn(emb, emb.filter(col("vec_id") < 5), k = 10,
           dim = 64, nBits = 4, tables = 8)
       },
-      None)
+      None),
+
+    // the codegen'd dot kernel exposed to the SQL surface via
+    // FunctionRegistry injection (graft.plans.GraftExtensions)
+    "s03_dot_sql_function" -> QueryDef(
+      (s, d) => {
+        graft.plans.GraftExtensions.register(s)
+        Tables.embeddings(s, d).createOrReplaceTempView("embeddings_v")
+        s.sql("""SELECT vec_id, round(graft_dot(embedding, embedding), 4)
+                   AS self_dot FROM embeddings_v""")
+      },
+      Some("""
+        SELECT vec_id,
+               round(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                      CAST(embedding AS DOUBLE[])), 4) AS self_dot
+        FROM embeddings"""))
   )
 }

@@ -40,6 +40,30 @@ class FunctionsSpec extends SparkSpec {
     got(2).getDouble(0) shouldBe 14.0 // length mismatch → shorter prefix
   }
 
+  test("graft_dot is SQL-callable after registry injection") {
+    graft.plans.GraftExtensions.register(spark)
+    spark.sql("SELECT graft_dot(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d")
+      .head.getDouble(0) shouldBe 11.0
+    // int arrays coerce through the injected casts
+    spark.sql("SELECT graft_dot(array(1, 2), array(3, 4)) AS d")
+      .head.getDouble(0) shouldBe 11.0
+  }
+
+  test("as-of join forward-fills the latest right row per key, inclusive ties") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def ts(m: Int) = Timestamp.valueOf(f"2026-01-01 10:$m%02d:00")
+    val left = Seq((1L, ts(5), "e1"), (1L, ts(10), "e2"), (2L, ts(3), "e3"))
+      .toDF("k", "t", "ev")
+    val right = Seq((1L, ts(5), 100L), (1L, ts(9), 101L), (3L, ts(0), 999L))
+      .toDF("rk", "rt", "v")
+    val got = graft.operators.AsOfJoin.asOf(left, right, "k", "rk", "t", "rt", Seq("v", "rt"))
+      .select("ev", "v").collect().map(r => r.getString(0) -> Option(r.get(1))).toMap
+    got("e1") shouldBe Some(100L) // equal timestamp matches (inclusive)
+    got("e2") shouldBe Some(101L) // latest ≤ t wins
+    got("e3") shouldBe None       // no history for key 2 → null payload
+  }
+
   test("WeightedAvg aggregator matches the closed-form SQL expression") {
     import spark.implicits._
     val df = Seq((10.0, 1.0), (20.0, 3.0), (30.0, 6.0)).toDF("v", "w")
