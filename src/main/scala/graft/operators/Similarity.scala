@@ -138,6 +138,76 @@ object Similarity {
               round(col("sim"), 6).as("sim"))
   }
 
+  /** IVF (inverted-file) ANN: a k-means coarse quantizer partitions the
+    * corpus into `nLists` inverted lists; each query probes its `nProbe`
+    * nearest centroids and re-ranks exactly (cosine) within those lists —
+    * searching ~nProbe/nLists of the corpus instead of all of it.
+    *
+    * Scale design: training runs on a deterministic hash-sample capped at
+    * `trainCap` rows (k-means quality needs a sample, not the corpus);
+    * the per-iteration update is one explode + hash-aggregate; centroids
+    * (nLists × dim doubles) live on the driver and enter the plan as
+    * literals, so assignment is a codegen'd argmax — no join. The query
+    * phase shuffles the corpus ONCE by list id; probes are a broadcast.
+    * Deterministic: init = smallest xxhash64(id) rows; no RNG.
+    */
+  def ivfKnn(corpus: DataFrame, queries: DataFrame, k: Int, dim: Int,
+             nLists: Int = 16, nProbe: Int = 4, maxIter: Int = 5,
+             trainCap: Int = 100000,
+             idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val vecs = corpus.select(col(idCol).as("id"),
+      col(vecCol).cast("array<double>").as("v"))
+
+    def toArr(r: org.apache.spark.sql.Row): Array[Double] =
+      r.getSeq[Double](0).toArray
+    // deterministic sample + init: order by hash, not by RNG
+    val train = vecs.withColumn("h", xxhash64(col("id")))
+      .orderBy(col("h")).limit(trainCap).select(col("v")).persist()
+    var centroids: Array[Array[Double]] =
+      train.limit(nLists).collect().map(toArr)
+
+    def nearestExpr(cs: Array[Array[Double]], vec: Column): Column = {
+      val dots = array(cs.toIndexedSeq.map(c => dot(vec, typedLit(c.toSeq))): _*)
+      (array_position(dots, array_max(dots)) - 1).cast("int")
+    }
+
+    for (_ <- 0 until maxIter) {
+      val assigned = train.withColumn("cid", nearestExpr(centroids, col("v")))
+      val updated = assigned
+        .select(col("cid"), posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy(col("cid"), col("pos")).agg(avg(col("x")).as("m"))
+        .collect().groupBy(_.getInt(0))
+        .map { case (cid, rows) =>
+          cid -> rows.sortBy(_.getInt(1)).map(_.getDouble(2))
+        }
+      // empty lists keep their previous centroid
+      centroids = centroids.indices
+        .map(i => updated.getOrElse(i, centroids(i))).toArray
+    }
+    train.unpersist()
+
+    val listed = vecs.withColumn("cid", nearestExpr(centroids, col("v")))
+    // each query probes its nProbe nearest centroids
+    val probes = broadcast(
+      queries.select(col(idCol).as("query_id"), col(vecCol).cast("array<double>").as("qv"))
+        .select(col("query_id"), col("qv"),
+          posexplode(array(centroids.toIndexedSeq.map(c =>
+            dot(col("qv"), typedLit(c.toSeq))): _*)).as(Seq("cid", "cdot")))
+        .withColumn("rnk", row_number().over(
+          Window.partitionBy(col("query_id")).orderBy(col("cdot").desc, col("cid"))))
+        .filter(col("rnk") <= nProbe)
+        .select(col("query_id"), col("qv"), col("cid")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id").asc)
+    probes.join(listed.withColumnRenamed("id", "neighbor_id"), Seq("cid"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("sim", cosine(col("qv"), col("v")))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+              round(col("sim"), 6).as("sim"))
+  }
+
   /** Sub-quadratic embedding near-dup for HIGH thresholds: candidates from
     * multi-table random-hyperplane buckets (only same-bucket pairs meet),
     * then exact cosine verification. Misses are bounded by the LSH S-curve

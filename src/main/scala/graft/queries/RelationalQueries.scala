@@ -338,6 +338,23 @@ object RelationalQueries {
                CAST(sum(n_nationkey) AS BIGINT) AS key_sum
         FROM region CROSS JOIN nation GROUP BY r_name""")),
 
+    // Salted skew join: identical result multiset to the plain join (the
+    // oracle IS the plain join) — salting only respreads the partitions.
+    "q19_join_salted" -> QueryDef(
+      (s, d) => {
+        val li = Tables.lineitem(s, d)
+        val ord = Tables.orders(s, d).select(col("o_orderkey"), col("o_orderpriority"))
+        graft.operators.SkewJoin.saltedJoin(li, ord, "l_orderkey", "o_orderkey", salt = 8)
+          .groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)).as("n"),
+               round(sum(col("l_extendedprice")), 2).as("gross"))
+      },
+      Some("""
+        SELECT o_orderpriority, count(*) AS n,
+               round(sum(l_extendedprice), 2) AS gross
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY o_orderpriority""")),
+
     // Equi + theta (inequality) join condition.
     "q27_join_theta" -> QueryDef(
       (s, d) => {

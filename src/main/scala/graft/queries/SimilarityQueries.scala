@@ -44,6 +44,17 @@ object SimilarityQueries {
       },
       None),
 
+    // IVF coarse-quantizer ANN: deterministic k-means lists, nProbe-list
+    // probe + exact re-rank. Hash-derived sample/init ⇒ rows-only;
+    // recall vs brute force asserted in ExtensionOperatorsSpec.
+    "s04_knn_ivf" -> QueryDef(
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        Similarity.ivfKnn(emb, emb.filter(col("vec_id") < 5), k = 10,
+          dim = 64, nLists = 16, nProbe = 4)
+      },
+      None),
+
     // the codegen'd dot kernel exposed to the SQL surface via
     // FunctionRegistry injection (graft.plans.GraftExtensions)
     "s03_dot_sql_function" -> QueryDef(

@@ -73,6 +73,36 @@ class ExtensionOperatorsSpec extends SparkSpec {
     lsh.intersect(exact).size.toDouble / exact.size should be >= 0.8
   }
 
+  test("IVF knn: valid ranks, no self-matches, recall beats its probe fraction floor") {
+    val queries = embs.filter(col("vec_id") < 5)
+    val exact = Similarity.bruteForceKnn(embs, queries, 10).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val ivf = Similarity.ivfKnn(embs, queries, 10, dim = 64, nLists = 16, nProbe = 4)
+      .collect()
+    ivf.foreach { r => r.getLong(0) should not be r.getLong(2) }
+    ivf.groupBy(_.getLong(0)).foreach { case (_, rows) =>
+      rows.map(_.getLong(1)).sorted shouldBe (1L to rows.length).toArray
+    }
+    val got = ivf.map(r => (r.getLong(0), r.getLong(2))).toSet
+    // probing 4/16 lists scans ≥ a quarter of the corpus; clustering can
+    // only help recall beyond that floor
+    got.intersect(exact).size.toDouble / exact.size should be >= 0.2
+  }
+
+  test("salted join equals the plain join result multiset") {
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .select(col("l_orderkey"), col("l_quantity"))
+    val ord = spark.read.parquet(s"$sfDir/orders.parquet")
+      .select(col("o_orderkey"), col("o_orderpriority"))
+    val salted = SkewJoin.saltedJoin(li, ord, "l_orderkey", "o_orderkey", salt = 4)
+      .groupBy(col("o_orderpriority")).agg(count(lit(1)).as("n"), sum("l_quantity").as("q"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    val plain = li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+      .groupBy(col("o_orderpriority")).agg(count(lit(1)).as("n"), sum("l_quantity").as("q"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    salted shouldBe plain
+  }
+
   test("cosinePairs block grid equals the naive cartesian on a small corpus") {
     import spark.implicits._
     val emb = (0 until 40).map(i =>
