@@ -19,8 +19,10 @@ import org.apache.spark.sql.types.{ArrayType, DoubleType}
   * compiled by whole-stage codegen like any built-in.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftExtensions.dotFunction)
+    ext.injectPlannerStrategy(_ => TopKPerGroup.TopKStrategy)
+  }
 }
 
 object GraftExtensions {

@@ -338,6 +338,25 @@ object RelationalQueries {
                CAST(sum(n_nationkey) AS BIGINT) AS key_sum
         FROM region CROSS JOIN nation GROUP BY r_name""")),
 
+    // Per-group top-k via the custom plan operator (bounded heaps, partial
+    // pruning before the shuffle — graft.plans.TopKPerGroup) — same
+    // contract as q30's window formulation, same oracle shape.
+    "q37_topk_custom_plan" -> QueryDef(
+      (s, d) => graft.plans.TopKPerGroup.perGroup(
+          Tables.customer(s, d),
+          groupCols = Seq("c_mktsegment"),
+          orderCols = Seq("c_acctbal" -> true, "c_custkey" -> false),
+          k = 3)
+        .select(col("c_mktsegment"), col("rank").as("rn"), col("c_custkey"),
+                round(col("c_acctbal"), 2).as("bal")),
+      Some("""
+        SELECT c_mktsegment, rn, c_custkey, round(c_acctbal, 2) AS bal FROM (
+          SELECT c_mktsegment, c_custkey, c_acctbal,
+                 row_number() OVER (PARTITION BY c_mktsegment
+                                    ORDER BY c_acctbal DESC, c_custkey ASC) AS rn
+          FROM customer)
+        WHERE rn <= 3""")),
+
     // Salted skew join: identical result multiset to the plain join (the
     // oracle IS the plain join) — salting only respreads the partitions.
     "q19_join_salted" -> QueryDef(

@@ -1,14 +1,21 @@
 package org.apache.spark.sql
 
 import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.classic.ExpressionUtils
 
-/** Bridge into `private[sql]` Column ↔ catalyst-Expression conversion so
-  * graft's custom codegen expressions can be used from the public
-  * DataFrame API. Lives in the o.a.s.sql package purely for access; no
-  * Spark internals are modified.
+/** Bridge into `private[sql]` Column ↔ catalyst-Expression conversion and
+  * Dataset construction so graft's custom expressions and logical plans
+  * can be used from the public DataFrame API. Lives in the o.a.s.sql
+  * package purely for access; no Spark internals are modified.
   */
 object GraftSqlShim {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
+    classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+
+  def analyzedPlan(df: DataFrame): LogicalPlan =
+    df.asInstanceOf[classic.Dataset[Row]].queryExecution.analyzed
 }
