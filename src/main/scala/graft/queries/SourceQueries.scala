@@ -73,6 +73,24 @@ object SourceQueries {
                md5(text) AS content_md5
         FROM documents WHERE doc_id < 20""")),
 
+    // Hive-style partitioned layout: write partitioned by day, read back
+    // with a partition predicate — the scan must prune to ONE directory
+    // (PartitionFilters; asserted on the plan in SourcesSpec)
+    "src06_partition_pruning" -> QueryDef(
+      (s, d) => {
+        val out = exportDir(d, "events_bydate")
+        val ev = Tables.events(s, d).withColumn("day", to_date(col("ts")))
+        ev.write.mode("overwrite").partitionBy("day").parquet(out)
+        val minDay = ev.agg(min(col("day"))).head.getDate(0)
+        s.read.parquet(out)
+          .filter(col("day") === lit(minDay))
+          .select(col("event_id"), col("user_id"), col("day"))
+      },
+      Some("""
+        SELECT event_id, user_id, CAST(ts AS DATE) AS day
+        FROM events
+        WHERE CAST(ts AS DATE) = (SELECT min(CAST(ts AS DATE)) FROM events)""")),
+
     // JDBC sink + source against embedded Derby (the JDBC driver Spark
     // ships for its metastore) — dialect type mapping + predicate-free
     // full-table read; on a cluster the same code targets any warehouse

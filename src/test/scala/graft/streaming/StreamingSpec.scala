@@ -103,6 +103,47 @@ class StreamingSpec extends SparkSpec {
     spark.read.parquet(s"$dir/out/data").count() shouldBe 1L
   }
 
+  test("stream-static join: the dimension enriches each micro-batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dim = Seq((1L, "gold"), (2L, "silver")).toDF("user_id", "tier")
+    val in = MemoryStream[Ev]
+    val out = in.toDF().join(dim, Seq("user_id"), "left")
+    val got = runBatches(out, "enriched", Seq(
+      () => in.addData(Ev(1, ts(0), 1, "click", 1.0), Ev(2, ts(1), 2, "view", 1.0),
+        Ev(3, ts(2), 9, "view", 1.0))))
+    got.collect().map(r => r.getAs[Long]("event_id") -> r.getAs[String]("tier"))
+      .toMap shouldBe Map(1L -> "gold", 2L -> "silver", 3L -> null)
+  }
+
+  test("stream-stream interval join honors watermarked time bounds") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[Ev]
+    val views = MemoryStream[Ev]
+    val l = clicks.toDF().select(col("event_id").as("click_id"),
+      col("user_id"), col("ts").as("click_ts")).withWatermark("click_ts", "1 hour")
+    val r = views.toDF().select(col("event_id").as("view_id"),
+      col("user_id").as("v_user"), col("ts").as("view_ts")).withWatermark("view_ts", "1 hour")
+    // a view within 10 minutes AFTER a click by the same user
+    val joined = l.join(r,
+      col("user_id") === col("v_user") &&
+      col("view_ts") >= col("click_ts") &&
+      col("view_ts") <= col("click_ts") + expr("INTERVAL 10 MINUTES"))
+    val q = joined.writeStream.format("memory").queryName("ssjoin")
+      .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      clicks.addData(Ev(1, ts(0), 1, "click", 0), Ev(2, ts(30), 2, "click", 0))
+      views.addData(
+        Ev(10, ts(5), 1, "view", 0),   // joins click 1 (within 10 min)
+        Ev(11, ts(20), 1, "view", 0),  // outside the bound → dropped
+        Ev(12, ts(31), 2, "view", 0))  // joins click 2
+      q.processAllAvailable()
+    } finally q.stop()
+    spark.table("ssjoin").select("click_id", "view_id").collect()
+      .map(x => (x.getLong(0), x.getLong(1))).toSet shouldBe Set((1L, 10L), (2L, 12L))
+  }
+
   test("file source: newly landed files are picked up incrementally") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-filesrc").toString
