@@ -250,29 +250,61 @@ final class JobRunner(spark: SparkSession, layout: StorageLayout) {
         }
   }
 
-  /** End-to-end O1→O7 with O8 failure mapping. */
+  /** End-to-end O1→O7 with O8 failure mapping. The execution log lands at
+    * the layout's log key LAST, success or failure — the reference uploads
+    * operation logs after the response (`CommanderActor.scala:292-315`).
+    */
   def run(integration: Integration, job: IngestionJob,
-          sink: SinkSpec = TableSink()): Either[FailureReport, JobResult] =
+          sink: SinkSpec = TableSink()): Either[FailureReport, JobResult] = {
+    val executionId = java.util.UUID.randomUUID().toString
+    val log = Seq.newBuilder[String]
+    log += s"execution=$executionId job=${job.id} integration=${integration.name}"
+    val result =
+      try {
+        val report = validate(integration)
+        log += s"validate isValid=${report.isValid} errors=${report.errors.size}"
+        if (!report.isValid)
+          Left(FailureReport("graft.ValidationFailed",
+            report.errors.map(_.message).mkString("; "), Nil, None))
+        else {
+          val tasks = planTasks(integration, job)
+          log += s"planTasks n=${tasks.size}"
+          val recs = records(integration, job, tasks)
+          val manifest = writeRecords(job, recs)
+            .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getString(3))).toMap
+          manifest.toSeq.sortBy(_._1).foreach { case (t, (n, md5)) =>
+            log += s"writeRecords task=$t records=$n md5=$md5" }
+          // persist re-reads the landed record files with checksum
+          // verification (never the live fetch plan — a fetch is not
+          // assumed re-runnable)
+          persist(integration, job,
+            readRecords(integration, job, manifest.map { case (t, (_, m)) => t -> m }),
+            sink)
+          log += "persist ok"
+          val counts = manifest.map { case (t, (n, _)) => t -> n }
+          integration.onJobCompleted(Instant.now(), job, tasks)
+          Right(JobResult(job, tasks.size, counts.values.sum, counts))
+        }
+      } catch {
+        case NonFatal(e) =>
+          val cause = rootSparkCause(e)
+          log += s"failed ${cause.getClass.getName}: ${cause.getMessage}"
+          Left(FailureReport.fromThrowable(cause))
+      }
+    writeLog(job, executionId, log.result())
+    result
+  }
+
+  /** Best-effort execution-log upload to the layout's log key. */
+  private def writeLog(job: IngestionJob, executionId: String,
+                       lines: Seq[String]): Unit =
     try {
-      val report = validate(integration)
-      if (!report.isValid)
-        return Left(FailureReport("graft.ValidationFailed",
-          report.errors.map(_.message).mkString("; "), Nil, None))
-      val tasks = planTasks(integration, job)
-      val recs = records(integration, job, tasks)
-      val manifest = writeRecords(job, recs)
-        .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getString(3))).toMap
-      // persist re-reads the landed record files with checksum verification
-      // (never the live fetch plan — a fetch is not assumed re-runnable)
-      persist(integration, job,
-        readRecords(integration, job, manifest.map { case (t, (_, m)) => t -> m }),
-        sink)
-      val counts = manifest.map { case (t, (n, _)) => t -> n }
-      integration.onJobCompleted(Instant.now(), job, tasks)
-      Right(JobResult(job, tasks.size, counts.values.sum, counts))
-    } catch {
-      case NonFatal(e) => Left(FailureReport.fromThrowable(rootSparkCause(e)))
-    }
+      val p = new Path(layout.logFile(job, executionId))
+      val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+      val out = fs.create(p, true)
+      try out.write((lines.mkString("\n") + "\n").getBytes("UTF-8"))
+      finally out.close()
+    } catch { case NonFatal(_) => () } // logs must never fail the job
 }
 
 object JobRunner {

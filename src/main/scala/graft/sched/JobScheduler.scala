@@ -37,6 +37,7 @@ final class JobScheduler(
     affinityWindow: Duration = Duration.ofMinutes(10),
     pollInterval: Duration = Duration.ofSeconds(5),
     rateWindow: Duration = Duration.ofMinutes(5),
+    maxRetries: Int = 0,
     random: Random = new Random()) {
 
   final case class Submission(
@@ -45,7 +46,8 @@ final class JobScheduler(
       sink: SinkSpec,
       resources: Seq[String],
       enqueuedAt: Instant,
-      promise: Promise[Either[FailureReport, JobRunner.JobResult]])
+      promise: Promise[Either[FailureReport, JobRunner.JobResult]],
+      attempt: Int = 0)
 
   private val queues = new java.util.concurrent.ConcurrentHashMap[String, ConcurrentLinkedQueue[Submission]]()
   private val exec = Executors.newFixedThreadPool(workerSlots)
@@ -131,8 +133,14 @@ final class JobScheduler(
             timer.schedule(new Runnable {
               def run(): Unit = spark.sparkContext.cancelJobGroup(group)
             }, workTimeout.toMillis, TimeUnit.MILLISECONDS)
-            try sub.promise.success(runner.run(sub.integration, sub.job, sub.sink))
-            finally {
+            try runner.run(sub.integration, sub.job, sub.sink) match {
+              // retry-by-requeue (the reference NACKs failed work back to
+              // its queue); validation failures are permanent, not retried
+              case Left(report) if sub.attempt < maxRetries &&
+                  report.exceptionClass != "graft.ValidationFailed" =>
+                queues.get(sub.integration.name).add(sub.copy(attempt = sub.attempt + 1))
+              case done => sub.promise.success(done)
+            } finally {
               timer.shutdownNow()
               spark.sparkContext.clearJobGroup()
               spark.sparkContext.setLocalProperty("spark.scheduler.pool", null)

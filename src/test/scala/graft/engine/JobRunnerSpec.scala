@@ -133,6 +133,31 @@ class JobRunnerSpec extends SparkSpec {
     JobRunner.rootSparkCause(err).getMessage should include("checksum mismatch")
   }
 
+  test("execution log lands at the layout's log key, success and failure") {
+    val (runner, lay) = freshRunner()
+    val j = job("FanOut")
+    runner.run(new Stubs.FanOut(2, 3), j).isRight shouldBe true
+    val logDir = new java.io.File(s"${lay.jobRoot(j)}/log")
+    val logs = logDir.listFiles().filter(_.getName.endsWith(".out"))
+    logs.length shouldBe 1
+    val content = new String(java.nio.file.Files.readAllBytes(logs.head.toPath), "UTF-8")
+    content should include("planTasks n=2")
+    content should include("persist ok")
+
+    val j2 = job("Failing")
+    val failing = new Stubs.FanOut(1, 1) {
+      override def name = "Failing"
+      override def fetchStructured(task: graft.model.TaskSpec): Iterator[Row] =
+        throw new IllegalStateException("boom")
+    }
+    runner.run(failing, j2).isLeft shouldBe true
+    val logs2 = new java.io.File(s"${lay.jobRoot(j2)}/log").listFiles()
+      .filter(_.getName.endsWith(".out")) // skip Hadoop's .crc sidecars
+    logs2.length shouldBe 1
+    new String(java.nio.file.Files.readAllBytes(logs2.head.toPath), "UTF-8") should
+      include("failed")
+  }
+
   test("O7 completion hook fires with the planned tasks (HandleJobCompletedOperation.java:20-28)") {
     val (runner, _) = freshRunner()
     val j = job("Hooked")

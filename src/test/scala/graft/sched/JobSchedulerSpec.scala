@@ -21,6 +21,8 @@ import scala.util.Random
   */
 class JobSchedulerSpec extends SparkSpec {
 
+  import JobSchedulerSpec._
+
   private def newRunner(): JobRunner =
     new JobRunner(spark, StorageLayout(Files.createTempDirectory("graft-sched").toString))
 
@@ -48,6 +50,22 @@ class JobSchedulerSpec extends SparkSpec {
       val f2 = sched.submit(new Slow, job("SlowQueue"), resources = Seq("db"))
       Await.result(f1, SDuration(60, TimeUnit.SECONDS)).isRight shouldBe true
       Await.result(f2, SDuration(60, TimeUnit.SECONDS)).isRight shouldBe true
+    } finally sched.shutdown()
+  }
+
+  test("failed work is retried by requeue up to maxRetries; validation failures are permanent") {
+    val pool = new ResourcePool(Nil)
+    val sched = new JobScheduler(spark, newRunner(), pool,
+      workerSlots = 1, pollInterval = Duration.ofMillis(100),
+      maxRetries = 2, random = new Random(5))
+    try {
+      val f = sched.submit(new JobSchedulerSpec.FlakyTwice, job("Flaky"))
+      Await.result(f, SDuration(60, TimeUnit.SECONDS)).isRight shouldBe true
+      JobSchedulerSpec.flakyAttempts.get() shouldBe 3 // 2 failures + 1 success
+      // a broken schema fails validation and must NOT burn retries
+      val g = sched.submit(new graft.engine.Stubs.BrokenSchema, job("Broken"))
+      val Left(report) = Await.result(g, SDuration(60, TimeUnit.SECONDS)): @unchecked
+      report.exceptionClass shouldBe "graft.ValidationFailed"
     } finally sched.shutdown()
   }
 
@@ -85,5 +103,20 @@ class JobSchedulerSpec extends SparkSpec {
       WorkQueuePrioritizer.default(new Random(0))
         .prioritize(snaps.values.toSeq).next().name shouldBe "Stalled"
     } finally sched.shutdown()
+  }
+}
+
+object JobSchedulerSpec {
+  // static so state survives closure serialization in local mode
+  val flakyAttempts = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** Fails its first two fetches (driver-side counter), then succeeds. */
+  class FlakyTwice extends Stubs.FanOut(1, 2) {
+    override def name = "Flaky"
+    override def planTasks(job: IngestionJob): Seq[graft.model.TaskSpec] = {
+      if (flakyAttempts.incrementAndGet() <= 2)
+        throw new IllegalStateException("transient planTasks failure")
+      super.planTasks(job)
+    }
   }
 }
