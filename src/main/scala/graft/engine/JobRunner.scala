@@ -255,10 +255,31 @@ final class JobRunner(spark: SparkSession, layout: StorageLayout) {
     * operation logs after the response (`CommanderActor.scala:292-315`).
     */
   def run(integration: Integration, job: IngestionJob,
-          sink: SinkSpec = TableSink()): Either[FailureReport, JobResult] = {
+          sink: SinkSpec = TableSink(),
+          onProgress: Long => Unit = _ => ()): Either[FailureReport, JobResult] = {
     val executionId = java.util.UUID.randomUUID().toString
     val log = Seq.newBuilder[String]
     log += s"execution=$executionId job=${job.id} integration=${integration.name}"
+    // StatusUpdate analog: the reference streams progress frames before the
+    // operation result (executor/.../proto/StatusUpdate.java:18-42,
+    // OperationHandler.scala:57-67); here a listener reports completed
+    // Spark tasks for this run's job group as the job executes.
+    val sc = spark.sparkContext
+    val group = Option(sc.getLocalProperty("spark.jobGroup.id")).getOrElse {
+      val g = s"graft-run-$executionId"
+      sc.setJobGroup(g, s"graft job ${job.id}", interruptOnCancel = false)
+      g
+    }
+    val tasksDone = new java.util.concurrent.atomic.AtomicLong()
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      private val stages = java.util.concurrent.ConcurrentHashMap.newKeySet[Int]()
+      override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        if (Option(js.properties).exists(_.getProperty("spark.jobGroup.id") == group))
+          js.stageIds.foreach(stages.add)
+      override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        if (stages.contains(te.stageId)) onProgress(tasksDone.incrementAndGet())
+    }
+    sc.addSparkListener(listener)
     val result =
       try {
         val report = validate(integration)
@@ -290,7 +311,8 @@ final class JobRunner(spark: SparkSession, layout: StorageLayout) {
           val cause = rootSparkCause(e)
           log += s"failed ${cause.getClass.getName}: ${cause.getMessage}"
           Left(FailureReport.fromThrowable(cause))
-      }
+      } finally sc.removeSparkListener(listener)
+    log += s"progress sparkTasksCompleted=${tasksDone.get()}"
     writeLog(job, executionId, log.result())
     result
   }

@@ -133,6 +133,19 @@ class JobRunnerSpec extends SparkSpec {
     JobRunner.rootSparkCause(err).getMessage should include("checksum mismatch")
   }
 
+  test("status updates: progress callback fires as Spark tasks complete") {
+    val (runner, _) = freshRunner()
+    val j = job("FanOut")
+    val seen = new java.util.concurrent.atomic.AtomicLong()
+    runner.run(new Stubs.FanOut(4, 5), j,
+      onProgress = n => seen.updateAndGet(m => math.max(m, n)))
+      .isRight shouldBe true
+    // the listener bus is async — allow the tail events to drain
+    val deadline = System.currentTimeMillis() + 5000
+    while (seen.get() < 4 && System.currentTimeMillis() < deadline) Thread.sleep(50)
+    seen.get() should be >= 4L // at least the four per-task fetch tasks
+  }
+
   test("execution log lands at the layout's log key, success and failure") {
     val (runner, lay) = freshRunner()
     val j = job("FanOut")

@@ -1,0 +1,86 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+/** Invariant/property coverage for the dedup family on synthetic corpora
+  * (the gate checks values on the fixed test tables; these check the
+  * contracts on adversarial inputs).
+  */
+class DedupPropertiesSpec extends SparkSpec {
+
+  private def forAll[A](gen: Gen[A], trials: Int = 20)(f: A => Unit): Unit =
+    (0 until trials).foreach { i =>
+      gen.apply(Gen.Parameters.default, Seed(i.toLong)).foreach(f)
+    }
+
+  test("exact dedup: keeper is the min id and dup counts partition the corpus") {
+    import spark.implicits._
+    // 3 exact copies of each of 10 distinct texts
+    val docs = (0 until 30)
+      .map(i => (i.toLong, s"body ${"tok " * (i % 10 + 1)}end"))
+      .toDF("doc_id", "text")
+    val res = Dedup.exact(docs, "text", "doc_id").collect()
+    res.length shouldBe 10
+    res.foreach { r =>
+      r.getLong(2) shouldBe 3L          // dup_count
+      r.getLong(1) should be < 10L      // keeper = first copy's id
+    }
+    res.map(_.getLong(2)).sum shouldBe 30L
+  }
+
+  test("jaccard pairs: ordered ids, scores in (0,1], identical docs score 1.0") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma delta epsilon zeta"),          // identical to 1
+      (3L, "alpha beta gamma delta epsilon eta"),           // near-dup of 1
+      (4L, "totally different words entirely here now")
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.jaccardPairs(docs, "text", "doc_id", 3, 0.1)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    pairs.keys.foreach { case (a, b) => a should be < b }
+    pairs.values.foreach { j => j should (be > 0.0 and be <= 1.0) }
+    pairs((1L, 2L)) shouldBe 1.0
+    pairs((1L, 3L)) should (be > 0.0 and be < 1.0)
+    pairs.keySet should not contain ((1L, 4L))
+  }
+
+  test("connected components agree with a brute-force union-find on random graphs") {
+    import spark.implicits._
+    val edgeGen = Gen.listOfN(12,
+      Gen.zip(Gen.chooseNum(0L, 15L), Gen.chooseNum(0L, 15L)))
+      .map(_.collect { case (a, b) if a != b => (math.min(a, b), math.max(a, b)) }.distinct)
+      .suchThat(_.nonEmpty)
+    forAll(edgeGen, trials = 5) { edges =>
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val want = parent.keys.map(x => x -> find(x)).toMap
+      val got = Dedup.connectedComponents(edges.toDF("id1", "id2"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      got shouldBe want
+    }
+  }
+
+  test("simhash: identical content hashes identically; near-dups stay close") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again today"),
+      (2L, "the quick brown fox jumps over the lazy dog again and again today"),
+      (3L, "the quick brown fox jumps over the lazy cat again and again today"))
+      .toDF("doc_id", "text")
+    val h = Dedup.simhash(docs, "text", "doc_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    h(1L) shouldBe h(2L)
+    java.lang.Long.bitCount(h(1L) ^ h(3L)) should be <= 16
+  }
+}
