@@ -72,8 +72,10 @@ object Dedup {
   def minhashSignatures(df: DataFrame, textCol: String, idCol: String,
                         k: Int = 32, shingleN: Int = 3,
                         dfCap: Int = DefaultDfCap): DataFrame =
-    shingleIndex(df, textCol, idCol, shingleN, dfCap)
-      .groupBy(col("id"))
+    signaturesFromIndex(shingleIndex(df, textCol, idCol, shingleN, dfCap), k)
+
+  private def signaturesFromIndex(idx: DataFrame, k: Int): DataFrame =
+    idx.groupBy(col("id"))
       .agg(array((0 until k).map(i => min(xxhash64(lit(i), col("s")))): _*).as("sig"))
 
   /** MinHash + LSH candidate pairs: signatures banded into `bands` groups
@@ -112,13 +114,17 @@ object Dedup {
     */
   def jaccardVerify(df: DataFrame, candidates: DataFrame, textCol: String,
                     idCol: String, shingleN: Int, threshold: Double,
-                    dfCap: Int = DefaultDfCap): DataFrame = {
+                    dfCap: Int = DefaultDfCap): DataFrame =
+    verifyWithIndex(shingleIndex(df, textCol, idCol, shingleN, dfCap),
+      candidates, threshold)
+
+  private def verifyWithIndex(idx: DataFrame, candidates: DataFrame,
+                              threshold: Double): DataFrame = {
     val candIds = candidates.select(col("id1").as("id"))
       .union(candidates.select(col("id2").as("id"))).distinct()
-    // DF cap is computed over the FULL corpus (universe semantics), THEN
-    // the index is cut down to candidate docs
-    val sh = shingleIndex(df, textCol, idCol, shingleN, dfCap)
-      .join(candIds, Seq("id"), "left_semi")
+    // DF cap was computed over the FULL corpus (universe semantics); the
+    // index is only now cut down to candidate docs
+    val sh = idx.join(candIds, Seq("id"), "left_semi")
     val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("n"))
     val common = candidates
       .join(sh.as("sa"), col("id1") === col("sa.id"))
@@ -141,9 +147,13 @@ object Dedup {
                  k: Int = 32, bands: Int = 8, shingleN: Int = 3,
                  threshold: Double = 0.8, dfCap: Int = DefaultDfCap,
                  bucketCap: Int = DefaultBucketCap): DataFrame = {
-    val cands = minhashCandidates(
-      minhashSignatures(df, textCol, idCol, k, shingleN, dfCap), k, bands, bucketCap)
-    jaccardVerify(df, cands, textCol, idCol, shingleN, threshold, dfCap)
+    // the capped index feeds signatures AND verification as the SAME
+    // subplan — Spark's ReuseExchange dedupes its shuffle at runtime.
+    // (Deliberately NOT persist()ed: caching inserts an InMemoryRelation
+    // barrier that defeats exchange reuse and costs a columnar build.)
+    val idx = shingleIndex(df, textCol, idCol, shingleN, dfCap)
+    val cands = minhashCandidates(signaturesFromIndex(idx, k), k, bands, bucketCap)
+    verifyWithIndex(idx, cands, threshold)
   }
 
   /** Exact all-pairs n-gram Jaccard above a threshold, via shingle-inverted
@@ -154,6 +164,9 @@ object Dedup {
   def jaccardPairs(df: DataFrame, textCol: String, idCol: String,
                    shingleN: Int = 3, threshold: Double = 0.8,
                    dfCap: Int = DefaultDfCap): DataFrame = {
+    // referenced by both self-join sides and the size table; the common
+    // shuffle is deduped by ReuseExchange — see minhashLsh's note on why
+    // persist() would make this slower, not faster
     val sh = shingleIndex(df, textCol, idCol, shingleN, dfCap)
     val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("n"))
     val common = sh.as("a").join(sh.as("b"),

@@ -75,6 +75,27 @@ object Multimodal {
     spark.createDataFrame(rdd, outSchema)
   }
 
+  /** Resize planning over decoded features: scale (width, height) so the
+    * longest side equals `maxDim`, preserving aspect ratio (never
+    * upscales). Pure integer column math — codegen'd, no kernel pass; the
+    * actual pixel resample belongs in the decode kernel (StubDecoder here)
+    * and would consume this plan's target dims.
+    */
+  def resizePlan(decoded: DataFrame, idCol: String, maxDim: Int): DataFrame = {
+    val w = col("features.width")
+    val h = col("features.height")
+    val longest = greatest(w, h)
+    val scale = when(longest > maxDim, lit(maxDim).cast("double") / longest)
+      .otherwise(lit(1.0))
+    decoded.select(
+      col(idCol),
+      w.cast("long").as("width"),
+      h.cast("long").as("height"),
+      greatest(floor(w * scale), lit(1)).cast("long").as("out_width"),
+      greatest(floor(h * scale), lit(1)).cast("long").as("out_height"),
+      round(scale, 6).as("scale"))
+  }
+
   /** "Frame sampling" over a decoded media table: explode n_frames into
     * per-frame rows, keeping every k-th frame — the video-pipeline shape.
     */

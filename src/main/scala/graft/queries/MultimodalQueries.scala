@@ -44,6 +44,28 @@ object MultimodalQueries {
                round(CAST(('0x' || substr(md5(text), 11, 2)) AS INTEGER) / 255.0, 6) AS brightness
         FROM documents""")),
 
+    // aspect-preserving resize planning (scale-to-fit 512, never upscale)
+    "m04_resize_plan" -> QueryDef(
+      (s, d) => {
+        val media = Multimodal.asMediaTable(Tables.documents(s, d), "text", "doc_id")
+        Multimodal.resizePlan(Multimodal.decodeFeatures(media, "doc_id"),
+          "doc_id", maxDim = 512)
+      },
+      Some("""
+        WITH f AS (SELECT doc_id,
+                     1 + CAST(('0x' || substr(md5(text), 1, 4)) AS INTEGER) % 2048 AS w,
+                     1 + CAST(('0x' || substr(md5(text), 5, 4)) AS INTEGER) % 2048 AS h
+                   FROM documents),
+        sc AS (SELECT doc_id, w, h,
+                 CASE WHEN greatest(w, h) > 512
+                      THEN 512.0 / greatest(w, h) ELSE 1.0 END AS scale
+               FROM f)
+        SELECT doc_id, CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+               CAST(greatest(floor(w * scale), 1) AS BIGINT) AS out_width,
+               CAST(greatest(floor(h * scale), 1) AS BIGINT) AS out_height,
+               round(scale, 6) AS scale
+        FROM sc""")),
+
     "m03_frame_sampling" -> QueryDef(
       (s, d) => {
         val media = Multimodal.asMediaTable(Tables.documents(s, d), "text", "doc_id")
