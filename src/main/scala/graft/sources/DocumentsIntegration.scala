@@ -85,12 +85,16 @@ class DocumentsStructuredIntegration(sfDir: String) extends StructuredIntegratio
     DocumentsSource.docsForTask(task).map(d => Row(d.docId, d.lang, d.nChars))
 }
 
-/** O3+O4 path: fetch each document as an opaque raw byte file
-  * ("{doc_id}\t{text}"), then parse it into a record. The parse output is
-  * the raw-file manifest itself (size + md5), which makes the whole
-  * fetch→land→parse loop oracle-checkable from SQL.
+/** O3+O4 path: fetch documents as opaque raw byte files, then parse them
+  * into records. The fetcher PAGES its upstream — each raw file is one
+  * page of up to [[DocumentsRawIntegration.PageSize]] `{doc_id}\t{text}`
+  * lines (a real external pull lands one file per API page, not one per
+  * record; per-doc files multiply object-store requests by corpus size).
+  * Parse emits one row per document with the doc's own encoded size + md5,
+  * so the output stays per-record and oracle-checkable from SQL.
   */
 class DocumentsRawIntegration(sfDir: String) extends RawIntegration {
+  import DocumentsRawIntegration.PageSize
   override def name: String = "documents-raw"
   override def schema: IntegrationSchema = IntegrationSchema.fromJson(
     """{"type":"record","name":"RawDocManifest","fields":[
@@ -101,11 +105,20 @@ class DocumentsRawIntegration(sfDir: String) extends RawIntegration {
   override def planTasks(job: IngestionJob): Seq[TaskSpec] =
     DocumentsSource.planTasks(sfDir, job)
   override def fetchRaw(task: TaskSpec): Iterator[Array[Byte]] =
-    DocumentsSource.docsForTask(task).map(d => s"${d.docId}\t${d.text}".getBytes("UTF-8"))
-  override def parse(task: TaskSpec, raw: Array[Byte]): Iterator[Row] = {
-    val s = new String(raw, "UTF-8")
-    val Array(id, text) = s.split("\t", 2)
-    Iterator(Row(id.toLong, raw.length.toLong,
-      IntegrationSchema.md5Hex(raw), text.split(" ").length.toLong))
-  }
+    DocumentsSource.docsForTask(task)
+      .map(d => s"${d.docId}\t${d.text}")
+      .grouped(PageSize)
+      .map(page => page.mkString("\n").getBytes("UTF-8"))
+  override def parse(task: TaskSpec, raw: Array[Byte]): Iterator[Row] =
+    new String(raw, "UTF-8").split("\n", -1).iterator.map { line =>
+      val Array(id, text) = line.split("\t", 2)
+      val docBytes = line.getBytes("UTF-8")
+      Row(id.toLong, docBytes.length.toLong,
+        IntegrationSchema.md5Hex(docBytes), text.split(" ").length.toLong)
+    }
+}
+
+object DocumentsRawIntegration {
+  /** Docs per fetched page (newlines never occur inside document text). */
+  val PageSize = 256
 }
