@@ -22,6 +22,23 @@ object RelationalQueries {
   def defs: Map[String, QueryDef] = agg ++ filterProject ++ joins ++
     windows ++ sortLimit ++ setOps
 
+  /** Dialect-shared SQL (runs verbatim on spark.sql AND DuckDB): TPC-H Q3
+    * shape — shipping-priority revenue over customer ⋈ orders ⋈ lineitem.
+    */
+  val shippingPrioritySql: String = """
+    SELECT o_orderkey,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           o_orderdate
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+      AND l_shipdate > TIMESTAMP '1998-03-15 00:00:00'
+    GROUP BY o_orderkey, o_orderdate
+    ORDER BY revenue DESC, o_orderdate ASC, o_orderkey ASC
+    LIMIT 10"""
+
   // ---------------------------------------------------------------- agg
 
   private def agg: Map[String, QueryDef] = Map(
@@ -337,6 +354,18 @@ object RelationalQueries {
         SELECT r_name, count(*) AS n_pairs,
                CAST(sum(n_nationkey) AS BIGINT) AS key_sum
         FROM region CROSS JOIN nation GROUP BY r_name""")),
+
+    // The full SQL surface end-to-end: a TPC-H Q3-shaped 3-table join,
+    // dialect-shared SQL text — the SAME string runs on spark.sql and the
+    // DuckDB oracle (temp views registered over the parquet tables).
+    "q39_sql_shipping_priority" -> QueryDef(
+      (s, d) => {
+        Tables.customer(s, d).createOrReplaceTempView("customer")
+        Tables.orders(s, d).createOrReplaceTempView("orders")
+        Tables.lineitem(s, d).createOrReplaceTempView("lineitem")
+        s.sql(RelationalQueries.shippingPrioritySql)
+      },
+      Some(RelationalQueries.shippingPrioritySql)),
 
     // Per-group top-k via the custom plan operator (bounded heaps, partial
     // pruning before the shuffle — graft.plans.TopKPerGroup) — same
