@@ -1,0 +1,70 @@
+package graft.queries
+
+import graft.{SparkSpec, Tables}
+import org.apache.spark.sql.functions._
+
+/** Physical-plan audits for the declared relational surface: the 100 TB
+  * properties (pushdown, pruning, broadcast, top-k, codegen) hold on the
+  * plans Catalyst actually produces, not just in intent.
+  */
+class PlanSpec extends SparkSpec {
+
+  private def plan(name: String): String =
+    graft.SparkEntry.queries(name)(spark, sfDir)
+      .queryExecution.executedPlan.toString
+
+  test("filters reach the parquet scan (PushedFilters)") {
+    val p = Tables.lineitem(spark, sfDir)
+      .filter(col("l_quantity") > 40 && col("l_returnflag") === "R")
+      .select(col("l_orderkey"))
+      .queryExecution.executedPlan.toString
+    p should include("PushedFilters")
+    // the toString truncates long filter lists — match prefixes
+    p should include regex "PushedFilters: \\[.*GreaterThan\\(l_quantity,40.*"
+    p should include regex "PushedFilters: \\[.*EqualTo\\(l_returnfl.*"
+  }
+
+  test("column pruning: a 2-column projection reads a 2-3 column schema") {
+    val p = Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey"), col("l_quantity"))
+      .queryExecution.executedPlan.toString
+    val readSchema = "ReadSchema: struct<([^>]*)>".r
+      .findFirstMatchIn(p).map(_.group(1)).getOrElse(fail("no ReadSchema"))
+    readSchema.split(",").length should be <= 2
+    readSchema should include("l_orderkey")
+  }
+
+  test("dimension join broadcasts; fact table is not shuffled (q28)") {
+    val p = plan("q28_join_broadcast_dim")
+    p should include("BroadcastHashJoin")
+    p should not include "SortMergeJoin"
+  }
+
+  test("top-k compiles to TakeOrderedAndProject, not global sort (q40)") {
+    plan("q40_topk_orders") should include("TakeOrderedAndProject")
+  }
+
+  test("aggregation is hash-based with a map-side partial (q01)") {
+    val p = plan("q01_agg_pricing_summary")
+    p should include("HashAggregate")
+    "HashAggregate".r.findAllIn(p).length should be >= 2 // partial + final
+  }
+
+  test("whole-stage codegen covers the scan→filter→project pipeline") {
+    val p = Tables.lineitem(spark, sfDir)
+      .filter(col("l_quantity") > 10)
+      .select((col("l_extendedprice") * (lit(1) - col("l_discount"))).as("np"))
+      .queryExecution.executedPlan.toString
+    // "*(n)" prefixes mark operators fused into a whole-stage-codegen span
+    p should include regex "\\*\\(\\d+\\) Project"
+    p should include regex "\\*\\(\\d+\\) Filter"
+  }
+
+  test("the codegen'd dot kernel stays inside a WholeStageCodegen span") {
+    import graft.functions.GraftFunctions.dot
+    val p = Tables.embeddings(spark, sfDir)
+      .select(dot(col("embedding"), col("embedding")).as("d"))
+      .queryExecution.executedPlan.toString
+    p should include regex "\\*\\(\\d+\\) Project \\[graft_dot"
+  }
+}
