@@ -22,6 +22,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftExtensions.dotFunction)
     ext.injectPlannerStrategy(_ => TopKPerGroup.TopKStrategy)
+    ext.injectOptimizerRule(_ => TopKPerGroup.TopKRewrite)
   }
 }
 

@@ -95,12 +95,13 @@ object TopKPerGroup {
         val proj = UnsafeProjection.create(g, out)
         val ord = GenerateOrdering.generate(o, out)
         val toUnsafe = UnsafeProjection.create(outAll, outAll)
+        val rankIsInt = rankAttr.dataType == org.apache.spark.sql.types.IntegerType
         foldIntoHeaps(iter, proj, ord, kk).iterator.flatMap { case (_, heap) =>
           val best = heap.dequeueAll.reverse // worst-first heap → best-first list
           val joined = new org.apache.spark.sql.catalyst.expressions.JoinedRow
           val rankRow = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(1)
           best.iterator.zipWithIndex.map { case (row, i) =>
-            rankRow.update(0, (i + 1).toLong)
+            rankRow.update(0, if (rankIsInt) i + 1 else (i + 1).toLong)
             toUnsafe(joined(row, rankRow))
           }
         }
@@ -118,6 +119,48 @@ object TopKPerGroup {
         TopKFinalExec(g, o, k, rank,
           TopKPartialExec(g, o, k, planLater(child))) :: Nil
       case _ => Nil
+    }
+  }
+
+  // ------------------------------------------------------------ optimizer
+
+  /** Rewrites the window idiom `row_number().over(partitionBy g orderBy o)
+    * <= k` into [[Node]] — users keep writing the standard pattern and get
+    * the bounded-heap operator for free. Only `row_number` qualifies
+    * (`rank`/`dense_rank` can emit > k rows per group on ties). Spark's own
+    * WindowGroupLimit (3.5+) prunes below the Window but still sorts every
+    * surviving row; this rewrite removes the sort entirely, so an inserted
+    * WindowGroupLimit child is subsumed and stripped. The rank attribute's
+    * exprId and IntegerType are preserved, making the rewrite transparent
+    * to downstream references. Registered via [[GraftExtensions]] or
+    * `spark.experimental.extraOptimizations`.
+    */
+  object TopKRewrite extends org.apache.spark.sql.catalyst.rules.Rule[LogicalPlan] {
+    import org.apache.spark.sql.catalyst.expressions._
+    import org.apache.spark.sql.catalyst.plans.logical.{Filter, Window, WindowGroupLimit}
+
+    private object RankLimit {
+      def unapply(cond: Expression): Option[(Attribute, Int)] = cond match {
+        case LessThanOrEqual(a: Attribute, IntegerLiteral(k)) => Some((a, k))
+        case LessThan(a: Attribute, IntegerLiteral(k)) => Some((a, k - 1))
+        case GreaterThanOrEqual(IntegerLiteral(k), a: Attribute) => Some((a, k))
+        case GreaterThan(IntegerLiteral(k), a: Attribute) => Some((a, k - 1))
+        case EqualTo(a: Attribute, IntegerLiteral(1)) => Some((a, 1))
+        case _ => None
+      }
+    }
+
+    override def apply(plan: LogicalPlan): LogicalPlan = plan transform {
+      case Filter(RankLimit(rn, k),
+          Window(Seq(alias @ Alias(WindowExpression(RowNumber(),
+            WindowSpecDefinition(part, order, _)), _)), _, _, wchild, _))
+          if k > 0 && order.nonEmpty && alias.exprId == rn.exprId =>
+        // an already-inserted WindowGroupLimit is subsumed by the heap
+        val base = wchild match {
+          case WindowGroupLimit(_, _, _, _, gchild) => gchild
+          case other => other
+        }
+        Node(part, order, k, alias.toAttribute, base)
     }
   }
 

@@ -52,6 +52,46 @@ class TopKPerGroupSpec extends SparkSpec {
     analyzed should not be null
   }
 
+  test("optimizer rule rewrites the row_number window idiom into the heap operator") {
+    val w = Window.partitionBy(col("c_mktsegment"))
+      .orderBy(col("c_acctbal").desc, col("c_custkey").asc)
+    def windowed = customer
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("c_mktsegment"), col("rn"), col("c_custkey"))
+    val want = windowed.collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2))).toSet
+
+    TopKPerGroup.ensureStrategy(spark)
+    spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations :+ TopKPerGroup.TopKRewrite
+    try {
+      val plan = windowed.queryExecution.executedPlan.toString
+      plan should include("TopKPartial")
+      plan should not include regex("Window ".r.toString)
+      // rn keeps its IntegerType through the rewrite
+      windowed.schema("rn").dataType.typeName shouldBe "integer"
+      val got = windowed.collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2))).toSet
+      got shouldBe want
+    } finally {
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations.filterNot(_ == TopKPerGroup.TopKRewrite)
+    }
+  }
+
+  test("rank/dense_rank window filters are NOT rewritten (tie semantics differ)") {
+    spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations :+ TopKPerGroup.TopKRewrite
+    try {
+      val w = Window.partitionBy(col("c_mktsegment")).orderBy(col("c_acctbal").desc)
+      val plan = customer.withColumn("r", rank().over(w)).filter(col("r") <= 3)
+        .queryExecution.executedPlan.toString
+      plan should not include "TopKPartial"
+    } finally {
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations.filterNot(_ == TopKPerGroup.TopKRewrite)
+    }
+  }
+
   test("k larger than the group emits the whole group, ranked") {
     import spark.implicits._
     val df = Seq((1, 10), (1, 30), (2, 20)).toDF("g", "v")
