@@ -27,6 +27,8 @@ object Tables {
     * so oracle parity is preserved.
     */
   def events(s: SparkSession, d: String): DataFrame = {
+    // unconditional + idempotent: conf.getOption can't distinguish "unset"
+    // from the registered default, so a guard would never fire
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     load(s, d, "events")
       .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(

@@ -75,6 +75,15 @@ object TextQueries {
 
     // xxhash64-based fingerprints → rows-only; stability/agreement
     // asserted in TextAnalysisSpec.
+    // Rabin–Karp rolling min-hash (one O(n) pass per doc, codegen'd
+    // expression) — rows-only; determinism + reference-impl parity in
+    // FunctionsSpec.
+    "t05_rolling_fingerprint" -> QueryDef(
+      (s, d) => Tables.documents(s, d)
+        .select(col("doc_id"),
+                graft.functions.RollingMinHash(col("text"), 16).as("rolling_fp")),
+      None),
+
     "t04_fingerprint" -> QueryDef(
       (s, d) => Tables.documents(s, d)
         .select(col("doc_id"),

