@@ -28,6 +28,42 @@ object EventQueries {
                count(*) AS n, round(sum(value), 4) AS val_sum
         FROM events GROUP BY 1, 2""")),
 
+    // The SAME aggregation executed through the real streaming path:
+    // readStream (file source) → watermark → windowed agg → memory sink,
+    // drained with Trigger.AvailableNow — the gate proves the streaming
+    // engine reproduces the batch oracle, not just that a batch twin does.
+    "q76_streaming_tumbling" -> QueryDef(
+      (s, d) => {
+        import org.apache.spark.sql.streaming.Trigger
+        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        // the file source streams DIRECTORIES; stage the table file into one
+        val sf = java.nio.file.Paths.get(d).getFileName.toString
+        val dir = java.nio.file.Paths.get(
+          sys.props("java.io.tmpdir"), "graft_export", sf, "events_stream")
+        java.nio.file.Files.createDirectories(dir)
+        java.nio.file.Files.copy(
+          java.nio.file.Paths.get(d, "events.parquet"),
+          dir.resolve("events.parquet"),
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        val rawSchema = s.read.parquet(s"$d/events.parquet").schema
+        val stream = s.readStream.schema(rawSchema).parquet(dir.toString)
+          .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+          .withWatermark("ts", "1 hour")
+          .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+          .agg(count(lit(1)).as("n"),
+               round(sum(col("value")), 4).as("val_sum"))
+          .select(col("window.start").as("hour_start"), col("event_type"),
+                  col("n"), col("val_sum"))
+        val q = stream.writeStream.format("memory").queryName("q76_sink")
+          .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+        s.table("q76_sink")
+      },
+      Some("""
+        SELECT date_trunc('hour', ts) AS hour_start, event_type,
+               count(*) AS n, round(sum(value), 4) AS val_sum
+        FROM events GROUP BY 1, 2""")),
+
     // Sliding windows: 2-hour window sliding by 1 hour — each event lands
     // in two windows. Oracle unions the two aligned tumbling offsets.
     "q71_sliding_window" -> QueryDef(
