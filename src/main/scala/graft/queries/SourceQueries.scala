@@ -73,6 +73,20 @@ object SourceQueries {
                md5(text) AS content_md5
         FROM documents WHERE doc_id < 20""")),
 
+    // small-file compaction: many-file input rewritten to byte-derived
+    // file count; the oracle checks content is untouched
+    "src07_compaction" -> QueryDef(
+      (s, d) => {
+        val in = exportDir(d, "events_small")
+        val out = exportDir(d, "events_compacted")
+        Tables.events(s, d).select(col("event_id"), col("user_id"))
+          .repartition(16).write.mode("overwrite").parquet(in)
+        val (bytes, _) = graft.operators.Compaction.footprint(s, in)
+        graft.operators.Compaction.compact(s, in, out, math.max(1, bytes / 2))
+        s.read.parquet(out)
+      },
+      Some("SELECT event_id, user_id FROM events")),
+
     // Hive-style partitioned layout: write partitioned by day, read back
     // with a partition predicate — the scan must prune to ONE directory
     // (PartitionFilters; asserted on the plan in SourcesSpec)
