@@ -55,6 +55,22 @@ object SimilarityQueries {
       },
       None),
 
+    // int8 scalar quantization round-trip fidelity (the 4× storage cut);
+    // deterministic column math, mirrored exactly in the oracle
+    "s05_quantize_int8" -> QueryDef(
+      (s, d) => graft.operators.Quantization.int8Fidelity(Tables.embeddings(s, d)),
+      Some("""
+        WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vd FROM embeddings),
+        sc AS (SELECT vec_id, vd,
+                 list_max(list_transform(vd, x -> abs(x))) / 127.0 AS scale
+               FROM v),
+        q AS (SELECT vec_id, vd, scale,
+                list_transform(vd, x -> round(x / scale) * scale) AS dq
+              FROM sc)
+        SELECT vec_id, round(scale, 9) AS scale,
+               round(list_cosine_similarity(vd, dq), 4) AS fidelity
+        FROM q""")),
+
     // the codegen'd dot kernel exposed to the SQL surface via
     // FunctionRegistry injection (graft.plans.GraftExtensions)
     "s03_dot_sql_function" -> QueryDef(

@@ -89,6 +89,15 @@ class ExtensionOperatorsSpec extends SparkSpec {
     got.intersect(exact).size.toDouble / exact.size should be >= 0.2
   }
 
+  test("int8 quantization: values bounded, fidelity ≥ 0.995 on the corpus") {
+    val q = Quantization.quantizeInt8(embs).collect()
+    q.foreach { r =>
+      r.getSeq[Byte](2).foreach(b => math.abs(b.toInt) should be <= 127)
+    }
+    val fid = Quantization.int8Fidelity(embs).collect()
+    fid.foreach(_.getDouble(2) should be >= 0.995)
+  }
+
   test("salted join equals the plain join result multiset") {
     val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
       .select(col("l_orderkey"), col("l_quantity"))
