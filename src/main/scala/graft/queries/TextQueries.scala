@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.{QueryDef, Tables}
-import graft.operators.TextAnalysis
+import graft.operators.{Dedup, TextAnalysis}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis suite over `documents` (SURVEY §2c): language ID,
@@ -75,6 +75,49 @@ object TextQueries {
 
     // xxhash64-based fingerprints → rows-only; stability/agreement
     // asserted in TextAnalysisSpec.
+    // end-to-end curation capstone: quality-score filter → language match
+    // → exact-dedup keeper — the composed training-data cleaning pipeline
+    "t06_curation_pipeline" -> QueryDef(
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val scored = TextAnalysis.qualityMetrics(docs, "text")
+          .withColumn("lang_pred", TextAnalysis.langId(col("text")))
+        val keepers = Dedup.exact(docs, "text", "doc_id")
+          .select(col("keeper_id").as("doc_id"))
+        scored
+          .filter(col("quality_score") >= 0.5 && col("lang_pred") === col("lang"))
+          .join(keepers, Seq("doc_id"), "left_semi")
+          .select(col("doc_id"), col("lang"), col("quality_score"))
+      },
+      Some(s"""
+        WITH t AS (SELECT doc_id, lang, text, string_split(text, ' ') AS ws FROM documents),
+        m AS (SELECT doc_id, lang, text,
+                CAST(len(ws) AS DOUBLE) AS nw,
+                CAST(len(list_filter(ws, w -> w IN ${inList("en")})) AS DOUBLE) AS stops,
+                CAST(len(list_distinct(ws)) AS DOUBLE) AS uniq,
+                CAST(strlen(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)
+                  / CAST(strlen(text) AS DOUBLE) AS alpha,
+                len(list_filter(ws, w -> w IN ${inList("en")})) AS s_en,
+                len(list_filter(ws, w -> w IN ${inList("es")})) AS s_es,
+                len(list_filter(ws, w -> w IN ${inList("de")})) AS s_de,
+                len(list_filter(ws, w -> w IN ${inList("fr")})) AS s_fr
+              FROM t),
+        scored AS (SELECT doc_id, lang, text,
+                round(least(nw / 100.0, 1.0) * 0.3 +
+                      least(stops / nw * 5.0, 1.0) * 0.3 +
+                      uniq / nw * 0.2 + alpha * 0.2, 6) AS quality_score,
+                CASE WHEN greatest(s_en, s_es, s_de, s_fr) = 0 THEN 'und'
+                     WHEN s_en = greatest(s_en, s_es, s_de, s_fr) THEN 'en'
+                     WHEN s_es = greatest(s_en, s_es, s_de, s_fr) THEN 'es'
+                     WHEN s_de = greatest(s_en, s_es, s_de, s_fr) THEN 'de'
+                     ELSE 'fr' END AS lang_pred
+              FROM m),
+        keepers AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text))
+        SELECT doc_id, lang, quality_score
+        FROM scored
+        WHERE quality_score >= 0.5 AND lang_pred = lang
+          AND doc_id IN (SELECT doc_id FROM keepers)""")),
+
     // Rabin–Karp rolling min-hash (one O(n) pass per doc, codegen'd
     // expression) — rows-only; determinism + reference-impl parity in
     // FunctionsSpec.
