@@ -18,18 +18,25 @@ object Bench {
       .foreach { q => SparkEntry.queries.get(q).foreach { fn =>
         try fn(spark, sfDir).queryExecution.toRdd.count()
         catch { case _: Throwable => () } } }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // min of two passes per query: this host shows transient multi-second
+    // CPU-steal bursts that would otherwise land on one arbitrary query
+    def timeOnce(fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
       // materialize every output row (UnsafeRow, all columns) — a plain
       // count() lets Catalyst prune projection-only queries to nothing
       try { fn(spark, sfDir).queryExecution.toRdd.count() }
       catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      (System.nanoTime() - t0) / 1e9
+    }
+    val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+    val pass1 = ordered.map { case (name, fn) => name -> timeOnce(fn) }.toMap
+    val results = ordered.map { case (name, fn) =>
+      name -> math.min(pass1(name), timeOnce(fn))
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","runs":2}""")
     spark.stop()
   }
 }
