@@ -133,6 +133,23 @@ class JobRunnerSpec extends SparkSpec {
     JobRunner.rootSparkCause(err).getMessage should include("checksum mismatch")
   }
 
+  test("re-running the SAME job is idempotent end to end (retry-by-requeue contract)") {
+    val (runner, lay) = freshRunner()
+    val j = job("FanOut") // fixed job id across both runs
+    val integ = new Stubs.FanOut(3, 7)
+    val r1 = runner.run(integ, j).toOption.get
+    val r2 = runner.run(integ, j).toOption.get
+    r2.recordCount shouldBe r1.recordCount
+    r2.perTask shouldBe r1.perTask
+    // the persisted table holds ONE run's rows, not an append of both
+    spark.read.parquet(s"${lay.jobRoot(j)}/persisted").count() shouldBe 21L
+    // record files were rewritten in place (one avro file per task)
+    (0 until 3).foreach { t =>
+      new java.io.File(lay.recordsDir(j, t)).listFiles()
+        .count(_.getName.endsWith(".avro")) shouldBe 1
+    }
+  }
+
   test("status updates: progress callback fires as Spark tasks complete") {
     val (runner, _) = freshRunner()
     val j = job("FanOut")
