@@ -169,11 +169,19 @@ final class JobRunner(spark: SparkSession, layout: StorageLayout) {
           writer.close()
           digest.digest().map("%02x".format(_)).mkString
         }
+        def abort(): Unit =
+          try writer.close() catch { case scala.util.control.NonFatal(_) => () }
       }
       val open = scala.collection.mutable.LinkedHashMap[Int, Handle]()
-      rows.foreach { row =>
-        val t = row.getInt(taskIdx)
-        open.getOrElseUpdate(t, new Handle(t)).append(row)
+      try {
+        rows.foreach { row =>
+          val t = row.getInt(taskIdx)
+          open.getOrElseUpdate(t, new Handle(t)).append(row)
+        }
+      } catch {
+        // a mid-write failure must not leave dangling FS streams (on
+        // object stores those are stuck multipart uploads)
+        case e: Throwable => open.valuesIterator.foreach(_.abort()); throw e
       }
       open.iterator.map { case (t, h) =>
         val md5 = h.close() // flush first — bytes is final only after close
