@@ -1,6 +1,29 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
 object Bench {
+
+  /** Per-query entries printed on the bench line. The harness keeps only
+    * the LAST ~2000 chars of output, so the JSON line must stay well under
+    * that — all queries are still timed (and included in "value"), but the
+    * per-query map carries this representative subset; the full map lands
+    * in BENCH_DETAIL.json next to the build.
+    */
+  private val headline = Seq(
+    "p03_fetch_parse_raw", "p06_persist_counts",
+    "q01_agg_pricing_summary", "q13_grouping_sets",
+    "q20_join_revenue_by_nation", "q28_join_broadcast_dim", "q29_join_asof",
+    "q19_join_salted", "q37_topk_custom_plan", "q39_sql_shipping_priority",
+    "q40_topk_orders", "q48_dropduplicates",
+    "q70_tumbling_window", "q76_streaming_tumbling",
+    "src04_avro_roundtrip", "src06_partition_pruning", "src07_compaction",
+    "u02_udaf_weighted_avg",
+    "d01_dedup_exact", "d02_dedup_ngram_jaccard", "d03_dedup_minhash_lsh",
+    "d04_dedup_simhash", "d05_dedup_embedding", "d06_dedup_clusters",
+    "s01_knn_brute_force", "s02_knn_lsh", "s04_knn_ivf", "s05_quantize_int8",
+    "t01_lang_id", "t04_fingerprint", "t06_curation_pipeline",
+    "m03_frame_sampling")
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -33,10 +56,17 @@ object Bench {
     val results = ordered.map { case (name, fn) =>
       name -> math.min(pass1(name), timeOnce(fn))
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    def fmt(v: Double): String = "%.3f".format(v)
+    def jsonMap(entries: Seq[(String, Double)]): String =
+      entries.map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","runs":2}""")
+    // full per-query detail for offline inspection (not on the line)
+    try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_DETAIL.json"),
+      s"""{"total":${fmt(total)},"n":${results.size},"sf":"$sfDir","runs":2,"queries":${jsonMap(results)}}
+""".getBytes("UTF-8"))
+    catch { case _: Throwable => () }
+    val shown = results.filter { case (k, _) => headline.contains(k) }
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${jsonMap(shown)},"n_queries":${results.size},"sf":"$sfDir","runs":2}""")
     spark.stop()
   }
 }

@@ -208,11 +208,13 @@ final class JobRunner(spark: SparkSession, layout: StorageLayout) {
     def taskOf(f: String): Int =
       "task-(\\d+)/".r.findFirstMatchIn(f).map(_.group(1).toInt)
         .getOrElse(sys.error(s"no task number in $f"))
+    val conf = new org.apache.spark.util.SerializableConfiguration(
+      spark.sessionState.newHadoopConf())
     val rows = spark.sparkContext
       .parallelize(files, math.max(files.size, 1))
       .flatMap { f =>
         val task = taskOf(f)
-        AvroRecordFiles.streamFile(f, types, md5ByTask.get(task))
+        AvroRecordFiles.streamFile(f, types, md5ByTask.get(task), conf.value)
           .map(vals => Row.fromSeq(vals :+ task))
       }
     val withTask = StructType(dataSchema.fields :+
@@ -273,7 +275,8 @@ final class JobRunner(spark: SparkSession, layout: StorageLayout) {
     // OperationHandler.scala:57-67); here a listener reports completed
     // Spark tasks for this run's job group as the job executes.
     val sc = spark.sparkContext
-    val group = Option(sc.getLocalProperty("spark.jobGroup.id")).getOrElse {
+    val priorGroup = Option(sc.getLocalProperty("spark.jobGroup.id"))
+    val group = priorGroup.getOrElse {
       val g = s"graft-run-$executionId"
       sc.setJobGroup(g, s"graft job ${job.id}", interruptOnCancel = false)
       g
@@ -319,7 +322,12 @@ final class JobRunner(spark: SparkSession, layout: StorageLayout) {
           val cause = rootSparkCause(e)
           log += s"failed ${cause.getClass.getName}: ${cause.getMessage}"
           Left(FailureReport.fromThrowable(cause))
-      } finally sc.removeSparkListener(listener)
+      } finally {
+        sc.removeSparkListener(listener)
+        // only clear a group THIS run created — leaking it would tag (and
+        // expose to cancellation) unrelated later jobs on this thread
+        if (priorGroup.isEmpty) sc.clearJobGroup()
+      }
     log += s"progress sparkTasksCompleted=${tasksDone.get()}"
     writeLog(job, executionId, log.result())
     result

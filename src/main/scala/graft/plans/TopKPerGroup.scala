@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, AttributeReference, AttributeSet, Descending, Expression, SortOrder, UnsafeProjection, UnsafeRow}
 import org.apache.spark.sql.catalyst.expressions.codegen.GenerateOrdering
 import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
-import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning, UnspecifiedDistribution}
+import org.apache.spark.sql.catalyst.plans.physical.{AllTuples, ClusteredDistribution, Distribution, Partitioning}
 import org.apache.spark.sql.execution.{SparkPlan, UnaryExecNode}
 import org.apache.spark.sql.types.LongType
 
@@ -85,8 +85,11 @@ object TopKPerGroup {
       extends UnaryExecNode {
     override def output: Seq[Attribute] = child.output :+ rankAttr
     override def outputPartitioning: Partitioning = child.outputPartitioning
+    // empty grouping = GLOBAL top-k: all partial heaps must meet in one
+    // place (AllTuples → single-partition exchange), else every partition
+    // would emit its own k rows with ranks 1..k
     override def requiredChildDistribution: Seq[Distribution] =
-      if (groupExprs.isEmpty) Seq(UnspecifiedDistribution)
+      if (groupExprs.isEmpty) Seq(AllTuples)
       else Seq(ClusteredDistribution(groupExprs))
     override protected def doExecute(): RDD[InternalRow] = {
       val (g, o, out, outAll) = (groupExprs, order, child.output, output)

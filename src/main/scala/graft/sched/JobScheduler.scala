@@ -139,7 +139,12 @@ final class JobScheduler(
               case Left(report) if sub.attempt < maxRetries &&
                   report.exceptionClass != "graft.ValidationFailed" =>
                 queues.get(sub.integration.name).add(sub.copy(attempt = sub.attempt + 1))
-              case done => sub.promise.success(done)
+              case done =>
+                sub.promise.success(done)
+                // rate counts only work this queue actually finished —
+                // requeued retries would inflate rateOf() and bias
+                // ExpectedCompletionOrdering toward flaky queues
+                recordCompletion(sub.integration.name)
             } finally {
               timer.shutdownNow()
               spark.sparkContext.clearJobGroup()
@@ -147,7 +152,6 @@ final class JobScheduler(
             }
             sub.resources.foreach(pool.clearContention)
             lastIntegrationBySlot.put(slot, (sub.integration.name, Instant.now()))
-            recordCompletion(sub.integration.name)
           } finally lease.release()
           true
       }

@@ -90,12 +90,16 @@ object AvroRecordFiles {
     val fs = root.getFileSystem(df.sparkSession.sessionState.newHadoopConf())
     if (fs.exists(root)) fs.delete(root, true)
     fs.mkdirs(root)
+    // ship the session's Hadoop conf into the executor closure — a bare
+    // `new Configuration()` there would drop s3a credentials/endpoints
+    val conf = new org.apache.spark.util.SerializableConfiguration(
+      df.sparkSession.sessionState.newHadoopConf())
     val counts = df.rdd.mapPartitionsWithIndex { (idx, rows) =>
       if (rows.isEmpty) Iterator.empty
       else {
         val schema = new Schema.Parser().parse(schemaJson)
         val part = new HPath("%s/part-%05d.avro".format(dir, idx))
-        val pfs = part.getFileSystem(new Configuration())
+        val pfs = part.getFileSystem(conf.value)
         val out = pfs.create(part, true)
         val writer = new DataFileWriter(new GenericDatumWriter[GenericRecord](schema))
         writer.setCodec(CodecFactory.snappyCodec())
@@ -122,16 +126,17 @@ object AvroRecordFiles {
     * checksum is complete, then mismatches throw.
     */
   private[graft] def streamFile(path: String, types: Seq[DataType],
-                                expectMd5: Option[String] = None): Iterator[Seq[Any]] = {
+                                expectMd5: Option[String] = None,
+                                conf: Configuration = new Configuration()): Iterator[Seq[Any]] = {
     val p = new HPath(path)
-    val raw = p.getFileSystem(new Configuration()).open(p)
+    val raw = p.getFileSystem(conf).open(p)
     val digest = java.security.MessageDigest.getInstance("MD5")
     val in: java.io.InputStream = expectMd5 match {
       case Some(_) => new java.security.DigestInputStream(raw, digest)
       case None => raw
     }
     val stream = new DataFileStream(in, new GenericDatumReader[GenericRecord]())
-    new Iterator[Seq[Any]] {
+    val it = new Iterator[Seq[Any]] {
       private var closed = false
       def hasNext: Boolean = {
         val h = stream.hasNext
@@ -154,6 +159,14 @@ object AvroRecordFiles {
         types.indices.map(i => fromAvro(rec.get(i), types(i)))
       }
     }
+    // a partially-consumed iterator (limit, downstream failure) must not
+    // leak the file handle; inside a task the completion listener closes
+    // it. Note: MD5 can only be verified on full consumption — an early
+    // stop closes silently by design.
+    Option(org.apache.spark.TaskContext.get()).foreach(
+      _.addTaskCompletionListener[Unit](_ =>
+        try stream.close() catch { case _: java.io.IOException => () }))
+    it
   }
 
   /** Builds a GenericRecord from a row's fields at `indices`. */
@@ -173,8 +186,10 @@ object AvroRecordFiles {
     val files = fs.listStatus(root).map(_.getPath.toString)
       .filter(_.endsWith(".avro")).sorted
     val fieldTypes = st.fields.map(_.dataType).toSeq
+    val conf = new org.apache.spark.util.SerializableConfiguration(
+      spark.sessionState.newHadoopConf())
     val rows = spark.sparkContext.parallelize(files.toSeq, math.max(files.length, 1))
-      .flatMap(f => streamFile(f, fieldTypes).map(Row.fromSeq))
+      .flatMap(f => streamFile(f, fieldTypes, conf = conf.value).map(Row.fromSeq))
     spark.createDataFrame(rows, st)
   }
 }

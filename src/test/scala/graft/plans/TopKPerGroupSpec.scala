@@ -92,6 +92,37 @@ class TopKPerGroupSpec extends SparkSpec {
     }
   }
 
+  test("GLOBAL top-k (empty grouping) emits exactly k rows across all partitions") {
+    import spark.implicits._
+    // multiple input partitions: the regression was each partition
+    // independently emitting its own k rows with ranks 1..k
+    val df = (1 to 1000).map(i => (i % 4, i)).toDF("g", "v").repartition(8)
+    val got = TopKPerGroup.perGroup(df, Nil, Seq("v" -> true), 5)
+      .select(col("v"), col("rank"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toSet
+    got shouldBe Set((1000, 1L), (999, 2L), (998, 3L), (997, 4L), (996, 5L))
+  }
+
+  test("optimizer rule handles the global row_number idiom (no partitionBy)") {
+    import spark.implicits._
+    val df = (1 to 1000).map(i => (i % 4, i)).toDF("g", "v").repartition(8)
+    val w = Window.orderBy(col("v").desc)
+    def windowed = df.withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
+    val want = windowed.collect().map(r => (r.getInt(1), r.getInt(2))).toSet
+    spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations :+ TopKPerGroup.TopKRewrite
+    try {
+      val plan = windowed.queryExecution.executedPlan.toString
+      plan should include("TopKPartial")
+      val got = windowed.collect().map(r => (r.getInt(1), r.getInt(2))).toSet
+      got.size shouldBe 3
+      got shouldBe want
+    } finally {
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations.filterNot(_ == TopKPerGroup.TopKRewrite)
+    }
+  }
+
   test("k larger than the group emits the whole group, ranked") {
     import spark.implicits._
     val df = Seq((1, 10), (1, 30), (2, 20)).toDF("g", "v")
