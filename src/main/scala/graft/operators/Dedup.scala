@@ -12,8 +12,11 @@ import org.apache.spark.sql.expressions.Window
   *  - Near-dup never goes O(n²): MinHash+LSH and SimHash banding both
   *    reduce the candidate space to same-bucket pairs before any exact
   *    verification; only candidate pairs touch the full shingle sets.
-  *  - All hash families are Spark-native xxhash64 (codegen'd, seeded by
-  *    mixing a literal into the input) — no UDFs in the hot path.
+  *  - All hash families derive from ONE portable MD5-based hash per input
+  *    ([[graft.functions.PortableHash]]) with arithmetically-derived
+  *    variants — no UDFs in the hot path, and every output is exactly
+  *    replicable by the DuckDB oracle (unlike xxhash64, which is
+  *    Spark-only and forced these operators into rows-only checks).
   */
 object Dedup {
 
@@ -74,9 +77,15 @@ object Dedup {
                         dfCap: Int = DefaultDfCap): DataFrame =
     signaturesFromIndex(shingleIndex(df, textCol, idCol, shingleN, dfCap), k)
 
-  private def signaturesFromIndex(idx: DataFrame, k: Int): DataFrame =
-    idx.groupBy(col("id"))
-      .agg(array((0 until k).map(i => min(xxhash64(lit(i), col("s")))): _*).as("sig"))
+  private def signaturesFromIndex(idx: DataFrame, k: Int): DataFrame = {
+    import graft.functions.PortableHash
+    // ONE md5 per shingle row; the k min-hash functions are derived
+    // arithmetically (mod 2³¹−1) — cheaper than k independent hashes AND
+    // exactly replicable by the oracle
+    idx.withColumn("hb", PortableHash.md5_64(col("s")) % PortableHash.Mod31)
+      .groupBy(col("id"))
+      .agg(array((0 until k).map(i => min(PortableHash.derived(col("hb"), i))): _*).as("sig"))
+  }
 
   /** MinHash + LSH candidate pairs: signatures banded into `bands` groups
     * of `k/bands` rows; docs sharing any band-hash become candidates.
@@ -89,9 +98,12 @@ object Dedup {
   def minhashCandidates(sigs: DataFrame, k: Int, bands: Int,
                         bucketCap: Int = DefaultBucketCap): DataFrame = {
     val rows = k / bands
-    // static per-band hash expressions (codegen'd, no runtime lambda)
+    // per-band hash = portable hash of the band's signature slice as a
+    // canonical comma-joined string (band separation comes from the join
+    // condition on the band index)
     val bandHashes = array((0 until bands).map(b =>
-      xxhash64(lit(b), slice(col("sig"), b * rows + 1, rows))): _*)
+      graft.functions.PortableHash.md5_64(concat_ws(",",
+        transform(slice(col("sig"), b * rows + 1, rows), _.cast("string"))))): _*)
     val banded = sigs.select(col("id"), posexplode(bandHashes))
       .toDF("id", "band", "band_hash")
       .withColumn("sz", count(lit(1)).over(
@@ -221,13 +233,15 @@ object Dedup {
     labels
   }
 
-  /** 64-bit SimHash over word hashes: per bit j, sign of Σ(±1) across the
-    * token multiset. 64 codegen'd conditional sums in ONE aggregate pass —
-    * no per-row loops, no UDFs.
+  /** SimHash over word hashes: per bit j, sign of Σ(±1) across the token
+    * multiset. 64 codegen'd conditional sums in ONE aggregate pass — no
+    * per-row loops, no UDFs. (The portable word hash carries 60 effective
+    * bits, so the top 4 simhash bits are constant-zero — harmless for
+    * Hamming distances.)
     */
   def simhash(df: DataFrame, textCol: String, idCol: String): DataFrame = {
     val tok = df.select(col(idCol).as("id"), explode(split(col(textCol), " ")).as("w"))
-      .withColumn("h", xxhash64(col("w")))
+      .withColumn("h", graft.functions.PortableHash.md5_64(col("w")))
     val bitSums = (0 until 64).map { j =>
       sum(when(shiftright(col("h"), j).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$j")
     }

@@ -62,19 +62,22 @@ object TextAnalysis {
         diversity * 0.2 + alphaRatio * 0.2, 6))
   }
 
-  /** Order-sensitive 64-bit document fingerprint: xxhash64 of the full
-    * normalized text (exact-content identity, cheap at any scale).
+  /** Order-sensitive 60-bit document fingerprint: portable MD5-derived
+    * hash of the whitespace-normalized text (exact-content identity,
+    * cheap at any scale, replicable by the DuckDB oracle).
     */
   def contentFingerprint(textCol: Column): Column =
-    xxhash64(trim(regexp_replace(textCol, "\\s+", " ")))
+    graft.functions.PortableHash.md5_64(trim(regexp_replace(textCol, "\\s+", " ")))
 
   /** Winnowing-style robust fingerprint: minimum shingle hash — stable
     * under small appends/truncations (MinHash with k=1). Exposed as two
     * scalar columns (min, max) so downstream comparisons stay sortable.
     */
   def robustFingerprintMin(textCol: Column, shingleN: Int = 3): Column =
-    array_min(transform(Dedup.shingles(textCol, shingleN), s => xxhash64(s)))
+    array_min(transform(Dedup.shingles(textCol, shingleN),
+      s => graft.functions.PortableHash.md5_64(s)))
 
   def robustFingerprintMax(textCol: Column, shingleN: Int = 3): Column =
-    array_max(transform(Dedup.shingles(textCol, shingleN), s => xxhash64(s)))
+    array_max(transform(Dedup.shingles(textCol, shingleN),
+      s => graft.functions.PortableHash.md5_64(s)))
 }

@@ -4,14 +4,15 @@ import graft.{QueryDef, Tables}
 import graft.operators.Dedup
 import org.apache.spark.sql.functions._
 
-/** Deduplication operator suite over `documents` (SURVEY §2c). The exact
-  * and n-gram-Jaccard variants are SQL-expressible and oracle-checked;
-  * MinHash-LSH and SimHash use Spark-native xxhash64 (no DuckDB analog)
-  * and get rows-only checks — their *verified* outputs are themselves
-  * exact-Jaccard/Hamming values, so DedupSpec asserts their agreement
-  * with the exact operators instead.
+/** Deduplication operator suite over `documents` (SURVEY §2c). Every
+  * variant is oracle-checked: the MinHash-LSH and SimHash hash families
+  * derive from [[graft.functions.PortableHash]] (MD5-based), so the
+  * DuckDB oracle replicates signatures, banding, candidate generation,
+  * and verification bit-for-bit — including which pairs LSH finds.
   */
 object DedupQueries {
+
+  private val PH = graft.functions.PortableHash
 
   // mirrors Dedup.shingleIndex's document-frequency cap (Jaccard over the
   // non-ubiquitous shingle universe)
@@ -30,6 +31,48 @@ object DedupQueries {
     FROM com JOIN sz s1 ON id1 = s1.doc_id JOIN sz s2 ON id2 = s2.doc_id
     WHERE c * 1.0 / (s1.n + s2.n - c) >= 0.8"""
 
+  /** DuckDB replay of the full MinHash-LSH pipeline: capped shingle
+    * index → 31-bit base hash → k derived min-hashes → band hashes →
+    * bucket-capped candidate pairs → exact-Jaccard verification. The
+    * constants are interpolated from [[graft.functions.PortableHash]], so
+    * both engines compute the identical signatures.
+    */
+  private def minhashLshOracle(k: Int, bands: Int): String = {
+    val rows = k / bands
+    val sigCols = (0 until k)
+      .map(i => s"min(${PH.sqlDerived("h", i)}) AS s$i").mkString(",\n               ")
+    val bandRows = (0 until bands).map { b =>
+      val slice = (b * rows until (b + 1) * rows).map(i => s"s$i").mkString(", ")
+      s"SELECT doc_id, $b AS band, ${PH.sqlMd5_64(s"array_to_string([$slice], ',')")} AS bh FROM sigs"
+    }.mkString("\n          UNION ALL ")
+    s"""
+    WITH d AS (SELECT doc_id, string_split(text, ' ') ws FROM documents),
+    sh AS (SELECT DISTINCT doc_id, array_to_string(ws[i:i+2], ' ') AS s
+           FROM d, LATERAL (SELECT unnest(range(1, len(ws) - 1)) AS i) t),
+    shc AS (SELECT doc_id, s FROM (
+              SELECT doc_id, s, count(*) OVER (PARTITION BY s) AS df FROM sh)
+            WHERE df <= ${graft.operators.Dedup.DefaultDfCap}),
+    hb AS (SELECT doc_id, s, ${PH.sqlMd5_64("s")} % ${PH.Mod31} AS h FROM shc),
+    sigs AS (SELECT doc_id,
+               $sigCols
+             FROM hb GROUP BY doc_id),
+    bandv AS ($bandRows),
+    capped AS (SELECT doc_id, band, bh FROM (
+                 SELECT *, count(*) OVER (PARTITION BY band, bh) AS sz FROM bandv)
+               WHERE sz <= ${graft.operators.Dedup.DefaultBucketCap}),
+    cand AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+             FROM capped a JOIN capped b
+               ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
+    sz AS (SELECT doc_id, count(*) AS n FROM shc GROUP BY 1),
+    com AS (SELECT id1, id2, count(*) AS c
+            FROM cand JOIN shc sa ON sa.doc_id = id1
+                      JOIN shc sb ON sb.doc_id = id2 AND sa.s = sb.s
+            GROUP BY 1, 2)
+    SELECT id1, id2, round(c * 1.0 / (s1.n + s2.n - c), 6) AS jaccard
+    FROM com JOIN sz s1 ON id1 = s1.doc_id JOIN sz s2 ON id2 = s2.doc_id
+    WHERE c * 1.0 / (s1.n + s2.n - c) >= 0.8"""
+  }
+
   def defs: Map[String, QueryDef] = Map(
 
     "d01_dedup_exact" -> QueryDef(
@@ -46,17 +89,35 @@ object DedupQueries {
 
     // MinHash-LSH: candidates from 32-hash/8-band signatures, then exact
     // Jaccard verification — same output contract as d02 minus LSH misses.
-    // xxhash64 family ⇒ rows-only here; agreement vs d02 asserted in
-    // DedupSpec.
+    // The oracle replays the exact signature/banding pipeline (portable
+    // hash family), so even the LSH *candidate set* is oracle-checked.
     "d03_dedup_minhash_lsh" -> QueryDef(
       (s, d) => Dedup.minhashLsh(Tables.documents(s, d), "text", "doc_id",
         k = 32, bands = 8, shingleN = 3, threshold = 0.8),
-      None),
+      Some(minhashLshOracle(k = 32, bands = 8))),
 
+    // SimHash with Hamming ≤ 3: 16-bit-chunk banding is LOSSLESS at this
+    // distance (pigeonhole: ≤3 differing bits across 4 chunks ⇒ one chunk
+    // equal), so the oracle is plain all-pairs Hamming.
     "d04_dedup_simhash" -> QueryDef(
       (s, d) => Dedup.simhashPairs(Tables.documents(s, d), "text", "doc_id",
         maxDist = 3),
-      None),
+      Some(s"""
+        WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+                     FROM documents),
+        hs AS (SELECT doc_id, list(${PH.sqlMd5_64("w")}) AS hl
+               FROM tok GROUP BY doc_id),
+        sh AS (SELECT doc_id,
+                 CAST(list_sum([CASE WHEN list_sum([CASE WHEN (h >> b) & 1 = 1
+                                                        THEN 1 ELSE -1 END
+                                                   for h in hl]) > 0
+                                     THEN (1::BIGINT << b) ELSE 0 END
+                                for b in range(64)]) AS BIGINT) AS simhash
+               FROM hs)
+        SELECT a.doc_id AS id1, b.doc_id AS id2,
+               CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""")),
 
     // Pairs → connected components → keeper: the per-document cluster
     // assignment a dedup pipeline actually emits. Oracle = recursive

@@ -73,8 +73,6 @@ object TextQueries {
                  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS chars_per_token
         FROM documents""")),
 
-    // xxhash64-based fingerprints → rows-only; stability/agreement
-    // asserted in TextAnalysisSpec.
     // end-to-end curation capstone: quality-score filter → language match
     // → exact-dedup keeper — the composed training-data cleaning pipeline
     "t06_curation_pipeline" -> QueryDef(
@@ -119,13 +117,24 @@ object TextQueries {
           AND doc_id IN (SELECT doc_id FROM keepers)""")),
 
     // Rabin–Karp rolling min-hash (one O(n) pass per doc, codegen'd
-    // expression) — rows-only; determinism + reference-impl parity in
-    // FunctionsSpec.
+    // expression). The oracle re-derives each window hash from scratch
+    // (O(n·k) — DuckDB has no rolling state), exercising the identical
+    // base-257 / mod-2³¹−1 arithmetic; the corpus is ASCII, so ord() =
+    // byte value. Spark's O(n) rolling pass must land on the same minima.
     "t05_rolling_fingerprint" -> QueryDef(
       (s, d) => Tables.documents(s, d)
         .select(col("doc_id"),
                 graft.functions.RollingMinHash(col("text"), 16).as("rolling_fp")),
-      None),
+      Some("""
+        WITH b AS (SELECT doc_id,
+                     [CAST(ord(text[i]) AS BIGINT) for i in range(1, strlen(text)+1)] AS bs,
+                     least(16, strlen(text)) AS w
+                   FROM documents)
+        SELECT doc_id,
+               list_min([list_reduce(bs[i:i+w-1],
+                           (a, x) -> (a*257 + x) % 2147483647)
+                         for i in range(1, len(bs)-w+2)]) AS rolling_fp
+        FROM b""")),
 
     "t04_fingerprint" -> QueryDef(
       (s, d) => Tables.documents(s, d)
@@ -133,6 +142,20 @@ object TextQueries {
                 TextAnalysis.contentFingerprint(col("text")).as("content_fp"),
                 TextAnalysis.robustFingerprintMin(col("text")).as("fp_min"),
                 TextAnalysis.robustFingerprintMax(col("text")).as("fp_max")),
-      None)
+      Some(s"""
+        WITH d AS (SELECT doc_id, text, string_split(text, ' ') AS ws FROM documents),
+        s AS (SELECT doc_id, text,
+                CASE WHEN len(ws) >= 3
+                     THEN list_distinct([array_to_string(ws[i:i+2], ' ')
+                                         for i in range(1, len(ws)-1)])
+                     ELSE [array_to_string(ws, ' ')] END AS shingles
+              FROM d)
+        SELECT doc_id,
+               ${PH.sqlMd5_64("trim(regexp_replace(text, '\\s+', ' ', 'g'))")} AS content_fp,
+               list_min([${PH.sqlMd5_64("sh")} for sh in shingles]) AS fp_min,
+               list_max([${PH.sqlMd5_64("sh")} for sh in shingles]) AS fp_max
+        FROM s"""))
   )
+
+  private val PH = graft.functions.PortableHash
 }
