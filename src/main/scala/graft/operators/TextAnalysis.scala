@@ -62,6 +62,26 @@ object TextAnalysis {
         diversity * 0.2 + alphaRatio * 0.2, 6))
   }
 
+  /** TF-IDF top-k terms per document: tf = term count within the doc,
+    * idf = ln(N/df) over the corpus, top-k by score (ties broken by term)
+    * via the bounded-heap [[graft.plans.TopKPerGroup]] operator — no
+    * per-group sort. Three shuffles total (doc×term, term, topk group),
+    * each keyed small: the corpus text itself is never reshuffled.
+    */
+  def tfidfTopTerms(df: DataFrame, textCol: String, idCol: String,
+                    k: Int): DataFrame = {
+    val tok = df.select(col(idCol).as("doc_id"),
+      explode(split(col(textCol), " ")).as("term"))
+    val tf = tok.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val n = df.select(count(lit(1)).as("n_docs"))
+    val scored = tf.join(dfreq, "term").crossJoin(n) // 1-row side broadcasts
+      .withColumn("score", round(col("tf") * log(col("n_docs") / col("df")), 6))
+      .select(col("doc_id"), col("term"), col("score"))
+    graft.plans.TopKPerGroup.perGroup(scored, Seq("doc_id"),
+      Seq("score" -> true, "term" -> false), k)
+  }
+
   /** Order-sensitive 60-bit document fingerprint: portable MD5-derived
     * hash of the whitespace-normalized text (exact-content identity,
     * cheap at any scale, replicable by the DuckDB oracle).

@@ -456,7 +456,35 @@ object RelationalQueries {
           FROM orders GROUP BY 1, 2)
         SELECT e.event_id, e.user_id, e.ts, o.o_orderkey, o.o_orderdate
         FROM events e ASOF LEFT JOIN ord o
-          ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate""")))
+          ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate""")),
+
+    // Banded range join (graft.operators.RangeJoin): point-in-interval
+    // matching as an EQUI-join on time buckets + exact filter, instead of
+    // the O(n·m) BroadcastNestedLoopJoin Spark plans for inequality-only
+    // conditions. Here: lineitems shipped within a week of each urgent
+    // order's date.
+    "q43_range_join_banded" -> QueryDef(
+      (s, d) => {
+        val week = 7L * 86400
+        val iv = Tables.orders(s, d)
+          .filter(col("o_orderpriority") === "1-URGENT")
+          .select(col("o_orderkey"),
+            unix_timestamp(col("o_orderdate")).as("start_s"),
+            (unix_timestamp(col("o_orderdate")) + week).as("end_s"))
+        val pts = Tables.lineitem(s, d)
+          .select(unix_timestamp(col("l_shipdate")).as("ship_s"))
+        graft.operators.RangeJoin.banded(pts, iv,
+            "ship_s", "start_s", "end_s", bandWidth = 8L * 86400)
+          .groupBy(col("o_orderkey"))
+          .agg(count(lit(1)).as("shipped_nearby"))
+      },
+      Some("""
+        SELECT o_orderkey, count(*) AS shipped_nearby
+        FROM orders JOIN lineitem
+          ON epoch(l_shipdate) BETWEEN epoch(o_orderdate)
+                                   AND epoch(o_orderdate) + 604800
+        WHERE o_orderpriority = '1-URGENT'
+        GROUP BY 1""")))
 
   // ------------------------------------------------------------- windows
 

@@ -136,6 +136,26 @@ object TextQueries {
                          for i in range(1, len(bs)-w+2)]) AS rolling_fp
         FROM b""")),
 
+    // TF-IDF top-3 terms per document through the bounded-heap top-k
+    // operator (score desc, term asc for deterministic ties).
+    "t07_tfidf_top_terms" -> QueryDef(
+      (s, d) => TextAnalysis.tfidfTopTerms(Tables.documents(s, d), "text",
+        "doc_id", k = 3),
+      Some("""
+        WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+                     FROM documents),
+        tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+        dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        n AS (SELECT count(*) AS n_docs FROM documents),
+        scored AS (SELECT doc_id, term,
+                     round(tf * ln(n_docs * 1.0 / df), 6) AS score
+                   FROM tf JOIN dfreq USING (term) CROSS JOIN n),
+        ranked AS (SELECT doc_id, term, score,
+                     row_number() OVER (PARTITION BY doc_id
+                                        ORDER BY score DESC, term ASC) AS rank
+                   FROM scored)
+        SELECT doc_id, term, score, rank FROM ranked WHERE rank <= 3""")),
+
     "t04_fingerprint" -> QueryDef(
       (s, d) => Tables.documents(s, d)
         .select(col("doc_id"),

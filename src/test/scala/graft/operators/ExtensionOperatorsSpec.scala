@@ -34,6 +34,54 @@ class ExtensionOperatorsSpec extends SparkSpec {
     pairs.length should be > 0
   }
 
+  test("banded range join matches the naive inequality join at several band widths") {
+    import spark.implicits._
+    val pts = (0L to 500L).map(i => (i, i * 3 % 97)).toDF("pid", "p").repartition(5)
+    val iv = (0L until 40L).map(i => (i, i * 5 % 90, i * 5 % 90 + i % 13)).toDF("iid", "lo", "hi")
+    val want = pts.join(iv, col("p") >= col("lo") && col("p") <= col("hi"))
+      .select("pid", "iid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    for (w <- Seq(1L, 4L, 16L, 1000L)) {
+      val got = RangeJoin.banded(pts, iv, "p", "lo", "hi", w)
+        .select("pid", "iid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      got shouldBe want
+    }
+  }
+
+  test("banded range join plans an equi-join, not a nested-loop join") {
+    import spark.implicits._
+    val pts = (0L to 500L).map(i => (i, i % 97)).toDF("pid", "p")
+    val iv = (0L until 40L).map(i => (i, i * 2L, i * 2L + 5)).toDF("iid", "lo", "hi")
+    val plan = RangeJoin.banded(pts, iv, "p", "lo", "hi", 8)
+      .queryExecution.executedPlan.toString
+    plan should not include "BroadcastNestedLoopJoin"
+    (plan.contains("SortMergeJoin") || plan.contains("HashJoin")) shouldBe true
+  }
+
+  test("tfidf top terms: ranks dense from 1, scores non-increasing, matches window formulation") {
+    val got = TextAnalysis.tfidfTopTerms(docs, "text", "doc_id", 3)
+    val rows = got.collect()
+    rows.groupBy(_.getLong(0)).foreach { case (_, rs) =>
+      rs.map(_.getAs[Long]("rank")).sorted shouldBe (1L to rs.length)
+      val byRank = rs.sortBy(_.getAs[Long]("rank")).map(_.getAs[Double]("score"))
+      byRank.zip(byRank.tail).foreach { case (a, b) => a should be >= b }
+    }
+    // same result as the row_number window idiom
+    import org.apache.spark.sql.expressions.Window
+    val tok = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+    val tf = tok.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dfq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val n = docs.select(count(lit(1)).as("n_docs"))
+    val scored = tf.join(dfq, "term").crossJoin(n)
+      .withColumn("score", round(col("tf") * log(col("n_docs") / col("df")), 6))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("score").desc, col("term").asc)
+    val want = scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 3)
+      .select("doc_id", "term", "score", "rank")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getLong(3))).toSet
+    rows.map(r => (r.getLong(0), r.getAs[String]("term"),
+      r.getAs[Double]("score"), r.getAs[Long]("rank"))).toSet shouldBe want
+  }
+
   test("simhash is deterministic across recomputation") {
     val a = Dedup.simhash(docs, "text", "doc_id").orderBy("id").collect()
     val b = Dedup.simhash(docs.repartition(7), "text", "doc_id").orderBy("id").collect()
