@@ -217,6 +217,20 @@ object Similarity {
     * that asymmetry is what makes this o(n²); it vanishes at low
     * thresholds, where [[cosinePairs]]' exact grid is the right tool.
     */
+  /** Per-group element-wise centroids of an embedding column, emitted as
+    * (group, pos, centroid) rows — the core of prototype/class-mean
+    * computation and IVF coarse-quantizer training. One explode + one
+    * hash-aggregate: shuffle carries (group, pos, partial sum/count)
+    * after map-side combine — O(groups·dim) rows, never the vectors.
+    * Long/flat output keeps the result joinable and avoids array-column
+    * reassembly (array outputs also defeat sort-based result compares).
+    */
+  def centroids(vectors: DataFrame, groupCol: String, vecCol: String): DataFrame =
+    vectors.select(col(groupCol).as("grp"), posexplode(col(vecCol)))
+      .groupBy(col("grp"), col("pos"))
+      .agg(round(avg(col("col").cast("double")), 6).as("centroid"))
+      .select(col("grp"), col("pos").cast("long").as("pos"), col("centroid"))
+
   def cosinePairsLsh(corpus: DataFrame, threshold: Double, dim: Int,
                      nBits: Int = 12, tables: Int = 8,
                      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {

@@ -62,6 +62,40 @@ object TextAnalysis {
         diversity * 0.2 + alphaRatio * 0.2, 6))
   }
 
+  /** Benchmark decontamination: which training documents share ≥1
+    * word-level n-gram with an evaluation document. The eval side is a
+    * benchmark suite — tiny against a 100 TB corpus — so its exploded
+    * shingle set is BROADCAST and the corpus is never shuffled; emits
+    * (train_id, eval_id, n_shared) for contamination triage.
+    */
+  def contaminationPairs(train: DataFrame, eval_ : DataFrame,
+                         textCol: String, idCol: String,
+                         shingleN: Int = 5): DataFrame = {
+    def sh(df: DataFrame, idName: String) = df.select(col(idCol).as(idName),
+      explode(Dedup.shingles(col(textCol), shingleN)).as("s"))
+    sh(train, "train_id").join(broadcast(sh(eval_, "eval_id")), "s")
+      .groupBy(col("train_id"), col("eval_id"))
+      .agg(count(lit(1)).as("n_shared"))
+  }
+
+  /** Internal-repetition quality signal: 1 − distinct/total word n-grams.
+    * Boilerplate- or loop-generated text scores high. Pure codegen'd
+    * column math — single pass, no shuffle at all.
+    */
+  def repetitionMetrics(df: DataFrame, textCol: String, idCol: String,
+                        n: Int = 3): DataFrame = {
+    val ws = split(col(textCol), " ")
+    val grams = when(size(ws) >= n,
+        transform(sequence(lit(1), size(ws) - n + 1),
+          i => concat_ws(" ", slice(ws, i, lit(n)))))
+      .otherwise(array(concat_ws(" ", ws)))
+    df.select(col(idCol),
+      size(grams).cast("long").as("n_grams"),
+      size(array_distinct(grams)).cast("long").as("n_distinct"),
+      round(lit(1.0) - size(array_distinct(grams)).cast("double") /
+        size(grams).cast("double"), 6).as("rep_ratio"))
+  }
+
   /** TF-IDF top-k terms per document: tf = term count within the doc,
     * idf = ln(N/df) over the corpus, top-k by score (ties broken by term)
     * via the bounded-heap [[graft.plans.TopKPerGroup]] operator — no

@@ -55,6 +55,25 @@ object SimilarityQueries {
       },
       None),
 
+    // per-language embedding centroids: class-mean / coarse-quantizer
+    // training as one explode + map-side-combined aggregate; flat
+    // (group, pos, centroid) output — O(groups·dim) rows shuffled, never
+    // the vectors themselves
+    "s06_centroids_by_lang" -> QueryDef(
+      (s, d) => {
+        val v = Tables.embeddings(s, d).join(
+          Tables.documents(s, d).select(col("doc_id"), col("lang")),
+          col("vec_id") === col("doc_id"))
+        Similarity.centroids(v, "lang", "embedding")
+          .withColumnRenamed("grp", "lang")
+      },
+      Some("""
+        SELECT d.lang, i - 1 AS pos,
+               round(avg(CAST(embedding[i] AS DOUBLE)), 6) AS centroid
+        FROM embeddings e JOIN documents d ON e.vec_id = d.doc_id,
+             LATERAL (SELECT unnest(range(1, len(embedding) + 1)) AS i) t
+        GROUP BY 1, 2""")),
+
     // int8 scalar quantization round-trip fidelity (the 4× storage cut);
     // deterministic column math, mirrored exactly in the oracle
     "s05_quantize_int8" -> QueryDef(

@@ -136,6 +136,41 @@ object TextQueries {
                          for i in range(1, len(bs)-w+2)]) AS rolling_fp
         FROM b""")),
 
+    // Benchmark decontamination: training docs sharing a 5-gram with the
+    // (broadcast) eval subset. Eval membership = doc_id % 40 == 0 here;
+    // in production the eval side is the benchmark suite.
+    "t08_decontamination" -> QueryDef(
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        TextAnalysis.contaminationPairs(
+          docs.filter(col("doc_id") % 40 =!= 0),
+          docs.filter(col("doc_id") % 40 === 0),
+          "text", "doc_id", shingleN = 5)
+      },
+      Some("""
+        WITH d AS (SELECT doc_id, string_split(text, ' ') ws FROM documents),
+        sh AS (SELECT DISTINCT doc_id, array_to_string(ws[i:i+4], ' ') AS s
+               FROM d, LATERAL (SELECT unnest(range(1, len(ws) - 3)) AS i) t)
+        SELECT tr.doc_id AS train_id, ev.doc_id AS eval_id, count(*) AS n_shared
+        FROM sh tr JOIN sh ev ON tr.s = ev.s
+        WHERE ev.doc_id % 40 = 0 AND tr.doc_id % 40 <> 0
+        GROUP BY 1, 2""")),
+
+    // Internal-repetition quality signal (1 - distinct/total 3-grams).
+    "t09_repetition_ratio" -> QueryDef(
+      (s, d) => TextAnalysis.repetitionMetrics(Tables.documents(s, d),
+        "text", "doc_id", n = 3),
+      Some("""
+        WITH d AS (SELECT doc_id, string_split(text, ' ') ws FROM documents),
+        g AS (SELECT doc_id,
+                [array_to_string(ws[i:i+2], ' ') for i in range(1, len(ws) - 1)] AS grams
+              FROM d)
+        SELECT doc_id,
+               CAST(len(grams) AS BIGINT) AS n_grams,
+               CAST(len(list_distinct(grams)) AS BIGINT) AS n_distinct,
+               round(1 - len(list_distinct(grams)) * 1.0 / len(grams), 6) AS rep_ratio
+        FROM g""")),
+
     // TF-IDF top-3 terms per document through the bounded-heap top-k
     // operator (score desc, term asc for deterministic ties).
     "t07_tfidf_top_terms" -> QueryDef(

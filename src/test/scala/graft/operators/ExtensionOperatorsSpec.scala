@@ -82,6 +82,40 @@ class ExtensionOperatorsSpec extends SparkSpec {
       r.getAs[Double]("score"), r.getAs[Long]("rank"))).toSet shouldBe want
   }
 
+  test("contamination pairs: planted n-gram overlap found, eval side broadcast") {
+    import spark.implicits._
+    val train = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta"),
+      (2L, "totally unrelated words here nothing shared at all")).toDF("doc_id", "text")
+    val eval_ = Seq((100L, "x y alpha beta gamma delta epsilon z")).toDF("doc_id", "text")
+    val got = TextAnalysis.contaminationPairs(train, eval_, "text", "doc_id", 5)
+    val rows = got.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    rows.toSeq shouldBe Seq((1L, 100L, 1L)) // one shared 5-gram
+    got.queryExecution.executedPlan.toString should include("BroadcastHashJoin")
+  }
+
+  test("repetition metrics: looped text scores high, varied text scores 0") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "spam ham spam ham spam ham spam ham"),
+      (2L, "one two three four five six seven eight")).toDF("doc_id", "text")
+    val m = TextAnalysis.repetitionMetrics(df, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    m(1L)._1 shouldBe 6L // 8 words -> 6 trigrams
+    m(1L)._2 shouldBe 2L // "spam ham spam" / "ham spam ham"
+    m(1L)._3 should be > 0.6
+    m(2L)._3 shouldBe 0.0
+  }
+
+  test("centroids: element-wise per-group means, flat (group, pos, value) shape") {
+    import spark.implicits._
+    val v = Seq(("a", Seq(1.0f, 3.0f)), ("a", Seq(3.0f, 5.0f)), ("b", Seq(10.0f, 0.0f)))
+      .toDF("grp", "vec")
+    val got = Similarity.centroids(v, "grp", "vec")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    got shouldBe Set(("a", 0L, 2.0), ("a", 1L, 4.0), ("b", 0L, 10.0), ("b", 1L, 0.0))
+  }
+
   test("simhash is deterministic across recomputation") {
     val a = Dedup.simhash(docs, "text", "doc_id").orderBy("id").collect()
     val b = Dedup.simhash(docs.repartition(7), "text", "doc_id").orderBy("id").collect()
