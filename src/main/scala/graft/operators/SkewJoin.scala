@@ -22,9 +22,12 @@ object SkewJoin {
 
   def saltedJoin(fact: DataFrame, dim: DataFrame,
                  factKey: String, dimKey: String, salt: Int = 8): DataFrame = {
-    // salt from the fact row's own key+content hash — deterministic, no RNG
+    // any per-row value spreads a hot key; the row id costs nothing and —
+    // unlike hashing the whole row (struct(*)) — leaves column pruning
+    // intact, so the fact scan still reads only the columns the query
+    // needs. The join RESULT is salt-assignment-independent.
     val saltedFact = fact.withColumn("__salt",
-      pmod(xxhash64(struct(fact.columns.map(fact(_)).toSeq: _*)), lit(salt.toLong)))
+      pmod(monotonically_increasing_id(), lit(salt.toLong)))
     val saltedDim = dim.withColumn("__salt",
       explode(sequence(lit(0L), lit(salt.toLong - 1))))
     saltedFact.join(saltedDim,

@@ -50,6 +50,32 @@ class PlanSpec extends SparkSpec {
     "HashAggregate".r.findAllIn(p).length should be >= 2 // partial + final
   }
 
+  test("salted join leaves fact-side column pruning intact (q19)") {
+    val p = plan("q19_join_salted")
+    // the q19 aggregate needs only l_orderkey + l_extendedprice; the salt
+    // column must not drag the full lineitem row into the scan
+    val lineitemSchema = "ReadSchema: struct<(l_[^>]*)>".r
+      .findFirstMatchIn(p).map(_.group(1)).getOrElse(fail("no lineitem ReadSchema"))
+    lineitemSchema.split(",").length should be <= 2
+  }
+
+  test("banded range join plans as an equi-join with partial aggregation below (q43)") {
+    val p = plan("q43_range_join_banded")
+    p should not include "BroadcastNestedLoopJoin"
+    "HashAggregate".r.findAllIn(p).length should be >= 2
+  }
+
+  test("tf-idf top-terms run through the bounded-heap operator, not a window sort (t07)") {
+    val p = plan("t07_tfidf_top_terms")
+    p should include("TopKPartial")
+    p should not include regex("Window ".r.toString)
+  }
+
+  test("centroid aggregation has a map-side partial; only (group,pos) rows shuffle (s06)") {
+    val p = plan("s06_centroids_by_lang")
+    "HashAggregate".r.findAllIn(p).length should be >= 2
+  }
+
   test("whole-stage codegen covers the scan→filter→project pipeline") {
     val p = Tables.lineitem(spark, sfDir)
       .filter(col("l_quantity") > 10)
