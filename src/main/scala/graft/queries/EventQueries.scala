@@ -11,6 +11,25 @@ import org.apache.spark.sql.functions._
   */
 object EventQueries {
 
+  /** Stage the events table into a directory (the file stream source
+    * consumes directories) and open it as a micros-truncated readStream —
+    * shared by the executed-streaming gates q76/q77.
+    */
+  private def eventsStream(s: org.apache.spark.sql.SparkSession, d: String) = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val sf = java.nio.file.Paths.get(d).getFileName.toString
+    val dir = java.nio.file.Paths.get(
+      sys.props("java.io.tmpdir"), "graft_export", sf, "events_stream")
+    java.nio.file.Files.createDirectories(dir)
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(d, "events.parquet"),
+      dir.resolve("events.parquet"),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    val rawSchema = s.read.parquet(s"$d/events.parquet").schema
+    s.readStream.schema(rawSchema).parquet(dir.toString)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
   def defs: Map[String, QueryDef] = Map(
 
     // Tumbling 1-hour window via Spark's window() — the streaming
@@ -35,19 +54,7 @@ object EventQueries {
     "q76_streaming_tumbling" -> QueryDef(
       (s, d) => {
         import org.apache.spark.sql.streaming.Trigger
-        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        // the file source streams DIRECTORIES; stage the table file into one
-        val sf = java.nio.file.Paths.get(d).getFileName.toString
-        val dir = java.nio.file.Paths.get(
-          sys.props("java.io.tmpdir"), "graft_export", sf, "events_stream")
-        java.nio.file.Files.createDirectories(dir)
-        java.nio.file.Files.copy(
-          java.nio.file.Paths.get(d, "events.parquet"),
-          dir.resolve("events.parquet"),
-          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-        val rawSchema = s.read.parquet(s"$d/events.parquet").schema
-        val stream = s.readStream.schema(rawSchema).parquet(dir.toString)
-          .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        val stream = eventsStream(s, d)
           .withWatermark("ts", "1 hour")
           .groupBy(window(col("ts"), "1 hour"), col("event_type"))
           .agg(count(lit(1)).as("n"),
@@ -63,6 +70,41 @@ object EventQueries {
         SELECT date_trunc('hour', ts) AS hour_start, event_type,
                count(*) AS n, round(sum(value), 4) AS val_sum
         FROM events GROUP BY 1, 2""")),
+
+    // Stream-STREAM interval join executed through the real streaming
+    // path: clicks join purchases of the same user within 30 minutes,
+    // both sides watermarked (the event-time bound lets the engine expire
+    // join state — unbounded state otherwise), drained with AvailableNow.
+    // Oracle = the equivalent batch interval join.
+    "q77_streaming_interval_join" -> QueryDef(
+      (s, d) => {
+        import org.apache.spark.sql.streaming.Trigger
+        val clicks = eventsStream(s, d)
+          .filter(col("event_type") === "click")
+          .select(col("event_id").as("click_id"), col("user_id"),
+                  col("ts").as("click_ts"))
+          .withWatermark("click_ts", "1 hour")
+        val purchases = eventsStream(s, d)
+          .filter(col("event_type") === "purchase")
+          .select(col("event_id").as("purchase_id"),
+                  col("user_id").as("p_user"), col("ts").as("p_ts"))
+          .withWatermark("p_ts", "1 hour")
+        val joined = clicks.join(purchases,
+          col("user_id") === col("p_user") &&
+          col("p_ts") >= col("click_ts") &&
+          col("p_ts") <= col("click_ts") + expr("interval 30 minutes"))
+          .select(col("click_id"), col("purchase_id"))
+        val q = joined.writeStream.format("memory").queryName("q77_sink")
+          .outputMode("append").trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+        s.table("q77_sink")
+      },
+      Some("""
+        SELECT c.event_id AS click_id, p.event_id AS purchase_id
+        FROM events c JOIN events p
+          ON c.user_id = p.user_id
+         AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
+        WHERE c.event_type = 'click' AND p.event_type = 'purchase'""")),
 
     // Sliding windows: 2-hour window sliding by 1 hour — each event lands
     // in two windows. Oracle unions the two aligned tumbling offsets.

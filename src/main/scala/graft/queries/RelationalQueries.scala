@@ -403,6 +403,27 @@ object RelationalQueries {
         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         GROUP BY o_orderpriority""")),
 
+    // Unpivot/melt: wide measure columns to (id, metric, value) rows —
+    // Dataset.unpivot compiles to Expand (each input row emitted once per
+    // measure in one pass, no join/union re-scan).
+    "q44_unpivot_measures" -> QueryDef(
+      (s, d) => Tables.lineitem(s, d)
+        .filter(col("l_orderkey") <= 100)
+        .unpivot(
+          ids = Array(col("l_orderkey"), col("l_linenumber")),
+          values = Array(col("l_quantity"), col("l_extendedprice"), col("l_discount")),
+          variableColumnName = "metric", valueColumnName = "value"),
+      Some("""
+        SELECT l_orderkey, l_linenumber, 'l_quantity' AS metric,
+               l_quantity AS value
+        FROM lineitem WHERE l_orderkey <= 100
+        UNION ALL
+        SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice
+        FROM lineitem WHERE l_orderkey <= 100
+        UNION ALL
+        SELECT l_orderkey, l_linenumber, 'l_discount', l_discount
+        FROM lineitem WHERE l_orderkey <= 100""")),
+
     // Equi + theta (inequality) join condition.
     "q27_join_theta" -> QueryDef(
       (s, d) => {
