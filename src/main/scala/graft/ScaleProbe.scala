@@ -1,0 +1,88 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Reproducible 1×-vs-4× scaling probe behind SURVEY §2e. Builds a 4×
+  * corpus from sf0.1 by unioning four shifted copies — ids offset so the
+  * copies are key-disjoint, timestamps offset so time density stays
+  * constant (a time-range join would otherwise see 16× pair fan-out from
+  * overlap, which measures density, not scale), and document words
+  * copy-tagged so the shingle universes are disjoint (identical texts
+  * would make every near-dup operator's OUTPUT superlinear by
+  * construction). Then times each probe query on both corpora, min of
+  * two passes.
+  *
+  * Usage: runMain graft.ScaleProbe [baseDir] [q1,q2,...]
+  */
+object ScaleProbe {
+
+  private val DefaultProbes = Seq(
+    "q43_range_join_banded", "t04_fingerprint", "t07_tfidf_top_terms",
+    "t08_decontamination", "t09_repetition_ratio",
+    "s06_centroids_by_lang", "d03_dedup_minhash_lsh")
+
+  private val IdShift = 10000000L
+  private val DayShift = 4000 // > TPC-H date span, so copies never overlap
+
+  private def tagWords(c: Int) = // every word tagged → disjoint shingles
+    transform(split(col("text"), " "), w => concat(lit(s"c${c}_"), w))
+
+  def build4x(spark: SparkSession, base: String, out: String): Unit = {
+    def copies(df: DataFrame)(shift: (DataFrame, Int) => DataFrame): DataFrame =
+      (0 until 4).map(c => shift(df, c)).reduce(_ union _)
+
+    copies(spark.read.parquet(s"$base/documents.parquet")) { (df, c) =>
+      df.withColumn("doc_id", col("doc_id") + lit(c * IdShift))
+        .withColumn("text",
+          if (c == 0) col("text") else concat_ws(" ", tagWords(c)))
+    }.write.mode("overwrite").parquet(s"$out/documents.parquet")
+
+    copies(spark.read.parquet(s"$base/embeddings.parquet")) { (df, c) =>
+      df.withColumn("vec_id", col("vec_id") + lit(c * IdShift))
+    }.write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+
+    copies(spark.read.parquet(s"$base/lineitem.parquet")) { (df, c) =>
+      df.withColumn("l_orderkey", col("l_orderkey") + lit(c * IdShift))
+        .withColumn("l_shipdate",
+          col("l_shipdate") + expr(s"interval ${c * DayShift} days"))
+    }.write.mode("overwrite").parquet(s"$out/lineitem.parquet")
+
+    copies(spark.read.parquet(s"$base/orders.parquet")) { (df, c) =>
+      df.withColumn("o_orderkey", col("o_orderkey") + lit(c * IdShift))
+        .withColumn("o_orderdate",
+          col("o_orderdate") + expr(s"interval ${c * DayShift} days"))
+    }.write.mode("overwrite").parquet(s"$out/orders.parquet")
+  }
+
+  def main(args: Array[String]): Unit = {
+    val base = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val probes = if (args.length > 1) args(1).split(",").toSeq else DefaultProbes
+    val out = s"${sys.props("java.io.tmpdir")}/graft_scale_x4"
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    build4x(spark, base, out)
+    def time(name: String, dir: String): Double = {
+      def once: Double = {
+        val t0 = System.nanoTime()
+        SparkEntry.queries(name)(spark, dir).queryExecution.toRdd.count()
+        (System.nanoTime() - t0) / 1e9
+      }
+      math.min(once, once)
+    }
+    probes.foreach { q => time(q, base); () } // warmup pass at 1×
+    val results = probes.map { q =>
+      val t1 = time(q, base)
+      val t4 = time(q, out)
+      println(f"""{"query":"$q","t1x":$t1%.3f,"t4x":$t4%.3f,"ratio":${t4 / t1}%.2f}""")
+      (q, t1, t4)
+    }
+    val _ = results
+    spark.stop()
+  }
+}
