@@ -159,11 +159,13 @@ object Dedup {
                  k: Int = 32, bands: Int = 8, shingleN: Int = 3,
                  threshold: Double = 0.8, dfCap: Int = DefaultDfCap,
                  bucketCap: Int = DefaultBucketCap): DataFrame = {
-    // the capped index feeds signatures AND verification as the SAME
-    // subplan — Spark's ReuseExchange dedupes its shuffle at runtime.
-    // (Deliberately NOT persist()ed: caching inserts an InMemoryRelation
-    // barrier that defeats exchange reuse and costs a columnar build.)
-    val idx = shingleIndex(df, textCol, idCol, shingleN, dfCap)
+    // the capped index feeds signatures AND verification (4 consumers in
+    // the final plan). ReuseExchange only dedupes the exchange input —
+    // every consumer still re-runs the explode+window+hash work above it —
+    // so materialize the small (id, shingle) rows ONCE with
+    // localCheckpoint. (persist() instead would insert an
+    // InMemoryRelation columnar build that measured slower.)
+    val idx = shingleIndex(df, textCol, idCol, shingleN, dfCap).localCheckpoint()
     val cands = minhashCandidates(signaturesFromIndex(idx, k), k, bands, bucketCap)
     verifyWithIndex(idx, cands, threshold)
   }
@@ -176,10 +178,10 @@ object Dedup {
   def jaccardPairs(df: DataFrame, textCol: String, idCol: String,
                    shingleN: Int = 3, threshold: Double = 0.8,
                    dfCap: Int = DefaultDfCap): DataFrame = {
-    // referenced by both self-join sides and the size table; the common
-    // shuffle is deduped by ReuseExchange — see minhashLsh's note on why
-    // persist() would make this slower, not faster
-    val sh = shingleIndex(df, textCol, idCol, shingleN, dfCap)
+    // referenced by both self-join sides and the size table — materialize
+    // the (id, shingle) rows once (see minhashLsh's note; ReuseExchange
+    // alone still re-runs the window/cap work per consumer)
+    val sh = shingleIndex(df, textCol, idCol, shingleN, dfCap).localCheckpoint()
     val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("n"))
     val common = sh.as("a").join(sh.as("b"),
         col("a.s") === col("b.s") && col("a.id") < col("b.id"))
