@@ -171,6 +171,25 @@ object TextQueries {
                round(1 - len(list_distinct(grams)) * 1.0 / len(grams), 6) AS rep_ratio
         FROM g""")),
 
+    // Reproducible train/val split assignment: a document's split is a
+    // pure function of its id via the portable hash — stable across runs,
+    // machines, and engines (the property that matters when the corpus is
+    // re-sharded), unlike rand()-based sampling. 90/10 here; summarized
+    // per (lang, split) to keep the gate output bounded.
+    "t10_split_assignment" -> QueryDef(
+      (s, d) => Tables.documents(s, d)
+        .withColumn("split",
+          when(pmod(PH.md5_64(col("doc_id").cast("string")), lit(100L)) < 90,
+            "train").otherwise("val"))
+        .groupBy(col("lang"), col("split"))
+        .agg(count(lit(1)).as("n"), min(col("doc_id")).as("min_doc")),
+      Some(s"""
+        SELECT lang,
+               CASE WHEN ${PH.sqlMd5_64("CAST(doc_id AS VARCHAR)")} % 100 < 90
+                    THEN 'train' ELSE 'val' END AS split,
+               count(*) AS n, min(doc_id) AS min_doc
+        FROM documents GROUP BY 1, 2""")),
+
     // TF-IDF top-3 terms per document through the bounded-heap top-k
     // operator (score desc, term asc for deterministic ties).
     "t07_tfidf_top_terms" -> QueryDef(
