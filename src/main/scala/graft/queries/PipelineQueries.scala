@@ -121,6 +121,19 @@ object PipelineQueries {
         GROUP BY m.task_number""")),
 
     // O7 — HandleJobCompleted: the completion summary the driver hook sees.
+    // The fetcher-style integration exposed as a first-class DataSource
+    // V2 table (SURVEY §7.3): planInputPartitions = planTasks, each
+    // partition reader runs the task's fetch on the executor. Same rows
+    // as p05, through the public spark.read.format surface.
+    "p08_dsv2_source" -> QueryDef(
+      (s, d) => s.read.format("graft.sources.GraftIntegrationSource")
+        .option("factory", classOf[DocumentsStructuredFactory].getName)
+        .option("dir", d)
+        .load(),
+      Some(s"""
+        SELECT doc_id, lang, n_chars, m.task_number
+        FROM documents JOIN $taskMapSql m USING (source)""")),
+
     "p07_job_summary" -> QueryDef(
       (s, d) => {
         val (r, _) = runner(s)

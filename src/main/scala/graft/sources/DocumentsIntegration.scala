@@ -85,6 +85,18 @@ class DocumentsStructuredIntegration(sfDir: String) extends StructuredIntegratio
     DocumentsSource.docsForTask(task).map(d => Row(d.docId, d.lang, d.nChars))
 }
 
+/** Reflection factories for the DSv2 source ([[GraftIntegrationSource]]):
+  * class name travels in reader options, instantiated per executor.
+  */
+class DocumentsStructuredFactory extends IntegrationFactory {
+  override def build(o: Map[String, String]): graft.api.Integration =
+    new DocumentsStructuredIntegration(o("dir"))
+}
+class DocumentsRawFactory extends IntegrationFactory {
+  override def build(o: Map[String, String]): graft.api.Integration =
+    new DocumentsRawIntegration(o("dir"))
+}
+
 /** O3+O4 path: fetch documents as opaque raw byte files, then parse them
   * into records. The fetcher PAGES its upstream — each raw file is one
   * page of up to [[DocumentsRawIntegration.PageSize]] `{doc_id}\t{text}`

@@ -18,4 +18,10 @@ object GraftSqlShim {
 
   def analyzedPlan(df: DataFrame): LogicalPlan =
     df.asInstanceOf[classic.Dataset[Row]].queryExecution.analyzed
+
+  /** external Row → InternalRow converter for a schema (DSv2 readers). */
+  def rowToInternal(st: types.StructType): Row => catalyst.InternalRow = {
+    val conv = catalyst.CatalystTypeConverters.createToCatalystConverter(st)
+    r => conv(r).asInstanceOf[catalyst.InternalRow]
+  }
 }
