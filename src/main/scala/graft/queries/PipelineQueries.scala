@@ -134,6 +134,27 @@ object PipelineQueries {
         SELECT doc_id, lang, n_chars, m.task_number
         FROM documents JOIN $taskMapSql m USING (source)""")),
 
+    // The DSv2 record-file SINK under Spark's two-phase commit: write
+    // per-task Avro container files + manifest, then surface the
+    // committed manifest counts (oracle predicts them from the data).
+    "p09_dsv2_sink" -> QueryDef(
+      (s, d) => {
+        val root = Files.createTempDirectory("graft-p09").toString
+        s.read.parquet(s"$d/documents.parquet")
+          .select(col("doc_id"), col("lang"), col("n_chars"),
+            pmod(col("doc_id"), lit(3)).cast("int").as("task_number"))
+          .repartition(col("task_number"))
+          .write.format("graft.sources.GraftRecordFileSink")
+          .option("root", root).mode("append").save()
+        val manifest = GraftRecordFileSink.readManifest(s, root)
+          .map { case (t, n, _, _) => (t, n) }
+        import s.implicits._
+        manifest.toDF("task_number", "record_count")
+      },
+      Some("""
+        SELECT CAST(doc_id % 3 AS INT) AS task_number, count(*) AS record_count
+        FROM documents GROUP BY 1""")),
+
     "p07_job_summary" -> QueryDef(
       (s, d) => {
         val (r, _) = runner(s)

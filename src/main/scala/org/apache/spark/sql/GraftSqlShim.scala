@@ -24,4 +24,10 @@ object GraftSqlShim {
     val conv = catalyst.CatalystTypeConverters.createToCatalystConverter(st)
     r => conv(r).asInstanceOf[catalyst.InternalRow]
   }
+
+  /** InternalRow → external Row converter for a schema (DSv2 writers). */
+  def internalToRow(st: types.StructType): catalyst.InternalRow => Row = {
+    val conv = catalyst.CatalystTypeConverters.createToScalaConverter(st)
+    r => conv(r).asInstanceOf[Row]
+  }
 }
