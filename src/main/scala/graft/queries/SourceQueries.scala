@@ -75,6 +75,26 @@ object SourceQueries {
 
     // small-file compaction: many-file input rewritten to byte-derived
     // file count; the oracle checks content is untouched
+    // Catalog tables: saveAsTable into the session catalog, insertInto
+    // appends through the catalog's resolved schema, spark.table reads it
+    // back — the managed-table sink path (vs src01-05's path-based IO).
+    "src08_table_catalog" -> QueryDef(
+      (s, d) => {
+        val suppliers = Tables.supplier(s, d)
+          .select(col("s_suppkey"), col("s_nationkey"), round(col("s_acctbal"), 2).as("bal"))
+        suppliers.filter(col("s_suppkey") % 2 === 0)
+          .write.mode("overwrite").saveAsTable("graft_suppliers")
+        suppliers.filter(col("s_suppkey") % 2 =!= 0)
+          .write.insertInto("graft_suppliers")
+        s.table("graft_suppliers")
+          .groupBy(col("s_nationkey"))
+          .agg(count(lit(1)).as("n"), round(sum(col("bal")), 2).as("bal_sum"))
+      },
+      Some("""
+        SELECT s_nationkey, count(*) AS n,
+               round(sum(round(s_acctbal, 2)), 2) AS bal_sum
+        FROM supplier GROUP BY 1""")),
+
     "src07_compaction" -> QueryDef(
       (s, d) => {
         val in = exportDir(d, "events_small")
