@@ -80,6 +80,13 @@ object SourceQueries {
     // back — the managed-table sink path (vs src01-05's path-based IO).
     "src08_table_catalog" -> QueryDef(
       (s, d) => {
+        // a fresh process has an empty metastore but may inherit a stale
+        // warehouse LOCATION from a previous run — drop both first
+        s.sql("DROP TABLE IF EXISTS graft_suppliers")
+        val loc = new org.apache.hadoop.fs.Path(
+          s.conf.get("spark.sql.warehouse.dir"), "graft_suppliers")
+        val fs = loc.getFileSystem(s.sessionState.newHadoopConf())
+        if (fs.exists(loc)) fs.delete(loc, true)
         val suppliers = Tables.supplier(s, d)
           .select(col("s_suppkey"), col("s_nationkey"), round(col("s_acctbal"), 2).as("bal"))
         suppliers.filter(col("s_suppkey") % 2 === 0)
