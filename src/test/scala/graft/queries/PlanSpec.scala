@@ -76,6 +76,33 @@ class PlanSpec extends SparkSpec {
     "HashAggregate".r.findAllIn(p).length should be >= 2
   }
 
+  test("AQE splits a skewed join partition at runtime (skew=true)") {
+    import spark.implicits._
+    val confs = Map(
+      "spark.sql.adaptive.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "1",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "8KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "8KB",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val prev = confs.keys.map(k => k -> spark.conf.getOption(k)).toMap
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      // one mega-key: 50k of 51k rows share key 0
+      val skewed = (1 to 51000).map(i => (if (i <= 50000) 0L else i.toLong, s"v$i"))
+        .toDF("k", "payload")
+      val dim = (0L to 1000L).map(k => (k, s"d$k")).toDF("k", "dval")
+      val joined = skewed.join(dim, "k")
+      joined.queryExecution.toRdd.count() // AQE replans during execution
+      val finalPlan = joined.queryExecution.executedPlan.toString
+      finalPlan should include("skew=true")
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("whole-stage codegen covers the scan→filter→project pipeline") {
     val p = Tables.lineitem(spark, sfDir)
       .filter(col("l_quantity") > 10)

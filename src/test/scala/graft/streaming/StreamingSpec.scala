@@ -55,6 +55,28 @@ class StreamingSpec extends SparkSpec {
   private def ts(minute: Int, second: Int): Timestamp =
     Timestamp.valueOf(f"2026-01-01 10:$minute%02d:$second%02d")
 
+  test("windowed aggregation runs on the RocksDB state store (large-state config)") {
+    // at 100 TB the default in-memory HDFS-backed state store OOMs on
+    // high-cardinality windows; RocksDB spills state to local disk. Same
+    // aggregation, same results, swapped provider.
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val in = MemoryStream[Ev]
+      val out = StreamingIngest.tumblingCounts(
+        in.toDF(), lateness = "10 minutes", width = "30 minutes")
+      val got = runBatches(out, "rocksdb_tumbling", Seq(
+        () => in.addData(Ev(1, ts(0), 1, "click", 1.0), Ev(2, ts(10), 2, "click", 2.0)),
+        () => in.addData(Ev(3, ts(55), 1, "view", 1.0)),
+        () => in.addData(Ev(5, ts(59, 0), 1, "view", 1.0))))
+      got.collect().map(r => (r.getString(1), r.getLong(2))).toMap.apply("click") shouldBe 2L
+    } finally spark.conf.set(key, prev)
+  }
+
   test("streaming dedup drops within-watermark duplicate keys") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
