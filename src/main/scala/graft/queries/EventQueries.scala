@@ -79,6 +79,12 @@ object EventQueries {
     "q77_streaming_interval_join" -> QueryDef(
       (s, d) => {
         import org.apache.spark.sql.streaming.Trigger
+        // a stream-stream join opens FOUR state stores per shuffle
+        // partition; at this volume store setup dominates, so run the
+        // stateful query on fewer partitions (restored after start —
+        // the conf is captured at query start)
+        val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+        s.conf.set("spark.sql.shuffle.partitions", "8")
         val clicks = eventsStream(s, d)
           .filter(col("event_type") === "click")
           .select(col("event_id").as("click_id"), col("user_id"),
@@ -96,7 +102,8 @@ object EventQueries {
           .select(col("click_id"), col("purchase_id"))
         val q = joined.writeStream.format("memory").queryName("q77_sink")
           .outputMode("append").trigger(Trigger.AvailableNow()).start()
-        q.awaitTermination()
+        try q.awaitTermination()
+        finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
         s.table("q77_sink")
       },
       Some("""
