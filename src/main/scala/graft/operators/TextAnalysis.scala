@@ -116,6 +116,36 @@ object TextAnalysis {
       Seq("score" -> true, "term" -> false), k)
   }
 
+  /** BM25 keyword scoring (k1 = 1.2, b = 0.75): score every document for
+    * a bag of query terms, return the global top-k. The inverted-index
+    * shape at scale: only rows matching the (tiny) query-term set survive
+    * the first filter, per-doc lengths and the two corpus scalars
+    * (N, avgdl) broadcast, and the final cut runs through the bounded-heap
+    * global top-k — no global sort of the scored corpus.
+    */
+  def bm25TopK(df: DataFrame, textCol: String, idCol: String,
+               queryTerms: Seq[String], k: Int,
+               k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val tok = df.select(col(idCol).as("doc_id"),
+      explode(split(col(textCol), " ")).as("term"))
+    val lens = tok.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+    val stats = df.select(count(lit(1)).as("n_docs"))
+      .crossJoin(lens.agg(avg(col("dl")).as("avgdl")))
+    val tf = tok.filter(col("term").isin(queryTerms: _*))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val contrib = tf.join(dfreq, "term").join(lens, "doc_id").crossJoin(stats)
+      .withColumn("idf",
+        log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1.0))
+      .withColumn("c",
+        col("idf") * (col("tf") * lit(k1 + 1)) /
+          (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl"))))
+    val scored = contrib.groupBy(col("doc_id"))
+      .agg(round(sum(col("c")), 6).as("score"))
+    graft.plans.TopKPerGroup.perGroup(scored, Nil,
+      Seq("score" -> true, "doc_id" -> false), k)
+  }
+
   /** Order-sensitive 60-bit document fingerprint: portable MD5-derived
     * hash of the whitespace-normalized text (exact-content identity,
     * cheap at any scale, replicable by the DuckDB oracle).

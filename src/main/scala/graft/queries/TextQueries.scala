@@ -171,6 +171,30 @@ object TextQueries {
                round(1 - len(list_distinct(grams)) * 1.0 / len(grams), 6) AS rep_ratio
         FROM g""")),
 
+    // BM25 keyword search: global top-20 via the bounded-heap operator
+    // (no corpus-wide sort). Oracle replays the formula with row_number.
+    "t11_bm25_search" -> QueryDef(
+      (s, d) => TextAnalysis.bm25TopK(Tables.documents(s, d), "text",
+        "doc_id", queryTerms = Seq("join", "filter", "scan"), k = 20),
+      Some("""
+        WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+                     FROM documents),
+        lens AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY 1),
+        stats AS (SELECT (SELECT count(*) FROM documents) AS n_docs,
+                         (SELECT avg(dl) FROM lens) AS avgdl),
+        tf AS (SELECT doc_id, term, count(*) AS tf FROM tok
+               WHERE term IN ('join', 'filter', 'scan') GROUP BY 1, 2),
+        dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        scored AS (
+          SELECT doc_id, round(sum(
+            ln((n_docs - df + 0.5) / (df + 0.5) + 1.0) *
+            (tf * 2.2) / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))), 6) AS score
+          FROM tf JOIN dfreq USING (term) JOIN lens USING (doc_id) CROSS JOIN stats
+          GROUP BY doc_id)
+        SELECT doc_id, score,
+               row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank
+        FROM scored ORDER BY rank LIMIT 20""")),
+
     // Reproducible train/val split assignment: a document's split is a
     // pure function of its id via the portable hash — stable across runs,
     // machines, and engines (the property that matters when the corpus is

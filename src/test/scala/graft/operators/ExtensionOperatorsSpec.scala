@@ -116,6 +116,20 @@ class ExtensionOperatorsSpec extends SparkSpec {
     got shouldBe Set(("a", 0L, 2.0), ("a", 1L, 4.0), ("b", 0L, 10.0), ("b", 1L, 0.0))
   }
 
+  test("bm25: rare matching term outranks common one; ranks dense from 1") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "needle in a stack of words about nothing"),
+      (2L, "common common common words words words here"),
+      (3L, "common words and more common words again"),
+      (4L, "entirely unrelated text body")).toDF("doc_id", "text")
+    val got = TextAnalysis.bm25TopK(corpus, "text", "doc_id",
+      Seq("needle", "common"), k = 3).collect()
+    got.map(_.getAs[Long]("rank")).sorted shouldBe Seq(1L, 2L, 3L)
+    // idf('needle') >> idf('common') — doc 1 must win
+    got.find(_.getAs[Long]("rank") == 1L).get.getLong(0) shouldBe 1L
+  }
+
   test("simhash is deterministic across recomputation") {
     val a = Dedup.simhash(docs, "text", "doc_id").orderBy("id").collect()
     val b = Dedup.simhash(docs.repartition(7), "text", "doc_id").orderBy("id").collect()
