@@ -66,6 +66,49 @@ object MultimodalQueries {
                round(scale, 6) AS scale
         FROM sc""")),
 
+    // Multimodal curation capstone: build (media, caption, embedding)
+    // training pairs — media features from the decode kernel, caption
+    // quality from the text operators, embedding presence via join —
+    // filtered to the trainable subset. The composed pipeline a
+    // CLIP-style dataset build runs, end to end, oracle-checked.
+    "m05_training_pairs" -> QueryDef(
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val mediaTbl = Multimodal.asMediaTable(docs, "text", "doc_id")
+        val feats = Multimodal.decodeFeatures(mediaTbl, "doc_id")
+          .select(col("doc_id"), col("features.width").cast("long").as("width"))
+        val media = mediaTbl
+          .select(col("doc_id"), col("meta.byte_len").as("byte_len"))
+          .join(feats, "doc_id")
+        val quality = graft.operators.TextAnalysis.qualityMetrics(docs, "text")
+          .select(col("doc_id"), col("quality_score"))
+        val emb = Tables.embeddings(s, d).select(col("vec_id"))
+        media.join(quality, "doc_id")
+          .join(emb, col("doc_id") === col("vec_id"))
+          .filter(col("quality_score") >= 0.5 && col("width") >= 256)
+          .select(col("doc_id"), col("byte_len"), col("width"),
+                  col("quality_score"))
+      },
+      Some(s"""
+        WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS ws FROM documents),
+        q AS (SELECT doc_id, text,
+                round(least(CAST(len(ws) AS DOUBLE) / 100.0, 1.0) * 0.3 +
+                      least(CAST(len(list_filter(ws, w -> w IN
+                        (${graft.operators.TextAnalysis.markers("en").map(w => s"'$w'").mkString(",")})))
+                        AS DOUBLE) / len(ws) * 5.0, 1.0) * 0.3 +
+                      CAST(len(list_distinct(ws)) AS DOUBLE) / len(ws) * 0.2 +
+                      CAST(strlen(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)
+                        / strlen(text) * 0.2, 6) AS quality_score
+              FROM t),
+        f AS (SELECT doc_id,
+                CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+                CAST(1 + CAST(('0x' || substr(md5(text), 1, 4)) AS INTEGER) % 2048 AS BIGINT) AS width
+              FROM documents)
+        SELECT d.doc_id, f.byte_len, f.width, q.quality_score
+        FROM documents d JOIN q USING (doc_id) JOIN f ON f.doc_id = d.doc_id
+        JOIN embeddings e ON e.vec_id = d.doc_id
+        WHERE q.quality_score >= 0.5 AND f.width >= 256""")),
+
     "m03_frame_sampling" -> QueryDef(
       (s, d) => {
         val media = Multimodal.asMediaTable(Tables.documents(s, d), "text", "doc_id")

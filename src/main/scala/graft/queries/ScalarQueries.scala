@@ -185,6 +185,22 @@ object ScalarQueries {
         FROM (SELECT map([event_type], [n]) AS m
               FROM (SELECT event_type, count(*) AS n FROM events GROUP BY 1))""")),
 
+    // Spark 4 VariantType: parse_json into the binary variant encoding
+    // once, then typed variant_get extraction — the semi-structured path
+    // that replaces repeated string re-parsing at scale.
+    "q62_variant_json" -> QueryDef(
+      (s, d) => Tables.events(s, d)
+        .withColumn("v", parse_json(col("props")))
+        .withColumn("k", variant_get(col("v"), "$.k", "long"))
+        .groupBy(col("k") % 10)
+        .agg(count(lit(1)).as("n"), sum(col("k")).as("k_sum"))
+        .select(col("(k % 10)").as("k_mod"), col("n"), col("k_sum")),
+      Some("""
+        SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_mod,
+               count(*) AS n,
+               CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum
+        FROM events GROUP BY 1""")),
+
     "q57_json_funcs" -> QueryDef(
       (s, d) => Tables.events(s, d)
         .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
