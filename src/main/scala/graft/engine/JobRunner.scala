@@ -210,11 +210,17 @@ final class JobRunner(spark: SparkSession, layout: StorageLayout) {
         .getOrElse(sys.error(s"no task number in $f"))
     val conf = new org.apache.spark.util.SerializableConfiguration(
       spark.sessionState.newHadoopConf())
+    // read through the CURRENT integration schema as the Avro reader
+    // schema, so files written by an older integration version resolve
+    // (new defaulted fields fill, dropped fields skip)
+    val readerJson = AvroRecordFiles.avroSchema(dataSchema).toString
     val rows = spark.sparkContext
       .parallelize(files, math.max(files.size, 1))
       .flatMap { f =>
         val task = taskOf(f)
-        AvroRecordFiles.streamFile(f, types, md5ByTask.get(task), conf.value)
+        val reader = new org.apache.avro.Schema.Parser().parse(readerJson)
+        AvroRecordFiles.streamFile(f, types, md5ByTask.get(task), conf.value,
+            Some(reader))
           .map(vals => Row.fromSeq(vals :+ task))
       }
     val withTask = StructType(dataSchema.fields :+

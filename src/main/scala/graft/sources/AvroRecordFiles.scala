@@ -127,7 +127,8 @@ object AvroRecordFiles {
     */
   private[graft] def streamFile(path: String, types: Seq[DataType],
                                 expectMd5: Option[String] = None,
-                                conf: Configuration = new Configuration()): Iterator[Seq[Any]] = {
+                                conf: Configuration = new Configuration(),
+                                readerSchema: Option[Schema] = None): Iterator[Seq[Any]] = {
     val p = new HPath(path)
     val raw = p.getFileSystem(conf).open(p)
     val digest = java.security.MessageDigest.getInstance("MD5")
@@ -135,7 +136,16 @@ object AvroRecordFiles {
       case Some(_) => new java.security.DigestInputStream(raw, digest)
       case None => raw
     }
-    val stream = new DataFileStream(in, new GenericDatumReader[GenericRecord]())
+    // with a reader schema, Avro schema RESOLUTION applies: fields added
+    // with defaults fill in, dropped fields are skipped — records written
+    // under an older integration version read back under the current one
+    // (the reference's schema-fingerprint drift, resolved instead of
+    // rejected; IntegrationSchema still detects the drift)
+    val datumReader = readerSchema match {
+      case Some(rs) => new GenericDatumReader[GenericRecord](null, rs)
+      case None => new GenericDatumReader[GenericRecord]()
+    }
+    val stream = new DataFileStream(in, datumReader)
     val it = new Iterator[Seq[Any]] {
       private var closed = false
       def hasNext: Boolean = {

@@ -37,6 +37,33 @@ class AvroRecordFilesSpec extends SparkSpec {
     got(2).getDouble(2) shouldBe -0.25
   }
 
+  test("reader-schema evolution: added nullable fields default, dropped fields skip") {
+    val v1 = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("name", StringType)))
+    val rows = java.util.Arrays.asList(Row(1L, "a"), Row(2L, "b"))
+    val df = spark.createDataFrame(rows, v1).repartition(1)
+    val dir = java.nio.file.Files.createTempDirectory("graft-avro-evo").toString
+    AvroRecordFiles.write(df, dir)
+    val file = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".avro")).head.toString
+
+    // v2 adds a nullable field — fills with the null default
+    val v2 = StructType(v1.fields :+ StructField("extra", StringType))
+    val got2 = AvroRecordFiles.streamFile(file,
+      v2.fields.map(_.dataType).toSeq,
+      readerSchema = Some(AvroRecordFiles.avroSchema(v2))).toVector
+    got2.map(_.head) shouldBe Vector(1L, 2L)
+    got2.foreach(vals => assert(vals.last == null))
+
+    // v3 drops a field — resolution skips it
+    val v3 = StructType(Seq(StructField("id", LongType, nullable = false)))
+    val got3 = AvroRecordFiles.streamFile(file,
+      v3.fields.map(_.dataType).toSeq,
+      readerSchema = Some(AvroRecordFiles.avroSchema(v3))).toVector
+    got3 shouldBe Vector(Seq(1L), Seq(2L))
+  }
+
   test("writes one container file per non-empty partition, snappy codec") {
     import spark.implicits._
     val df = Seq((1L, "x"), (2L, "y"), (3L, "z")).toDF("id", "s").repartition(8)
