@@ -185,6 +185,31 @@ object ScalarQueries {
         FROM (SELECT map([event_type], [n]) AS m
               FROM (SELECT event_type, count(*) AS n FROM events GROUP BY 1))""")),
 
+    // Ordered string aggregation (listagg shape): deterministic via
+    // sort_array before the join — matches DuckDB's ORDER BY string_agg.
+    "q63_string_agg" -> QueryDef(
+      (s, d) => Tables.nation(s, d)
+        .groupBy(col("n_regionkey"))
+        .agg(concat_ws(",", sort_array(collect_list(col("n_name")))).as("nations"),
+             count(lit(1)).as("n")),
+      Some("""
+        SELECT n_regionkey, string_agg(n_name, ',' ORDER BY n_name) AS nations,
+               count(*) AS n
+        FROM nation GROUP BY 1""")),
+
+    // Edit distance for fuzzy matching (near-dup titles/brands): every
+    // part name against its type label, bucketed by distance.
+    "q64_edit_distance" -> QueryDef(
+      (s, d) => Tables.part(s, d)
+        .select(col("p_partkey"),
+                levenshtein(col("p_name"), lower(col("p_type"))).cast("long").as("dist"))
+        .groupBy(col("dist"))
+        .agg(count(lit(1)).as("n"), min(col("p_partkey")).as("first_part")),
+      Some("""
+        SELECT CAST(levenshtein(p_name, lower(p_type)) AS BIGINT) AS dist,
+               count(*) AS n, min(p_partkey) AS first_part
+        FROM part GROUP BY 1""")),
+
     // Spark 4 VariantType: parse_json into the binary variant encoding
     // once, then typed variant_get extraction — the semi-structured path
     // that replaces repeated string re-parsing at scale.

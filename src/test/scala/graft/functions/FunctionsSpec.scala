@@ -88,6 +88,25 @@ class FunctionsSpec extends SparkSpec {
     got shouldBe (10.0 * 1 + 20.0 * 3 + 30.0 * 6) / 10.0
   }
 
+  test("HLL sketches are MERGEABLE: per-shard sketches union to the global estimate") {
+    // the 100 TB property: per-shard sketches computed independently and
+    // union-merged estimate like a single global pass — what lets
+    // distinct-counts run as map-side partials and daily sketches roll
+    // up. (Union is register-wise max, but sparse/dense mode transitions
+    // can move the estimate a hair — assert near-agreement, not bits.)
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+    val global = li
+      .agg(hll_sketch_estimate(hll_sketch_agg(col("l_orderkey"))).as("e"))
+      .head.getLong(0)
+    val merged = li.withColumn("shard", pmod(col("l_partkey"), lit(8)))
+      .groupBy(col("shard")).agg(hll_sketch_agg(col("l_orderkey")).as("sk"))
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))))
+      .head.getLong(0)
+    math.abs(merged - global).toDouble / global should be < 0.01
+    val exact = li.select(countDistinct(col("l_orderkey"))).head.getLong(0)
+    math.abs(merged - exact).toDouble / exact should be < 0.05
+  }
+
   test("approx aggregates are within tolerance of exact answers") {
     val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
     val exact = li.agg(
