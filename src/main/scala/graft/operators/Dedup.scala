@@ -68,6 +68,21 @@ object Dedup {
       .groupBy(col("content_md5"))
       .agg(min(col(idCol)).as("keeper_id"), count(lit(1)).as("dup_count"))
 
+  /** Incremental (cross-corpus) exact dedup: dedupe an incoming batch
+    * against an existing corpus — the daily-crawl-vs-historical-index
+    * pattern. Both sides reduce to content hashes BEFORE the anti-join,
+    * so the shuffle carries (hash, id) pairs only, never payloads; at
+    * 100 TB the "existing" side is a persisted hash index, not a re-scan.
+    * Returns the incoming batch's keepers whose content is genuinely new.
+    */
+  def incrementalExact(incoming: DataFrame, existing: DataFrame,
+                       textCol: String, idCol: String): DataFrame = {
+    val existingHashes = existing
+      .select(md5(col(textCol).cast("binary")).as("content_md5")).distinct()
+    exact(incoming, textCol, idCol)
+      .join(existingHashes, Seq("content_md5"), "left_anti")
+  }
+
   /** MinHash signatures: k independent min-hashes over the shingle set.
     * One explode + one hash-aggregate; signature width k costs k codegen'd
     * min() aggregates, not k passes.

@@ -116,6 +116,25 @@ object TextAnalysis {
       Seq("score" -> true, "term" -> false), k)
   }
 
+  /** Unigram-LM log-probability scoring — the cheap stand-in for the
+    * LM-perplexity quality filters real curation pipelines run (CCNet
+    * style): score each document by the average log corpus-unigram
+    * probability of its tokens. Out-of-distribution / gibberish text
+    * scores low. One token shuffle builds the LM; the (small) vocabulary
+    * table then joins back — broadcastable at any corpus size since
+    * vocab ≪ corpus.
+    */
+  def unigramLogProb(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val tok = df.select(col(idCol).as("doc_id"),
+      explode(split(col(textCol), " ")).as("term"))
+    val lm = tok.groupBy(col("term")).agg(count(lit(1)).as("n"))
+    val total = lm.agg(sum(col("n")).as("t"))
+    tok.join(broadcast(lm), "term").crossJoin(broadcast(total))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+           round(avg(log(col("n") / col("t"))), 6).as("avg_logprob"))
+  }
+
   /** BM25 keyword scoring (k1 = 1.2, b = 0.75): score every document for
     * a bag of query terms, return the global top-k. The inverted-index
     * shape at scale: only rows matching the (tiny) query-term set survive

@@ -150,6 +150,25 @@ object DedupQueries {
           UNION SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
         SELECT a AS doc_id, min(b) AS cluster_keeper FROM reach GROUP BY a""")),
 
+    // Incremental dedup: the incoming batch (doc_id % 10 != 0) against
+    // the existing corpus (doc_id % 10 == 0) — hash-only anti-join.
+    "d07_dedup_incremental" -> QueryDef(
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        Dedup.incrementalExact(
+          docs.filter(col("doc_id") % 10 =!= 0),
+          docs.filter(col("doc_id") % 10 === 0),
+          "text", "doc_id")
+      },
+      Some("""
+        WITH ex AS (SELECT DISTINCT md5(text) AS h FROM documents
+                    WHERE doc_id % 10 = 0),
+        inc AS (SELECT md5(text) AS content_md5, min(doc_id) AS keeper_id,
+                       count(*) AS dup_count
+                FROM documents WHERE doc_id % 10 <> 0 GROUP BY 1)
+        SELECT content_md5, keeper_id, dup_count FROM inc
+        WHERE content_md5 NOT IN (SELECT h FROM ex)""")),
+
     // Embedding-cosine near-dup (double-precision parity with the oracle).
     "d05_dedup_embedding" -> QueryDef(
       (s, d) => graft.operators.Similarity.cosinePairs(

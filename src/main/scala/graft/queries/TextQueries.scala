@@ -171,6 +171,20 @@ object TextQueries {
                round(1 - len(list_distinct(grams)) * 1.0 / len(grams), 6) AS rep_ratio
         FROM g""")),
 
+    // Unigram-LM scoring (CCNet-style quality filter stand-in).
+    "t12_unigram_logprob" -> QueryDef(
+      (s, d) => TextAnalysis.unigramLogProb(Tables.documents(s, d),
+        "text", "doc_id"),
+      Some("""
+        WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+                     FROM documents),
+        lm AS (SELECT term, count(*) AS n FROM tok GROUP BY 1),
+        tot AS (SELECT count(*) AS t FROM tok)
+        SELECT doc_id, count(*) AS n_tokens,
+               round(avg(ln(n * 1.0 / t)), 6) AS avg_logprob
+        FROM tok JOIN lm USING (term) CROSS JOIN tot
+        GROUP BY doc_id""")),
+
     // BM25 keyword search: global top-20 via the bounded-heap operator
     // (no corpus-wide sort). Oracle replays the formula with row_number.
     "t11_bm25_search" -> QueryDef(
