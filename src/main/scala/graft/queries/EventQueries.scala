@@ -113,6 +113,36 @@ object EventQueries {
          AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
         WHERE c.event_type = 'click' AND p.event_type = 'purchase'""")),
 
+    // Funnel analysis: per-user view → click → purchase conversion via
+    // first-occurrence timestamps (one hash-aggregate over the events,
+    // conditional min per stage — no self-joins, no window sorts).
+    "q65_funnel_conversion" -> QueryDef(
+      (s, d) => {
+        val firsts = Tables.events(s, d)
+          .groupBy(col("user_id"))
+          .agg(min(when(col("event_type") === "view", col("ts"))).as("t_view"),
+               min(when(col("event_type") === "click", col("ts"))).as("t_click"),
+               min(when(col("event_type") === "purchase", col("ts"))).as("t_buy"))
+        firsts.agg(
+          count(lit(1)).as("n_users"),
+          count(col("t_view")).as("n_viewed"),
+          count(when(col("t_view") < col("t_click"), 1)).as("n_clicked_after_view"),
+          count(when(col("t_view") < col("t_click") &&
+                     col("t_click") < col("t_buy"), 1)).as("n_converted"))
+      },
+      Some("""
+        WITH f AS (
+          SELECT user_id,
+                 min(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+                 min(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+                 min(CASE WHEN event_type = 'purchase' THEN ts END) AS t_buy
+          FROM events GROUP BY 1)
+        SELECT count(*) AS n_users,
+               count(t_view) AS n_viewed,
+               count(CASE WHEN t_view < t_click THEN 1 END) AS n_clicked_after_view,
+               count(CASE WHEN t_view < t_click AND t_click < t_buy THEN 1 END) AS n_converted
+        FROM f""")),
+
     // Sliding windows: 2-hour window sliding by 1 hour — each event lands
     // in two windows. Oracle unions the two aligned tumbling offsets.
     "q71_sliding_window" -> QueryDef(
