@@ -58,7 +58,10 @@ object Bench {
     val results = ordered.map { case (name, fn) =>
       name -> math.min(pass1(name), timeOnce(fn))
     }
-    def fmt(v: Double): String = "%.3f".format(v)
+    // Locale.ROOT: a comma-decimal default locale would print 62,700 and
+    // corrupt the JSON line
+    def fmt(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     def jsonMap(entries: Seq[(String, Double)]): String =
       entries.map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0

@@ -30,7 +30,9 @@ object Explain {
       (System.nanoTime() - t0) / 1e9
     }
     val (a, b) = (once, once)
-    println(f"[explain] $name min=${math.min(a, b)}%.3f s (passes $a%.3f / $b%.3f)")
+    println(String.format(java.util.Locale.ROOT,
+      "[explain] %s min=%.3f s (passes %.3f / %.3f)",
+      name, Double.box(math.min(a, b)), Double.box(a), Double.box(b)))
     spark.stop()
   }
 }

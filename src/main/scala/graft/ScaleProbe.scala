@@ -81,7 +81,9 @@ object ScaleProbe {
     val results = probes.map { q =>
       val t1 = time(q, base)
       val t4 = time(q, out)
-      println(f"""{"query":"$q","t1x":$t1%.3f,"t4x":$t4%.3f,"ratio":${t4 / t1}%.2f}""")
+      println(String.format(java.util.Locale.ROOT,
+        """{"query":"%s","t1x":%.3f,"t4x":%.3f,"ratio":%.2f}""",
+        q, Double.box(t1), Double.box(t4), Double.box(t4 / t1)))
       (q, t1, t4)
     }
     val _ = results

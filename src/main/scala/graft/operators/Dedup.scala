@@ -29,15 +29,21 @@ object Dedup {
   /** LSH buckets larger than this are dropped before candidate self-joins. */
   val DefaultBucketCap = 1000
 
-  /** Word-level n-gram shingles of a text column (deduplicated). */
-  def shingles(textCol: Column, n: Int): Column = {
+  /** Word-level n-grams of a text column (NON-distinct; texts shorter
+    * than n fall back to one whole-text gram). Single source of truth for
+    * gram construction — every operator and hand-matched oracle derives
+    * from this definition.
+    */
+  def ngrams(textCol: Column, n: Int): Column = {
     val ws = split(textCol, " ")
-    array_distinct(
-      when(size(ws) >= n,
-        transform(sequence(lit(1), size(ws) - n + 1),
-          i => concat_ws(" ", slice(ws, i, lit(n)))))
-      .otherwise(array(concat_ws(" ", ws))))
+    when(size(ws) >= n,
+      transform(sequence(lit(1), size(ws) - n + 1),
+        i => concat_ws(" ", slice(ws, i, lit(n)))))
+      .otherwise(array(concat_ws(" ", ws)))
   }
+
+  /** Word-level n-gram shingles of a text column (deduplicated). */
+  def shingles(textCol: Column, n: Int): Column = array_distinct(ngrams(textCol, n))
 
   /** Exploded (id, shingle) inverted index with a document-frequency cap:
     * shingles present in more than `dfCap` documents are dropped from the

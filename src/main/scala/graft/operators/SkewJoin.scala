@@ -20,14 +20,21 @@ import org.apache.spark.sql.functions._
   */
 object SkewJoin {
 
+  /** `saltBasis`: columns the salt hash is computed from. It must be
+    * DETERMINISTIC per row — a nondeterministic salt (row id, rand) can
+    * re-assign rows to different reducers when a fetch failure recomputes
+    * only some map tasks, duplicating/losing join rows (the SPARK-23207
+    * hazard). It should also (a) vary within the hot key, and (b) contain
+    * only columns the query reads anyway, so the salt doesn't widen the
+    * scan and break column pruning. Empty (default) = all columns: always
+    * safe, but reads the full row.
+    */
   def saltedJoin(fact: DataFrame, dim: DataFrame,
-                 factKey: String, dimKey: String, salt: Int = 8): DataFrame = {
-    // any per-row value spreads a hot key; the row id costs nothing and —
-    // unlike hashing the whole row (struct(*)) — leaves column pruning
-    // intact, so the fact scan still reads only the columns the query
-    // needs. The join RESULT is salt-assignment-independent.
+                 factKey: String, dimKey: String, salt: Int = 8,
+                 saltBasis: Seq[String] = Nil): DataFrame = {
+    val basis = if (saltBasis.nonEmpty) saltBasis else fact.columns.toSeq
     val saltedFact = fact.withColumn("__salt",
-      pmod(monotonically_increasing_id(), lit(salt.toLong)))
+      pmod(xxhash64(struct(basis.map(fact(_)): _*)), lit(salt.toLong)))
     val saltedDim = dim.withColumn("__salt",
       explode(sequence(lit(0L), lit(salt.toLong - 1))))
     saltedFact.join(saltedDim,

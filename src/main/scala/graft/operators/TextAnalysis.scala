@@ -84,11 +84,7 @@ object TextAnalysis {
     */
   def repetitionMetrics(df: DataFrame, textCol: String, idCol: String,
                         n: Int = 3): DataFrame = {
-    val ws = split(col(textCol), " ")
-    val grams = when(size(ws) >= n,
-        transform(sequence(lit(1), size(ws) - n + 1),
-          i => concat_ws(" ", slice(ws, i, lit(n)))))
-      .otherwise(array(concat_ws(" ", ws)))
+    val grams = Dedup.ngrams(col(textCol), n)
     df.select(col(idCol),
       size(grams).cast("long").as("n_grams"),
       size(array_distinct(grams)).cast("long").as("n_distinct"),
@@ -120,16 +116,18 @@ object TextAnalysis {
     * LM-perplexity quality filters real curation pipelines run (CCNet
     * style): score each document by the average log corpus-unigram
     * probability of its tokens. Out-of-distribution / gibberish text
-    * scores low. One token shuffle builds the LM; the (small) vocabulary
-    * table then joins back — broadcastable at any corpus size since
-    * vocab ≪ corpus.
+    * scores low. One token shuffle builds the LM; the vocabulary table
+    * then joins back — left to Catalyst/AQE to broadcast when it fits
+    * (web-scale vocabularies can reach 10⁹ entries, where a forced
+    * broadcast would OOM the driver; cut the tail by frequency first if
+    * a broadcast is required). Only the 1-row total is forced.
     */
   def unigramLogProb(df: DataFrame, textCol: String, idCol: String): DataFrame = {
     val tok = df.select(col(idCol).as("doc_id"),
       explode(split(col(textCol), " ")).as("term"))
     val lm = tok.groupBy(col("term")).agg(count(lit(1)).as("n"))
     val total = lm.agg(sum(col("n")).as("t"))
-    tok.join(broadcast(lm), "term").crossJoin(broadcast(total))
+    tok.join(lm, "term").crossJoin(broadcast(total))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_tokens"),
            round(avg(log(col("n") / col("t"))), 6).as("avg_logprob"))

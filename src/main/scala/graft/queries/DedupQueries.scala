@@ -98,7 +98,8 @@ object DedupQueries {
 
     // SimHash with Hamming ≤ 3: 16-bit-chunk banding is LOSSLESS at this
     // distance (pigeonhole: ≤3 differing bits across 4 chunks ⇒ one chunk
-    // equal), so the oracle is plain all-pairs Hamming.
+    // equal) — but the operator also drops docs in over-cap chunk buckets,
+    // so the oracle replays the banding + cap exactly (as d03 does).
     "d04_dedup_simhash" -> QueryDef(
       (s, d) => Dedup.simhashPairs(Tables.documents(s, d), "text", "doc_id",
         maxDist = 3),
@@ -113,11 +114,21 @@ object DedupQueries {
                                                    for h in hl]) > 0
                                      THEN (1::BIGINT << b) ELSE 0 END
                                 for b in range(64)]) AS BIGINT) AS simhash
-               FROM hs)
-        SELECT a.doc_id AS id1, b.doc_id AS id2,
-               CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
-        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-        WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""")),
+               FROM hs),
+        ch AS (SELECT doc_id, simhash, c AS chunk,
+                      (simhash >> (c * 16)) & 65535 AS chunk_val
+               FROM sh, LATERAL (SELECT unnest(range(0, 4)) AS c) t),
+        capped AS (SELECT doc_id, simhash, chunk, chunk_val FROM (
+                     SELECT *, count(*) OVER (PARTITION BY chunk, chunk_val) AS sz
+                     FROM ch)
+                   WHERE sz <= ${graft.operators.Dedup.DefaultBucketCap}),
+        cand AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2,
+                        a.simhash AS h1, b.simhash AS h2
+                 FROM capped a JOIN capped b
+                   ON a.chunk = b.chunk AND a.chunk_val = b.chunk_val
+                  AND a.doc_id < b.doc_id)
+        SELECT id1, id2, CAST(bit_count(xor(h1, h2)) AS BIGINT) AS hamming
+        FROM cand WHERE bit_count(xor(h1, h2)) <= 3""")),
 
     // Pairs → connected components → keeper: the per-document cluster
     // assignment a dedup pipeline actually emits. Oracle = recursive

@@ -392,7 +392,10 @@ object RelationalQueries {
       (s, d) => {
         val li = Tables.lineitem(s, d)
         val ord = Tables.orders(s, d).select(col("o_orderkey"), col("o_orderpriority"))
-        graft.operators.SkewJoin.saltedJoin(li, ord, "l_orderkey", "o_orderkey", salt = 8)
+        // salt basis = the two columns the aggregate reads anyway:
+        // deterministic on recompute AND pruning-neutral
+        graft.operators.SkewJoin.saltedJoin(li, ord, "l_orderkey", "o_orderkey",
+          salt = 8, saltBasis = Seq("l_orderkey", "l_extendedprice"))
           .groupBy(col("o_orderpriority"))
           .agg(count(lit(1)).as("n"),
                round(sum(col("l_extendedprice")), 2).as("gross"))

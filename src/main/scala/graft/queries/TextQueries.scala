@@ -131,9 +131,10 @@ object TextQueries {
                      least(16, strlen(text)) AS w
                    FROM documents)
         SELECT doc_id,
-               list_min([list_reduce(bs[i:i+w-1],
-                           (a, x) -> (a*257 + x) % 2147483647)
-                         for i in range(1, len(bs)-w+2)]) AS rolling_fp
+               CASE WHEN len(bs) = 0 THEN 0 ELSE
+                 list_min([list_reduce(bs[i:i+w-1],
+                             (a, x) -> (a*257 + x) % 2147483647)
+                           for i in range(1, len(bs)-w+2)]) END AS rolling_fp
         FROM b""")),
 
     // Benchmark decontamination: training docs sharing a 5-gram with the
@@ -149,8 +150,12 @@ object TextQueries {
       },
       Some("""
         WITH d AS (SELECT doc_id, string_split(text, ' ') ws FROM documents),
-        sh AS (SELECT DISTINCT doc_id, array_to_string(ws[i:i+4], ' ') AS s
-               FROM d, LATERAL (SELECT unnest(range(1, len(ws) - 3)) AS i) t)
+        sh AS (SELECT doc_id, unnest(
+                 CASE WHEN len(ws) >= 5
+                      THEN list_distinct([array_to_string(ws[i:i+4], ' ')
+                                          for i in range(1, len(ws) - 3)])
+                      ELSE [array_to_string(ws, ' ')] END) AS s
+               FROM d)
         SELECT tr.doc_id AS train_id, ev.doc_id AS eval_id, count(*) AS n_shared
         FROM sh tr JOIN sh ev ON tr.s = ev.s
         WHERE ev.doc_id % 40 = 0 AND tr.doc_id % 40 <> 0
@@ -163,7 +168,10 @@ object TextQueries {
       Some("""
         WITH d AS (SELECT doc_id, string_split(text, ' ') ws FROM documents),
         g AS (SELECT doc_id,
-                [array_to_string(ws[i:i+2], ' ') for i in range(1, len(ws) - 1)] AS grams
+                CASE WHEN len(ws) >= 3
+                     THEN [array_to_string(ws[i:i+2], ' ')
+                           for i in range(1, len(ws) - 1)]
+                     ELSE [array_to_string(ws, ' ')] END AS grams
               FROM d)
         SELECT doc_id,
                CAST(len(grams) AS BIGINT) AS n_grams,

@@ -58,7 +58,12 @@ object GraftRecordFileSink {
   /** Reads the committed manifest back as (task, count, size, md5) rows. */
   def readManifest(spark: org.apache.spark.sql.SparkSession, root: String): Seq[(Int, Long, Long, String)] = {
     val fs = manifestPath(root).getFileSystem(spark.sessionState.newHadoopConf())
-    val in = fs.open(manifestPath(root))
+    readManifestFrom(fs, manifestPath(root))
+  }
+
+  private def readManifestFrom(fs: org.apache.hadoop.fs.FileSystem,
+                               p: HPath): Seq[(Int, Long, Long, String)] = {
+    val in = fs.open(p)
     val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
     text.linesIterator.filter(_.nonEmpty).map { line =>
       val cols = line.split(",")
@@ -107,13 +112,29 @@ object GraftRecordFileSink {
       new SinkWriterFactory(schema, root, conf)
     }
 
-    /** All tasks committed → write the manifest LAST (the commit marker). */
+    /** All tasks committed → write the manifest LAST (the commit marker).
+      * A task_number split across Spark partitions would have clobbered
+      * its own file, so duplicates FAIL the commit loudly (writers can't
+      * see each other; this is where the invariant is checkable). Append
+      * mode merges with the existing manifest so earlier batches' tasks
+      * stay visible.
+      */
     override def commit(messages: Array[WriterCommitMessage]): Unit = {
-      val rows = messages.flatMap { case m: TaskManifest => m.entries }
-        .sortBy(_._1)
-        .map { case (t, n, bytes, md5) => s"$t,$n,$bytes,$md5" }
+      val entries = messages.flatMap { case m: TaskManifest => m.entries }
+      val dupes = entries.groupBy(_._1).filter(_._2.length > 1).keys
+      if (dupes.nonEmpty)
+        throw new IllegalStateException(
+          s"task_number(s) ${dupes.toSeq.sorted.mkString(",")} were written by " +
+          "multiple partitions (files clobbered) — repartition the input by " +
+          "task_number before writing to this sink")
       val p = manifestPath(root)
       val fs = p.getFileSystem(conf.value)
+      val prior: Seq[(Int, Long, Long, String)] =
+        if (!truncate && fs.exists(p))
+          readManifestFrom(fs, p).filterNot(e => entries.exists(_._1 == e._1))
+        else Nil
+      val rows = (prior ++ entries).sortBy(_._1)
+        .map { case (t, n, bytes, md5) => s"$t,$n,$bytes,$md5" }
       val out = fs.create(p, true)
       try out.write((rows.mkString("\n") + "\n").getBytes("UTF-8"))
       finally out.close()
@@ -149,7 +170,7 @@ object GraftRecordFileSink {
     private val toRow = GraftSqlShim.internalToRow(schema)
 
     private final class Handle(task: Int) {
-      private val path = new HPath(s"${recordsDir(root)}/task-$task/data.avro")
+      val path = new HPath(s"${recordsDir(root)}/task-$task/data.avro")
       private val digest = java.security.MessageDigest.getInstance("MD5")
       var bytes = 0L
       var count = 0L
@@ -184,7 +205,15 @@ object GraftRecordFileSink {
         val md5 = h.finish()
         (t, h.count, h.bytes, md5)
       }.toVector)
-    override def abort(): Unit = open.valuesIterator.foreach(_.abort())
+    /** A failed attempt must not leave partial container files behind —
+      * close the encoders AND delete what this writer created (the
+      * driver-side abort only sees tasks that returned commit messages).
+      */
+    override def abort(): Unit = open.valuesIterator.foreach { h =>
+      h.abort()
+      try h.path.getFileSystem(conf.value).delete(h.path, false)
+      catch { case scala.util.control.NonFatal(_) => () }
+    }
     override def close(): Unit = ()
   }
 }

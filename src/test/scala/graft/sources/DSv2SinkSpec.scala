@@ -54,6 +54,31 @@ class DSv2SinkSpec extends SparkSpec {
     fs.exists(new org.apache.hadoop.fs.Path(s"$root/records/task-2/data.avro")) shouldBe false
   }
 
+  test("append merges the manifest across batches") {
+    val root = freshRoot()
+    input.filter(col("task_number") < 2)
+      .write.format("graft.sources.GraftRecordFileSink")
+      .option("root", root).mode("append").save()
+    input.filter(col("task_number") === 2)
+      .write.format("graft.sources.GraftRecordFileSink")
+      .option("root", root).mode("append").save()
+    val manifest = GraftRecordFileSink.readManifest(spark, root)
+    manifest.map(_._1).sorted shouldBe Seq(0, 1, 2) // batch 1's tasks survive
+    manifest.map(_._2).sum shouldBe input.count()
+  }
+
+  test("a task split across partitions fails the commit loudly, no manifest") {
+    val root = freshRoot()
+    val split = input.repartition(4) // round-robin: tasks span partitions
+    intercept[Exception] {
+      split.write.format("graft.sources.GraftRecordFileSink")
+        .option("root", root).mode("append").save()
+    }
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    fs.exists(new org.apache.hadoop.fs.Path(s"$root/records/_manifest.json")) shouldBe false
+  }
+
   test("a failing write leaves NO manifest (commit marker is last)") {
     val root = freshRoot()
     val boom = udf((id: Long) => {
