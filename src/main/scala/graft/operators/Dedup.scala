@@ -301,4 +301,31 @@ object Dedup {
       .filter(col("hamming") <= maxDist)
       .select(col("id1"), col("id2"), col("hamming").cast("long").as("hamming"))
   }
+
+  /** Sub-document (chunk-level) exact dedup — the scalable stand-in for
+    * suffix-array substring dedup: cut each document into consecutive
+    * `chunkWords`-word chunks, keep the globally-first occurrence of each
+    * distinct chunk (order: doc id, then chunk index), and report per-doc
+    * duplication. The shuffle carries (md5(chunk), doc, idx) — 128-bit
+    * hashes, never chunk text — and the one window per chunk-hash group
+    * is the whole cost; no pairwise work at any scale.
+    */
+  def chunkDedup(df: DataFrame, textCol: String, idCol: String,
+                 chunkWords: Int): DataFrame = {
+    val ws = split(col(textCol), " ")
+    val chunks = transform(
+      sequence(lit(0), ceil(size(ws).cast("double") / chunkWords).cast("int") - 1),
+      i => concat_ws(" ", slice(ws, i * chunkWords + 1, lit(chunkWords))))
+    val exploded = df.select(col(idCol).as("doc_id"), posexplode(chunks))
+      .select(col("doc_id"), col("pos").as("chunk_idx"),
+              md5(col("col").cast("binary")).as("chunk_md5"))
+    val ranked = exploded.withColumn("rn", row_number().over(
+      Window.partitionBy(col("chunk_md5"))
+        .orderBy(col("doc_id"), col("chunk_idx"))))
+    ranked.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_chunks"),
+           sum((col("rn") > 1).cast("long")).as("n_dup_chunks"))
+      .withColumn("uniq_ratio",
+        round(lit(1.0) - col("n_dup_chunks").cast("double") / col("n_chunks"), 6))
+  }
 }

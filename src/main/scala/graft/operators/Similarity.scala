@@ -231,6 +231,39 @@ object Similarity {
       .agg(round(avg(col("col").cast("double")), 6).as("centroid"))
       .select(col("grp"), col("pos").cast("long").as("pos"), col("centroid"))
 
+  /** Nearest-centroid assignment (the k-means E-step / vector-quantizer
+    * encode): every vector is scored against every centroid via the
+    * codegen'd dot kernel and assigned by squared L2 distance
+    * (‖x‖² − 2·x·c + ‖c‖², same algebraic form the oracle replays).
+    * Centroids are a flat (grp, pos, centroid) frame as produced by
+    * [[centroids]]; they reassemble to k small vectors and BROADCAST —
+    * the corpus is scanned once and never shuffled; the k-way scoring is
+    * per-row compute. Ties break toward the lexically-smallest centroid
+    * id. Returns a (true-group → assigned-centroid) confusion summary
+    * with mean distance — flat output, bounded by k².
+    */
+  def assignToCentroids(vectors: DataFrame, cents: DataFrame,
+                        idCol: String, groupCol: String, vecCol: String): DataFrame = {
+    val cvec = cents.groupBy(col("grp"))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("centroid")))),
+        s => s.getField("centroid")).as("cv"))
+      .select(col("grp").as("assigned"), col("cv"),
+              dot(col("cv"), col("cv")).as("cc"))
+    val v = vectors.select(col(idCol).as("id"), col(groupCol).as("grp_true"),
+        col(vecCol).cast("array<double>").as("v"))
+      .withColumn("vv", dot(col("v"), col("v")))
+    v.crossJoin(broadcast(cvec))
+      .select(col("id"), col("grp_true"), col("assigned"),
+        (col("vv") - lit(2.0) * dot(col("v"), col("cv")) + col("cc")).as("dist2"))
+      // map-side-combined argmin: the shuffle carries one (dist2, assigned)
+      // struct per vector, never the vectors themselves
+      .groupBy(col("id"), col("grp_true"))
+      .agg(min(struct(col("dist2"), col("assigned"))).as("best"))
+      .groupBy(col("grp_true"), col("best.assigned").as("assigned"))
+      .agg(count(lit(1)).as("n"),
+           round(avg(col("best.dist2")), 4).as("avg_dist2"))
+  }
+
   def cosinePairsLsh(corpus: DataFrame, threshold: Double, dim: Int,
                      nBits: Int = 12, tables: Int = 8,
                      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {

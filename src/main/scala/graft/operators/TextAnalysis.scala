@@ -163,6 +163,102 @@ object TextAnalysis {
       Seq("score" -> true, "doc_id" -> false), k)
   }
 
+  /** Email/phone patterns for PII scrubbing. Kept to RE2-compatible
+    * syntax (char classes + bounded repeats, no backrefs) so the Java
+    * regex engine and the DuckDB oracle's RE2 match identically.
+    */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhoneRe = "\\b555-[0-9]{4}\\b"
+
+  /** PII scan + redaction: occurrence counts per pattern and the scrubbed
+    * text. Pure regex column math — fuses into the scan's codegen stage,
+    * zero shuffles; at 100 TB this is the cheapest possible shape (one
+    * pass, no data movement). Redacted text returned as a column so
+    * callers can either persist it or fingerprint it.
+    */
+  def piiRedact(df: DataFrame, textCol: String): DataFrame = {
+    val t = col(textCol)
+    df.withColumn("n_emails", regexp_count(t, lit(EmailRe)).cast("long"))
+      .withColumn("n_phones", regexp_count(t, lit(PhoneRe)).cast("long"))
+      .withColumn("redacted",
+        regexp_replace(regexp_replace(t, EmailRe, "<EMAIL>"), PhoneRe, "<PHONE>"))
+  }
+
+  /** Gopher-style hard quality rules: each document gets a per-rule pass
+    * flag, a combined keep flag, and a bitmask for triage dashboards.
+    * Single-pass column math, no shuffle. Thresholds follow the published
+    * Gopher/FineWeb heuristics adapted to whitespace tokenization.
+    */
+  def qualityRules(df: DataFrame, textCol: String): DataFrame = {
+    val ws = split(col(textCol), " ")
+    val nWords = size(ws).cast("double")
+    val meanLen = (length(col(textCol)).cast("double") - (nWords - 1)) / nWords
+    val anyMarkers = Seq("en", "es", "de", "fr")
+      .map(l => markerCount(ws, l)).reduce(_ + _)
+    val grams = Dedup.ngrams(col(textCol), 3)
+    val repRatio = lit(1.0) - size(array_distinct(grams)).cast("double") /
+      size(grams).cast("double")
+    val alphaRatio = length(regexp_replace(col(textCol), "[^a-zA-Z]", "")).cast("double") /
+      length(col(textCol)).cast("double")
+    val rules = Seq(
+      "r_word_count" -> (nWords >= 50 && nWords <= 100000),
+      "r_mean_word_len" -> (meanLen >= 3.0 && meanLen <= 10.0),
+      "r_stopwords" -> (anyMarkers >= 2),
+      "r_repetition" -> (repRatio <= 0.5),
+      "r_alpha" -> (alphaRatio >= 0.7))
+    val withRules = rules.foldLeft(df) { case (acc, (name, cond)) =>
+      acc.withColumn(name, cond.cast("long"))
+    }
+    withRules
+      .withColumn("rule_mask", rules.zipWithIndex.map { case ((n, _), i) =>
+        col(n) * lit(1L << i) }.reduce(_ + _))
+      .withColumn("keep", rules.map { case (n, _) => col(n) === 1L }
+        .reduce(_ && _).cast("long"))
+  }
+
+  /** Greedy sequence packing for training-batch assembly: within each
+    * group (a shard key — language here), documents are laid out in a
+    * deterministic order and cut into bins of ~`budget` tokens by the
+    * running prefix sum (a document starts a new bin when its START
+    * offset crosses a budget boundary; bins absorb the overflow of their
+    * last doc — the standard contiguous-fill packing). One window shuffle
+    * per shard key; at 100 TB the group key keeps window state per-shard,
+    * never global.
+    */
+  def sequencePacking(df: DataFrame, textCol: String, idCol: String,
+                      groupCol: String, budget: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tokens = tokenCount(col(textCol))
+    val w = Window.partitionBy(col("grp")).orderBy(col("id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.select(col(groupCol).as("grp"), col(idCol).as("id"), tokens.as("tokens"))
+      .withColumn("bin", floor((sum(col("tokens")).over(w) - col("tokens")) / budget))
+      .groupBy(col("grp"), col("bin"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("tokens")).as("bin_tokens"),
+           min(col("id")).as("first_id"), max(col("id")).as("last_id"))
+  }
+
+  /** Deterministic stratified rebalancing: downsample every stratum to
+    * the size of the smallest one via portable-hash acceptance, so the
+    * sample is a pure function of ids — stable across runs, engines, and
+    * re-sharding (no rand()). Strata counts are one small aggregate that
+    * broadcasts back; the corpus itself is filtered in place with no
+    * extra shuffle.
+    */
+  def stratifiedRebalance(df: DataFrame, idCol: String,
+                          stratumCol: String): DataFrame = {
+    val counts = df.groupBy(col(stratumCol)).agg(count(lit(1)).as("n_total"))
+    val target = counts.agg(min(col("n_total")).as("target"))
+    val h = pmod(graft.functions.PortableHash.md5_64(col(idCol).cast("string")),
+      lit(1000000L))
+    df.join(broadcast(counts), stratumCol)
+      .crossJoin(broadcast(target))
+      .withColumn("kept",
+        (h < floor(col("target") * lit(1000000L) / col("n_total"))).cast("long"))
+      .groupBy(col(stratumCol))
+      .agg(max(col("n_total")).as("n_total"), sum(col("kept")).as("n_kept"))
+  }
+
   /** Order-sensitive 60-bit document fingerprint: portable MD5-derived
     * hash of the whitespace-normalized text (exact-content identity,
     * cheap at any scale, replicable by the DuckDB oracle).

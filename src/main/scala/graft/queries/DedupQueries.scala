@@ -190,6 +190,27 @@ object DedupQueries {
                                             CAST(b.embedding AS DOUBLE[])), 6) AS sim
         FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
         WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
-                                     CAST(b.embedding AS DOUBLE[])) >= 0.4"""))
+                                     CAST(b.embedding AS DOUBLE[])) >= 0.4""")),
+
+    // Sub-document chunk dedup (suffix-array-dedup stand-in): global
+    // first-occurrence keeper per 4-word chunk, per-doc duplication stats.
+    "d08_chunk_dedup" -> QueryDef(
+      (s, d) => Dedup.chunkDedup(Tables.documents(s, d), "text", "doc_id",
+        chunkWords = 4),
+      Some("""
+        WITH dd AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        ch AS (SELECT doc_id, i AS chunk_idx,
+                 array_to_string(ws[4*i+1 : 4*i+4], ' ') AS chunk
+               FROM dd, LATERAL (SELECT unnest(range(0,
+                 CAST(ceil(len(ws) / 4.0) AS BIGINT))) AS i) t),
+        r AS (SELECT doc_id, chunk_idx,
+                row_number() OVER (PARTITION BY chunk
+                                   ORDER BY doc_id, chunk_idx) AS rn
+              FROM ch)
+        SELECT doc_id, count(*) AS n_chunks,
+               CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_chunks,
+               round(1 - sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) * 1.0 / count(*), 6)
+                 AS uniq_ratio
+        FROM r GROUP BY 1"""))
   )
 }

@@ -113,6 +113,51 @@ object EventQueries {
          AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
         WHERE c.event_type = 'click' AND p.event_type = 'purchase'""")),
 
+    // Time-series resample + gap fill: a per-user daily spine (generated
+    // with sequence(), one row per day between the user's first and last
+    // activity), missing days zero-filled for counts and forward-filled
+    // for the running value (last non-null over an ordered window). The
+    // spine generation is per-group arithmetic — no cross join against a
+    // global calendar — and the fill is one window per user partition.
+    "q66_gapfill_resample" -> QueryDef(
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val daily = Tables.events(s, d)
+          .groupBy(col("user_id"), date_trunc("day", col("ts")).as("day"))
+          .agg(count(lit(1)).as("n_events"),
+               round(sum(col("value")), 4).as("day_value"))
+        val spine = daily.groupBy(col("user_id"))
+          .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+          .select(col("user_id"),
+                  explode(sequence(col("d0"), col("d1"),
+                    expr("interval 1 day"))).as("day"))
+        val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        spine.join(daily, Seq("user_id", "day"), "left")
+          .select(col("user_id"), col("day"),
+                  coalesce(col("n_events"), lit(0L)).as("n_events"),
+                  last(col("day_value"), ignoreNulls = true).over(w)
+                    .as("filled_value"))
+      },
+      Some("""
+        WITH daily AS (SELECT user_id, date_trunc('day', ts) AS day,
+                              count(*) AS n_events,
+                              round(sum(value), 4) AS day_value
+                       FROM events GROUP BY 1, 2),
+        spine AS (SELECT user_id,
+                         unnest(generate_series(min(day), max(day),
+                                                INTERVAL 1 DAY)) AS day
+                  FROM daily GROUP BY user_id),
+        f AS (SELECT s.user_id, s.day,
+                     coalesce(d.n_events, 0) AS n_events, d.day_value
+              FROM spine s LEFT JOIN daily d
+                ON s.user_id = d.user_id AND s.day = d.day)
+        SELECT user_id, day, CAST(n_events AS BIGINT) AS n_events,
+               last_value(day_value IGNORE NULLS) OVER (
+                 PARTITION BY user_id ORDER BY day
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_value
+        FROM f""")),
+
     // Funnel analysis: per-user view → click → purchase conversion via
     // first-occurrence timestamps (one hash-aggregate over the events,
     // conditional min per stage — no self-joins, no window sorts).

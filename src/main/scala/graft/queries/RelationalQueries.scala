@@ -232,6 +232,25 @@ object RelationalQueries {
   // --------------------------------------------------------------- joins
 
   private def joins: Map[String, QueryDef] = Map(
+    // Blocked fuzzy join (entity resolution): part names collapse to
+    // distinct values with counts BEFORE any pairwise scoring, blocked on
+    // the trailing word, Levenshtein ≤ 2 within block; row-pair counts
+    // recovered arithmetically. Never scores raw-row pairs.
+    "q67_fuzzy_join_blocked" -> QueryDef(
+      (s, d) => graft.operators.EntityResolution.blockedFuzzyPairs(
+        Tables.part(s, d)
+          .withColumn("noun", split(col("p_name"), " ").getItem(1)),
+        attrCol = "p_name", blockCol = "noun", maxDist = 2),
+      Some("""
+        WITH v AS (SELECT string_split(p_name, ' ')[2] AS blk, p_name AS value,
+                          count(*) AS cnt
+                   FROM part GROUP BY 1, 2)
+        SELECT a.blk AS block, a.value AS value_a, b.value AS value_b,
+               CAST(levenshtein(a.value, b.value) AS BIGINT) AS lev,
+               CAST(a.cnt * b.cnt AS BIGINT) AS n_row_pairs
+        FROM v a JOIN v b ON a.blk = b.blk AND a.value < b.value
+        WHERE levenshtein(a.value, b.value) BETWEEN 1 AND 2""")),
+
     // TPC-H Q5 shape: 4-way join; nation/region broadcast, orders↔lineitem
     // shuffle-hash/SMJ on the fact keys.
     "q20_join_revenue_by_nation" -> QueryDef(
@@ -518,6 +537,30 @@ object RelationalQueries {
   // ------------------------------------------------------------- windows
 
   private def windows: Map[String, QueryDef] = Map(
+    // Time-RANGE window frame: 7-day trailing revenue per customer. The
+    // frame is value-based (interval on the ORDER BY timestamp), not
+    // row-based — each row's window is [ts − 6 days, ts]. Spark needs a
+    // numeric ORDER BY for rangeBetween, so the timestamp orders by its
+    // epoch-millis; identical arithmetic to DuckDB's INTERVAL frame
+    // (UTC, no DST). One shuffle by customer, sorted once.
+    "q42_window_range_frame" -> QueryDef(
+      (s, d) => {
+        val w = Window.partitionBy(col("o_custkey"))
+          .orderBy(unix_millis(col("o_orderdate").cast("timestamp")))
+          .rangeBetween(-6L * 86400000L, 0L)
+        Tables.orders(s, d)
+          .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"),
+                  count(lit(1)).over(w).as("n_in_window"),
+                  round(sum(col("o_totalprice")).over(w), 4).as("trailing_rev"))
+      },
+      Some("""
+        SELECT o_orderkey, o_custkey, o_orderdate,
+               count(*) OVER w AS n_in_window,
+               round(sum(o_totalprice) OVER w, 4) AS trailing_rev
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate
+                     RANGE BETWEEN INTERVAL 6 DAY PRECEDING AND CURRENT ROW)""")),
+
     // Top-3 per group via row_number with a total (unique) ordering.
     "q30_window_topk_per_group" -> QueryDef(
       (s, d) => {

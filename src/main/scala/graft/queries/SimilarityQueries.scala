@@ -103,6 +103,39 @@ object SimilarityQueries {
         SELECT vec_id,
                round(list_dot_product(CAST(embedding AS DOUBLE[]),
                                       CAST(embedding AS DOUBLE[])), 4) AS self_dot
-        FROM embeddings"""))
+        FROM embeddings""")),
+
+    // Nearest-centroid assignment (k-means E-step / IVF coarse-quantizer
+    // encode): per-language centroids from s06's machinery, every vector
+    // assigned by squared L2 against the broadcast centroid set; output
+    // is the (true lang → assigned centroid) confusion summary.
+    "s07_centroid_assign" -> QueryDef(
+      (s, d) => {
+        val v = Tables.embeddings(s, d).join(
+          Tables.documents(s, d).select(col("doc_id"), col("lang")),
+          col("vec_id") === col("doc_id"))
+        val cents = Similarity.centroids(v, "lang", "embedding")
+        Similarity.assignToCentroids(v, cents, "vec_id", "lang", "embedding")
+          .withColumnRenamed("grp_true", "lang")
+      },
+      Some("""
+        WITH v AS (SELECT e.vec_id, d.lang, CAST(e.embedding AS DOUBLE[]) AS vd
+                   FROM embeddings e JOIN documents d ON e.vec_id = d.doc_id),
+        c AS (SELECT lang AS cl, i - 1 AS pos,
+                round(avg(vd[i]), 6) AS centroid
+              FROM v, LATERAL (SELECT unnest(range(1, len(vd) + 1)) AS i) t
+              GROUP BY 1, 2),
+        cv AS (SELECT cl, list(centroid ORDER BY pos) AS cvec FROM c GROUP BY 1),
+        sc AS (SELECT vec_id, lang, cl,
+                 list_inner_product(vd, vd) - 2 * list_inner_product(vd, cvec)
+                   + list_inner_product(cvec, cvec) AS dist2
+               FROM v CROSS JOIN cv),
+        b AS (SELECT vec_id, lang, cl, dist2,
+                row_number() OVER (PARTITION BY vec_id
+                                   ORDER BY dist2, cl) AS rn
+              FROM sc)
+        SELECT lang, cl AS assigned, count(*) AS n,
+               round(avg(dist2), 4) AS avg_dist2
+        FROM b WHERE rn = 1 GROUP BY 1, 2"""))
   )
 }

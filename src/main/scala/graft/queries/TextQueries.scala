@@ -13,6 +13,12 @@ object TextQueries {
   private def inList(lang: String): String =
     TextAnalysis.markers(lang).map(w => s"'$w'").mkString("(", ",", ")")
 
+  // the four marker sets are disjoint, so the any-language marker count
+  // (sum of per-language counts) equals one membership test on the union
+  private def inAllMarkers: String =
+    Seq("en", "es", "de", "fr").flatMap(TextAnalysis.markers)
+      .map(w => s"'$w'").mkString("(", ",", ")")
+
   def defs: Map[String, QueryDef] = Map(
 
     "t01_lang_id" -> QueryDef(
@@ -255,6 +261,115 @@ object TextQueries {
                                         ORDER BY score DESC, term ASC) AS rank
                    FROM scored)
         SELECT doc_id, term, score, rank FROM ranked WHERE rank <= 3""")),
+
+    // PII scan + redaction. The corpus has no real PII, so a deterministic
+    // contact string derived from doc_id is appended to every third doc on
+    // BOTH sides — the gate checks the regex scan/redact machinery, with
+    // the redacted text compared via portable fingerprint.
+    "t13_pii_redaction" -> QueryDef(
+      (s, d) => {
+        val aug = when(col("doc_id") % 3 === 0,
+          concat(col("text"), lit(" contact user"), col("doc_id"),
+                 lit("@example.com or call 555-"),
+                 lpad(pmod(col("doc_id"), lit(10000L)).cast("string"), 4, "0")))
+          .otherwise(col("text"))
+        TextAnalysis.piiRedact(
+            Tables.documents(s, d).withColumn("aug", aug), "aug")
+          .select(col("doc_id"), col("n_emails"), col("n_phones"),
+                  PH.md5_64(col("redacted")).as("redacted_fp"))
+      },
+      Some(s"""
+        WITH a AS (SELECT doc_id,
+                     CASE WHEN doc_id % 3 = 0
+                          THEN text || ' contact user' || doc_id ||
+                               '@example.com or call 555-' ||
+                               lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                          ELSE text END AS aug
+                   FROM documents),
+        r AS (SELECT doc_id, aug,
+                regexp_replace(regexp_replace(aug,
+                  '${TextAnalysis.EmailRe}', '<EMAIL>', 'g'),
+                  '${TextAnalysis.PhoneRe}', '<PHONE>', 'g') AS redacted
+              FROM a)
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(aug, '${TextAnalysis.EmailRe}')) AS BIGINT) AS n_emails,
+               CAST(len(regexp_extract_all(aug, '${TextAnalysis.PhoneRe}')) AS BIGINT) AS n_phones,
+               ${PH.sqlMd5_64("redacted")} AS redacted_fp
+        FROM r""")),
+
+    // Gopher-style hard quality rules: per-rule flags + bitmask + keep.
+    "t14_quality_rules" -> QueryDef(
+      (s, d) => TextAnalysis.qualityRules(Tables.documents(s, d), "text")
+        .select(col("doc_id"), col("r_word_count"), col("r_mean_word_len"),
+                col("r_stopwords"), col("r_repetition"), col("r_alpha"),
+                col("rule_mask"), col("keep")),
+      Some(s"""
+        WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS ws FROM documents),
+        g AS (SELECT doc_id, text, ws,
+                CASE WHEN len(ws) >= 3
+                     THEN [array_to_string(ws[i:i+2], ' ')
+                           for i in range(1, len(ws) - 1)]
+                     ELSE [array_to_string(ws, ' ')] END AS grams
+              FROM t),
+        m AS (SELECT doc_id,
+                CAST(len(ws) AS DOUBLE) AS nw,
+                (CAST(strlen(text) AS DOUBLE) - (len(ws) - 1)) / len(ws) AS mean_len,
+                len(list_filter(ws, w -> w IN ${inAllMarkers})) AS marks,
+                1 - len(list_distinct(grams)) * 1.0 / len(grams) AS rep,
+                CAST(strlen(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)
+                  / strlen(text) AS alpha
+              FROM g),
+        r AS (SELECT doc_id,
+                CASE WHEN nw >= 50 AND nw <= 100000 THEN 1 ELSE 0 END AS r1,
+                CASE WHEN mean_len >= 3.0 AND mean_len <= 10.0 THEN 1 ELSE 0 END AS r2,
+                CASE WHEN marks >= 2 THEN 1 ELSE 0 END AS r3,
+                CASE WHEN rep <= 0.5 THEN 1 ELSE 0 END AS r4,
+                CASE WHEN alpha >= 0.7 THEN 1 ELSE 0 END AS r5
+              FROM m)
+        SELECT doc_id,
+               CAST(r1 AS BIGINT) AS r_word_count,
+               CAST(r2 AS BIGINT) AS r_mean_word_len,
+               CAST(r3 AS BIGINT) AS r_stopwords,
+               CAST(r4 AS BIGINT) AS r_repetition,
+               CAST(r5 AS BIGINT) AS r_alpha,
+               CAST(r1 + r2*2 + r3*4 + r4*8 + r5*16 AS BIGINT) AS rule_mask,
+               CAST(r1*r2*r3*r4*r5 AS BIGINT) AS keep
+        FROM r""")),
+
+    // Greedy sequence packing into ~2048-token bins per language shard
+    // (prefix-sum bin assignment — deterministic, one window per shard).
+    "t15_sequence_packing" -> QueryDef(
+      (s, d) => TextAnalysis.sequencePacking(Tables.documents(s, d),
+          "text", "doc_id", "lang", budget = 2048)
+        .withColumnRenamed("grp", "lang"),
+      Some("""
+        WITH t AS (SELECT lang, doc_id,
+                     CAST(len(string_split(text, ' ')) AS BIGINT) AS tokens
+                   FROM documents),
+        c AS (SELECT lang, doc_id, tokens,
+                sum(tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+              FROM t)
+        SELECT lang, CAST(floor((cum - tokens) * 1.0 / 2048) AS BIGINT) AS bin,
+               count(*) AS n_docs, CAST(sum(tokens) AS BIGINT) AS bin_tokens,
+               min(doc_id) AS first_id, max(doc_id) AS last_id
+        FROM c GROUP BY 1, 2""")),
+
+    // Deterministic stratified rebalancing: every language stratum
+    // downsampled to the smallest stratum via portable-hash acceptance.
+    "t16_stratified_sample" -> QueryDef(
+      (s, d) => TextAnalysis.stratifiedRebalance(Tables.documents(s, d),
+        "doc_id", "lang"),
+      Some(s"""
+        WITH c AS (SELECT lang, count(*) AS n_total FROM documents GROUP BY 1),
+        t AS (SELECT min(n_total) AS target FROM c),
+        k AS (SELECT d.lang, c.n_total,
+                CASE WHEN ${PH.sqlMd5_64("CAST(doc_id AS VARCHAR)")} % 1000000
+                       < floor(t.target * 1000000 * 1.0 / c.n_total)
+                     THEN 1 ELSE 0 END AS kept
+              FROM documents d JOIN c USING (lang) CROSS JOIN t)
+        SELECT lang, max(n_total) AS n_total, CAST(sum(kept) AS BIGINT) AS n_kept
+        FROM k GROUP BY 1""")),
 
     "t04_fingerprint" -> QueryDef(
       (s, d) => Tables.documents(s, d)

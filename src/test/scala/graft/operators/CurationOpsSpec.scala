@@ -1,0 +1,116 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Unit coverage for the round-3 curation operators on crafted inputs
+  * where the expected answer is computable by hand: chunk dedup, quality
+  * rules, PII redaction, sequence packing, stratified rebalancing,
+  * blocked fuzzy matching, centroid assignment.
+  */
+class CurationOpsSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("chunkDedup flags the globally-later copy of a shared chunk") {
+    val docs = Seq(
+      (1L, "a b c d e f g h"),          // chunks: "a b c d", "e f g h"
+      (2L, "a b c d x y z w"),          // first chunk duplicates doc 1's
+      (3L, "p q r")                     // one short chunk, unique
+    ).toDF("doc_id", "text")
+    val out = Dedup.chunkDedup(docs, "text", "doc_id", chunkWords = 4)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    out(1L) shouldBe ((2L, 0L))
+    out(2L) shouldBe ((2L, 1L))
+    out(3L) shouldBe ((1L, 0L))
+  }
+
+  test("qualityRules: rule flags, bitmask arithmetic, and keep flag") {
+    // 64 distinct 4-letter words (mean length ≥ 3, no repetition, alpha
+    // ratio 4/5) plus two stopword markers
+    val good = "the and " + (for (a <- 'a' to 'h'; b <- 'a' to 'h')
+      yield s"w$a${b}x").mkString(" ")
+    val repetitive = "spam ham " * 40                   // rep_ratio ≈ 1
+    val short = "tiny doc"                              // fails word count
+    val docs = Seq((1L, good), (2L, repetitive.trim), (3L, short))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.qualityRules(docs, "text")
+      .select("doc_id", "r_word_count", "r_repetition", "rule_mask", "keep")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    out(1L)._1 shouldBe 1L          // long enough
+    out(1L)._4 shouldBe 1L          // passes everything
+    out(1L)._3 shouldBe 31L         // all five bits set
+    out(2L)._2 shouldBe 0L          // repetition rule fails
+    out(2L)._4 shouldBe 0L
+    out(3L)._1 shouldBe 0L          // too short
+    out(3L)._4 shouldBe 0L
+  }
+
+  test("piiRedact counts and scrubs emails and 555-phone patterns") {
+    val docs = Seq(
+      (1L, "reach me at jane.doe@example.org or 555-0142 thanks"),
+      (2L, "no contact info here")).toDF("doc_id", "text")
+    val out = TextAnalysis.piiRedact(docs, "text")
+      .select("doc_id", "n_emails", "n_phones", "redacted")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    out(1L)._1 shouldBe 1L
+    out(1L)._2 shouldBe 1L
+    out(1L)._3 shouldBe "reach me at <EMAIL> or <PHONE> thanks"
+    out(2L) shouldBe ((0L, 0L, "no contact info here"))
+  }
+
+  test("sequencePacking bins by the prefix-sum start offset within each group") {
+    // tokens: 4, 4, 4 with budget 8 → starts at 0, 4, 8 → bins 0, 0, 1
+    val docs = Seq(
+      ("g", 1L, "w w w w"), ("g", 2L, "x x x x"), ("g", 3L, "y y y y"))
+      .toDF("lang", "doc_id", "text")
+    val out = TextAnalysis.sequencePacking(docs, "text", "doc_id", "lang", 8)
+      .orderBy("bin").collect()
+    out.map(_.getLong(1)) shouldBe Array(0L, 1L)
+    out.map(_.getLong(2)) shouldBe Array(2L, 1L)          // docs per bin
+    out.map(_.getLong(3)) shouldBe Array(8L, 4L)          // tokens per bin
+  }
+
+  test("stratifiedRebalance keeps the whole smallest stratum and shrinks the rest") {
+    val docs = (1L to 300L).map(i => (i, if (i <= 60) "small" else "big"))
+      .toDF("doc_id", "stratum")
+    val out = TextAnalysis.stratifiedRebalance(docs, "doc_id", "stratum")
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    out("small") shouldBe ((60L, 60L))                    // threshold = 100%
+    out("big")._1 shouldBe 240L
+    // hash acceptance targets 60/240 = 25%; allow sampling noise
+    out("big")._2.toDouble shouldBe (60.0 +- 25.0)
+  }
+
+  test("blockedFuzzyPairs scores only within blocks and multiplies row counts") {
+    val rows = Seq.fill(3)("cold plate") ++ Seq.fill(2)("old plate") ++
+      Seq("old gear", "cold ring", "bold plate")
+    val df = rows.zipWithIndex.map { case (n, i) => (i.toLong, n) }
+      .toDF("id", "name")
+      .withColumn("noun", split(col("name"), " ").getItem(1))
+    val out = EntityResolution.blockedFuzzyPairs(df, "name", "noun", maxDist = 2)
+      .collect().map(r => (r.getString(1), r.getString(2)) ->
+        (r.getLong(3), r.getLong(4))).toMap
+    out(("bold plate", "cold plate")) shouldBe ((1L, 3L))
+    out(("bold plate", "old plate")) shouldBe ((1L, 2L))  // drop the 'b'
+    out(("cold plate", "old plate")) shouldBe ((1L, 6L))  // 3 × 2 row pairs
+    // "old gear" and "cold ring" are in other blocks: no cross-block pairs
+    out.keys.flatMap(p => Seq(p._1, p._2)) should not contain "old gear"
+  }
+
+  test("assignToCentroids sends every vector to its own cluster's centroid") {
+    val vecs = (0 until 20).map { i =>
+      val grp = if (i % 2 == 0) "lo" else "hi"
+      val base = if (grp == "lo") 0.0f else 10.0f
+      (i.toLong, grp, Array(base + i % 3 * 0.1f, base - i % 2 * 0.1f))
+    }.toDF("vec_id", "grp", "embedding")
+    val cents = Similarity.centroids(vecs, "grp", "embedding")
+    val out = Similarity.assignToCentroids(vecs, cents, "vec_id", "grp", "embedding")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    out(("lo", "lo")) shouldBe 10L
+    out(("hi", "hi")) shouldBe 10L
+    out.keySet shouldBe Set(("lo", "lo"), ("hi", "hi"))   // diagonal only
+  }
+}
