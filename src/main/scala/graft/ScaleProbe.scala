@@ -20,7 +20,9 @@ object ScaleProbe {
   private val DefaultProbes = Seq(
     "q43_range_join_banded", "t04_fingerprint", "t07_tfidf_top_terms",
     "t08_decontamination", "t09_repetition_ratio",
-    "s06_centroids_by_lang", "d03_dedup_minhash_lsh")
+    "s06_centroids_by_lang", "d03_dedup_minhash_lsh",
+    "d08_chunk_dedup", "q42_window_range_frame", "q66_gapfill_resample",
+    "q67_fuzzy_join_blocked", "s07_centroid_assign", "t15_sequence_packing")
 
   private val IdShift = 10000000L
   private val DayShift = 4000 // > TPC-H date span, so copies never overlap
@@ -53,6 +55,24 @@ object ScaleProbe {
         .withColumn("o_orderdate",
           col("o_orderdate") + expr(s"interval ${c * DayShift} days"))
     }.write.mode("overwrite").parquet(s"$out/orders.parquet")
+
+    // part: keys shifted, NAMES kept — the distinct-value table stays
+    // constant while rows 4×, which is exactly the fuzzy join's scaling
+    // claim (pairwise cost decoupled from row count)
+    copies(spark.read.parquet(s"$base/part.parquet")) { (df, c) =>
+      df.withColumn("p_partkey", col("p_partkey") + lit(c * IdShift))
+    }.write.mode("overwrite").parquet(s"$out/part.parquet")
+
+    // events: users AND ids shifted so per-user time spans stay constant
+    // (same-user copies would triple every gap-fill spine instead of
+    // adding users). ts is read as raw nanos (int64) and shifted in
+    // nanos; Tables.events handles the int64 physical type on read-back.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    copies(spark.read.parquet(s"$base/events.parquet")) { (df, c) =>
+      df.withColumn("event_id", col("event_id") + lit(c * IdShift))
+        .withColumn("user_id", col("user_id") + lit(c * IdShift))
+        .withColumn("ts", col("ts") + lit(c.toLong * DayShift * 86400L * 1000000000L))
+    }.write.mode("overwrite").parquet(s"$out/events.parquet")
   }
 
   def main(args: Array[String]): Unit = {

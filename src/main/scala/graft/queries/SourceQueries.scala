@@ -37,6 +37,22 @@ object SourceQueries {
       },
       Some("SELECT n_nationkey, n_name, n_regionkey FROM nation")),
 
+    // line-oriented text: one string column on disk; id + payload are
+    // packed as "id<TAB>text" on write and split (limit 2) on read, the
+    // standard flat-corpus interchange shape.
+    "src09_text_roundtrip" -> QueryDef(
+      (s, d) => {
+        val out = exportDir(d, "documents_text")
+        Tables.documents(s, d)
+          .select(concat(col("doc_id"), lit("\t"), col("text")).as("value"))
+          .write.mode("overwrite").text(out)
+        s.read.text(out)
+          .select(split(col("value"), "\t", 2).as("parts"))
+          .select(col("parts").getItem(0).cast("long").as("doc_id"),
+                  col("parts").getItem(1).as("text"))
+      },
+      Some("SELECT doc_id, text FROM documents")),
+
     "src02_json_roundtrip" -> QueryDef(
       (s, d) => {
         val out = exportDir(d, "supplier_json")

@@ -120,4 +120,40 @@ class PlanSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     p should include regex "\\*\\(\\d+\\) Project \\[graft_dot"
   }
+
+  test("PII redaction and quality rules plan with ZERO exchanges (t13/t14)") {
+    Seq("t13_pii_redaction", "t14_quality_rules").foreach { q =>
+      plan(q) should not include "Exchange"
+    }
+  }
+
+  test("fuzzy join collapses to distinct values before pairwise scoring (q67)") {
+    val p = plan("q67_fuzzy_join_blocked")
+    // both self-join inputs are aggregates (the distinct-value collapse);
+    // the part scan reads only p_name
+    "HashAggregate".r.findAllIn(p).length should be >= 4 // 2 sides × partial+final
+    val readSchema = "ReadSchema: struct<([^>]*)>".r
+      .findFirstMatchIn(p).map(_.group(1)).getOrElse(fail("no ReadSchema"))
+    readSchema shouldBe "p_name:string"
+  }
+
+  test("centroid assignment broadcasts the codebook; corpus side never shuffles before scoring (s07)") {
+    val p = plan("s07_centroid_assign")
+    p should include("BroadcastNestedLoopJoin")   // k-row codebook side
+    // the only shuffles are the tiny centroid build + the per-id argmin +
+    // final summary — never a corpus repartition by vector payload
+    p should not include "CartesianProduct"
+  }
+
+  test("time-range frame runs as one window over one shuffle by customer (q42)") {
+    val p = plan("q42_window_range_frame")
+    "Exchange hashpartitioning\\(o_custkey".r.findAllIn(p).length shouldBe 1
+    p should include("RangeFrame")
+  }
+
+  test("gap-fill spine is generated per group, not cross-joined against a calendar (q66)") {
+    val p = plan("q66_gapfill_resample")
+    p should not include "CartesianProduct"
+    p should not include "BroadcastNestedLoopJoin"
+  }
 }
