@@ -25,6 +25,23 @@ object RelationalQueries {
   /** Dialect-shared SQL (runs verbatim on spark.sql AND DuckDB): TPC-H Q3
     * shape — shipping-priority revenue over customer ⋈ orders ⋈ lineitem.
     */
+  /** Dialect-shared EXISTS: runs verbatim on spark.sql and DuckDB. */
+  val existsSubquerySql: String = """
+    SELECT c_mktsegment, count(*) AS n_with_urgent
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderpriority = '1-URGENT')
+    GROUP BY c_mktsegment"""
+
+  /** Dialect-shared aggregate FILTER clause. */
+  val filteredAggSql: String = """
+    SELECT o_orderpriority,
+           count(*) AS n,
+           count(*) FILTER (WHERE o_totalprice > 200000) AS n_big,
+           round(avg(o_totalprice) FILTER (WHERE o_orderstatus = 'F'), 4) AS avg_f
+    FROM orders GROUP BY o_orderpriority"""
+
   val shippingPrioritySql: String = """
     SELECT o_orderkey,
            round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
@@ -377,6 +394,41 @@ object RelationalQueries {
     // The full SQL surface end-to-end: a TPC-H Q3-shaped 3-table join,
     // dialect-shared SQL text — the SAME string runs on spark.sql and the
     // DuckDB oracle (temp views registered over the parquet tables).
+    // Exact (interpolated) group quantiles — the non-approx twin of q09:
+    // Spark's percentile() and DuckDB's quantile_cont share linear
+    // interpolation over the sorted group.
+    "q14_exact_quantiles" -> QueryDef(
+      (s, d) => Tables.customer(s, d)
+        .groupBy(col("c_mktsegment"))
+        .agg(round(expr("percentile(c_acctbal, 0.5)"), 4).as("median_bal"),
+             round(expr("percentile(c_acctbal, 0.9)"), 4).as("p90_bal"),
+             count(lit(1)).as("n")),
+      Some("""
+        SELECT c_mktsegment,
+               round(quantile_cont(c_acctbal, 0.5), 4) AS median_bal,
+               round(quantile_cont(c_acctbal, 0.9), 4) AS p90_bal,
+               count(*) AS n
+        FROM customer GROUP BY 1""")),
+
+    // Correlated EXISTS subquery — one dialect-shared string on spark.sql
+    // AND DuckDB; Catalyst decorrelates it to a left-semi join.
+    "q15_exists_subquery" -> QueryDef(
+      (s, d) => {
+        Tables.customer(s, d).createOrReplaceTempView("customer")
+        Tables.orders(s, d).createOrReplaceTempView("orders")
+        s.sql(existsSubquerySql)
+      },
+      Some(existsSubquerySql)),
+
+    // Aggregate FILTER clause (per-aggregate predicates in one pass —
+    // no self-joins, no CASE pyramids); dialect-shared string.
+    "q16_filtered_agg" -> QueryDef(
+      (s, d) => {
+        Tables.orders(s, d).createOrReplaceTempView("orders")
+        s.sql(filteredAggSql)
+      },
+      Some(filteredAggSql)),
+
     "q39_sql_shipping_priority" -> QueryDef(
       (s, d) => {
         Tables.customer(s, d).createOrReplaceTempView("customer")

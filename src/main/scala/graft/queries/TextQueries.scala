@@ -371,6 +371,31 @@ object TextQueries {
         SELECT lang, max(n_total) AS n_total, CAST(sum(kept) AS BIGINT) AS n_kept
         FROM k GROUP BY 1""")),
 
+    // Vocabulary induction (the BPE-training merge-candidate scan at word
+    // granularity): corpus-wide adjacent-pair counts, global top-30 by
+    // frequency through the bounded-heap top-k operator — one token-pair
+    // shuffle with map-side partials, never a global sort.
+    "t17_bigram_vocab" -> QueryDef(
+      (s, d) => {
+        val counts = Tables.documents(s, d)
+          .select(explode(Dedup.ngrams(col("text"), 2)).as("bigram"))
+          .groupBy(col("bigram")).agg(count(lit(1)).as("n"))
+        graft.plans.TopKPerGroup.perGroup(counts, Nil,
+          Seq("n" -> true, "bigram" -> false), 30)
+      },
+      Some("""
+        WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        g AS (SELECT unnest(
+                CASE WHEN len(ws) >= 2
+                     THEN [array_to_string(ws[i:i+1], ' ')
+                           for i in range(1, len(ws))]
+                     ELSE [array_to_string(ws, ' ')] END) AS bigram
+              FROM d),
+        c AS (SELECT bigram, count(*) AS n FROM g GROUP BY 1)
+        SELECT bigram, n,
+               row_number() OVER (ORDER BY n DESC, bigram ASC) AS rank
+        FROM c ORDER BY rank LIMIT 30""")),
+
     "t04_fingerprint" -> QueryDef(
       (s, d) => Tables.documents(s, d)
         .select(col("doc_id"),
