@@ -156,4 +156,24 @@ class PlanSpec extends SparkSpec {
     p should not include "CartesianProduct"
     p should not include "BroadcastNestedLoopJoin"
   }
+
+  test("runtime bloom filter from a selective dim prunes the fact side of a shuffle join") {
+    // at 100 TB the bloom filter cuts the fact-side shuffle before it
+    // happens; thresholds lowered so the tiny test corpus qualifies
+    val overrides = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val saved = overrides.map { case (k, _) => k -> spark.conf.get(k) }
+    overrides.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val dim = Tables.orders(spark, sfDir)
+        .filter(col("o_orderpriority") === "1-URGENT").select("o_orderkey")
+      val fact = Tables.lineitem(spark, sfDir).select("l_orderkey", "l_quantity")
+      val j = fact.join(dim, col("l_orderkey") === col("o_orderkey"))
+      val p = j.queryExecution.optimizedPlan.toString
+      p should include("might_contain")
+      p should include("bloom_filter_agg")
+    } finally saved.foreach { case (k, v) => spark.conf.set(k, v) }
+  }
 }
