@@ -259,6 +259,28 @@ object TextAnalysis {
       .agg(max(col("n_total")).as("n_total"), sum(col("kept")).as("n_kept"))
   }
 
+  /** Weighted sampling without replacement via priority sampling
+    * (Duffield–Lund–Thorup): each row gets priority w/u with u a
+    * deterministic uniform in (0,1] derived from the portable id hash,
+    * and the k highest priorities per stratum win. Pure division — no
+    * ln/pow, so the oracle replays it bit-for-bit — and no rand(): the
+    * sample is a stable function of ids. Selection runs through the
+    * bounded-heap top-k operator: the shuffle carries at most k rows per
+    * stratum per map partition, never the corpus.
+    */
+  def prioritySample(df: DataFrame, idCol: String, stratumCol: String,
+                     weightCol: String, k: Int): DataFrame = {
+    val u = (pmod(graft.functions.PortableHash.md5_64(col(idCol).cast("string")),
+      lit(1000000L)) + lit(1L)).cast("double") / lit(1000001.0)
+    val scored = df.select(col(stratumCol).as("stratum"), col(idCol).as("id"),
+      col(weightCol).cast("double").as("w"),
+      (col(weightCol).cast("double") / u).as("priority"))
+    graft.plans.TopKPerGroup.perGroup(scored, Seq("stratum"),
+        Seq("priority" -> true, "id" -> false), k)
+      .select(col("stratum"), col("id"), col("w"),
+        round(col("priority"), 4).as("priority"), col("rank"))
+  }
+
   /** Order-sensitive 60-bit document fingerprint: portable MD5-derived
     * hash of the whitespace-normalized text (exact-content identity,
     * cheap at any scale, replicable by the DuckDB oracle).

@@ -275,6 +275,48 @@ object EventQueries {
         SELECT o_orderpriority, count(*) AS n_big
         FROM orders
         WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders) * 2
-        GROUP BY o_orderpriority"""))
+        GROUP BY o_orderpriority""")),
+
+    // SCD type-2 history build: each user's event_type stream collapses
+    // into validity intervals (runs of the same state suppressed via lag,
+    // intervals assembled via lead) — the warehouse read model over an
+    // append-only changelog. One shuffle by key; no global sort.
+    "q68_scd2_history" -> QueryDef(
+      (s, d) => graft.operators.Cdc.scd2History(
+        Tables.events(s, d), "user_id", "ts", "event_id", "event_type"),
+      Some("""
+        WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id,
+                          event_type
+                   FROM events),
+        c AS (SELECT *, lag(event_type) OVER
+                (PARTITION BY user_id ORDER BY ts, event_id) AS prev_state
+              FROM e),
+        ch AS (SELECT * FROM c
+               WHERE prev_state IS NULL OR prev_state <> event_type)
+        SELECT user_id,
+               row_number() OVER w AS version,
+               event_type AS state,
+               ts AS valid_from,
+               lead(ts) OVER w AS valid_to,
+               (lead(ts) OVER w IS NULL) AS is_current
+        FROM ch WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""")),
+
+    // CDC latest-wins compaction: the changelog collapses to one row per
+    // key via max_by over the (ts, event_id) version key — ONE hash
+    // aggregate with map-side combine, no window/sort — then keys whose
+    // final op is the tombstone ('error' here) drop out.
+    "q69_cdc_merge" -> QueryDef(
+      (s, d) => graft.operators.Cdc.applyChangelog(
+        Tables.events(s, d), "user_id", Seq("ts", "event_id"),
+        "event_type", deleteOp = "error", payloadCols = Seq("value", "props")),
+      Some("""
+        WITH ranked AS (
+          SELECT user_id, event_type, value, props,
+                 row_number() OVER (PARTITION BY user_id
+                                    ORDER BY ts DESC, event_id DESC) AS rn
+          FROM events)
+        SELECT user_id, event_type AS last_event_type, value AS last_value,
+               props AS last_props
+        FROM ranked WHERE rn = 1 AND event_type <> 'error'"""))
   )
 }

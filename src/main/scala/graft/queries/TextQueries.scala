@@ -396,6 +396,27 @@ object TextQueries {
                row_number() OVER (ORDER BY n DESC, bigram ASC) AS rank
         FROM c ORDER BY rank LIMIT 30""")),
 
+    // Weighted sampling without replacement (priority sampling): top-20
+    // per language by n_chars/u with u a deterministic uniform from the
+    // portable id hash — pure IEEE division (no ln/pow), so the oracle
+    // reproduces priorities bit-for-bit; ranking uses the exact value,
+    // display rounds it.
+    "t18_priority_sample" -> QueryDef(
+      (s, d) => TextAnalysis.prioritySample(Tables.documents(s, d),
+        "doc_id", "lang", "n_chars", k = 20),
+      Some(s"""
+        WITH scored AS (
+          SELECT lang AS stratum, doc_id AS id,
+                 CAST(n_chars AS DOUBLE) AS w,
+                 CAST(n_chars AS DOUBLE) /
+                   (CAST(${PH.sqlMd5_64("CAST(doc_id AS VARCHAR)")} % 1000000
+                         + 1 AS DOUBLE) / 1000001.0) AS priority
+          FROM documents)
+        SELECT stratum, id, w, round(priority, 4) AS priority,
+               row_number() OVER (PARTITION BY stratum
+                                  ORDER BY priority DESC, id ASC) AS rank
+        FROM scored QUALIFY rank <= 20""")),
+
     "t04_fingerprint" -> QueryDef(
       (s, d) => Tables.documents(s, d)
         .select(col("doc_id"),
