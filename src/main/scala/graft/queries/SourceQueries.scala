@@ -130,6 +130,42 @@ object SourceQueries {
       },
       Some("SELECT event_id, user_id FROM events")),
 
+    // Z-order (Morton) layout: interleave the bits of two grid coords so
+    // one sort key co-locates rows close in BOTH dimensions; the gate
+    // checks the per-bucket bounding boxes a file-level skipper would
+    // persist (oracle replicates the interleave bit-for-bit in SQL).
+    // The write path (repartitionByRange on zvalue) is asserted in
+    // ZOrderSpec, incl. measured skipping vs a linear sort.
+    "src10_zorder_stats" -> QueryDef(
+      (s, d) => {
+        val orders = Tables.orders(s, d).select(
+          col("o_totalprice").cast("double").as("x"),
+          col("o_custkey").cast("double").as("y"))
+        graft.operators.ZOrder.bucketStats(orders, "x", "y", bits = 8, bucketShift = 10)
+          .select(col("bucket"), col("n"),
+            round(col("min_x"), 2).as("min_x"), round(col("max_x"), 2).as("max_x"),
+            col("min_y").cast("long").as("min_y"), col("max_y").cast("long").as("max_y"))
+      },
+      Some("""
+        WITH mm AS (
+          SELECT min(CAST(o_totalprice AS DOUBLE)) AS mnx, max(CAST(o_totalprice AS DOUBLE)) AS mxx,
+                 min(CAST(o_custkey AS DOUBLE)) AS mny, max(CAST(o_custkey AS DOUBLE)) AS mxy
+          FROM orders
+        ), g AS (
+          SELECT CAST(o_totalprice AS DOUBLE) AS x, CAST(o_custkey AS DOUBLE) AS y,
+                 CAST(least(255, floor((CAST(o_totalprice AS DOUBLE) - mnx) * 256.0 / (mxx - mnx))) AS BIGINT) AS gx,
+                 CAST(least(255, floor((CAST(o_custkey AS DOUBLE) - mny) * 256.0 / (mxy - mny))) AS BIGINT) AS gy
+          FROM orders, mm
+        ), z AS (
+          SELECT x, y,
+                 CAST(list_sum([(((gx >> b) & 1) << (2*b)) + (((gy >> b) & 1) << (2*b+1)) for b in range(8)]) AS BIGINT) AS zvalue
+          FROM g
+        )
+        SELECT zvalue >> 10 AS bucket, count(*) AS n,
+               round(min(x), 2) AS min_x, round(max(x), 2) AS max_x,
+               CAST(min(y) AS BIGINT) AS min_y, CAST(max(y) AS BIGINT) AS max_y
+        FROM z GROUP BY 1""")),
+
     // Hive-style partitioned layout: write partitioned by day, read back
     // with a partition predicate — the scan must prune to ONE directory
     // (PartitionFilters; asserted on the plan in SourcesSpec)
