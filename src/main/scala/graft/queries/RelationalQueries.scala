@@ -189,7 +189,81 @@ object RelationalQueries {
       Some("""
         SELECT o_custkey, count(*) AS n_orders,
                round(sum(o_totalprice), 2) AS spend
-        FROM orders GROUP BY o_custkey HAVING count(*) >= 5""")))
+        FROM orders GROUP BY o_custkey HAVING count(*) >= 5""")),
+
+    // arg-extrema + mode: which row attains the extreme, not the extreme
+    // itself (max_by/min_by = DuckDB arg_max/arg_min). Tie-free on this
+    // data (checked at sf0.01 and sf0.1); mode ditto.
+    "q17_argmax_mode" -> QueryDef(
+      (s, d) => Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          expr("max_by(l_orderkey, l_extendedprice)").as("top_price_order"),
+          expr("min_by(l_orderkey, l_extendedprice)").as("bottom_price_order"),
+          expr("mode(l_quantity)").cast("double").as("modal_qty"),
+          round(max(col("l_extendedprice")), 2).as("max_price")),
+      Some("""
+        SELECT l_returnflag,
+               arg_max(l_orderkey, l_extendedprice) AS top_price_order,
+               arg_min(l_orderkey, l_extendedprice) AS bottom_price_order,
+               CAST(mode(l_quantity) AS DOUBLE) AS modal_qty,
+               round(max(l_extendedprice), 2) AS max_price
+        FROM lineitem GROUP BY l_returnflag""")),
+
+    // linear-regression aggregates (the profiling pass a feature pipeline
+    // runs before fitting anything): slope/intercept/r² of price ~ qty
+    "q18_regression" -> QueryDef(
+      (s, d) => Tables.lineitem(s, d)
+        .groupBy(col("l_linestatus"))
+        .agg(
+          round(expr("regr_slope(l_extendedprice, l_quantity)"), 4).as("slope"),
+          round(expr("regr_intercept(l_extendedprice, l_quantity)"), 4).as("intercept"),
+          round(expr("regr_r2(l_extendedprice, l_quantity)"), 6).as("r2"),
+          expr("regr_count(l_extendedprice, l_quantity)").as("n")),
+      Some("""
+        SELECT l_linestatus,
+               round(regr_slope(l_extendedprice, l_quantity), 4) AS slope,
+               round(regr_intercept(l_extendedprice, l_quantity), 4) AS intercept,
+               round(regr_r2(l_extendedprice, l_quantity), 6) AS r2,
+               CAST(regr_count(l_extendedprice, l_quantity) AS BIGINT) AS n
+        FROM lineitem GROUP BY l_linestatus""")),
+
+    // exact decimal aggregation: money must not float. Cast to
+    // DECIMAL(18,2) at the scan, sum exactly (no rounding step anywhere),
+    // fixed final scale on both sides.
+    "q35_decimal_exact_sum" -> QueryDef(
+      (s, d) => Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          sum(col("l_extendedprice").cast("decimal(18,2)"))
+            .cast("decimal(18,2)").as("sum_price"),
+          sum(col("l_quantity").cast("decimal(18,2)"))
+            .cast("decimal(18,2)").as("sum_qty")),
+      Some("""
+        SELECT l_returnflag,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_price,
+               CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty
+        FROM lineitem GROUP BY l_returnflag""")),
+
+    // fixed-width histogram via width_bucket (data profiling); the oracle
+    // replays Spark's bucket math verbatim — floor((v-lo)/((hi-lo)/nb))+1
+    // with under/overflow buckets 0 and nb+1.
+    "q38_histogram_width_bucket" -> QueryDef(
+      (s, d) => Tables.orders(s, d)
+        .groupBy(width_bucket(col("o_totalprice"), lit(0.0), lit(400000.0), lit(20))
+          .as("bucket"))
+        .agg(count(lit(1)).as("n"),
+             round(min(col("o_totalprice")), 2).as("lo"),
+             round(max(col("o_totalprice")), 2).as("hi")),
+      Some("""
+        SELECT CASE WHEN o_totalprice < 0.0 THEN 0
+                    WHEN o_totalprice >= 400000.0 THEN 21
+                    ELSE CAST(floor((o_totalprice - 0.0) / ((400000.0 - 0.0) / 20.0)) AS BIGINT) + 1
+               END AS bucket,
+               count(*) AS n,
+               round(min(o_totalprice), 2) AS lo,
+               round(max(o_totalprice), 2) AS hi
+        FROM orders GROUP BY 1""")))
 
   // ------------------------------------------------- filter / projection
 
