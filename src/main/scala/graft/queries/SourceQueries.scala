@@ -166,6 +166,39 @@ object SourceQueries {
                CAST(min(y) AS BIGINT) AS min_y, CAST(max(y) AS BIGINT) AS max_y
         FROM z GROUP BY 1""")),
 
+    // Bucketed tables: both sides written bucketBy(join key) with the same
+    // bucket count, so the sort-merge join reads co-located buckets and
+    // needs NO shuffle on either side (asserted on the plan in
+    // SourcesSpec) — at 100 TB this is the difference between a join that
+    // moves the fact table and one that moves nothing.
+    "src11_bucketed_join" -> QueryDef(
+      (s, d) => {
+        for (t <- Seq("graft_orders_b", "graft_lineitem_b")) {
+          s.sql(s"DROP TABLE IF EXISTS $t")
+          val loc = new org.apache.hadoop.fs.Path(
+            s.conf.get("spark.sql.warehouse.dir"), t)
+          val fs = loc.getFileSystem(s.sessionState.newHadoopConf())
+          if (fs.exists(loc)) fs.delete(loc, true)
+        }
+        Tables.orders(s, d).select(col("o_orderkey"), col("o_orderpriority"))
+          .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+          .mode("overwrite").saveAsTable("graft_orders_b")
+        Tables.lineitem(s, d).select(col("l_orderkey"), col("l_extendedprice"))
+          .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+          .mode("overwrite").saveAsTable("graft_lineitem_b")
+        s.table("graft_orders_b").hint("MERGE")
+          .join(s.table("graft_lineitem_b"),
+            col("o_orderkey") === col("l_orderkey"))
+          .groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)).as("n_lines"),
+               round(sum(col("l_extendedprice")), 2).as("revenue"))
+      },
+      Some("""
+        SELECT o_orderpriority, count(*) AS n_lines,
+               round(sum(l_extendedprice), 2) AS revenue
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        GROUP BY 1""")),
+
     // Hive-style partitioned layout: write partitioned by day, read back
     // with a partition predicate — the scan must prune to ONE directory
     // (PartitionFilters; asserted on the plan in SourcesSpec)

@@ -31,6 +31,28 @@ class DedupPropertiesSpec extends SparkSpec {
     res.map(_.getLong(2)).sum shouldBe 30L
   }
 
+  test("bloom-prefiltered incremental dedup matches the exact anti-join") {
+    import spark.implicits._
+    // existing corpus: 40 docs; incoming: 30 docs, 10 of which duplicate
+    // existing content and 5 duplicate each other
+    val existing = (0 until 40).map(i => (i.toLong, s"hist $i body")).toDF("doc_id", "text")
+    val incoming = (
+      (100 until 110).map(i => (i.toLong, s"hist ${i - 100} body")) ++ // cross-corpus dups
+      (110 until 115).map(i => (i.toLong, "same new body")) ++          // intra-batch dups
+      (115 until 130).map(i => (i.toLong, s"new $i body"))).toDF("doc_id", "text")
+
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.select("keeper_id", "dup_count").as[(Long, Long)].collect().toSet
+
+    val plain = Dedup.incrementalExact(incoming, existing, "text", "doc_id")
+    val bloomed = Dedup.incrementalExactBloom(incoming, existing, "text", "doc_id",
+      expectedItems = 40, fpp = 0.01)
+    key(bloomed) shouldBe key(plain)
+    // 1 keeper for the 5-way intra-batch dup + 15 novel singletons
+    key(bloomed).size shouldBe 16
+    key(bloomed).count(_._2 == 5L) shouldBe 1
+  }
+
   test("jaccard pairs: ordered ids, scores in (0,1], identical docs score 1.0") {
     import spark.implicits._
     val docs = Seq(
