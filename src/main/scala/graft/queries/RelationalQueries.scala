@@ -484,6 +484,38 @@ object RelationalQueries {
                count(*) AS n
         FROM customer GROUP BY 1""")),
 
+    // Winsorization (outlier clipping at per-group p05/p95) — the numeric
+    // cleaning pass a feature pipeline runs before training. The quantile
+    // table is a per-group singleton joined back by broadcast; the corpus
+    // itself is scanned once and never shuffled for the clip.
+    "q36_winsorize" -> QueryDef(
+      (s, d) => {
+        val li = Tables.lineitem(s, d)
+        val bounds = li.groupBy(col("l_returnflag").as("rf"))
+          .agg(expr("percentile(l_extendedprice, 0.05)").as("lo"),
+               expr("percentile(l_extendedprice, 0.95)").as("hi"))
+        li.join(broadcast(bounds), col("l_returnflag") === col("rf"))
+          .withColumn("clipped", least(greatest(col("l_extendedprice"), col("lo")), col("hi")))
+          .groupBy(col("l_returnflag"))
+          .agg(round(sum(col("clipped")), 2).as("winsorized_sum"),
+               sum(when(col("l_extendedprice") < col("lo"), 1L).otherwise(0L)).as("n_clip_low"),
+               sum(when(col("l_extendedprice") > col("hi"), 1L).otherwise(0L)).as("n_clip_high"),
+               count(lit(1)).as("n"))
+      },
+      Some("""
+        WITH q AS (
+          SELECT l_returnflag AS rf,
+                 quantile_cont(l_extendedprice, 0.05) AS lo,
+                 quantile_cont(l_extendedprice, 0.95) AS hi
+          FROM lineitem GROUP BY 1)
+        SELECT l_returnflag,
+               round(sum(least(greatest(l_extendedprice, lo), hi)), 2) AS winsorized_sum,
+               CAST(sum(CASE WHEN l_extendedprice < lo THEN 1 ELSE 0 END) AS BIGINT) AS n_clip_low,
+               CAST(sum(CASE WHEN l_extendedprice > hi THEN 1 ELSE 0 END) AS BIGINT) AS n_clip_high,
+               count(*) AS n
+        FROM lineitem JOIN q ON l_returnflag = rf
+        GROUP BY l_returnflag""")),
+
     // Correlated EXISTS subquery — one dialect-shared string on spark.sql
     // AND DuckDB; Catalyst decorrelates it to a left-semi join.
     "q15_exists_subquery" -> QueryDef(

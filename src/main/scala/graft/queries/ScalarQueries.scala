@@ -152,6 +152,20 @@ object ScalarQueries {
         WHERE doc_id % 5 = 0""")),
 
     // Higher-order functions: transform / filter / aggregate / exists.
+    // generator with ordinal: posexplode — the tokenize-with-positions
+    // shape every sequence pipeline needs (token order survives the
+    // explode). One generate per row, no shuffle.
+    "q49_posexplode_tokens" -> QueryDef(
+      (s, d) => Tables.documents(s, d)
+        .filter(col("doc_id") < 50)
+        .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
+        .select(col("doc_id"), col("pos").cast("long").as("pos"), col("tok")),
+      Some("""
+        SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos, parts[i] AS tok
+        FROM (SELECT doc_id, string_split(text, ' ') AS parts
+              FROM documents WHERE doc_id < 50),
+             LATERAL (SELECT unnest(range(1, len(parts) + 1)) AS i)""")),
+
     "q55_array_hof" -> QueryDef(
       (s, d) => Tables.documents(s, d)
         .filter(col("doc_id") % 7 === 0)

@@ -166,6 +166,36 @@ object SourceQueries {
                CAST(min(y) AS BIGINT) AS min_y, CAST(max(y) AS BIGINT) AS max_y
         FROM z GROUP BY 1""")),
 
+    // Dynamic partition overwrite: reload ONE day's corrected data into a
+    // partitioned layout — only the touched partition is replaced, every
+    // other day survives. The daily-reload pattern at 100 TB: overwrite
+    // mode "static" would wipe the whole table; the oracle equality
+    // (min-day values doubled, all other days intact) proves the dynamic
+    // semantics end-to-end.
+    "src12_dynamic_overwrite" -> QueryDef(
+      (s, d) => {
+        val out = exportDir(d, "events_dpo")
+        val ev = Tables.events(s, d)
+          .select(col("ts"), col("value"), to_date(col("ts")).as("day"))
+        ev.write.mode("overwrite").partitionBy("day").parquet(out)
+        val firstDay = ev.agg(min(col("day"))).head.getDate(0)
+        val prior = s.conf.get("spark.sql.sources.partitionOverwriteMode")
+        s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try ev.filter(col("day") === lit(firstDay))
+          .withColumn("value", col("value") * 2)
+          .write.mode("overwrite").partitionBy("day").parquet(out)
+        finally s.conf.set("spark.sql.sources.partitionOverwriteMode", prior)
+        s.read.parquet(out)
+          .groupBy(col("day"))
+          .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("value_sum"))
+      },
+      Some("""
+        SELECT CAST(ts AS DATE) AS day, count(*) AS n,
+               round(sum(CASE WHEN CAST(ts AS DATE) =
+                                   (SELECT min(CAST(ts AS DATE)) FROM events)
+                              THEN value * 2 ELSE value END), 2) AS value_sum
+        FROM events GROUP BY 1""")),
+
     // Bucketed tables: both sides written bucketBy(join key) with the same
     // bucket count, so the sort-merge join reads co-located buckets and
     // needs NO shuffle on either side (asserted on the plan in
