@@ -832,7 +832,20 @@ object RelationalQueries {
         .select(col("c_custkey"), round(col("c_acctbal"), 2).as("bal")),
       Some("""
         SELECT c_custkey, round(c_acctbal, 2) AS bal
-        FROM customer ORDER BY c_acctbal DESC, c_custkey ASC LIMIT 15 OFFSET 10""")))
+        FROM customer ORDER BY c_acctbal DESC, c_custkey ASC LIMIT 15 OFFSET 10""")),
+
+    // contiguous global enumeration: ids 0..n-1 in doc_id order via the
+    // two-phase range-partition + offset scheme — row_number() OVER a
+    // global ORDER BY would collapse to one partition at 100 TB
+    "q78_contiguous_ids" -> QueryDef(
+      (s, d) => graft.operators.RowIds.withContiguousIds(
+          Tables.documents(s, d).select(col("doc_id"), col("lang")),
+          "global_id", col("doc_id"))
+        .select(col("doc_id"), col("global_id")),
+      Some("""
+        SELECT doc_id,
+               row_number() OVER (ORDER BY doc_id) - 1 AS global_id
+        FROM documents""")))
 
   // ------------------------------------------------------------- set ops
 

@@ -166,6 +166,32 @@ object SourceQueries {
                CAST(min(y) AS BIGINT) AS min_y, CAST(max(y) AS BIGINT) AS max_y
         FROM z GROUP BY 1""")),
 
+    // Parquet schema evolution: an old batch (3 columns) and a new batch
+    // (4 columns, zstd-compressed) under one root; mergeSchema unions the
+    // schemas and back-fills the old batch's missing column with NULL —
+    // the schema-drift reality of any long-lived 100 TB corpus.
+    "src13_mergeschema" -> QueryDef(
+      (s, d) => {
+        val out = exportDir(d, "supplier_evolving")
+        val sup = Tables.supplier(s, d)
+        sup.filter(col("s_suppkey") % 2 === 0)
+          .select(col("s_suppkey"), col("s_name"), col("s_nationkey"))
+          .write.mode("overwrite").parquet(s"$out/batch=old")
+        sup.filter(col("s_suppkey") % 2 =!= 0)
+          .select(col("s_suppkey"), col("s_name"), col("s_nationkey"),
+                  round(col("s_acctbal"), 2).as("bal"))
+          .write.mode("overwrite").option("compression", "zstd")
+          .parquet(s"$out/batch=new")
+        s.read.option("mergeSchema", "true").parquet(out)
+          .select(col("s_suppkey"), col("s_name"), col("s_nationkey"),
+                  col("bal"), col("batch"))
+      },
+      Some("""
+        SELECT s_suppkey, s_name, s_nationkey,
+               CASE WHEN s_suppkey % 2 <> 0 THEN round(s_acctbal, 2) END AS bal,
+               CASE WHEN s_suppkey % 2 = 0 THEN 'old' ELSE 'new' END AS batch
+        FROM supplier""")),
+
     // Dynamic partition overwrite: reload ONE day's corrected data into a
     // partitioned layout — only the touched partition is replaced, every
     // other day survives. The daily-reload pattern at 100 TB: overwrite
