@@ -166,6 +166,40 @@ object SourceQueries {
                CAST(min(y) AS BIGINT) AS min_y, CAST(max(y) AS BIGINT) AS max_y
         FROM z GROUP BY 1""")),
 
+    // Malformed-record tolerance: a JSON landing dir where odd-keyed rows
+    // are corrupt (truncated JSON). PERMISSIVE mode must load every good
+    // row, shunt bad lines into _corrupt_record, and never fail the job —
+    // at 100 TB a single bad crawl line must not kill a 6-hour ingest.
+    "src14_corrupt_records" -> QueryDef(
+      (s, d) => {
+        val out = Paths.get(exportDir(d, "supplier_dirty"))
+        if (Files.exists(out)) Files.list(out).forEach(p => Files.delete(p))
+        else Files.createDirectories(out)
+        val lines = Tables.supplier(s, d)
+          .select(col("s_suppkey"), col("s_name"), col("s_nationkey")).collect()
+          .map { r =>
+            val (k, nk) = (r.getAs[Number](0).longValue, r.getAs[Number](2).longValue)
+            val good = s"""{"s_suppkey":$k,"s_name":"${r.getString(1)}","s_nationkey":$nk}"""
+            if (k % 2 == 0) good else good.dropRight(8) // truncate → corrupt
+          }
+        Files.write(out.resolve("part-000.json"),
+          lines.mkString("\n").getBytes(StandardCharsets.UTF_8))
+        val schema = "s_suppkey LONG, s_name STRING, s_nationkey LONG, _corrupt_record STRING"
+        val read = s.read.schema(schema)
+          .option("mode", "PERMISSIVE")
+          .option("columnNameOfCorruptRecord", "_corrupt_record")
+          .json(out.toString)
+        read.agg(
+          count(when(col("_corrupt_record").isNull, 1)).as("n_good"),
+          count(col("_corrupt_record")).as("n_corrupt"),
+          sum(when(col("_corrupt_record").isNull, col("s_nationkey"))).as("key_sum"))
+      },
+      Some("""
+        SELECT CAST(sum(CASE WHEN s_suppkey % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_good,
+               CAST(sum(CASE WHEN s_suppkey % 2 <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_corrupt,
+               CAST(sum(CASE WHEN s_suppkey % 2 = 0 THEN s_nationkey END) AS BIGINT) AS key_sum
+        FROM supplier""")),
+
     // Parquet schema evolution: an old batch (3 columns) and a new batch
     // (4 columns, zstd-compressed) under one root; mergeSchema unions the
     // schemas and back-fills the old batch's missing column with NULL —

@@ -189,6 +189,33 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("maxFilesPerTrigger bounds each micro-batch (ingest backpressure)") {
+    import spark.implicits._
+    val src = java.nio.file.Files.createTempDirectory("graft-bp-src").toString
+    // land 4 separate files
+    (0 until 4).foreach { i =>
+      Seq(Ev(i.toLong, ts(i), i.toLong, "click", 1.0)).toDF()
+        .write.mode("append").parquet(src)
+    }
+    val batchSizes = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    val q = spark.readStream
+      .schema(Seq.empty[Ev].toDF().schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(src)
+      .writeStream
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batchSizes.add(batch.count()); ()
+      }
+      .start()
+    q.awaitTermination()
+    import scala.jdk.CollectionConverters._
+    // 4 files → 4 bounded micro-batches, every row exactly once
+    batchSizes.asScala.toSeq.count(_ > 0) shouldBe 4
+    batchSizes.asScala.sum shouldBe 4L
+    batchSizes.asScala.max should be <= 1L
+  }
+
   test("checkpointed restart resumes from committed offsets, not from scratch") {
     import spark.implicits._
     val src = java.nio.file.Files.createTempDirectory("graft-ckpt-src").toString
