@@ -22,7 +22,8 @@ object ScaleProbe {
     "t08_decontamination", "t09_repetition_ratio",
     "s06_centroids_by_lang", "d03_dedup_minhash_lsh",
     "d08_chunk_dedup", "q42_window_range_frame", "q66_gapfill_resample",
-    "q67_fuzzy_join_blocked", "s07_centroid_assign", "t15_sequence_packing")
+    "q67_fuzzy_join_blocked", "s07_centroid_assign", "t15_sequence_packing",
+    "src10_zorder_stats", "q78_contiguous_ids", "q36_winsorize")
 
   private val IdShift = 10000000L
   private val DayShift = 4000 // > TPC-H date span, so copies never overlap
