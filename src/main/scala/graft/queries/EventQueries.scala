@@ -262,6 +262,30 @@ object EventQueries {
 
     // Scalar "subquery" kept declarative: the singleton aggregate is
     // broadcast-cross-joined, never collected to the driver.
+    // Cohort retention: users grouped by first-active week, counted in
+    // each later week they return — two shuffles (per-user first week,
+    // then cohort×offset counts), both on keys that shrink with
+    // cardinality, never row count. Week offsets are day-diffs / 7 (both
+    // dates are Monday week-starts, so the division is exact).
+    "q79_cohort_retention" -> QueryDef(
+      (s, d) => {
+        val weeks = Tables.events(s, d)
+          .select(col("user_id"), date_trunc("week", col("ts")).cast("date").as("wk"))
+          .distinct()
+        val cohorts = weeks.groupBy(col("user_id")).agg(min(col("wk")).as("cohort"))
+        weeks.join(cohorts, "user_id")
+          .withColumn("k", (datediff(col("wk"), col("cohort")) / 7).cast("long"))
+          .groupBy(col("cohort"), col("k"))
+          .agg(countDistinct(col("user_id")).as("n_active"))
+      },
+      Some("""
+        WITH w AS (SELECT DISTINCT user_id,
+                          CAST(date_trunc('week', ts) AS DATE) AS wk FROM events),
+             f AS (SELECT user_id, min(wk) AS cohort FROM w GROUP BY 1)
+        SELECT cohort, CAST(datediff('day', cohort, wk) / 7 AS BIGINT) AS k,
+               CAST(count(DISTINCT w.user_id) AS BIGINT) AS n_active
+        FROM w JOIN f USING (user_id) GROUP BY 1, 2""")),
+
     "q75_scalar_subquery" -> QueryDef(
       (s, d) => {
         val o = Tables.orders(s, d)

@@ -176,4 +176,30 @@ class PlanSpec extends SparkSpec {
       p should include("bloom_filter_agg")
     } finally saved.foreach { case (k, v) => spark.conf.set(k, v) }
   }
+
+  test("dynamic partition pruning: a dim filter prunes fact partitions at runtime") {
+    // the flagship star-join optimization at 100 TB: the date-dim filter
+    // turns into a runtime IN-subquery on the fact's PARTITION column, so
+    // unneeded day directories are never even listed
+    val dir = java.nio.file.Files.createTempDirectory("graft-dpp").toString
+    val ev = Tables.events(spark, sfDir).withColumn("day", to_date(col("ts")))
+    ev.write.mode("overwrite").partitionBy("day").parquet(dir)
+    val dim = ev.select(col("day").as("d_day")).distinct()
+      .withColumn("is_weekend", dayofweek(col("d_day")).isin(1, 7))
+    val overrides = Seq(
+      "spark.sql.optimizer.dynamicPartitionPruning.enabled" -> "true",
+      // force the non-broadcast-reuse path to be considered too
+      "spark.sql.optimizer.dynamicPartitionPruning.useStats" -> "false",
+      "spark.sql.optimizer.dynamicPartitionPruning.fallbackFilterRatio" -> "10.0")
+    val saved = overrides.map { case (k, _) => k -> spark.conf.get(k) }
+    overrides.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val fact = spark.read.parquet(dir)
+      val j = fact.join(dim.filter(col("is_weekend")),
+        col("day") === col("d_day"))
+      val p = j.queryExecution.executedPlan.toString
+      p should include("dynamicpruning")
+      j.count() should be > 0L
+    } finally saved.foreach { case (k, v) => spark.conf.set(k, v) }
+  }
 }
