@@ -30,15 +30,17 @@ object RowIds {
     val schema = org.apache.spark.sql.types.StructType(
       sorted.schema :+ org.apache.spark.sql.types.StructField(
         idCol, org.apache.spark.sql.types.LongType, nullable = false))
-    // one job to size partitions (counts only), then the enumeration pass
-    // reuses the same lineage; at 100 TB both passes are scan+exchange of
-    // the same plan, so the exchange is computed once per action
-    val counts = sorted.rdd.mapPartitionsWithIndex {
+    // ONE RDD instance for both jobs: the counting job materializes the
+    // range exchange's map outputs, and the enumeration job reuses them
+    // (skipped stages) — the corpus is scanned and shuffled once, not
+    // twice
+    val rdd = sorted.rdd
+    val counts = rdd.mapPartitionsWithIndex {
       case (i, it) => Iterator((i, it.size.toLong))
     }.collect().sortBy(_._1).map(_._2)
     val offsets = counts.scanLeft(0L)(_ + _)
     val bc = spark.sparkContext.broadcast(offsets)
-    val rows = sorted.rdd.mapPartitionsWithIndex { case (i, it) =>
+    val rows = rdd.mapPartitionsWithIndex { case (i, it) =>
       var k = bc.value(i) - 1
       it.map { r => k += 1; org.apache.spark.sql.Row.fromSeq(r.toSeq :+ k) }
     }

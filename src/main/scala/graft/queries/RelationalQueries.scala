@@ -191,6 +191,33 @@ object RelationalQueries {
                round(sum(o_totalprice), 2) AS spend
         FROM orders GROUP BY o_custkey HAVING count(*) >= 5""")),
 
+    // bitwise aggregates: fold per-event flag bits into a per-user
+    // capability mask — bit_or = "ever did", bit_and = "always carries",
+    // bit_xor = parity. One hash-agg, map-side combinable.
+    "q81_bitwise_agg" -> QueryDef(
+      (s, d) => Tables.events(s, d)
+        .withColumn("flag",
+          (when(col("event_type") === "click", 1L)
+            .when(col("event_type") === "view", 2L)
+            .when(col("event_type") === "purchase", 4L)
+            .otherwise(8L)) + 16L)
+        .groupBy(col("user_id"))
+        .agg(expr("bit_or(flag)").as("seen_mask"),
+             expr("bit_and(flag)").as("common_mask"),
+             expr("bit_xor(flag)").as("parity_mask"),
+             count(lit(1)).as("n")),
+      Some("""
+        SELECT user_id,
+               CAST(bit_or(flag) AS BIGINT) AS seen_mask,
+               CAST(bit_and(flag) AS BIGINT) AS common_mask,
+               CAST(bit_xor(flag) AS BIGINT) AS parity_mask,
+               count(*) AS n
+        FROM (SELECT user_id,
+                     CASE event_type WHEN 'click' THEN 1 WHEN 'view' THEN 2
+                          WHEN 'purchase' THEN 4 ELSE 8 END + 16 AS flag
+              FROM events)
+        GROUP BY user_id""")),
+
     // arg-extrema + mode: which row attains the extreme, not the extreme
     // itself (max_by/min_by = DuckDB arg_max/arg_min). Tie-free on this
     // data (checked at sf0.01 and sf0.1); mode ditto.
@@ -792,6 +819,29 @@ object RelationalQueries {
                ntile(4) OVER w AS quartile
         FROM supplier
         WINDOW w AS (PARTITION BY s_nationkey ORDER BY s_acctbal DESC, s_suppkey ASC)""")),
+
+    // Distribution window functions: percent_rank / cume_dist /
+    // nth_value — the ECDF shapes quality-threshold selection uses.
+    "q80_window_distribution" -> QueryDef(
+      (s, d) => {
+        val w = Window.partitionBy(col("s_nationkey"))
+          .orderBy(col("s_acctbal").asc, col("s_suppkey").asc)
+        Tables.supplier(s, d)
+          .select(col("s_nationkey"), col("s_suppkey"),
+                  round(percent_rank().over(w), 6).as("pr"),
+                  round(cume_dist().over(w), 6).as("cd"),
+                  nth_value(col("s_suppkey"), 2).over(
+                    w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+                    .as("second_poorest"))
+      },
+      Some("""
+        SELECT s_nationkey, s_suppkey,
+               round(percent_rank() OVER w, 6) AS pr,
+               round(cume_dist() OVER w, 6) AS cd,
+               nth_value(s_suppkey, 2) OVER
+                 (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS second_poorest
+        FROM supplier
+        WINDOW w AS (PARTITION BY s_nationkey ORDER BY s_acctbal ASC, s_suppkey ASC)""")),
 
     // Sliding rows-frame moving average.
     "q34_window_moving_avg" -> QueryDef(
