@@ -102,11 +102,18 @@ object Dedup {
   def incrementalExactBloom(incoming: DataFrame, existing: DataFrame,
                             textCol: String, idCol: String,
                             expectedItems: Long, fpp: Double = 0.01): DataFrame = {
+    // materialize the distinct index hashes ONCE: the bloom build (an
+    // eager action) and the later residual anti-join both read the
+    // checkpointed hashes instead of re-scanning + re-shuffling the
+    // full existing corpus per action
     val existingHashes = existing
       .select(md5(col(textCol).cast("binary")).as("content_md5")).distinct()
+      .localCheckpoint()
     val bloom = existingHashes.stat.bloomFilter("content_md5", expectedItems, fpp)
     val bc = incoming.sparkSession.sparkContext.broadcast(bloom)
-    val mightContain = udf((h: String) => bc.value.mightContainString(h))
+    // null text → null hash: provably absent from the index (same as the
+    // plain path, where a null join key never matches the anti-join)
+    val mightContain = udf((h: String) => h != null && bc.value.mightContainString(h))
     val hashed = exact(incoming, textCol, idCol)
     val novel = hashed.filter(!mightContain(col("content_md5")))
     val residual = hashed.filter(mightContain(col("content_md5")))

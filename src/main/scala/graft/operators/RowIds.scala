@@ -30,11 +30,13 @@ object RowIds {
     val schema = org.apache.spark.sql.types.StructType(
       sorted.schema :+ org.apache.spark.sql.types.StructField(
         idCol, org.apache.spark.sql.types.LongType, nullable = false))
-    // ONE RDD instance for both jobs: the counting job materializes the
-    // range exchange's map outputs, and the enumeration job reuses them
-    // (skipped stages) — the corpus is scanned and shuffled once, not
-    // twice
+    // ONE RDD instance for both jobs, persisted so the enumeration job
+    // replays neither the scan+exchange NOR the reduce-side sort: the
+    // counting job materializes the sorted partitions into block storage
+    // and the second job reads them back. The persist is released by
+    // Spark's ContextCleaner once the returned DataFrame is unreachable.
     val rdd = sorted.rdd
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val counts = rdd.mapPartitionsWithIndex {
       case (i, it) => Iterator((i, it.size.toLong))
     }.collect().sortBy(_._1).map(_._2)

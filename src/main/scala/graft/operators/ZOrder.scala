@@ -35,8 +35,11 @@ object ZOrder {
     */
   def gridCoord(v: Column, mn: Column, mx: Column, bits: Int): Column = {
     val cells = (1L << bits).toDouble
-    least(lit((1L << bits) - 1),
-      floor((v - mn) * lit(cells) / (mx - mn))).cast("long")
+    // constant dimension (mn == mx) would otherwise divide 0/0 → NaN and
+    // silently collapse the grid; pin it to cell 0 explicitly
+    when(mx === mn, lit(0L)).otherwise(
+      least(lit((1L << bits) - 1),
+        floor((v - mn) * lit(cells) / (mx - mn))).cast("long"))
   }
 
   /** Attach `zvalue` for (xCol, yCol) on a 2^bits × 2^bits grid. The

@@ -260,8 +260,6 @@ object EventQueries {
                count(CASE WHEN event_type = 'view' THEN 1 END) AS view
         FROM events GROUP BY 1""")),
 
-    // Scalar "subquery" kept declarative: the singleton aggregate is
-    // broadcast-cross-joined, never collected to the driver.
     // Cohort retention: users grouped by first-active week, counted in
     // each later week they return — two shuffles (per-user first week,
     // then cohort×offset counts), both on keys that shrink with
@@ -286,6 +284,8 @@ object EventQueries {
                CAST(count(DISTINCT w.user_id) AS BIGINT) AS n_active
         FROM w JOIN f USING (user_id) GROUP BY 1, 2""")),
 
+    // Scalar "subquery" kept declarative: the singleton aggregate is
+    // broadcast-cross-joined, never collected to the driver.
     "q75_scalar_subquery" -> QueryDef(
       (s, d) => {
         val o = Tables.orders(s, d)

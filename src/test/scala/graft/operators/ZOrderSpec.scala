@@ -41,14 +41,27 @@ class ZOrderSpec extends SparkSpec {
     val zSpan = meanYSpan(
       ZOrder.withZValue(orders, "x", "y", bits = 8)
         .withColumn("bucket", shiftright(col("zvalue"), 10)))
+    val n = orders.count()
     val linearSpan = meanYSpan(
+      // true linear-sort layout: contiguous rank runs per bucket (what a
+      // sort-by-x write actually produces), not modulo striping
       orders.withColumn("r", row_number().over(
           org.apache.spark.sql.expressions.Window.orderBy("x")))
-        .withColumn("bucket", col("r") % 64))
+        .withColumn("bucket", ((col("r") - 1) * 64 / n).cast("long")))
 
     // custkey is ~uniform, so x-sorted buckets see nearly the full y
     // range; z-order must cut the mean y-span at least in half
     zSpan should be < linearSpan * 0.5
+  }
+
+  test("a constant dimension pins to grid cell 0 instead of NaN-collapsing") {
+    import spark.implicits._
+    val df = (0 until 100).map(i => (i.toDouble, 7.0)).toDF("x", "y")
+    val z = ZOrder.withZValue(df, "x", "y", bits = 4).select("x", "zvalue").collect()
+    // y constant → z-order degrades to x-order, deterministically
+    z.sortBy(_.getDouble(0)).map(_.getLong(1)).toSeq shouldBe
+      z.map(_.getLong(1)).sorted.toSeq
+    all(z.map(_.getLong(1))) should be >= 0L
   }
 
   test("writeZOrdered produces range-disjoint z files that skip on both dims") {
