@@ -103,6 +103,30 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("AQE coalesces an over-partitioned shuffle at runtime") {
+    import spark.implicits._
+    val confs = Map(
+      "spark.sql.adaptive.enabled" -> "true",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "true",
+      "spark.sql.shuffle.partitions" -> "64")
+    val prev = confs.keys.map(k => k -> spark.conf.getOption(k)).toMap
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      // a few KB of agg output spread over 64 declared partitions: AQE
+      // must fuse them into a handful of right-sized reducers — at 100 TB
+      // this is what makes one global shuffle.partitions setting livable
+      val agg = (1 to 10000).map(i => (i % 97, i.toLong)).toDF("k", "v")
+        .groupBy("k").agg(sum("v"))
+      agg.queryExecution.toRdd.count()
+      val finalPlan = agg.queryExecution.executedPlan.toString
+      finalPlan should include("AQEShuffleRead")
+      finalPlan should include("coalesced")
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("whole-stage codegen covers the scan→filter→project pipeline") {
     val p = Tables.lineitem(spark, sfDir)
       .filter(col("l_quantity") > 10)

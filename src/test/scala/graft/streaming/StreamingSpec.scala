@@ -89,6 +89,23 @@ class StreamingSpec extends SparkSpec {
     got.select("event_id").as[Long].collect().sorted shouldBe Array(1L, 2L)
   }
 
+  test("dropDuplicatesWithinWatermark evicts dedup state once the watermark passes") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Ev]
+    // unlike plain dropDuplicates (state grows forever), the
+    // WithinWatermark variant frees each key after lateness expires —
+    // the only sustainable streaming-dedup shape at 100 TB/day
+    val out = in.toDF()
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("event_id")
+    val got = runBatches(out, "dedup_ww", Seq(
+      () => in.addData(Ev(1, ts(0), 1, "click", 1.0), Ev(1, ts(1), 1, "click", 1.0)),
+      () => in.addData(Ev(2, ts(30), 2, "view", 2.0)), // watermark → 10:20, key 1 evicted
+      () => in.addData(Ev(1, ts(31), 1, "click", 9.0)))) // same key AFTER eviction: re-emitted
+    got.select("event_id").as[Long].collect().sorted shouldBe Array(1L, 1L, 2L)
+  }
+
   test("session windows split on gap") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
