@@ -264,6 +264,35 @@ object Similarity {
            round(avg(col("best.dist2")), 4).as("avg_dist2"))
   }
 
+  /** SemDeDup-style semantic dedup: exact cosine comparison restricted
+    * to WITHIN coarse clusters (`clusterCol` — a label here; in
+    * production the k-means assignment from [[assignToCentroids]]), any
+    * vector ≥ threshold-similar to a lower-id cluster-mate is dropped.
+    * Pairwise work is Σ_c n_c² instead of corpus², each cluster's pairs
+    * co-locate under ONE shuffle key, and the output is per-cluster
+    * keep/drop counts — the coarse-quantize-then-prune shape that makes
+    * embedding dedup feasible at 100 TB.
+    */
+  def semanticDedup(corpus: DataFrame, clusterCol: String, threshold: Double,
+                    idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val prepped = corpus.select(col(clusterCol).as("c"), col(idCol).as("id"),
+        col(vecCol).cast("array<double>").as("v"))
+      .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
+    val a = prepped.select(col("c"), col("id").as("id1"),
+      col("v").as("v1"), col("nrm").as("n1"))
+    val b = prepped.select(col("c").as("c2"), col("id").as("id2"),
+      col("v").as("v2"), col("nrm").as("n2"))
+    val dropped = a.join(b, col("c") === col("c2") && col("id1") < col("id2"))
+      .filter(dot(col("v1"), col("v2")) / (col("n1") * col("n2")) >= threshold)
+      .select(col("c"), col("id2").as("did")).distinct()
+    prepped.groupBy(col("c")).agg(count(lit(1)).as("n_vecs"))
+      .join(dropped.groupBy(col("c")).agg(countDistinct(col("did")).as("nd")),
+        Seq("c"), "left")
+      .select(col("c").as("cluster"), col("n_vecs"),
+        coalesce(col("nd"), lit(0L)).as("n_dropped"),
+        (col("n_vecs") - coalesce(col("nd"), lit(0L))).as("n_kept"))
+  }
+
   def cosinePairsLsh(corpus: DataFrame, threshold: Double, dim: Int,
                      nBits: Int = 12, tables: Int = 8,
                      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {

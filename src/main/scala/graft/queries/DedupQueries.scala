@@ -192,6 +192,24 @@ object DedupQueries {
         WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
                                      CAST(b.embedding AS DOUBLE[])) >= 0.4""")),
 
+    // SemDeDup-style semantic dedup: coarse cluster (label) → exact
+    // within-cluster cosine → drop the higher id of any ≥-threshold pair.
+    "d09_semantic_dedup" -> QueryDef(
+      (s, d) => graft.operators.Similarity.semanticDedup(
+        Tables.embeddings(s, d), "label", threshold = 0.4),
+      Some("""
+        WITH e AS (SELECT label, vec_id, CAST(embedding AS DOUBLE[]) AS v
+                   FROM embeddings),
+        dropped AS (SELECT DISTINCT a.label AS c, b.vec_id AS id
+                    FROM e a JOIN e b
+                      ON a.label = b.label AND a.vec_id < b.vec_id
+                    WHERE list_cosine_similarity(a.v, b.v) >= 0.4)
+        SELECT e.label AS cluster, count(*) AS n_vecs,
+               CAST(count(d.id) AS BIGINT) AS n_dropped,
+               CAST(count(*) - count(d.id) AS BIGINT) AS n_kept
+        FROM e LEFT JOIN dropped d ON e.label = d.c AND e.vec_id = d.id
+        GROUP BY 1""")),
+
     // Sub-document chunk dedup (suffix-array-dedup stand-in): global
     // first-occurrence keeper per 4-word chunk, per-doc duplication stats.
     "d08_chunk_dedup" -> QueryDef(

@@ -396,6 +396,28 @@ object TextQueries {
                row_number() OVER (ORDER BY n DESC, bigram ASC) AS rank
         FROM c ORDER BY rank LIMIT 30""")),
 
+    // Shard-export manifest: the training-data export shape. Shard = a
+    // deterministic portable hash of the doc id mod N, so any engine (or
+    // a later re-run) reproduces the same assignment; the manifest rows
+    // (docs / tokens / langs per shard) are what the downstream loader
+    // validates against. The actual write is
+    // `repartition(N, col("shard")).write.partitionBy("shard")` — one
+    // shuffle, each shard a contiguous file set.
+    "t19_shard_manifest" -> QueryDef(
+      (s, d) => Tables.documents(s, d)
+        .withColumn("shard",
+          graft.functions.PortableHash.md5_64(col("doc_id").cast("string")) % 8)
+        .groupBy(col("shard"))
+        .agg(count(lit(1)).as("n_docs"),
+             sum(size(split(col("text"), " ")).cast("long")).as("n_tokens"),
+             countDistinct(col("lang")).as("n_langs")),
+      Some(s"""
+        SELECT ${graft.functions.PortableHash.sqlMd5_64("CAST(doc_id AS VARCHAR)")} % 8 AS shard,
+               count(*) AS n_docs,
+               CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+               CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
+        FROM documents GROUP BY 1""")),
+
     // Weighted sampling without replacement (priority sampling): top-20
     // per language by n_chars/u with u a deterministic uniform from the
     // portable id hash — pure IEEE division (no ln/pow), so the oracle
