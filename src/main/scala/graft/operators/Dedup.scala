@@ -109,6 +109,9 @@ object Dedup {
     val existingHashes = existing
       .select(md5(col(textCol).cast("binary")).as("content_md5")).distinct()
       .localCheckpoint()
+    // Spark's stat.bloomFilter NPEs on an empty input (null aggregate
+    // buffer); an empty index means everything is novel anyway
+    if (existingHashes.isEmpty) return exact(incoming, textCol, idCol)
     val bloom = existingHashes.stat.bloomFilter("content_md5", expectedItems, fpp)
     val bc = incoming.sparkSession.sparkContext.broadcast(bloom)
     // null text → null hash: provably absent from the index (same as the

@@ -50,8 +50,11 @@ object TextAnalysis {
     val nWords = size(ws).cast("double")
     val stopRatio = markerCount(ws, "en").cast("double") / nWords
     val diversity = size(array_distinct(ws)).cast("double") / nWords
-    val alphaRatio = length(regexp_replace(col(textCol), "[^a-zA-Z]", "")).cast("double") /
-      length(col(textCol)).cast("double")
+    // guard zero-length text: ANSI mode turns 0/0 into a job-killing
+    // error, and one empty doc must not fail the corpus scan
+    val alphaRatio = when(length(col(textCol)) > 0,
+      length(regexp_replace(col(textCol), "[^a-zA-Z]", "")).cast("double") /
+        length(col(textCol)).cast("double")).otherwise(lit(0.0))
     df.withColumn("n_words", nWords.cast("long"))
       .withColumn("stop_ratio", round(stopRatio, 6))
       .withColumn("diversity", round(diversity, 6))
@@ -196,10 +199,14 @@ object TextAnalysis {
     val anyMarkers = Seq("en", "es", "de", "fr")
       .map(l => markerCount(ws, l)).reduce(_ + _)
     val grams = Dedup.ngrams(col(textCol), 3)
-    val repRatio = lit(1.0) - size(array_distinct(grams)).cast("double") /
-      size(grams).cast("double")
-    val alphaRatio = length(regexp_replace(col(textCol), "[^a-zA-Z]", "")).cast("double") /
-      length(col(textCol)).cast("double")
+    // same zero-denominator guards as qualityMetrics: texts too short
+    // for a 3-gram (or empty) score 0, they don't throw under ANSI
+    val repRatio = when(size(grams) > 0,
+      lit(1.0) - size(array_distinct(grams)).cast("double") /
+        size(grams).cast("double")).otherwise(lit(0.0))
+    val alphaRatio = when(length(col(textCol)) > 0,
+      length(regexp_replace(col(textCol), "[^a-zA-Z]", "")).cast("double") /
+        length(col(textCol)).cast("double")).otherwise(lit(0.0))
     val rules = Seq(
       "r_word_count" -> (nWords >= 50 && nWords <= 100000),
       "r_mean_word_len" -> (meanLen >= 3.0 && meanLen <= 10.0),

@@ -1,0 +1,60 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Degenerate-input contracts: every operator family must survive an
+  * EMPTY corpus and null text/vectors without throwing — at 100 TB a
+  * daily partition is occasionally empty and crawl text is occasionally
+  * null, and neither may kill a six-hour job.
+  */
+class RobustnessSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def emptyDocs: DataFrame =
+    Seq.empty[(Long, String, String)].toDF("doc_id", "text", "lang")
+  private def nullishDocs: DataFrame =
+    Seq((1L, null.asInstanceOf[String], "en"), (2L, "", "en"),
+        (3L, "real body text here", null.asInstanceOf[String]))
+      .toDF("doc_id", "text", "lang")
+
+  test("dedup family: empty corpus → empty result, no throw") {
+    Dedup.exact(emptyDocs, "text", "doc_id").count() shouldBe 0L
+    Dedup.minhashSignatures(emptyDocs, "text", "doc_id").count() shouldBe 0L
+    Dedup.chunkDedup(emptyDocs, "text", "doc_id", chunkWords = 4).count() shouldBe 0L
+    Dedup.incrementalExact(emptyDocs, emptyDocs, "text", "doc_id").count() shouldBe 0L
+  }
+
+  test("dedup family: null and empty text are carried, not crashed on") {
+    val ex = Dedup.exact(nullishDocs, "text", "doc_id")
+    ex.count() shouldBe 3L // null, "", and real text are three contents
+    val inc = Dedup.incrementalExact(nullishDocs, emptyDocs, "text", "doc_id")
+    inc.count() shouldBe 3L // nothing in the index → all keepers survive
+    val bl = Dedup.incrementalExactBloom(nullishDocs, nullishDocs.filter(lit(false)),
+      "text", "doc_id", expectedItems = 1)
+    bl.count() shouldBe 3L // bloom path agrees (null hash → provably new)
+  }
+
+  test("text analysis: null text scores without throwing") {
+    TextAnalysis.qualityMetrics(nullishDocs, "text").count() shouldBe 3L
+    TextAnalysis.qualityRules(nullishDocs, "text").count() shouldBe 3L
+    TextAnalysis.piiRedact(nullishDocs, "text").count() shouldBe 3L
+    nullishDocs.select(TextAnalysis.langId(col("text")).as("lang"))
+      .count() shouldBe 3L
+  }
+
+  test("similarity: empty embedding corpus → empty pairs and centroids") {
+    val emptyVecs = Seq.empty[(Long, Array[Float], Int)]
+      .toDF("vec_id", "embedding", "label")
+    Similarity.cosinePairs(emptyVecs, threshold = 0.5).count() shouldBe 0L
+    Similarity.semanticDedup(emptyVecs, "label", threshold = 0.5).count() shouldBe 0L
+  }
+
+  test("z-order and row ids: empty input plans and runs") {
+    val empty = Seq.empty[(Double, Double)].toDF("x", "y")
+    ZOrder.withZValue(empty, "x", "y", bits = 4).count() shouldBe 0L
+    ZOrder.bucketStats(empty, "x", "y", bits = 4, bucketShift = 2).count() shouldBe 0L
+  }
+}
