@@ -71,6 +71,53 @@ object EventQueries {
                count(*) AS n, round(sum(value), 4) AS val_sum
         FROM events GROUP BY 1, 2""")),
 
+    // Session windows executed through the REAL streaming path (the q72
+    // batch twin's agg run via readStream): stateful session merging on
+    // the state store, drained with AvailableNow, complete mode so final
+    // in-lateness sessions are emitted too. Fewer partitions for the
+    // same state-store-setup reason as q77.
+    "q82_streaming_session" -> QueryDef(
+      (s, d) => {
+        import org.apache.spark.sql.streaming.Trigger
+        val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+        s.conf.set("spark.sql.shuffle.partitions", "8")
+        try {
+          val stream = eventsStream(s, d)
+            .withWatermark("ts", "1 hour")
+            .groupBy(session_window(col("ts"), "10 minutes"), col("user_id"))
+            .agg(count(lit(1)).as("n_events"))
+            .select(col("user_id"), col("n_events"))
+          val q = stream.writeStream.format("memory").queryName("q82_sink")
+            .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+          q.awaitTermination()
+          s.table("q82_sink")
+            .groupBy(col("user_id"))
+            .agg(count(lit(1)).as("n_sessions"),
+                 max(col("n_events")).as("max_session_events"),
+                 sum(col("n_events")).as("total_events"))
+        } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      },
+      Some("""
+        WITH marked AS (
+          SELECT user_id, ts,
+                 CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                           >= INTERVAL 10 MINUTE
+                      OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                      THEN 1 ELSE 0 END AS new_session
+          FROM events),
+        sessions AS (
+          SELECT user_id,
+                 sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+          FROM marked),
+        per_session AS (
+          SELECT user_id, session_id, count(*) AS n_events
+          FROM sessions GROUP BY 1, 2)
+        SELECT user_id, count(*) AS n_sessions,
+               max(n_events) AS max_session_events,
+               CAST(sum(n_events) AS BIGINT) AS total_events
+        FROM per_session GROUP BY 1""")),
+
     // Stream-STREAM interval join executed through the real streaming
     // path: clicks join purchases of the same user within 30 minutes,
     // both sides watermarked (the event-time bound lets the engine expire
