@@ -71,6 +71,41 @@ object EventQueries {
                count(*) AS n, round(sum(value), 4) AS val_sum
         FROM events GROUP BY 1, 2""")),
 
+    // Arbitrary stateful processing executed end-to-end: a per-user
+    // running counter in mapGroupsWithState (the custom-state API the
+    // TaskTracker FSM builds on), drained with AvailableNow in update
+    // mode; the batch oracle is a plain GROUP BY count. State is one
+    // long per user — bounded, keyed, store-backed.
+    "q83_streaming_stateful_count" -> QueryDef(
+      (s, d) => {
+        import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode, Trigger}
+        import s.implicits._
+        val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+        s.conf.set("spark.sql.shuffle.partitions", "8")
+        try {
+          val counted = eventsStream(s, d)
+            .select(col("user_id")).as[Long]
+            .groupByKey(identity)
+            .mapGroupsWithState(GroupStateTimeout.NoTimeout()) {
+              (user: Long, rows: Iterator[Long],
+               state: org.apache.spark.sql.streaming.GroupState[Long]) =>
+                val n = state.getOption.getOrElse(0L) + rows.size
+                state.update(n)
+                (user, n)
+            }
+            .toDF("user_id", "n_events")
+          val q = counted.writeStream.format("memory").queryName("q83_sink")
+            .outputMode(OutputMode.Update()).trigger(Trigger.AvailableNow()).start()
+          q.awaitTermination()
+          // update mode re-emits a key per trigger; keep the final count
+          s.table("q83_sink").groupBy(col("user_id"))
+            .agg(max(col("n_events")).as("n_events"))
+        } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      },
+      Some("""
+        SELECT user_id, count(*) AS n_events
+        FROM events GROUP BY user_id""")),
+
     // Session windows executed through the REAL streaming path (the q72
     // batch twin's agg run via readStream): stateful session merging on
     // the state store, drained with AvailableNow, complete mode so final
