@@ -152,6 +152,27 @@ object ScalarQueries {
         WHERE doc_id % 5 = 0""")),
 
     // Higher-order functions: transform / filter / aggregate / exists.
+    // ANSI-safe arithmetic: try_divide/try_add return NULL instead of
+    // killing the job on /0 or overflow — the right default inside a
+    // 100 TB pipeline where one pathological row must not fail the run.
+    // Oracle mirrors with NULLIF guards.
+    "q84_try_arithmetic" -> QueryDef(
+      (s, d) => Tables.lineitem(s, d)
+        .filter(col("l_orderkey") % 7 === 0)
+        .select(
+          col("l_orderkey"), col("l_linenumber"),
+          round(expr("try_divide(l_extendedprice, l_quantity - 25)"), 6)
+            .as("price_per_excess_unit"),
+          expr("try_add(CAST(9223372036854775807 AS BIGINT), l_orderkey + 1)")
+            .as("overflow_is_null"),
+          round(expr("try_divide(l_discount, l_tax)"), 6).as("disc_per_tax")),
+      Some("""
+        SELECT l_orderkey, l_linenumber,
+               round(l_extendedprice / NULLIF(l_quantity - 25, 0), 6) AS price_per_excess_unit,
+               CAST(NULL AS BIGINT) AS overflow_is_null,
+               round(l_discount / NULLIF(l_tax, 0), 6) AS disc_per_tax
+        FROM lineitem WHERE l_orderkey % 7 = 0""")),
+
     // generator with ordinal: posexplode — the tokenize-with-positions
     // shape every sequence pipeline needs (token order survives the
     // explode). One generate per row, no shuffle.

@@ -22,6 +22,21 @@ class SourcesSpec extends SparkSpec {
     pruned.count() should be > 0L
   }
 
+  test("_metadata columns give per-row file provenance (curation lineage)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-meta").toString
+    Tables.nation(spark, sfDir).repartition(3)
+      .write.mode("overwrite").parquet(dir)
+    val withProv = spark.read.parquet(dir)
+      .select(col("n_nationkey"), col("_metadata.file_name").as("src_file"),
+              col("_metadata.file_size").as("src_bytes"))
+    withProv.count() shouldBe 25L
+    // every row maps to a real part file, and sizes are positive
+    val files = withProv.select("src_file").distinct().collect().map(_.getString(0))
+    files.length should be >= 2
+    all(files) should include("part-")
+    withProv.agg(min(col("src_bytes"))).head.getLong(0) should be > 0L
+  }
+
   test("bucketed tables join with no shuffle exchange") {
     val wh = spark.conf.get("spark.sql.warehouse.dir")
     spark.sql("DROP TABLE IF EXISTS b_orders")
