@@ -47,6 +47,98 @@ object Similarity {
               round(col("sim"), 6).as("sim"))
   }
 
+  /** Product-quantization KNN: split the d-dim space into `m` subspaces,
+    * learn a `codebookSize`-centroid codebook per subspace (deterministic
+    * hash-sampled init + Lloyd iterations, like [[ivfKnn]]), encode every
+    * corpus vector as m small codes, and score queries by asymmetric
+    * distance — the query's exact sub-vectors dotted against the coded
+    * centroids. Approx top `rerank·k` candidates are re-ranked with exact
+    * cosine.
+    *
+    * Scale design: the codebooks (m·codebookSize·dim/m doubles) are plan
+    * literals; encoding is a codegen'd argmax per subspace, one corpus
+    * scan, NO shuffle. At 100 TB the codes table is m bytes/vector vs 4d —
+    * a 100 TB float corpus becomes a ~3 TB RAM-resident index, and only
+    * candidate ids touch the full vectors again (via the re-rank join).
+    */
+  def pqKnn(corpus: DataFrame, queries: DataFrame, k: Int, dim: Int,
+            m: Int = 4, codebookSize: Int = 16, maxIter: Int = 3,
+            trainCap: Int = 100000, rerank: Int = 4,
+            idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(dim % m == 0, s"dim $dim must divide into $m subspaces")
+    val sub = dim / m
+    val vecs = corpus.select(col(idCol).as("id"),
+      col(vecCol).cast("array<double>").as("v"))
+
+    def toArr(r: org.apache.spark.sql.Row): Array[Double] =
+      r.getSeq[Double](0).toArray
+    def subCol(vec: Column, s: Int): Column = slice(vec, s * sub + 1, sub)
+    def l2ArgminExpr(cs: Array[Array[Double]], vec: Column): Column = {
+      // argmin ||x-c||² == argmax (2c·x − ||c||²), all plan literals
+      val scores = array(cs.toIndexedSeq.map { c =>
+        val c2 = c.map(x => x * x).sum
+        dot(vec, typedLit(c.map(_ * 2).toSeq)) - lit(c2)
+      }: _*)
+      (array_position(scores, array_max(scores)) - 1).cast("int")
+    }
+
+    val train = vecs.withColumn("h", xxhash64(col("id")))
+      .orderBy(col("h")).limit(trainCap).select(col("v")).persist()
+    // per-subspace codebooks, trained independently on the sample
+    val codebooks: Array[Array[Array[Double]]] = (0 until m).map { s =>
+      var cents: Array[Array[Double]] =
+        train.select(subCol(col("v"), s).as("sv")).limit(codebookSize)
+          .collect().map(toArr)
+      for (_ <- 0 until maxIter) {
+        val updated = train.select(subCol(col("v"), s).as("sv"))
+          .withColumn("cid", l2ArgminExpr(cents, col("sv")))
+          .select(col("cid"), posexplode(col("sv")).as(Seq("pos", "x")))
+          .groupBy(col("cid"), col("pos")).agg(avg(col("x")).as("mu"))
+          .collect().groupBy(_.getInt(0))
+          .map { case (cid, rows) =>
+            cid -> rows.sortBy(_.getInt(1)).map(_.getDouble(2)) }
+        cents = cents.indices.map(i => updated.getOrElse(i, cents(i))).toArray
+      }
+      cents
+    }.toArray
+    train.unpersist()
+
+    // encode: m codegen'd argmaxes in ONE corpus scan — the stored index
+    val coded = vecs.select(
+      (col("id") +: (0 until m).map(s =>
+        l2ArgminExpr(codebooks(s), subCol(col("v"), s)).as(s"c$s"))): _*)
+
+    // ADC scoring: approx dot = Σ_s  q_sub(s) · centroid[s][code_s]
+    val q = broadcast(queries.select(col(idCol).as("query_id"),
+      col(vecCol).cast("array<double>").as("qv"),
+      sqrt(dot(col(vecCol).cast("array<double>"),
+               col(vecCol).cast("array<double>"))).as("qn")))
+    val approxDot = (0 until m).map { s =>
+      // element_at over a literal array-of-arrays, indexed by the code
+      dot(subCol(col("qv"), s),
+        element_at(typedLit(codebooks(s).map(_.toSeq).toSeq), col(s"c$s") + 1))
+    }.reduce(_ + _)
+    val wA = Window.partitionBy(col("query_id"))
+      .orderBy(col("adot").desc, col("id").asc)
+    val candidates = q.join(coded, col("query_id") =!= col("id"))
+      .withColumn("adot", approxDot)
+      .withColumn("arnk", row_number().over(wA))
+      .filter(col("arnk") <= k * rerank)
+      .select(col("query_id"), col("qv"), col("qn"), col("id").as("neighbor_id"))
+
+    // exact re-rank of the candidate set only
+    val wE = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id").asc)
+    candidates.join(vecs.withColumnRenamed("id", "nid"),
+        col("neighbor_id") === col("nid"))
+      .withColumn("sim", dot(col("qv"), col("v")) /
+        (col("qn") * sqrt(dot(col("v"), col("v")))))
+      .withColumn("rank", row_number().over(wE).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+              round(col("sim"), 6).as("sim"))
+  }
+
   /** Random-hyperplane LSH signature: `nBits` sign bits of projections
     * onto pseudo-random hyperplanes. The hyperplane family is derived from
     * xxhash64(table·nBits + bit, dimension) — deterministic, seedable per

@@ -55,6 +55,18 @@ object SimilarityQueries {
       },
       None),
 
+    // product-quantization ANN: 8-byte codes (m=8, 16 centroids each)
+    // instead of 256 bytes/vector; ADC candidate scoring + exact re-rank.
+    // Rows-only gate (k-means has no SQL oracle); recall floor vs the
+    // exact baseline is asserted in SimilaritySpec.
+    "s08_knn_pq" -> QueryDef(
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        Similarity.pqKnn(emb, emb.filter(col("vec_id") < 5), k = 10,
+          dim = 64, m = 8, codebookSize = 16)
+      },
+      None),
+
     // per-language embedding centroids: class-mean / coarse-quantizer
     // training as one explode + map-side-combined aggregate; flat
     // (group, pos, centroid) output — O(groups·dim) rows shuffled, never

@@ -169,6 +169,23 @@ class ExtensionOperatorsSpec extends SparkSpec {
     lsh.intersect(exact).size.toDouble / exact.size should be >= 0.8
   }
 
+  test("PQ knn: valid ranks, no self-matches, re-ranked recall@10 ≥ 0.6 vs brute force") {
+    val queries = embs.filter(col("vec_id") < 5)
+    val exact = Similarity.bruteForceKnn(embs, queries, 10).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val pq = Similarity.pqKnn(embs, queries, 10, dim = 64, m = 8,
+      codebookSize = 16).collect()
+    pq.length shouldBe exact.size // k results per query
+    pq.foreach { r =>
+      r.getLong(0) should not be r.getLong(2) // no self-match
+      r.getLong(1) should (be >= 1L and be <= 10L)
+    }
+    val approx = pq.map(r => (r.getLong(0), r.getLong(2))).toSet
+    // 8-byte codes (32× compression of 64 floats) + 4k-candidate exact
+    // re-rank must keep the majority of the true neighbors
+    approx.intersect(exact).size.toDouble / exact.size should be >= 0.6
+  }
+
   test("IVF knn: valid ranks, no self-matches, recall beats its probe fraction floor") {
     val queries = embs.filter(col("vec_id") < 5)
     val exact = Similarity.bruteForceKnn(embs, queries, 10).collect()
