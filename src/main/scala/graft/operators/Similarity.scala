@@ -84,23 +84,31 @@ object Similarity {
 
     val train = vecs.withColumn("h", xxhash64(col("id")))
       .orderBy(col("h")).limit(trainCap).select(col("v")).persist()
-    // per-subspace codebooks, trained independently on the sample
-    val codebooks: Array[Array[Array[Double]]] = (0 until m).map { s =>
-      var cents: Array[Array[Double]] =
-        train.select(subCol(col("v"), s).as("sv")).limit(codebookSize)
-          .collect().map(toArr)
-      for (_ <- 0 until maxIter) {
-        val updated = train.select(subCol(col("v"), s).as("sv"))
-          .withColumn("cid", l2ArgminExpr(cents, col("sv")))
-          .select(col("cid"), posexplode(col("sv")).as(Seq("pos", "x")))
-          .groupBy(col("cid"), col("pos")).agg(avg(col("x")).as("mu"))
-          .collect().groupBy(_.getInt(0))
-          .map { case (cid, rows) =>
-            cid -> rows.sortBy(_.getInt(1)).map(_.getDouble(2)) }
-        cents = cents.indices.map(i => updated.getOrElse(i, cents(i))).toArray
+    // init: first sample rows, sliced per subspace
+    val initRows = train.limit(codebookSize).collect().map(toArr)
+    var codebooks: Array[Array[Array[Double]]] = Array.tabulate(m) { s =>
+      initRows.map(_.slice(s * sub, (s + 1) * sub))
+    }
+    // all m subspaces updated in ONE aggregation per Lloyd iteration:
+    // explode to (subspace, cid, pos, x) rows, a single shuffle of
+    // m·codebookSize·sub partial means — not m separate jobs
+    for (_ <- 0 until maxIter) {
+      val assignedAll = train.select(explode(array((0 until m).map { s =>
+        struct(lit(s).as("s"),
+          l2ArgminExpr(codebooks(s), subCol(col("v"), s)).as("cid"),
+          subCol(col("v"), s).as("sv"))
+      }: _*)).as("a"))
+      val updated = assignedAll
+        .select(col("a.s"), col("a.cid"), posexplode(col("a.sv")).as(Seq("pos", "x")))
+        .groupBy(col("s"), col("cid"), col("pos")).agg(avg(col("x")).as("mu"))
+        .collect().groupBy(r => (r.getInt(0), r.getInt(1)))
+        .map { case (key, rows) =>
+          key -> rows.sortBy(_.getInt(2)).map(_.getDouble(3)) }
+      codebooks = Array.tabulate(m) { s =>
+        codebooks(s).indices.map(i =>
+          updated.getOrElse((s, i), codebooks(s)(i))).toArray
       }
-      cents
-    }.toArray
+    }
     train.unpersist()
 
     // encode: m codegen'd argmaxes in ONE corpus scan — the stored index
@@ -108,14 +116,19 @@ object Similarity {
       (col("id") +: (0 until m).map(s =>
         l2ArgminExpr(codebooks(s), subCol(col("v"), s)).as(s"c$s"))): _*)
 
-    // ADC scoring: approx dot = Σ_s  q_sub(s) · centroid[s][code_s]
-    val q = broadcast(queries.select(col(idCol).as("query_id"),
-      col(vecCol).cast("array<double>").as("qv"),
-      sqrt(dot(col(vecCol).cast("array<double>"),
-               col(vecCol).cast("array<double>"))).as("qn")))
+    // ADC scoring: approx dot = Σ_s  q_sub(s) · centroid[s][code_s].
+    // Query sub-vectors are pre-sliced on the (tiny) broadcast side so
+    // the per-corpus-row work is m lookups + m short dots, no slicing.
+    val q = broadcast(queries.select(
+      (col(idCol).as("query_id") +:
+       col(vecCol).cast("array<double>").as("qv") +:
+       sqrt(dot(col(vecCol).cast("array<double>"),
+                col(vecCol).cast("array<double>"))).as("qn") +:
+       (0 until m).map(s =>
+         subCol(col(vecCol).cast("array<double>"), s).as(s"qs$s"))): _*))
     val approxDot = (0 until m).map { s =>
       // element_at over a literal array-of-arrays, indexed by the code
-      dot(subCol(col("qv"), s),
+      dot(col(s"qs$s"),
         element_at(typedLit(codebooks(s).map(_.toSeq).toSeq), col(s"c$s") + 1))
     }.reduce(_ + _)
     val wA = Window.partitionBy(col("query_id"))
