@@ -166,6 +166,23 @@ object SourceQueries {
                CAST(min(y) AS BIGINT) AS min_y, CAST(max(y) AS BIGINT) AS max_y
         FROM z GROUP BY 1""")),
 
+    // ORC: the other native columnar format (predicate pushdown + column
+    // pruning work the same as parquet); round trip proves lossless
+    // encode/decode of ints, strings, and doubles.
+    "src15_orc_roundtrip" -> QueryDef(
+      (s, d) => {
+        val out = exportDir(d, "part_orc")
+        val part = Tables.part(s, d)
+          .select(col("p_partkey"), col("p_name"), col("p_brand"),
+                  round(col("p_retailprice"), 2).as("price"))
+        part.write.mode("overwrite").orc(out)
+        s.read.schema(part.schema).orc(out)
+      },
+      Some("""
+        SELECT p_partkey, p_name, p_brand,
+               round(p_retailprice, 2) AS price
+        FROM part""")),
+
     // Malformed-record tolerance: a JSON landing dir where odd-keyed rows
     // are corrupt (truncated JSON). PERMISSIVE mode must load every good
     // row, shunt bad lines into _corrupt_record, and never fail the job —
