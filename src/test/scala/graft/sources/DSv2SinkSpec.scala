@@ -67,6 +67,35 @@ class DSv2SinkSpec extends SparkSpec {
     manifest.map(_._2).sum shouldBe input.count()
   }
 
+  test("streaming ingest lands in the record sink via foreachBatch, exactly once") {
+    import org.apache.spark.sql.streaming.Trigger
+    val root = freshRoot()
+    val srcDir = java.nio.file.Files.createTempDirectory("graft-stream-docs").toString
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    docs.repartition(3).write.mode("overwrite").parquet(srcDir)
+    // 3 files × maxFilesPerTrigger=1 → 3 micro-batches, each committed
+    // through the sink's two-phase protocol; task ids namespaced by
+    // batch so manifests merge disjointly
+    val q = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", "1").parquet(srcDir)
+      .writeStream.trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+        batch
+          .withColumn("task_number",
+            (lit(batchId * 10) + pmod(col("doc_id"), lit(2))).cast("int"))
+          .repartition(col("task_number"))
+          .write.format("graft.sources.GraftRecordFileSink")
+          .option("root", root).mode("append").save()
+        ()
+      }
+      .start()
+    q.awaitTermination()
+    val manifest = GraftRecordFileSink.readManifest(spark, root)
+    manifest.map(_._2).sum shouldBe docs.count() // every doc exactly once
+    manifest.map(_._1).distinct.size shouldBe manifest.size // disjoint tasks
+  }
+
   test("a task split across partitions fails the commit loudly, no manifest") {
     val root = freshRoot()
     val split = input.repartition(4) // round-robin: tasks span partitions
