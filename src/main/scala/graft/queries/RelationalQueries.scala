@@ -191,6 +191,21 @@ object RelationalQueries {
                round(sum(o_totalprice), 2) AS spend
         FROM orders GROUP BY o_custkey HAVING count(*) >= 5""")),
 
+    // grouping_id over rollup: the bitmask that tells subtotal rows from
+    // genuine NULL group keys — required for any downstream consumer of
+    // rollup output.
+    "q86_grouping_id" -> QueryDef(
+      (s, d) => Tables.orders(s, d)
+        .rollup(col("o_orderpriority"), col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"),
+             grouping_id().cast("long").as("gid"),
+             grouping(col("o_orderpriority")).cast("long").as("g_pri")),
+      Some("""
+        SELECT o_orderpriority, o_orderstatus, count(*) AS n,
+               CAST(GROUPING(o_orderpriority, o_orderstatus) AS BIGINT) AS gid,
+               CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_pri
+        FROM orders GROUP BY ROLLUP(o_orderpriority, o_orderstatus)""")),
+
     // bitwise aggregates: fold per-event flag bits into a per-user
     // capability mask — bit_or = "ever did", bit_and = "always carries",
     // bit_xor = parity. One hash-agg, map-side combinable.

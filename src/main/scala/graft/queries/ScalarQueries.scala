@@ -152,6 +152,35 @@ object ScalarQueries {
         WHERE doc_id % 5 = 0""")),
 
     // Higher-order functions: transform / filter / aggregate / exists.
+    // array set algebra (sorted before display so both engines' internal
+    // orderings cancel): union / intersect / except / overlap of the
+    // first-half vs second-half token sets of each doc.
+    "q85_array_setops" -> QueryDef(
+      (s, d) => Tables.documents(s, d)
+        .filter(col("doc_id") % 7 === 0)
+        .withColumn("ws", split(col("text"), " "))
+        .withColumn("a", slice(col("ws"), 1, 30))
+        .withColumn("b", slice(col("ws"), 31, 30))
+        .select(
+          col("doc_id"),
+          array_join(array_sort(array_distinct(concat(col("a"), col("b")))), ",").as("union_ab"),
+          array_join(array_sort(array_intersect(col("a"), col("b"))), ",").as("inter_ab"),
+          array_join(array_sort(array_except(col("a"), col("b"))), ",").as("except_ab"),
+          arrays_overlap(col("a"), col("b")).as("overlaps")),
+      Some("""
+        WITH t AS (
+          SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+          WHERE doc_id % 7 = 0),
+        ab AS (SELECT doc_id,
+                      COALESCE(ws[1:30], CAST([] AS VARCHAR[])) AS a,
+                      COALESCE(ws[31:60], CAST([] AS VARCHAR[])) AS b FROM t)
+        SELECT doc_id,
+               COALESCE(array_to_string(list_sort(list_distinct(list_concat(a, b))), ','), '') AS union_ab,
+               COALESCE(array_to_string(list_sort(list_distinct(list_filter(a, x -> list_contains(b, x)))), ','), '') AS inter_ab,
+               COALESCE(array_to_string(list_sort(list_distinct(list_filter(a, x -> NOT list_contains(b, x)))), ','), '') AS except_ab,
+               list_has_any(a, b) AS overlaps
+        FROM ab""")),
+
     // ANSI-safe arithmetic: try_divide/try_add return NULL instead of
     // killing the job on /0 or overflow — the right default inside a
     // 100 TB pipeline where one pathological row must not fail the run.
