@@ -144,8 +144,10 @@ object Similarity {
       .orderBy(col("sim").desc, col("neighbor_id").asc)
     candidates.join(vecs.withColumnRenamed("id", "nid"),
         col("neighbor_id") === col("nid"))
-      .withColumn("sim", dot(col("qv"), col("v")) /
-        (col("qn") * sqrt(dot(col("v"), col("v")))))
+      // zero-norm vectors score 0, they don't ANSI-crash the job
+      .withColumn("nn", col("qn") * sqrt(dot(col("v"), col("v"))))
+      .withColumn("sim", when(col("nn") > 0,
+        dot(col("qv"), col("v")) / col("nn")).otherwise(lit(0.0)))
       .withColumn("rank", row_number().over(wE).cast("long"))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("neighbor_id"),
@@ -387,9 +389,14 @@ object Similarity {
       col("v").as("v1"), col("nrm").as("n1"))
     val b = prepped.select(col("c").as("c2"), col("id").as("id2"),
       col("v").as("v2"), col("nrm").as("n2"))
+    // when() guards the zero-norm corner: ANSI mode turns 0/0 into a
+    // job-killing error, and a padded/failed zero embedding must not
+    // take down the corpus-wide dedup — it scores 0 and is kept
     val dropped = a.join(b, col("c") === col("c2") && col("id1") < col("id2"))
-      .filter(dot(col("v1"), col("v2")) / (col("n1") * col("n2")) >= threshold)
-      .select(col("c"), col("id2").as("did")).distinct()
+      .filter(when(col("n1") * col("n2") > 0,
+        dot(col("v1"), col("v2")) / (col("n1") * col("n2")))
+        .otherwise(lit(0.0)) >= threshold)
+      .select(col("c"), col("id2").as("did"))
     prepped.groupBy(col("c")).agg(count(lit(1)).as("n_vecs"))
       .join(dropped.groupBy(col("c")).agg(countDistinct(col("did")).as("nd")),
         Seq("c"), "left")

@@ -51,10 +51,12 @@ object TextAnalysis {
     val stopRatio = markerCount(ws, "en").cast("double") / nWords
     val diversity = size(array_distinct(ws)).cast("double") / nWords
     // guard zero-length text: ANSI mode turns 0/0 into a job-killing
-    // error, and one empty doc must not fail the corpus scan
+    // error, and one empty doc must not fail the corpus scan. Empty → 0.0,
+    // null text → null (no otherwise-branch), mirroring the oracle SQL.
     val alphaRatio = when(length(col(textCol)) > 0,
       length(regexp_replace(col(textCol), "[^a-zA-Z]", "")).cast("double") /
-        length(col(textCol)).cast("double")).otherwise(lit(0.0))
+        length(col(textCol)).cast("double"))
+      .when(length(col(textCol)) === 0, lit(0.0))
     df.withColumn("n_words", nWords.cast("long"))
       .withColumn("stop_ratio", round(stopRatio, 6))
       .withColumn("diversity", round(diversity, 6))
@@ -206,7 +208,8 @@ object TextAnalysis {
         size(grams).cast("double")).otherwise(lit(0.0))
     val alphaRatio = when(length(col(textCol)) > 0,
       length(regexp_replace(col(textCol), "[^a-zA-Z]", "")).cast("double") /
-        length(col(textCol)).cast("double")).otherwise(lit(0.0))
+        length(col(textCol)).cast("double"))
+      .when(length(col(textCol)) === 0, lit(0.0))
     val rules = Seq(
       "r_word_count" -> (nWords >= 50 && nWords <= 100000),
       "r_mean_word_len" -> (meanLen >= 3.0 && meanLen <= 10.0),

@@ -151,7 +151,6 @@ object ScalarQueries {
         FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
         WHERE doc_id % 5 = 0""")),
 
-    // Higher-order functions: transform / filter / aggregate / exists.
     // array set algebra (sorted before display so both engines' internal
     // orderings cancel): union / intersect / except / overlap of the
     // first-half vs second-half token sets of each doc.
@@ -163,9 +162,11 @@ object ScalarQueries {
         .withColumn("b", slice(col("ws"), 31, 30))
         .select(
           col("doc_id"),
-          array_join(array_sort(array_distinct(concat(col("a"), col("b")))), ",").as("union_ab"),
-          array_join(array_sort(array_intersect(col("a"), col("b"))), ",").as("inter_ab"),
-          array_join(array_sort(array_except(col("a"), col("b"))), ",").as("except_ab"),
+          // coalesce matches the oracle's COALESCE(..., ''): a null-text
+          // row yields empty sets on both engines, not NULL-vs-'' skew
+          coalesce(array_join(array_sort(array_distinct(concat(col("a"), col("b")))), ","), lit("")).as("union_ab"),
+          coalesce(array_join(array_sort(array_intersect(col("a"), col("b"))), ","), lit("")).as("inter_ab"),
+          coalesce(array_join(array_sort(array_except(col("a"), col("b"))), ","), lit("")).as("except_ab"),
           arrays_overlap(col("a"), col("b")).as("overlaps")),
       Some("""
         WITH t AS (
@@ -216,6 +217,7 @@ object ScalarQueries {
               FROM documents WHERE doc_id < 50),
              LATERAL (SELECT unnest(range(1, len(parts) + 1)) AS i)""")),
 
+    // Higher-order functions: transform / filter / aggregate / exists.
     "q55_array_hof" -> QueryDef(
       (s, d) => Tables.documents(s, d)
         .filter(col("doc_id") % 7 === 0)

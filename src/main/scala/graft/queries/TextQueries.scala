@@ -51,8 +51,10 @@ object TextQueries {
                 CAST(len(ws) AS DOUBLE) AS nw,
                 CAST(len(list_filter(ws, w -> w IN ${inList("en")})) AS DOUBLE) AS stops,
                 CAST(len(list_distinct(ws)) AS DOUBLE) AS uniq,
-                CAST(strlen(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)
-                  / CAST(strlen(text) AS DOUBLE) AS alpha
+                CASE WHEN strlen(text) > 0 THEN
+                       CAST(strlen(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)
+                         / CAST(strlen(text) AS DOUBLE)
+                     WHEN strlen(text) = 0 THEN 0.0 END AS alpha
               FROM t)
         SELECT doc_id,
                CAST(nw AS BIGINT) AS n_words,
@@ -315,9 +317,13 @@ object TextQueries {
                 CAST(len(ws) AS DOUBLE) AS nw,
                 (CAST(strlen(text) AS DOUBLE) - (len(ws) - 1)) / len(ws) AS mean_len,
                 len(list_filter(ws, w -> w IN ${inAllMarkers})) AS marks,
-                1 - len(list_distinct(grams)) * 1.0 / len(grams) AS rep,
-                CAST(strlen(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)
-                  / strlen(text) AS alpha
+                CASE WHEN len(grams) > 0 THEN
+                       1 - len(list_distinct(grams)) * 1.0 / len(grams)
+                     ELSE 0.0 END AS rep,
+                CASE WHEN strlen(text) > 0 THEN
+                       CAST(strlen(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)
+                         / strlen(text)
+                     WHEN strlen(text) = 0 THEN 0.0 END AS alpha
               FROM g),
         r AS (SELECT doc_id,
                 CASE WHEN nw >= 50 AND nw <= 100000 THEN 1 ELSE 0 END AS r1,
