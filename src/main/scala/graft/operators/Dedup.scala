@@ -34,13 +34,19 @@ object Dedup {
     * gram construction — every operator and hand-matched oracle derives
     * from this definition.
     */
-  def ngrams(textCol: Column, n: Int): Column = {
-    val ws = split(textCol, " ")
+  def ngrams(textCol: Column, n: Int): Column =
+    ngramsOfWords(split(textCol, " "), n)
+
+  /** [[ngrams]] over an already-tokenized words array. Callers that have
+    * materialized the split (a `_ws` column) use this so the expression
+    * references a cheap attribute 4× instead of re-running split() 4× —
+    * the words array is built once per row, not once per reference.
+    */
+  def ngramsOfWords(ws: Column, n: Int): Column =
     when(size(ws) >= n,
       transform(sequence(lit(1), size(ws) - n + 1),
         i => concat_ws(" ", slice(ws, i, lit(n)))))
       .otherwise(array(concat_ws(" ", ws)))
-  }
 
   /** Word-level n-gram shingles of a text column (deduplicated). */
   def shingles(textCol: Column, n: Int): Column = array_distinct(ngrams(textCol, n))
@@ -58,8 +64,11 @@ object Dedup {
     */
   def shingleIndex(df: DataFrame, textCol: String, idCol: String,
                    shingleN: Int, dfCap: Int): DataFrame = {
-    val sh = df.select(col(idCol).as("id"),
-      explode(shingles(col(textCol), shingleN)).as("s"))
+    // tokenize once: inlining shingles(textCol) would re-split the text
+    // per reference inside the gram builder
+    val sh = df.withColumn("_ws", split(col(textCol), " "))
+      .select(col(idCol).as("id"),
+        explode(array_distinct(ngramsOfWords(col("_ws"), shingleN))).as("s"))
     if (dfCap <= 0) sh
     else sh.withColumn("df", count(lit(1)).over(Window.partitionBy(col("s"))))
       .filter(col("df") <= dfCap).drop("df")
@@ -347,11 +356,12 @@ object Dedup {
     */
   def chunkDedup(df: DataFrame, textCol: String, idCol: String,
                  chunkWords: Int): DataFrame = {
-    val ws = split(col(textCol), " ")
+    val ws = col("_ws") // tokenized once; the chunk builder reads the attribute
     val chunks = transform(
       sequence(lit(0), ceil(size(ws).cast("double") / chunkWords).cast("int") - 1),
       i => concat_ws(" ", slice(ws, i * chunkWords + 1, lit(chunkWords))))
-    val exploded = df.select(col(idCol).as("doc_id"), posexplode(chunks))
+    val exploded = df.withColumn("_ws", split(col(textCol), " "))
+      .select(col(idCol).as("doc_id"), posexplode(chunks))
       .select(col("doc_id"), col("pos").as("chunk_idx"),
               md5(col("col").cast("binary")).as("chunk_md5"))
     val ranked = exploded.withColumn("rn", row_number().over(

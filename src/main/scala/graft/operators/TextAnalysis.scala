@@ -24,13 +24,40 @@ object TextAnalysis {
   /** Language ID: argmax of per-language marker-token counts, fixed
     * priority order on ties, "und" when no marker hits at all.
     */
-  def langId(textCol: Column): Column = {
-    val ws = split(textCol, " ")
+  def langId(textCol: Column): Column =
+    langIdOfWords(split(textCol, " "))
+
+  /** [[langId]] over an already-tokenized words array — callers that
+    * stage the split (see [[qualityRules]]) pay one tokenize per row
+    * instead of one per marker-set reference.
+    */
+  def langIdOfWords(ws: Column): Column = {
     val scores = Seq("en", "es", "de", "fr").map(l => l -> markerCount(ws, l))
     val maxScore = greatest(scores.map(_._2): _*)
     scores.foldRight(lit("und")) { case ((l, s), acc) =>
       when(maxScore > 0 && s === maxScore, l).otherwise(acc)
     }
+  }
+
+  /** [[langId]] as a staged DataFrame transform: the words array, the
+    * four marker scores, and their max are each materialized once, so the
+    * argmax CASE chain reads scalar attributes. The Column form inlines
+    * the max per WHEN arm — ~8 re-evaluations, each re-filtering (and
+    * under [[langId]] re-splitting) the text.
+    */
+  def withLangId(df: DataFrame, textCol: String, outCol: String): DataFrame = {
+    val langs = Seq("en", "es", "de", "fr")
+    val scored = langs.foldLeft(df.withColumn("_ws", split(col(textCol), " "))) {
+      (acc, l) => acc.withColumn(s"_s_$l", markerCount(col("_ws"), l))
+    }
+    val scores = langs.map(l => l -> col(s"_s_$l"))
+    val mx = col("_mx")
+    val pred = scores.foldRight(lit("und")) { case ((l, s), acc) =>
+      when(mx > 0 && s === mx, l).otherwise(acc)
+    }
+    scored.withColumn("_mx", greatest(scores.map(_._2): _*))
+      .withColumn(outCol, pred)
+      .drop("_ws" +: "_mx" +: langs.map(l => s"_s_$l"): _*)
   }
 
   /** Whitespace token count. */
@@ -46,10 +73,10 @@ object TextAnalysis {
     * stopword ratio, lexical diversity, alpha-char ratio.
     */
   def qualityMetrics(df: DataFrame, textCol: String): DataFrame = {
-    val ws = split(col(textCol), " ")
-    val nWords = size(ws).cast("double")
-    val stopRatio = markerCount(ws, "en").cast("double") / nWords
-    val diversity = size(array_distinct(ws)).cast("double") / nWords
+    // tokenize ONCE, then reduce to per-doc scalars ONCE: inlined, the
+    // split/filter/distinct array work would re-run per referencing
+    // column (quality_score alone references all of them)
+    val ws = col("_ws")
     // guard zero-length text: ANSI mode turns 0/0 into a job-killing
     // error, and one empty doc must not fail the corpus scan. Empty → 0.0,
     // null text → null (no otherwise-branch), mirroring the oracle SQL.
@@ -57,14 +84,22 @@ object TextAnalysis {
       length(regexp_replace(col(textCol), "[^a-zA-Z]", "")).cast("double") /
         length(col(textCol)).cast("double"))
       .when(length(col(textCol)) === 0, lit(0.0))
-    df.withColumn("n_words", nWords.cast("long"))
+    val staged = df.withColumn("_ws", split(col(textCol), " "))
+      .withColumn("_nw", size(ws).cast("double"))
+      .withColumn("_stops", markerCount(ws, "en").cast("double"))
+      .withColumn("_uniq", size(array_distinct(ws)).cast("double"))
+      .withColumn("_alpha", alphaRatio)
+    val (nWords, stopRatio, diversity, alpha) =
+      (col("_nw"), col("_stops") / col("_nw"), col("_uniq") / col("_nw"), col("_alpha"))
+    staged.withColumn("n_words", nWords.cast("long"))
       .withColumn("stop_ratio", round(stopRatio, 6))
       .withColumn("diversity", round(diversity, 6))
-      .withColumn("alpha_ratio", round(alphaRatio, 6))
+      .withColumn("alpha_ratio", round(alpha, 6))
       .withColumn("quality_score", round(
         least(nWords / 100.0, lit(1.0)) * 0.3 +
         least(stopRatio * 5.0, lit(1.0)) * 0.3 +
-        diversity * 0.2 + alphaRatio * 0.2, 6))
+        diversity * 0.2 + alpha * 0.2, 6))
+      .drop("_ws", "_nw", "_stops", "_uniq", "_alpha")
   }
 
   /** Benchmark decontamination: which training documents share ≥1
@@ -76,8 +111,10 @@ object TextAnalysis {
   def contaminationPairs(train: DataFrame, eval_ : DataFrame,
                          textCol: String, idCol: String,
                          shingleN: Int = 5): DataFrame = {
-    def sh(df: DataFrame, idName: String) = df.select(col(idCol).as(idName),
-      explode(Dedup.shingles(col(textCol), shingleN)).as("s"))
+    def sh(df: DataFrame, idName: String) = df
+      .withColumn("_ws", split(col(textCol), " ")) // tokenize once per row
+      .select(col(idCol).as(idName),
+        explode(array_distinct(Dedup.ngramsOfWords(col("_ws"), shingleN))).as("s"))
     sh(train, "train_id").join(broadcast(sh(eval_, "eval_id")), "s")
       .groupBy(col("train_id"), col("eval_id"))
       .agg(count(lit(1)).as("n_shared"))
@@ -89,12 +126,17 @@ object TextAnalysis {
     */
   def repetitionMetrics(df: DataFrame, textCol: String, idCol: String,
                         n: Int = 3): DataFrame = {
-    val grams = Dedup.ngrams(col(textCol), n)
-    df.select(col(idCol),
-      size(grams).cast("long").as("n_grams"),
-      size(array_distinct(grams)).cast("long").as("n_distinct"),
-      round(lit(1.0) - size(array_distinct(grams)).cast("double") /
-        size(grams).cast("double"), 6).as("rep_ratio"))
+    // words + grams materialized once each; the three output columns then
+    // read two integer scalars instead of re-building the gram array
+    val staged = df.withColumn("_ws", split(col(textCol), " "))
+      .withColumn("_grams", Dedup.ngramsOfWords(col("_ws"), n))
+      .withColumn("_ng", size(col("_grams")).cast("long"))
+      .withColumn("_nd", size(array_distinct(col("_grams"))).cast("long"))
+    staged.select(col(idCol),
+      col("_ng").as("n_grams"),
+      col("_nd").as("n_distinct"),
+      round(lit(1.0) - col("_nd").cast("double") /
+        col("_ng").cast("double"), 6).as("rep_ratio"))
   }
 
   /** TF-IDF top-k terms per document: tf = term count within the doc,
@@ -195,17 +237,25 @@ object TextAnalysis {
     * Gopher/FineWeb heuristics adapted to whitespace tokenization.
     */
   def qualityRules(df: DataFrame, textCol: String): DataFrame = {
-    val ws = split(col(textCol), " ")
-    val nWords = size(ws).cast("double")
+    // stage 1: tokenize + build trigrams ONCE; stage 2: reduce the arrays
+    // to integer scalars. Inlined (the pre-round-3 shape) every rule
+    // re-ran split() — ~12 tokenizations and 3 gram builds per row.
+    val ws = col("_ws")
+    val staged = df.withColumn("_ws", split(col(textCol), " "))
+      .withColumn("_grams", Dedup.ngramsOfWords(ws, 3))
+      .withColumn("_nw", size(ws).cast("double"))
+      .withColumn("_marks", Seq("en", "es", "de", "fr")
+        .map(l => markerCount(ws, l)).reduce(_ + _))
+      .withColumn("_ng", size(col("_grams")))
+      .withColumn("_nd", size(array_distinct(col("_grams"))))
+      .drop("_ws", "_grams")
+    val nWords = col("_nw")
     val meanLen = (length(col(textCol)).cast("double") - (nWords - 1)) / nWords
-    val anyMarkers = Seq("en", "es", "de", "fr")
-      .map(l => markerCount(ws, l)).reduce(_ + _)
-    val grams = Dedup.ngrams(col(textCol), 3)
     // same zero-denominator guards as qualityMetrics: texts too short
     // for a 3-gram (or empty) score 0, they don't throw under ANSI
-    val repRatio = when(size(grams) > 0,
-      lit(1.0) - size(array_distinct(grams)).cast("double") /
-        size(grams).cast("double")).otherwise(lit(0.0))
+    val repRatio = when(col("_ng") > 0,
+      lit(1.0) - col("_nd").cast("double") /
+        col("_ng").cast("double")).otherwise(lit(0.0))
     val alphaRatio = when(length(col(textCol)) > 0,
       length(regexp_replace(col(textCol), "[^a-zA-Z]", "")).cast("double") /
         length(col(textCol)).cast("double"))
@@ -213,10 +263,10 @@ object TextAnalysis {
     val rules = Seq(
       "r_word_count" -> (nWords >= 50 && nWords <= 100000),
       "r_mean_word_len" -> (meanLen >= 3.0 && meanLen <= 10.0),
-      "r_stopwords" -> (anyMarkers >= 2),
+      "r_stopwords" -> (col("_marks") >= 2),
       "r_repetition" -> (repRatio <= 0.5),
       "r_alpha" -> (alphaRatio >= 0.7))
-    val withRules = rules.foldLeft(df) { case (acc, (name, cond)) =>
+    val withRules = rules.foldLeft(staged) { case (acc, (name, cond)) =>
       acc.withColumn(name, cond.cast("long"))
     }
     withRules
@@ -224,6 +274,7 @@ object TextAnalysis {
         col(n) * lit(1L << i) }.reduce(_ + _))
       .withColumn("keep", rules.map { case (n, _) => col(n) === 1L }
         .reduce(_ && _).cast("long"))
+      .drop("_nw", "_marks", "_ng", "_nd")
   }
 
   /** Greedy sequence packing for training-batch assembly: within each
@@ -309,4 +360,18 @@ object TextAnalysis {
   def robustFingerprintMax(textCol: Column, shingleN: Int = 3): Column =
     array_max(transform(Dedup.shingles(textCol, shingleN),
       s => graft.functions.PortableHash.md5_64(s)))
+
+  /** Staged min+max robust fingerprint: the hashed shingle array is
+    * materialized ONCE and both extrema read it — the Column forms above,
+    * used together, would tokenize/shingle/hash the text twice.
+    */
+  def withRobustFingerprints(df: DataFrame, textCol: String,
+                             shingleN: Int = 3): DataFrame =
+    df.withColumn("_ws", split(col(textCol), " "))
+      .withColumn("_h", transform(
+        array_distinct(Dedup.ngramsOfWords(col("_ws"), shingleN)),
+        s => graft.functions.PortableHash.md5_64(s)))
+      .withColumn("fp_min", array_min(col("_h")))
+      .withColumn("fp_max", array_max(col("_h")))
+      .drop("_ws", "_h")
 }

@@ -22,9 +22,8 @@ object TextQueries {
   def defs: Map[String, QueryDef] = Map(
 
     "t01_lang_id" -> QueryDef(
-      (s, d) => Tables.documents(s, d)
-        .select(col("doc_id"), col("lang").as("lang_declared"),
-                TextAnalysis.langId(col("text")).as("lang_pred")),
+      (s, d) => TextAnalysis.withLangId(Tables.documents(s, d), "text", "lang_pred")
+        .select(col("doc_id"), col("lang").as("lang_declared"), col("lang_pred")),
       Some(s"""
         WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS ws FROM documents),
         sc AS (SELECT doc_id, lang,
@@ -86,8 +85,8 @@ object TextQueries {
     "t06_curation_pipeline" -> QueryDef(
       (s, d) => {
         val docs = Tables.documents(s, d)
-        val scored = TextAnalysis.qualityMetrics(docs, "text")
-          .withColumn("lang_pred", TextAnalysis.langId(col("text")))
+        val scored = TextAnalysis.withLangId(
+          TextAnalysis.qualityMetrics(docs, "text"), "text", "lang_pred")
         val keepers = Dedup.exact(docs, "text", "doc_id")
           .select(col("keeper_id").as("doc_id"))
         scored
@@ -384,7 +383,8 @@ object TextQueries {
     "t17_bigram_vocab" -> QueryDef(
       (s, d) => {
         val counts = Tables.documents(s, d)
-          .select(explode(Dedup.ngrams(col("text"), 2)).as("bigram"))
+          .withColumn("_ws", split(col("text"), " ")) // tokenize once
+          .select(explode(Dedup.ngramsOfWords(col("_ws"), 2)).as("bigram"))
           .groupBy(col("bigram")).agg(count(lit(1)).as("n"))
         graft.plans.TopKPerGroup.perGroup(counts, Nil,
           Seq("n" -> true, "bigram" -> false), 30)
@@ -446,11 +446,10 @@ object TextQueries {
         FROM scored QUALIFY rank <= 20""")),
 
     "t04_fingerprint" -> QueryDef(
-      (s, d) => Tables.documents(s, d)
+      (s, d) => TextAnalysis.withRobustFingerprints(Tables.documents(s, d), "text")
         .select(col("doc_id"),
                 TextAnalysis.contentFingerprint(col("text")).as("content_fp"),
-                TextAnalysis.robustFingerprintMin(col("text")).as("fp_min"),
-                TextAnalysis.robustFingerprintMax(col("text")).as("fp_max")),
+                col("fp_min"), col("fp_max")),
       Some(s"""
         WITH d AS (SELECT doc_id, text, string_split(text, ' ') AS ws FROM documents),
         s AS (SELECT doc_id, text,
