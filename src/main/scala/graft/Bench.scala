@@ -9,7 +9,7 @@ object Bench {
     * per-query map carries this representative subset; the full map lands
     * in BENCH_DETAIL.json next to the build.
     */
-  private val headline = Seq(
+  private[graft] val headline = Seq(
     "p03_fetch_parse_raw", "p06_persist_counts",
     "q01_agg_pricing_summary", "q13_grouping_sets",
     "q20_join_revenue_by_nation", "q28_join_broadcast_dim", "q29_join_asof",
@@ -60,18 +60,28 @@ object Bench {
     }
     // Locale.ROOT: a comma-decimal default locale would print 62,700 and
     // corrupt the JSON line
-    def fmt(v: Double): String =
-      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
-    def jsonMap(entries: Seq[(String, Double)]): String =
-      entries.map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     // full per-query detail for offline inspection (not on the line)
     try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_DETAIL.json"),
       s"""{"total":${fmt(total)},"n":${results.size},"sf":"$sfDir","runs":2,"queries":${jsonMap(results)}}
 """.getBytes("UTF-8"))
     catch { case _: Throwable => () }
-    val shown = results.filter { case (k, _) => headline.contains(k) }
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${jsonMap(shown)},"n_queries":${results.size},"sf":"$sfDir","runs":2}""")
+    println(line(total, results, sfDir))
     spark.stop()
+  }
+
+  private[graft] def fmt(v: Double): String =
+    String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+  private[graft] def jsonMap(entries: Seq[(String, Double)]): String =
+    entries.map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
+
+  /** The single JSON line the harness parses from the tail of the build
+    * output — MUST stay well under the harness's ~2000-char tail capture
+    * (BenchLineSpec enforces the budget at worst-case widths).
+    */
+  private[graft] def line(total: Double, results: Seq[(String, Double)],
+                          sfDir: String): String = {
+    val shown = results.filter { case (k, _) => headline.contains(k) }
+    s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${jsonMap(shown)},"n_queries":${results.size},"sf":"$sfDir","runs":2}"""
   }
 }

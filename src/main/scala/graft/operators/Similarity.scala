@@ -258,28 +258,43 @@ object Similarity {
     * phase shuffles the corpus ONCE by list id; probes are a broadcast.
     * Deterministic: init = smallest xxhash64(id) rows; no RNG.
     */
-  def ivfKnn(corpus: DataFrame, queries: DataFrame, k: Int, dim: Int,
-             nLists: Int = 16, nProbe: Int = 4, maxIter: Int = 5,
-             trainCap: Int = 100000,
-             idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+  /** Codegen'd nearest-centroid (max inner product) assignment against a
+    * literal codebook — the vector-quantizer encode shared by k-means,
+    * IVF, and the s10 gate. Ties break toward the smaller centroid id
+    * (array_position returns the FIRST max).
+    */
+  def nearestCentroidExpr(cs: Array[Array[Double]], vec: Column): Column = {
+    val dots = array(cs.toIndexedSeq.map(c => dot(vec, typedLit(c.toSeq))): _*)
+    (array_position(dots, array_max(dots)) - 1).cast("int")
+  }
+
+  /** Full Lloyd k-means over an embedding column, returning the trained
+    * codebook driver-side (k·dim doubles — plan-literal sized).
+    * Deterministic end to end: the training sample and the init are the
+    * smallest-xxhash64(id) rows, no RNG. Each iteration is ONE Spark job:
+    * assignment is a codegen'd argmax over literal centroids (no join),
+    * the update is one (cid, pos) hash-aggregate whose shuffle carries
+    * k·dim partial means after map-side combine — the training set itself
+    * is scanned per iteration but never shuffled. Empty clusters keep
+    * their previous centroid. At 100 TB, `trainCap` bounds the training
+    * sample (top-k by hash, a bounded per-partition heap + single merge,
+    * not a global sort); the full corpus is only touched by the encode.
+    */
+  def kmeansTrain(corpus: DataFrame, k: Int, maxIter: Int = 5,
+                  trainCap: Int = 100000,
+                  idCol: String = "vec_id", vecCol: String = "embedding")
+      : Array[Array[Double]] = {
     val vecs = corpus.select(col(idCol).as("id"),
       col(vecCol).cast("array<double>").as("v"))
-
     def toArr(r: org.apache.spark.sql.Row): Array[Double] =
       r.getSeq[Double](0).toArray
     // deterministic sample + init: order by hash, not by RNG
     val train = vecs.withColumn("h", xxhash64(col("id")))
       .orderBy(col("h")).limit(trainCap).select(col("v")).persist()
     var centroids: Array[Array[Double]] =
-      train.limit(nLists).collect().map(toArr)
-
-    def nearestExpr(cs: Array[Array[Double]], vec: Column): Column = {
-      val dots = array(cs.toIndexedSeq.map(c => dot(vec, typedLit(c.toSeq))): _*)
-      (array_position(dots, array_max(dots)) - 1).cast("int")
-    }
-
+      train.limit(k).collect().map(toArr)
     for (_ <- 0 until maxIter) {
-      val assigned = train.withColumn("cid", nearestExpr(centroids, col("v")))
+      val assigned = train.withColumn("cid", nearestCentroidExpr(centroids, col("v")))
       val updated = assigned
         .select(col("cid"), posexplode(col("v")).as(Seq("pos", "x")))
         .groupBy(col("cid"), col("pos")).agg(avg(col("x")).as("m"))
@@ -292,8 +307,17 @@ object Similarity {
         .map(i => updated.getOrElse(i, centroids(i))).toArray
     }
     train.unpersist()
+    centroids
+  }
 
-    val listed = vecs.withColumn("cid", nearestExpr(centroids, col("v")))
+  def ivfKnn(corpus: DataFrame, queries: DataFrame, k: Int, dim: Int,
+             nLists: Int = 16, nProbe: Int = 4, maxIter: Int = 5,
+             trainCap: Int = 100000,
+             idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val vecs = corpus.select(col(idCol).as("id"),
+      col(vecCol).cast("array<double>").as("v"))
+    val centroids = kmeansTrain(corpus, nLists, maxIter, trainCap, idCol, vecCol)
+    val listed = vecs.withColumn("cid", nearestCentroidExpr(centroids, col("v")))
     // each query probes its nProbe nearest centroids
     val probes = broadcast(
       queries.select(col(idCol).as("query_id"), col(vecCol).cast("array<double>").as("qv"))

@@ -361,6 +361,43 @@ object TextAnalysis {
     array_max(transform(Dedup.shingles(textCol, shingleN),
       s => graft.functions.PortableHash.md5_64(s)))
 
+  /** Temperature-scaled source mixture resampling — the "data mixing"
+    * step of LLM corpus assembly: target share of source g ∝ n_g^τ
+    * (τ < 1 upweights small sources, the multilingual-rebalancing
+    * standard), scaled so the expected sample totals `targetFraction` of
+    * the corpus. Acceptance is a pure function of the document id
+    * ([[graft.functions.PortableHash]] ratio < per-source rate) — stable
+    * across runs, engines, and re-sharding; no rand().
+    *
+    * Scale design: per-source counts are one tiny aggregate; the rate
+    * table (sources × 3 doubles) joins back via broadcast; the corpus is
+    * filtered in place — zero data-dependent shuffle beyond the count.
+    * Returns (source, n_total, rate, n_sampled).
+    */
+  def mixtureResample(df: DataFrame, idCol: String, groupCol: String,
+                      temperature: Double, targetFraction: Double): DataFrame = {
+    val counts = df.groupBy(col(groupCol).as("grp"))
+      .agg(count(lit(1)).as("n_total"))
+    val totals = counts.agg(sum(pow(col("n_total"), temperature)).as("z"),
+                            sum(col("n_total")).as("corpus_n"))
+    // acceptance compares against the ROUNDED rate (also the emitted
+    // value), so a last-ulp pow/sum drift between engines cannot flip a
+    // boundary document
+    val rates = counts.crossJoin(broadcast(totals))
+      .withColumn("rate", round(
+        least(lit(1.0), col("corpus_n") * targetFraction *
+          (pow(col("n_total"), temperature) / col("z")) / col("n_total")), 6))
+      .select(col("grp"), col("n_total"), col("rate"))
+    val hashRatio =
+      (graft.functions.PortableHash.md5_64(col(idCol).cast("string")) % 1000000L)
+        .cast("double") / 1000000.0
+    df.select(col(groupCol).as("grp"), col(idCol))
+      .join(broadcast(rates), Seq("grp"))
+      .groupBy(col("grp").as("source_grp"), col("n_total"), col("rate"))
+      .agg(sum(when(hashRatio < col("rate"), 1L).otherwise(0L)).as("n_sampled"))
+      .select(col("source_grp"), col("n_total"), col("rate"), col("n_sampled"))
+  }
+
   /** Staged min+max robust fingerprint: the hashed shingle array is
     * materialized ONCE and both extrema read it — the Column forms above,
     * used together, would tokenize/shingle/hash the text twice.

@@ -59,6 +59,33 @@ object ApproxQueries {
         SELECT event_id,
                CAST(props->>'$.k' AS INTEGER) AS k,
                to_json({'k': CAST(props->>'$.k' AS INTEGER)}) AS props_json
-        FROM events WHERE event_id < 500"""))
+        FROM events WHERE event_id < 500""")),
+
+    // Mergeable-sketch rollup — the re-aggregation pattern that matters
+    // at 100 TB: per-day HLL sketches of distinct users (fixed-size
+    // binary partials) are UNIONED to per-type totals without touching
+    // the raw rows again; a nightly job keeps day-level sketches and any
+    // rollup (week/month/all-time) is a cheap sketch merge, never a
+    // re-scan. The gate emits the estimate next to the exact count and a
+    // ±5% flag; sketch internals aren't SQL-replicable → rows-only, with
+    // the tolerance re-asserted in ApproxSpec.
+    "q88_sketch_rollup" -> QueryDef(
+      (s, d) => {
+        val ev = Tables.events(s, d)
+        val daily = ev.groupBy(date_trunc("day", col("ts")).as("day"),
+                               col("event_type"))
+          .agg(hll_sketch_agg(col("user_id")).as("sk"))
+        val merged = daily.groupBy(col("event_type"))
+          .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est_users"))
+        val exact = ev.groupBy(col("event_type"))
+          .agg(countDistinct(col("user_id")).as("exact_users"))
+        merged.join(exact, Seq("event_type"))
+          .withColumn("within_5pct",
+            (abs(col("est_users") - col("exact_users")) <=
+              col("exact_users") * 0.05).cast("long"))
+          .select(col("event_type"), col("exact_users"),
+                  col("est_users"), col("within_5pct"))
+      },
+      None)
   )
 }

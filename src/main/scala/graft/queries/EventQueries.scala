@@ -195,6 +195,88 @@ object EventQueries {
          AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
         WHERE c.event_type = 'click' AND p.event_type = 'purchase'""")),
 
+    // Stream-stream LEFT OUTER join executed through the real streaming
+    // path: every click joins purchases of the same user within 30
+    // minutes; clicks with NO purchase must still be emitted (with null
+    // purchase_id), which only happens when the watermark passes their
+    // join window and evicts their state. Two far-future sentinel rows
+    // (one per side, negative user ids, filtered from the output) push
+    // both sides' watermarks past every real event, so ALL unmatched
+    // clicks are null-emitted before AvailableNow terminates — the result
+    // equals the batch LEFT JOIN oracle exactly.
+    "q89_streaming_left_outer" -> QueryDef(
+      (s, d) => {
+        import org.apache.spark.sql.streaming.Trigger
+        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        val sf = java.nio.file.Paths.get(d).getFileName.toString
+        val dir = java.nio.file.Paths.get(
+          sys.props("java.io.tmpdir"), "graft_export", sf, "events_louter")
+        java.nio.file.Files.createDirectories(dir)
+        java.nio.file.Files.copy(
+          java.nio.file.Paths.get(d, "events.parquet"),
+          dir.resolve("events.parquet"),
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        val rawSchema = s.read.parquet(s"$d/events.parquet").schema
+        // TWO sentinel files (2100 and 2101, one click + one purchase
+        // each, negative ids): the first pushes both watermarks past all
+        // real data; outer-join EVICTION runs one batch behind the
+        // watermark update, so the second sentinel's batch is what
+        // null-emits the last unmatched real clicks. maxFilesPerTrigger=1
+        // guarantees the files become separate micro-batches.
+        def writeSentinel(name: String, nanos: Long): Unit = {
+          val rows = s.createDataFrame(
+            java.util.Arrays.asList(
+              org.apache.spark.sql.Row(-1L, nanos, -1L, "click", 0.0, "{}"),
+              org.apache.spark.sql.Row(-2L, nanos, -2L, "purchase", 0.0, "{}")),
+            rawSchema)
+          val tmp = dir.resolve("_sentinel_tmp")
+          rows.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+          val part = java.nio.file.Files.list(tmp).toArray.map(_.toString)
+            .filter(_.endsWith(".parquet")).head
+          java.nio.file.Files.move(java.nio.file.Paths.get(part),
+            dir.resolve(name), java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        }
+        writeSentinel("zz1_sentinel.parquet", 4102444800000000000L) // 2100
+        writeSentinel("zz2_sentinel.parquet", 4133980800000000000L) // 2101
+        val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+        s.conf.set("spark.sql.shuffle.partitions", "8")
+        def stream = s.readStream.schema(rawSchema)
+          .option("pathGlobFilter", "*.parquet")
+          .option("maxFilesPerTrigger", "1")
+          .parquet(dir.toString)
+          .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        val clicks = stream.filter(col("event_type") === "click")
+          .select(col("event_id").as("click_id"), col("user_id"),
+                  col("ts").as("click_ts"))
+          .withWatermark("click_ts", "1 hour")
+        val purchases = stream.filter(col("event_type") === "purchase")
+          .select(col("event_id").as("purchase_id"),
+                  col("user_id").as("p_user"), col("ts").as("p_ts"))
+          .withWatermark("p_ts", "1 hour")
+        // NB: no sentinel filter inside the streaming query — a filter on
+        // the left side's columns would be PUSHED BELOW the watermark
+        // node, the sentinel click would never reach it, and the global
+        // (min-of-sides) watermark would stall at the real data's max.
+        // Sentinels are dropped from the materialized sink instead.
+        val joined = clicks.join(purchases,
+          col("user_id") === col("p_user") &&
+          col("p_ts") >= col("click_ts") &&
+          col("p_ts") <= col("click_ts") + expr("interval 30 minutes"),
+          "left_outer")
+          .select(col("click_id"), col("purchase_id"))
+        val q = joined.writeStream.format("memory").queryName("q89_sink")
+          .outputMode("append").trigger(Trigger.AvailableNow()).start()
+        try q.awaitTermination()
+        finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+        s.table("q89_sink").filter(col("click_id") >= 0)
+      },
+      Some("""
+        SELECT c.event_id AS click_id, p.event_id AS purchase_id
+        FROM events c LEFT JOIN events p
+          ON c.user_id = p.user_id AND p.event_type = 'purchase'
+         AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
+        WHERE c.event_type = 'click'""")),
+
     // Time-series resample + gap fill: a per-user daily spine (generated
     // with sequence(), one row per day between the user's first and last
     // activity), missing days zero-filled for counts and forward-filled

@@ -56,6 +56,13 @@ object RelationalQueries {
     ORDER BY revenue DESC, o_orderdate ASC, o_orderkey ASC
     LIMIT 10"""
 
+  val lateralTopkSql: String = """
+    SELECT n_name, c.c_name, round(c.c_acctbal, 2) AS acctbal
+    FROM nation, LATERAL (
+      SELECT c_name, c_acctbal FROM customer
+      WHERE c_nationkey = n_nationkey
+      ORDER BY c_acctbal DESC, c_name LIMIT 2) c"""
+
   // ---------------------------------------------------------------- agg
 
   private def agg: Map[String, QueryDef] = Map(
@@ -585,6 +592,18 @@ object RelationalQueries {
         s.sql(RelationalQueries.shippingPrioritySql)
       },
       Some(RelationalQueries.shippingPrioritySql)),
+
+    // Correlated LATERAL subquery with per-row ORDER BY + LIMIT — the
+    // dialect-shared string runs verbatim on spark.sql AND DuckDB.
+    // Spark decorrelates this into a join + per-group limit; it is the
+    // SQL-surface twin of the top-k-per-group operator family.
+    "q87_lateral_topk" -> QueryDef(
+      (s, d) => {
+        Tables.nation(s, d).createOrReplaceTempView("nation")
+        Tables.customer(s, d).createOrReplaceTempView("customer")
+        s.sql(RelationalQueries.lateralTopkSql)
+      },
+      Some(RelationalQueries.lateralTopkSql)),
 
     // Per-group top-k via the custom plan operator (bounded heaps, partial
     // pruning before the shuffle — graft.plans.TopKPerGroup) — same

@@ -148,6 +148,47 @@ object SimilarityQueries {
               FROM sc)
         SELECT lang, cl AS assigned, count(*) AS n,
                round(avg(dist2), 4) AS avg_dist2
-        FROM b WHERE rn = 1 GROUP BY 1, 2"""))
+        FROM b WHERE rn = 1 GROUP BY 1, 2""")),
+
+    // Johnson–Lindenstrauss ±1 random projection 64 → 16 dims: the
+    // projection matrix is hash-derived (plan literals, no stored model),
+    // each output dim one codegen'd dot against the scan — zero shuffle.
+    // The oracle inlines the identical sign vectors.
+    "s09_random_projection" -> QueryDef(
+      (s, d) => graft.operators.RandomProjection.project(
+        Tables.embeddings(s, d), dim = 64, outDim = 16),
+      Some(graft.operators.RandomProjection.oracleSql(64, 16))),
+
+    // Full Lloyd k-means as a first-class operator (the trainer behind
+    // s04's IVF lists, exposed): deterministic hash init, per-iteration
+    // one assignment scan + one k·dim-row aggregate. The gate encodes the
+    // corpus against the trained codebook and emits per-cluster size,
+    // mean squared distance, and centroid norm. Driver-side iteration ⇒
+    // rows-only; determinism + inertia monotonicity asserted in spec.
+    "s10_kmeans" -> QueryDef(
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val cb = Similarity.kmeansTrain(emb, k = 8, maxIter = 4)
+        val vecs = emb.select(col("vec_id"),
+          col("embedding").cast("array<double>").as("v"))
+        val dots = array(cb.toIndexedSeq.map(c =>
+          graft.functions.GraftFunctions.dot(col("v"), typedLit(c.toSeq))): _*)
+        val c2 = typedLit(cb.map(c => c.map(x => x * x).sum).toSeq)
+        val cn = typedLit(cb.map(c => math.sqrt(c.map(x => x * x).sum)).toSeq)
+        // the k dot products are staged once; argmax and dist² read them
+        vecs
+          .withColumn("_dots", dots)
+          .withColumn("cid", (array_position(col("_dots"),
+            array_max(col("_dots"))) - 1).cast("int"))
+          .withColumn("dist2",
+            graft.functions.GraftFunctions.dot(col("v"), col("v"))
+              - lit(2.0) * element_at(col("_dots"), col("cid") + 1)
+              + element_at(c2, col("cid") + 1))
+          .groupBy(col("cid").cast("long").as("cluster"))
+          .agg(count(lit(1)).as("n_vecs"),
+               round(avg(col("dist2")), 4).as("avg_dist2"),
+               round(max(element_at(cn, col("cid") + 1)), 6).as("centroid_norm"))
+      },
+      None)
   )
 }

@@ -445,6 +445,31 @@ object TextQueries {
                                   ORDER BY priority DESC, id ASC) AS rank
         FROM scored QUALIFY rank <= 20""")),
 
+    // Temperature-scaled source mixture resampling (the LLM "data mixing"
+    // step): target share ∝ n^0.5, expected sample = half the corpus,
+    // acceptance a pure hash function of doc_id — the oracle replays the
+    // rate formula and the acceptance hash exactly.
+    "t20_mixture_resample" -> QueryDef(
+      (s, d) => TextAnalysis.mixtureResample(
+        Tables.documents(s, d), "doc_id", "source",
+        temperature = 0.5, targetFraction = 0.5),
+      Some(s"""
+        WITH c AS (SELECT source AS grp, count(*) AS n_total
+                   FROM documents GROUP BY 1),
+        t AS (SELECT sum(pow(n_total, 0.5)) AS z,
+                     sum(n_total) AS corpus_n FROM c),
+        r AS (SELECT grp, n_total,
+                round(least(1.0, corpus_n * 0.5 *
+                  (pow(n_total, 0.5) / z) / n_total), 6) AS rate
+              FROM c, t)
+        SELECT r.grp AS source_grp, r.n_total, r.rate,
+               CAST(sum(CASE WHEN
+                 (${PH.sqlMd5_64("CAST(doc_id AS VARCHAR)")} % 1000000)
+                   / 1000000.0 < r.rate THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_sampled
+        FROM documents d JOIN r ON d.source = r.grp
+        GROUP BY 1, 2, 3""")),
+
     "t04_fingerprint" -> QueryDef(
       (s, d) => TextAnalysis.withRobustFingerprints(Tables.documents(s, d), "text")
         .select(col("doc_id"),
