@@ -23,7 +23,9 @@ object ScaleProbe {
     "s06_centroids_by_lang", "d03_dedup_minhash_lsh",
     "d08_chunk_dedup", "q42_window_range_frame", "q66_gapfill_resample",
     "q67_fuzzy_join_blocked", "s07_centroid_assign", "t15_sequence_packing",
-    "src10_zorder_stats", "q78_contiguous_ids", "q36_winsorize")
+    "src10_zorder_stats", "q78_contiguous_ids", "q36_winsorize",
+    "s09_random_projection", "s10_kmeans", "t20_mixture_resample",
+    "q88_sketch_rollup", "t14_quality_rules")
 
   private val IdShift = 10000000L
   private val DayShift = 4000 // > TPC-H date span, so copies never overlap

@@ -151,6 +151,26 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("random projection plans with ZERO exchanges — literal matrix, one pass (s09)") {
+    plan("s09_random_projection") should not include "Exchange"
+  }
+
+  test("lateral top-k decorrelates to a hash join with pre-shuffle group limits (q87)") {
+    val p = plan("q87_lateral_topk")
+    p should not include "NestedLoop"
+    p should not include "CartesianProduct"
+    p should include("WindowGroupLimit")
+    // the per-partition (Partial) limit prunes to ≤ k rows per group
+    // BEFORE the exchange — the property that survives a 100× scale-up
+    p should include regex "(?s)Exchange.*WindowGroupLimit.*Partial"
+  }
+
+  test("mixture resample: rate table joins back by broadcast, corpus never sort-merge-joined (t20)") {
+    val p = plan("t20_mixture_resample")
+    p should not include "SortMergeJoin"
+    p should include("BroadcastHashJoin")
+  }
+
   test("fuzzy join collapses to distinct values before pairwise scoring (q67)") {
     val p = plan("q67_fuzzy_join_blocked")
     // both self-join inputs are aggregates (the distinct-value collapse);
