@@ -106,6 +106,43 @@ object EventQueries {
         SELECT user_id, count(*) AS n_events
         FROM events GROUP BY user_id""")),
 
+    // The Spark 4 transformWithState API executed on the RocksDB state
+    // store — the production pairing (named typed state cells; state on
+    // local SSD + changelog, not executor heap). Same per-user counter
+    // contract as q83's mapGroupsWithState, same GROUP BY oracle.
+    "q90_transform_with_state" -> QueryDef(
+      (s, d) => {
+        import org.apache.spark.sql.streaming.{OutputMode, TimeMode, Trigger}
+        import s.implicits._
+        val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+        val prevProvider = s.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+        s.conf.set("spark.sql.shuffle.partitions", "8")
+        s.conf.set("spark.sql.streaming.stateStore.providerClass",
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+        try {
+          val counted = eventsStream(s, d)
+            .select(col("user_id")).as[Long]
+            .groupByKey(identity)
+            .transformWithState(new graft.streaming.PerKeyCounter,
+              TimeMode.None(), OutputMode.Update())
+            .toDF("user_id", "n_events")
+          val q = counted.writeStream.format("memory").queryName("q90_sink")
+            .outputMode(OutputMode.Update()).trigger(Trigger.AvailableNow()).start()
+          q.awaitTermination()
+          s.table("q90_sink").groupBy(col("user_id"))
+            .agg(max(col("n_events")).as("n_events"))
+        } finally {
+          s.conf.set("spark.sql.shuffle.partitions", prevParts)
+          prevProvider match {
+            case Some(p) => s.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+            case None => s.conf.unset("spark.sql.streaming.stateStore.providerClass")
+          }
+        }
+      },
+      Some("""
+        SELECT user_id, count(*) AS n_events
+        FROM events GROUP BY user_id""")),
+
     // Session windows executed through the REAL streaming path (the q72
     // batch twin's agg run via readStream): stateful session merging on
     // the state store, drained with AvailableNow, complete mode so final

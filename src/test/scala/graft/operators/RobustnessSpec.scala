@@ -57,4 +57,31 @@ class RobustnessSpec extends SparkSpec {
     ZOrder.withZValue(empty, "x", "y", bits = 4).count() shouldBe 0L
     ZOrder.bucketStats(empty, "x", "y", bits = 4, bucketShift = 2).count() shouldBe 0L
   }
+
+  test("kmeansTrain: k larger than the corpus degrades to corpus-sized codebook use") {
+    val tiny = Seq((1L, Array.fill(4)(1.0f)), (2L, Array.fill(4)(2.0f)))
+      .toDF("vec_id", "embedding")
+    val cb = Similarity.kmeansTrain(tiny, k = 8, maxIter = 2)
+    // init only finds 2 rows; the trained prefix is still usable
+    cb.length shouldBe 2
+    cb.foreach(_.length shouldBe 4)
+  }
+
+  test("random projection: null embedding yields null projections, not a crash") {
+    val docs = Seq((1L, Array.fill(8)(1.0f)), (2L, null.asInstanceOf[Array[Float]]))
+      .toDF("vec_id", "embedding")
+    val out = RandomProjection.project(docs, dim = 8, outDim = 4).collect()
+      .map(r => r.getLong(0) -> r.isNullAt(1)).toMap
+    out(1L) shouldBe false
+    out(2L) shouldBe true
+  }
+
+  test("mixtureResample: empty corpus and single-group corpus both run") {
+    val empty = Seq.empty[(Long, String)].toDF("id", "grp")
+    TextAnalysis.mixtureResample(empty, "id", "grp", 0.5, 0.5).count() shouldBe 0L
+    val one = (1 to 50).map(i => (i.toLong, "only")).toDF("id", "grp")
+    val row = TextAnalysis.mixtureResample(one, "id", "grp", 0.5, 0.5).head()
+    row.getLong(1) shouldBe 50L
+    row.getDouble(2) shouldBe 0.5 +- 1e-9 // single group: rate = fraction
+  }
 }
