@@ -22,7 +22,10 @@ object Bench {
     "d04_dedup_simhash", "d05_dedup_embedding", "d06_dedup_clusters",
     "s01_knn_brute_force", "s02_knn_lsh", "s04_knn_ivf", "s05_quantize_int8",
     "t01_lang_id", "t04_fingerprint", "t06_curation_pipeline",
-    "m03_frame_sampling")
+    "m03_frame_sampling",
+    "q87_lateral_topk", "q88_sketch_rollup", "q89_streaming_left_outer",
+    "q90_transform_with_state", "s09_random_projection", "s10_kmeans",
+    "t20_mixture_resample")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
