@@ -38,12 +38,14 @@ object RandomProjection {
     */
   def project(df: DataFrame, dim: Int, outDim: Int,
               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val v = col(vecCol).cast("array<double>")
+    // stage the float→double cast ONCE — inlined, each rp_j would
+    // re-convert the whole vector (outDim casts per row)
     val scale = math.sqrt(outDim.toDouble)
     val outs = (0 until outDim).map { j =>
-      round(dot(v, typedLit(signVector(dim, j))) / scale, 6).as(s"rp_$j")
+      round(dot(col("_v"), typedLit(signVector(dim, j))) / scale, 6).as(s"rp_$j")
     }
-    df.select(col(idCol) +: outs: _*)
+    df.withColumn("_v", col(vecCol).cast("array<double>"))
+      .select(col(idCol) +: outs: _*)
   }
 
   /** DuckDB SQL computing exactly [[project]] over the embeddings table. */

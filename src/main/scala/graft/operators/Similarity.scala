@@ -245,28 +245,21 @@ object Similarity {
               round(col("sim"), 6).as("sim"))
   }
 
-  /** IVF (inverted-file) ANN: a k-means coarse quantizer partitions the
-    * corpus into `nLists` inverted lists; each query probes its `nProbe`
-    * nearest centroids and re-ranks exactly (cosine) within those lists —
-    * searching ~nProbe/nLists of the corpus instead of all of it.
-    *
-    * Scale design: training runs on a deterministic hash-sample capped at
-    * `trainCap` rows (k-means quality needs a sample, not the corpus);
-    * the per-iteration update is one explode + hash-aggregate; centroids
-    * (nLists × dim doubles) live on the driver and enter the plan as
-    * literals, so assignment is a codegen'd argmax — no join. The query
-    * phase shuffles the corpus ONCE by list id; probes are a broadcast.
-    * Deterministic: init = smallest xxhash64(id) rows; no RNG.
+  /** Argmax over a staged dot-products array column: 0-based id of the
+    * best centroid. Ties break toward the smaller centroid id
+    * (array_position returns the FIRST max). Single source of the
+    * encode's tie-break/indexing convention — trainer, IVF, and the s10
+    * gate all route through it.
     */
+  def nearestOfDots(dots: Column): Column =
+    (array_position(dots, array_max(dots)) - 1).cast("int")
+
   /** Codegen'd nearest-centroid (max inner product) assignment against a
     * literal codebook — the vector-quantizer encode shared by k-means,
-    * IVF, and the s10 gate. Ties break toward the smaller centroid id
-    * (array_position returns the FIRST max).
+    * IVF, and the s10 gate.
     */
-  def nearestCentroidExpr(cs: Array[Array[Double]], vec: Column): Column = {
-    val dots = array(cs.toIndexedSeq.map(c => dot(vec, typedLit(c.toSeq))): _*)
-    (array_position(dots, array_max(dots)) - 1).cast("int")
-  }
+  def nearestCentroidExpr(cs: Array[Array[Double]], vec: Column): Column =
+    nearestOfDots(array(cs.toIndexedSeq.map(c => dot(vec, typedLit(c.toSeq))): _*))
 
   /** Full Lloyd k-means over an embedding column, returning the trained
     * codebook driver-side (k·dim doubles — plan-literal sized).
@@ -310,6 +303,19 @@ object Similarity {
     centroids
   }
 
+  /** IVF (inverted-file) ANN: a k-means coarse quantizer partitions the
+    * corpus into `nLists` inverted lists; each query probes its `nProbe`
+    * nearest centroids and re-ranks exactly (cosine) within those lists —
+    * searching ~nProbe/nLists of the corpus instead of all of it.
+    *
+    * Scale design: training ([[kmeansTrain]]) runs on a deterministic
+    * hash-sample capped at `trainCap` rows (k-means quality needs a
+    * sample, not the corpus); centroids (nLists × dim doubles) live on
+    * the driver and enter the plan as literals, so assignment is a
+    * codegen'd argmax — no join. The query phase shuffles the corpus
+    * ONCE by list id; probes are a broadcast. Deterministic: init =
+    * smallest xxhash64(id) rows; no RNG.
+    */
   def ivfKnn(corpus: DataFrame, queries: DataFrame, k: Int, dim: Int,
              nLists: Int = 16, nProbe: Int = 4, maxIter: Int = 5,
              trainCap: Int = 100000,

@@ -268,8 +268,10 @@ object EventQueries {
             rawSchema)
           val tmp = dir.resolve("_sentinel_tmp")
           rows.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-          val part = java.nio.file.Files.list(tmp).toArray.map(_.toString)
+          val listing = java.nio.file.Files.list(tmp)
+          val part = try listing.toArray.map(_.toString)
             .filter(_.endsWith(".parquet")).head
+          finally listing.close()
           java.nio.file.Files.move(java.nio.file.Paths.get(part),
             dir.resolve(name), java.nio.file.StandardCopyOption.REPLACE_EXISTING)
         }

@@ -178,8 +178,7 @@ object SimilarityQueries {
         // the k dot products are staged once; argmax and dist² read them
         vecs
           .withColumn("_dots", dots)
-          .withColumn("cid", (array_position(col("_dots"),
-            array_max(col("_dots"))) - 1).cast("int"))
+          .withColumn("cid", Similarity.nearestOfDots(col("_dots")))
           .withColumn("dist2",
             graft.functions.GraftFunctions.dot(col("v"), col("v"))
               - lit(2.0) * element_at(col("_dots"), col("cid") + 1)
