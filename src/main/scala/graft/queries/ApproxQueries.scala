@@ -45,6 +45,25 @@ object ApproxQueries {
         FROM lineitem
         GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())""")),
 
+    // approx_top_k heavy hitters (Spark 4): a bounded frequency sketch —
+    // fixed size regardless of row count, mergeable partials, ONE pass.
+    // At 100 TB this replaces the groupBy-count-sort-limit chain (full
+    // shuffle of every distinct key) for "top domains / top languages"
+    // style questions. When the tracked-item budget (default 10k) covers
+    // the actual cardinality the sketch degenerates to EXACT counts —
+    // event_type has 5 values, so the oracle is the plain exact top-3
+    // (counts verified tie-free at both test SFs).
+    "q93_approx_top_k" -> QueryDef(
+      (s, d) => {
+        Tables.events(s, d).createOrReplaceTempView("events")
+        s.sql("""SELECT t.item AS event_type, t.count AS n
+                 FROM (SELECT explode(approx_top_k(event_type, 3)) AS t
+                       FROM events)""")
+      },
+      Some("""
+        SELECT event_type, count(*) AS n
+        FROM events GROUP BY 1 ORDER BY n DESC LIMIT 3""")),
+
     // from_json → typed struct → to_json round trip on events.props
     // (reference job/task parameters are arbitrary nested JSON)
     "q61_json_struct" -> QueryDef(

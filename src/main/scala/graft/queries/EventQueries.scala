@@ -30,6 +30,20 @@ object EventQueries {
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
 
+  /** Dialect-shared WITH RECURSIVE spine: every day between the corpus's
+    * first and last event, left-joined back to per-day activity (days
+    * with zero events survive). Runs verbatim on both engines.
+    */
+  val recursiveSpineSql: String = """
+    WITH RECURSIVE days(d, maxd) AS (
+      SELECT CAST(min(ts) AS DATE), CAST(max(ts) AS DATE) FROM events
+      UNION ALL
+      SELECT CAST(d + INTERVAL '1' DAY AS DATE), maxd FROM days WHERE d < maxd
+    )
+    SELECT days.d AS day, count(e.user_id) AS n_events
+    FROM days LEFT JOIN events e ON CAST(e.ts AS DATE) = days.d
+    GROUP BY days.d"""
+
   def defs: Map[String, QueryDef] = Map(
 
     // Tumbling 1-hour window via Spark's window() — the streaming
@@ -360,6 +374,20 @@ object EventQueries {
                  PARTITION BY user_id ORDER BY day
                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_value
         FROM f""")),
+
+    // Recursive CTE (Spark 4 WITH RECURSIVE → UnionLoop): the calendar
+    // spine is generated by iteration — anchor row carries (min_day,
+    // max_day), each step advances one day until the bound. The SAME
+    // string runs verbatim on spark.sql and DuckDB (dialect-shared).
+    // Depth = day span (30 here), well under Spark's recursion limit;
+    // the recursion itself is driver-cheap (one row per level) — the
+    // heavy side stays a single hash join + aggregate over events.
+    "q91_recursive_cte" -> QueryDef(
+      (s, d) => {
+        Tables.events(s, d).createOrReplaceTempView("events")
+        s.sql(recursiveSpineSql)
+      },
+      Some(recursiveSpineSql)),
 
     // Funnel analysis: per-user view → click → purchase conversion via
     // first-occurrence timestamps (one hash-aggregate over the events,

@@ -584,6 +584,27 @@ object RelationalQueries {
       },
       Some(filteredAggSql)),
 
+    // Parameterized SQL (named parameter markers, Spark 3.4+): values
+    // bind as literals AFTER parsing — the analytics-service shape that
+    // kills string-splicing injection and keeps one plan cache entry per
+    // query shape. Oracle inlines the same constants.
+    "q92_parameterized_sql" -> QueryDef(
+      (s, d) => {
+        Tables.customer(s, d).createOrReplaceTempView("customer")
+        s.sql(
+          """SELECT c_mktsegment, count(*) AS n,
+                    round(avg(c_acctbal), 4) AS avg_bal
+             FROM customer
+             WHERE c_acctbal > :minbal AND c_mktsegment != :excluded
+             GROUP BY c_mktsegment""",
+          Map("minbal" -> 1000, "excluded" -> "MACHINERY"))
+      },
+      Some("""
+        SELECT c_mktsegment, count(*) AS n, round(avg(c_acctbal), 4) AS avg_bal
+        FROM customer
+        WHERE c_acctbal > 1000 AND c_mktsegment != 'MACHINERY'
+        GROUP BY c_mktsegment""")),
+
     "q39_sql_shipping_priority" -> QueryDef(
       (s, d) => {
         Tables.customer(s, d).createOrReplaceTempView("customer")
@@ -969,6 +990,26 @@ object RelationalQueries {
         SELECT c_custkey FROM customer
         EXCEPT
         SELECT o_custkey AS c_custkey FROM orders""")),
+
+    // Bag-semantics set ops: EXCEPT ALL / INTERSECT ALL keep duplicate
+    // MULTIPLICITY (a customer with 5 total and 2 'F' orders survives
+    // exceptAll 3 times) — distinct-based q46/q47 can't express this.
+    // Spark plans both as one hash aggregate over (key, count) with a
+    // replicate generator — no sort, one shuffle.
+    "q95_bag_set_ops" -> QueryDef(
+      (s, d) => {
+        val o = Tables.orders(s, d)
+        val all = o.select(col("o_custkey"))
+        val f   = o.filter(col("o_orderstatus") === "F").select(col("o_custkey"))
+        all.exceptAll(f).groupBy(col("o_custkey"))
+          .agg(count(lit(1)).as("n_surviving"))
+      },
+      Some("""
+        SELECT o_custkey, count(*) AS n_surviving FROM (
+          SELECT o_custkey FROM orders
+          EXCEPT ALL
+          SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')
+        GROUP BY o_custkey""")),
 
     "q48_dropduplicates" -> QueryDef(
       (s, d) => Tables.lineitem(s, d)

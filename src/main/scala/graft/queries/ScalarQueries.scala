@@ -12,6 +12,29 @@ object ScalarQueries {
 
   def defs: Map[String, QueryDef] = Map(
 
+    // Collated comparison semantics (Spark 4): UTF8_LCASE makes equality,
+    // DISTINCT, and GROUP BY case-insensitive AT THE TYPE LEVEL — no
+    // lower() rewrite needed at every use site, and the collation rides
+    // the column through joins/aggs. The oracle normalizes with lower()
+    // (equivalent for case-insensitive distinctness). The CASE mixes the
+    // case deterministically so the gate actually exercises the collation.
+    "q94_collation" -> QueryDef(
+      (s, d) => {
+        Tables.part(s, d).createOrReplaceTempView("part")
+        s.sql("""
+          SELECT p_brand,
+                 count(DISTINCT (CASE WHEN p_partkey % 2 = 0
+                                      THEN upper(p_type) ELSE p_type END)
+                       COLLATE UTF8_LCASE) AS n_types
+          FROM part GROUP BY p_brand""")
+      },
+      Some("""
+        SELECT p_brand,
+               count(DISTINCT lower(CASE WHEN p_partkey % 2 = 0
+                                         THEN upper(p_type) ELSE p_type END))
+                 AS n_types
+        FROM part GROUP BY p_brand""")),
+
     "q50_string_funcs" -> QueryDef(
       (s, d) => Tables.customer(s, d)
         .filter(col("c_custkey") % 25 === 0)

@@ -49,6 +49,28 @@ object UdfQueries {
                  AS w_avg_price
         FROM lineitem GROUP BY 1""")),
 
+    // SQL-defined scalar function (Spark 4 `CREATE FUNCTION … RETURN`):
+    // unlike the JVM closure in u01, the body is a SQL expression, so
+    // Catalyst INLINES it — it stays inside whole-stage codegen and
+    // pushdown keeps working. The declarative twin of the user-code
+    // surface: prefer this shape over udf() wherever the logic is
+    // expressible. Round to 6: the product of three 2-decimal factors
+    // has at most 6 decimals, so no value sits on a rounding boundary.
+    "u04_sql_udf" -> QueryDef(
+      (s, d) => {
+        s.sql("""CREATE OR REPLACE TEMPORARY FUNCTION charge(
+                   p DOUBLE, disc DOUBLE, tax DOUBLE) RETURNS DOUBLE
+                 RETURN p * (1 - disc) * (1 + tax)""")
+        Tables.lineitem(s, d).filter(col("l_orderkey") < 100)
+          .selectExpr("l_orderkey", "l_linenumber",
+            "round(charge(l_extendedprice, l_discount, l_tax), 6) AS charge")
+      },
+      Some("""
+        SELECT l_orderkey, l_linenumber,
+               round(l_extendedprice * (1 - l_discount) * (1 + l_tax), 6)
+                 AS charge
+        FROM lineitem WHERE l_orderkey < 100""")),
+
     // generator (UDTF analog): one input row → N output records via
     // arbitrary user code, the Spark-native ProcessRawData shape
     "u03_generator_tokenize" -> QueryDef(
