@@ -165,6 +165,27 @@ class PlanSpec extends SparkSpec {
     p should include regex "(?s)Exchange.*WindowGroupLimit.*Partial"
   }
 
+  test("recursive CTE executes as UnionLoop; events join is a hash join, not a nested loop (q91)") {
+    val p = plan("q91_recursive_cte")
+    p should include("UnionLoop")
+    // the per-day probe must be an equi-join on the casted date — a
+    // nested-loop against the spine would re-scan events per level
+    p should include regex "(BroadcastHashJoin|ShuffledHashJoin|SortMergeJoin)"
+    p should not include "NestedLoop"
+  }
+
+  test("SQL-defined function inlines into codegen — no UDF call in the plan (u04)") {
+    val p = plan("u04_sql_udf")
+    p should not include "UDF"
+    p should include regex "\\*\\(\\d+\\) Project" // stays whole-stage-codegen'd
+  }
+
+  test("approx_top_k aggregates map-side sketch partials; only sketches cross the exchange (q93)") {
+    val p = plan("q93_approx_top_k")
+    p should include("partial_approx_top_k")
+    p should include regex "(?s)Exchange.*partial_approx_top_k"
+  }
+
   test("mixture resample: rate table joins back by broadcast, corpus never sort-merge-joined (t20)") {
     val p = plan("t20_mixture_resample")
     p should not include "SortMergeJoin"
