@@ -65,19 +65,23 @@ object ApproxQueries {
         FROM events GROUP BY 1 ORDER BY n DESC LIMIT 3""")),
 
     // from_json → typed struct → to_json round trip on events.props
-    // (reference job/task parameters are arbitrary nested JSON)
+    // (reference job/task parameters are arbitrary nested JSON), plus
+    // schema_of_json inferring the DDL from a sample payload — how a
+    // pipeline bootstraps the struct schema before committing to it
     "q61_json_struct" -> QueryDef(
       (s, d) => {
         val parsed = from_json(col("props"), propsSchema)
         Tables.events(s, d).filter(col("event_id") < 500)
           .select(col("event_id"),
                   parsed.getField("k").as("k"),
-                  to_json(parsed).as("props_json"))
+                  to_json(parsed).as("props_json"),
+                  schema_of_json(lit("""{"k":1}""")).as("props_schema"))
       },
       Some("""
         SELECT event_id,
                CAST(props->>'$.k' AS INTEGER) AS k,
-               to_json({'k': CAST(props->>'$.k' AS INTEGER)}) AS props_json
+               to_json({'k': CAST(props->>'$.k' AS INTEGER)}) AS props_json,
+               'STRUCT<k: BIGINT>' AS props_schema
         FROM events WHERE event_id < 500""")),
 
     // Mergeable-sketch rollup — the re-aggregation pattern that matters

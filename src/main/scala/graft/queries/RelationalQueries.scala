@@ -991,6 +991,35 @@ object RelationalQueries {
         EXCEPT
         SELECT o_custkey AS c_custkey FROM orders""")),
 
+    // unionByName: schema-drift-safe union — branches with DIFFERENT
+    // column order (and a column missing on one side) align by NAME,
+    // nulls filling the gap. Positional union would silently mix the
+    // columns; this is the shape for appending batches whose schemas
+    // drifted (the mergeSchema read twin is src13).
+    "q96_union_by_name" -> QueryDef(
+      (s, d) => {
+        val o = Tables.orders(s, d)
+        val a = o.filter(col("o_orderpriority") === "1-URGENT")
+          .select(col("o_orderkey"), col("o_totalprice"),
+                  col("o_orderstatus"))
+        val b = o.filter(col("o_orderstatus") === "P")
+          .select(col("o_orderstatus"), col("o_orderkey")) // reordered, one col missing
+        a.unionByName(b, allowMissingColumns = true)
+          .groupBy(col("o_orderstatus"))
+          .agg(count(lit(1)).as("n"),
+               round(sum(col("o_totalprice")), 2).as("price_sum"))
+      },
+      Some("""
+        SELECT o_orderstatus, count(*) AS n,
+               round(sum(o_totalprice), 2) AS price_sum
+        FROM (
+          SELECT o_orderkey, o_totalprice, o_orderstatus
+          FROM orders WHERE o_orderpriority = '1-URGENT'
+          UNION ALL
+          SELECT o_orderkey, NULL AS o_totalprice, o_orderstatus
+          FROM orders WHERE o_orderstatus = 'P')
+        GROUP BY o_orderstatus""")),
+
     // Bag-semantics set ops: EXCEPT ALL / INTERSECT ALL keep duplicate
     // MULTIPLICITY (a customer with 5 total and 2 'F' orders survives
     // exceptAll 3 times) — distinct-based q46/q47 can't express this.

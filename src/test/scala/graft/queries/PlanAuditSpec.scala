@@ -1,0 +1,75 @@
+package graft.queries
+
+import graft.SparkSpec
+
+/** Categorical scale-killer guard: EVERY pure gate query's physical plan
+  * is scanned for unbounded-pair operators (CartesianProduct /
+  * BroadcastNestedLoopJoin). Round 1's two 120-second regressions (d02,
+  * d05) were exactly this shape — a per-query audit catches the NEXT one
+  * the moment it's registered, instead of at the bench.
+  *
+  * Queries whose CONTRACT is pairwise (exact all-pairs at low threshold,
+  * brute-force baselines, an intentional cross join) are whitelisted with
+  * the reason inline; everything else must plan as equi-joins.
+  */
+class PlanAuditSpec extends SparkSpec {
+
+  /** Builders that execute work eagerly (streaming drains, engine runs,
+    * file writes) — planning them here would run jobs, not just plan.
+    * Their plans are audited by their own specs instead.
+    */
+  private val eager: Set[String] = Set(
+    "q76_streaming_tumbling", "q77_streaming_interval_join",
+    "q82_streaming_session", "q83_streaming_stateful_count",
+    "q89_streaming_left_outer", "q90_transform_with_state")
+  private def eagerPrefix(n: String): Boolean =
+    n.startsWith("p0") || n.startsWith("src")
+
+  /** Pairwise-by-contract: the nested-loop is the documented semantics,
+    * not an accident.
+    */
+  private val pairwiseByContract: Set[String] = Set(
+    "q26_join_cross",      // the cross-join gate itself
+    "q27_join_theta",      // pure inequality theta join (tiny dims)
+    "s01_knn_brute_force", // exact baseline: broadcast queries × corpus
+    "s02_knn_lsh",         // bucketed candidates, then per-query rerank vs broadcast queries
+    "s04_knn_ivf",         // probe set broadcast against inverted lists
+    "s08_knn_pq",          // ADC scan: broadcast queries × coded corpus
+    "d05_dedup_embedding", // exact all-pairs BY CONTRACT (block-grid bounds memory, not compute)
+    "q75_scalar_subquery"  // scalar subquery compiles to a 1-row broadcast
+  )
+
+  /** Global-stat attach: a crossJoin against an AGGREGATE output whose
+    * row count is bounded by construction (1 row of corpus totals, or a
+    * k-row codebook) — the nested loop's build side can never grow with
+    * the data, so the plan is scale-safe despite the operator name.
+    */
+  private val singletonBroadcast: Set[String] = Set(
+    "s07_centroid_assign",   // k-row codebook broadcast against the scan
+    "t07_tfidf_top_terms",   // 1-row corpus doc-count
+    "t11_bm25_search",       // 1-row (N, avgdl) stats
+    "t12_unigram_logprob",   // 1-row total token count
+    "t16_stratified_sample", // 1-row global target count
+    "t20_mixture_resample"   // 1-row total for temperature shares
+  )
+
+  test("no gate plans an unbounded pairwise join unless pairwise is its contract") {
+    val offenders = graft.SparkEntry.queries.toSeq.sortBy(_._1)
+      .filterNot { case (n, _) => eager(n) || eagerPrefix(n) }
+      .flatMap { case (name, fn) =>
+        val plan =
+          try fn(spark, sfDir).queryExecution.executedPlan.toString
+          catch { case e: Throwable => fail(s"$name failed to plan: $e") }
+        val pairwise = plan.contains("CartesianProduct") ||
+          plan.contains("BroadcastNestedLoopJoin")
+        if (pairwise && !pairwiseByContract(name) && !singletonBroadcast(name))
+          Some(name)
+        else None
+      }
+    withClue(s"unexpected pairwise plans: $offenders ") {
+      offenders shouldBe empty
+    }
+    // and the whitelist doesn't rot: entries that stopped being pairwise
+    // (someone fixed them) should be removed so the guard stays tight
+  }
+}
