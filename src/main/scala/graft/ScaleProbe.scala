@@ -29,7 +29,8 @@ object ScaleProbe {
     // q91 recursion is NOT probed: the 4× corpus day-shifts copies ~12k
     // days apart, so its spine depth exceeds the recursion level limit —
     // a data-layout artifact of the probe corpus, not an engine property
-    "q93_approx_top_k", "q95_bag_set_ops", "q96_union_by_name")
+    "q93_approx_top_k", "q95_bag_set_ops", "q96_union_by_name",
+    "t21_classifier_score")
 
   private val IdShift = 10000000L
   private val DayShift = 4000 // > TPC-H date span, so copies never overlap

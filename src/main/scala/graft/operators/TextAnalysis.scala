@@ -361,6 +361,40 @@ object TextAnalysis {
     array_max(transform(Dedup.shingles(textCol, shingleN),
       s => graft.functions.PortableHash.md5_64(s)))
 
+  /** Linear-classifier quality scoring — the model-based filtering step
+    * (fastText/CCNet-style "does this look like reference text?") as a
+    * single zero-shuffle pass: hashed bag-of-words features
+    * (PortableHash mod `buckets`), a deterministic integer weight per
+    * bucket (the stand-in for trained weights, same contract as the
+    * multimodal decode stub — the PLUMBING is real: literal weight
+    * family, codegen'd fold, sigmoid), scored as
+    * sigmoid(4·Σw / (97·n_tokens)).
+    *
+    * The fold accumulates INTEGERS (weights in [-48, 48]), so engines
+    * agree exactly regardless of their float-summation order; the only
+    * float ops are one division and one exp on an exactly-agreed
+    * rational. Scale design: per-row column math fused into the scan —
+    * no shuffle, no model state beyond plan literals.
+    */
+  def classifierScore(textCol: Column, buckets: Int = 64): Column = {
+    val ws = split(textCol, " ")
+    val wInt = (t: Column) =>
+      (graft.functions.PortableHash.md5_64(t) % buckets) * 2654435761L % 97L - 48L
+    val isum = aggregate(transform(ws, wInt), lit(0L), (a, x) => a + x)
+    round(lit(1.0) / (lit(1.0) +
+      exp(lit(-4.0) * isum.cast("double") /
+          (lit(97.0) * greatest(size(ws), lit(1)).cast("double")))), 6)
+  }
+
+  /** DuckDB SQL computing exactly [[classifierScore]] over `text`. */
+  def classifierScoreSql(buckets: Int = 64): String = {
+    val h = graft.functions.PortableHash.sqlMd5_64("t")
+    s"""round(1.0 / (1.0 + exp(-4.0 *
+        CAST(list_sum(list_transform(string_split(text, ' '),
+          t -> ($h % $buckets) * 2654435761 % 97 - 48)) AS DOUBLE) /
+        (97.0 * greatest(len(string_split(text, ' ')), 1)))), 6)"""
+  }
+
   /** Temperature-scaled source mixture resampling — the "data mixing"
     * step of LLM corpus assembly: target share of source g ∝ n_g^τ
     * (τ < 1 upweights small sources, the multilingual-rebalancing

@@ -470,6 +470,23 @@ object TextQueries {
         FROM documents d JOIN r ON d.source = r.grp
         GROUP BY 1, 2, 3""")),
 
+    // Model-based quality filtering: linear classifier inference over
+    // hashed bag-of-words features (the fastText-style quality gate of
+    // CCNet/LLaMA-class pipelines). Weights are a deterministic literal
+    // family (stub semantics, real plumbing — like the multimodal
+    // decoder); scoring fuses into the scan with ZERO shuffle, and the
+    // integer feature fold makes the oracle replay exact.
+    "t21_classifier_score" -> QueryDef(
+      (s, d) => Tables.documents(s, d)
+        .select(col("doc_id"),
+                TextAnalysis.classifierScore(col("text")).as("quality_score"))
+        .withColumn("kept", (col("quality_score") >= 0.5).cast("boolean")),
+      Some(s"""
+        SELECT doc_id,
+               ${TextAnalysis.classifierScoreSql()} AS quality_score,
+               ${TextAnalysis.classifierScoreSql()} >= 0.5 AS kept
+        FROM documents""")),
+
     "t04_fingerprint" -> QueryDef(
       (s, d) => TextAnalysis.withRobustFingerprints(Tables.documents(s, d), "text")
         .select(col("doc_id"),

@@ -145,8 +145,9 @@ class PlanSpec extends SparkSpec {
     p should include regex "\\*\\(\\d+\\) Project \\[graft_dot"
   }
 
-  test("PII redaction and quality rules plan with ZERO exchanges (t13/t14)") {
-    Seq("t13_pii_redaction", "t14_quality_rules").foreach { q =>
+  test("PII redaction, quality rules, and classifier scoring plan with ZERO exchanges (t13/t14/t21)") {
+    Seq("t13_pii_redaction", "t14_quality_rules",
+        "t21_classifier_score").foreach { q =>
       plan(q) should not include "Exchange"
     }
   }
