@@ -25,7 +25,8 @@ object Bench {
     "m03_frame_sampling",
     "q87_lateral_topk", "q88_sketch_rollup", "q89_streaming_left_outer",
     "q90_transform_with_state", "s09_random_projection", "s10_kmeans",
-    "t20_mixture_resample")
+    "t20_mixture_resample",
+    "q91_recursive_cte", "q93_approx_top_k", "t21_classifier_score")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -584,6 +584,29 @@ object RelationalQueries {
       },
       Some(filteredAggSql)),
 
+    // SQL pipe syntax (Spark 4): linear dataflow-ordered SQL — each |>
+    // stage consumes the previous result, so the text reads in execution
+    // order like the DataFrame API. Same Catalyst plan as the nested
+    // form; the oracle is the ANSI equivalent.
+    "q97_pipe_syntax" -> QueryDef(
+      (s, d) => {
+        Tables.orders(s, d).createOrReplaceTempView("orders")
+        s.sql("""
+          FROM orders
+          |> WHERE o_totalprice > 100000
+          |> AGGREGATE count(*) AS n, round(sum(o_totalprice), 2) AS total
+             GROUP BY o_orderpriority
+          |> WHERE n > 10
+          |> ORDER BY o_orderpriority
+          |> LIMIT 3""")
+      },
+      Some("""
+        SELECT o_orderpriority, count(*) AS n,
+               round(sum(o_totalprice), 2) AS total
+        FROM orders WHERE o_totalprice > 100000
+        GROUP BY o_orderpriority HAVING count(*) > 10
+        ORDER BY o_orderpriority LIMIT 3""")),
+
     // Parameterized SQL (named parameter markers, Spark 3.4+): values
     // bind as literals AFTER parsing — the analytics-service shape that
     // kills string-splicing injection and keeps one plan cache entry per
