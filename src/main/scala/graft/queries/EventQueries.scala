@@ -44,6 +44,26 @@ object EventQueries {
     FROM days LEFT JOIN events e ON CAST(e.ts AS DATE) = days.d
     GROUP BY days.d"""
 
+  /** Write `rows` as a single named parquet file inside a file-stream
+    * source directory — the far-future sentinel batches that push the
+    * watermark past all real data so eviction/timers fire before
+    * AvailableNow terminates (q89/q98).
+    */
+  private def sentinelFile(s: org.apache.spark.sql.SparkSession,
+      dir: java.nio.file.Path,
+      rawSchema: org.apache.spark.sql.types.StructType, name: String,
+      rows: java.util.List[org.apache.spark.sql.Row]): Unit = {
+    val df = s.createDataFrame(rows, rawSchema)
+    val tmp = dir.resolve("_sentinel_tmp")
+    df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    val listing = java.nio.file.Files.list(tmp)
+    val part = try listing.toArray.map(_.toString)
+      .filter(_.endsWith(".parquet")).head
+    finally listing.close()
+    java.nio.file.Files.move(java.nio.file.Paths.get(part),
+      dir.resolve(name), java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  }
+
   def defs: Map[String, QueryDef] = Map(
 
     // Tumbling 1-hour window via Spark's window() — the streaming
@@ -156,6 +176,89 @@ object EventQueries {
       Some("""
         SELECT user_id, count(*) AS n_events
         FROM events GROUP BY user_id""")),
+
+    // Event-time TIMERS on transformWithState (the distinctive half of
+    // the Spark 4 arbitrary-state API): per-user sessions are CLOSED by
+    // the watermark passing last_event+gap — handleExpiredTimer emits
+    // the session and clears the key's state, so idle keys cost nothing
+    // once their gap elapses. Runs on the RocksDB state store like q90;
+    // two far-future sentinels (negative user, dropped from the sink)
+    // flush every real timer before AvailableNow terminates. The oracle
+    // is plain batch sessionization — the streaming path must reproduce
+    // it exactly, per-session rows included.
+    "q98_stateful_timers" -> QueryDef(
+      (s, d) => {
+        import org.apache.spark.sql.streaming.{OutputMode, TimeMode, Trigger}
+        import s.implicits._
+        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        val sf = java.nio.file.Paths.get(d).getFileName.toString
+        val dir = java.nio.file.Paths.get(
+          sys.props("java.io.tmpdir"), "graft_export", sf, "events_timers")
+        java.nio.file.Files.createDirectories(dir)
+        java.nio.file.Files.copy(
+          java.nio.file.Paths.get(d, "events.parquet"),
+          dir.resolve("events.parquet"),
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        val rawSchema = s.read.parquet(s"$d/events.parquet").schema
+        // timer firing runs one batch behind the watermark update (same
+        // reason as q89's eviction) — two sentinel batches
+        Seq(("zz1_sentinel.parquet", 4102444800000000000L),
+            ("zz2_sentinel.parquet", 4133980800000000000L)).foreach {
+          case (name, nanos) =>
+            sentinelFile(s, dir, rawSchema, name, java.util.Arrays.asList(
+              org.apache.spark.sql.Row(-1L, nanos, -1L, "click", 0.0, "{}")))
+        }
+        val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+        val prevProvider = s.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+        s.conf.set("spark.sql.shuffle.partitions", "8")
+        s.conf.set("spark.sql.streaming.stateStore.providerClass",
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+        try {
+          val sessions = s.readStream.schema(rawSchema)
+            .option("pathGlobFilter", "*.parquet")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(dir.toString)
+            .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+            .withWatermark("ts", "0 seconds")
+            .select(col("user_id"), unix_micros(col("ts")).as("ts_us"))
+            .as[(Long, Long)]
+            .groupByKey(_._1)
+            .mapValues(_._2)
+            .transformWithState(
+              new graft.streaming.SessionFinalizer(gapMs = 10 * 60 * 1000L),
+              TimeMode.EventTime(), OutputMode.Append())
+            .toDF("user_id", "start_us", "n_events")
+            .select(col("user_id"),
+                    timestamp_micros(col("start_us")).as("session_start"),
+                    col("n_events"))
+          val q = sessions.writeStream.format("memory").queryName("q98_sink")
+            .outputMode(OutputMode.Append()).trigger(Trigger.AvailableNow()).start()
+          q.awaitTermination()
+          s.table("q98_sink").filter(col("user_id") >= 0)
+        } finally {
+          s.conf.set("spark.sql.shuffle.partitions", prevParts)
+          prevProvider match {
+            case Some(p) => s.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+            case None => s.conf.unset("spark.sql.streaming.stateStore.providerClass")
+          }
+        }
+      },
+      Some("""
+        WITH marked AS (
+          SELECT user_id, ts,
+                 CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                      OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                           >= INTERVAL 10 MINUTE
+                      THEN 1 ELSE 0 END AS new_session
+          FROM events),
+        sessions AS (
+          SELECT user_id, ts,
+                 sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+          FROM marked)
+        SELECT user_id, min(ts) AS session_start,
+               count(*) AS n_events
+        FROM sessions GROUP BY user_id, sid""")),
 
     // Session windows executed through the REAL streaming path (the q72
     // batch twin's agg run via readStream): stateful session merging on
@@ -274,21 +377,10 @@ object EventQueries {
         // watermark update, so the second sentinel's batch is what
         // null-emits the last unmatched real clicks. maxFilesPerTrigger=1
         // guarantees the files become separate micro-batches.
-        def writeSentinel(name: String, nanos: Long): Unit = {
-          val rows = s.createDataFrame(
-            java.util.Arrays.asList(
-              org.apache.spark.sql.Row(-1L, nanos, -1L, "click", 0.0, "{}"),
-              org.apache.spark.sql.Row(-2L, nanos, -2L, "purchase", 0.0, "{}")),
-            rawSchema)
-          val tmp = dir.resolve("_sentinel_tmp")
-          rows.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-          val listing = java.nio.file.Files.list(tmp)
-          val part = try listing.toArray.map(_.toString)
-            .filter(_.endsWith(".parquet")).head
-          finally listing.close()
-          java.nio.file.Files.move(java.nio.file.Paths.get(part),
-            dir.resolve(name), java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-        }
+        def writeSentinel(name: String, nanos: Long): Unit =
+          sentinelFile(s, dir, rawSchema, name, java.util.Arrays.asList(
+            org.apache.spark.sql.Row(-1L, nanos, -1L, "click", 0.0, "{}"),
+            org.apache.spark.sql.Row(-2L, nanos, -2L, "purchase", 0.0, "{}")))
         writeSentinel("zz1_sentinel.parquet", 4102444800000000000L) // 2100
         writeSentinel("zz2_sentinel.parquet", 4133980800000000000L) // 2101
         val prevParts = s.conf.get("spark.sql.shuffle.partitions")

@@ -21,17 +21,21 @@ object ScalarQueries {
     "q94_collation" -> QueryDef(
       (s, d) => {
         Tables.part(s, d).createOrReplaceTempView("part")
+        // p_type is all-uppercase in the fixtures, so HALF the rows are
+        // lowered: the distinct set really contains case-variants of the
+        // same type, and a case-SENSITIVE distinct would overcount and
+        // diverge from the oracle — the collation is load-bearing
         s.sql("""
           SELECT p_brand,
                  count(DISTINCT (CASE WHEN p_partkey % 2 = 0
-                                      THEN upper(p_type) ELSE p_type END)
+                                      THEN lower(p_type) ELSE p_type END)
                        COLLATE UTF8_LCASE) AS n_types
           FROM part GROUP BY p_brand""")
       },
       Some("""
         SELECT p_brand,
                count(DISTINCT lower(CASE WHEN p_partkey % 2 = 0
-                                         THEN upper(p_type) ELSE p_type END))
+                                         THEN lower(p_type) ELSE p_type END))
                  AS n_types
         FROM part GROUP BY p_brand""")),
 

@@ -484,7 +484,7 @@ object TextQueries {
       Some(s"""
         SELECT doc_id,
                ${TextAnalysis.classifierScoreSql()} AS quality_score,
-               ${TextAnalysis.classifierScoreSql()} >= 0.5 AS kept
+               quality_score >= 0.5 AS kept
         FROM documents""")),
 
     "t04_fingerprint" -> QueryDef(

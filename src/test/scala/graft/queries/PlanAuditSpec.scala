@@ -30,10 +30,7 @@ class PlanAuditSpec extends SparkSpec {
     */
   private val pairwiseByContract: Set[String] = Set(
     "q26_join_cross",      // the cross-join gate itself
-    "q27_join_theta",      // pure inequality theta join (tiny dims)
     "s01_knn_brute_force", // exact baseline: broadcast queries × corpus
-    "s02_knn_lsh",         // bucketed candidates, then per-query rerank vs broadcast queries
-    "s04_knn_ivf",         // probe set broadcast against inverted lists
     "s08_knn_pq",          // ADC scan: broadcast queries × coded corpus
     "d05_dedup_embedding", // exact all-pairs BY CONTRACT (block-grid bounds memory, not compute)
     "q75_scalar_subquery"  // scalar subquery compiles to a 1-row broadcast
@@ -54,7 +51,7 @@ class PlanAuditSpec extends SparkSpec {
   )
 
   test("no gate plans an unbounded pairwise join unless pairwise is its contract") {
-    val offenders = graft.SparkEntry.queries.toSeq.sortBy(_._1)
+    val pairwiseNames = graft.SparkEntry.queries.toSeq.sortBy(_._1)
       .filterNot { case (n, _) => eager(n) || eagerPrefix(n) }
       .flatMap { case (name, fn) =>
         val plan =
@@ -62,14 +59,19 @@ class PlanAuditSpec extends SparkSpec {
           catch { case e: Throwable => fail(s"$name failed to plan: $e") }
         val pairwise = plan.contains("CartesianProduct") ||
           plan.contains("BroadcastNestedLoopJoin")
-        if (pairwise && !pairwiseByContract(name) && !singletonBroadcast(name))
-          Some(name)
-        else None
-      }
+        if (pairwise) Some(name) else None
+      }.toSet
+    val offenders =
+      pairwiseNames -- pairwiseByContract -- singletonBroadcast
     withClue(s"unexpected pairwise plans: $offenders ") {
       offenders shouldBe empty
     }
-    // and the whitelist doesn't rot: entries that stopped being pairwise
-    // (someone fixed them) should be removed so the guard stays tight
+    // and the whitelist doesn't rot: an entry that stopped planning
+    // pairwise (someone fixed it) must be REMOVED, so a later regression
+    // reintroducing the nested loop there can't hide behind it
+    val stale = (pairwiseByContract ++ singletonBroadcast) -- pairwiseNames
+    withClue(s"whitelist entries that no longer plan pairwise: $stale ") {
+      stale shouldBe empty
+    }
   }
 }
