@@ -292,6 +292,36 @@ class StreamingSpec extends SparkSpec {
     latest.get("click") shouldBe 3L
   }
 
+  test("state store data source reads checkpointed aggregation state offline") {
+    import spark.implicits._
+    val src = java.nio.file.Files.createTempDirectory("graft-ssr-src").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-ssr").toString
+    Seq(Ev(1, ts(0), 1, "click", 1.0), Ev(2, ts(1), 2, "click", 1.0),
+        Ev(3, ts(2), 3, "view", 1.0))
+      .toDF().write.mode("append").parquet(src)
+    val q = spark.readStream.schema(Seq.empty[Ev].toDF().schema).parquet(src)
+      .groupBy(col("event_type")).count()
+      .writeStream
+      .outputMode("update")
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      // must process EVERY partition or the state stores never commit
+      // (Spark validates per-partition commits since 4.x)
+      .foreachBatch { (batch: DataFrame, _: Long) => batch.count(); () }
+      .start()
+    q.awaitTermination()
+    // the production debugging surface for stateful streaming: inspect a
+    // query's state WITHOUT replaying it — `statestore` reads the live
+    // per-key state, `state-metadata` the operator layout
+    val meta = spark.read.format("state-metadata").load(ckpt)
+    meta.select("operatorName").as[String].collect() should contain("stateStoreSave")
+    val state = spark.read.format("statestore").load(ckpt)
+      .select(col("key.event_type").as("event_type"),
+              col("value.count").as("n"))
+      .as[(String, Long)].collect().toMap
+    state shouldBe Map("click" -> 2L, "view" -> 1L)
+  }
+
   test("task tracker: completed and failed tasks report and drop state") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
