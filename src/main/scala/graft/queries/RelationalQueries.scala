@@ -584,6 +584,33 @@ object RelationalQueries {
       },
       Some(filteredAggSql)),
 
+    // SQL scripting (Spark 4): a BEGIN…END compound with typed local
+    // variables — procedural control flow runs ON the engine (each
+    // statement is a full Catalyst plan), replacing driver-side glue
+    // code for multi-step parameterized jobs. The script's last SELECT
+    // is the result; the oracle inlines the variable bindings.
+    "q99_sql_scripting" -> QueryDef(
+      (s, d) => {
+        Tables.orders(s, d).createOrReplaceTempView("orders")
+        val prev = s.conf.getOption("spark.sql.scripting.enabled")
+        s.conf.set("spark.sql.scripting.enabled", "true")
+        try s.sql("""
+          BEGIN
+            DECLARE threshold DOUBLE DEFAULT 100000.0;
+            DECLARE n BIGINT;
+            SET n = (SELECT count(*) FROM orders
+                     WHERE o_totalprice > threshold);
+            SELECT n AS n_big, threshold AS cutoff;
+          END""")
+        finally prev match {
+          case Some(p) => s.conf.set("spark.sql.scripting.enabled", p)
+          case None => s.conf.unset("spark.sql.scripting.enabled")
+        }
+      },
+      Some("""
+        SELECT count(*) AS n_big, 100000.0 AS cutoff
+        FROM orders WHERE o_totalprice > 100000.0""")),
+
     // SQL pipe syntax (Spark 4): linear dataflow-ordered SQL — each |>
     // stage consumes the previous result, so the text reads in execution
     // order like the DataFrame API. Same Catalyst plan as the nested
