@@ -292,6 +292,51 @@ class StreamingSpec extends SparkSpec {
     latest.get("click") shouldBe 3L
   }
 
+  test("timer sessions merge ACROSS micro-batches and close only via the watermark") {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    implicit val sqlCtx = spark.sqlContext
+    // transformWithState needs column families → RocksDB provider only
+    val prevProvider = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+    val in = MemoryStream[Ev]
+    val sessions = in.toDF()
+      .withWatermark("ts", "0 seconds")
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"))
+      .as[(Long, Long)]
+      .groupByKey(_._1)
+      .mapValues(_._2)
+      .transformWithState(
+        new SessionFinalizer(gapMs = 10 * 60 * 1000L),
+        TimeMode.EventTime(), OutputMode.Append())
+      .toDF("user_id", "start_us", "n_events")
+    val got = runBatches(sessions, "timer_sessions", Seq(
+      // batch 1: user 1 two events 1 min apart (one open session), user 2 one
+      () => in.addData(Ev(1, ts(0), 1, "click", 1.0),
+                       Ev(2, ts(1), 1, "click", 1.0),
+                       Ev(3, ts(0), 2, "view", 1.0)),
+      // batch 2: user 1 continues within the gap — the open session must
+      // MERGE (old timer deleted, new one at 10:05+gap), not emit
+      () => in.addData(Ev(4, ts(5), 1, "click", 1.0)),
+      // batch 3: far-future event pushes the watermark past every
+      // registered timer → sessions for users 1 and 2 close and emit
+      () => in.addData(Ev(5, Timestamp.valueOf("2026-01-01 13:00:00"), 99, "view", 1.0)),
+      // batch 4: one more tick so the fired timers' output is drained
+      () => in.addData(Ev(6, Timestamp.valueOf("2026-01-01 14:00:00"), 99, "view", 1.0))))
+    val rows = got.filter(col("user_id") < 99)
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+    // user 1: ONE session (10:00 start, 3 events) — two emitted sessions
+    // would mean the cross-batch merge failed
+    rows(1L) shouldBe ((ts(0).getTime * 1000L, 3L))
+    rows(2L) shouldBe ((ts(0).getTime * 1000L, 1L))
+    } finally prevProvider match {
+      case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+      case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   test("state store data source reads checkpointed aggregation state offline") {
     import spark.implicits._
     val src = java.nio.file.Files.createTempDirectory("graft-ssr-src").toString
