@@ -16,18 +16,48 @@ object EventQueries {
     * shared by the executed-streaming gates q76/q77.
     */
   private def eventsStream(s: org.apache.spark.sql.SparkSession, d: String) = {
+    val (dir, rawSchema) = stageEventsDir(s, d, "events_stream")
+    s.readStream.schema(rawSchema).parquet(dir.toString)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  /** Stage events.parquet into a per-gate file-stream source directory
+    * (the file source consumes directories); returns (dir, raw schema).
+    * Shared by every executed-streaming gate.
+    */
+  private def stageEventsDir(s: org.apache.spark.sql.SparkSession, d: String,
+      name: String): (java.nio.file.Path, org.apache.spark.sql.types.StructType) = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val sf = java.nio.file.Paths.get(d).getFileName.toString
     val dir = java.nio.file.Paths.get(
-      sys.props("java.io.tmpdir"), "graft_export", sf, "events_stream")
+      sys.props("java.io.tmpdir"), "graft_export", sf, name)
     java.nio.file.Files.createDirectories(dir)
     java.nio.file.Files.copy(
       java.nio.file.Paths.get(d, "events.parquet"),
       dir.resolve("events.parquet"),
       java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-    val rawSchema = s.read.parquet(s"$d/events.parquet").schema
-    s.readStream.schema(rawSchema).parquet(dir.toString)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    (dir, s.read.parquet(s"$d/events.parquet").schema)
+  }
+
+  /** Run `body` with fewer shuffle partitions (state-store setup cost is
+    * per partition) and, optionally, the RocksDB state store provider —
+    * restoring both afterwards. Shared by the executed-streaming gates.
+    */
+  private def withStreamConf[T](s: org.apache.spark.sql.SparkSession,
+      parts: String, rocksdb: Boolean)(body: => T): T = {
+    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    val prevProvider = s.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    s.conf.set("spark.sql.shuffle.partitions", parts)
+    if (rocksdb) s.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try body
+    finally {
+      s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      if (rocksdb) prevProvider match {
+        case Some(p) => s.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => s.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
   }
 
   /** Dialect-shared WITH RECURSIVE spine: every day between the corpus's
@@ -148,12 +178,7 @@ object EventQueries {
       (s, d) => {
         import org.apache.spark.sql.streaming.{OutputMode, TimeMode, Trigger}
         import s.implicits._
-        val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-        val prevProvider = s.conf.getOption("spark.sql.streaming.stateStore.providerClass")
-        s.conf.set("spark.sql.shuffle.partitions", "8")
-        s.conf.set("spark.sql.streaming.stateStore.providerClass",
-          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-        try {
+        withStreamConf(s, parts = "8", rocksdb = true) {
           val counted = eventsStream(s, d)
             .select(col("user_id")).as[Long]
             .groupByKey(identity)
@@ -165,12 +190,6 @@ object EventQueries {
           q.awaitTermination()
           s.table("q90_sink").groupBy(col("user_id"))
             .agg(max(col("n_events")).as("n_events"))
-        } finally {
-          s.conf.set("spark.sql.shuffle.partitions", prevParts)
-          prevProvider match {
-            case Some(p) => s.conf.set("spark.sql.streaming.stateStore.providerClass", p)
-            case None => s.conf.unset("spark.sql.streaming.stateStore.providerClass")
-          }
         }
       },
       Some("""
@@ -190,16 +209,7 @@ object EventQueries {
       (s, d) => {
         import org.apache.spark.sql.streaming.{OutputMode, TimeMode, Trigger}
         import s.implicits._
-        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        val sf = java.nio.file.Paths.get(d).getFileName.toString
-        val dir = java.nio.file.Paths.get(
-          sys.props("java.io.tmpdir"), "graft_export", sf, "events_timers")
-        java.nio.file.Files.createDirectories(dir)
-        java.nio.file.Files.copy(
-          java.nio.file.Paths.get(d, "events.parquet"),
-          dir.resolve("events.parquet"),
-          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-        val rawSchema = s.read.parquet(s"$d/events.parquet").schema
+        val (dir, rawSchema) = stageEventsDir(s, d, "events_timers")
         // timer firing runs one batch behind the watermark update (same
         // reason as q89's eviction) — two sentinel batches
         Seq(("zz1_sentinel.parquet", 4102444800000000000L),
@@ -208,12 +218,7 @@ object EventQueries {
             sentinelFile(s, dir, rawSchema, name, java.util.Arrays.asList(
               org.apache.spark.sql.Row(-1L, nanos, -1L, "click", 0.0, "{}")))
         }
-        val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-        val prevProvider = s.conf.getOption("spark.sql.streaming.stateStore.providerClass")
-        s.conf.set("spark.sql.shuffle.partitions", "8")
-        s.conf.set("spark.sql.streaming.stateStore.providerClass",
-          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-        try {
+        withStreamConf(s, parts = "8", rocksdb = true) {
           val sessions = s.readStream.schema(rawSchema)
             .option("pathGlobFilter", "*.parquet")
             .option("maxFilesPerTrigger", "1")
@@ -235,12 +240,6 @@ object EventQueries {
             .outputMode(OutputMode.Append()).trigger(Trigger.AvailableNow()).start()
           q.awaitTermination()
           s.table("q98_sink").filter(col("user_id") >= 0)
-        } finally {
-          s.conf.set("spark.sql.shuffle.partitions", prevParts)
-          prevProvider match {
-            case Some(p) => s.conf.set("spark.sql.streaming.stateStore.providerClass", p)
-            case None => s.conf.unset("spark.sql.streaming.stateStore.providerClass")
-          }
         }
       },
       Some("""
@@ -361,16 +360,7 @@ object EventQueries {
     "q89_streaming_left_outer" -> QueryDef(
       (s, d) => {
         import org.apache.spark.sql.streaming.Trigger
-        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        val sf = java.nio.file.Paths.get(d).getFileName.toString
-        val dir = java.nio.file.Paths.get(
-          sys.props("java.io.tmpdir"), "graft_export", sf, "events_louter")
-        java.nio.file.Files.createDirectories(dir)
-        java.nio.file.Files.copy(
-          java.nio.file.Paths.get(d, "events.parquet"),
-          dir.resolve("events.parquet"),
-          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-        val rawSchema = s.read.parquet(s"$d/events.parquet").schema
+        val (dir, rawSchema) = stageEventsDir(s, d, "events_louter")
         // TWO sentinel files (2100 and 2101, one click + one purchase
         // each, negative ids): the first pushes both watermarks past all
         // real data; outer-join EVICTION runs one batch behind the
@@ -383,37 +373,36 @@ object EventQueries {
             org.apache.spark.sql.Row(-2L, nanos, -2L, "purchase", 0.0, "{}")))
         writeSentinel("zz1_sentinel.parquet", 4102444800000000000L) // 2100
         writeSentinel("zz2_sentinel.parquet", 4133980800000000000L) // 2101
-        val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-        s.conf.set("spark.sql.shuffle.partitions", "8")
-        def stream = s.readStream.schema(rawSchema)
-          .option("pathGlobFilter", "*.parquet")
-          .option("maxFilesPerTrigger", "1")
-          .parquet(dir.toString)
-          .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-        val clicks = stream.filter(col("event_type") === "click")
-          .select(col("event_id").as("click_id"), col("user_id"),
-                  col("ts").as("click_ts"))
-          .withWatermark("click_ts", "1 hour")
-        val purchases = stream.filter(col("event_type") === "purchase")
-          .select(col("event_id").as("purchase_id"),
-                  col("user_id").as("p_user"), col("ts").as("p_ts"))
-          .withWatermark("p_ts", "1 hour")
-        // NB: no sentinel filter inside the streaming query — a filter on
-        // the left side's columns would be PUSHED BELOW the watermark
-        // node, the sentinel click would never reach it, and the global
-        // (min-of-sides) watermark would stall at the real data's max.
-        // Sentinels are dropped from the materialized sink instead.
-        val joined = clicks.join(purchases,
-          col("user_id") === col("p_user") &&
-          col("p_ts") >= col("click_ts") &&
-          col("p_ts") <= col("click_ts") + expr("interval 30 minutes"),
-          "left_outer")
-          .select(col("click_id"), col("purchase_id"))
-        val q = joined.writeStream.format("memory").queryName("q89_sink")
-          .outputMode("append").trigger(Trigger.AvailableNow()).start()
-        try q.awaitTermination()
-        finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
-        s.table("q89_sink").filter(col("click_id") >= 0)
+        withStreamConf(s, parts = "8", rocksdb = false) {
+          def stream = s.readStream.schema(rawSchema)
+            .option("pathGlobFilter", "*.parquet")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(dir.toString)
+            .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+          val clicks = stream.filter(col("event_type") === "click")
+            .select(col("event_id").as("click_id"), col("user_id"),
+                    col("ts").as("click_ts"))
+            .withWatermark("click_ts", "1 hour")
+          val purchases = stream.filter(col("event_type") === "purchase")
+            .select(col("event_id").as("purchase_id"),
+                    col("user_id").as("p_user"), col("ts").as("p_ts"))
+            .withWatermark("p_ts", "1 hour")
+          // NB: no sentinel filter inside the streaming query — a filter on
+          // the left side's columns would be PUSHED BELOW the watermark
+          // node, the sentinel click would never reach it, and the global
+          // (min-of-sides) watermark would stall at the real data's max.
+          // Sentinels are dropped from the materialized sink instead.
+          val joined = clicks.join(purchases,
+            col("user_id") === col("p_user") &&
+            col("p_ts") >= col("click_ts") &&
+            col("p_ts") <= col("click_ts") + expr("interval 30 minutes"),
+            "left_outer")
+            .select(col("click_id"), col("purchase_id"))
+          val q = joined.writeStream.format("memory").queryName("q89_sink")
+            .outputMode("append").trigger(Trigger.AvailableNow()).start()
+          q.awaitTermination()
+          s.table("q89_sink").filter(col("click_id") >= 0)
+        }
       },
       Some("""
         SELECT c.event_id AS click_id, p.event_id AS purchase_id

@@ -33,60 +33,65 @@ class PerKeyCounter extends StatefulProcessor[Long, Long, (Long, Long)] {
 
 /** Event-time TIMER surface of [[StatefulProcessor]]: per-key session
   * assembly where the CLOSE is driven by the watermark, not by seeing the
-  * next event. State = (session_start_µs, last_ts_µs, count); every
-  * update re-registers one timer at last+gap, and [[handleExpiredTimer]]
-  * emits the finished session and clears the state — so an idle key's
-  * state is reclaimed the moment the watermark passes its gap, the
-  * property that keeps 10⁹-key session state bounded. Sessions that
-  * close WITHIN a batch (gap observed between two sorted events) are
-  * emitted inline; only each key's trailing open session waits on its
-  * timer. Input (ts_µs), output (user, session_start_µs, n_events).
+  * next event. State is a [[org.apache.spark.sql.streaming.ListState]]
+  * of OPEN sessions (start_µs, last_µs, count), kept disjoint by
+  * interval-merging every batch — so out-of-order arrivals the watermark
+  * admits (late by less than the delay, even BEFORE an open session's
+  * start, even bridging two open sessions) land exactly where batch
+  * sessionization would put them. Each open session owns one timer at
+  * last+gap; [[handleExpiredTimer]] emits the sessions whose timer fired
+  * and keeps the rest — an idle key's state is reclaimed the moment the
+  * watermark passes its gap, the property that keeps 10⁹-key session
+  * state bounded. Input (ts_µs), output (user, session_start_µs,
+  * n_events), equal to batch sessionization with the same gap.
   */
 class SessionFinalizer(gapMs: Long)
     extends StatefulProcessor[Long, Long, (Long, Long, Long)] {
 
   @transient private var sess:
-    org.apache.spark.sql.streaming.ValueState[(Long, Long, Long)] = _
+    org.apache.spark.sql.streaming.ListState[(Long, Long, Long)] = _
 
   override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
-    sess = getHandle.getValueState[(Long, Long, Long)]("session",
+    sess = getHandle.getListState[(Long, Long, Long)]("sessions",
       Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong, Encoders.scalaLong),
       TTLConfig.NONE)
 
   private def timerFor(lastUs: Long): Long = lastUs / 1000 + gapMs + 1
 
-  override def handleInputRows(key: Long, rows: Iterator[Long],
-      timerValues: TimerValues): Iterator[(Long, Long, Long)] = {
-    // per-key batch input has no ordering guarantee — session semantics
-    // are defined over event order
-    val ts = rows.toArray.sorted
-    val closed = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
-    var cur = if (sess.exists()) { getHandle.deleteTimer(timerFor(sess.get()._2)); Some(sess.get()) } else None
-    ts.foreach { t =>
-      cur match {
-        case Some((start, last, n)) if t - last < gapMs * 1000 =>
-          cur = Some((start, math.max(last, t), n + 1))
-        case Some(done) =>
-          closed += ((key, done._1, done._3))
-          cur = Some((t, t, 1L))
-        case None =>
-          cur = Some((t, t, 1L))
+  /** Disjoint open sessions + new events → merged disjoint sessions
+    * (classic interval merge; two sessions fuse when an event bridges
+    * their gap, exactly like Spark's session_window).
+    */
+  private def merged(open: Seq[(Long, Long, Long)],
+                     events: Seq[Long]): Seq[(Long, Long, Long)] = {
+    val all = (open ++ events.map(t => (t, t, 1L))).sortBy(s => (s._1, s._2))
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+    all.foreach { s =>
+      out.lastOption match {
+        case Some((st, la, n)) if s._1 - la < gapMs * 1000 =>
+          out(out.length - 1) = (st, math.max(la, s._2), n + s._3)
+        case _ => out += s
       }
     }
-    cur.foreach { c =>
-      sess.update(c)
-      getHandle.registerTimer(timerFor(c._2))
-    }
-    closed.iterator
+    out.toSeq
+  }
+
+  override def handleInputRows(key: Long, rows: Iterator[Long],
+      timerValues: TimerValues): Iterator[(Long, Long, Long)] = {
+    val open = sess.get().toSeq
+    open.foreach(s => getHandle.deleteTimer(timerFor(s._2)))
+    val next = merged(open, rows.toSeq)
+    if (next.nonEmpty) sess.put(next.toArray) else sess.clear()
+    next.foreach(s => getHandle.registerTimer(timerFor(s._2)))
+    Iterator.empty
   }
 
   override def handleExpiredTimer(key: Long, timerValues: TimerValues,
       expiredTimerInfo: org.apache.spark.sql.streaming.ExpiredTimerInfo)
       : Iterator[(Long, Long, Long)] = {
-    if (sess.exists()) {
-      val (start, _, n) = sess.get()
-      sess.clear()
-      Iterator.single((key, start, n))
-    } else Iterator.empty
+    val (done, stillOpen) = sess.get().toSeq
+      .partition(s => timerFor(s._2) <= expiredTimerInfo.getExpiryTimeInMs)
+    if (stillOpen.nonEmpty) sess.put(stillOpen.toArray) else sess.clear()
+    done.iterator.map(s => (key, s._1, s._3))
   }
 }

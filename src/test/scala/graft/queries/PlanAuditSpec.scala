@@ -21,7 +21,9 @@ class PlanAuditSpec extends SparkSpec {
   private val eager: Set[String] = Set(
     "q76_streaming_tumbling", "q77_streaming_interval_join",
     "q82_streaming_session", "q83_streaming_stateful_count",
-    "q89_streaming_left_outer", "q90_transform_with_state")
+    "q89_streaming_left_outer", "q90_transform_with_state",
+    "q98_stateful_timers",  // streaming drain like q90
+    "q99_sql_scripting")    // the script executes at sql() time
   private def eagerPrefix(n: String): Boolean =
     n.startsWith("p0") || n.startsWith("src")
 

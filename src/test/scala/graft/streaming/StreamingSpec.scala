@@ -337,6 +337,51 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("out-of-order events the watermark admits sessionize like batch: earlier sessions and bridging") {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    implicit val sqlCtx = spark.sqlContext
+    val prevProvider = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val in = MemoryStream[Ev]
+      val sessions = in.toDF()
+        .withWatermark("ts", "1 hour") // generous delay ADMITS the late rows
+        .select(col("user_id"), unix_micros(col("ts")).as("ts_us"))
+        .as[(Long, Long)]
+        .groupByKey(_._1)
+        .mapValues(_._2)
+        .transformWithState(
+          new SessionFinalizer(gapMs = 10 * 60 * 1000L),
+          TimeMode.EventTime(), OutputMode.Append())
+        .toDF("user_id", "start_us", "n_events")
+      val got = runBatches(sessions, "ooo_sessions", Seq(
+        // user 1: one event at 10:30; user 2: two sessions (10:00, 10:16)
+        () => in.addData(Ev(1, ts(30), 1, "click", 1.0),
+                         Ev(2, ts(0), 2, "view", 1.0),
+                         Ev(3, ts(16), 2, "view", 1.0)),
+        // out-of-order but watermark-admitted: user 1 gets 10:00 (more
+        // than a gap BEFORE its open session → separate earlier session,
+        // NOT a merge); user 2 gets 10:08 (bridges its two sessions)
+        () => in.addData(Ev(4, ts(0), 1, "click", 1.0),
+                         Ev(5, ts(8), 2, "view", 1.0)),
+        // push the watermark past every timer, then drain the firings
+        () => in.addData(Ev(6, Timestamp.valueOf("2026-01-01 15:00:00"), 99, "view", 1.0)),
+        () => in.addData(Ev(7, Timestamp.valueOf("2026-01-01 16:00:00"), 99, "view", 1.0))))
+      val rows = got.filter(col("user_id") < 99)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .toSet
+      rows shouldBe Set(
+        (1L, ts(0).getTime * 1000L, 1L),   // the late event's OWN session
+        (1L, ts(30).getTime * 1000L, 1L),  // untouched original session
+        (2L, ts(0).getTime * 1000L, 3L))   // 10:08 bridged 10:00 and 10:16
+    } finally prevProvider match {
+      case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+      case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   test("state store data source reads checkpointed aggregation state offline") {
     import spark.implicits._
     val src = java.nio.file.Files.createTempDirectory("graft-ssr-src").toString
