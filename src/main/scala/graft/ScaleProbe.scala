@@ -27,8 +27,9 @@ object ScaleProbe {
     "s09_random_projection", "s10_kmeans", "t20_mixture_resample",
     "q88_sketch_rollup", "t14_quality_rules",
     // q91 recursion is NOT probed: the 4× corpus day-shifts copies ~12k
-    // days apart, so its spine depth exceeds the recursion level limit —
-    // a data-layout artifact of the probe corpus, not an engine property
+    // days apart, so its spine depth exceeds the default recursion level
+    // limit (100; raiseable per-query with MAX RECURSION LEVEL n) — a
+    // data-layout artifact of the probe corpus, not an engine property
     "q93_approx_top_k", "q95_bag_set_ops", "q96_union_by_name",
     "t21_classifier_score")
 

@@ -460,9 +460,11 @@ object EventQueries {
     // spine is generated by iteration — anchor row carries (min_day,
     // max_day), each step advances one day until the bound. The SAME
     // string runs verbatim on spark.sql and DuckDB (dialect-shared).
-    // Depth = day span (30 here), well under Spark's recursion limit;
-    // the recursion itself is driver-cheap (one row per level) — the
-    // heavy side stays a single hash join + aggregate over events.
+    // Depth = day span (30 here); corpora spanning > 100 days need
+    // `WITH RECURSIVE days(...) MAX RECURSION LEVEL n` (Spark-only
+    // syntax, so it stays out of the shared string). The recursion
+    // itself is cheap (one row per level) — the heavy side stays a
+    // single hash join + aggregate over events.
     "q91_recursive_cte" -> QueryDef(
       (s, d) => {
         Tables.events(s, d).createOrReplaceTempView("events")
