@@ -174,7 +174,7 @@ class ExtensionOperatorsSpec extends SparkSpec {
     val exact = Similarity.bruteForceKnn(embs, queries, 10).collect()
       .map(r => (r.getLong(0), r.getLong(2))).toSet
     val pq = Similarity.pqKnn(embs, queries, 10, dim = 64, m = 8,
-      codebookSize = 16).collect()
+      codebookSize = 16, rerank = 16).collect()
     pq.length shouldBe exact.size // k results per query
     pq.foreach { r =>
       r.getLong(0) should not be r.getLong(2) // no self-match
