@@ -136,17 +136,17 @@ class ExtensionOperatorsSpec extends SparkSpec {
     a should contain theSameElementsInOrderAs b
   }
 
-  test("LSH knn returns valid ranks and ≥0.4 recall@10 vs brute force on bucketed candidates") {
+  test("LSH knn returns valid ranks and ≥0.7 recall@10 vs brute force on bucketed candidates") {
     val queries = embs.filter(col("vec_id") < 5)
     val exact = Similarity.bruteForceKnn(embs, queries, 10).collect()
       .map(r => (r.getLong(0), r.getLong(2))).toSet
-    val approx = Similarity.lshKnn(embs, queries, 10, dim = 64, nBits = 4, tables = 8).collect()
+    val approx = Similarity.lshKnn(embs, queries, 10, dim = 64, nBits = 4, tables = 12).collect()
       .map(r => (r.getLong(0), r.getLong(2))).toSet
     approx.foreach { case (q, n) => q should not be n }
     // 4-bit buckets keep ~1/16 of the corpus per bucket; recall is
     // necessarily partial — assert it is meaningfully better than random
     val recall = approx.intersect(exact).size.toDouble / exact.size
-    recall should be >= 0.6
+    recall should be >= 0.7
   }
 
   test("cosinePairsLsh finds planted high-sim near-dups (subset of exact, recall ≥ 0.8)") {
@@ -190,16 +190,16 @@ class ExtensionOperatorsSpec extends SparkSpec {
     val queries = embs.filter(col("vec_id") < 5)
     val exact = Similarity.bruteForceKnn(embs, queries, 10).collect()
       .map(r => (r.getLong(0), r.getLong(2))).toSet
-    val ivf = Similarity.ivfKnn(embs, queries, 10, dim = 64, nLists = 16, nProbe = 4)
+    val ivf = Similarity.ivfKnn(embs, queries, 10, dim = 64, nLists = 16, nProbe = 8)
       .collect()
     ivf.foreach { r => r.getLong(0) should not be r.getLong(2) }
     ivf.groupBy(_.getLong(0)).foreach { case (_, rows) =>
       rows.map(_.getLong(1)).sorted shouldBe (1L to rows.length).toArray
     }
     val got = ivf.map(r => (r.getLong(0), r.getLong(2))).toSet
-    // probing 4/16 lists scans ≥ a quarter of the corpus; clustering can
-    // only help recall beyond that floor
-    got.intersect(exact).size.toDouble / exact.size should be >= 0.2
+    // probing 8/16 lists scans ≥ half the corpus; clustering can only
+    // help recall beyond that floor
+    got.intersect(exact).size.toDouble / exact.size should be >= 0.5
   }
 
   test("int8 quantization: values bounded, fidelity ≥ 0.995 on the corpus") {
