@@ -54,15 +54,9 @@ object GraftSession {
     }.getOrCreate()
     // spark.sql.extensions is a STATIC conf: if a SparkContext already
     // existed (shared JVM, notebook, test harness), the builder config
-    // above was silently ignored — deliver the extension surface through
-    // the live-session paths instead, which work either way
+    // above was silently ignored — register() delivers the full surface
+    // on the live session, and no-ops when the conf DID apply
     graft.plans.GraftExtensions.register(s)
-    if (!s.experimental.extraStrategies.contains(graft.plans.TopKPerGroup.TopKStrategy))
-      s.experimental.extraStrategies =
-        s.experimental.extraStrategies :+ graft.plans.TopKPerGroup.TopKStrategy
-    if (!s.experimental.extraOptimizations.contains(graft.plans.TopKPerGroup.TopKRewrite))
-      s.experimental.extraOptimizations =
-        s.experimental.extraOptimizations :+ graft.plans.TopKPerGroup.TopKRewrite
     s
   }
 }

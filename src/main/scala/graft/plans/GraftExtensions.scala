@@ -36,7 +36,20 @@ object GraftExtensions {
      new ExpressionInfo(classOf[ArrayDotProduct].getName, "graft_dot"),
      builder _)
 
+  /** Install the FULL extension surface (SQL function + top-k strategy +
+    * rewrite rule) on a live session — same effect as the extensions
+    * conf. A no-op when that conf already applied (probed via the
+    * injected function), so the two paths compose without
+    * double-installing the strategy or shadowing the function.
+    */
   def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry
-      .createOrReplaceTempFunction("graft_dot", builder, "built-in")
+    if (!spark.sessionState.functionRegistry
+          .functionExists(FunctionIdentifier("graft_dot"))) {
+      spark.sessionState.functionRegistry
+        .createOrReplaceTempFunction("graft_dot", builder, "built-in")
+      TopKPerGroup.ensureStrategy(spark)
+      if (!spark.experimental.extraOptimizations.contains(TopKPerGroup.TopKRewrite))
+        spark.experimental.extraOptimizations =
+          spark.experimental.extraOptimizations :+ TopKPerGroup.TopKRewrite
+    }
 }

@@ -69,10 +69,11 @@ object SimilarityQueries {
     "s08_knn_pq" -> QueryDef(
       (s, d) => {
         val emb = Tables.embeddings(s, d)
-        // rerank=16: the exact re-rank touches 16k of the corpus (~3% at
-        // sf0.1) — measured recall@10 0.40 → 0.64 at sf0.1 for ~equal
-        // wall-clock, because candidates are ids, not vectors, until the
-        // re-rank join. The cheap knob to turn before growing m.
+        // rerank=16: the exact re-rank touches k·rerank = 160 candidates
+        // per query (8% of the 2k-vector sf0.1 corpus; a fixed count, so
+        // a vanishing fraction at scale) — measured recall@10 0.40 → 0.64
+        // at sf0.1 for ~equal wall-clock, because candidates are ids, not
+        // vectors, until the re-rank join. The cheap knob before growing m.
         Similarity.pqKnn(emb, emb.filter(col("vec_id") < 5), k = 10,
           dim = 64, m = 8, codebookSize = 16, rerank = 16)
       },

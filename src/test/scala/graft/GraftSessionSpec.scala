@@ -11,16 +11,21 @@ import org.scalatest.matchers.should.Matchers
 class GraftSessionSpec extends AnyFunSuite with Matchers {
 
   test("GraftSession.create registers extensions and applies the recommended configs") {
-    // clear (but do NOT stop) any shared test session so getOrCreate
-    // builds a fresh SparkSession — it shares the JVM's SparkContext, and
-    // the previous sessions are restored afterwards
+    // force the SHARED test context into existence first: the factory
+    // must deliver its surface on a pre-existing SparkContext (where the
+    // static extensions conf is silently ignored), and creating the
+    // JVM-wide context here with local[2]+graft confs would hijack every
+    // later suite
+    SparkSpec.session
+    // clear (but do NOT stop) the shared session so getOrCreate builds a
+    // fresh SparkSession on the same context; restore afterwards
     val prevDefault = SparkSession.getDefaultSession
     val prevActive = SparkSession.getActiveSession
-    SparkSession.clearDefaultSession()
-    SparkSession.clearActiveSession()
-    val s = GraftSession.create(master = Some("local[2]"),
-      shufflePartitions = 4, appName = "graft-session-spec")
     try {
+      SparkSession.clearDefaultSession()
+      SparkSession.clearActiveSession()
+      val s = GraftSession.create(master = Some("local[2]"),
+        shufflePartitions = 4, appName = "graft-session-spec")
       s.conf.get("spark.sql.shuffle.partitions") shouldBe "4"
       s.conf.get("spark.sql.adaptive.enabled") shouldBe "true"
       s.conf.get("spark.sql.session.timeZone") shouldBe "UTC"
