@@ -487,6 +487,36 @@ object TextQueries {
                quality_score >= 0.5 AS kept
         FROM documents""")),
 
+    // Per-source quality cap — the crawl-curation step after scoring:
+    // keep only the best k documents per source (RefinedWeb-style
+    // per-domain budgets). Runs through the bounded-heap top-k operator,
+    // so the shuffle carries ≤ k rows per source per map partition —
+    // never a per-source sort, never the full corpus. Score is t21's
+    // classifier (zero-shuffle, oracle-replicable), so the whole gate is
+    // score-scan → bounded top-k: two stages at any corpus size.
+    "t22_source_quality_cap" -> QueryDef(
+      (s, d) => {
+        val scored = Tables.documents(s, d)
+          .select(col("source"), col("doc_id"),
+                  TextAnalysis.classifierScore(col("text")).as("quality_score"))
+        graft.plans.TopKPerGroup.perGroup(scored,
+            groupCols = Seq("source"),
+            orderCols = Seq("quality_score" -> true, "doc_id" -> false),
+            k = 20)
+          .select(col("source"), col("doc_id"), col("quality_score"),
+                  col("rank"))
+      },
+      Some(s"""
+        WITH scored AS (
+          SELECT source, doc_id,
+                 ${TextAnalysis.classifierScoreSql()} AS quality_score
+          FROM documents)
+        SELECT source, doc_id, quality_score,
+               row_number() OVER (PARTITION BY source
+                                  ORDER BY quality_score DESC, doc_id ASC)
+                 AS rank
+        FROM scored QUALIFY rank <= 20""")),
+
     "t04_fingerprint" -> QueryDef(
       (s, d) => TextAnalysis.withRobustFingerprints(Tables.documents(s, d), "text")
         .select(col("doc_id"),
