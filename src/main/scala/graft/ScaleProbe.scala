@@ -31,7 +31,7 @@ object ScaleProbe {
     // limit (100; raiseable per-query with MAX RECURSION LEVEL n) — a
     // data-layout artifact of the probe corpus, not an engine property
     "q93_approx_top_k", "q95_bag_set_ops", "q96_union_by_name",
-    "t21_classifier_score")
+    "t21_classifier_score", "t22_source_quality_cap")
 
   private val IdShift = 10000000L
   private val DayShift = 4000 // > TPC-H date span, so copies never overlap
