@@ -30,14 +30,14 @@ object IntegrationSchema {
     MessageDigest.getInstance("MD5").digest(bytes).map("%02x".format(_)).mkString
 
   /** Fingerprint = MD5 of the canonical one-line schema JSON, matching
-    * IntegrationUtils.scala:25-29 (schema.toString(false) → md5).
+    * IntegrationUtils.scala:25-29 (schema.toString → md5).
     */
   def fingerprint(schema: Schema): String =
-    md5Hex(schema.toString(false).getBytes("UTF-8"))
+    md5Hex(schema.toString.getBytes("UTF-8"))
 
   def fromJson(json: String): IntegrationSchema = {
     val schema = new Schema.Parser().parse(json)
-    IntegrationSchema(schema.getFullName, schema.toString(false), fingerprint(schema))
+    IntegrationSchema(schema.getFullName, schema.toString, fingerprint(schema))
   }
 
   /** Avro → Spark SQL type mapping (SURVEY.md §1.3 table). */
@@ -78,7 +78,7 @@ object IntegrationSchema {
       rest match {
         case Seq(one) => val (dt, _) = toSqlType(one); (dt, nulls.nonEmpty)
         case _ => throw new IllegalArgumentException(
-          s"unsupported non-nullable union: ${s.toString(false)}")
+          s"unsupported non-nullable union: ${s.toString}")
       }
     case other => throw new IllegalArgumentException(s"unsupported Avro type: $other")
   }

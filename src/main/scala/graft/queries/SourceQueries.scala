@@ -255,7 +255,7 @@ object SourceQueries {
         val ev = Tables.events(s, d)
           .select(col("ts"), col("value"), to_date(col("ts")).as("day"))
         ev.write.mode("overwrite").partitionBy("day").parquet(out)
-        val firstDay = ev.agg(min(col("day"))).head.getDate(0)
+        val firstDay = ev.agg(min(col("day"))).head().getDate(0)
         val prior = s.conf.get("spark.sql.sources.partitionOverwriteMode")
         s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
         try ev.filter(col("day") === lit(firstDay))
@@ -314,7 +314,7 @@ object SourceQueries {
         val out = exportDir(d, "events_bydate")
         val ev = Tables.events(s, d).withColumn("day", to_date(col("ts")))
         ev.write.mode("overwrite").partitionBy("day").parquet(out)
-        val minDay = ev.agg(min(col("day"))).head.getDate(0)
+        val minDay = ev.agg(min(col("day"))).head().getDate(0)
         s.read.parquet(out)
           .filter(col("day") === lit(minDay))
           .select(col("event_id"), col("user_id"), col("day"))

@@ -90,7 +90,7 @@ class SessionFinalizer(gapMs: Long)
       expiredTimerInfo: org.apache.spark.sql.streaming.ExpiredTimerInfo)
       : Iterator[(Long, Long, Long)] = {
     val (done, stillOpen) = sess.get().toSeq
-      .partition(s => timerFor(s._2) <= expiredTimerInfo.getExpiryTimeInMs)
+      .partition(s => timerFor(s._2) <= expiredTimerInfo.getExpiryTimeInMs())
     if (stillOpen.nonEmpty) sess.put(stillOpen.toArray) else sess.clear()
     done.iterator.map(s => (key, s._1, s._3))
   }
