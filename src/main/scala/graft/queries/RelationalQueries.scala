@@ -1090,6 +1090,24 @@ object RelationalQueries {
           SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')
         GROUP BY o_custkey""")),
 
+    // INTERSECT ALL — q95's other half: multiset intersection keeps
+    // min(count_left, count_right) copies per key. A customer with 5
+    // orders total and 2 'F' orders intersects 2 times.
+    "q100_intersect_all" -> QueryDef(
+      (s, d) => {
+        val o = Tables.orders(s, d)
+        val all = o.select(col("o_custkey"))
+        val f   = o.filter(col("o_orderstatus") === "F").select(col("o_custkey"))
+        all.intersectAll(f).groupBy(col("o_custkey"))
+          .agg(count(lit(1)).as("n_common"))
+      },
+      Some("""
+        SELECT o_custkey, count(*) AS n_common FROM (
+          SELECT o_custkey FROM orders
+          INTERSECT ALL
+          SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')
+        GROUP BY o_custkey""")),
+
     "q48_dropduplicates" -> QueryDef(
       (s, d) => Tables.lineitem(s, d)
         .select(col("l_returnflag"), col("l_linestatus"))
