@@ -59,15 +59,27 @@ object Bench {
     }
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
     val pass1 = ordered.map { case (name, fn) => name -> timeOnce(fn) }.toMap
-    val results = ordered.map { case (name, fn) =>
-      name -> math.min(pass1(name), timeOnce(fn))
+    val pass2 = ordered.map { case (name, fn) => name -> timeOnce(fn) }.toMap
+    // Targeted third pass: a host-steal burst (multi-second CPU theft, see
+    // r03's bogus 13.7 s t14 entry) can hit BOTH passes of one query. Any
+    // query that is still slow after min-of-2, or whose two passes disagree
+    // wildly, gets one uncontended retry; the reported value is min-of-all.
+    def noisy(name: String): Boolean = {
+      val best2 = math.min(pass1(name), pass2(name))
+      best2 > 3.0 ||
+        (best2 > 0.5 && math.max(pass1(name), pass2(name)) > 2.5 * best2)
     }
+    val results = ordered.map { case (name, fn) =>
+      val best2 = math.min(pass1(name), pass2(name))
+      name -> (if (noisy(name)) math.min(best2, timeOnce(fn)) else best2)
+    }
+    val retried = ordered.count { case (name, _) => noisy(name) }
     // Locale.ROOT: a comma-decimal default locale would print 62,700 and
     // corrupt the JSON line
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     // full per-query detail for offline inspection (not on the line)
     try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_DETAIL.json"),
-      s"""{"total":${fmt(total)},"n":${results.size},"sf":"$sfDir","runs":2,"queries":${jsonMap(results)}}
+      s"""{"total":${fmt(total)},"n":${results.size},"sf":"$sfDir","runs":2,"retried":$retried,"queries":${jsonMap(results)}}
 """.getBytes("UTF-8"))
     catch { case _: Throwable => () }
     println(line(total, results, sfDir))

@@ -277,22 +277,34 @@ object RelationalQueries {
                CAST(regr_count(l_extendedprice, l_quantity) AS BIGINT) AS n
         FROM lineitem GROUP BY l_linestatus""")),
 
-    // exact decimal aggregation: money must not float. Cast to
-    // DECIMAL(18,2) at the scan, sum exactly (no rounding step anywhere),
-    // fixed final scale on both sides.
+    // exact decimal aggregation: money must not float. Both engines sum
+    // exact integer CENTS (round(x*100) of the identical parquet double is
+    // bit-deterministic, and BIGINT has one representation everywhere —
+    // unlike DECIMAL, whose parquet/arrow encodings diverged between Spark
+    // and DuckDB and made the r03 hash comparator red on equal values).
+    // The 2-dp money sums are derived from those identical cent totals.
     "q35_decimal_exact_sum" -> QueryDef(
       (s, d) => Tables.lineitem(s, d)
         .groupBy(col("l_returnflag"))
         .agg(
-          sum(col("l_extendedprice").cast("decimal(18,2)"))
-            .cast("decimal(18,2)").as("sum_price"),
-          sum(col("l_quantity").cast("decimal(18,2)"))
-            .cast("decimal(18,2)").as("sum_qty")),
+          sum(round(col("l_extendedprice") * 100).cast("long")).as("price_cents"),
+          sum(round(col("l_quantity") * 100).cast("long")).as("qty_cents"))
+        .select(col("l_returnflag"),
+          col("price_cents"),
+          round(col("price_cents") / 100.0, 2).as("sum_price"),
+          col("qty_cents"),
+          round(col("qty_cents") / 100.0, 2).as("sum_qty")),
       Some("""
         SELECT l_returnflag,
-               CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_price,
-               CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty
-        FROM lineitem GROUP BY l_returnflag""")),
+               price_cents,
+               round(price_cents / 100.0, 2) AS sum_price,
+               qty_cents,
+               round(qty_cents / 100.0, 2) AS sum_qty
+        FROM (
+          SELECT l_returnflag,
+                 CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS price_cents,
+                 CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS qty_cents
+          FROM lineitem GROUP BY l_returnflag)""")),
 
     // fixed-width histogram via width_bucket (data profiling); the oracle
     // replays Spark's bucket math verbatim — floor((v-lo)/((hi-lo)/nb))+1
