@@ -345,15 +345,6 @@ object Similarity {
               round(col("sim"), 6).as("sim"))
   }
 
-  /** Sub-quadratic embedding near-dup for HIGH thresholds: candidates from
-    * multi-table random-hyperplane buckets (only same-bucket pairs meet),
-    * then exact cosine verification. Misses are bounded by the LSH S-curve
-    * (1-(1-p^nBits)^tables, p = 1 - θ/π); false positives: none (verified).
-    * At sim ≥ 0.9 and nBits = 12, a random pair collides with prob 2^-12
-    * per table while a near-dup pair survives with p^12 ≈ 0.3 per table —
-    * that asymmetry is what makes this o(n²); it vanishes at low
-    * thresholds, where [[cosinePairs]]' exact grid is the right tool.
-    */
   /** Per-group element-wise centroids of an embedding column, emitted as
     * (group, pos, centroid) rows — the core of prototype/class-mean
     * computation and IVF coarse-quantizer training. One explode + one
@@ -435,6 +426,15 @@ object Similarity {
         (col("n_vecs") - coalesce(col("nd"), lit(0L))).as("n_kept"))
   }
 
+  /** Sub-quadratic embedding near-dup for HIGH thresholds: candidates from
+    * multi-table random-hyperplane buckets (only same-bucket pairs meet),
+    * then exact cosine verification. Misses are bounded by the LSH S-curve
+    * (1-(1-p^nBits)^tables, p = 1 - θ/π); false positives: none (verified).
+    * At sim ≥ 0.9 and nBits = 12, a random pair collides with prob 2^-12
+    * per table while a near-dup pair survives with p^12 ≈ 0.3 per table —
+    * that asymmetry is what makes this o(n²); it vanishes at low
+    * thresholds, where [[cosinePairs]]' exact grid is the right tool.
+    */
   def cosinePairsLsh(corpus: DataFrame, threshold: Double, dim: Int,
                      nBits: Int = 12, tables: Int = 8,
                      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
@@ -461,4 +461,28 @@ object Similarity {
       .filter(col("sim") >= threshold)
       .select(col("id1"), col("id2"), round(col("sim"), 6).as("sim"))
   }
+
+  /** Above this threshold LSH bucket collisions are selective enough that
+    * the sub-quadratic path wins; below it they aren't, and exact is both
+    * faster and complete.
+    */
+  val LshRoutingThreshold = 0.8
+
+  /** Threshold-routed embedding near-dup — the DEFAULT entry point, so no
+    * caller accidentally carries the Θ(n²) exact grid into a 100× corpus
+    * at high threshold. At `threshold ≥` [[LshRoutingThreshold]] (real
+    * near-dup territory) this is [[cosinePairsLsh]], whose candidate set
+    * is o(n²) by the LSH S-curve asymmetry; below it (where LSH buckets
+    * stop being selective and would degenerate toward all-pairs ANYWAY,
+    * plus misses) it is the exact block grid [[cosinePairs]], whose n²
+    * compute is evenly spread with O(n·B) shuffle. Same output contract
+    * either way: (id1 < id2, sim) pairs with sim ≥ threshold, verified
+    * exact cosine — the LSH path can only miss pairs, never invent them.
+    */
+  def cosinePairsAuto(corpus: DataFrame, threshold: Double, dim: Int,
+                      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    if (threshold >= LshRoutingThreshold)
+      cosinePairsLsh(corpus, threshold, dim, idCol = idCol, vecCol = vecCol)
+    else
+      cosinePairs(corpus, threshold, idCol = idCol, vecCol = vecCol)
 }

@@ -62,20 +62,21 @@ object SimilarityQueries {
       },
       None),
 
-    // product-quantization ANN: 8-byte codes (m=8, 16 centroids each)
+    // product-quantization ANN: 16-byte codes (m=16, 16 centroids each)
     // instead of 256 bytes/vector; ADC candidate scoring + exact re-rank.
     // Rows-only gate (k-means has no SQL oracle); recall floor vs the
     // exact baseline is asserted in SimilaritySpec.
     "s08_knn_pq" -> QueryDef(
       (s, d) => {
         val emb = Tables.embeddings(s, d)
-        // rerank=16: the exact re-rank touches k·rerank = 160 candidates
-        // per query (8% of the 2k-vector sf0.1 corpus; a fixed count, so
-        // a vanishing fraction at scale) — measured recall@10 0.40 → 0.64
-        // at sf0.1 for ~equal wall-clock, because candidates are ids, not
-        // vectors, until the re-rank join. The cheap knob before growing m.
+        // m=16 (was 8): doubling the subspaces squares the effective
+        // codeword space (16^16 vs 16^8) at IDENTICAL encode FLOPs
+        // (m·cbSize·(dim/m) is constant in m) — measured recall@10
+        // 0.64 → 0.92 at sf0.1 for ~equal wall-clock. rerank=16 keeps the
+        // exact re-rank at k·rerank = 160 candidate ids per query (fixed
+        // count ⇒ vanishing fraction at scale). Still 16× compression.
         Similarity.pqKnn(emb, emb.filter(col("vec_id") < 5), k = 10,
-          dim = 64, m = 8, codebookSize = 16, rerank = 16)
+          dim = 64, m = 16, codebookSize = 16, rerank = 16)
       },
       None),
 

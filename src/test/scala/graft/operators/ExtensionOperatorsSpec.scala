@@ -169,11 +169,34 @@ class ExtensionOperatorsSpec extends SparkSpec {
     lsh.intersect(exact).size.toDouble / exact.size should be >= 0.8
   }
 
-  test("PQ knn: valid ranks, no self-matches, re-ranked recall@10 ≥ 0.6 vs brute force") {
+  test("cosinePairsAuto routes: LSH at high threshold, exact grid below, one contract") {
+    import spark.implicits._
+    val dim = 64
+    def base(i: Int): Array[Float] =
+      Array.tabulate(dim)(j => math.sin(i * dim + j).toFloat)
+    val bases = (0 until 100).map(i => (i.toLong, base(i)))
+    val dups = (0 until 20).map { i =>
+      val v = base(i).clone(); v(0) = v(0) + 0.01f; (1000L + i, v)
+    }
+    val emb = (bases ++ dups).toDF("vec_id", "embedding")
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // high threshold: auto == the sub-quadratic LSH path, bit for bit
+    pairs(Similarity.cosinePairsAuto(emb, 0.95, dim)) shouldBe
+      pairs(Similarity.cosinePairsLsh(emb, 0.95, dim))
+    // low threshold: auto == the exact grid, bit for bit (LSH buckets
+    // would both miss pairs and stop being selective down here)
+    pairs(Similarity.cosinePairsAuto(emb, 0.3, dim)) shouldBe
+      pairs(Similarity.cosinePairs(emb, 0.3))
+    // the boundary itself belongs to the LSH side
+    Similarity.LshRoutingThreshold should be >= 0.8
+  }
+
+  test("PQ knn: valid ranks, no self-matches, re-ranked recall@10 ≥ 0.8 vs brute force") {
     val queries = embs.filter(col("vec_id") < 5)
     val exact = Similarity.bruteForceKnn(embs, queries, 10).collect()
       .map(r => (r.getLong(0), r.getLong(2))).toSet
-    val pq = Similarity.pqKnn(embs, queries, 10, dim = 64, m = 8,
+    val pq = Similarity.pqKnn(embs, queries, 10, dim = 64, m = 16,
       codebookSize = 16, rerank = 16).collect()
     pq.length shouldBe exact.size // k results per query
     pq.foreach { r =>
@@ -181,9 +204,10 @@ class ExtensionOperatorsSpec extends SparkSpec {
       r.getLong(1) should (be >= 1L and be <= 10L)
     }
     val approx = pq.map(r => (r.getLong(0), r.getLong(2))).toSet
-    // 8-byte codes (32× compression of 64 floats) + 4k-candidate exact
-    // re-rank must keep the majority of the true neighbors
-    approx.intersect(exact).size.toDouble / exact.size should be >= 0.6
+    // 16-byte codes (16× compression of 64 floats) + 160-candidate exact
+    // re-rank: measured 0.92 at sf0.1 — assert with margin, matching the
+    // 0.84/0.80 floors the LSH/IVF paths hold
+    approx.intersect(exact).size.toDouble / exact.size should be >= 0.8
   }
 
   test("IVF knn: valid ranks, no self-matches, recall beats its probe fraction floor") {
