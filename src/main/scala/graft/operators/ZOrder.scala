@@ -11,12 +11,14 @@ import org.apache.spark.sql.functions._
   * data-skipping story a linear sort can only give to its leading column.
   *
   * All column math here is codegen'd bit arithmetic — no UDFs — and the
-  * grid scaling is a deterministic min/max affine map (one tiny aggregate,
-  * broadcast back; the corpus itself is never shuffled to compute it).
-  * At 100 TB, replace the min/max map with approx-quantile boundaries per
-  * dimension (same one-pass sketch aggregate, broadcast the same way) so
-  * value skew cannot crowd the grid; the interleave and the
-  * repartitionByRange(zvalue) write are unchanged.
+  * grid scaling is a deterministic one-pass aggregate, broadcast back;
+  * the corpus itself is never shuffled to compute it. Two grids:
+  * [[withZValue]] (min/max affine map — cheapest, fine for ~uniform
+  * columns) and [[withZValueQuantile]] (per-dim approx-quantile
+  * boundaries — the 100 TB default, because on skewed real columns a
+  * min/max grid crowds nearly all rows into a few cells and the
+  * bounding boxes stop skipping). Same interleave, same
+  * repartitionByRange(zvalue) write either way.
   */
 object ZOrder {
 
@@ -54,6 +56,37 @@ object ZOrder {
         gridCoord(col(xCol), col("mn_x"), col("mx_x"), bits),
         gridCoord(col(yCol), col("mn_y"), col("mx_y"), bits), bits))
       .drop("mn_x", "mx_x", "mn_y", "mx_y")
+  }
+
+  /** Cell index from approx-quantile boundaries: the count of boundaries
+    * ≤ v. With 2^bits − 1 boundaries this lands in [0, 2^bits), each cell
+    * holding ~1/2^bits of the MASS (not the value range) — equi-depth, so
+    * skew cannot crowd the grid. The per-row cost is 2^bits comparisons
+    * over a broadcast literal-sized array; keep bits modest (≤ 8).
+    */
+  def quantileCoord(v: Column, boundaries: Column): Column =
+    size(filter(boundaries, b => v.cast("double") >= b)).cast("long")
+
+  /** Attach `zvalue` on an equi-DEPTH grid: per-dimension
+    * `approx_percentile` boundary arrays from ONE sketch aggregate
+    * (singleton row, broadcast — the corpus is never shuffled), then the
+    * same Morton interleave. This is the skew-proof variant: a min/max
+    * grid on a long-tailed column (prices, degrees, doc lengths) maps
+    * almost every row to cell 0 and z-order degenerates to noise; the
+    * quantile grid keeps per-cell counts balanced by construction.
+    */
+  def withZValueQuantile(df: DataFrame, xCol: String, yCol: String, bits: Int,
+                         accuracy: Int = 10000): DataFrame = {
+    val cells = 1L << bits
+    val ps = array((1L until cells).map(i => lit(i.toDouble / cells)): _*)
+    val bnd = df.agg(
+      percentile_approx(col(xCol).cast("double"), ps, lit(accuracy)).as("bnd_x"),
+      percentile_approx(col(yCol).cast("double"), ps, lit(accuracy)).as("bnd_y"))
+    df.crossJoin(broadcast(bnd))
+      .withColumn("zvalue", interleave(
+        quantileCoord(col(xCol), col("bnd_x")),
+        quantileCoord(col(yCol), col("bnd_y")), bits))
+      .drop("bnd_x", "bnd_y")
   }
 
   /** Per-bucket bounding boxes after cutting the z-range into buckets

@@ -1,12 +1,14 @@
 package graft.plans
 
 import graft.functions.ArrayDotProduct
-import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import graft.operators.TextAnalysis
+import org.apache.spark.sql.{Column, GraftSqlShim, SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, ExpressionInfo}
 import org.apache.spark.sql.types.{ArrayType, DoubleType}
 
-/** SQL-surface registration for graft's native expressions.
+/** SQL-surface registration for graft's native expressions and text
+  * kernels.
   *
   * Two entry points with identical effect:
   *  - `--conf spark.sql.extensions=graft.plans.GraftExtensions` (or
@@ -15,12 +17,22 @@ import org.apache.spark.sql.types.{ArrayType, DoubleType}
   *  - [[GraftExtensions.register]] on a live session, for hosts that
   *    build their sessions elsewhere (Verify/Bench do this).
   *
-  * Either way, `graft_dot(a, b)` becomes callable from `spark.sql`,
-  * compiled by whole-stage codegen like any built-in.
+  * Either way, `graft_dot(a, b)` plus the scalar text-curation kernels
+  * (`graft_lang_id`, `graft_token_count`, `graft_classifier_score`,
+  * `graft_fingerprint`, …) become callable from `spark.sql`. The text
+  * functions are NOT re-implementations: each builder applies the same
+  * Column kernel from [[graft.operators.TextAnalysis]] to the SQL
+  * argument, so the SQL surface and the Scala API share one expression
+  * tree — same codegen, zero drift — and a pure-SQL user can run the
+  * curation pipeline without touching the Scala API.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftExtensions.dotFunction)
+    GraftExtensions.textFunctions.foreach { case (name, builder) =>
+      ext.injectFunction((FunctionIdentifier(name),
+        new ExpressionInfo(TextAnalysis.getClass.getName, name), builder))
+    }
     ext.injectPlannerStrategy(_ => TopKPerGroup.TopKStrategy)
     ext.injectOptimizerRule(_ => TopKPerGroup.TopKRewrite)
   }
@@ -36,17 +48,38 @@ object GraftExtensions {
      new ExpressionInfo(classOf[ArrayDotProduct].getName, "graft_dot"),
      builder _)
 
-  /** Install the FULL extension surface (SQL function + top-k strategy +
+  /** Lift a 1-arg Column kernel into a FunctionRegistry builder: wrap the
+    * SQL argument expression as a Column, apply the kernel, unwrap. The
+    * registered function IS the library kernel, not a parallel SQL copy.
+    */
+  private def colKernel(f: Column => Column): Seq[Expression] => Expression =
+    exprs => GraftSqlShim.expressionEager(f(GraftSqlShim.column(exprs.head)))
+
+  /** The scalar text-curation kernels exposed to pure SQL. */
+  val textFunctions: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "graft_lang_id" -> colKernel(TextAnalysis.langId),
+    "graft_token_count" -> colKernel(TextAnalysis.tokenCount),
+    "graft_bpeish_tokens" -> colKernel(TextAnalysis.bpeishTokenCount),
+    "graft_classifier_score" -> colKernel(c => TextAnalysis.classifierScore(c)),
+    "graft_fingerprint" -> colKernel(TextAnalysis.contentFingerprint),
+    "graft_fp_min" -> colKernel(c => TextAnalysis.robustFingerprintMin(c)),
+    "graft_fp_max" -> colKernel(c => TextAnalysis.robustFingerprintMax(c)))
+
+  /** Install the FULL extension surface (SQL functions + top-k strategy +
     * rewrite rule) on a live session — same effect as the extensions
     * conf. A no-op when that conf already applied (probed via the
     * injected function), so the two paths compose without
-    * double-installing the strategy or shadowing the function.
+    * double-installing the strategy or shadowing the functions.
     */
   def register(spark: SparkSession): Unit =
     if (!spark.sessionState.functionRegistry
           .functionExists(FunctionIdentifier("graft_dot"))) {
       spark.sessionState.functionRegistry
         .createOrReplaceTempFunction("graft_dot", builder, "built-in")
+      textFunctions.foreach { case (name, b) =>
+        spark.sessionState.functionRegistry
+          .createOrReplaceTempFunction(name, b, "built-in")
+      }
       TopKPerGroup.ensureStrategy(spark)
       if (!spark.experimental.extraOptimizations.contains(TopKPerGroup.TopKRewrite))
         spark.experimental.extraOptimizations =

@@ -577,6 +577,28 @@ object RelationalQueries {
         FROM lineitem JOIN q ON l_returnflag = rf
         GROUP BY l_returnflag""")),
 
+    // One-pass APPROX winsorize — the 100 TB form of q36: the per-group
+    // p05/p95 come from a percentile_approx SKETCH (mergeable partials,
+    // map-side combined — no per-group sort anywhere), so the only sort
+    // q36 carries disappears. Rows-only gate (DuckDB's approx_quantile is
+    // a different sketch); Round4OpsSpec ties it to the exact q36 within
+    // tolerance.
+    "q36b_winsorize_approx" -> QueryDef(
+      (s, d) => {
+        val li = Tables.lineitem(s, d)
+        val bounds = li.groupBy(col("l_returnflag").as("rf"))
+          .agg(percentile_approx(col("l_extendedprice"), lit(0.05), lit(10000)).as("lo"),
+               percentile_approx(col("l_extendedprice"), lit(0.95), lit(10000)).as("hi"))
+        li.join(broadcast(bounds), col("l_returnflag") === col("rf"))
+          .withColumn("clipped", least(greatest(col("l_extendedprice"), col("lo")), col("hi")))
+          .groupBy(col("l_returnflag"))
+          .agg(round(sum(col("clipped")), 2).as("winsorized_sum"),
+               sum(when(col("l_extendedprice") < col("lo"), 1L).otherwise(0L)).as("n_clip_low"),
+               sum(when(col("l_extendedprice") > col("hi"), 1L).otherwise(0L)).as("n_clip_high"),
+               count(lit(1)).as("n"))
+      },
+      None),
+
     // Correlated EXISTS subquery — one dialect-shared string on spark.sql
     // AND DuckDB; Catalyst decorrelates it to a left-semi join.
     "q15_exists_subquery" -> QueryDef(

@@ -534,7 +534,49 @@ object TextQueries {
                ${PH.sqlMd5_64("trim(regexp_replace(text, '\\s+', ' ', 'g'))")} AS content_fp,
                list_min([${PH.sqlMd5_64("sh")} for sh in shingles]) AS fp_min,
                list_max([${PH.sqlMd5_64("sh")} for sh in shingles]) AS fp_max
-        FROM s"""))
+        FROM s""")),
+
+    // A curation step in PURE SQL: the scalar text kernels are registered
+    // on the FunctionRegistry (graft.plans.GraftExtensions), so a
+    // SQL-only user — the reference's users submit opaque jobs; ours
+    // submit SQL — can run lang-id + token count + classifier filter +
+    // fingerprint without touching the Scala API. The registered
+    // builders APPLY the library's Column kernels (one expression tree,
+    // same codegen), and the whole gate hash-matches the DuckDB oracle.
+    "t23_sql_curation" -> QueryDef(
+      (s, d) => {
+        graft.plans.GraftExtensions.register(s)
+        Tables.documents(s, d).createOrReplaceTempView("documents_sql")
+        s.sql("""
+          SELECT doc_id,
+                 graft_lang_id(text) AS lang_pred,
+                 graft_token_count(text) AS n_tokens,
+                 graft_classifier_score(text) AS cls_score,
+                 graft_fingerprint(text) AS content_fp
+          FROM documents_sql
+          WHERE graft_classifier_score(text) >= 0.5
+            AND graft_token_count(text) >= 20""")
+      },
+      Some(s"""
+        WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS ws FROM documents),
+        sc AS (SELECT doc_id, text,
+                 len(list_filter(ws, w -> w IN ${inList("en")})) AS s_en,
+                 len(list_filter(ws, w -> w IN ${inList("es")})) AS s_es,
+                 len(list_filter(ws, w -> w IN ${inList("de")})) AS s_de,
+                 len(list_filter(ws, w -> w IN ${inList("fr")})) AS s_fr,
+                 CAST(len(ws) AS BIGINT) AS n_tokens,
+                 ${TextAnalysis.classifierScoreSql()} AS cls_score
+               FROM t)
+        SELECT doc_id,
+               CASE WHEN greatest(s_en, s_es, s_de, s_fr) = 0 THEN 'und'
+                    WHEN s_en = greatest(s_en, s_es, s_de, s_fr) THEN 'en'
+                    WHEN s_es = greatest(s_en, s_es, s_de, s_fr) THEN 'es'
+                    WHEN s_de = greatest(s_en, s_es, s_de, s_fr) THEN 'de'
+                    ELSE 'fr' END AS lang_pred,
+               n_tokens, cls_score,
+               ${PH.sqlMd5_64("trim(regexp_replace(text, '\\s+', ' ', 'g'))")} AS content_fp
+        FROM sc
+        WHERE cls_score >= 0.5 AND n_tokens >= 20"""))
   )
 
   private val PH = graft.functions.PortableHash

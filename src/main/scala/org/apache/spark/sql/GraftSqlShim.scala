@@ -13,6 +13,16 @@ object GraftSqlShim {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 
+  /** EAGER Column → catalyst conversion via the active session's node
+    * converter. [[expression]] wraps lazily (ColumnNodeExpression, only
+    * unwrapped on the Dataset path); an expression returned from a
+    * FunctionRegistry builder never takes that path and would reach
+    * codegen still wrapped — this converts to plain (possibly
+    * Unresolved*) catalyst nodes that the fixed-point analyzer finishes.
+    */
+  def expressionEager(c: Column): Expression =
+    SparkSession.active.asInstanceOf[classic.SparkSession].expression(c)
+
   def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
     classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
 

@@ -35,6 +35,11 @@ class GraftSessionSpec extends AnyFunSuite with Matchers {
       // row_number idiom rewrites into the custom top-k operator
       s.sql("SELECT graft_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d")
         .collect().head.getDouble(0) shouldBe 11.0
+      // the scalar text kernels ride the same extensions surface
+      s.sql("SELECT graft_lang_id('the a of and is to') AS l")
+        .collect().head.getString(0) shouldBe "en"
+      s.sql("SELECT graft_token_count('one two three') AS n")
+        .collect().head.getLong(0) shouldBe 3L
       import s.implicits._
       val df = Seq(("a", 3), ("a", 1), ("a", 2), ("b", 9)).toDF("g", "v")
       import org.apache.spark.sql.expressions.Window

@@ -64,6 +64,41 @@ class ZOrderSpec extends SparkSpec {
     all(z.map(_.getLong(1))) should be >= 0L
   }
 
+  test("quantile grid stays balanced on a skewed column where the min/max grid crowds") {
+    import spark.implicits._
+    // long-tailed x: 99% of the mass in [0,1), 1% outliers near 1e6 —
+    // the shape of prices/degrees/doc-lengths in real corpora
+    val n = 4000
+    val df = (0 until n).map { i =>
+      val x = if (i % 100 == 0) 1e6 + i else (i % 97).toDouble / 97.0
+      (x, (i % 64).toDouble)
+    }.toDF("x", "y")
+
+    def maxCellShare(cells: org.apache.spark.sql.DataFrame): Double =
+      cells.groupBy("c").count().agg(max("count")).head().getLong(0).toDouble / n
+
+    val mm = df.agg(min("x").as("mn"), max("x").as("mx"))
+    val minmaxShare = maxCellShare(df.crossJoin(broadcast(mm))
+      .select(ZOrder.gridCoord(col("x"), col("mn"), col("mx"), 4).as("c")))
+    val bnd = df.agg(percentile_approx(col("x"),
+      array((1 until 16).map(i => lit(i / 16.0)): _*), lit(10000)).as("b"))
+    val quantShare = maxCellShare(df.crossJoin(broadcast(bnd))
+      .select(ZOrder.quantileCoord(col("x"), col("b")).as("c")))
+
+    // min/max: the outliers stretch the range so 99% of rows crowd cell 0
+    minmaxShare should be > 0.9
+    // equi-depth: no cell far above its ideal 1/16 share
+    quantShare should be < 0.2
+
+    // and end to end, the quantile z-grid occupies far more distinct
+    // cells — the precondition for tight per-file bounding boxes
+    val mmCells = ZOrder.withZValue(df, "x", "y", 4)
+      .agg(countDistinct("zvalue")).head().getLong(0)
+    val qCells = ZOrder.withZValueQuantile(df, "x", "y", 4)
+      .agg(countDistinct("zvalue")).head().getLong(0)
+    qCells should be >= 4 * mmCells
+  }
+
   test("writeZOrdered produces range-disjoint z files that skip on both dims") {
     val orders = Tables.orders(spark, sfDir).select(
       col("o_orderkey"),
