@@ -30,7 +30,11 @@ object IntegrationSchema {
     MessageDigest.getInstance("MD5").digest(bytes).map("%02x".format(_)).mkString
 
   /** Fingerprint = MD5 of the canonical one-line schema JSON, matching
-    * IntegrationUtils.scala:25-29 (schema.toString → md5).
+    * IntegrationUtils.scala:25-29. The reference calls
+    * `schema.toString(false)`; this calls `schema.toString`, which Avro
+    * defines as `toString(false)` — byte-identical today, and this note
+    * pins the parity contract should an Avro upgrade ever change the
+    * no-arg default.
     */
   def fingerprint(schema: Schema): String =
     md5Hex(schema.toString.getBytes("UTF-8"))

@@ -89,9 +89,19 @@ class SessionFinalizer(gapMs: Long)
   override def handleExpiredTimer(key: Long, timerValues: TimerValues,
       expiredTimerInfo: org.apache.spark.sql.streaming.ExpiredTimerInfo)
       : Iterator[(Long, Long, Long)] = {
+    val fired = expiredTimerInfo.getExpiryTimeInMs()
     val (done, stillOpen) = sess.get().toSeq
-      .partition(s => timerFor(s._2) <= expiredTimerInfo.getExpiryTimeInMs())
+      .partition(s => timerFor(s._2) <= fired)
     if (stillOpen.nonEmpty) sess.put(stillOpen.toArray) else sess.clear()
+    // timer state must stay in lockstep with session state: every emitted
+    // session's timer is deleted here (only the one that fired auto-clears)
+    // — otherwise done sessions' timers linger in RocksDB and later fire
+    // as no-ops, and a stale firing could emit a newly admitted session
+    // ahead of its own timer
+    done.foreach { s =>
+      val t = timerFor(s._2)
+      if (t != fired) getHandle.deleteTimer(t)
+    }
     done.iterator.map(s => (key, s._1, s._3))
   }
 }

@@ -110,4 +110,97 @@ object StreamingIngest {
     */
   def runAvailableNow(writer: DataStreamWriter[org.apache.spark.sql.Row]): StreamingQuery =
     writer.trigger(Trigger.AvailableNow()).start()
+
+  // ------------------------------------------------------- Kafka surface
+  //
+  // BROKER-GATED: this environment ships neither a Kafka broker nor the
+  // spark-sql-kafka connector jar, so `.load()`/`.start()` on these cannot
+  // execute here — the option construction, the reader/writer wiring, and
+  // the JSON payload bridge below are the testable surface (unit-tested in
+  // StreamingSpec), and the same plan runs unchanged once
+  // `--packages org.apache.spark:spark-sql-kafka-0-10_2.13` and
+  // `kafka.bootstrap.servers` exist on the cluster. The cluster analog of
+  // the reference's AMQP queue consumption (ResponseQueueConsumer.scala).
+
+  /** Kafka connection/topic configuration. `maxOffsetsPerTrigger` is the
+    * Kafka twin of [[readEventFiles]]' maxFilesPerTrigger rate throttle
+    * (the reference's ThrottledWorkResource analog); `failOnDataLoss` is
+    * false by default because compacted/expired offsets on a lagging
+    * restart should degrade, not kill, a 100 TB/day ingest.
+    */
+  final case class KafkaConfig(
+      bootstrapServers: String,
+      topic: String,
+      startingOffsets: String = "earliest",
+      maxOffsetsPerTrigger: Option[Long] = None,
+      failOnDataLoss: Boolean = false,
+      extra: Map[String, String] = Map.empty) {
+
+    /** Options for `readStream.format("kafka")`. */
+    def sourceOptions: Map[String, String] =
+      Map(
+        "kafka.bootstrap.servers" -> bootstrapServers,
+        "subscribe" -> topic,
+        "startingOffsets" -> startingOffsets,
+        "failOnDataLoss" -> failOnDataLoss.toString) ++
+      maxOffsetsPerTrigger.map("maxOffsetsPerTrigger" -> _.toString) ++
+      extra
+
+    /** Options for `writeStream.format("kafka")`. */
+    def sinkOptions: Map[String, String] =
+      Map(
+        "kafka.bootstrap.servers" -> bootstrapServers,
+        "topic" -> topic) ++ extra
+  }
+
+  /** Configured (NOT loaded) Kafka source reader — callers `.load()` where
+    * the connector exists. Kept separate from the load so the wiring is
+    * compile- and unit-checked in this broker-less environment.
+    */
+  def kafkaReader(spark: SparkSession, cfg: KafkaConfig)
+      : org.apache.spark.sql.streaming.DataStreamReader =
+    spark.readStream.format("kafka").options(cfg.sourceOptions)
+
+  /** Kafka event stream: load + decode the JSON `value` payload into the
+    * supplied schema. Broker-gated (see section note); the decode step is
+    * [[parseJsonPayload]], which tests exercise on batch frames.
+    */
+  def readEventKafka(spark: SparkSession, cfg: KafkaConfig,
+                     schemaDDL: String): DataFrame =
+    parseJsonPayload(kafkaReader(spark, cfg).load(), schemaDDL)
+
+  /** Decode a Kafka-shaped frame (binary `value`) into typed event rows.
+    * Works identically on streaming and batch frames — the testable half
+    * of [[readEventKafka]].
+    */
+  def parseJsonPayload(kafkaShaped: DataFrame, schemaDDL: String): DataFrame =
+    kafkaShaped
+      .select(from_json(col("value").cast("string"),
+        org.apache.spark.sql.types.StructType.fromDDL(schemaDDL)).as("e"))
+      .select(col("e.*"))
+
+  /** Encode typed rows into the Kafka sink shape: a JSON `value` (and a
+    * `key` for log-compaction semantics when `keyCol` is set). The batch
+    * twin of the sink path, testable without a broker.
+    */
+  def toKafkaPayload(out: DataFrame, keyCol: Option[String] = None): DataFrame = {
+    val value = to_json(struct(col("*"))).as("value")
+    keyCol match {
+      case Some(k) => out.select(col(k).cast("string").as("key"), value)
+      case None    => out.select(value)
+    }
+  }
+
+  /** Configured Kafka sink writer over the encoded payload — callers
+    * `.start()` where the connector exists. Exactly-once lands on the
+    * checkpoint + Kafka's idempotent producer; for sinks needing the
+    * batch-id fence instead, compose [[idempotentParquetSink]]'s pattern.
+    */
+  def kafkaSink(out: DataFrame, cfg: KafkaConfig, checkpointDir: String,
+                keyCol: Option[String] = None): DataStreamWriter[org.apache.spark.sql.Row] =
+    toKafkaPayload(out, keyCol).writeStream
+      .format("kafka")
+      .options(cfg.sinkOptions)
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("append")
 }

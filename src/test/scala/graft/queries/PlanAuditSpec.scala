@@ -27,13 +27,22 @@ class PlanAuditSpec extends SparkSpec {
   private def eagerPrefix(n: String): Boolean =
     n.startsWith("p0") || n.startsWith("src")
 
+  /** Builders that TRAIN at build time: their k-means/codebook Lloyd
+    * loops run driver-side collect()s over Spark jobs, so "planning"
+    * them here would execute full training, not just plan — excluded
+    * like the eager set to keep this sweep plan-only. Their quality and
+    * determinism are asserted in ExtensionOperatorsSpec/SimilarityQueries
+    * specs; s08's broadcast-ADC scan is pairwise by contract like s01's.
+    */
+  private val trainsAtBuild: Set[String] = Set(
+    "s04_knn_ivf", "s08_knn_pq", "s10_kmeans")
+
   /** Pairwise-by-contract: the nested-loop is the documented semantics,
     * not an accident.
     */
   private val pairwiseByContract: Set[String] = Set(
     "q26_join_cross",      // the cross-join gate itself
     "s01_knn_brute_force", // exact baseline: broadcast queries × corpus
-    "s08_knn_pq",          // ADC scan: broadcast queries × coded corpus
     "d05_dedup_embedding", // exact all-pairs BY CONTRACT (block-grid bounds memory, not compute)
     "q75_scalar_subquery"  // scalar subquery compiles to a 1-row broadcast
   )
@@ -54,7 +63,7 @@ class PlanAuditSpec extends SparkSpec {
 
   test("no gate plans an unbounded pairwise join unless pairwise is its contract") {
     val pairwiseNames = graft.SparkEntry.queries.toSeq.sortBy(_._1)
-      .filterNot { case (n, _) => eager(n) || eagerPrefix(n) }
+      .filterNot { case (n, _) => eager(n) || eagerPrefix(n) || trainsAtBuild(n) }
       .flatMap { case (name, fn) =>
         val plan =
           try fn(spark, sfDir).queryExecution.executedPlan.toString

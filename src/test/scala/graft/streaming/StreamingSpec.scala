@@ -458,4 +458,44 @@ class StreamingSpec extends SparkSpec {
       .filter(_.status == Expired)
     expired.map(_.taskNumber) should contain(7)
   }
+
+  // ---- Kafka surface (broker-gated: no broker or connector jar here, so
+  // ---- load()/start() are exercised on a cluster; options + the JSON
+  // ---- payload bridge are the locally-testable contract)
+
+  test("KafkaConfig builds the documented source/sink option maps") {
+    val cfg = StreamingIngest.KafkaConfig(
+      bootstrapServers = "broker-1:9092,broker-2:9092",
+      topic = "graft-events",
+      startingOffsets = "latest",
+      maxOffsetsPerTrigger = Some(50000L),
+      extra = Map("kafka.security.protocol" -> "SASL_SSL"))
+    cfg.sourceOptions shouldBe Map(
+      "kafka.bootstrap.servers" -> "broker-1:9092,broker-2:9092",
+      "subscribe" -> "graft-events",
+      "startingOffsets" -> "latest",
+      "failOnDataLoss" -> "false",
+      "maxOffsetsPerTrigger" -> "50000",
+      "kafka.security.protocol" -> "SASL_SSL")
+    cfg.sinkOptions shouldBe Map(
+      "kafka.bootstrap.servers" -> "broker-1:9092,broker-2:9092",
+      "topic" -> "graft-events",
+      "kafka.security.protocol" -> "SASL_SSL")
+    // reader/writer wiring constructs without a connector (load/start
+    // are the broker-gated calls)
+    StreamingIngest.kafkaReader(spark, cfg) should not be null
+  }
+
+  test("Kafka JSON payload bridge round-trips typed rows (batch twin of source+sink)") {
+    import spark.implicits._
+    val events = Seq(
+      Ev(1L, ts(0), 10L, "click", 1.5),
+      Ev(2L, ts(1), 11L, "view", 2.5)).toDF()
+    val ddl = "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, event_type STRING, value DOUBLE"
+    val wire = StreamingIngest.toKafkaPayload(events, keyCol = Some("user_id"))
+    wire.columns.toSeq shouldBe Seq("key", "value")
+    val back = StreamingIngest.parseJsonPayload(wire, ddl)
+    back.as[Ev].collect().sortBy(_.event_id) shouldBe
+      events.as[Ev].collect().sortBy(_.event_id)
+  }
 }
