@@ -72,14 +72,14 @@ object Similarity {
 
     def toArr(r: org.apache.spark.sql.Row): Array[Double] =
       r.getSeq[Double](0).toArray
-    def subCol(vec: Column, s: Int): Column = slice(vec, s * sub + 1, sub)
-    def l2ArgminExpr(cs: Array[Array[Double]], vec: Column): Column = {
-      // argmin ||x-c||² == argmax (2c·x − ||c||²), all plan literals
-      val scores = array(cs.toIndexedSeq.map { c =>
-        val c2 = c.map(x => x * x).sum
-        dot(vec, typedLit(c.map(_ * 2).toSeq)) - lit(c2)
-      }: _*)
-      (array_position(scores, array_max(scores)) - 1).cast("int")
+    // All m argmins in ONE codegen'd kernel ([[graft.functions.PqEncode]]):
+    // the unrolled array-of-literal-dots tree blows Janino's 64 KB method
+    // limit at m=16 and silently drops every scan to interpreted eval.
+    // Arithmetic (2c·x − ‖c‖², first-wins ties) is bit-identical.
+    def encodeCol(cbs: Array[Array[Array[Double]]], vec: Column): Column = {
+      val flat2c = cbs.flatten.flatten.map(_ * 2)
+      val norms = cbs.flatMap(_.map(c => c.map(x => x * x).sum))
+      graft.functions.PqKernels.encode(vec, flat2c, norms, m, codebookSize, sub)
     }
 
     val train = vecs.withColumn("h", xxhash64(col("id")))
@@ -90,16 +90,13 @@ object Similarity {
       initRows.map(_.slice(s * sub, (s + 1) * sub))
     }
     // all m subspaces updated in ONE aggregation per Lloyd iteration:
-    // explode to (subspace, cid, pos, x) rows, a single shuffle of
-    // m·codebookSize·sub partial means — not m separate jobs
+    // encode to (subspace, cid) pairs, slice+posexplode the subvector, a
+    // single shuffle of m·codebookSize·sub partial means — not m jobs
     for (_ <- 0 until maxIter) {
-      val assignedAll = train.select(explode(array((0 until m).map { s =>
-        struct(lit(s).as("s"),
-          l2ArgminExpr(codebooks(s), subCol(col("v"), s)).as("cid"),
-          subCol(col("v"), s).as("sv"))
-      }: _*)).as("a"))
-      val updated = assignedAll
-        .select(col("a.s"), col("a.cid"), posexplode(col("a.sv")).as(Seq("pos", "x")))
+      val updated = train
+        .select(col("v"), posexplode(encodeCol(codebooks, col("v"))).as(Seq("s", "cid")))
+        .select(col("s"), col("cid"),
+          posexplode(slice(col("v"), col("s") * lit(sub) + 1, lit(sub))).as(Seq("pos", "x")))
         .groupBy(col("s"), col("cid"), col("pos")).agg(avg(col("x")).as("mu"))
         .collect().groupBy(r => (r.getInt(0), r.getInt(1)))
         .map { case (key, rows) =>
@@ -111,26 +108,18 @@ object Similarity {
     }
     train.unpersist()
 
-    // encode: m codegen'd argmaxes in ONE corpus scan — the stored index
-    val coded = vecs.select(
-      (col("id") +: (0 until m).map(s =>
-        l2ArgminExpr(codebooks(s), subCol(col("v"), s)).as(s"c$s"))): _*)
+    // encode: one codegen'd kernel in ONE corpus scan — the stored index
+    val coded = vecs.select(col("id"), encodeCol(codebooks, col("v")).as("codes"))
 
-    // ADC scoring: approx dot = Σ_s  q_sub(s) · centroid[s][code_s].
-    // Query sub-vectors are pre-sliced on the (tiny) broadcast side so
-    // the per-corpus-row work is m lookups + m short dots, no slicing.
+    // ADC scoring: approx dot = Σ_s  q_sub(s) · centroid[s][code_s],
+    // one codegen'd lookup-sum over the codes array per (query, row).
     val q = broadcast(queries.select(
-      (col(idCol).as("query_id") +:
-       col(vecCol).cast("array<double>").as("qv") +:
-       sqrt(dot(col(vecCol).cast("array<double>"),
-                col(vecCol).cast("array<double>"))).as("qn") +:
-       (0 until m).map(s =>
-         subCol(col(vecCol).cast("array<double>"), s).as(s"qs$s"))): _*))
-    val approxDot = (0 until m).map { s =>
-      // element_at over a literal array-of-arrays, indexed by the code
-      dot(col(s"qs$s"),
-        element_at(typedLit(codebooks(s).map(_.toSeq).toSeq), col(s"c$s") + 1))
-    }.reduce(_ + _)
+      col(idCol).as("query_id"),
+      col(vecCol).cast("array<double>").as("qv"),
+      sqrt(dot(col(vecCol).cast("array<double>"),
+               col(vecCol).cast("array<double>"))).as("qn")))
+    val approxDot = graft.functions.PqKernels.adcScore(
+      col("qv"), col("codes"), codebooks.flatten.flatten, m, codebookSize, sub)
     val wA = Window.partitionBy(col("query_id"))
       .orderBy(col("adot").desc, col("id").asc)
     val candidates = q.join(coded, col("query_id") =!= col("id"))
