@@ -146,19 +146,14 @@ object Similarity {
   /** Random-hyperplane LSH signature: `nBits` sign bits of projections
     * onto pseudo-random hyperplanes. The hyperplane family is derived from
     * xxhash64(table·nBits + bit, dimension) — deterministic, seedable per
-    * hash table, no stored model.
+    * hash table, no stored model. The sign matrix is evaluated once at
+    * plan time and the per-row work is one codegen'd loop
+    * ([[graft.functions.PackedSignBits]]) — the interpreted
+    * HigherOrderFunction fold it replaces cost a lambda per element per
+    * bit per table. Bit-for-bit identical signatures (spec-asserted).
     */
-  def lshSignature(vecCol: Column, dim: Int, nBits: Int, table: Int = 0): Column = {
-    val vd = vecCol.cast("array<double>")
-    (0 until nBits).foldLeft(lit(0L)) { (acc, b) =>
-      val proj = aggregate(
-        zip_with(vd, sequence(lit(0), lit(dim - 1)),
-          (x, i) => x * when(xxhash64(lit(table * nBits + b), i)
-            .bitwiseAND(1) === 1, 1.0).otherwise(-1.0)),
-        lit(0.0), (s, x) => s + x)
-      acc.bitwiseOR(when(proj > 0, lit(1L << b)).otherwise(lit(0L)))
-    }
-  }
+  def lshSignature(vecCol: Column, dim: Int, nBits: Int, table: Int = 0): Column =
+    graft.functions.SignBits.signature(vecCol, dim, nBits, table)
 
   /** Approximate top-k via multi-table LSH: `tables` independent
     * hyperplane families; candidates = union of same-bucket matches across

@@ -119,4 +119,44 @@ class FunctionsSpec extends SparkSpec {
     math.abs(approx.getDouble(0) - exact.getDouble(0)) / exact.getDouble(0) should be < 0.1
     math.abs(approx.getDouble(1) - exact.getDouble(1)) / exact.getDouble(1) should be < 0.05
   }
+
+  test("PackedSignBits matches the interpreted xxhash64 HOF fold bit-for-bit") {
+    // the fold this kernel replaced: per-bit aggregate(zip_with(...))
+    // with a per-element xxhash64-derived hyperplane sign
+    def foldSignature(vecCol: org.apache.spark.sql.Column, dim: Int,
+                      nBits: Int, table: Int): org.apache.spark.sql.Column = {
+      val vd = vecCol.cast("array<double>")
+      (0 until nBits).foldLeft(lit(0L)) { (acc, b) =>
+        val proj = aggregate(
+          zip_with(vd, sequence(lit(0), lit(dim - 1)),
+            (x, i) => x * when(xxhash64(lit(table * nBits + b), i)
+              .bitwiseAND(1) === 1, 1.0).otherwise(-1.0)),
+          lit(0.0), (s, x) => s + x)
+        acc.bitwiseOR(when(proj > 0, lit(1L << b)).otherwise(lit(0L)))
+      }
+    }
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet").limit(100)
+    for (table <- Seq(0, 3, 11)) {
+      val mismatches = emb.select(
+          foldSignature(col("embedding"), 64, 12, table).as("hof"),
+          graft.functions.SignBits.signature(col("embedding"), 64, 12, table).as("fast"))
+        .filter(col("hof") =!= col("fast")).count()
+      mismatches shouldBe 0L
+    }
+  }
+
+  test("PackedSignBits nulls a bit's projection on null/short input like the fold") {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(StructField("v", ArrayType(DoubleType))))
+    val rows = java.util.Arrays.asList(
+      Row(Seq[Any](1.0, null, 2.0, 0.5)), // null element → all bits 0
+      Row(Seq[Any](1.0, 2.0)),            // shorter than dim → all bits 0
+      Row(null))                          // null array → null signature
+    val df = spark.createDataFrame(rows, schema)
+    val got = df.select(
+      graft.functions.SignBits.signature(col("v"), 4, 6, 0).as("sig")).collect()
+    got(0).getLong(0) shouldBe 0L
+    got(1).getLong(0) shouldBe 0L
+    got(2).isNullAt(0) shouldBe true
+  }
 }
