@@ -26,6 +26,9 @@ object ScaleProbe {
     "src10_zorder_stats", "q78_contiguous_ids", "q36_winsorize",
     "s09_random_projection", "s10_kmeans", "t20_mixture_resample",
     "q88_sketch_rollup", "t14_quality_rules",
+    // ANN paths (codegen'd PackedSignBits / PqEncode kernels): corpus 4×
+    // with the query set fixed → expect ~linear bucket/encode scans
+    "s02_knn_lsh", "s08_knn_pq",
     // q91 recursion is NOT probed: the 4× corpus day-shifts copies ~12k
     // days apart, so its spine depth exceeds the default recursion level
     // limit (100; raiseable per-query with MAX RECURSION LEVEL n) — a
