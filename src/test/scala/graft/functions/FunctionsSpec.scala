@@ -145,6 +145,42 @@ class FunctionsSpec extends SparkSpec {
     }
   }
 
+  test("PqEncode/PqAdcScore/PackedSignBits interpreted eval agrees with codegen") {
+    // the eval path only runs when Janino falls back — cover it directly
+    // so a fallback can never silently change results
+    import org.apache.spark.sql.catalyst.expressions.{BoundReference, Literal}
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    import org.apache.spark.sql.catalyst.expressions.codegen.GenerateMutableProjection
+
+    val m = 4; val cb = 3; val sub = 2; val dim = m * sub
+    val rnd = new scala.util.Random(7)
+    val flatCb = Array.fill(m * cb * sub)(rnd.nextDouble() - 0.5)
+    val flat2c = flatCb.map(_ * 2)
+    val norms = Array.tabulate(m * cb) { i =>
+      (0 until sub).map(j => flatCb(i * sub + j)).map(x => x * x).sum }
+    val vec = Array.fill(dim)(rnd.nextDouble() - 0.5)
+    val signs = SignBits.hyperplaneSigns(dim, 6, table = 2)
+
+    val vecRef = BoundReference(0, ArrayType(DoubleType), nullable = true)
+    val enc = PqEncode(vecRef, flat2c, norms, m, cb, sub)
+    val adc = PqAdcScore(vecRef, Literal.create(
+      ArrayData.toArrayData(Array(0, 1, 2, 0)), ArrayType(IntegerType)),
+      flatCb, m, cb, sub)
+    val sig = PackedSignBits(vecRef, signs, 6, dim)
+
+    val row = InternalRow(ArrayData.toArrayData(vec))
+    val gen = GenerateMutableProjection.generate(Seq(enc, adc, sig))
+    val target = new org.apache.spark.sql.catalyst.expressions.SpecificInternalRow(
+      Seq(ArrayType(IntegerType), DoubleType, LongType))
+    gen.target(target)(row)
+
+    target.getArray(0).toIntArray() shouldBe
+      enc.eval(row).asInstanceOf[ArrayData].toIntArray()
+    target.getDouble(1) shouldBe adc.eval(row).asInstanceOf[Double]
+    target.getLong(2) shouldBe sig.eval(row).asInstanceOf[Long]
+  }
+
   test("PackedSignBits nulls a bit's projection on null/short input like the fold") {
     import org.apache.spark.sql.types._
     val schema = StructType(Seq(StructField("v", ArrayType(DoubleType))))
