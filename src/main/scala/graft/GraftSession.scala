@@ -22,6 +22,15 @@ import org.apache.spark.sql.SparkSession
   *
   * Every knob can still be overridden afterwards; this is a starting
   * point, not a straitjacket.
+  *
+  * JVM note: Spark 4 on JDK 17+ needs the platform module opens that
+  * spark-submit (org.apache.spark.launcher.JavaModuleOptions) injects.
+  * A host that embeds this library in a bare JVM must pass them itself
+  * (see build.sbt's jdk17AddOpens for the list) — most paths degrade
+  * gracefully without them, but driver-side decoding of DATE results
+  * (e.g. Spark's recursive-CTE anchor collect) throws
+  * EXPRESSION_DECODING_FAILED if `java.base/sun.util.calendar` is
+  * closed.
   */
 object GraftSession {
 

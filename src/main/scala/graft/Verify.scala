@@ -25,7 +25,12 @@ object Verify {
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        // print the WHOLE cause chain — wrapped errors (e.g.
+        // EXPRESSION_DECODING_FAILED) carry the actionable root cause
+        val chain = Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
+          .map(t => s"${t.getClass.getSimpleName}: ${t.getMessage}")
+          .mkString(" <- ")
+        System.err.println(s"[verify] $name failed: $chain")
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

@@ -255,7 +255,12 @@ object SourceQueries {
         val ev = Tables.events(s, d)
           .select(col("ts"), col("value"), to_date(col("ts")).as("day"))
         ev.write.mode("overwrite").partitionBy("day").parquet(out)
-        val firstDay = ev.agg(min(col("day"))).head().getDate(0)
+        // fetch the boundary day as a STRING: decoding a DateType on the
+        // driver needs sun.util.calendar opened (spark-submit/sbt inject
+        // --add-opens; an embedding JVM may not), and a yyyy-MM-dd literal
+        // round-trips identically
+        val firstDay = ev.agg(date_format(min(col("day")), "yyyy-MM-dd"))
+          .head().getString(0)
         val prior = s.conf.get("spark.sql.sources.partitionOverwriteMode")
         s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
         try ev.filter(col("day") === lit(firstDay))
@@ -314,7 +319,10 @@ object SourceQueries {
         val out = exportDir(d, "events_bydate")
         val ev = Tables.events(s, d).withColumn("day", to_date(col("ts")))
         ev.write.mode("overwrite").partitionBy("day").parquet(out)
-        val minDay = ev.agg(min(col("day"))).head().getDate(0)
+        // string-decoded boundary day (see src12's note): identical
+        // pruning literal, no driver DateType decode
+        val minDay = ev.agg(date_format(min(col("day")), "yyyy-MM-dd"))
+          .head().getString(0)
         s.read.parquet(out)
           .filter(col("day") === lit(minDay))
           .select(col("event_id"), col("user_id"), col("day"))
