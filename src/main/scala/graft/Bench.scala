@@ -49,17 +49,24 @@ object Bench {
         catch { case _: Throwable => () } } }
     // min of two passes per query: this host shows transient multi-second
     // CPU-steal bursts that would otherwise land on one arbitrary query
-    def timeOnce(fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+    val failed = scala.collection.mutable.LinkedHashSet[String]()
+    def timeOnce(fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame,
+                 name: String): Double = {
       val t0 = System.nanoTime()
       // materialize every output row (UnsafeRow, all columns) — a plain
       // count() lets Catalyst prune projection-only queries to nothing
       try { fn(spark, sfDir).queryExecution.toRdd.count() }
-      catch { case _: Throwable => -1L }
+      catch { case e: Throwable =>
+        // a failed query's elapsed time is NOT a benchmark number — track
+        // it so the artifact says so instead of recording a fast-fail
+        failed += name
+        System.err.println(s"[bench] $name failed: ${e.getMessage}")
+      }
       (System.nanoTime() - t0) / 1e9
     }
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
-    val pass1 = ordered.map { case (name, fn) => name -> timeOnce(fn) }.toMap
-    val pass2 = ordered.map { case (name, fn) => name -> timeOnce(fn) }.toMap
+    val pass1 = ordered.map { case (name, fn) => name -> timeOnce(fn, name) }.toMap
+    val pass2 = ordered.map { case (name, fn) => name -> timeOnce(fn, name) }.toMap
     // Targeted third pass: a host-steal burst (multi-second CPU theft, see
     // r03's bogus 13.7 s t14 entry) can hit BOTH passes of one query. Any
     // query that is still slow after min-of-2, or whose two passes disagree
@@ -71,15 +78,16 @@ object Bench {
     }
     val results = ordered.map { case (name, fn) =>
       val best2 = math.min(pass1(name), pass2(name))
-      name -> (if (noisy(name)) math.min(best2, timeOnce(fn)) else best2)
+      name -> (if (noisy(name)) math.min(best2, timeOnce(fn, name)) else best2)
     }
     val retried = ordered.count { case (name, _) => noisy(name) }
     // Locale.ROOT: a comma-decimal default locale would print 62,700 and
     // corrupt the JSON line
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     // full per-query detail for offline inspection (not on the line)
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_DETAIL.json"),
-      s"""{"total":${fmt(total)},"n":${results.size},"sf":"$sfDir","runs":2,"retried":$retried,"queries":${jsonMap(results)}}
+      s"""{"total":${fmt(total)},"n":${results.size},"sf":"$sfDir","runs":2,"retried":$retried,"failed":$failedJson,"queries":${jsonMap(results)}}
 """.getBytes("UTF-8"))
     catch { case _: Throwable => () }
     println(line(total, results, sfDir))
