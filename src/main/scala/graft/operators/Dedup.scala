@@ -356,21 +356,94 @@ object Dedup {
     */
   def chunkDedup(df: DataFrame, textCol: String, idCol: String,
                  chunkWords: Int): DataFrame = {
-    val ws = col("_ws") // tokenized once; the chunk builder reads the attribute
-    val chunks = transform(
-      sequence(lit(0), ceil(size(ws).cast("double") / chunkWords).cast("int") - 1),
-      i => concat_ws(" ", slice(ws, i * chunkWords + 1, lit(chunkWords))))
-    val exploded = df.withColumn("_ws", split(col(textCol), " "))
-      .select(col(idCol).as("doc_id"), posexplode(chunks))
-      .select(col("doc_id"), col("pos").as("chunk_idx"),
-              md5(col("col").cast("binary")).as("chunk_md5"))
-    val ranked = exploded.withColumn("rn", row_number().over(
-      Window.partitionBy(col("chunk_md5"))
-        .orderBy(col("doc_id"), col("chunk_idx"))))
+    val ranked = chunkIndex(df, textCol, idCol, chunkWords)
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("chunk_md5"))
+          .orderBy(col("doc_id"), col("chunk_idx"))))
     ranked.groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_chunks"),
            sum((col("rn") > 1).cast("long")).as("n_dup_chunks"))
       .withColumn("uniq_ratio",
         round(lit(1.0) - col("n_dup_chunks").cast("double") / col("n_chunks"), 6))
+  }
+
+  /** Shared chunking convention ([[chunkDedup]], [[removeBoilerplate]]):
+    * consecutive `chunkWords`-word spans from word 0, one row per
+    * (doc_id, chunk_idx) with the chunk text and its md5.
+    */
+  private def chunkIndex(df: DataFrame, textCol: String, idCol: String,
+                         chunkWords: Int): DataFrame = {
+    val ws = col("_ws") // tokenized once; the chunk builder reads the attribute
+    val chunks = transform(
+      sequence(lit(0), ceil(size(ws).cast("double") / chunkWords).cast("int") - 1),
+      i => concat_ws(" ", slice(ws, i * chunkWords + 1, lit(chunkWords))))
+    df.withColumn("_ws", split(col(textCol), " "))
+      .select(col(idCol).as("doc_id"), posexplode(chunks))
+      .select(col("doc_id"), col("pos").as("chunk_idx"), col("col").as("chunk"),
+              md5(col("col").cast("binary")).as("chunk_md5"))
+  }
+
+  /** Cross-corpus boilerplate removal: a chunk (consecutive
+    * `chunkWords`-word span, [[chunkIndex]] convention) appearing in MORE
+    * than `maxDocs` distinct documents is boilerplate — headers, footers,
+    * nav text, license blurbs — and is cut from every document's rebuilt
+    * text. The CCNet-style sibling of [[chunkDedup]]: dedup keeps the
+    * first occurrence, boilerplate removal keeps none.
+    *
+    * Scale: the same (md5, doc, idx) shuffle as [[chunkDedup]]; the
+    * boilerplate set is ONE hash-aggregate (approx_count_distinct-free:
+    * the count is per-chunk-hash, map-side combined), removal is a hash
+    * join on the chunk hash, and each document is rebuilt by one
+    * (doc_id) aggregate that sorts only that document's chunk structs —
+    * zero pairwise work, no global sort at any scale.
+    */
+  def removeBoilerplate(df: DataFrame, textCol: String, idCol: String,
+                        chunkWords: Int, maxDocs: Int): DataFrame = {
+    val idx = chunkIndex(df, textCol, idCol, chunkWords)
+    val boiler = idx.groupBy(col("chunk_md5"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"))
+      .filter(col("n_docs") > maxDocs)
+      .select(col("chunk_md5"), lit(true).as("_boiler"))
+    idx.join(boiler, Seq("chunk_md5"), "left")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_chunks"),
+        sum(when(col("_boiler"), 1L).otherwise(0L)).as("n_boiler_chunks"),
+        // collect_list skips nulls, so boilerplate chunks never enter the
+        // rebuild; array_sort on (chunk_idx, chunk) structs restores
+        // document order (chunk_idx is unique per doc)
+        array_join(transform(
+          array_sort(collect_list(when(col("_boiler").isNull,
+            struct(col("chunk_idx"), col("chunk"))))),
+          c => c.getField("chunk")), " ").as("clean_text"))
+  }
+
+  /** Quality-aware canonical selection over near-dup clusters: each
+    * cluster keeps the member with the HIGHEST `scoreCol` (ties → lowest
+    * id) as its canonical document; documents outside every cluster are
+    * their own canonicals. The curation step after near-dup detection —
+    * "keep the best copy", not "keep the lowest id" (which
+    * [[connectedComponents]]' label otherwise implies).
+    *
+    * `scored` carries (idCol, scoreCol); `clusters` is
+    * [[connectedComponents]] output (id, component). Scale: one hash
+    * join of ids against the (much smaller) cluster labels and ONE
+    * window keyed by component — clusters are near-dup sized, so no
+    * partition sees more than one cluster's members; no pairwise work
+    * beyond what detection already paid.
+    */
+  def canonicalByScore(scored: DataFrame, clusters: DataFrame,
+                       idCol: String, scoreCol: String): DataFrame = {
+    val labeled = scored.select(col(idCol).as("id"), col(scoreCol).as("score"))
+      .join(clusters.select(col("id"), col("component")), Seq("id"), "left")
+      .withColumn("component", coalesce(col("component"), col("id")))
+    // ordering puts the winner first, so the running first_value is the
+    // cluster's canonical for every member row
+    val w = Window.partitionBy(col("component"))
+      .orderBy(col("score").desc, col("id").asc)
+    labeled.withColumn("canonical_id", first(col("id")).over(w))
+      .select(col("id").as("doc_id"), col("score"),
+              col("canonical_id"),
+              (col("id") === col("canonical_id")).as("is_canonical"))
   }
 }

@@ -229,6 +229,101 @@ object DedupQueries {
                CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_chunks,
                round(1 - sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) * 1.0 / count(*), 6)
                  AS uniq_ratio
-        FROM r GROUP BY 1"""))
+        FROM r GROUP BY 1""")),
+
+    // Quality-aware canonical selection: near-dup clusters (the d06
+    // pipeline) keep their HIGHEST-quality member, not their lowest id —
+    // the "keep the best copy" step a curation pipeline actually ships.
+    // Oracle: d06's transitive closure + t02's quality score + one
+    // first_value window, all in shared SQL.
+    "d10_canonical_selection" -> QueryDef(
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val clusters = Dedup.connectedComponents(
+          Dedup.jaccardPairs(docs, "text", "doc_id",
+            shingleN = 3, threshold = 0.8))
+        Dedup.canonicalByScore(
+          graft.operators.TextAnalysis.qualityMetrics(docs, "text")
+            .select(col("doc_id"), col("quality_score")),
+          clusters, "doc_id", "quality_score")
+      },
+      Some(s"""
+        WITH RECURSIVE
+        d AS (SELECT doc_id, string_split(text, ' ') ws FROM documents),
+        sh AS (SELECT DISTINCT doc_id, array_to_string(ws[i:i+2], ' ') AS s
+               FROM d, LATERAL (SELECT unnest(range(1, len(ws) - 1)) AS i) t),
+        shc AS (SELECT doc_id, s FROM (
+                  SELECT doc_id, s, count(*) OVER (PARTITION BY s) AS df FROM sh)
+                WHERE df <= ${graft.operators.Dedup.DefaultDfCap}),
+        sz AS (SELECT doc_id, count(*) AS n FROM shc GROUP BY 1),
+        com AS (SELECT a.doc_id id1, b.doc_id id2, count(*) c
+                FROM shc a JOIN shc b ON a.s = b.s AND a.doc_id < b.doc_id
+                GROUP BY 1, 2),
+        pairs AS (SELECT id1, id2
+                  FROM com JOIN sz s1 ON id1 = s1.doc_id JOIN sz s2 ON id2 = s2.doc_id
+                  WHERE c * 1.0 / (s1.n + s2.n - c) >= 0.8),
+        edges AS (SELECT id1 AS a, id2 AS b FROM pairs
+                  UNION SELECT id2, id1 FROM pairs),
+        reach(a, b) AS (
+          SELECT a, b FROM edges
+          UNION SELECT a, a FROM edges
+          UNION SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+        comp AS (SELECT a AS doc_id, min(b) AS component FROM reach GROUP BY a),
+        t2 AS (SELECT doc_id, text, string_split(text, ' ') AS ws2 FROM documents),
+        m AS (SELECT doc_id,
+                CAST(len(ws2) AS DOUBLE) AS nw,
+                CAST(len(list_filter(ws2, w -> w IN ${enList})) AS DOUBLE) AS stops,
+                CAST(len(list_distinct(ws2)) AS DOUBLE) AS uniq,
+                CASE WHEN strlen(text) > 0 THEN
+                       CAST(strlen(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)
+                         / CAST(strlen(text) AS DOUBLE)
+                     WHEN strlen(text) = 0 THEN 0.0 END AS alpha
+              FROM t2),
+        q AS (SELECT doc_id,
+                round(least(nw / 100.0, 1.0) * 0.3 +
+                      least(stops / nw * 5.0, 1.0) * 0.3 +
+                      uniq / nw * 0.2 + alpha * 0.2, 6) AS score
+              FROM m),
+        lab AS (SELECT q.doc_id, q.score,
+                       coalesce(c.component, q.doc_id) AS component
+                FROM q LEFT JOIN comp c ON q.doc_id = c.doc_id)
+        SELECT doc_id, score,
+               first_value(doc_id) OVER
+                 (PARTITION BY component ORDER BY score DESC, doc_id)
+                 AS canonical_id,
+               doc_id = first_value(doc_id) OVER
+                 (PARTITION BY component ORDER BY score DESC, doc_id)
+                 AS is_canonical
+        FROM lab""")),
+
+    // Cross-corpus boilerplate removal (CCNet-style): chunks appearing in
+    // > 3 distinct documents are cut from every document's rebuilt text.
+    // The removal sibling of d08's keep-first chunk dedup.
+    "d11_boilerplate_removal" -> QueryDef(
+      (s, d) => Dedup.removeBoilerplate(Tables.documents(s, d), "text",
+        "doc_id", chunkWords = 4, maxDocs = 3),
+      Some("""
+        WITH dd AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        ch AS (SELECT doc_id, i AS chunk_idx,
+                 array_to_string(ws[4*i+1 : 4*i+4], ' ') AS chunk
+               FROM dd, LATERAL (SELECT unnest(range(0,
+                 CAST(ceil(len(ws) / 4.0) AS BIGINT))) AS i) t),
+        b AS (SELECT chunk FROM ch GROUP BY 1
+              HAVING count(DISTINCT doc_id) > 3),
+        f AS (SELECT ch.doc_id, ch.chunk_idx, ch.chunk,
+                     (b.chunk IS NOT NULL) AS is_b
+              FROM ch LEFT JOIN b ON ch.chunk = b.chunk)
+        SELECT doc_id, count(*) AS n_chunks,
+               CAST(sum(CASE WHEN is_b THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_boiler_chunks,
+               coalesce(string_agg(CASE WHEN NOT is_b THEN chunk END,
+                                   ' ' ORDER BY chunk_idx), '') AS clean_text
+        FROM f GROUP BY 1"""))
   )
+
+  // the quality-score stopword in-list, kept in sync with
+  // TextAnalysis.markers (same contract as TextQueries' copy)
+  private def enList: String =
+    graft.operators.TextAnalysis.markers("en")
+      .map(w => s"'$w'").mkString("(", ",", ")")
 }

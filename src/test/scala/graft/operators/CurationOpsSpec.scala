@@ -113,4 +113,52 @@ class CurationOpsSpec extends SparkSpec {
     out(("hi", "hi")) shouldBe 10L
     out.keySet shouldBe Set(("lo", "lo"), ("hi", "hi"))   // diagonal only
   }
+
+  test("removeBoilerplate cuts chunks shared by >maxDocs docs, keeps order") {
+    // "h1 h2 h3 h4" leads 3 of 4 docs → boilerplate at maxDocs=2;
+    // every other chunk is unique and must survive in document order
+    val docs = Seq(
+      (1L, "h1 h2 h3 h4 a1 a2 a3 a4 b1 b2 b3 b4"),
+      (2L, "h1 h2 h3 h4 c1 c2 c3 c4"),
+      (3L, "h1 h2 h3 h4 d1 d2 d3 d4"),
+      (4L, "e1 e2 e3 e4")
+    ).toDF("doc_id", "text")
+    val out = Dedup.removeBoilerplate(docs, "text", "doc_id",
+        chunkWords = 4, maxDocs = 2)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    out(1L) shouldBe ((3L, 1L, "a1 a2 a3 a4 b1 b2 b3 b4"))
+    out(2L) shouldBe ((2L, 1L, "c1 c2 c3 c4"))
+    out(3L) shouldBe ((2L, 1L, "d1 d2 d3 d4"))
+    out(4L) shouldBe ((1L, 0L, "e1 e2 e3 e4"))
+  }
+
+  test("removeBoilerplate rebuilds an all-boilerplate doc as empty text") {
+    val docs = Seq(
+      (1L, "x y z w"), (2L, "x y z w"), (3L, "x y z w"), (4L, "x y z w")
+    ).toDF("doc_id", "text")
+    val out = Dedup.removeBoilerplate(docs, "text", "doc_id",
+        chunkWords = 4, maxDocs = 3)
+      .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    out.values.toSet shouldBe Set("")
+  }
+
+  test("canonicalByScore keeps the highest-quality member per cluster, ties to lowest id") {
+    val scored = Seq(
+      (1L, 0.5), (2L, 0.9), (3L, 0.9),  // cluster A: 2 wins (tie 2 vs 3 → lower id)
+      (4L, 0.1), (5L, 0.8),             // cluster B: 5 wins
+      (6L, 0.3)                         // unclustered: its own canonical
+    ).toDF("doc_id", "quality_score")
+    val clusters = Seq(
+      (1L, 1L), (2L, 1L), (3L, 1L),
+      (4L, 4L), (5L, 4L)
+    ).toDF("id", "component")
+    val out = Dedup.canonicalByScore(scored, clusters, "doc_id", "quality_score")
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getBoolean(3))).toMap
+    out(1L) shouldBe ((2L, false))
+    out(2L) shouldBe ((2L, true))
+    out(3L) shouldBe ((2L, false))
+    out(4L) shouldBe ((5L, false))
+    out(5L) shouldBe ((5L, true))
+    out(6L) shouldBe ((6L, true))
+  }
 }
