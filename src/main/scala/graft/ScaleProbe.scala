@@ -29,6 +29,8 @@ object ScaleProbe {
     // ANN paths (codegen'd PackedSignBits / PqEncode kernels): corpus 4×
     // with the query set fixed → expect ~linear bucket/encode scans
     "s02_knn_lsh", "s08_knn_pq",
+    // chunk-shuffle boilerplate removal: linear in chunks, no pairwise
+    "d11_boilerplate_removal",
     // q91 recursion is NOT probed: the 4× corpus day-shifts copies ~12k
     // days apart, so its spine depth exceeds the default recursion level
     // limit (100; raiseable per-query with MAX RECURSION LEVEL n) — a

@@ -181,6 +181,50 @@ class FunctionsSpec extends SparkSpec {
     target.getLong(2) shouldBe sig.eval(row).asInstanceOf[Long]
   }
 
+  test("kernel property sweep: random vectors match naive Scala reference math") {
+    // deterministic pseudo-random sweep — the DataFrame path (codegen)
+    // against straight-line Scala implementing the documented arithmetic
+    val m = 8; val cb = 16; val sub = 8; val dim = m * sub; val nBits = 12
+    val rnd = new scala.util.Random(42)
+    val flatCb = Array.fill(m * cb * sub)(rnd.nextGaussian())
+    val flat2c = flatCb.map(_ * 2)
+    val norms = Array.tabulate(m * cb) { i =>
+      (0 until sub).map(j => flatCb(i * sub + j)).map(x => x * x).sum }
+    val signs = SignBits.hyperplaneSigns(dim, nBits, table = 5)
+    val vecs = (0 until 50).map(i => (i.toLong, Array.fill(dim)(rnd.nextGaussian())))
+
+    def refEncode(v: Array[Double]): Seq[Int] = (0 until m).map { s =>
+      var best = 0; var bestScore = Double.NegativeInfinity
+      for (c <- 0 until cb) {
+        var acc = 0.0
+        for (j <- 0 until sub) acc += v(s * sub + j) * flat2c((s * cb + c) * sub + j)
+        val score = acc - norms(s * cb + c)
+        if (score > bestScore) { bestScore = score; best = c }
+      }
+      best
+    }
+    def refSig(v: Array[Double]): Long = (0 until nBits).foldLeft(0L) { (acc, b) =>
+      var s = 0.0
+      for (i <- 0 until dim) s += v(i) * signs(b * dim + i)
+      if (s > 0) acc | (1L << b) else acc
+    }
+
+    import spark.implicits._
+    val df = vecs.toDF("id", "v")
+    val got = df.select(col("id"),
+        org.apache.spark.sql.GraftSqlShim.column(PqEncode(
+          org.apache.spark.sql.GraftSqlShim.expression(col("v")),
+          flat2c, norms, m, cb, sub)).as("codes"),
+        org.apache.spark.sql.GraftSqlShim.column(PackedSignBits(
+          org.apache.spark.sql.GraftSqlShim.expression(col("v")),
+          signs, nBits, dim)).as("sig"))
+      .collect().map(r => r.getLong(0) -> (r.getSeq[Int](1), r.getLong(2))).toMap
+    vecs.foreach { case (id, v) =>
+      got(id)._1 shouldBe refEncode(v)
+      got(id)._2 shouldBe refSig(v)
+    }
+  }
+
   test("PackedSignBits nulls a bit's projection on null/short input like the fold") {
     import org.apache.spark.sql.types._
     val schema = StructType(Seq(StructField("v", ArrayType(DoubleType))))
