@@ -55,6 +55,34 @@ object GraftExtensions {
   private def colKernel(f: Column => Column): Seq[Expression] => Expression =
     exprs => GraftSqlShim.expressionEager(f(GraftSqlShim.column(exprs.head)))
 
+  /** `graft_sign_bits(vec, dim, nBits, table)` — the LSH bucketing kernel
+    * in pure SQL, so signature-bucketed near-dup/ANN candidate generation
+    * (`GROUP BY graft_sign_bits(embedding, 64, 12, t)`) needs no Scala.
+    * dim/nBits/table must be literals: the hyperplane sign matrix is
+    * evaluated at plan time (identical to [[graft.operators.Similarity
+    * .lshSignature]] — same [[graft.functions.SignBits]] family).
+    */
+  private def signBitsBuilder(exprs: Seq[Expression]): Expression = {
+    require(exprs.length == 4,
+      "graft_sign_bits(vec, dim, nBits, table) takes exactly 4 arguments")
+    def intArg(i: Int, name: String): Int = {
+      val e = exprs(i)
+      require(e.foldable, s"graft_sign_bits: $name must be a literal")
+      e.eval(null) match {
+        case n: Int => n
+        case n: Long => n.toInt
+        case other => throw new IllegalArgumentException(
+          s"graft_sign_bits: $name must be an integer, got $other")
+      }
+    }
+    val dim = intArg(1, "dim")
+    val nBits = intArg(2, "nBits")
+    val table = intArg(3, "table")
+    graft.functions.PackedSignBits(
+      Cast(exprs.head, ArrayType(DoubleType)),
+      graft.functions.SignBits.hyperplaneSigns(dim, nBits, table), nBits, dim)
+  }
+
   /** The scalar text-curation kernels exposed to pure SQL. */
   val textFunctions: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "graft_lang_id" -> colKernel(TextAnalysis.langId),
@@ -63,7 +91,8 @@ object GraftExtensions {
     "graft_classifier_score" -> colKernel(c => TextAnalysis.classifierScore(c)),
     "graft_fingerprint" -> colKernel(TextAnalysis.contentFingerprint),
     "graft_fp_min" -> colKernel(c => TextAnalysis.robustFingerprintMin(c)),
-    "graft_fp_max" -> colKernel(c => TextAnalysis.robustFingerprintMax(c)))
+    "graft_fp_max" -> colKernel(c => TextAnalysis.robustFingerprintMax(c)),
+    "graft_sign_bits" -> (signBitsBuilder _))
 
   /** Install the FULL extension surface (SQL functions + top-k strategy +
     * rewrite rule) on a live session — same effect as the extensions

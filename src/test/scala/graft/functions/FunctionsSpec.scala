@@ -49,6 +49,26 @@ class FunctionsSpec extends SparkSpec {
       .head.getDouble(0) shouldBe 11.0
   }
 
+  test("graft_sign_bits in SQL equals the Scala lshSignature kernel") {
+    graft.plans.GraftExtensions.register(spark)
+    spark.read.parquet(s"$sfDir/embeddings.parquet").limit(50)
+      .createOrReplaceTempView("emb_sig")
+    // one query computes both paths per row — no cross-job row-order
+    // assumptions
+    val mismatches = spark.table("emb_sig")
+      .select(expr("graft_sign_bits(embedding, 64, 12, 3)").as("sql_sig"),
+        graft.operators.Similarity.lshSignature(col("embedding"), 64, 12, 3)
+          .as("scala_sig"))
+      .filter(col("sql_sig") =!= col("scala_sig")).count()
+    mismatches shouldBe 0L
+    // non-literal dim is rejected, not silently misplanned
+    val err = intercept[Exception] {
+      spark.sql("SELECT graft_sign_bits(embedding, vec_id, 12, 0) FROM emb_sig")
+        .collect()
+    }
+    err.getMessage should include("literal")
+  }
+
   test("as-of join forward-fills the latest right row per key, inclusive ties") {
     import spark.implicits._
     import java.sql.Timestamp
