@@ -31,6 +31,9 @@ object ScaleProbe {
     "s02_knn_lsh", "s08_knn_pq",
     // chunk-shuffle boilerplate removal: linear in chunks, no pairwise
     "d11_boilerplate_removal",
+    // duplicated spans: linear token-scale shuffles + per-doc merge;
+    // copies are word-tagged, so cross-copy spans never collide
+    "d12_duplicate_spans",
     // q91 recursion is NOT probed: the 4× corpus day-shifts copies ~12k
     // days apart, so its spine depth exceeds the default recursion level
     // limit (100; raiseable per-query with MAX RECURSION LEVEL n) — a

@@ -446,4 +446,133 @@ object Dedup {
               col("canonical_id"),
               (col("id") === col("canonical_id")).as("is_canonical"))
   }
+
+  // ------------------------------------------------ duplicated spans
+
+  /** Per-doc (doc_id, pos, h) rows: h = portable hash of the `spanTokens`-
+    * word shingle starting at token `pos` (0-based). Docs shorter than
+    * `spanTokens` contribute no rows — they cannot contain a duplicated
+    * span of that length. Shared by [[duplicateSpanStats]] and
+    * [[stripDuplicateSpans]].
+    */
+  private def spanShingles(df: DataFrame, textCol: String, idCol: String,
+                           spanTokens: Int): DataFrame = {
+    val PH = graft.functions.PortableHash
+    df.select(col(idCol).as("doc_id"), split(col(textCol), " ").as("_ws"))
+      .filter(size(col("_ws")) >= spanTokens)
+      .select(col("doc_id"), posexplode(
+        transform(sequence(lit(1), size(col("_ws")) - spanTokens + 1),
+          i => PH.md5_64(concat_ws(" ", slice(col("_ws"), i, lit(spanTokens))))))
+        .as(Seq("pos", "h")))
+  }
+
+  /** Maximal duplicated spans per doc, merged from the surviving
+    * positions. Output: (doc_id, spans: array<struct<s,e>>) with s
+    * inclusive / e exclusive token indexes, 0-based, sorted, disjoint,
+    * non-adjacent. One per-doc fold over that doc's sorted duplicated
+    * positions — gaps-and-islands: a position within `spanTokens` of the
+    * previous one extends the current island, otherwise it opens a new
+    * one.
+    */
+  /** Empty array<struct<s,e>> literal (array() is void-typed, castable). */
+  private def noSpans: Column =
+    expr("CAST(array() AS array<struct<s:int,e:int>>)")
+
+  private def mergedSpans(dupPos: DataFrame, spanTokens: Int): DataFrame = {
+    val L = spanTokens
+    dupPos.groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(col("pos"))).as("ps"))
+      .select(col("doc_id"), size(col("ps")).cast("long").as("n_dup_pos"),
+        aggregate(
+          col("ps"),
+          struct(noSpans.as("done"), lit(-1).as("s"), lit(-1).as("e")),
+          (acc, p) => {
+            val open = acc.getField("s") >= 0
+            val merge = open && (p <= acc.getField("e"))
+            struct(
+              when(merge || !open, acc.getField("done"))
+                .otherwise(concat(acc.getField("done"),
+                  array(struct(acc.getField("s").as("s"), acc.getField("e").as("e")))))
+                .as("done"),
+              when(merge, acc.getField("s")).otherwise(p).as("s"),
+              when(merge, greatest(acc.getField("e"), p + lit(L)))
+                .otherwise(p + lit(L)).as("e"))
+          },
+          acc => when(acc.getField("s") >= 0,
+            concat(acc.getField("done"),
+              array(struct(acc.getField("s").as("s"), acc.getField("e").as("e")))))
+            .otherwise(acc.getField("done"))).as("spans"))
+  }
+
+  /** ExactSubstr-style duplicated-span statistics (the criterion of Lee
+    * et al. 2021, "Deduplicating Training Data Makes Language Models
+    * Better": cut any text span of ≥ `spanTokens` tokens that occurs
+    * verbatim more than once in the corpus — across documents or twice
+    * in the same one). A token lies in such a span iff it is covered by
+    * at least one `spanTokens`-shingle whose hash occurs ≥ 2 times
+    * corpus-wide, so the suffix array the paper builds (a global sorted
+    * structure no distributed engine should materialize) is replaced by
+    * counting shingle-hash multiplicity.
+    *
+    * Output per doc: token count, duplicated-position count, maximal
+    * merged span count, tokens covered by duplicated spans, and the
+    * covered ratio.
+    *
+    * Scale: two shuffles of (h, doc, pos) rows — ~20 bytes each, the
+    * text never moves — first a map-side-combined multiplicity count by
+    * hash, then a hash semi-join of positions against the duplicated
+    * hashes (skew from a ubiquitous shingle is a 1-row join side per
+    * key; AQE splits it). The span merge is ONE per-doc aggregate whose
+    * state is that doc's own positions — no global sort, no pairwise
+    * work at any corpus size.
+    */
+  def duplicateSpanStats(df: DataFrame, textCol: String, idCol: String,
+                         spanTokens: Int): DataFrame = {
+    val occ = spanShingles(df, textCol, idCol, spanTokens)
+    val dupHashes = occ.groupBy(col("h")).agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= 2).select(col("h"))
+    val dupPos = occ.join(dupHashes, Seq("h"), "leftsemi")
+    val spans = mergedSpans(dupPos, spanTokens)
+      .select(col("doc_id"), col("n_dup_pos"),
+        size(col("spans")).cast("long").as("n_spans"),
+        aggregate(col("spans"), lit(0L),
+          (acc, sp) => acc + (sp.getField("e") - sp.getField("s")).cast("long"))
+          .as("dup_tokens"))
+    df.select(col(idCol).as("doc_id"),
+        size(split(col(textCol), " ")).cast("long").as("n_tokens"))
+      .join(spans, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("n_dup_pos"), lit(0L)).as("n_dup_pos"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"),
+        round(coalesce(col("dup_tokens"), lit(0L)) / col("n_tokens"), 6)
+          .as("dup_ratio"))
+  }
+
+  /** ExactSubstr removal: rebuild each document without the tokens inside
+    * duplicated spans ([[duplicateSpanStats]] criterion — ALL copies are
+    * cut, as in the paper; "keep one copy" is [[chunkDedup]]'s contract).
+    * Output: (doc_id, clean_text, n_tokens, dup_tokens). The rebuild is a
+    * per-row index filter against that doc's own merged span list —
+    * nothing beyond what the stats already paid.
+    */
+  def stripDuplicateSpans(df: DataFrame, textCol: String, idCol: String,
+                          spanTokens: Int): DataFrame = {
+    val occ = spanShingles(df, textCol, idCol, spanTokens)
+    val dupHashes = occ.groupBy(col("h")).agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= 2).select(col("h"))
+    val spans = mergedSpans(occ.join(dupHashes, Seq("h"), "leftsemi"), spanTokens)
+      .select(col("doc_id"), col("spans"))
+    df.select(col(idCol).as("doc_id"), split(col(textCol), " ").as("_ws"))
+      .join(spans, Seq("doc_id"), "left")
+      .withColumn("spans", coalesce(col("spans"), noSpans))
+      .select(col("doc_id"),
+        concat_ws(" ", filter(col("_ws"), (_, i) =>
+          !exists(col("spans"), sp => i >= sp.getField("s") && i < sp.getField("e"))))
+          .as("clean_text"),
+        size(col("_ws")).cast("long").as("n_tokens"),
+        aggregate(col("spans"), lit(0L),
+          (acc, sp) => acc + (sp.getField("e") - sp.getField("s")).cast("long"))
+          .as("dup_tokens"))
+  }
 }

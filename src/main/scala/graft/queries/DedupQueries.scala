@@ -318,8 +318,56 @@ object DedupQueries {
                  AS n_boiler_chunks,
                coalesce(string_agg(CASE WHEN NOT is_b THEN chunk END,
                                    ' ' ORDER BY chunk_idx), '') AS clean_text
-        FROM f GROUP BY 1"""))
+        FROM f GROUP BY 1""")),
+
+    // ExactSubstr-style duplicated-span stats (Lee et al. 2021's
+    // suffix-array criterion — any ≥L-token span occurring verbatim ≥2
+    // times in the corpus — without the suffix array: L-shingle-hash
+    // multiplicity + per-doc gaps-and-islands merge). Oracle replays the
+    // portable shingle hash, the window multiplicity count, and the
+    // island merge in shared-semantics SQL.
+    "d12_duplicate_spans" -> QueryDef(
+      (s, d) => Dedup.duplicateSpanStats(Tables.documents(s, d), "text",
+        "doc_id", spanTokens = SpanL),
+      Some(s"""
+        WITH dd AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        occ AS (SELECT doc_id, i - 1 AS pos,
+                  ${graft.functions.PortableHash.sqlMd5_64(s"array_to_string(ws[i:i+$SpanL-1], ' ')")} AS h
+                FROM dd, LATERAL (SELECT unnest(range(1, len(ws) - $SpanL + 2)) AS i) t
+                WHERE len(ws) >= $SpanL),
+        dup AS (SELECT doc_id, pos FROM (
+                  SELECT doc_id, pos, count(*) OVER (PARTITION BY h) AS cnt
+                  FROM occ)
+                WHERE cnt >= 2),
+        isl AS (SELECT doc_id, pos,
+                  CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+                         <= $SpanL
+                       THEN 0 ELSE 1 END AS brk
+                FROM dup),
+        grp AS (SELECT doc_id, pos,
+                  sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS g
+                FROM isl),
+        sp AS (SELECT doc_id, g, count(*) AS npos,
+                 max(pos) + $SpanL - min(pos) AS covered
+               FROM grp GROUP BY doc_id, g),
+        agg AS (SELECT doc_id, CAST(sum(npos) AS BIGINT) AS n_dup_pos,
+                  CAST(count(*) AS BIGINT) AS n_spans,
+                  CAST(sum(covered) AS BIGINT) AS dup_tokens
+                FROM sp GROUP BY doc_id)
+        SELECT d2.doc_id,
+               CAST(len(string_split(d2.text, ' ')) AS BIGINT) AS n_tokens,
+               coalesce(n_dup_pos, 0) AS n_dup_pos,
+               coalesce(n_spans, 0) AS n_spans,
+               coalesce(dup_tokens, 0) AS dup_tokens,
+               round(coalesce(dup_tokens, 0) * 1.0
+                     / len(string_split(d2.text, ' ')), 6) AS dup_ratio
+        FROM documents d2 LEFT JOIN agg USING (doc_id)"""))
   )
+
+  /** d12's minimum duplicated-span length in tokens (the paper uses 50
+    * BPE tokens at web scale; the synthetic corpus' near-dup edits are
+    * denser, so a smaller L keeps the gate non-trivial). */
+  private val SpanL = 8
 
   // the quality-score stopword in-list, kept in sync with
   // TextAnalysis.markers (same contract as TextQueries' copy)

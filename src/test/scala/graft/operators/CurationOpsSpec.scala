@@ -161,4 +161,44 @@ class CurationOpsSpec extends SparkSpec {
     out(5L) shouldBe ((5L, true))
     out(6L) shouldBe ((6L, true))
   }
+
+  test("duplicateSpanStats finds cross-doc and within-doc spans, merges islands") {
+    val docs = Seq(
+      (1L, "u1 u2 A B C D E u3 u4"),   // shares A..E (5 tokens) with doc 2
+      (2L, "A B C D E v1 v2 v3"),
+      (3L, "X Y Z W q X Y Z W"),       // same 4-token run twice in ONE doc
+      (4L, "tiny")                     // shorter than L: no shingles at all
+    ).toDF("doc_id", "text")
+    val out = Dedup.duplicateSpanStats(docs, "text", "doc_id", spanTokens = 4)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    // doc 1: dup shingle positions 2,3 merge into one span [2,7) = 5 tokens
+    out(1L) shouldBe ((9L, 2L, 1L, 5L))
+    out(2L) shouldBe ((8L, 2L, 1L, 5L))
+    // doc 3: positions 0 and 5 are 5 apart (> L) — two spans, 8 tokens
+    out(3L) shouldBe ((9L, 2L, 2L, 8L))
+    out(4L) shouldBe ((1L, 0L, 0L, 0L))
+  }
+
+  test("stripDuplicateSpans cuts ALL copies of duplicated spans, keeps the rest") {
+    val docs = Seq(
+      (1L, "u1 u2 A B C D E u3 u4"),
+      (2L, "A B C D E v1 v2 v3"),
+      (3L, "X Y Z W q X Y Z W"),
+      (4L, "tiny")
+    ).toDF("doc_id", "text")
+    val out = Dedup.stripDuplicateSpans(docs, "text", "doc_id", spanTokens = 4)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    out(1L) shouldBe "u1 u2 u3 u4"
+    out(2L) shouldBe "v1 v2 v3"
+    out(3L) shouldBe "q"
+    out(4L) shouldBe "tiny"
+    // cross-consistency: stripped token count == n_tokens - dup_tokens
+    val stats = Dedup.duplicateSpanStats(docs, "text", "doc_id", spanTokens = 4)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1) - r.getLong(4))).toMap
+    out.foreach { case (id, clean) =>
+      val kept = if (clean.isEmpty) 0L else clean.split(" ").length.toLong
+      kept shouldBe stats(id)
+    }
+  }
 }
