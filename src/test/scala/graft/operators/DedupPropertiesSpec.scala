@@ -105,4 +105,40 @@ class DedupPropertiesSpec extends SparkSpec {
     h(1L) shouldBe h(2L)
     java.lang.Long.bitCount(h(1L) ^ h(3L)) should be <= 16
   }
+
+  test("duplicate spans equal a brute-force reference on random corpora") {
+    import spark.implicits._
+    val L = 3
+    // tiny vocabulary → duplicated shingles occur naturally, within and
+    // across docs, including overlapping self-repeats ("a a a a")
+    val gen = for {
+      n <- Gen.choose(4, 10)
+      docs <- Gen.listOfN(n, Gen.choose(1, 22).flatMap(len =>
+        Gen.listOfN(len, Gen.oneOf("a", "b", "c", "d"))))
+    } yield docs.map(_.mkString(" "))
+    forAll(gen, trials = 8) { texts =>
+      // brute force over shingle STRINGS (equal strings ⇔ equal hashes)
+      val toks = texts.map(_.split(" "))
+      val counts = scala.collection.mutable.Map[String, Int]().withDefaultValue(0)
+      for (ws <- toks; p <- 0 to ws.length - L)
+        counts(ws.slice(p, p + L).mkString(" ")) += 1
+      val expected = toks.zipWithIndex.map { case (ws, i) =>
+        val dupPos = (0 to ws.length - L)
+          .filter(p => counts(ws.slice(p, p + L).mkString(" ")) >= 2)
+        val spans = dupPos.foldLeft(List.empty[(Int, Int)]) {
+          case (Nil, p)            => List((p, p + L))
+          case ((s, e) :: t, p) if p <= e => (s, math.max(e, p + L)) :: t
+          case (acc, p)            => (p, p + L) :: acc
+        }
+        (i.toLong, (ws.length.toLong, dupPos.size.toLong,
+          spans.size.toLong, spans.map { case (s, e) => (e - s).toLong }.sum))
+      }.toMap
+      val df = texts.zipWithIndex
+        .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      val got = Dedup.duplicateSpanStats(df, "text", "doc_id", L).collect()
+        .map(r => r.getLong(0) ->
+          ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+      got shouldBe expected
+    }
+  }
 }
