@@ -343,6 +343,44 @@ object Similarity {
       .agg(round(avg(col("col").cast("double")), 6).as("centroid"))
       .select(col("grp"), col("pos").cast("long").as("pos"), col("centroid"))
 
+  /** Embedding outlier detection against class prototypes — the
+    * CLIP-filter analog for curation: a vector whose L2 distance to its
+    * OWN class centroid sits more than `zThreshold` class-internal
+    * standard deviations above the class mean is flagged (mislabeled,
+    * corrupted, or off-distribution content). Output per vector:
+    * (vec_id, grp, dist, z, is_outlier).
+    *
+    * Scale: the class centroids are [[centroids]]' one tiny aggregate
+    * (k·dim rows, rounded to 6 dp so both engines hash identically);
+    * per-class mean/std of distance is a second k-row aggregate; both
+    * BROADCAST back, so the corpus is scanned (twice) but never
+    * shuffled, and per-row work is one dim-length fold. Distances are
+    * per-row sequential folds — bit-deterministic in any engine — and
+    * cross-row aggregates are computed over the ROUNDED distances, so
+    * float summation order cannot leak into the hash.
+    */
+  def embeddingOutliers(vectors: DataFrame, groupCol: String, idCol: String,
+                        vecCol: String, zThreshold: Double = 2.0): DataFrame = {
+    val cvec = centroids(vectors, groupCol, vecCol)
+      .groupBy(col("grp"))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("centroid")))),
+        s => s.getField("centroid")).as("cvec"))
+    val withDist = vectors
+      .select(col(idCol).as("vec_id"), col(groupCol).as("grp"),
+              col(vecCol).cast("array<double>").as("v"))
+      .join(broadcast(cvec), Seq("grp"))
+      .withColumn("dist", round(sqrt(aggregate(
+        zip_with(col("v"), col("cvec"), (a, b) => (a - b) * (a - b)),
+        lit(0.0), (acc, x) => acc + x)), 6))
+    val stats = withDist.groupBy(col("grp"))
+      .agg(round(avg(col("dist")), 6).as("mu"),
+           round(stddev_pop(col("dist")), 6).as("sigma"))
+    withDist.join(broadcast(stats), Seq("grp"))
+      .withColumn("z", round((col("dist") - col("mu")) / col("sigma"), 4))
+      .select(col("vec_id"), col("grp"), col("dist"), col("z"),
+              (col("z") > zThreshold).as("is_outlier"))
+  }
+
   /** Nearest-centroid assignment (the k-means E-step / vector-quantizer
     * encode): every vector is scored against every centroid via the
     * codegen'd dot kernel and assigned by squared L2 distance

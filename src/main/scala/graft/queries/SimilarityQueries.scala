@@ -99,6 +99,39 @@ object SimilarityQueries {
              LATERAL (SELECT unnest(range(1, len(embedding) + 1)) AS i) t
         GROUP BY 1, 2""")),
 
+    // Embedding outliers vs class prototypes (CLIP-filter analog): L2
+    // distance to the OWN-class centroid, z-scored within the class;
+    // z > 2 flags mislabeled/corrupted/off-distribution vectors. Oracle
+    // replays centroid rounding, the per-row sequential distance fold,
+    // and the rounded-distance stats — hash-exact.
+    "s11_embedding_outliers" -> QueryDef(
+      (s, d) => {
+        val v = Tables.embeddings(s, d).join(
+          Tables.documents(s, d).select(col("doc_id"), col("lang")),
+          col("vec_id") === col("doc_id"))
+        Similarity.embeddingOutliers(v, "lang", "vec_id", "embedding")
+          .withColumnRenamed("grp", "lang")
+      },
+      Some("""
+        WITH v AS (SELECT e.vec_id, d.lang AS grp,
+                     CAST(embedding AS DOUBLE[]) AS vd
+                   FROM embeddings e JOIN documents d ON e.vec_id = d.doc_id),
+        c AS (SELECT grp, i AS pos, round(avg(vd[i]), 6) AS centroid
+              FROM v, LATERAL (SELECT unnest(range(1, len(vd) + 1)) AS i) t
+              GROUP BY 1, 2),
+        cv AS (SELECT grp, list(centroid ORDER BY pos) AS cvec FROM c GROUP BY 1),
+        dd AS (SELECT vec_id, v.grp,
+                 round(sqrt(list_sum([(vd[i] - cvec[i]) * (vd[i] - cvec[i])
+                                      for i in range(1, len(vd) + 1)])), 6) AS dist
+               FROM v JOIN cv ON v.grp = cv.grp),
+        st AS (SELECT grp, round(avg(dist), 6) AS mu,
+                 round(stddev_pop(dist), 6) AS sigma
+               FROM dd GROUP BY 1)
+        SELECT vec_id, dd.grp AS lang, dist,
+               round((dist - mu) / sigma, 4) AS z,
+               round((dist - mu) / sigma, 4) > 2.0 AS is_outlier
+        FROM dd JOIN st ON dd.grp = st.grp""")),
+
     // int8 scalar quantization round-trip fidelity (the 4× storage cut);
     // deterministic column math, mirrored exactly in the oracle
     "s05_quantize_int8" -> QueryDef(

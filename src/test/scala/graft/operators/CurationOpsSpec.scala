@@ -162,6 +162,20 @@ class CurationOpsSpec extends SparkSpec {
     out(6L) shouldBe ((6L, true))
   }
 
+  test("embeddingOutliers flags exactly the far-from-prototype vector per class") {
+    // 20 vectors at the class origin + 1 planted far point, two classes
+    val rows =
+      (1L to 20L).map(i => (i, "a", Seq(0.0f, 0.0f))) ++
+        Seq((21L, "a", Seq(10.0f, 0.0f))) ++                // the outlier
+        (31L to 50L).map(i => (i, "b", Seq(5.0f, 5.0f))) ++
+        Seq((51L, "b", Seq(5.0f, -9.0f)))
+    val df = spark.createDataFrame(rows).toDF("vec_id", "grp", "embedding")
+    val out = Similarity.embeddingOutliers(df, "grp", "vec_id", "embedding")
+      .collect().map(r => r.getLong(0) -> r.getBoolean(4)).toMap
+    out.filter(_._2).keySet shouldBe Set(21L, 51L)
+    out.size shouldBe 42
+  }
+
   test("duplicateSpanStats finds cross-doc and within-doc spans, merges islands") {
     val docs = Seq(
       (1L, "u1 u2 A B C D E u3 u4"),   // shares A..E (5 tokens) with doc 2
