@@ -445,4 +445,80 @@ object TextAnalysis {
       .withColumn("fp_min", array_min(col("_h")))
       .withColumn("fp_max", array_max(col("_h")))
       .drop("_ws", "_h")
+
+  /** Deterministic epoch shuffle — the training-time "global shuffle":
+    * each epoch permutes the corpus into `nShards` shards with a stable
+    * within-shard order, as a PURE FUNCTION of (epoch, id). No rand():
+    * the permutation is reproducible across runs, engines, and partial
+    * re-execution (a lost shard re-derives bit-identically), and epoch
+    * e+1's order is uncorrelated with epoch e's because the epoch number
+    * is folded into the hash.
+    *
+    * Scale: `shard = h mod nShards` is the one shuffle key; the
+    * within-shard rank is a per-shard window, so each reducer sorts only
+    * corpus/nShards rows — exactly the shuffle-writer's per-partition
+    * sort, never a global one. At 100 TB, nShards scales with the corpus
+    * (shard ≈ training-file size) and per-reducer state stays bounded.
+    */
+  def epochShuffle(df: DataFrame, idCol: String, epoch: Int,
+                   nShards: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("shard")).orderBy(col("h"), col("id"))
+    df.select(col(idCol).as("id"))
+      .withColumn("h", graft.functions.PortableHash.md5_64(
+        concat(lit(s"$epoch:"), col("id").cast("string"))))
+      .withColumn("shard", pmod(col("h"), lit(nShards.toLong)))
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .select(col("id"), col("shard"), col("pos"))
+  }
+
+  /** DSIR-style hashed-n-gram importance scoring (Xie et al. 2023,
+    * "Data Selection for Language Models via Importance Resampling"):
+    * token unigrams are hashed into `buckets` feature buckets; a TARGET
+    * subset (e.g. the high-quality or in-domain slice) and the full
+    * corpus each induce a smoothed bucket distribution, and every
+    * document is scored by its summed per-token log importance ratio
+    * log p_target(b) − log p_corpus(b). Documents with `logw > 0` look
+    * more target-like than corpus-like — the resampling weight of the
+    * paper, exposed as a quality signal.
+    *
+    * Scale: the bucket table is ONE explode+agg pass producing
+    * 2·`buckets` numbers — a bounded driver structure like the k-means
+    * codebooks — which returns to the plan as a literal array, so the
+    * scoring pass is a zero-shuffle scan with a per-row sequential fold
+    * (deterministic order → the DuckDB oracle replays it exactly; the
+    * per-bucket log ratios are rounded to 6 dp in BOTH engines so every
+    * per-token term is byte-identical).
+    */
+  def dsirScore(df: DataFrame, idCol: String, textCol: String,
+                targetPred: Column, buckets: Int = 64): DataFrame = {
+    val PH = graft.functions.PortableHash
+    val B = buckets.toLong
+    val counts = df
+      .select(targetPred.cast("long").as("tgt"),
+              explode(filter(split(col(textCol), " "),
+                             w => length(w) > 0)).as("w"))
+      .select(pmod(PH.md5_64(col("w")), lit(B)).as("b"), col("tgt"))
+      .groupBy(col("b"))
+      .agg(sum(col("tgt")).as("ct"), count(lit(1)).as("ca"))
+      .collect().map(r => r.getLong(0).toInt -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    val nt = counts.valuesIterator.map(_._1).sum
+    val na = counts.valuesIterator.map(_._2).sum
+    val ratios = Array.tabulate(buckets) { b =>
+      val (ct, ca) = counts.getOrElse(b, (0L, 0L))
+      BigDecimal(math.log((ct + 1.0) / (nt + buckets)) -
+                 math.log((ca + 1.0) / (na + buckets)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val rlit = array(ratios.map(lit).toIndexedSeq: _*)
+    df.select(col(idCol).as("doc_id"),
+              filter(split(col(textCol), " "), w => length(w) > 0).as("_toks"))
+      .withColumn("n_tokens", size(col("_toks")).cast("long"))
+      .withColumn("logw", round(aggregate(col("_toks"), lit(0.0),
+        (acc, w) => acc + element_at(rlit,
+          (pmod(PH.md5_64(w), lit(B)) + 1).cast("int"))), 4))
+      .withColumn("target_like", col("logw") > 0)
+      .select(col("doc_id"), col("n_tokens"), col("logw"), col("target_like"))
+  }
 }

@@ -576,7 +576,59 @@ object TextQueries {
                n_tokens, cls_score,
                ${PH.sqlMd5_64("trim(regexp_replace(text, '\\s+', ' ', 'g'))")} AS content_fp
         FROM sc
-        WHERE cls_score >= 0.5 AND n_tokens >= 20"""))
+        WHERE cls_score >= 0.5 AND n_tokens >= 20""")),
+
+    // Deterministic epoch shuffle: the training-time global permutation
+    // as a pure function of (epoch, doc_id) — reproducible shards and
+    // within-shard order, no rand(). The oracle replays the epoch-salted
+    // hash, the mod-shard split, and the per-shard rank exactly.
+    "t24_epoch_shuffle" -> QueryDef(
+      (s, d) => TextAnalysis.epochShuffle(
+        Tables.documents(s, d), "doc_id", epoch = 3, nShards = 8),
+      Some(s"""
+        WITH h AS (SELECT doc_id AS id,
+                     ${PH.sqlMd5_64("'3:' || CAST(doc_id AS VARCHAR)")} AS h
+                   FROM documents)
+        SELECT id, h % 8 AS shard,
+               row_number() OVER (PARTITION BY h % 8 ORDER BY h, id) AS pos
+        FROM h""")),
+
+    // DSIR importance scoring: hashed-unigram bucket distributions for
+    // the English slice (target) vs the whole corpus; per-doc summed
+    // log importance ratio. The oracle rebuilds the same smoothed
+    // 64-bucket table (rounded to 6 dp, the byte-identical per-token
+    // terms), folds each doc's tokens in order, and rounds to 4 dp.
+    "t25_dsir_weights" -> QueryDef(
+      (s, d) => TextAnalysis.dsirScore(
+        Tables.documents(s, d), "doc_id", "text",
+        targetPred = col("lang") === "en", buckets = 64),
+      Some(s"""
+        WITH tok AS (
+          SELECT (lang = 'en') AS tgt,
+                 unnest(list_filter(string_split(text, ' '),
+                                    w -> len(w) > 0)) AS w
+          FROM documents),
+        bc AS (SELECT ${PH.sqlMd5_64("w")} % 64 AS b,
+                 sum(CASE WHEN tgt THEN 1 ELSE 0 END) AS ct,
+                 count(*) AS ca
+               FROM tok GROUP BY 1),
+        tots AS (SELECT sum(ct) AS nt, sum(ca) AS na FROM bc),
+        fullb AS (SELECT t.i AS b, coalesce(bc.ct, 0) AS ct,
+                    coalesce(bc.ca, 0) AS ca
+                  FROM range(64) t(i) LEFT JOIN bc ON bc.b = t.i),
+        r AS (SELECT b, round(ln((ct + 1.0) / (nt + 64)) -
+                              ln((ca + 1.0) / (na + 64)), 6) AS lr
+              FROM fullb, tots),
+        rl AS (SELECT list(lr ORDER BY b) AS rl FROM r),
+        d AS (SELECT doc_id,
+                list_filter(string_split(text, ' '), w -> len(w) > 0) AS ws
+              FROM documents)
+        SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_tokens,
+               round(list_sum([rl[(${PH.sqlMd5_64("w")} % 64) + 1]
+                               for w in ws]), 4) AS logw,
+               round(list_sum([rl[(${PH.sqlMd5_64("w")} % 64) + 1]
+                               for w in ws]), 4) > 0 AS target_like
+        FROM d, rl"""))
   )
 
   private val PH = graft.functions.PortableHash

@@ -35,7 +35,8 @@ class PlanAuditSpec extends SparkSpec {
     * specs; s08's broadcast-ADC scan is pairwise by contract like s01's.
     */
   private val trainsAtBuild: Set[String] = Set(
-    "s04_knn_ivf", "s08_knn_pq", "s10_kmeans")
+    "s04_knn_ivf", "s08_knn_pq", "s10_kmeans",
+    "t25_dsir_weights") // bucket-table aggregate collects at build time
 
   /** Pairwise-by-contract: the nested-loop is the documented semantics,
     * not an accident.

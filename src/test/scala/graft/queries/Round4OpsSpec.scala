@@ -27,6 +27,43 @@ class Round4OpsSpec extends SparkSpec {
     viaSql shouldBe viaApi
   }
 
+  test("epochShuffle is a deterministic permutation with contiguous per-shard positions") {
+    import org.apache.spark.sql.functions._
+    val docs = graft.Tables.documents(spark, sfDir)
+    val n = docs.count()
+    val e3 = graft.operators.TextAnalysis.epochShuffle(docs, "doc_id", epoch = 3, nShards = 8)
+    val rows = e3.collect()
+    rows.length.toLong shouldBe n                       // every doc exactly once
+    rows.map(_.getLong(0)).distinct.length.toLong shouldBe n
+    // per-shard positions are 1..count(shard), no gaps
+    rows.groupBy(_.getLong(1)).foreach { case (_, rs) =>
+      rs.map(_.getLong(2)).sorted shouldBe (1L to rs.length.toLong).toArray
+    }
+    // pure function of (epoch, id): a re-run is bit-identical
+    val rerun = graft.operators.TextAnalysis
+      .epochShuffle(docs, "doc_id", epoch = 3, nShards = 8).collect()
+    rerun.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet shouldBe
+      rows.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // a different epoch reorders: same ids, (shard, pos) largely different
+    val e4 = graft.operators.TextAnalysis
+      .epochShuffle(docs, "doc_id", epoch = 4, nShards = 8).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val same = rows.count(r => e4(r.getLong(0)) == ((r.getLong(1), r.getLong(2))))
+    same.toDouble / n should be < 0.05
+  }
+
+  test("dsirScore ranks in-target (en) documents above out-of-target on average") {
+    import org.apache.spark.sql.functions._
+    val docs = graft.Tables.documents(spark, sfDir)
+    val scored = graft.operators.TextAnalysis
+      .dsirScore(docs, "doc_id", "text", targetPred = col("lang") === "en")
+      .join(docs.select(col("doc_id"), col("lang")), "doc_id")
+    val byTarget = scored.groupBy(col("lang") === "en")
+      .agg(avg(col("logw") / col("n_tokens")).as("m"))
+      .collect().map(r => r.getBoolean(0) -> r.getDouble(1)).toMap
+    byTarget(true) should be > byTarget(false)
+  }
+
   test("approx winsorize (q36b) tracks the exact winsorize (q36) within sketch tolerance") {
     def byFlag(name: String): Map[String, (Double, Long, Long, Long)] =
       SparkEntry.queries(name)(spark, sfDir).collect().map { r =>
