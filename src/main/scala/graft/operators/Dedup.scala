@@ -309,6 +309,15 @@ object Dedup {
   def simhash(df: DataFrame, textCol: String, idCol: String): DataFrame = {
     val tok = df.select(col(idCol).as("id"), explode(split(col(textCol), " ")).as("w"))
       .withColumn("h", graft.functions.PortableHash.md5_64(col("w")))
+    simhashFromHashes(tok)
+  }
+
+  /** The SimHash vote aggregate over a pre-hashed feature stream
+    * (`id`, `h`) — shared by the word-level [[simhash]] and the media
+    * byte-shingle hash ([[Multimodal.perceptualHash]]); the feature
+    * extractor is the only thing that differs between them.
+    */
+  private[operators] def simhashFromHashes(tok: DataFrame): DataFrame = {
     val bitSums = (0 until 64).map { j =>
       sum(when(shiftright(col("h"), j).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$j")
     }
@@ -324,12 +333,29 @@ object Dedup {
     * exactly), then verified with bit_count(xor).
     */
   def simhashPairs(df: DataFrame, textCol: String, idCol: String,
-                   maxDist: Int = 3, bucketCap: Int = DefaultBucketCap): DataFrame = {
-    val hashes = simhash(df, textCol, idCol)
-    val chunkVals = array((0 until 4).map(c =>
-      shiftright(col("simhash"), c * 16).bitwiseAND(0xFFFFL)): _*)
-    val chunked = hashes.select(col("id"), col("simhash"), posexplode(chunkVals))
-      .toDF("id", "simhash", "chunk", "chunk_val")
+                   maxDist: Int = 3, bucketCap: Int = DefaultBucketCap): DataFrame =
+    hammingPairs(simhash(df, textCol, idCol), "id", "simhash",
+      maxDist, bucketCap)
+
+  /** Banded Hamming-≤-maxDist pairs over ANY precomputed 64-bit hash
+    * column (SimHash fingerprints, media perceptual hashes, …):
+    * pigeonhole on `nChunks` disjoint `chunkBits`-bit chunks — distance
+    * ≤ nChunks−1 guarantees some chunk matches exactly, so banding is
+    * LOSSLESS at that radius — then exact verify via bit_count(xor).
+    * Data movement is one (chunk, chunk_val) shuffle of the hash table
+    * (never payloads); over-cap buckets are dropped like LSH's.
+    */
+  def hammingPairs(hashes: DataFrame, idCol: String, hashCol: String,
+                   maxDist: Int = 3, bucketCap: Int = DefaultBucketCap,
+                   nChunks: Int = 4, chunkBits: Int = 16): DataFrame = {
+    require(maxDist <= nChunks - 1,
+      s"banding on $nChunks chunks is only lossless for distance <= ${nChunks - 1}")
+    val mask = (1L << chunkBits) - 1
+    val base = hashes.select(col(idCol).as("id"), col(hashCol).as("h64"))
+    val chunkVals = array((0 until nChunks).map(c =>
+      shiftright(col("h64"), c * chunkBits).bitwiseAND(mask)): _*)
+    val chunked = base.select(col("id"), col("h64"), posexplode(chunkVals))
+      .toDF("id", "h64", "chunk", "chunk_val")
       .withColumn("sz", count(lit(1)).over(
         Window.partitionBy(col("chunk"), col("chunk_val"))))
       .filter(col("sz") <= bucketCap).drop("sz")
@@ -338,7 +364,7 @@ object Dedup {
         col("a.chunk_val") === col("b.chunk_val") &&
         col("a.id") < col("b.id"))
       .select(col("a.id").as("id1"), col("b.id").as("id2"),
-              col("a.simhash").as("h1"), col("b.simhash").as("h2"))
+              col("a.h64").as("h1"), col("b.h64").as("h2"))
       .distinct()
     cands
       .withColumn("hamming", bit_count(col("h1").bitwiseXOR(col("h2"))))

@@ -96,6 +96,42 @@ object Multimodal {
       round(scale, 6).as("scale"))
   }
 
+  /** Perceptual hash over an opaque media payload: SimHash of the
+    * payload's byte 4-gram shingles (the ssdeep-style content-defined
+    * fuzzy hash — small payload edits flip few fingerprint bits, so
+    * near-identical media land at small Hamming distance). This IS the
+    * real operator for opaque binaries; for decoded images, production
+    * swaps the shingle features for DCT low-frequency coefficients of
+    * the luma plane (classic pHash) — everything downstream (vote
+    * aggregate, banding, verify) is feature-agnostic.
+    *
+    * Scale: one explode of (id, shingle-hash) — ~1 row per payload
+    * byte, never the payload itself — into the same single-pass 64-bit
+    * vote aggregate as text SimHash. Engine-portable: shingles are hex
+    * substrings and hashes are MD5-derived, so the DuckDB oracle
+    * replays the fingerprint bit-for-bit.
+    */
+  def perceptualHash(media: DataFrame, idCol: String): DataFrame = {
+    val hx = hex(col("payload")) // 2 hex chars per byte, uppercase
+    val nGrams = greatest((length(col("payload")) - 3).cast("int"), lit(1))
+    val tok = media.select(col(idCol).as("id"),
+        explode(transform(sequence(lit(0), nGrams - 1),
+          i => hx.substr(i * 2 + 1, lit(8)))).as("w"))
+      .withColumn("h", graft.functions.PortableHash.md5_64(col("w")))
+    Dedup.simhashFromHashes(tok).withColumnRenamed("simhash", "phash")
+  }
+
+  /** Media near-duplicate pairs: banded Hamming join over the
+    * perceptual hashes — 6 chunks of 10 bits, lossless to distance 5
+    * (byte-level shingles tolerate a wider radius than word-level
+    * SimHash before false-positive rates matter; verify is exact
+    * either way).
+    */
+  def phashPairs(media: DataFrame, idCol: String, maxDist: Int = 5,
+                 bucketCap: Int = Dedup.DefaultBucketCap): DataFrame =
+    Dedup.hammingPairs(perceptualHash(media, idCol), "id", "phash",
+      maxDist, bucketCap, nChunks = 6, chunkBits = 10)
+
   /** "Frame sampling" over a decoded media table: explode n_frames into
     * per-frame rows, keeping every k-th frame — the video-pipeline shape.
     */

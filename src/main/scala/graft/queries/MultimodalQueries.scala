@@ -11,6 +11,8 @@ import org.apache.spark.sql.functions._
   */
 object MultimodalQueries {
 
+  private val PH = graft.functions.PortableHash
+
   def defs: Map[String, QueryDef] = Map(
 
     "m01_media_metadata" -> QueryDef(
@@ -108,6 +110,45 @@ object MultimodalQueries {
         FROM documents d JOIN q USING (doc_id) JOIN f ON f.doc_id = d.doc_id
         JOIN embeddings e ON e.vec_id = d.doc_id
         WHERE q.quality_score >= 0.5 AND f.width >= 256""")),
+
+    // Media near-dup: SimHash over the payload's byte 4-gram shingles
+    // (the opaque-binary perceptual hash), banded on 6×10-bit chunks
+    // (lossless to Hamming 5), exact xor-popcount verify. The oracle
+    // replays shingling, votes, banding, cap, and verify bit-for-bit.
+    "m06_media_phash_pairs" -> QueryDef(
+      (s, d) => {
+        val media = Multimodal.asMediaTable(Tables.documents(s, d), "text", "doc_id")
+        Multimodal.phashPairs(media, "doc_id", maxDist = 5)
+      },
+      Some(s"""
+        WITH pay AS (SELECT doc_id, encode(text) AS payload FROM documents),
+        hx AS (SELECT doc_id, hex(payload) AS hx, octet_length(payload) AS nb
+               FROM pay),
+        tok AS (SELECT doc_id, substr(hx, i*2+1, 8) AS w
+                FROM hx, LATERAL (SELECT unnest(range(0, greatest(nb-3,1))) AS i) t),
+        hs AS (SELECT doc_id, list(${PH.sqlMd5_64("w")}) AS hl
+               FROM tok GROUP BY doc_id),
+        ph AS (SELECT doc_id,
+                 CAST(list_sum([CASE WHEN list_sum([CASE WHEN (h >> b) & 1 = 1
+                                                        THEN 1 ELSE -1 END
+                                                   for h in hl]) > 0
+                                     THEN (1::BIGINT << b) ELSE 0 END
+                                for b in range(64)]) AS BIGINT) AS phash
+               FROM hs),
+        ch AS (SELECT doc_id, phash, c AS chunk,
+                      (phash >> (c * 10)) & 1023 AS chunk_val
+               FROM ph, LATERAL (SELECT unnest(range(0, 6)) AS c) t),
+        capped AS (SELECT doc_id, phash, chunk, chunk_val FROM (
+                     SELECT *, count(*) OVER (PARTITION BY chunk, chunk_val) AS sz
+                     FROM ch)
+                   WHERE sz <= ${graft.operators.Dedup.DefaultBucketCap}),
+        cand AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2,
+                        a.phash AS h1, b.phash AS h2
+                 FROM capped a JOIN capped b
+                   ON a.chunk = b.chunk AND a.chunk_val = b.chunk_val
+                  AND a.doc_id < b.doc_id)
+        SELECT id1, id2, CAST(bit_count(xor(h1, h2)) AS BIGINT) AS hamming
+        FROM cand WHERE bit_count(xor(h1, h2)) <= 5""")),
 
     "m03_frame_sampling" -> QueryDef(
       (s, d) => {

@@ -286,6 +286,46 @@ class ExtensionOperatorsSpec extends SparkSpec {
     fps.values.toSet.size shouldBe fps.size // all sf docs are distinct content
   }
 
+  test("hammingPairs banding is lossless to nChunks-1 and exact beyond") {
+    import spark.implicits._
+    // crafted 60-bit hashes: base, then flips of 1..6 low bits spread so
+    // no band-chunk stays equal past the pigeonhole radius
+    val base = 0x0ABCDEF123456789L & ((1L << 60) - 1)
+    def flip(bits: Seq[Int]): Long = bits.foldLeft(base)((h, b) => h ^ (1L << b))
+    val rows = Seq(
+      1L -> base,
+      2L -> flip(Seq(0)),                       // hamming 1 vs base
+      3L -> flip(Seq(5, 15, 25, 35, 45)),       // hamming 5, one per chunk of 5
+      4L -> flip(Seq(3, 13, 23, 33, 43, 53)))   // hamming 6: every 10-bit chunk differs
+      .toDF("id", "h")
+    val pairs = Dedup.hammingPairs(rows, "id", "h", maxDist = 5,
+        nChunks = 6, chunkBits = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    pairs((1L, 2L)) shouldBe 1L
+    pairs((1L, 3L)) shouldBe 5L                 // found: ≤5 with 6 chunks is lossless
+    pairs.keySet should not contain ((1L, 4L))  // hamming 6: every chunk differs → unreachable
+    // (2,3) share chunk 5, so banding surfaces them — but hamming 6 > maxDist
+    pairs.keySet should not contain ((2L, 3L))
+  }
+
+  test("perceptualHash: identical payloads collide; a small edit moves few bits") {
+    import spark.implicits._
+    val baseText = ("lorem ipsum dolor sit amet consectetur adipiscing elit " * 8).trim
+    val edited = baseText.replace("dolor", "color") // 1-byte edit
+    val media = Multimodal.asMediaTable(
+      Seq((1L, baseText), (2L, baseText), (3L, edited)).toDF("doc_id", "text"),
+      "text", "doc_id")
+    val ph = Multimodal.perceptualHash(media, "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    ph(1L) shouldBe ph(2L)
+    val d13 = java.lang.Long.bitCount(ph(1L) ^ ph(3L))
+    d13 should (be > 0 and be <= 8) // few shingles changed → few vote flips
+    // re-computation is bit-identical (pure function of payload)
+    val again = Multimodal.perceptualHash(media, "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    again shouldBe ph
+  }
+
   test("decode kernel emits the stub feature schema with bounded values") {
     val media = Multimodal.asMediaTable(docs.limit(50), "text", "doc_id")
     val feats = Multimodal.decodeFeatures(media, "doc_id").select(
