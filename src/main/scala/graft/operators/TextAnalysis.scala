@@ -446,6 +446,49 @@ object TextAnalysis {
       .withColumn("fp_max", array_max(col("_h")))
       .drop("_ws", "_h")
 
+  /** Token-budget mixture: per-source TOKEN budgets (not doc counts —
+    * the unit a training run actually consumes) from a temperature-
+    * scaled share of the corpus token mass (data-mixing shape:
+    * budget_s ∝ T_s^τ · B), filled deterministically in hash-priority
+    * order — a document is admitted while the tokens admitted before it
+    * (same source, lower priority) leave room in its source's budget.
+    * Priority is a pure hash of the id: no rand(), re-shardable, and a
+    * re-run admits the identical set.
+    *
+    * Scale: source token masses are one tiny aggregate; budgets
+    * broadcast back. Admission is ONE window (token prefix-sum ordered
+    * by priority) per source — per-source sort, never global. At
+    * 100 TB, swap the window for a two-pass priority-threshold probe
+    * (approx-quantile the hash cutoff whose prefix mass ≈ budget) with
+    * identical admit-while-below semantics. The share is rounded to
+    * 6 dp before floor (as t20's rate) so a last-ulp pow/sum drift
+    * between engines cannot flip a budget's integer boundary.
+    */
+  def tokenBudgetMix(df: DataFrame, idCol: String, groupCol: String,
+                     textCol: String, temperature: Double,
+                     budgetTokens: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = df.select(col(groupCol).as("grp"), col(idCol).as("doc_id"),
+                         tokenCount(col(textCol)).as("n_tokens"))
+    val masses = toks.groupBy(col("grp")).agg(sum(col("n_tokens")).as("grp_tokens"))
+    val z = masses.agg(sum(pow(col("grp_tokens"), temperature)).as("z"))
+    val budgets = masses.crossJoin(broadcast(z))
+      .withColumn("budget_tokens",
+        floor(round(lit(budgetTokens.toDouble) *
+          pow(col("grp_tokens"), temperature) / col("z"), 6)).cast("long"))
+      .select(col("grp"), col("budget_tokens"))
+    val w = Window.partitionBy(col("grp")).orderBy(col("pri"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    toks
+      .withColumn("pri",
+        graft.functions.PortableHash.md5_64(col("doc_id").cast("string")))
+      .join(broadcast(budgets), Seq("grp"))
+      .withColumn("cum_before", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .filter(col("cum_before") < col("budget_tokens"))
+      .select(col("doc_id"), col("grp").as("source"), col("n_tokens"),
+              col("cum_before"), col("budget_tokens"))
+  }
+
   /** Deterministic epoch shuffle — the training-time "global shuffle":
     * each epoch permutes the corpus into `nShards` shards with a stable
     * within-shard order, as a PURE FUNCTION of (epoch, id). No rand():

@@ -628,7 +628,37 @@ object TextQueries {
                                for w in ws]), 4) AS logw,
                round(list_sum([rl[(${PH.sqlMd5_64("w")} % 64) + 1]
                                for w in ws]), 4) > 0 AS target_like
-        FROM d, rl"""))
+        FROM d, rl""")),
+
+    // Token-budget mixture: per-source token budgets (τ-scaled share of
+    // the corpus token mass), filled in hash-priority order. The oracle
+    // replays masses, 6dp-rounded budget shares, priorities, and the
+    // prefix-sum admission window exactly.
+    "t26_token_budget_mix" -> QueryDef(
+      (s, d) => TextAnalysis.tokenBudgetMix(
+        Tables.documents(s, d), "doc_id", "source", "text",
+        temperature = 0.6, budgetTokens = 25000L),
+      Some(s"""
+        WITH toks AS (SELECT source AS grp, doc_id,
+                        CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+                      FROM documents),
+        m AS (SELECT grp, sum(n_tokens) AS grp_tokens FROM toks GROUP BY 1),
+        z AS (SELECT sum(pow(grp_tokens, 0.6)) AS z FROM m),
+        b AS (SELECT grp,
+                CAST(floor(round(25000 * pow(grp_tokens, 0.6) / z, 6)) AS BIGINT)
+                  AS budget_tokens
+              FROM m, z),
+        p AS (SELECT toks.*, ${PH.sqlMd5_64("CAST(doc_id AS VARCHAR)")} AS pri
+              FROM toks),
+        c AS (SELECT p.*, b.budget_tokens,
+                coalesce(sum(n_tokens) OVER (PARTITION BY p.grp
+                  ORDER BY pri, doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  AS cum_before
+              FROM p JOIN b ON p.grp = b.grp)
+        SELECT doc_id, grp AS source, n_tokens,
+               CAST(cum_before AS BIGINT) AS cum_before, budget_tokens
+        FROM c WHERE cum_before < budget_tokens"""))
   )
 
   private val PH = graft.functions.PortableHash

@@ -59,7 +59,8 @@ class PlanAuditSpec extends SparkSpec {
     "t11_bm25_search",       // 1-row (N, avgdl) stats
     "t12_unigram_logprob",   // 1-row total token count
     "t16_stratified_sample", // 1-row global target count
-    "t20_mixture_resample"   // 1-row total for temperature shares
+    "t20_mixture_resample",  // 1-row total for temperature shares
+    "t26_token_budget_mix"   // 1-row Z normalizer for budget shares
   )
 
   test("no gate plans an unbounded pairwise join unless pairwise is its contract") {

@@ -64,6 +64,33 @@ class Round4OpsSpec extends SparkSpec {
     byTarget(true) should be > byTarget(false)
   }
 
+  test("tokenBudgetMix fills each source to its budget and no further (greedy prefix)") {
+    import org.apache.spark.sql.functions._
+    val docs = graft.Tables.documents(spark, sfDir)
+    val kept = graft.operators.TextAnalysis.tokenBudgetMix(
+      docs, "doc_id", "source", "text", temperature = 0.6, budgetTokens = 25000L)
+    val bySource = kept.groupBy("source")
+      .agg(sum("n_tokens").as("kept_tokens"), count(lit(1)).as("kept_docs"),
+           max("budget_tokens").as("budget"), max("cum_before").as("max_cum"))
+      .collect()
+    val allDocs = docs.groupBy(col("source"))
+      .agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    bySource.foreach { r =>
+      val (src, keptTokens, keptDocs, budget, maxCum) =
+        (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      maxCum should be < budget                    // every admitted doc had room before it
+      if (keptDocs < allDocs(src))                 // budget bound: either exhausted…
+        keptTokens should be >= budget             // …(last doc may overshoot)
+      else keptDocs shouldBe allDocs(src)          // …or the whole source fit
+    }
+    // pure function of ids: a re-run admits the identical multiset
+    val again = graft.operators.TextAnalysis.tokenBudgetMix(
+      docs, "doc_id", "source", "text", 0.6, 25000L)
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    again shouldBe kept.select("doc_id").collect().map(_.getLong(0)).sorted
+  }
+
   test("approx winsorize (q36b) tracks the exact winsorize (q36) within sketch tolerance") {
     def byFlag(name: String): Map[String, (Double, Long, Long, Long)] =
       SparkEntry.queries(name)(spark, sfDir).collect().map { r =>
