@@ -507,4 +507,36 @@ object Similarity {
       cosinePairsLsh(corpus, threshold, dim, idCol = idCol, vecCol = vecCol)
     else
       cosinePairs(corpus, threshold, idCol = idCol, vecCol = vecCol)
+
+  /** Hybrid retrieval: a BM25 keyword ranking and an exact-cosine vector
+    * ranking for the SAME query, fused by reciprocal-rank fusion
+    * (Cormack et al. 2009): rrf(d) = Σ_lists 1/(rrfK + rank_list(d)),
+    * absent-from-list contributing 0. The standard keyword+vector hybrid
+    * search shape; rank-based fusion needs no score calibration between
+    * the two retrievers.
+    *
+    * Scale: each retriever already bounds its own work (BM25's bounded-
+    * heap top-k; KNN's broadcast query row); fusion then touches only
+    * ≤ 2·poolK candidate rows, so the final window sorts a constant-size
+    * set — the corpus is never re-scanned. Both inputs are hash-oracled
+    * operators and ranks are integers, so the fused output is exactly
+    * replayable in SQL.
+    */
+  def hybridRrfTopK(docs: DataFrame, emb: DataFrame, queryTerms: Seq[String],
+                    queryVecId: Long, k: Int, poolK: Int = 50,
+                    rrfK: Int = 60): DataFrame = {
+    val textRank = TextAnalysis.bm25TopK(docs, "text", "doc_id", queryTerms, poolK)
+      .select(col("doc_id"), col("rank").as("text_rank"))
+    val vecRank = bruteForceKnn(emb, emb.filter(col("vec_id") === queryVecId), poolK)
+      .select(col("neighbor_id").as("doc_id"), col("rank").as("vec_rank"))
+    val w = Window.orderBy(col("rrf").desc, col("doc_id").asc)
+    textRank.join(vecRank, Seq("doc_id"), "full_outer")
+      .withColumn("rrf", round(
+        coalesce(lit(1.0) / (lit(rrfK) + col("text_rank")), lit(0.0)) +
+        coalesce(lit(1.0) / (lit(rrfK) + col("vec_rank")), lit(0.0)), 6))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("rank"), col("doc_id"), col("rrf"),
+              col("text_rank"), col("vec_rank"))
+  }
 }

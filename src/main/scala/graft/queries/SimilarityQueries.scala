@@ -132,6 +132,58 @@ object SimilarityQueries {
                round((dist - mu) / sigma, 4) > 2.0 AS is_outlier
         FROM dd JOIN st ON dd.grp = st.grp""")),
 
+    // Hybrid retrieval: BM25 keyword top-50 + exact-cosine vector top-50
+    // for the same query, fused by reciprocal-rank fusion (1/(60+rank)
+    // summed over the lists a doc appears in). Both retriever rankings
+    // are already oracle-replayable (t11's BM25, s01's KNN), so the
+    // fused ranking is too — the oracle composes both pipelines and the
+    // RRF arithmetic on integer ranks.
+    "s12_hybrid_rrf" -> QueryDef(
+      (s, d) => Similarity.hybridRrfTopK(
+        Tables.documents(s, d), Tables.embeddings(s, d),
+        queryTerms = Seq("join", "filter", "scan"), queryVecId = 1L,
+        k = 20, poolK = 50),
+      Some("""
+        WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+                     FROM documents),
+        lens AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY 1),
+        stats AS (SELECT (SELECT count(*) FROM documents) AS n_docs,
+                         (SELECT avg(dl) FROM lens) AS avgdl),
+        tf AS (SELECT doc_id, term, count(*) AS tf FROM tok
+               WHERE term IN ('join', 'filter', 'scan') GROUP BY 1, 2),
+        dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        scored AS (
+          SELECT doc_id, round(sum(
+            ln((n_docs - df + 0.5) / (df + 0.5) + 1.0) *
+            (tf * 2.2) / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))), 6) AS score
+          FROM tf JOIN dfreq USING (term) JOIN lens USING (doc_id) CROSS JOIN stats
+          GROUP BY doc_id),
+        trank AS (SELECT doc_id, text_rank FROM (
+                    SELECT doc_id, row_number() OVER
+                      (ORDER BY score DESC, doc_id ASC) AS text_rank
+                    FROM scored)
+                  WHERE text_rank <= 50),
+        q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+              FROM embeddings WHERE vec_id = 1),
+        c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv
+              FROM embeddings),
+        vrank AS (SELECT neighbor_id AS doc_id, vec_rank FROM (
+                    SELECT neighbor_id,
+                           row_number() OVER (ORDER BY
+                             list_cosine_similarity(qv, cv) DESC,
+                             neighbor_id ASC) AS vec_rank
+                    FROM q, c WHERE query_id <> neighbor_id)
+                  WHERE vec_rank <= 50),
+        fused AS (SELECT coalesce(t.doc_id, v.doc_id) AS doc_id,
+                    t.text_rank, v.vec_rank,
+                    round(coalesce(1.0 / (60 + t.text_rank), 0) +
+                          coalesce(1.0 / (60 + v.vec_rank), 0), 6) AS rrf
+                  FROM trank t FULL JOIN vrank v ON t.doc_id = v.doc_id)
+        SELECT CAST(row_number() OVER (ORDER BY rrf DESC, doc_id ASC) AS BIGINT)
+                 AS rank,
+               doc_id, rrf, text_rank, vec_rank
+        FROM fused ORDER BY rank LIMIT 20""")),
+
     // int8 scalar quantization round-trip fidelity (the 4× storage cut);
     // deterministic column math, mirrored exactly in the oracle
     "s05_quantize_int8" -> QueryDef(

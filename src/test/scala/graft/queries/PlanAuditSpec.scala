@@ -45,7 +45,8 @@ class PlanAuditSpec extends SparkSpec {
     "q26_join_cross",      // the cross-join gate itself
     "s01_knn_brute_force", // exact baseline: broadcast queries × corpus
     "d05_dedup_embedding", // exact all-pairs BY CONTRACT (block-grid bounds memory, not compute)
-    "q75_scalar_subquery"  // scalar subquery compiles to a 1-row broadcast
+    "q75_scalar_subquery", // scalar subquery compiles to a 1-row broadcast
+    "s12_hybrid_rrf"       // vector side IS s01's brute-force contract (1 broadcast query row)
   )
 
   /** Global-stat attach: a crossJoin against an AGGREGATE output whose

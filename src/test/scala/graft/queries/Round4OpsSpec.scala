@@ -91,6 +91,30 @@ class Round4OpsSpec extends SparkSpec {
     again shouldBe kept.select("doc_id").collect().map(_.getLong(0)).sorted
   }
 
+  test("hybridRrfTopK: dense ranks, both-list docs beat equal single-list docs, deterministic") {
+    import org.apache.spark.sql.functions._
+    val out = graft.operators.Similarity.hybridRrfTopK(
+      graft.Tables.documents(spark, sfDir), graft.Tables.embeddings(spark, sfDir),
+      queryTerms = Seq("join", "filter", "scan"), queryVecId = 1L,
+      k = 20, poolK = 50).collect()
+    out.map(_.getLong(0)).sorted shouldBe (1L to 20L).toArray
+    // rrf strictly decreasing in rank up to the 6dp rounding, ties by id
+    out.sortBy(_.getLong(0)).sliding(2).foreach { case Array(a, b) =>
+      assert(a.getDouble(2) > b.getDouble(2) ||
+        (a.getDouble(2) == b.getDouble(2) && a.getLong(1) < b.getLong(1)))
+    }
+    // any doc present in BOTH lists must outscore a doc whose single-list
+    // rank equals either of its ranks (the fusion property)
+    val both = out.filter(r => !r.isNullAt(3) && !r.isNullAt(4))
+    val single = out.filter(r => r.isNullAt(3) ^ r.isNullAt(4))
+    for (b <- both; s <- single) {
+      val sRank = if (s.isNullAt(3)) s.getLong(4) else s.getLong(3)
+      if (sRank >= math.min(b.getLong(3), b.getLong(4)))
+        assert(b.getDouble(2) > s.getDouble(2),
+          s"doc ${b.getLong(1)} in both lists should outscore doc ${s.getLong(1)}")
+    }
+  }
+
   test("approx winsorize (q36b) tracks the exact winsorize (q36) within sketch tolerance") {
     def byFlag(name: String): Map[String, (Double, Long, Long, Long)] =
       SparkEntry.queries(name)(spark, sfDir).collect().map { r =>
