@@ -446,6 +446,68 @@ object TextAnalysis {
       .withColumn("fp_max", array_max(col("_h")))
       .drop("_ws", "_h")
 
+  /** In-engine logistic-regression trainer for the hashed bag-of-words
+    * quality/domain classifier — the trainer behind the literal-weight
+    * scorer shape of [[classifierScore]] (fastText/CCNet-style model-
+    * based filtering trains exactly this: hashed unigram features ×
+    * logistic loss). Full-batch gradient descent: the per-doc feature
+    * vector (L1-normalized bucket counts) is built ONCE and cached;
+    * each iteration is ONE aggregate over it computing the whole
+    * (buckets+1)-dim gradient plus loss/accuracy, with the current
+    * weights riding the plan as literals — the k-means trainer's shape
+    * (s10), applied to supervised training. No shuffle at any point:
+    * gradient partials map-side-combine into buckets+3 doubles per
+    * partition.
+    *
+    * Deterministic: features are pure hash functions, init is zeros,
+    * and the driver loop is data-independent — a retrain is
+    * bit-identical (spec-asserted, like s10).
+    *
+    * Returns (trained weights incl. bias, per-iteration history
+    * (iter, loss, accuracy) as a DataFrame).
+    */
+  def trainClassifier(df: DataFrame, textCol: String, labelCol: Column,
+                      buckets: Int = 64, iters: Int = 8,
+                      lr: Double = 2.0): (Array[Double], DataFrame) = {
+    val spark = df.sparkSession
+    val ws = split(col(textCol), " ")
+    val feats = df.select(
+        labelCol.cast("double").as("y"),
+        transform(ws, w => pmod(graft.functions.PortableHash.md5_64(w),
+          lit(buckets.toLong))).as("bs"),
+        greatest(size(ws), lit(1)).cast("double").as("n"))
+      .select(col("y"), transform(sequence(lit(0), lit(buckets - 1)),
+        b => size(filter(col("bs"), x => x === b.cast("long")))
+          .cast("double") / col("n")).as("x"))
+      .localCheckpoint() // one feature-build scan; iterations re-read it
+    val w = Array.fill(buckets + 1)(0.0)
+    val history = Seq.newBuilder[(Long, Double, Double)]
+    for (it <- 1 to iters) {
+      val wDot = (0 until buckets).foldLeft(lit(w(buckets))) { (acc, j) =>
+        acc + lit(w(j)) * element_at(col("x"), j + 1)
+      }
+      val scored = feats.withColumn("p", lit(1.0) / (lit(1.0) + exp(-wDot)))
+      val gradCols = (0 until buckets).map(j =>
+        avg((col("p") - col("y")) * element_at(col("x"), j + 1)).as(s"g$j"))
+      val extras = Seq(
+        avg(col("p") - col("y")).as("gb"),
+        avg(-(col("y") * log(col("p")) +
+          (lit(1.0) - col("y")) * log(lit(1.0) - col("p")))).as("loss"),
+        avg(((col("p") > 0.5) === (col("y") > 0.5)).cast("double")).as("acc"))
+      val r = scored.agg((gradCols ++ extras).head, (gradCols ++ extras).tail: _*)
+        .collect()(0)
+      for (j <- 0 until buckets) w(j) -= lr * r.getDouble(j)
+      w(buckets) -= lr * r.getDouble(buckets)
+      history += ((it.toLong, r.getDouble(buckets + 1), r.getDouble(buckets + 2)))
+    }
+    import spark.implicits._
+    val hist = history.result()
+      .toDF("iter", "loss", "accuracy")
+      .select(col("iter"), round(col("loss"), 6).as("loss"),
+              round(col("accuracy"), 6).as("accuracy"))
+    (w, hist)
+  }
+
   /** Token-budget mixture: per-source TOKEN budgets (not doc counts —
     * the unit a training run actually consumes) from a temperature-
     * scaled share of the corpus token mass (data-mixing shape:

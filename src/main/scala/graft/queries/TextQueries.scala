@@ -658,7 +658,18 @@ object TextQueries {
               FROM p JOIN b ON p.grp = b.grp)
         SELECT doc_id, grp AS source, n_tokens,
                CAST(cum_before AS BIGINT) AS cum_before, budget_tokens
-        FROM c WHERE cum_before < budget_tokens"""))
+        FROM c WHERE cum_before < budget_tokens""")),
+
+    // In-engine classifier training: full-batch logistic GD over hashed
+    // bag-of-words features, one gradient aggregate per iteration (the
+    // s10-kmeans trainer shape, supervised). Gate emits the training
+    // history; convergence, separation, and bit-identical retrain are
+    // spec-asserted (rows-only by design — iterated float training is
+    // not SQL-replayable).
+    "t27_classifier_train" -> QueryDef(
+      (s, d) => TextAnalysis.trainClassifier(
+        Tables.documents(s, d), "text", col("lang") === "en")._2,
+      None)
   )
 
   private val PH = graft.functions.PortableHash

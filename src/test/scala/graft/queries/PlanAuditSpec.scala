@@ -36,7 +36,8 @@ class PlanAuditSpec extends SparkSpec {
     */
   private val trainsAtBuild: Set[String] = Set(
     "s04_knn_ivf", "s08_knn_pq", "s10_kmeans",
-    "t25_dsir_weights") // bucket-table aggregate collects at build time
+    "t25_dsir_weights", // bucket-table aggregate collects at build time
+    "t27_classifier_train") // GD iterations collect at build time
 
   /** Pairwise-by-contract: the nested-loop is the documented semantics,
     * not an accident.

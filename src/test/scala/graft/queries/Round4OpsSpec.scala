@@ -115,6 +115,43 @@ class Round4OpsSpec extends SparkSpec {
     }
   }
 
+  test("trainClassifier: loss falls monotonically on the corpus, retrains bit-identical") {
+    import org.apache.spark.sql.functions._
+    val docs = graft.Tables.documents(spark, sfDir)
+    val (w, hist) = graft.operators.TextAnalysis.trainClassifier(
+      docs, "text", col("lang") === "en")
+    val rows = hist.collect().sortBy(_.getLong(0))
+    rows.map(_.getLong(0)) shouldBe (1L to 8L).toArray
+    rows.sliding(2).foreach { case Array(a, b) =>
+      b.getDouble(1) should be < a.getDouble(1) // loss strictly decreases
+    }
+    val (w2, hist2) = graft.operators.TextAnalysis.trainClassifier(
+      docs, "text", col("lang") === "en")
+    w2 shouldBe w                                // bit-identical retrain
+    hist2.collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2))) shouldBe
+      rows.map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+  }
+
+  test("trainClassifier learns a separable vocabulary split to high accuracy") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // two vocab-disjoint classes: the hashed-BOW boundary exists exactly
+    val good = Seq("alpha", "bravo", "charlie", "delta", "echo",
+                   "foxtrot", "golf", "hotel", "india", "juliett")
+    val bad = Seq("kilo", "lima", "mike", "november", "oscar",
+                  "papa", "quebec", "romeo", "sierra", "tango")
+    val rng = new scala.util.Random(7)
+    val docs = (0 until 200).map { i =>
+      val vocab = if (i % 2 == 0) good else bad
+      val words = Seq.fill(30)(vocab(rng.nextInt(vocab.size)))
+      (i.toLong, words.mkString(" "), i % 2 == 0)
+    }.toDF("doc_id", "text", "is_good")
+    val (_, hist) = graft.operators.TextAnalysis.trainClassifier(
+      docs, "text", col("is_good"), buckets = 256, iters = 12)
+    val last = hist.collect().maxBy(_.getLong(0))
+    last.getDouble(2) should be >= 0.95
+  }
+
   test("approx winsorize (q36b) tracks the exact winsorize (q36) within sketch tolerance") {
     def byFlag(name: String): Map[String, (Double, Long, Long, Long)] =
       SparkEntry.queries(name)(spark, sfDir).collect().map { r =>
