@@ -39,7 +39,12 @@ object ScaleProbe {
     // limit (100; raiseable per-query with MAX RECURSION LEVEL n) — a
     // data-layout artifact of the probe corpus, not an engine property
     "q93_approx_top_k", "q95_bag_set_ops", "q96_union_by_name",
-    "t21_classifier_score", "t22_source_quality_cap")
+    "t21_classifier_score", "t22_source_quality_cap",
+    // round-4 additions: shard-keyed permutation / literal-table scoring
+    // / per-source admission window / byte-shingle vote + banded join /
+    // bounded fusion — all expected ~linear or flat
+    "t24_epoch_shuffle", "t25_dsir_weights", "t26_token_budget_mix",
+    "m06_media_phash_pairs", "s12_hybrid_rrf")
 
   private val IdShift = 10000000L
   private val DayShift = 4000 // > TPC-H date span, so copies never overlap
