@@ -47,6 +47,44 @@ object Similarity {
               round(col("sim"), 6).as("sim"))
   }
 
+  /** Hard-triplet mining for contrastive/embedding training: for each
+    * anchor, the most-similar SAME-label vector (hardest positive), the
+    * `negK` most-similar DIFFERENT-label vectors (hardest negatives), and
+    * the triplet margin pos_sim − neg_sim — small margins are the
+    * informative triplets a contrastive fine-tune wants.
+    *
+    * Scale contract = [[bruteForceKnn]]'s: the anchor set broadcasts
+    * against ONE corpus scan (exact by contract); an anchor set that
+    * outgrows a broadcast routes through the ANN paths ([[lshKnn]] /
+    * [[ivfKnn]]) for the candidate pool and re-ranks exactly, same as
+    * s02/s04. Ranking is per-(anchor, kind), so the shuffle after the
+    * scan carries candidate rows only.
+    */
+  def hardTriplets(corpus: DataFrame, anchors: DataFrame, negK: Int,
+                   idCol: String = "vec_id", vecCol: String = "embedding",
+                   labelCol: String = "label"): DataFrame = {
+    val a = broadcast(anchors.select(col(idCol).as("anchor_id"),
+      col(vecCol).as("av"), col(labelCol).as("al")))
+    val c = corpus.select(col(idCol).as("cand_id"),
+      col(vecCol).as("cv"), col(labelCol).as("cl"))
+    val w = Window.partitionBy(col("anchor_id"), col("kind"))
+      .orderBy(col("sim").desc, col("cand_id").asc)
+    val ranked = a.join(c, col("anchor_id") =!= col("cand_id"))
+      .withColumn("kind",
+        when(col("al") === col("cl"), lit("pos")).otherwise(lit("neg")))
+      .withColumn("sim", cosine(col("av"), col("cv")))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter((col("kind") === "pos" && col("rank") === 1) ||
+              (col("kind") === "neg" && col("rank") <= negK))
+      .select(col("anchor_id"), col("kind"), col("rank"), col("cand_id"),
+              round(col("sim"), 6).as("sim"))
+    // margin from the ROUNDED sims (byte-identical across engines); the
+    // window spans ≤ 1 + negK rows per anchor
+    val wa = Window.partitionBy(col("anchor_id"))
+    ranked.withColumn("margin", when(col("kind") === "neg",
+      round(max(when(col("kind") === "pos", col("sim"))).over(wa) - col("sim"), 6)))
+  }
+
   /** Product-quantization KNN: split the d-dim space into `m` subspaces,
     * learn a `codebookSize`-centroid codebook per subspace (deterministic
     * hash-sampled init + Lloyd iterations, like [[ivfKnn]]), encode every

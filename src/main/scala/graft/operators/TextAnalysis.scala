@@ -626,4 +626,73 @@ object TextAnalysis {
       .withColumn("target_like", col("logw") > 0)
       .select(col("doc_id"), col("n_tokens"), col("logw"), col("target_like"))
   }
+
+  /** BPE merge-rule training (Sennrich et al. 2016) run in-engine: k
+    * iterations of (adjacent-symbol-pair count aggregate → argmax merge →
+    * apply merge to the dictionary). Training operates on the
+    * word-FREQUENCY dictionary, exactly like the reference algorithm —
+    * ONE corpus scan builds it, and every iteration thereafter touches
+    * only |vocab| rows, so training cost is independent of corpus row
+    * count (the s10/t27 trainer shape: the model rides the driver, the
+    * data stays put). Each argmax is a 1-row collect (a plan literal
+    * thereafter); ties break by (count desc, pair asc), so retraining is
+    * bit-identical.
+    *
+    * Merge application is one left-to-right non-overlapping `replace`
+    * pass per rank (both Spark's and DuckDB's string-replace semantics,
+    * so the oracle replays it exactly). Immediately consecutive
+    * occurrences of a pair ("aaa" under merge "a a") merge again only at
+    * a later rank that selects them — the one deviation from textbook
+    * BPE, mirrored in the oracle and harmless for vocabulary induction.
+    *
+    * Symbols are space-delimited within a word rep of shape " c h a r s "
+    * (boundary-padded so a replace of " a b " can only match whole
+    * symbols, never the inside of a longer symbol).
+    */
+  def trainBpeMerges(docs: DataFrame, textCol: String, k: Int): Seq[(String, String)] = {
+    var dict = docs
+      .select(explode(filter(split(col(textCol), " "),
+                             w => length(w) > 0)).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+      .select(concat(lit(" "),
+        regexp_replace(col("word"), "(?s)(.)", "$1 ")).as("sym"), col("freq"))
+      .localCheckpoint() // truncate lineage: each iteration appends a replace
+    val merges = Seq.newBuilder[(String, String)]
+    var exhausted = false
+    for (_ <- 1 to k if !exhausted) {
+      val top = dict
+        .select(split(trim(col("sym")), " ").as("ws"), col("freq"))
+        .filter(size(col("ws")) >= 2) // fully-merged words yield no pairs
+        .select(explode(Dedup.ngramsOfWords(col("ws"), 2)).as("pr"), col("freq"))
+        .groupBy(col("pr")).agg(sum(col("freq")).as("n"))
+        .orderBy(col("n").desc, col("pr").asc)
+        .limit(1).collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val pr = top(0).getString(0)
+        val mg = pr.replace(" ", "")
+        merges += ((pr, mg))
+        dict = dict.withColumn("sym",
+          call_function("replace", col("sym"), lit(s" $pr "), lit(s" $mg ")))
+          .localCheckpoint()
+      }
+    }
+    merges.result()
+  }
+
+  /** Apply trained BPE merges to a text column, returning the token
+    * array. The whole document is char-spaced once (original spaces
+    * become the '¤' boundary symbol, which no merge can contain — merges
+    * are trained on words alone), then each rank is one literal `replace`
+    * fused into the same codegen'd projection: k string passes per row,
+    * ZERO shuffle at any corpus size.
+    */
+  def applyBpeTokens(textCol: Column, merges: Seq[(String, String)]): Column = {
+    val rep0 = concat(lit(" "), regexp_replace(
+      call_function("replace", textCol, lit(" "), lit("¤")), "(?s)(.)", "$1 "))
+    val rep = merges.foldLeft(rep0) { case (r, (pr, mg)) =>
+      call_function("replace", r, lit(s" $pr "), lit(s" $mg "))
+    }
+    filter(split(trim(rep), " "), t => t =!= lit("¤") && length(t) > 0)
+  }
 }

@@ -286,6 +286,40 @@ object SimilarityQueries {
                round(avg(col("dist2")), 4).as("avg_dist2"),
                round(max(element_at(cn, col("cid") + 1)), 6).as("centroid_norm"))
       },
-      None)
+      None),
+
+    // Hard-triplet mining (s13): contrastive-training data construction —
+    // per anchor (deterministic id stride) the hardest positive, the 3
+    // hardest negatives, and the triplet margin. Exact contract like s01
+    // (anchors broadcast × one corpus scan); ranks computed on raw sims,
+    // margins on the 6dp-rounded ones, so the oracle replays byte-equal.
+    "s13_hard_negatives" -> QueryDef(
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        Similarity.hardTriplets(emb, emb.filter(col("vec_id") % 25 === 0), negK = 3)
+      },
+      Some("""
+        WITH a AS (SELECT vec_id AS anchor_id, CAST(embedding AS DOUBLE[]) AS av,
+                          label AS al
+                   FROM embeddings WHERE vec_id % 25 = 0),
+        c AS (SELECT vec_id AS cand_id, CAST(embedding AS DOUBLE[]) AS cv,
+                     label AS cl
+              FROM embeddings),
+        sims AS (SELECT anchor_id, cand_id,
+                        CASE WHEN al = cl THEN 'pos' ELSE 'neg' END AS kind,
+                        list_cosine_similarity(av, cv) AS sim
+                 FROM a, c WHERE anchor_id <> cand_id),
+        ranked AS (SELECT anchor_id, kind, cand_id, sim,
+                          row_number() OVER (PARTITION BY anchor_id, kind
+                                             ORDER BY sim DESC, cand_id ASC) AS rank
+                   FROM sims),
+        kept AS (SELECT anchor_id, kind, CAST(rank AS BIGINT) AS rank, cand_id,
+                        round(sim, 6) AS sim
+                 FROM ranked
+                 WHERE (kind = 'pos' AND rank = 1) OR (kind = 'neg' AND rank <= 3)),
+        pos AS (SELECT anchor_id, sim AS pos_sim FROM kept WHERE kind = 'pos')
+        SELECT k.anchor_id, k.kind, k.rank, k.cand_id, k.sim,
+               CASE WHEN k.kind = 'neg' THEN round(p.pos_sim - k.sim, 6) END AS margin
+        FROM kept k LEFT JOIN pos p USING (anchor_id)"""))
   )
 }

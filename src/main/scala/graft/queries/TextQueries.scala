@@ -669,8 +669,88 @@ object TextQueries {
     "t27_classifier_train" -> QueryDef(
       (s, d) => TextAnalysis.trainClassifier(
         Tables.documents(s, d), "text", col("lang") === "en")._2,
-      None)
+      None),
+
+    // In-engine BPE tokenizer (t28): merge rules trained on the
+    // word-frequency dictionary (Sennrich et al. 2016 — k iterations of
+    // pair-count argmax, each over |vocab| rows, so training cost is
+    // corpus-size-independent after one scan), then applied to every doc
+    // as a chain of literal replaces in ONE codegen'd projection — zero
+    // shuffle at apply time. The oracle replays TRAINING AND APPLY
+    // exactly: k unrolled CTE stages, each stage's argmax merge applied
+    // via scalar subqueries (materialized so the stage chain doesn't
+    // re-inline exponentially).
+    "t28_bpe_tokenize" -> QueryDef(
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val merges = TextAnalysis.trainBpeMerges(docs, "text", BpeMergeCount)
+        val toks = TextAnalysis.applyBpeTokens(col("text"), merges)
+        docs.select(
+          col("doc_id"),
+          size(split(col("text"), " ")).cast("long").as("n_words"),
+          length(call_function("replace", col("text"), lit(" "), lit("")))
+            .cast("long").as("n_chars"),
+          size(toks).cast("long").as("n_bpe"))
+          .withColumn("compression",
+            round(col("n_chars").cast("double") / col("n_bpe"), 6))
+      },
+      Some(bpeOracle(BpeMergeCount)))
   )
+
+  private val BpeMergeCount = 12
+
+  /** DuckDB replay of t28: w0 = the char-spaced word-frequency dict; each
+    * stage i recounts adjacent pairs, picks the argmax merge m_i (count
+    * desc, pair asc), and applies it to both the dict (w_i) and the
+    * documents (r_i) with the same boundary-padded replace the engine
+    * uses. MATERIALIZED keeps the i-deep CTE chain linear.
+    */
+  private def bpeOracle(k: Int): String = {
+    val trainStages = (1 to k).map { i =>
+      s"""p$i AS MATERIALIZED (
+           SELECT unnest([array_to_string(ws[j:j+1], ' ') for j in range(1, len(ws))]) AS pr,
+                  freq
+           FROM (SELECT string_split(trim(sym), ' ') AS ws, freq FROM w${i - 1})
+           WHERE len(ws) >= 2),
+        m$i AS MATERIALIZED (
+           SELECT pr, replace(pr, ' ', '') AS mg
+           FROM (SELECT pr, sum(freq) AS n FROM p$i GROUP BY 1)
+           ORDER BY n DESC, pr ASC LIMIT 1),
+        w$i AS MATERIALIZED (
+           SELECT replace(sym, coalesce(' ' || (SELECT pr FROM m$i) || ' ', chr(1)),
+                          ' ' || coalesce((SELECT mg FROM m$i), '') || ' ') AS sym,
+                  freq
+           FROM w${i - 1})"""
+    }.mkString(",\n        ")
+    val applyStages = (1 to k).map { i =>
+      s"""r$i AS MATERIALIZED (
+           SELECT doc_id, text,
+                  replace(rep, coalesce(' ' || (SELECT pr FROM m$i) || ' ', chr(1)),
+                          ' ' || coalesce((SELECT mg FROM m$i), '') || ' ') AS rep
+           FROM r${i - 1})"""
+    }.mkString(",\n        ")
+    s"""
+      WITH w0 AS MATERIALIZED (
+        SELECT ' ' || regexp_replace(word, '(?s)(.)', '\\1 ', 'g') AS sym, freq
+        FROM (SELECT word, count(*) AS freq
+              FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+              WHERE len(word) > 0 GROUP BY 1)),
+      $trainStages,
+      r0 AS MATERIALIZED (
+        SELECT doc_id, text,
+               ' ' || regexp_replace(replace(text, ' ', '¤'), '(?s)(.)', '\\1 ', 'g') AS rep
+        FROM documents),
+      $applyStages
+      SELECT doc_id,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+             CAST(len(replace(text, ' ', '')) AS BIGINT) AS n_chars,
+             CAST(len(list_filter(string_split(trim(rep), ' '),
+                                  t -> t <> '¤' AND len(t) > 0)) AS BIGINT) AS n_bpe,
+             round(CAST(len(replace(text, ' ', '')) AS DOUBLE) /
+                   len(list_filter(string_split(trim(rep), ' '),
+                                   t -> t <> '¤' AND len(t) > 0)), 6) AS compression
+      FROM r$k"""
+  }
 
   private val PH = graft.functions.PortableHash
 }

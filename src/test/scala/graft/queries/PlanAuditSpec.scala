@@ -37,7 +37,8 @@ class PlanAuditSpec extends SparkSpec {
   private val trainsAtBuild: Set[String] = Set(
     "s04_knn_ivf", "s08_knn_pq", "s10_kmeans",
     "t25_dsir_weights", // bucket-table aggregate collects at build time
-    "t27_classifier_train") // GD iterations collect at build time
+    "t27_classifier_train", // GD iterations collect at build time
+    "t28_bpe_tokenize") // merge-training argmax collects per iteration
 
   /** Pairwise-by-contract: the nested-loop is the documented semantics,
     * not an accident.
@@ -47,7 +48,8 @@ class PlanAuditSpec extends SparkSpec {
     "s01_knn_brute_force", // exact baseline: broadcast queries × corpus
     "d05_dedup_embedding", // exact all-pairs BY CONTRACT (block-grid bounds memory, not compute)
     "q75_scalar_subquery", // scalar subquery compiles to a 1-row broadcast
-    "s12_hybrid_rrf"       // vector side IS s01's brute-force contract (1 broadcast query row)
+    "s12_hybrid_rrf",      // vector side IS s01's brute-force contract (1 broadcast query row)
+    "s13_hard_negatives"   // exact triplet mining: anchors broadcast × corpus, s01's contract
   )
 
   /** Global-stat attach: a crossJoin against an AGGREGATE output whose

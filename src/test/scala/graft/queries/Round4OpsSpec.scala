@@ -169,4 +169,71 @@ class Round4OpsSpec extends SparkSpec {
       math.abs(aHi - hi).toDouble should be <= n * 0.01
     }
   }
+
+  test("trainBpeMerges reproduces the canonical Sennrich example; apply tokenizes accordingly") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // the BPE paper's worked vocabulary: low×5, lower×2, newest×6, widest×3
+    val words = Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+      Seq.fill(6)("newest") ++ Seq.fill(3)("widest")
+    val docs = words.zipWithIndex.map { case (w, i) => (i.toLong, w) }
+      .toDF("doc_id", "text")
+    val merges = graft.operators.TextAnalysis.trainBpeMerges(docs, "text", 4)
+    // hand-derived with this engine's tie-break (count desc, pair asc):
+    // es(9, tie with "s t") → est(9) → lo(7, tie with "o w") → low(7)
+    merges shouldBe Seq(
+      ("e s", "es"), ("es t", "est"), ("l o", "lo"), ("lo w", "low"))
+    // retrain is bit-identical (deterministic argmax)
+    graft.operators.TextAnalysis.trainBpeMerges(docs, "text", 4) shouldBe merges
+    // apply: word boundaries survive ('¤' never merges), merges nest
+    val toks = Seq("newest low").toDF("text")
+      .select(graft.operators.TextAnalysis
+        .applyBpeTokens(col("text"), merges).as("t"))
+      .head().getSeq[String](0)
+    toks shouldBe Seq("n", "e", "w", "est", "low")
+  }
+
+  test("hardTriplets mines the exact hardest positive and negatives with correct margins") {
+    import org.apache.spark.sql.functions._
+    val emb = graft.Tables.embeddings(spark, sfDir)
+    val out = graft.operators.Similarity
+      .hardTriplets(emb, emb.filter(col("vec_id") % 25 === 0), negK = 3)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+                 r.getDouble(4), if (r.isNullAt(5)) None else Some(r.getDouble(5))))
+    val vecs = emb.select(col("vec_id"), col("embedding").cast("array<double>"),
+        col("label"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray, r.getInt(2)))
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      d / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    val anchors = vecs.filter(_._1 % 25 == 0)
+    anchors.length should be > 0
+    anchors.foreach { case (aid, av, al) =>
+      val rows = out.filter(_._1 == aid)
+      val pos = rows.filter(_._2 == "pos")
+      val neg = rows.filter(_._2 == "neg").sortBy(_._3)
+      pos.length shouldBe 1
+      neg.length shouldBe 3
+      // brute-force reference ranking per kind
+      val cands = vecs.filter(_._1 != aid)
+      val bestPos = cands.filter(_._3 == al)
+        .map { case (cid, cv, _) => (cid, cos(av, cv)) }
+        .sortBy { case (cid, s) => (-s, cid) }.head
+      val topNeg = cands.filter(_._3 != al)
+        .map { case (cid, cv, _) => (cid, cos(av, cv)) }
+        .sortBy { case (cid, s) => (-s, cid) }.take(3)
+      pos.head._4 shouldBe bestPos._1
+      pos.head._5 shouldBe (BigDecimal(bestPos._2)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble +- 1e-6)
+      neg.map(_._4).toSeq shouldBe topNeg.map(_._1).toSeq
+      // margin = rounded pos sim − rounded neg sim, on every neg row
+      neg.foreach { n =>
+        n._6.isDefined shouldBe true
+        n._6.get shouldBe (pos.head._5 - n._5 +- 1e-9)
+      }
+      pos.head._6 shouldBe None
+    }
+  }
 }
