@@ -133,6 +133,27 @@ object Dedup {
     novel.unionByName(residual)
   }
 
+  /** Corpus snapshot diff: classify every document across two corpus
+    * versions as added / removed / changed / unchanged — the primitive an
+    * incremental pipeline runs nightly to decide what to re-process
+    * (re-embed, re-tokenize, re-shard) instead of re-reading 100 TB. Both
+    * sides reduce to (id, content md5) BEFORE the full-outer join, so the
+    * shuffle carries 2 small columns per row, never payloads; with both
+    * snapshots bucketed by id the join needs no shuffle at all. Output:
+    * one row per id in either snapshot, with both hashes nullable.
+    */
+  def snapshotDiff(oldDf: DataFrame, newDf: DataFrame,
+                   textCol: String, idCol: String): DataFrame = {
+    def hashed(df: DataFrame, as: String) = df.select(
+      col(idCol).as("id"), md5(col(textCol).cast("binary")).as(as))
+    hashed(oldDf, "old_md5").join(hashed(newDf, "new_md5"), Seq("id"), "full_outer")
+      .withColumn("status",
+        when(col("old_md5").isNull, lit("added"))
+          .when(col("new_md5").isNull, lit("removed"))
+          .when(col("old_md5") === col("new_md5"), lit("unchanged"))
+          .otherwise(lit("changed")))
+  }
+
   /** MinHash signatures: k independent min-hashes over the shingle set.
     * One explode + one hash-aggregate; signature width k costs k codegen'd
     * min() aggregates, not k passes.
@@ -141,6 +162,24 @@ object Dedup {
                         k: Int = 32, shingleN: Int = 3,
                         dfCap: Int = DefaultDfCap): DataFrame =
     signaturesFromIndex(shingleIndex(df, textCol, idCol, shingleN, dfCap), k)
+
+  /** Per-row MinHash signature as a single Column kernel (no document-
+    * frequency cap — that is a corpus-level statistic a scalar can't see;
+    * use [[minhashSignatures]] when the capped universe is wanted). Same
+    * [[graft.functions.PortableHash]] family as the index path, but the
+    * k minima fold inside one projection: ZERO shuffle to compute every
+    * signature in the corpus, which is also what makes it registrable as
+    * the SQL function `graft_minhash_sig`. Null for texts with no
+    * shingles is impossible by construction ([[ngrams]] falls back to the
+    * whole text), so the output is always a k-long array.
+    */
+  def minhashSigKernel(textCol: Column, shingleN: Int, k: Int): Column = {
+    import graft.functions.PortableHash
+    val hb = transform(shingles(textCol, shingleN),
+      s => PortableHash.md5_64(s) % PortableHash.Mod31)
+    array((0 until k).map(i =>
+      array_min(transform(hb, h => PortableHash.derived(h, i)))): _*)
+  }
 
   private def signaturesFromIndex(idx: DataFrame, k: Int): DataFrame = {
     import graft.functions.PortableHash

@@ -627,6 +627,34 @@ object TextAnalysis {
       .select(col("doc_id"), col("n_tokens"), col("logw"), col("target_like"))
   }
 
+  /** Sliding-window token chunking with overlap — the RAG / context-
+    * window prep step: a `windowTokens`-token window advancing by
+    * `strideTokens` (stride < window ⇒ overlapping chunks, so no retrieval
+    * span straddles a hard cut). Start offsets are 0, S, 2S, …,
+    * ceil((n−W)/S)·S — every token lands in ≥1 chunk and the final chunk
+    * may run short. One posexplode per document (~n/S rows out per
+    * n-token doc) and ZERO shuffle: chunk identity is (doc id, chunk
+    * index) plus a portable content hash, never a global counter, so
+    * chunking 100 TB is a single embarrassingly-parallel scan.
+    */
+  def slidingChunks(df: DataFrame, textCol: String, idCol: String,
+                    windowTokens: Int, strideTokens: Int): DataFrame = {
+    require(strideTokens >= 1 && windowTokens >= strideTokens,
+      "need 1 <= strideTokens <= windowTokens (full coverage)")
+    val (w, s) = (windowTokens, strideTokens)
+    val nStarts = when(col("_n") <= w, lit(1L)).otherwise(
+      ceil((col("_n") - w).cast("double") / s).cast("long") + 1L)
+    df.withColumn("_ws", filter(split(col(textCol), " "), t => length(t) > 0))
+      .withColumn("_n", size(col("_ws")))
+      .select(col(idCol), posexplode(transform(sequence(lit(0L), nStarts - 1),
+        i => slice(col("_ws"), (i * s + 1).cast("int"), lit(w)))))
+      .select(col(idCol), col("pos").cast("long").as("chunk_idx"),
+        (col("pos") * s).cast("long").as("start_tok"),
+        size(col("col")).cast("long").as("n_tok"),
+        graft.functions.PortableHash.md5_64(concat_ws(" ", col("col")))
+          .as("chunk_hash"))
+  }
+
   /** BPE merge-rule training (Sennrich et al. 2016) run in-engine: k
     * iterations of (adjacent-symbol-pair count aggregate → argmax merge →
     * apply merge to the dictionary). Training operates on the

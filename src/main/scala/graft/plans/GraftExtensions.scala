@@ -62,25 +62,43 @@ object GraftExtensions {
     * evaluated at plan time (identical to [[graft.operators.Similarity
     * .lshSignature]] — same [[graft.functions.SignBits]] family).
     */
+  /** Evaluate a required-literal integer argument at plan time. */
+  private def litInt(e: Expression, fn: String, name: String): Int = {
+    require(e.foldable, s"$fn: $name must be a literal")
+    e.eval(null) match {
+      case n: Int => n
+      case n: Long => n.toInt
+      case other => throw new IllegalArgumentException(
+        s"$fn: $name must be an integer, got $other")
+    }
+  }
+
   private def signBitsBuilder(exprs: Seq[Expression]): Expression = {
     require(exprs.length == 4,
       "graft_sign_bits(vec, dim, nBits, table) takes exactly 4 arguments")
-    def intArg(i: Int, name: String): Int = {
-      val e = exprs(i)
-      require(e.foldable, s"graft_sign_bits: $name must be a literal")
-      e.eval(null) match {
-        case n: Int => n
-        case n: Long => n.toInt
-        case other => throw new IllegalArgumentException(
-          s"graft_sign_bits: $name must be an integer, got $other")
-      }
-    }
+    def intArg(i: Int, name: String): Int = litInt(exprs(i), "graft_sign_bits", name)
     val dim = intArg(1, "dim")
     val nBits = intArg(2, "nBits")
     val table = intArg(3, "table")
     graft.functions.PackedSignBits(
       Cast(exprs.head, ArrayType(DoubleType)),
       graft.functions.SignBits.hyperplaneSigns(dim, nBits, table), nBits, dim)
+  }
+
+  /** `graft_minhash_sig(text, shingleN, k)` — the per-row MinHash
+    * signature kernel ([[graft.operators.Dedup.minhashSigKernel]]) in
+    * pure SQL, so signature computation + LSH banding for near-dup
+    * candidate generation needs no Scala (see the d13 gate for the full
+    * banded pipeline written as one SQL string). shingleN/k must be
+    * literals: the k derived hash functions unroll at plan time.
+    */
+  private def minhashSigBuilder(exprs: Seq[Expression]): Expression = {
+    require(exprs.length == 3,
+      "graft_minhash_sig(text, shingleN, k) takes exactly 3 arguments")
+    val shingleN = litInt(exprs(1), "graft_minhash_sig", "shingleN")
+    val k = litInt(exprs(2), "graft_minhash_sig", "k")
+    GraftSqlShim.expressionEager(graft.operators.Dedup.minhashSigKernel(
+      GraftSqlShim.column(exprs.head), shingleN, k))
   }
 
   /** The scalar text-curation kernels exposed to pure SQL. */
@@ -92,7 +110,8 @@ object GraftExtensions {
     "graft_fingerprint" -> colKernel(TextAnalysis.contentFingerprint),
     "graft_fp_min" -> colKernel(c => TextAnalysis.robustFingerprintMin(c)),
     "graft_fp_max" -> colKernel(c => TextAnalysis.robustFingerprintMax(c)),
-    "graft_sign_bits" -> (signBitsBuilder _))
+    "graft_sign_bits" -> (signBitsBuilder _),
+    "graft_minhash_sig" -> (minhashSigBuilder _))
 
   /** Install the FULL extension surface (SQL functions + top-k strategy +
     * rewrite rule) on a live session — same effect as the extensions

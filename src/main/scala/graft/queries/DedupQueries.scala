@@ -37,7 +37,8 @@ object DedupQueries {
     * constants are interpolated from [[graft.functions.PortableHash]], so
     * both engines compute the identical signatures.
     */
-  private def minhashLshOracle(k: Int, bands: Int): String = {
+  private def minhashLshOracle(k: Int, bands: Int,
+                               dfCap: Int = graft.operators.Dedup.DefaultDfCap): String = {
     val rows = k / bands
     val sigCols = (0 until k)
       .map(i => s"min(${PH.sqlDerived("h", i)}) AS s$i").mkString(",\n               ")
@@ -45,13 +46,18 @@ object DedupQueries {
       val slice = (b * rows until (b + 1) * rows).map(i => s"s$i").mkString(", ")
       s"SELECT doc_id, $b AS band, ${PH.sqlMd5_64(s"array_to_string([$slice], ',')")} AS bh FROM sigs"
     }.mkString("\n          UNION ALL ")
+    // dfCap <= 0 disables the document-frequency cap (the per-row kernel
+    // path, d13 — a scalar signature can't see corpus-level DF)
+    val shcStage =
+      if (dfCap <= 0) "shc AS (SELECT doc_id, s FROM sh),"
+      else s"""shc AS (SELECT doc_id, s FROM (
+              SELECT doc_id, s, count(*) OVER (PARTITION BY s) AS df FROM sh)
+            WHERE df <= $dfCap),"""
     s"""
     WITH d AS (SELECT doc_id, string_split(text, ' ') ws FROM documents),
     sh AS (SELECT DISTINCT doc_id, array_to_string(ws[i:i+2], ' ') AS s
            FROM d, LATERAL (SELECT unnest(range(1, len(ws) - 1)) AS i) t),
-    shc AS (SELECT doc_id, s FROM (
-              SELECT doc_id, s, count(*) OVER (PARTITION BY s) AS df FROM sh)
-            WHERE df <= ${graft.operators.Dedup.DefaultDfCap}),
+    $shcStage
     hb AS (SELECT doc_id, s, ${PH.sqlMd5_64("s")} % ${PH.Mod31} AS h FROM shc),
     sigs AS (SELECT doc_id,
                $sigCols
@@ -361,8 +367,93 @@ object DedupQueries {
                coalesce(dup_tokens, 0) AS dup_tokens,
                round(coalesce(dup_tokens, 0) * 1.0
                      / len(string_split(d2.text, ' ')), 6) AS dup_ratio
-        FROM documents d2 LEFT JOIN agg USING (doc_id)"""))
+        FROM documents d2 LEFT JOIN agg USING (doc_id)""")),
+
+    // Pure-SQL MinHash-LSH (the SQL-reachability twin of d03): the
+    // registered `graft_minhash_sig` kernel computes every signature in
+    // one zero-shuffle projection, and banding, bucket capping, candidate
+    // generation, and exact-Jaccard verification are plain SQL — a
+    // SQL-only user runs the whole near-dup pipeline without Scala.
+    // Semantics differ from d03 in exactly one documented way: no
+    // document-frequency cap (a per-row kernel can't see corpus DF), so
+    // signatures minimize over the FULL shingle set. The oracle replays
+    // that uncapped pipeline bit-for-bit.
+    "d13_sql_minhash" -> QueryDef(
+      (s, d) => {
+        graft.plans.GraftExtensions.register(s)
+        Tables.documents(s, d).createOrReplaceTempView("documents_sql")
+        s.sql(sqlMinhashSparkSql)
+      },
+      Some(minhashLshOracle(k = 32, bands = 8, dfCap = 0))),
+
+    // Corpus snapshot diff: old = 90% of docs, new = drops every 13th,
+    // revises every 7th — the operator classifies every id as added /
+    // removed / changed / unchanged from (id, content-hash) pairs alone.
+    "d14_snapshot_diff" -> QueryDef(
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val oldSnap = docs.filter(col("doc_id") % 10 =!= 0)
+        val newSnap = docs.filter(col("doc_id") % 13 =!= 0)
+          .withColumn("text", when(col("doc_id") % 7 === 0,
+            concat(col("text"), lit(" rev2"))).otherwise(col("text")))
+        Dedup.snapshotDiff(oldSnap, newSnap, "text", "doc_id")
+          .withColumnRenamed("id", "doc_id")
+      },
+      Some("""
+        WITH so AS (SELECT doc_id, md5(text) AS old_md5 FROM documents
+                    WHERE doc_id % 10 <> 0),
+        sn AS (SELECT doc_id,
+                      md5(CASE WHEN doc_id % 7 = 0 THEN text || ' rev2'
+                               ELSE text END) AS new_md5
+               FROM documents WHERE doc_id % 13 <> 0)
+        SELECT coalesce(so.doc_id, sn.doc_id) AS doc_id, old_md5, new_md5,
+               CASE WHEN old_md5 IS NULL THEN 'added'
+                    WHEN new_md5 IS NULL THEN 'removed'
+                    WHEN old_md5 = new_md5 THEN 'unchanged'
+                    ELSE 'changed' END AS status
+        FROM so FULL OUTER JOIN sn ON so.doc_id = sn.doc_id"""))
   )
+
+  /** d13's Spark-SQL pipeline: kernel signatures → 8 band hashes (same
+    * canonical comma-joined portable hash as [[Dedup.minhashCandidates]])
+    * → bucket cap → candidate pairs → exact Jaccard over the uncapped
+    * 3-shingle sets, semi-joined to candidates.
+    */
+  private val sqlMinhashSparkSql: String = {
+    val md5_64 = (e: String) =>
+      s"CAST(conv(substring(md5(CAST($e AS BINARY)), 1, 15), 16, 10) AS BIGINT)"
+    s"""
+    WITH sigs AS (
+      SELECT doc_id, graft_minhash_sig(text, 3, 32) AS sig FROM documents_sql),
+    banded AS (
+      SELECT doc_id, b,
+             ${md5_64("concat_ws(',', transform(slice(sig, b * 4 + 1, 4), x -> CAST(x AS STRING)))")} AS bh
+      FROM sigs LATERAL VIEW explode(sequence(0, 7)) t AS b),
+    capped AS (
+      SELECT doc_id, b, bh FROM (
+        SELECT *, count(*) OVER (PARTITION BY b, bh) AS sz FROM banded)
+      WHERE sz <= ${graft.operators.Dedup.DefaultBucketCap}),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id1, c.doc_id AS id2
+      FROM capped a JOIN capped c
+        ON a.b = c.b AND a.bh = c.bh AND a.doc_id < c.doc_id),
+    shq AS (
+      SELECT doc_id, explode(array_distinct(
+               CASE WHEN size(ws) >= 3
+                    THEN transform(sequence(1, size(ws) - 2),
+                                   i -> concat_ws(' ', slice(ws, i, 3)))
+                    ELSE array(concat_ws(' ', ws)) END)) AS s
+      FROM (SELECT doc_id, split(text, ' ') AS ws FROM documents_sql)
+      WHERE doc_id IN (SELECT id1 FROM cand UNION SELECT id2 FROM cand)),
+    szs AS (SELECT doc_id, count(*) AS n FROM shq GROUP BY doc_id),
+    com AS (SELECT id1, id2, count(*) AS c
+            FROM cand JOIN shq sa ON sa.doc_id = id1
+                      JOIN shq sb ON sb.doc_id = id2 AND sa.s = sb.s
+            GROUP BY id1, id2)
+    SELECT id1, id2, round(c * 1.0 / (s1.n + s2.n - c), 6) AS jaccard
+    FROM com JOIN szs s1 ON id1 = s1.doc_id JOIN szs s2 ON id2 = s2.doc_id
+    WHERE c * 1.0 / (s1.n + s2.n - c) >= 0.8"""
+  }
 
   /** d12's minimum duplicated-span length in tokens (the paper uses 50
     * BPE tokens at web scale; the synthetic corpus' near-dup edits are

@@ -694,7 +694,33 @@ object TextQueries {
           .withColumn("compression",
             round(col("n_chars").cast("double") / col("n_bpe"), 6))
       },
-      Some(bpeOracle(BpeMergeCount)))
+      Some(bpeOracle(BpeMergeCount))),
+
+    // Sliding-window chunking with overlap (t29): the RAG / context-prep
+    // step — 32-token windows advancing by 24 (8-token overlap), chunk
+    // identity = (doc_id, chunk_idx) + portable content hash. One
+    // posexplode, zero shuffle; the oracle replays start offsets, slices,
+    // and hashes exactly.
+    "t29_chunk_windows" -> QueryDef(
+      (s, d) => TextAnalysis.slidingChunks(Tables.documents(s, d), "text",
+        "doc_id", windowTokens = 32, strideTokens = 24),
+      Some(s"""
+        WITH d AS (SELECT doc_id, list_filter(string_split(text, ' '),
+                                              w -> len(w) > 0) AS ws
+                   FROM documents),
+        n AS (SELECT doc_id, ws, len(ws) AS n FROM d),
+        st AS (SELECT doc_id, ws,
+                 CASE WHEN n <= 32 THEN 1
+                      ELSE CAST(ceil((n - 32) / 24.0) AS BIGINT) + 1 END AS nst
+               FROM n),
+        ch AS (SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx,
+                      CAST(i * 24 AS BIGINT) AS start_tok,
+                      ws[CAST(i * 24 + 1 AS BIGINT):CAST(i * 24 + 32 AS BIGINT)] AS chunk
+               FROM st, LATERAL (SELECT unnest(range(0, nst)) AS i) t)
+        SELECT doc_id, chunk_idx, start_tok,
+               CAST(len(chunk) AS BIGINT) AS n_tok,
+               ${PH.sqlMd5_64("array_to_string(chunk, ' ')")} AS chunk_hash
+        FROM ch"""))
   )
 
   private val BpeMergeCount = 12

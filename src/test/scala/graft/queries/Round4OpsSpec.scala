@@ -236,4 +236,62 @@ class Round4OpsSpec extends SparkSpec {
       pos.head._6 shouldBe None
     }
   }
+
+  test("slidingChunks covers every token, overlaps by window−stride, and hashes slices") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val docs = Seq(
+      (1L, (1 to 80).map(i => s"w$i").mkString(" ")), // 80 tokens: 3 chunks
+      (2L, (1 to 32).map(i => s"w$i").mkString(" ")), // exactly one window
+      (3L, "a b c"))                                  // short doc: 1 chunk
+      .toDF("doc_id", "text")
+    val out = graft.operators.TextAnalysis
+      .slidingChunks(docs, "text", "doc_id", windowTokens = 32, strideTokens = 24)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // 80 tokens: starts 0,24,48 → ceil((80−32)/24)+1 = 3 chunks; last is full
+    out.filter(_._1 == 1L).sortBy(_._2) shouldBe Seq(
+      (1L, 0L, 0L, 32L), (1L, 1L, 24L, 32L), (1L, 2L, 48L, 32L))
+    out.filter(_._1 == 2L) shouldBe Seq((2L, 0L, 0L, 32L))
+    out.filter(_._1 == 3L) shouldBe Seq((3L, 0L, 0L, 3L))
+    // coverage: union of [start, start+n_tok) spans every token index
+    val covered = out.filter(_._1 == 1L)
+      .flatMap(c => c._3 until (c._3 + c._4)).toSet
+    covered shouldBe (0L until 80L).toSet
+    // chunk hash equals the portable hash of the joined slice
+    val h = graft.operators.TextAnalysis
+      .slidingChunks(docs.filter($"doc_id" === 3L), "text", "doc_id", 32, 24)
+      .select("chunk_hash").head().getLong(0)
+    val expect = docs.sparkSession.range(1)
+      .select(graft.functions.PortableHash.md5_64(lit("a b c"))).head().getLong(0)
+    h shouldBe expect
+  }
+
+  test("minhashSigKernel equals the uncapped index-path signatures on real docs") {
+    import org.apache.spark.sql.functions._
+    val docs = graft.Tables.documents(spark, sfDir).limit(100)
+    val viaKernel = docs.select(col("doc_id"),
+        graft.operators.Dedup.minhashSigKernel(col("text"), 3, 32).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val viaIndex = graft.operators.Dedup
+      .minhashSignatures(docs, "text", "doc_id", k = 32, shingleN = 3, dfCap = 0)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    viaKernel shouldBe viaIndex
+    // and the SQL registration is the same kernel
+    graft.plans.GraftExtensions.register(spark)
+    docs.createOrReplaceTempView("r4_mh_docs")
+    val viaSql = spark.sql(
+        "SELECT doc_id, graft_minhash_sig(text, 3, 32) AS sig FROM r4_mh_docs")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    viaSql shouldBe viaKernel
+  }
+
+  test("snapshotDiff classifies added/removed/changed/unchanged from hash pairs") {
+    import spark.implicits._
+    val oldSnap = Seq((1L, "alpha"), (2L, "beta"), (3L, "gamma")).toDF("doc_id", "text")
+    val newSnap = Seq((2L, "beta"), (3L, "gamma v2"), (4L, "delta")).toDF("doc_id", "text")
+    val out = graft.operators.Dedup.snapshotDiff(oldSnap, newSnap, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    out shouldBe Map(1L -> "removed", 2L -> "unchanged",
+                     3L -> "changed", 4L -> "added")
+  }
 }
