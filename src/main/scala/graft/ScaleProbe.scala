@@ -44,7 +44,12 @@ object ScaleProbe {
     // / per-source admission window / byte-shingle vote + banded join /
     // bounded fusion — all expected ~linear or flat
     "t24_epoch_shuffle", "t25_dsir_weights", "t26_token_budget_mix",
-    "m06_media_phash_pairs", "s12_hybrid_rrf")
+    "m06_media_phash_pairs", "s12_hybrid_rrf",
+    // round-4 late additions: BPE train cost tracks |vocab| (sublinear in
+    // corpus), triplets/broadcast-scan and chunk/diff/SQL-minhash scans
+    // expected ~linear
+    "t28_bpe_tokenize", "s13_hard_negatives", "t29_chunk_windows",
+    "d13_sql_minhash", "d14_snapshot_diff")
 
   private val IdShift = 10000000L
   private val DayShift = 4000 // > TPC-H date span, so copies never overlap

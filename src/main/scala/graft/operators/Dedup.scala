@@ -177,8 +177,16 @@ object Dedup {
     import graft.functions.PortableHash
     val hb = transform(shingles(textCol, shingleN),
       s => PortableHash.md5_64(s) % PortableHash.Mod31)
-    array((0 until k).map(i =>
-      array_min(transform(hb, h => PortableHash.derived(h, i)))): _*)
+    // ONE fold over the shingle hashes carrying all k running minima:
+    // k separate array_min(transform(hb, …)) terms would re-evaluate hb
+    // (shingling + md5) k times — HOF subtrees are interpreted, not CSE'd
+    // — which measured 17× slower at sf0.1. hb is never empty (ngrams
+    // falls back to a whole-text gram), so the MaxValue seed never
+    // survives.
+    val seed = array((0 until k).map(_ => lit(Long.MaxValue)): _*)
+    aggregate(hb, seed, (acc, h) =>
+      zip_with(acc, array((0 until k).map(i => PortableHash.derived(h, i)): _*),
+        (a, d) => least(a, d)))
   }
 
   private def signaturesFromIndex(idx: DataFrame, k: Int): DataFrame = {
