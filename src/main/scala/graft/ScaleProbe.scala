@@ -49,7 +49,8 @@ object ScaleProbe {
     // corpus), triplets/broadcast-scan and chunk/diff/SQL-minhash scans
     // expected ~linear
     "t28_bpe_tokenize", "s13_hard_negatives", "t29_chunk_windows",
-    "d13_sql_minhash", "d14_snapshot_diff")
+    "d13_sql_minhash", "d14_snapshot_diff", "s14_mmr_diverse",
+    "t30_length_batching")
 
   private val IdShift = 10000000L
   private val DayShift = 4000 // > TPC-H date span, so copies never overlap

@@ -85,6 +85,63 @@ object Similarity {
       round(max(when(col("kind") === "pos", col("sim"))).over(wa) - col("sim"), 6)))
   }
 
+  /** Maximal-marginal-relevance diverse top-k: greedily select `k` items
+    * maximizing λ·rel(d) − (1−λ)·max_{s∈S} sim(d, s) — the de-dup-at-
+    * retrieval step that keeps a RAG context window from filling with k
+    * copies of the same passage. Engine does the unbounded work: ONE
+    * corpus scan for the exact top-`poolK` relevance pool (s01's
+    * broadcast-query contract; swap the ANN paths in for the pool at
+    * scale) and the poolK² pairwise sims; the driver then runs only the
+    * O(k·poolK) greedy argmax over those engine-computed, 6dp-rounded
+    * numbers — corpus-size-independent by construction, the s10/t27
+    * bounded-driver-model shape. Ties break by id; maxsim over the empty
+    * set is 0, so pick #1 is the relevance argmax. Every float the
+    * selection consumes is engine-rounded, so the oracle replays the
+    * greedy stage-by-stage and byte-equal.
+    */
+  def mmrDiverseTopK(corpus: DataFrame, queryVecId: Long, k: Int, poolK: Int,
+                     lambda: Double, idCol: String = "vec_id",
+                     vecCol: String = "embedding"): DataFrame = {
+    val spark = corpus.sparkSession
+    val q = broadcast(corpus.filter(col(idCol) === queryVecId)
+      .select(col(vecCol).as("qv")))
+    // orderBy+limit plans TakeOrderedAndProject: per-partition bounded
+    // heaps, no global sort — the corpus scan stays fully parallel
+    val pool = corpus.filter(col(idCol) =!= queryVecId)
+      .select(col(idCol).as("id"), col(vecCol).as("v"))
+      .crossJoin(q)
+      .withColumn("rawsim", cosine(col("v"), col("qv")))
+      .orderBy(col("rawsim").desc, col("id").asc)
+      .limit(poolK)
+      .select(col("id"), col("v"), round(col("rawsim"), 6).as("rel"))
+      .localCheckpoint() // ≤ poolK rows; read twice below
+    val rels = pool.select(col("id"), col("rel")).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val sims = pool.as("a").join(pool.as("b"), col("a.id") =!= col("b.id"))
+      .select(col("a.id").as("ia"), col("b.id").as("ib"),
+        round(cosine(col("a.v"), col("b.v")), 6).as("s"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val mu = 1.0 - lambda
+    val selected = collection.mutable.ArrayBuffer.empty[(Long, Double, Double)]
+    for (_ <- 1 to math.min(k, rels.size)) {
+      val chosen = selected.map(_._1).toSet
+      val best = rels.iterator.filterNot(e => chosen(e._1)).map { case (id, rel) =>
+        val maxSim = if (chosen.isEmpty) 0.0
+                     else chosen.iterator.map(s => sims((id, s))).max
+        (id, rel, lambda * rel - mu * maxSim)
+      }.minBy { case (id, _, score) => (-score, id) }
+      selected += best
+    }
+    import spark.implicits._
+    // mmr_score stays UNROUNDED: both engines compute λ·rel − (1−λ)·max
+    // over identical 6dp-rounded inputs, so the raw doubles are already
+    // bit-identical — re-rounding would only reintroduce the half-way
+    // divergence between BigDecimal HALF_UP and DuckDB's scaled round.
+    selected.toSeq.zipWithIndex
+      .map { case ((id, rel, score), i) => (i + 1L, id, rel, score) }
+      .toDF("rank", idCol, "rel", "mmr_score")
+  }
+
   /** Product-quantization KNN: split the d-dim space into `m` subspaces,
     * learn a `codebookSize`-centroid codebook per subspace (deterministic
     * hash-sampled init + Lloyd iterations, like [[ivfKnn]]), encode every

@@ -627,6 +627,42 @@ object TextAnalysis {
       .select(col("doc_id"), col("n_tokens"), col("logw"), col("target_like"))
   }
 
+  /** Length-bucketed batch assignment — the dynamic-batching prep step a
+    * training run wants so a 4000-token doc never pads a batch of
+    * 40-token docs: quartile buckets from ONE exact-percentile aggregate
+    * (broadcast back as plan literals; swap `approx_percentile` in at
+    * 100 TB, same shape as q36→q36b), then deterministic batch ids from
+    * a portable-hash order. The ranking window partitions by
+    * (bucket × shard) — `nShards` hash shards bound every window group
+    * to corpus/(4·nShards) rows, so no single sorted partition exists at
+    * any corpus size (same salting idea as t24's epoch shuffle) and batch
+    * identity (bucket, shard, batch_in_shard) is stable across reruns.
+    */
+  def lengthBucketedBatches(df: DataFrame, textCol: String, idCol: String,
+                            nShards: Int, batchSize: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val withN = df.select(col(idCol).as("id"),
+      tokenCount(col(textCol)).as("n_tokens"))
+    val bounds = withN.agg(
+      round(expr("percentile(n_tokens, 0.25D)"), 6).as("b1"),
+      round(expr("percentile(n_tokens, 0.5D)"), 6).as("b2"),
+      round(expr("percentile(n_tokens, 0.75D)"), 6).as("b3"))
+    val w = Window.partitionBy(col("bucket"), col("shard"))
+      .orderBy(col("_h").asc, col("id").asc)
+    withN.crossJoin(broadcast(bounds))
+      .withColumn("bucket",
+        when(col("n_tokens") <= col("b1"), lit(0))
+          .when(col("n_tokens") <= col("b2"), lit(1))
+          .when(col("n_tokens") <= col("b3"), lit(2)).otherwise(lit(3)))
+      .withColumn("_h", graft.functions.PortableHash.md5_64(
+        concat(lit("batch:"), col("id").cast("string"))))
+      .withColumn("shard", pmod(col("_h"), lit(nShards.toLong)).cast("int"))
+      .withColumn("rk", row_number().over(w))
+      .select(col("id").as(idCol), col("n_tokens"), col("bucket"), col("shard"),
+        floor((col("rk") - 1) / batchSize).cast("long").as("batch_in_shard"),
+        pmod(col("rk") - 1, lit(batchSize)).cast("long").as("pos_in_batch"))
+  }
+
   /** Sliding-window token chunking with overlap — the RAG / context-
     * window prep step: a `windowTokens`-token window advancing by
     * `strideTokens` (stride < window ⇒ overlapping chunks, so no retrieval

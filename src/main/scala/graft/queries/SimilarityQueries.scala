@@ -320,6 +320,65 @@ object SimilarityQueries {
         pos AS (SELECT anchor_id, sim AS pos_sim FROM kept WHERE kind = 'pos')
         SELECT k.anchor_id, k.kind, k.rank, k.cand_id, k.sim,
                CASE WHEN k.kind = 'neg' THEN round(p.pos_sim - k.sim, 6) END AS margin
-        FROM kept k LEFT JOIN pos p USING (anchor_id)"""))
+        FROM kept k LEFT JOIN pos p USING (anchor_id)""")),
+
+    // MMR diverse top-k (s14): greedy λ·rel − (1−λ)·maxsim selection over
+    // an engine-computed pool — retrieval-time diversity so a RAG context
+    // isn't k copies of one passage. Every float the greedy consumes
+    // (rel, pairwise sims) is engine-rounded to 6dp, so the oracle
+    // replays the k selection stages verbatim as unrolled CTEs.
+    "s14_mmr_diverse" -> QueryDef(
+      (s, d) => Similarity.mmrDiverseTopK(Tables.embeddings(s, d),
+        queryVecId = 1L, k = MmrK, poolK = MmrPoolK, lambda = MmrLambda),
+      Some(mmrOracle(MmrK, MmrPoolK, MmrLambda)))
   )
+
+  private val MmrK = 8
+  private val MmrPoolK = 20
+  private val MmrLambda = 0.7
+
+  /** DuckDB replay of s14: the top-poolK pool and its pairwise sims
+    * (rounded 6dp, like the engine), then k unrolled greedy stages — each
+    * picks the argmax of λ·rel − (1−λ)·max-sim-to-selected over the
+    * not-yet-selected pool, ties to lowest id. (1−λ) is interpolated from
+    * the same Scala double the operator uses, so both engines run
+    * identical IEEE arithmetic.
+    */
+  private def mmrOracle(k: Int, poolK: Int, lambda: Double): String = {
+    val mu = 1.0 - lambda
+    val stages = (2 to k).map { i =>
+      s"""sel$i AS MATERIALIZED (
+          SELECT $i AS rank, p.vec_id, p.rel,
+                 $lambda * p.rel - $mu * max(ps.s) AS score
+          FROM pool p JOIN ps ON ps.ia = p.vec_id
+                             AND ps.ib IN (SELECT vec_id FROM selu${i - 1})
+          WHERE p.vec_id NOT IN (SELECT vec_id FROM selu${i - 1})
+          GROUP BY p.vec_id, p.rel
+          ORDER BY score DESC, p.vec_id LIMIT 1),
+        selu$i AS MATERIALIZED (
+          SELECT vec_id FROM selu${i - 1} UNION ALL SELECT vec_id FROM sel$i)"""
+    }.mkString(",\n        ")
+    val unioned = (1 to k).map(i => s"SELECT * FROM sel$i").mkString(" UNION ALL ")
+    s"""
+      WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings
+                 WHERE vec_id = 1),
+      rawpool AS MATERIALIZED (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+               list_cosine_similarity(CAST(embedding AS DOUBLE[]), qv) AS rawsim
+        FROM embeddings, q WHERE vec_id <> 1
+        ORDER BY rawsim DESC, vec_id ASC LIMIT $poolK),
+      pool AS MATERIALIZED (SELECT vec_id, v, round(rawsim, 6) AS rel FROM rawpool),
+      ps AS MATERIALIZED (
+        SELECT a.vec_id AS ia, b.vec_id AS ib,
+               round(list_cosine_similarity(a.v, b.v), 6) AS s
+        FROM pool a JOIN pool b ON a.vec_id <> b.vec_id),
+      sel1 AS MATERIALIZED (
+        SELECT 1 AS rank, vec_id, rel, $lambda * rel AS score FROM pool
+        ORDER BY score DESC, vec_id LIMIT 1),
+      selu1 AS MATERIALIZED (SELECT vec_id FROM sel1),
+      $stages
+      SELECT CAST(rank AS BIGINT) AS rank, vec_id, rel,
+             score AS mmr_score
+      FROM ($unioned)"""
+  }
 }

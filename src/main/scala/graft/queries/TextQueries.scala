@@ -720,7 +720,37 @@ object TextQueries {
         SELECT doc_id, chunk_idx, start_tok,
                CAST(len(chunk) AS BIGINT) AS n_tok,
                ${PH.sqlMd5_64("array_to_string(chunk, ' ')")} AS chunk_hash
-        FROM ch"""))
+        FROM ch""")),
+
+    // Length-bucketed batching (t30): quartile buckets from one exact-
+    // percentile aggregate (the approx_percentile swap is the documented
+    // 100 TB path, as q36→q36b), deterministic hash-ordered batch ids
+    // within bucket×shard. The oracle replays boundaries (quantile_cont =
+    // Spark's percentile, parity proven by q14), bucket CASE, shard hash,
+    // and the ranking window exactly.
+    "t30_length_batching" -> QueryDef(
+      (s, d) => TextAnalysis.lengthBucketedBatches(Tables.documents(s, d),
+        "text", "doc_id", nShards = 8, batchSize = 16),
+      Some(s"""
+        WITH n AS (SELECT doc_id,
+                          CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+                   FROM documents),
+        b AS (SELECT round(quantile_cont(n_tokens, 0.25), 6) AS b1,
+                     round(quantile_cont(n_tokens, 0.5), 6) AS b2,
+                     round(quantile_cont(n_tokens, 0.75), 6) AS b3 FROM n),
+        a AS (SELECT doc_id, n_tokens,
+                CASE WHEN n_tokens <= b1 THEN 0 WHEN n_tokens <= b2 THEN 1
+                     WHEN n_tokens <= b3 THEN 2 ELSE 3 END AS bucket,
+                ${PH.sqlMd5_64("'batch:' || CAST(doc_id AS VARCHAR)")} AS h
+              FROM n, b),
+        r AS (SELECT doc_id, n_tokens, bucket, CAST(h % 8 AS INT) AS shard,
+                     row_number() OVER (PARTITION BY bucket, h % 8
+                                        ORDER BY h, doc_id) AS rk
+              FROM a)
+        SELECT doc_id, n_tokens, bucket, shard,
+               CAST((rk - 1) // 16 AS BIGINT) AS batch_in_shard,
+               CAST((rk - 1) % 16 AS BIGINT) AS pos_in_batch
+        FROM r"""))
   )
 
   private val BpeMergeCount = 12

@@ -38,7 +38,8 @@ class PlanAuditSpec extends SparkSpec {
     "s04_knn_ivf", "s08_knn_pq", "s10_kmeans",
     "t25_dsir_weights", // bucket-table aggregate collects at build time
     "t27_classifier_train", // GD iterations collect at build time
-    "t28_bpe_tokenize") // merge-training argmax collects per iteration
+    "t28_bpe_tokenize", // merge-training argmax collects per iteration
+    "s14_mmr_diverse") // bounded poolK pool+sims collect; greedy on driver
 
   /** Pairwise-by-contract: the nested-loop is the documented semantics,
     * not an accident.
@@ -64,7 +65,8 @@ class PlanAuditSpec extends SparkSpec {
     "t12_unigram_logprob",   // 1-row total token count
     "t16_stratified_sample", // 1-row global target count
     "t20_mixture_resample",  // 1-row total for temperature shares
-    "t26_token_budget_mix"   // 1-row Z normalizer for budget shares
+    "t26_token_budget_mix",  // 1-row Z normalizer for budget shares
+    "t30_length_batching"    // 1-row exact-percentile bucket boundaries
   )
 
   test("no gate plans an unbounded pairwise join unless pairwise is its contract") {

@@ -285,6 +285,55 @@ class Round4OpsSpec extends SparkSpec {
     viaSql shouldBe viaKernel
   }
 
+  test("mmrDiverseTopK skips a near-duplicate in favor of a diverse candidate") {
+    import spark.implicits._
+    // query [1,0]; a & b are near-identical top hits, c is diverse and
+    // moderately relevant. At λ=0.3 the redundancy penalty dominates:
+    // pick 1 = a (rel argmax, tie to lower id), pick 2 = c, NOT the dup b.
+    val emb = Seq(
+      (0L, Array(1f, 0f)), (1L, Array(1f, 0f)), (2L, Array(1f, 0.001f)),
+      (3L, Array(0.8f, 0.6f)))
+      .toDF("vec_id", "embedding")
+    val picks = graft.operators.Similarity
+      .mmrDiverseTopK(emb, queryVecId = 0L, k = 2, poolK = 3, lambda = 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    picks shouldBe Array((1L, 1L), (2L, 3L))
+    // at λ=1.0 MMR degenerates to pure relevance: the dup comes back
+    val rel = graft.operators.Similarity
+      .mmrDiverseTopK(emb, queryVecId = 0L, k = 2, poolK = 3, lambda = 1.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    rel shouldBe Array((1L, 1L), (2L, 2L))
+  }
+
+  test("lengthBucketedBatches: ordered disjoint buckets, full deterministic batches") {
+    val out = graft.operators.TextAnalysis.lengthBucketedBatches(
+      graft.Tables.documents(spark, sfDir), "text", "doc_id",
+      nShards = 8, batchSize = 16)
+    val rows = out.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2),
+      r.getInt(3), r.getLong(4), r.getLong(5)))
+    rows.map(_._1).distinct.length shouldBe rows.length // every doc once
+    // bucket token ranges are disjoint and ordered
+    val ranges = rows.groupBy(_._3).toSeq.sortBy(_._1)
+      .map { case (b, rs) => (b, rs.map(_._2).min, rs.map(_._2).max) }
+    ranges.sliding(2).foreach {
+      case Seq((_, _, hi), (_, lo, _)) => hi should be <= lo
+      case _ =>
+    }
+    // within each (bucket, shard): positions 0..15 per batch, only the
+    // last batch may run short
+    rows.groupBy(r => (r._3, r._4)).foreach { case (_, rs) =>
+      val batches = rs.groupBy(_._5).toSeq.sortBy(_._1)
+      batches.init.foreach(_._2.map(_._6).sorted shouldBe (0L until 16L).toArray)
+      val last = batches.last._2.map(_._6).sorted
+      last shouldBe (0L until last.length.toLong).toArray
+    }
+    // deterministic: identical on rerun
+    val again = graft.operators.TextAnalysis.lengthBucketedBatches(
+      graft.Tables.documents(spark, sfDir), "text", "doc_id", 8, 16)
+      .collect().map(r => (r.getLong(0), r.getLong(4), r.getLong(5))).toSet
+    rows.map(r => (r._1, r._5, r._6)).toSet shouldBe again
+  }
+
   test("snapshotDiff classifies added/removed/changed/unchanged from hash pairs") {
     import spark.implicits._
     val oldSnap = Seq((1L, "alpha"), (2L, "beta"), (3L, "gamma")).toDF("doc_id", "text")
