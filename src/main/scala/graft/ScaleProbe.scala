@@ -58,9 +58,17 @@ object ScaleProbe {
   private def tagWords(c: Int) = // every word tagged → disjoint shingles
     transform(split(col("text"), " "), w => concat(lit(s"c${c}_"), w))
 
-  def build4x(spark: SparkSession, base: String, out: String): Unit = {
+  def build4x(spark: SparkSession, base: String, out: String): Unit =
+    buildNx(spark, base, out, 4)
+
+  /** N disjoint shifted copies — same construction at any factor, so the
+    * probe can measure two decades (1×/4×/16×) instead of one. Shifts
+    * stay safe at 16×: ids reach 1.6·10⁸, event timestamps ~7·10¹⁸ ns
+    * (under Long.Max), dates +164 years (within Spark's date range).
+    */
+  def buildNx(spark: SparkSession, base: String, out: String, n: Int): Unit = {
     def copies(df: DataFrame)(shift: (DataFrame, Int) => DataFrame): DataFrame =
-      (0 until 4).map(c => shift(df, c)).reduce(_ union _)
+      (0 until n).map(c => shift(df, c)).reduce(_ union _)
 
     copies(spark.read.parquet(s"$base/documents.parquet")) { (df, c) =>
       df.withColumn("doc_id", col("doc_id") + lit(c * IdShift))
@@ -78,11 +86,26 @@ object ScaleProbe {
           col("l_shipdate") + expr(s"interval ${c * DayShift} days"))
     }.write.mode("overwrite").parquet(s"$out/lineitem.parquet")
 
+    // o_custkey shifts WITH the customer copies, so per-customer order
+    // density stays constant (4× orders against 1× customers would
+    // measure key heat, not scale)
     copies(spark.read.parquet(s"$base/orders.parquet")) { (df, c) =>
       df.withColumn("o_orderkey", col("o_orderkey") + lit(c * IdShift))
+        .withColumn("o_custkey", col("o_custkey") + lit(c * IdShift))
         .withColumn("o_orderdate",
           col("o_orderdate") + expr(s"interval ${c * DayShift} days"))
     }.write.mode("overwrite").parquet(s"$out/orders.parquet")
+
+    copies(spark.read.parquet(s"$base/customer.parquet")) { (df, c) =>
+      df.withColumn("c_custkey", col("c_custkey") + lit(c * IdShift))
+    }.write.mode("overwrite").parquet(s"$out/customer.parquet")
+
+    // constant dimension tables: carried over unmultiplied — scaling the
+    // fact side against fixed dims is exactly the broadcast-join claim
+    Seq("supplier", "nation", "region").foreach { t =>
+      spark.read.parquet(s"$base/$t.parquet")
+        .write.mode("overwrite").parquet(s"$out/$t.parquet")
+    }
 
     // part: keys shifted, NAMES kept — the distinct-value table stays
     // constant while rows 4×, which is exactly the fuzzy join's scaling
@@ -103,10 +126,15 @@ object ScaleProbe {
     }.write.mode("overwrite").parquet(s"$out/events.parquet")
   }
 
+  /** Usage: runMain graft.ScaleProbe [baseDir] [q1,q2,...] [factors]
+    * `factors` is a comma list of copy counts (default "4"); e.g. "4,16"
+    * probes two decades of scaling per query.
+    */
   def main(args: Array[String]): Unit = {
     val base = args.headOption.getOrElse("/root/testdata/sf0.1")
     val probes = if (args.length > 1) args(1).split(",").toSeq else DefaultProbes
-    val out = s"${sys.props("java.io.tmpdir")}/graft_scale_x4"
+    val factors =
+      if (args.length > 2) args(2).split(",").map(_.toInt).toSeq else Seq(4)
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -116,7 +144,11 @@ object ScaleProbe {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    build4x(spark, base, out)
+    val dirs = factors.map { f =>
+      val out = s"${sys.props("java.io.tmpdir")}/graft_scale_x$f"
+      buildNx(spark, base, out, f)
+      f -> out
+    }
     def time(name: String, dir: String): Double = {
       def once: Double = {
         val t0 = System.nanoTime()
@@ -126,15 +158,16 @@ object ScaleProbe {
       math.min(once, once)
     }
     probes.foreach { q => time(q, base); () } // warmup pass at 1×
-    val results = probes.map { q =>
+    probes.foreach { q =>
       val t1 = time(q, base)
-      val t4 = time(q, out)
+      val tn = dirs.map { case (f, d) => f -> time(q, d) }
+      val cols = tn.map { case (f, t) =>
+        String.format(java.util.Locale.ROOT, ""","t%dx":%.3f,"ratio%dx":%.2f""",
+          Int.box(f), Double.box(t), Int.box(f), Double.box(t / t1))
+      }.mkString
       println(String.format(java.util.Locale.ROOT,
-        """{"query":"%s","t1x":%.3f,"t4x":%.3f,"ratio":%.2f}""",
-        q, Double.box(t1), Double.box(t4), Double.box(t4 / t1)))
-      (q, t1, t4)
+        """{"query":"%s","t1x":%.3f%s}""", q, Double.box(t1), cols))
     }
-    val _ = results
     spark.stop()
   }
 }
