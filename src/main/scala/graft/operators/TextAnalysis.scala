@@ -471,14 +471,14 @@ object TextAnalysis {
                       lr: Double = 2.0): (Array[Double], DataFrame) = {
     val spark = df.sparkSession
     val ws = split(col(textCol), " ")
+    // single-loop histogram kernel: the declarative 64×(filter+size)
+    // formulation re-scanned the id array per bucket (19.5 s of the
+    // 21.6 s gate at sf0.1); BucketHistogram is bit-identical per row
     val feats = df.select(
         labelCol.cast("double").as("y"),
-        transform(ws, w => pmod(graft.functions.PortableHash.md5_64(w),
-          lit(buckets.toLong))).as("bs"),
-        greatest(size(ws), lit(1)).cast("double").as("n"))
-      .select(col("y"), transform(sequence(lit(0), lit(buckets - 1)),
-        b => size(filter(col("bs"), x => x === b.cast("long")))
-          .cast("double") / col("n")).as("x"))
+        graft.functions.BucketHistogram.of(
+          transform(ws, w => pmod(graft.functions.PortableHash.md5_64(w),
+            lit(buckets.toLong))), buckets).as("x"))
       .localCheckpoint() // one feature-build scan; iterations re-read it
     val w = Array.fill(buckets + 1)(0.0)
     val history = Seq.newBuilder[(Long, Double, Double)]

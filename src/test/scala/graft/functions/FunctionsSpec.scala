@@ -259,4 +259,27 @@ class FunctionsSpec extends SparkSpec {
     got(1).getLong(0) shouldBe 0L
     got(2).isNullAt(0) shouldBe true
   }
+
+  test("BucketHistogram matches the declarative filter-per-bucket tree bit-for-bit") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val buckets = 8
+    val df = Seq(
+      Seq(0L, 3L, 3L, 7L, 0L, 0L),
+      Seq(5L),
+      Seq.empty[Long],            // empty ids → all-zero over n=1
+      Seq(0L, 99L, -1L, 2L))     // out-of-range ids ignored by both forms
+      .toDF("bs")
+    val rows = df.select(
+      graft.functions.BucketHistogram.of(col("bs"), buckets).as("fast"),
+      transform(sequence(lit(0), lit(buckets - 1)),
+        b => org.apache.spark.sql.functions.size(
+            filter(col("bs"), x => x === b.cast("long"))).cast("double") /
+          greatest(org.apache.spark.sql.functions.size(col("bs")),
+            lit(1)).cast("double")).as("slow"))
+      .collect()
+    rows.foreach { r =>
+      r.getSeq[Double](0) shouldBe r.getSeq[Double](1)
+    }
+  }
 }
