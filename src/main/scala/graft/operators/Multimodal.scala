@@ -111,7 +111,18 @@ object Multimodal {
     * substrings and hashes are MD5-derived, so the DuckDB oracle
     * replays the fingerprint bit-for-bit.
     */
-  def perceptualHash(media: DataFrame, idCol: String): DataFrame = {
+  def perceptualHash(media: DataFrame, idCol: String): DataFrame =
+    media.select(col(idCol).as("id"),
+      graft.functions.ByteShingleSimHash.of(col("payload")).as("phash"))
+
+  /** The original exploded formulation of [[perceptualHash]] — ~1 row
+    * per payload byte shuffled into the shared 64-way vote aggregate.
+    * Kept as the reference the single-loop kernel is spec-asserted
+    * bit-identical against (MultimodalSpec); the kernel replaced it on
+    * the hot path because the explode shipped ~15M rows at sf0.1 for a
+    * value that is a pure per-row function of the payload.
+    */
+  private[graft] def perceptualHashExploded(media: DataFrame, idCol: String): DataFrame = {
     val hx = hex(col("payload")) // 2 hex chars per byte, uppercase
     val nGrams = greatest((length(col("payload")) - 3).cast("int"), lit(1))
     val tok = media.select(col(idCol).as("id"),

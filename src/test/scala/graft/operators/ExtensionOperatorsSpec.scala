@@ -326,6 +326,21 @@ class ExtensionOperatorsSpec extends SparkSpec {
     again shouldBe ph
   }
 
+  test("ByteShingleSimHash kernel equals the exploded vote pipeline bit-for-bit") {
+    import spark.implicits._
+    // real corpus payloads plus the short-payload edge cases (< 4 bytes
+    // fall back to the single short gram, like greatest(len-3, 1))
+    val media = Multimodal.asMediaTable(docs.limit(200), "text", "doc_id")
+      .unionByName(Multimodal.asMediaTable(
+        Seq((900001L, "a"), (900002L, "abc"), (900003L, "abcd"))
+          .toDF("doc_id", "text"), "text", "doc_id"))
+    val fused = Multimodal.perceptualHash(media, "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val exploded = Multimodal.perceptualHashExploded(media, "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    fused shouldBe exploded
+  }
+
   test("decode kernel emits the stub feature schema with bounded values") {
     val media = Multimodal.asMediaTable(docs.limit(50), "text", "doc_id")
     val feats = Multimodal.decodeFeatures(media, "doc_id").select(
