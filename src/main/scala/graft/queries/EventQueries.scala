@@ -655,6 +655,47 @@ object EventQueries {
           FROM events)
         SELECT user_id, event_type AS last_event_type, value AS last_value,
                props AS last_props
-        FROM ranked WHERE rn = 1 AND event_type <> 'error'"""))
+        FROM ranked WHERE rn = 1 AND event_type <> 'error'""")),
+
+    // Cross-batch streaming dedup (q101): the continuous-ingest twin of
+    // d01 — documents arrive over 4 micro-batches (1 staged file per
+    // trigger) and a transformWithState cell per content hash tracks
+    // (min keeper id, count) across batches on RocksDB. Keeper = MIN id,
+    // so the last per-key update equals the batch answer regardless of
+    // arrival order or batch boundaries; the oracle IS d01's SQL.
+    "q101_streaming_dedup" -> QueryDef(
+      (s, d) => {
+        import org.apache.spark.sql.streaming.{OutputMode, TimeMode, Trigger}
+        import s.implicits._
+        val sf = java.nio.file.Paths.get(d).getFileName.toString
+        val dir = java.nio.file.Paths.get(
+          sys.props("java.io.tmpdir"), "graft_export", sf, "docs_stream4")
+        if (!java.nio.file.Files.exists(dir.resolve("_SUCCESS")))
+          Tables.documents(s, d).repartition(4)
+            .write.mode("overwrite").parquet(dir.toString)
+        val schema = Tables.documents(s, d).schema
+        withStreamConf(s, parts = "8", rocksdb = true) {
+          val deduped = s.readStream
+            .option("maxFilesPerTrigger", "1") // 4 files → 4 batches
+            .schema(schema).parquet(dir.toString)
+            .select(md5(col("text").cast("binary")).as("content_md5"),
+              col("doc_id"))
+            .as[(String, Long)]
+            .groupByKey(_._1)
+            .transformWithState(new graft.streaming.StreamingDeduper,
+              TimeMode.None(), OutputMode.Update())
+            .toDF("content_md5", "keeper_id", "dup_count")
+          val q = deduped.writeStream.format("memory").queryName("q101_sink")
+            .outputMode(OutputMode.Update()).trigger(Trigger.AvailableNow()).start()
+          q.awaitTermination()
+          s.table("q101_sink").groupBy(col("content_md5"))
+            .agg(min(col("keeper_id")).as("keeper_id"),
+                 max(col("dup_count")).as("dup_count"))
+        }
+      },
+      Some("""
+        SELECT md5(text) AS content_md5, min(doc_id) AS keeper_id,
+               count(*) AS dup_count
+        FROM documents GROUP BY 1"""))
   )
 }

@@ -16,6 +16,32 @@ import org.apache.spark.sql.streaming.{OutputMode, StatefulProcessor, TTLConfig,
   * progress tracking (`worker/.../actor/task/TaskFSM.scala:40-120`) the
   * same way TaskTracker does, on the newer API.
   */
+/** Cross-batch exact-content dedup on the arbitrary-state API: one
+  * (keeper_id, dup_count) cell per content hash, updated as batches
+  * arrive — the streaming twin of [[graft.operators.Dedup.exact]] for a
+  * continuous ingest feed. Keeper = MIN id seen so far, so the final
+  * per-key update equals the batch answer regardless of arrival order
+  * or batch boundaries; state is one small tuple per DISTINCT content
+  * (RocksDB-resident), never per row.
+  */
+class StreamingDeduper
+    extends StatefulProcessor[String, (String, Long), (String, Long, Long)] {
+
+  @transient private var st: org.apache.spark.sql.streaming.ValueState[(Long, Long)] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    st = getHandle.getValueState[(Long, Long)]("keeper",
+      Encoders.product[(Long, Long)], TTLConfig.NONE)
+
+  override def handleInputRows(key: String, rows: Iterator[(String, Long)],
+                               timerValues: TimerValues): Iterator[(String, Long, Long)] = {
+    var (keeper, n) = if (st.exists()) st.get() else (Long.MaxValue, 0L)
+    rows.foreach { r => n += 1; if (r._2 < keeper) keeper = r._2 }
+    st.update((keeper, n))
+    Iterator.single((key, keeper, n))
+  }
+}
+
 class PerKeyCounter extends StatefulProcessor[Long, Long, (Long, Long)] {
 
   @transient private var count: org.apache.spark.sql.streaming.ValueState[Long] = _

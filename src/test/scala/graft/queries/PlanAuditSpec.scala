@@ -23,7 +23,8 @@ class PlanAuditSpec extends SparkSpec {
     "q82_streaming_session", "q83_streaming_stateful_count",
     "q89_streaming_left_outer", "q90_transform_with_state",
     "q98_stateful_timers",  // streaming drain like q90
-    "q99_sql_scripting")    // the script executes at sql() time
+    "q99_sql_scripting",    // the script executes at sql() time
+    "q101_streaming_dedup") // streaming drain like q90
   private def eagerPrefix(n: String): Boolean =
     n.startsWith("p0") || n.startsWith("src")
 
