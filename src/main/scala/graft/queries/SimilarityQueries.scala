@@ -330,8 +330,96 @@ object SimilarityQueries {
     "s14_mmr_diverse" -> QueryDef(
       (s, d) => Similarity.mmrDiverseTopK(Tables.embeddings(s, d),
         queryVecId = 1L, k = MmrK, poolK = MmrPoolK, lambda = MmrLambda),
-      Some(mmrOracle(MmrK, MmrPoolK, MmrLambda)))
+      Some(mmrOracle(MmrK, MmrPoolK, MmrLambda))),
+
+    // Pure-SQL LSH ANN (s15): the SQL-reachability twin of s02, AND the
+    // first ANN gate whose CANDIDATE SET is hash-oracled (s02/s04/s08
+    // are recall-asserted rows-only). The registered `graft_sign_bits`
+    // kernel buckets corpus + query per hash table; bucket match →
+    // exact cosine re-rank → top-10, all in one SQL string. The
+    // hyperplane sign matrices are plan literals, so the oracle
+    // interpolates them as explicit ±term chains (same left-to-right
+    // IEEE fold as PackedSignBits) and replays bucketing bit-for-bit.
+    "s15_sql_ann" -> QueryDef(
+      (s, d) => {
+        graft.plans.GraftExtensions.register(s)
+        Tables.embeddings(s, d).createOrReplaceTempView("embeddings_sql")
+        s.sql(sqlAnnSparkSql)
+      },
+      Some(sqlAnnOracle))
   )
+
+  private val AnnDim = 64
+  private val AnnBits = 8
+  private val AnnTables = 8
+  private val AnnQueryId = 2L
+  private val AnnK = 10
+
+  private val sqlAnnSparkSql: String = {
+    val bands = (0 until AnnTables).map(t =>
+      s"SELECT vec_id, $t AS t, graft_sign_bits(v, $AnnDim, $AnnBits, $t) AS sig FROM c")
+      .mkString("\n        UNION ALL ")
+    val qbands = (0 until AnnTables).map(t =>
+      s"SELECT $t AS t, graft_sign_bits(qv, $AnnDim, $AnnBits, $t) AS sig FROM q")
+      .mkString("\n        UNION ALL ")
+    s"""
+    WITH q AS (SELECT CAST(embedding AS ARRAY<DOUBLE>) AS qv
+               FROM embeddings_sql WHERE vec_id = $AnnQueryId),
+    c AS (SELECT vec_id, CAST(embedding AS ARRAY<DOUBLE>) AS v
+          FROM embeddings_sql WHERE vec_id <> $AnnQueryId),
+    b AS ($bands),
+    qb AS ($qbands),
+    cand AS (SELECT DISTINCT vec_id FROM b JOIN qb ON b.t = qb.t AND b.sig = qb.sig),
+    rer AS (SELECT c.vec_id,
+                   graft_dot(c.v, q.qv) /
+                     (sqrt(graft_dot(c.v, c.v)) * sqrt(graft_dot(q.qv, q.qv))) AS sim
+            FROM c JOIN cand ON c.vec_id = cand.vec_id CROSS JOIN q),
+    rk AS (SELECT vec_id, sim,
+                  row_number() OVER (ORDER BY sim DESC, vec_id ASC) AS rank
+           FROM rer)
+    SELECT CAST(rank AS BIGINT) AS rank, vec_id, round(sim, 6) AS sim
+    FROM rk WHERE rank <= $AnnK"""
+  }
+
+  /** DuckDB replay of s15: each hash table's sign matrix (a plan literal
+    * in the engine) is interpolated as explicit ±term chains — the same
+    * left-to-right fold PackedSignBits runs, with exact ±1 products, so
+    * every bucket bit matches bit-for-bit.
+    */
+  private val sqlAnnOracle: String = {
+    val signsOf = (t: Int) =>
+      graft.functions.SignBits.hyperplaneSigns(AnnDim, AnnBits, t)
+    def sigExpr(t: Int): String = {
+      val signs = signsOf(t)
+      (0 until AnnBits).map { j =>
+        val chain = (0 until AnnDim).map { i =>
+          if (signs(j * AnnDim + i) > 0) s"+ v[${i + 1}]" else s"- v[${i + 1}]"
+        }.mkString(" ")
+        s"CASE WHEN ($chain) > 0 THEN ${1L << j} ELSE 0 END"
+      }.mkString("(", " + ", ")")
+    }
+    val bands = (0 until AnnTables).map(t =>
+      s"SELECT vec_id, $t AS t, ${sigExpr(t)} AS sig FROM c")
+      .mkString("\n        UNION ALL ")
+    val qbands = (0 until AnnTables).map(t =>
+      s"SELECT $t AS t, ${sigExpr(t)} AS sig FROM qv")
+      .mkString("\n        UNION ALL ")
+    s"""
+    WITH qv AS (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+                WHERE vec_id = $AnnQueryId),
+    c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+          WHERE vec_id <> $AnnQueryId),
+    b AS ($bands),
+    qb AS ($qbands),
+    cand AS (SELECT DISTINCT vec_id FROM b JOIN qb ON b.t = qb.t AND b.sig = qb.sig),
+    rer AS (SELECT c.vec_id, list_cosine_similarity(c.v, q.v) AS sim
+            FROM c JOIN cand ON c.vec_id = cand.vec_id, qv q),
+    rk AS (SELECT vec_id, sim,
+                  row_number() OVER (ORDER BY sim DESC, vec_id ASC) AS rank
+           FROM rer)
+    SELECT CAST(rank AS BIGINT) AS rank, vec_id, round(sim, 6) AS sim
+    FROM rk WHERE rank <= $AnnK"""
+  }
 
   private val MmrK = 8
   private val MmrPoolK = 20

@@ -67,7 +67,8 @@ class PlanAuditSpec extends SparkSpec {
     "t16_stratified_sample", // 1-row global target count
     "t20_mixture_resample",  // 1-row total for temperature shares
     "t26_token_budget_mix",  // 1-row Z normalizer for budget shares
-    "t30_length_batching"    // 1-row exact-percentile bucket boundaries
+    "t30_length_batching",   // 1-row exact-percentile bucket boundaries
+    "s15_sql_ann"            // 1-row query vector attached to the re-rank
   )
 
   test("no gate plans an unbounded pairwise join unless pairwise is its contract") {
