@@ -13,7 +13,7 @@ object SparkEntry {
     RelationalQueries.defs ++ ScalarQueries.defs ++ EventQueries.defs ++
       PipelineQueries.defs ++ DedupQueries.defs ++ SimilarityQueries.defs ++
       TextQueries.defs ++ MultimodalQueries.defs ++ UdfQueries.defs ++
-      ApproxQueries.defs ++ SourceQueries.defs
+      ApproxQueries.defs ++ SourceQueries.defs ++ ProfilingQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
