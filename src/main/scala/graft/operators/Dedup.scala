@@ -505,6 +505,30 @@ object Dedup {
     * partition sees more than one cluster's members; no pairwise work
     * beyond what detection already paid.
     */
+  /** Leakage-safe train/val split: eval-set contamination happens when a
+    * near-duplicate of a training document lands in the validation set,
+    * so the split must hash the near-dup CLUSTER id, not the document id
+    * — every member of a cluster then lands on the same side by
+    * construction. `clusters` is a (id, component) assignment (e.g.
+    * [[connectedComponents]] over [[jaccardPairs]]); singleton documents
+    * (absent from `clusters`) are their own component. Assignment is a
+    * pure hash function of the component — deterministic, re-shardable,
+    * no rand(); the join adds one shuffle on the id, the split itself is
+    * zero-shuffle column math. Returns (doc_id, component, split).
+    */
+  def leakageSafeSplit(docs: DataFrame, clusters: DataFrame, idCol: String,
+                       trainPct: Int = 90): DataFrame = {
+    require(trainPct > 0 && trainPct < 100, "trainPct must be in (0, 100)")
+    docs.select(col(idCol).as("doc_id"))
+      .join(clusters.select(col("id").as("doc_id"), col("component")),
+        Seq("doc_id"), "left")
+      .withColumn("component", coalesce(col("component"), col("doc_id")))
+      .withColumn("split",
+        when(pmod(graft.functions.PortableHash.md5_64(
+          col("component").cast("string")), lit(100L)) < trainPct, "train")
+          .otherwise("val"))
+  }
+
   def canonicalByScore(scored: DataFrame, clusters: DataFrame,
                        idCol: String, scoreCol: String): DataFrame = {
     val labeled = scored.select(col(idCol).as("id"), col(scoreCol).as("score"))

@@ -79,6 +79,36 @@ object DedupQueries {
     WHERE c * 1.0 / (s1.n + s2.n - c) >= 0.8"""
   }
 
+  /** Shared DuckDB CTE chain for the d06 near-dup clustering pipeline:
+    * 3-gram shingles (DF-capped) → Jaccard ≥ 0.8 pairs → undirected
+    * edges → recursive transitive closure → per-node component = min
+    * reachable id. Ends with `comp(doc_id, component)` — docs with no
+    * near-dup edge are absent (callers coalesce to the doc's own id).
+    * Single source of truth for the d06 / d10 / d15 oracles.
+    */
+  private val closureCtes = s"""
+        WITH RECURSIVE
+        d AS (SELECT doc_id, string_split(text, ' ') ws FROM documents),
+        sh AS (SELECT DISTINCT doc_id, array_to_string(ws[i:i+2], ' ') AS s
+               FROM d, LATERAL (SELECT unnest(range(1, len(ws) - 1)) AS i) t),
+        shc AS (SELECT doc_id, s FROM (
+                  SELECT doc_id, s, count(*) OVER (PARTITION BY s) AS df FROM sh)
+                WHERE df <= ${graft.operators.Dedup.DefaultDfCap}),
+        sz AS (SELECT doc_id, count(*) AS n FROM shc GROUP BY 1),
+        com AS (SELECT a.doc_id id1, b.doc_id id2, count(*) c
+                FROM shc a JOIN shc b ON a.s = b.s AND a.doc_id < b.doc_id
+                GROUP BY 1, 2),
+        pairs AS (SELECT id1, id2
+                  FROM com JOIN sz s1 ON id1 = s1.doc_id JOIN sz s2 ON id2 = s2.doc_id
+                  WHERE c * 1.0 / (s1.n + s2.n - c) >= 0.8),
+        edges AS (SELECT id1 AS a, id2 AS b FROM pairs
+                  UNION SELECT id2, id1 FROM pairs),
+        reach(a, b) AS (
+          SELECT a, b FROM edges
+          UNION SELECT a, a FROM edges
+          UNION SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+        comp AS (SELECT a AS doc_id, min(b) AS component FROM reach GROUP BY a)"""
+
   def defs: Map[String, QueryDef] = Map(
 
     "d01_dedup_exact" -> QueryDef(
@@ -144,28 +174,8 @@ object DedupQueries {
           Dedup.jaccardPairs(Tables.documents(s, d), "text", "doc_id",
             shingleN = 3, threshold = 0.8))
         .select(col("id").as("doc_id"), col("component").as("cluster_keeper")),
-      Some(s"""
-        WITH RECURSIVE
-        d AS (SELECT doc_id, string_split(text, ' ') ws FROM documents),
-        sh AS (SELECT DISTINCT doc_id, array_to_string(ws[i:i+2], ' ') AS s
-               FROM d, LATERAL (SELECT unnest(range(1, len(ws) - 1)) AS i) t),
-        shc AS (SELECT doc_id, s FROM (
-                  SELECT doc_id, s, count(*) OVER (PARTITION BY s) AS df FROM sh)
-                WHERE df <= ${graft.operators.Dedup.DefaultDfCap}),
-        sz AS (SELECT doc_id, count(*) AS n FROM shc GROUP BY 1),
-        com AS (SELECT a.doc_id id1, b.doc_id id2, count(*) c
-                FROM shc a JOIN shc b ON a.s = b.s AND a.doc_id < b.doc_id
-                GROUP BY 1, 2),
-        pairs AS (SELECT id1, id2
-                  FROM com JOIN sz s1 ON id1 = s1.doc_id JOIN sz s2 ON id2 = s2.doc_id
-                  WHERE c * 1.0 / (s1.n + s2.n - c) >= 0.8),
-        edges AS (SELECT id1 AS a, id2 AS b FROM pairs
-                  UNION SELECT id2, id1 FROM pairs),
-        reach(a, b) AS (
-          SELECT a, b FROM edges
-          UNION SELECT a, a FROM edges
-          UNION SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
-        SELECT a AS doc_id, min(b) AS cluster_keeper FROM reach GROUP BY a""")),
+      Some(closureCtes + """
+        SELECT doc_id, component AS cluster_keeper FROM comp""")),
 
     // Incremental dedup: the incoming batch (doc_id % 10 != 0) against
     // the existing corpus (doc_id % 10 == 0) — hash-only anti-join.
@@ -253,28 +263,7 @@ object DedupQueries {
             .select(col("doc_id"), col("quality_score")),
           clusters, "doc_id", "quality_score")
       },
-      Some(s"""
-        WITH RECURSIVE
-        d AS (SELECT doc_id, string_split(text, ' ') ws FROM documents),
-        sh AS (SELECT DISTINCT doc_id, array_to_string(ws[i:i+2], ' ') AS s
-               FROM d, LATERAL (SELECT unnest(range(1, len(ws) - 1)) AS i) t),
-        shc AS (SELECT doc_id, s FROM (
-                  SELECT doc_id, s, count(*) OVER (PARTITION BY s) AS df FROM sh)
-                WHERE df <= ${graft.operators.Dedup.DefaultDfCap}),
-        sz AS (SELECT doc_id, count(*) AS n FROM shc GROUP BY 1),
-        com AS (SELECT a.doc_id id1, b.doc_id id2, count(*) c
-                FROM shc a JOIN shc b ON a.s = b.s AND a.doc_id < b.doc_id
-                GROUP BY 1, 2),
-        pairs AS (SELECT id1, id2
-                  FROM com JOIN sz s1 ON id1 = s1.doc_id JOIN sz s2 ON id2 = s2.doc_id
-                  WHERE c * 1.0 / (s1.n + s2.n - c) >= 0.8),
-        edges AS (SELECT id1 AS a, id2 AS b FROM pairs
-                  UNION SELECT id2, id1 FROM pairs),
-        reach(a, b) AS (
-          SELECT a, b FROM edges
-          UNION SELECT a, a FROM edges
-          UNION SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
-        comp AS (SELECT a AS doc_id, min(b) AS component FROM reach GROUP BY a),
+      Some(closureCtes + s""",
         t2 AS (SELECT doc_id, text, string_split(text, ' ') AS ws2 FROM documents),
         m AS (SELECT doc_id,
                 CAST(len(ws2) AS DOUBLE) AS nw,
@@ -301,6 +290,27 @@ object DedupQueries {
                  (PARTITION BY component ORDER BY score DESC, doc_id)
                  AS is_canonical
         FROM lab""")),
+
+    // Leakage-safe train/val split: the split hashes the near-dup
+    // CLUSTER id (d06's components), not the doc id, so a training
+    // document's near-duplicate can never land in the validation set.
+    // Oracle: the shared closure + the t10 split-hash CASE on the
+    // component.
+    "d15_leakage_safe_split" -> QueryDef(
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val clusters = Dedup.connectedComponents(
+          Dedup.jaccardPairs(docs, "text", "doc_id",
+            shingleN = 3, threshold = 0.8))
+        Dedup.leakageSafeSplit(docs, clusters, "doc_id")
+      },
+      Some(closureCtes + s"""
+        SELECT dd.doc_id,
+               coalesce(c.component, dd.doc_id) AS component,
+               CASE WHEN ${PH.sqlMd5_64(
+                 "CAST(coalesce(c.component, dd.doc_id) AS VARCHAR)")} % 100 < 90
+                    THEN 'train' ELSE 'val' END AS split
+        FROM documents dd LEFT JOIN comp c ON dd.doc_id = c.doc_id""")),
 
     // Cross-corpus boilerplate removal (CCNet-style): chunks appearing in
     // > 3 distinct documents are cut from every document's rebuilt text.

@@ -141,4 +141,36 @@ class DedupPropertiesSpec extends SparkSpec {
       got shouldBe expected
     }
   }
+
+  test("leakage-safe split: no near-dup cluster straddles the boundary " +
+       "(where the naive doc-hash split does)") {
+    import spark.implicits._
+    // 40 near-dup pairs: doc 2k and 2k+1 share a long text with a 1-word
+    // edit (Jaccard >> 0.8), plus 20 singletons
+    val base = (0 until 40).map { k =>
+      val body = (0 until 30).map(j => s"w${k}_$j").mkString(" ")
+      Seq((2L * k, body), (2L * k + 1, body + " tail"))
+    }.flatten
+    val singles = (100 until 120).map(i => (i.toLong, s"solo ${"x" * i} end"))
+    val docs = (base ++ singles).toDF("doc_id", "text")
+    val clusters = Dedup.connectedComponents(
+      Dedup.jaccardPairs(docs, "text", "doc_id", shingleN = 3, threshold = 0.8))
+    val split = Dedup.leakageSafeSplit(docs, clusters, "doc_id")
+    split.count() shouldBe 100
+    // the safety property: every cluster lands entirely on one side
+    split.groupBy("component")
+      .agg(countDistinct(col("split")).as("sides"))
+      .filter(col("sides") > 1).count() shouldBe 0
+    // both sides are populated (hash split really splits)
+    split.select("split").distinct().count() shouldBe 2
+    // contrast: hashing the DOC id (t10's shape) puts some near-dup pair
+    // on opposite sides of the boundary — the leakage this op prevents
+    val naive = docs.withColumn("split",
+      when(pmod(graft.functions.PortableHash.md5_64(
+        col("doc_id").cast("string")), lit(100L)) < 90, "train").otherwise("val"))
+      .join(split.select(col("doc_id"), col("component")), Seq("doc_id"))
+    naive.groupBy("component")
+      .agg(countDistinct(col("split")).as("sides"))
+      .filter(col("sides") > 1).count() should be > 0L
+  }
 }
