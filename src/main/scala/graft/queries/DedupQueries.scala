@@ -460,9 +460,9 @@ object DedupQueries {
             FROM cand JOIN shq sa ON sa.doc_id = id1
                       JOIN shq sb ON sb.doc_id = id2 AND sa.s = sb.s
             GROUP BY id1, id2)
-    SELECT id1, id2, round(c * 1.0 / (s1.n + s2.n - c), 6) AS jaccard
+    SELECT id1, id2, round(c / CAST(s1.n + s2.n - c AS DOUBLE), 6) AS jaccard
     FROM com JOIN szs s1 ON id1 = s1.doc_id JOIN szs s2 ON id2 = s2.doc_id
-    WHERE c * 1.0 / (s1.n + s2.n - c) >= 0.8"""
+    WHERE c / CAST(s1.n + s2.n - c AS DOUBLE) >= 0.8"""
   }
 
   /** d12's minimum duplicated-span length in tokens (the paper uses 50
