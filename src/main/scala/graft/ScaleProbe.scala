@@ -116,13 +116,19 @@ object ScaleProbe {
 
     // events: users AND ids shifted so per-user time spans stay constant
     // (same-user copies would triple every gap-fill spine instead of
-    // adding users). ts is read as raw nanos (int64) and shifted in
-    // nanos; Tables.events handles the int64 physical type on read-back.
+    // adding users). The day shift dispatches on the fixture generation:
+    // nanos-as-long shifts in raw nanos, a native timestamp column shifts
+    // by interval — Tables.events normalizes both on read-back.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     copies(spark.read.parquet(s"$base/events.parquet")) { (df, c) =>
+      val shifted = df.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          col("ts") + lit(c.toLong * DayShift * 86400L * 1000000000L)
+        case _ => col("ts") + expr(s"make_interval(0, 0, 0, ${c * DayShift}, 0, 0, 0)")
+      }
       df.withColumn("event_id", col("event_id") + lit(c * IdShift))
         .withColumn("user_id", col("user_id") + lit(c * IdShift))
-        .withColumn("ts", col("ts") + lit(c.toLong * DayShift * 86400L * 1000000000L))
+        .withColumn("ts", shifted)
     }.write.mode("overwrite").parquet(s"$out/events.parquet")
   }
 

@@ -21,19 +21,37 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame = load(s, d, "part")
   def nation(s: SparkSession, d: String): DataFrame = load(s, d, "nation")
   def region(s: SparkSession, d: String): DataFrame = load(s, d, "region")
-  /** events.parquet stores ts as TIMESTAMP(NANOS), which Spark's parquet
-    * reader rejects natively. Read nanos as long and floor-truncate to
-    * microseconds — exactly what DuckDB does when it loads the same file,
-    * so oracle parity is preserved.
+  /** events.parquet has shipped with two encodings of `ts` across fixture
+    * generations: TIMESTAMP(NANOS) (unreadable natively — surfaces as a
+    * long under nanosAsLong) and plain TIMESTAMP(MICROS). Dispatch on the
+    * schema actually read back: only the nanos-as-long generation needs the
+    * floor-truncate to microseconds (matching DuckDB's read of the same
+    * file, so oracle parity is preserved either way).
     */
   def events(s: SparkSession, d: String): DataFrame = {
-    // unconditional + idempotent: conf.getOption can't distinguish "unset"
-    // from the registered default, so a guard would never fire
+    import org.apache.spark.sql.functions.{expr, timestamp_micros}
+    import org.apache.spark.sql.types.LongType
+    // set unconditionally so a nanos fixture loads at all; harmless for
+    // micros fixtures (conf.getOption can't distinguish unset from default)
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(s, d, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000")))
+    val df = load(s, d, "events")
+    df.schema("ts").dataType match {
+      case LongType => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      // timestamp[us] reads back as TIMESTAMP_NTZ; cast to TimestampType so
+      // every downstream consumer (and Verify's parquet output) sees the same
+      // type the nanos path produced. Sessions pin session.timeZone=UTC, so
+      // the cast is value-preserving.
+      case _ => df.withColumn("ts", df("ts").cast("timestamp"))
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
+
+  /** Engine-visible loader for any fixture table — same dispatch the
+    * per-table defs use, so FixtureSchemaSpec asserts what queries see.
+    */
+  def table(s: SparkSession, d: String, name: String): DataFrame = name match {
+    case "events" => events(s, d)
+    case other    => load(s, d, other)
+  }
 }

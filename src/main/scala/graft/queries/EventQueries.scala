@@ -17,9 +17,21 @@ object EventQueries {
     */
   private def eventsStream(s: org.apache.spark.sql.SparkSession, d: String) = {
     val (dir, rawSchema) = stageEventsDir(s, d, "events_stream")
-    s.readStream.schema(rawSchema).parquet(dir.toString)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    tsMicros(s.readStream.schema(rawSchema).parquet(dir.toString))
   }
+
+  /** Normalize the raw `ts` column to TimestampType regardless of fixture
+    * generation — nanos-as-long gets the floor-truncate to micros, a native
+    * timestamp (TIMESTAMP_NTZ under the default parquet reader) is cast
+    * in place (sessions pin UTC, so the cast is value-preserving). The
+    * streaming twin of Tables.events' dispatch.
+    */
+  private def tsMicros(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _ => df.withColumn("ts", col("ts").cast("timestamp"))
+    }
 
   /** Stage events.parquet into a per-gate file-stream source directory
     * (the file source consumes directories); returns (dir, raw schema).
@@ -83,7 +95,28 @@ object EventQueries {
       dir: java.nio.file.Path,
       rawSchema: org.apache.spark.sql.types.StructType, name: String,
       rows: java.util.List[org.apache.spark.sql.Row]): Unit = {
-    val df = s.createDataFrame(rows, rawSchema)
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType}
+    // Callers always put epoch-NANOS longs in the ts slot; rewrite them to
+    // whatever type the staged fixture's schema actually declares so the
+    // sentinel file is readable alongside the real data.
+    val tsIdx = rawSchema.fieldIndex("ts")
+    def fix(r: Row): Row = rawSchema(tsIdx).dataType match {
+      case LongType => r
+      case t =>
+        val nanos = r.getLong(tsIdx)
+        val inst = java.time.Instant.ofEpochSecond(
+          java.lang.Math.floorDiv(nanos, 1000000000L),
+          java.lang.Math.floorMod(nanos, 1000000000L))
+        val v: Any =
+          if (t == TimestampNTZType)
+            java.time.LocalDateTime.ofInstant(inst, java.time.ZoneOffset.UTC)
+          else java.sql.Timestamp.from(inst)
+        Row.fromSeq(r.toSeq.updated(tsIdx, v))
+    }
+    val fixed = new java.util.ArrayList[Row](rows.size)
+    rows.forEach(r => fixed.add(fix(r)))
+    val df = s.createDataFrame(fixed, rawSchema)
     val tmp = dir.resolve("_sentinel_tmp")
     df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
     val listing = java.nio.file.Files.list(tmp)
@@ -219,11 +252,10 @@ object EventQueries {
               org.apache.spark.sql.Row(-1L, nanos, -1L, "click", 0.0, "{}")))
         }
         withStreamConf(s, parts = "8", rocksdb = true) {
-          val sessions = s.readStream.schema(rawSchema)
+          val sessions = tsMicros(s.readStream.schema(rawSchema)
             .option("pathGlobFilter", "*.parquet")
             .option("maxFilesPerTrigger", "1")
-            .parquet(dir.toString)
-            .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+            .parquet(dir.toString))
             .withWatermark("ts", "0 seconds")
             .select(col("user_id"), unix_micros(col("ts")).as("ts_us"))
             .as[(Long, Long)]
@@ -374,11 +406,10 @@ object EventQueries {
         writeSentinel("zz1_sentinel.parquet", 4102444800000000000L) // 2100
         writeSentinel("zz2_sentinel.parquet", 4133980800000000000L) // 2101
         withStreamConf(s, parts = "8", rocksdb = false) {
-          def stream = s.readStream.schema(rawSchema)
+          def stream = tsMicros(s.readStream.schema(rawSchema)
             .option("pathGlobFilter", "*.parquet")
             .option("maxFilesPerTrigger", "1")
-            .parquet(dir.toString)
-            .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+            .parquet(dir.toString))
           val clicks = stream.filter(col("event_type") === "click")
             .select(col("event_id").as("click_id"), col("user_id"),
                     col("ts").as("click_ts"))
