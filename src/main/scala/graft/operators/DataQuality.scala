@@ -20,12 +20,13 @@ import org.apache.spark.sql.types._
   * broadcast LEFT ANTI aggregate (dimension tables are the small side
   * by construction) unioned into the same report.
   *
-  * 100 TB note: `n_distinct` uses exact `count_distinct` so the DuckDB
-  * oracle can replay it; multiple exact distincts in one aggregate plan
-  * through an Expand (rows × #distinct-columns before the partial agg).
-  * At petabyte scale swap [[profile]]'s `exact = true` for the
-  * `approx_count_distinct` path — identical report schema, no Expand,
-  * one streaming HLL per column.
+  * 100 TB note: the DEFAULT `n_distinct` is `approx_count_distinct`
+  * (one streaming HLL per column, no Expand) — that is the wide-table
+  * production shape. `exact = true` swaps in exact `count_distinct` for
+  * oracle replay; multiple exact distincts in one aggregate plan through
+  * an Expand (rows × #distinct-columns before the partial agg), which is
+  * a scale-killer on wide tables — use it only when the report must be
+  * exactly reproducible.
   */
 object DataQuality {
 
@@ -35,7 +36,7 @@ object DataQuality {
     * never round-tripped through strings, whose formatting is
     * engine-specific.
     */
-  def profile(df: DataFrame, cols: Seq[String], exact: Boolean = true): DataFrame = {
+  def profile(df: DataFrame, cols: Seq[String], exact: Boolean = false): DataFrame = {
     val fields = cols.map(c => df.schema.fields.find(_.name == c).getOrElse(
       throw new IllegalArgumentException(s"no such column: $c")))
     def isNum(t: DataType): Boolean = t.isInstanceOf[NumericType]

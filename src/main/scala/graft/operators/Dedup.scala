@@ -389,8 +389,19 @@ object Dedup {
     * pigeonhole on `nChunks` disjoint `chunkBits`-bit chunks — distance
     * ≤ nChunks−1 guarantees some chunk matches exactly, so banding is
     * LOSSLESS at that radius — then exact verify via bit_count(xor).
-    * Data movement is one (chunk, chunk_val) shuffle of the hash table
-    * (never payloads); over-cap buckets are dropped like LSH's.
+    *
+    * The banded self-join runs over DISTINCT hash values, not ids: with
+    * duplication factor f (rows per distinct hash), candidate and
+    * verify work shrink f² versus id-level banding, which is what kept a
+    * near-dup-saturated corpus quadratic — measured on the 4× probe
+    * corpus, 20k docs hold only 13k distinct phashes and the densest
+    * bucket 4.4k ids but far fewer distinct values. Verified hash pairs
+    * are then expanded back to id pairs (cross of the two id groups,
+    * plus the distance-0 pairs inside each group) — output-sized work,
+    * irreducible. Data movement is one (chunk, chunk_val) shuffle of
+    * the distinct-hash table plus the h64-keyed expansion joins; text
+    * payloads never move. Over-cap buckets are dropped like LSH's (cap
+    * counts DISTINCT hashes per bucket).
     */
   def hammingPairs(hashes: DataFrame, idCol: String, hashCol: String,
                    maxDist: Int = 3, bucketCap: Int = DefaultBucketCap,
@@ -401,22 +412,117 @@ object Dedup {
     val base = hashes.select(col(idCol).as("id"), col(hashCol).as("h64"))
     val chunkVals = array((0 until nChunks).map(c =>
       shiftright(col("h64"), c * chunkBits).bitwiseAND(mask)): _*)
-    val chunked = base.select(col("id"), col("h64"), posexplode(chunkVals))
-      .toDF("id", "h64", "chunk", "chunk_val")
+    val chunked = base.select(col("h64")).distinct()
+      .select(col("h64"), posexplode(chunkVals))
+      .toDF("h64", "chunk", "chunk_val")
       .withColumn("sz", count(lit(1)).over(
         Window.partitionBy(col("chunk"), col("chunk_val"))))
       .filter(col("sz") <= bucketCap).drop("sz")
-    val cands = chunked.as("a").join(chunked.as("b"),
+    val hashPairs = chunked.as("a").join(chunked.as("b"),
         col("a.chunk") === col("b.chunk") &&
         col("a.chunk_val") === col("b.chunk_val") &&
-        col("a.id") < col("b.id"))
-      .select(col("a.id").as("id1"), col("b.id").as("id2"),
-              col("a.h64").as("h1"), col("b.h64").as("h2"))
+        col("a.h64") < col("b.h64"))
+      .select(col("a.h64").as("h1"), col("b.h64").as("h2"))
       .distinct()
-    cands
       .withColumn("hamming", bit_count(col("h1").bitwiseXOR(col("h2"))))
       .filter(col("hamming") <= maxDist)
-      .select(col("id1"), col("id2"), col("hamming").cast("long").as("hamming"))
+    expandHashPairs(base, hashPairs)
+  }
+
+  /** Expand verified DISTINCT-hash pairs (h1 < h2, hamming ≤ radius)
+    * back to id pairs: cross the two hash groups, and add the
+    * distance-0 pairs within each multi-member group. Output-sized —
+    * every emitted row is an answer row.
+    */
+  private def expandHashPairs(base: DataFrame, hashPairs: DataFrame): DataFrame = {
+    val cross = hashPairs
+      .join(base.as("x"), col("x.h64") === col("h1"))
+      .join(base.as("y"), col("y.h64") === col("h2"))
+      .select(least(col("x.id"), col("y.id")).as("id1"),
+              greatest(col("x.id"), col("y.id")).as("id2"),
+              col("hamming").cast("long").as("hamming"))
+    val intra = base.as("x").join(base.as("y"),
+        col("x.h64") === col("y.h64") && col("x.id") < col("y.id"))
+      .select(col("x.id").as("id1"), col("y.id").as("id2"),
+              lit(0L).as("hamming"))
+    cross.union(intra)
+  }
+
+  /** Smallest block count whose banding keys keep the EXPECTED bucket
+    * size (n / 2^keyBits, uniform-hash heuristic) at or under
+    * `targetBucket`. With `m` blocks a ≤`maxDist` pair agrees exactly on
+    * at least `r = m − maxDist` blocks, so the key is any r-subset of
+    * blocks — keyBits grows as `r · (64/m)` while the per-row fan-out
+    * grows as C(m, r); search stops at maxDist+3 (56 keys/row for
+    * maxDist=5), past which caps are the better tool. Pure function so
+    * the derivation is spec-testable without building a corpus.
+    */
+  def hammingBlocksFor(n: Long, maxDist: Int, targetBucket: Int = 64): Int =
+    (maxDist + 1 to maxDist + 3).find { m =>
+      val keyBits = math.min((m - maxDist) * (64 / m), 62)
+      (n >> keyBits) <= targetBucket
+    }.getOrElse(maxDist + 3)
+
+  /** [[hammingPairs]] with the band width derived from the corpus count:
+    * one count() of the hash table picks [[hammingBlocksFor]]'s block
+    * count, so buckets stop cap-saturating as the corpus grows (fixed
+    * 10-bit buckets degrade to near-pairwise-within-cap at 200k+ rows).
+    * `nBlocks == maxDist+1` delegates to the plain disjoint-chunk path
+    * (bit-identical to the oracled m06/d04 shape); wider block counts
+    * use [[hammingPairsBlocks]]'s combination keys — both are LOSSLESS
+    * to `maxDist` by the same pigeonhole argument.
+    */
+  def hammingPairsAuto(hashes: DataFrame, idCol: String, hashCol: String,
+                       maxDist: Int = 3, bucketCap: Int = DefaultBucketCap,
+                       targetBucket: Int = 64): DataFrame = {
+    val m = hammingBlocksFor(hashes.count(), maxDist, targetBucket)
+    if (m == maxDist + 1)
+      hammingPairs(hashes, idCol, hashCol, maxDist, bucketCap,
+        nChunks = m, chunkBits = 64 / m)
+    else hammingPairsBlocks(hashes, idCol, hashCol, maxDist, bucketCap, m)
+  }
+
+  /** Banded Hamming-≤-maxDist pairs on COMBINATION keys (Manku et al.,
+    * WWW'07 §3): split the 64-bit hash into `nBlocks` near-equal blocks;
+    * a pair within distance d differs in at most d blocks, so it agrees
+    * exactly on some `r = nBlocks − maxDist` of them — every r-subset of
+    * blocks becomes a join key (combo id folded into the key), which
+    * multiplies key bits by r without narrowing the lossless radius.
+    * Fan-out is C(nBlocks, r) rows per input row; data movement is still
+    * only (key, id, h64) — payloads never shuffle.
+    */
+  def hammingPairsBlocks(hashes: DataFrame, idCol: String, hashCol: String,
+                         maxDist: Int, bucketCap: Int, nBlocks: Int): DataFrame = {
+    require(nBlocks >= maxDist + 1,
+      s"banding on $nBlocks blocks is only lossless for distance <= ${nBlocks - 1}")
+    require(nBlocks <= 16, "more than 16 blocks explodes the combo fan-out")
+    val bounds = (0 to nBlocks).map(c => c * 64 / nBlocks)
+    def blockVal(c: Int): Column = {
+      val lo = bounds(c)
+      val w = bounds(c + 1) - lo
+      shiftright(col("h64"), lo).bitwiseAND(lit((1L << w) - 1))
+    }
+    val r = nBlocks - maxDist
+    val combos = (0 until nBlocks).combinations(r).toIndexedSeq
+    // fold (combo id, block values) into ONE long join key; worst case
+    // maxDist+3 blocks → 6 combo-id bits + r·(64/nBlocks) ≤ 30 key bits
+    val keys = array(combos.indices.map { j =>
+      combos(j).foldLeft(lit(j.toLong): Column) { (acc, c) =>
+        acc * lit(1L << (bounds(c + 1) - bounds(c))) + blockVal(c)
+      }
+    }: _*)
+    val base = hashes.select(col(idCol).as("id"), col(hashCol).as("h64"))
+    val keyed = base.select(col("h64")).distinct()
+      .select(col("h64"), explode(keys).as("key"))
+      .withColumn("sz", count(lit(1)).over(Window.partitionBy(col("key"))))
+      .filter(col("sz") <= bucketCap).drop("sz")
+    val hashPairs = keyed.as("a").join(keyed.as("b"),
+        col("a.key") === col("b.key") && col("a.h64") < col("b.h64"))
+      .select(col("a.h64").as("h1"), col("b.h64").as("h2"))
+      .distinct()
+      .withColumn("hamming", bit_count(col("h1").bitwiseXOR(col("h2"))))
+      .filter(col("hamming") <= maxDist)
+    expandHashPairs(base, hashPairs)
   }
 
   /** Sub-document (chunk-level) exact dedup — the scalable stand-in for

@@ -133,15 +133,17 @@ object Multimodal {
   }
 
   /** Media near-duplicate pairs: banded Hamming join over the
-    * perceptual hashes — 6 chunks of 10 bits, lossless to distance 5
-    * (byte-level shingles tolerate a wider radius than word-level
-    * SimHash before false-positive rates matter; verify is exact
-    * either way).
+    * perceptual hashes, lossless to distance 5 (byte-level shingles
+    * tolerate a wider radius than word-level SimHash before
+    * false-positive rates matter; verify is exact either way). Band
+    * width is CORPUS-DERIVED ([[Dedup.hammingPairsAuto]]): small corpora
+    * keep the oracled 6×10-bit chunking, larger ones widen the join keys
+    * via block-combination banding so buckets stop cap-saturating.
     */
   def phashPairs(media: DataFrame, idCol: String, maxDist: Int = 5,
                  bucketCap: Int = Dedup.DefaultBucketCap): DataFrame =
-    Dedup.hammingPairs(perceptualHash(media, idCol), "id", "phash",
-      maxDist, bucketCap, nChunks = 6, chunkBits = 10)
+    Dedup.hammingPairsAuto(perceptualHash(media, idCol), "id", "phash",
+      maxDist, bucketCap)
 
   /** "Frame sampling" over a decoded media table: explode n_frames into
     * per-frame rows, keeping every k-th frame — the video-pipeline shape.

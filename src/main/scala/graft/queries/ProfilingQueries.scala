@@ -18,12 +18,13 @@ object ProfilingQueries {
 
     // One-pass profile of 5 lineitem columns (2 keys, 2 measures, 1
     // string, 1 timestamp): a single aggregate scan; the report is
-    // O(columns). The exact count_distinct plans through one Expand —
-    // the documented 100 TB swap is exact=false (HLL, no Expand).
+    // O(columns). exact=true (count_distinct through one Expand) only so
+    // DuckDB can replay every metric — q102b below is the production
+    // default (HLL, no Expand).
     "q102_data_profile" -> QueryDef(
       (s, d) => DataQuality.profile(Tables.lineitem(s, d),
         Seq("l_orderkey", "l_quantity", "l_extendedprice", "l_returnflag",
-            "l_shipdate")),
+            "l_shipdate"), exact = true),
       Some("""
         SELECT 'l_orderkey' AS col_name, count(*) AS n_rows,
                count(*) - count(l_orderkey) AS n_nulls,
@@ -61,6 +62,17 @@ object ProfilingQueries {
                CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
                CAST(min(l_shipdate) AS VARCHAR), CAST(max(l_shipdate) AS VARCHAR)
         FROM lineitem""")),
+
+    // The SAME profile on the default approx path — one HLL sketch per
+    // column, NO Expand, the shape a 100 TB wide-table profile actually
+    // plans. Rows-only gate (HLL estimates are engine-specific, so no
+    // value oracle); DataQualitySpec ties it to q102's exact counts
+    // within sketch tolerance.
+    "q102b_data_profile_approx" -> QueryDef(
+      (s, d) => DataQuality.profile(Tables.lineitem(s, d),
+        Seq("l_orderkey", "l_quantity", "l_extendedprice", "l_returnflag",
+            "l_shipdate")),
+      None),
 
     // Constraint report over orders: completeness, key uniqueness, value
     // range (deliberately tight so the fail branch is exercised),

@@ -16,7 +16,7 @@ class DataQualitySpec extends SparkSpec {
   }
 
   test("profile: exact per-column stats incl. nulls, numeric vs string split") {
-    val p = DataQuality.profile(fixture, Seq("id", "x", "s"))
+    val p = DataQuality.profile(fixture, Seq("id", "x", "s"), exact = true)
       .collect().map(r => r.getAs[String]("col_name") -> r).toMap
     p("id").getAs[Long]("n_rows") shouldBe 5L
     p("id").getAs[Long]("n_nulls") shouldBe 0L
@@ -33,7 +33,7 @@ class DataQualitySpec extends SparkSpec {
   }
 
   test("profile is one aggregate pass: no joins, a single scan feeds the report") {
-    val plan = DataQuality.profile(fixture, Seq("id", "x", "s"))
+    val plan = DataQuality.profile(fixture, Seq("id", "x", "s"), exact = true)
       .queryExecution.executedPlan.toString
     plan should not include "Join"
     // exact count_distinct plans via Expand: partial + final + the
@@ -41,14 +41,34 @@ class DataQualitySpec extends SparkSpec {
     "Scan".r.findAllIn(plan).size shouldBe 1
   }
 
-  test("approx profile variant drops the Expand (the 100 TB shape)") {
-    val exact = DataQuality.profile(fixture, Seq("id", "x", "s"))
+  test("approx profile (the DEFAULT) drops the Expand (the 100 TB shape)") {
+    val exact = DataQuality.profile(fixture, Seq("id", "x", "s"), exact = true)
       .queryExecution.executedPlan.toString
-    val approx = DataQuality.profile(fixture, Seq("id", "x", "s"), exact = false)
+    val approx = DataQuality.profile(fixture, Seq("id", "x", "s"))
       .queryExecution.executedPlan.toString
     exact should include("Expand")
     approx should not include "Expand"
     "Exchange".r.findAllIn(approx).size shouldBe 1
+  }
+
+  test("approx profile (q102b) tracks the exact profile (q102) within HLL tolerance") {
+    val cols = Seq("l_orderkey", "l_quantity", "l_extendedprice",
+      "l_returnflag", "l_shipdate")
+    val li = graft.Tables.lineitem(spark, sfDir)
+    def byCol(exact: Boolean) = DataQuality.profile(li, cols, exact)
+      .collect().map(r => r.getAs[String]("col_name") -> r).toMap
+    val e = byCol(exact = true)
+    val a = byCol(exact = false)
+    for (c <- cols) {
+      // every metric except n_distinct is computed identically
+      for (f <- Seq("n_rows", "n_nulls")) a(c).getAs[Long](f) shouldBe e(c).getAs[Long](f)
+      for (f <- Seq("min_num", "max_num", "avg_num", "min_str", "max_str"))
+        a(c).get(a(c).fieldIndex(f)) shouldBe e(c).get(e(c).fieldIndex(f))
+      // n_distinct: HLL default rsd is 5%; assert within 15% of exact
+      val (ed, ad) = (e(c).getAs[Long]("n_distinct"), a(c).getAs[Long]("n_distinct"))
+      assert(math.abs(ad - ed) <= math.max(1L, (ed * 0.15).toLong),
+        s"$c: approx n_distinct $ad vs exact $ed drifted past sketch tolerance")
+    }
   }
 
   test("validate: planted violations are counted, pass/fail per check") {

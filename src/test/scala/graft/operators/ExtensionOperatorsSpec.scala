@@ -308,6 +308,44 @@ class ExtensionOperatorsSpec extends SparkSpec {
     pairs.keySet should not contain ((2L, 3L))
   }
 
+  test("hammingBlocksFor widens bands as the corpus grows (expected-bucket bound)") {
+    // maxDist=5, target 64: 6 blocks → 10 key bits → good to ~65k rows
+    Dedup.hammingBlocksFor(1000L, maxDist = 5) shouldBe 6
+    Dedup.hammingBlocksFor(65000L, maxDist = 5) shouldBe 6
+    // the m06 cliff: 200k rows saturate 10-bit buckets → 7 blocks (18-bit keys)
+    Dedup.hammingBlocksFor(200000L, maxDist = 5) shouldBe 7
+    Dedup.hammingBlocksFor(16000000L, maxDist = 5) shouldBe 7
+    // 50M rows → 8 blocks (24-bit keys); search caps at maxDist+3
+    Dedup.hammingBlocksFor(50000000L, maxDist = 5) shouldBe 8
+    Dedup.hammingBlocksFor(1000000000000L, maxDist = 5) shouldBe 8
+    // the default simhash radius scales the same way from its 4×16 base
+    Dedup.hammingBlocksFor(60000L, maxDist = 3) shouldBe 4
+    Dedup.hammingBlocksFor(10000000L, maxDist = 3) shouldBe 5
+  }
+
+  test("combination-key banding (wide corpora) finds the same pairs as chunk banding") {
+    import spark.implicits._
+    val base = 0x0ABCDEF123456789L & ((1L << 60) - 1)
+    def flip(bits: Seq[Int]): Long = bits.foldLeft(base)((h, b) => h ^ (1L << b))
+    val rows = Seq(
+      1L -> base,
+      2L -> flip(Seq(0)),                       // hamming 1
+      3L -> flip(Seq(5, 15, 25, 35, 45)),       // hamming 5, one per 10-bit chunk
+      4L -> flip(Seq(3, 13, 23, 33, 43, 53)))   // hamming 6 — beyond radius
+      .toDF("id", "h")
+    val expected = Map((1L, 2L) -> 1L, (1L, 3L) -> 5L)
+    def collect(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // the ≤maxDist result set is banding-invariant: any lossless banding
+    // surfaces every true pair and exact verify trims the rest
+    collect(Dedup.hammingPairsBlocks(rows, "id", "h", maxDist = 5,
+      bucketCap = 1000, nBlocks = 7)) shouldBe expected
+    collect(Dedup.hammingPairsBlocks(rows, "id", "h", maxDist = 5,
+      bucketCap = 1000, nBlocks = 8)) shouldBe expected
+    // auto on a tiny corpus delegates to the oracled chunk path
+    collect(Dedup.hammingPairsAuto(rows, "id", "h", maxDist = 5)) shouldBe expected
+  }
+
   test("perceptualHash: identical payloads collide; a small edit moves few bits") {
     import spark.implicits._
     val baseText = ("lorem ipsum dolor sit amet consectetur adipiscing elit " * 8).trim
