@@ -520,9 +520,9 @@ object TextAnalysis {
     * Scale: source token masses are one tiny aggregate; budgets
     * broadcast back. Admission is ONE window (token prefix-sum ordered
     * by priority) per source — per-source sort, never global. At
-    * 100 TB, swap the window for a two-pass priority-threshold probe
-    * (approx-quantile the hash cutoff whose prefix mass ≈ budget) with
-    * identical admit-while-below semantics. The share is rounded to
+    * 100 TB use [[tokenBudgetMixThreshold]]: the same admit semantics
+    * via a priority-cutoff probe, so the sort touches only a
+    * budget-sized slice per source. The share is rounded to
     * 6 dp before floor (as t20's rate) so a last-ulp pow/sum drift
     * between engines cannot flip a budget's integer boundary.
     */
@@ -545,6 +545,79 @@ object TextAnalysis {
       .withColumn("pri",
         graft.functions.PortableHash.md5_64(col("doc_id").cast("string")))
       .join(broadcast(budgets), Seq("grp"))
+      .withColumn("cum_before", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .filter(col("cum_before") < col("budget_tokens"))
+      .select(col("doc_id"), col("grp").as("source"), col("n_tokens"),
+              col("cum_before"), col("budget_tokens"))
+  }
+
+  /** The 100 TB execution of [[tokenBudgetMix]]: a two-pass
+    * priority-threshold probe with IDENTICAL admit-while-below
+    * semantics (spec-asserted equal on the same inputs).
+    *
+    * The window path sorts every source's full doc list; here the
+    * per-source sort runs only over a budget-sized SLICE. Because the
+    * priority is a uniform 64-bit hash, the cutoff needs no data pass:
+    * the p-quantile of `pri` is analytically `Long.Min + p·2^64` with
+    * `p = safety · budget / source_tokens`. Pass 1 verifies each
+    * source's slice carries at least min(budget, source_tokens) tokens
+    * (a tiny per-source aggregate), doubling the cutoff for any source
+    * that fell short — token counts are independent of the admission
+    * hash, so one probe almost surely suffices and the loop is bounded.
+    * Pass 2 runs the SAME (pri, doc_id) prefix-sum window on the slice;
+    * a slice is prefix-closed in that order, so every admitted doc's
+    * `cum_before` is identical to the full-window value.
+    */
+  def tokenBudgetMixThreshold(df: DataFrame, idCol: String, groupCol: String,
+                              textCol: String, temperature: Double,
+                              budgetTokens: Long,
+                              safety: Double = 2.0): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = df.sparkSession
+    import spark.implicits._
+    val toks = df.select(col(groupCol).cast("string").as("grp"),
+                         col(idCol).as("doc_id"),
+                         tokenCount(col(textCol)).as("n_tokens"))
+      .withColumn("pri",
+        graft.functions.PortableHash.md5_64(col("doc_id").cast("string")))
+    val masses = toks.groupBy(col("grp")).agg(sum(col("n_tokens")).as("grp_tokens"))
+    val z = masses.agg(sum(pow(col("grp_tokens"), temperature)).as("z"))
+    val budgets = masses.crossJoin(broadcast(z))
+      .withColumn("budget_tokens",
+        floor(round(lit(budgetTokens.toDouble) *
+          pow(col("grp_tokens"), temperature) / col("z"), 6)).cast("long"))
+      .select(col("grp"), col("grp_tokens"), col("budget_tokens"))
+    // O(#sources) driver state — the same size as the broadcast the
+    // window path already ships
+    val state = budgets.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    var margin = state.map { case (g, _, _) => g -> safety }.toMap
+    var slice: DataFrame = null
+    var settled = false
+    var rounds = 0
+    while (!settled && rounds < 8) {
+      rounds += 1
+      val cuts = state.map { case (g, gt, b) =>
+        val p = if (gt == 0L) 1.0
+                else math.min(1.0, margin(g) * b.toDouble / gt)
+        val cut = if (p >= 1.0) Long.MaxValue
+                  else (Long.MinValue + p * math.pow(2.0, 64)).toLong
+        (g, cut)
+      }.toSeq.toDF("grp", "cut")
+      slice = toks.join(broadcast(cuts), Seq("grp"))
+        .filter(col("pri") <= col("cut")).drop("cut")
+      val sliceMass = slice.groupBy(col("grp"))
+        .agg(sum(col("n_tokens")).as("m")).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      val short = state.collect { case (g, gt, b)
+        if sliceMass.getOrElse(g, 0L) < math.min(b, gt) => g }
+      if (short.isEmpty) settled = true
+      else margin = margin ++ short.map(g => g -> margin(g) * 2.0)
+    }
+    val w = Window.partitionBy(col("grp")).orderBy(col("pri"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    slice
+      .join(broadcast(budgets.select(col("grp"), col("budget_tokens"))), Seq("grp"))
       .withColumn("cum_before", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
       .filter(col("cum_before") < col("budget_tokens"))
       .select(col("doc_id"), col("grp").as("source"), col("n_tokens"),

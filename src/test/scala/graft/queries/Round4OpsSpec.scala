@@ -91,6 +91,23 @@ class Round4OpsSpec extends SparkSpec {
     again shouldBe kept.select("doc_id").collect().map(_.getLong(0)).sorted
   }
 
+  test("tokenBudgetMixThreshold (the 100 TB path) admits the identical set as the window path") {
+    val docs = graft.Tables.documents(spark, sfDir)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .sortBy(r => (r._2, r._1)).toSeq
+    val window = rows(graft.operators.TextAnalysis.tokenBudgetMix(
+      docs, "doc_id", "source", "text", temperature = 0.6, budgetTokens = 25000L))
+    val threshold = rows(graft.operators.TextAnalysis.tokenBudgetMixThreshold(
+      docs, "doc_id", "source", "text", temperature = 0.6, budgetTokens = 25000L))
+    threshold shouldBe window // every column, cum_before included
+    // a pathologically low safety factor still converges via the
+    // escalation loop to the same admit set
+    val tight = rows(graft.operators.TextAnalysis.tokenBudgetMixThreshold(
+      docs, "doc_id", "source", "text", 0.6, 25000L, safety = 0.1))
+    tight shouldBe window
+  }
+
   test("hybridRrfTopK: dense ranks, both-list docs beat equal single-list docs, deterministic") {
     import org.apache.spark.sql.functions._
     val out = graft.operators.Similarity.hybridRrfTopK(
