@@ -405,7 +405,10 @@ object EventQueries {
             org.apache.spark.sql.Row(-2L, nanos, -2L, "purchase", 0.0, "{}")))
         writeSentinel("zz1_sentinel.parquet", 4102444800000000000L) // 2100
         writeSentinel("zz2_sentinel.parquet", 4133980800000000000L) // 2101
-        withStreamConf(s, parts = "8", rocksdb = false) {
+        // parts=4 measured consistently faster than 8 for this gate (the
+        // outer join keeps 4 state stores per side per batch; fewer
+        // instances beat parallelism at this state size)
+        withStreamConf(s, parts = "4", rocksdb = false) {
           def stream = tsMicros(s.readStream.schema(rawSchema)
             .option("pathGlobFilter", "*.parquet")
             .option("maxFilesPerTrigger", "1")

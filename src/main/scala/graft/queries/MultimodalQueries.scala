@@ -150,6 +150,40 @@ object MultimodalQueries {
         SELECT id1, id2, CAST(bit_count(xor(h1, h2)) AS BIGINT) AS hamming
         FROM cand WHERE bit_count(xor(h1, h2)) <= 5""")),
 
+    // The WIDE-corpus banding path (Manku-style block-combination keys,
+    // nBlocks=7 → 21 18-bit keys/row) hash-oracled end to end: at sf0.01
+    // no bucket cap fires and the banding is lossless to distance 5, so
+    // the answer is banding-INVARIANT — the oracle verifies it by brute
+    // force (pairwise bit_count over the 500 phashes), which also proves
+    // m06's banded answer equals the unbanded truth at this scale.
+    "m07_phash_pairs_wide" -> QueryDef(
+      (s, d) => {
+        val media = Multimodal.asMediaTable(Tables.documents(s, d), "text", "doc_id")
+        graft.operators.Dedup.hammingPairsBlocks(
+          Multimodal.perceptualHash(media, "doc_id"), "id", "phash",
+          maxDist = 5, bucketCap = graft.operators.Dedup.DefaultBucketCap,
+          nBlocks = 7)
+      },
+      Some(s"""
+        WITH pay AS (SELECT doc_id, encode(text) AS payload FROM documents),
+        hx AS (SELECT doc_id, hex(payload) AS hx, octet_length(payload) AS nb
+               FROM pay),
+        tok AS (SELECT doc_id, substr(hx, i*2+1, 8) AS w
+                FROM hx, LATERAL (SELECT unnest(range(0, greatest(nb-3,1))) AS i) t),
+        hs AS (SELECT doc_id, list(${PH.sqlMd5_64("w")}) AS hl
+               FROM tok GROUP BY doc_id),
+        ph AS (SELECT doc_id,
+                 CAST(list_sum([CASE WHEN list_sum([CASE WHEN (h >> b) & 1 = 1
+                                                        THEN 1 ELSE -1 END
+                                                   for h in hl]) > 0
+                                     THEN (1::BIGINT << b) ELSE 0 END
+                                for b in range(64)]) AS BIGINT) AS phash
+               FROM hs)
+        SELECT a.doc_id AS id1, b.doc_id AS id2,
+               CAST(bit_count(xor(a.phash, b.phash)) AS BIGINT) AS hamming
+        FROM ph a JOIN ph b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.phash, b.phash)) <= 5""")),
+
     "m03_frame_sampling" -> QueryDef(
       (s, d) => {
         val media = Multimodal.asMediaTable(Tables.documents(s, d), "text", "doc_id")
