@@ -69,11 +69,18 @@ object GraftIntegrationSource {
   private[sources] def toMap(o: CaseInsensitiveStringMap): Map[String, String] =
     o.asCaseSensitiveMap().asScala.toMap
 
+  /** Optional `jars` option (comma-separated paths): the factory and
+    * everything it pulls in load CHILD-FIRST from those jars
+    * ([[graft.engine.IntegrationLoader]]) — per-integration dependency
+    * isolation, the reference's forked-executor analog. Without it the
+    * factory loads from the application classpath as before.
+    */
   private[sources] def integrationFor(opts: Map[String, String]): Integration = {
     val cls = opts.getOrElse("factory",
       throw new IllegalArgumentException("option 'factory' (IntegrationFactory class) required"))
-    Class.forName(cls).getDeclaredConstructor().newInstance()
-      .asInstanceOf[IntegrationFactory].build(opts)
+    val jars = opts.get("jars").toSeq.flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
+    graft.engine.IntegrationLoader.instantiate[IntegrationFactory](cls, jars)
+      .build(opts)
   }
 
   private[sources] def fullSchema(i: Integration): StructType =
