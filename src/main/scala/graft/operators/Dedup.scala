@@ -377,7 +377,12 @@ object Dedup {
 
   /** SimHash near-dup pairs with Hamming distance ≤ maxDist, banded on
     * 16-bit chunks (pigeonhole: distance ≤ 3 ⇒ some chunk of 4 matches
-    * exactly), then verified with bit_count(xor).
+    * exactly), then verified with bit_count(xor). Fixed 4×16 banding is
+    * the oracle-replayable shape; a corpus of mostly-UNIQUE fingerprints
+    * large enough to saturate 16-bit buckets should band via
+    * [[hammingPairsAuto]] instead (dense near-dup corpora gain nothing
+    * from wider bands — the distinct-first join inside [[hammingPairs]]
+    * is the lever there, and both paths share it).
     */
   def simhashPairs(df: DataFrame, textCol: String, idCol: String,
                    maxDist: Int = 3, bucketCap: Int = DefaultBucketCap): DataFrame =
