@@ -480,11 +480,16 @@ object Dedup {
   def hammingPairsAuto(hashes: DataFrame, idCol: String, hashCol: String,
                        maxDist: Int = 3, bucketCap: Int = DefaultBucketCap,
                        targetBucket: Int = 64): DataFrame = {
-    val m = hammingBlocksFor(hashes.count(), maxDist, targetBucket)
+    // materialize the (id, hash) table once: the sizing count() and the
+    // banded join both read the checkpoint instead of re-running the
+    // fingerprint kernel over the corpus
+    val mat = hashes.select(col(idCol).as("id"), col(hashCol).as("h64"))
+      .localCheckpoint()
+    val m = hammingBlocksFor(mat.count(), maxDist, targetBucket)
     if (m == maxDist + 1)
-      hammingPairs(hashes, idCol, hashCol, maxDist, bucketCap,
+      hammingPairs(mat, "id", "h64", maxDist, bucketCap,
         nChunks = m, chunkBits = 64 / m)
-    else hammingPairsBlocks(hashes, idCol, hashCol, maxDist, bucketCap, m)
+    else hammingPairsBlocks(mat, "id", "h64", maxDist, bucketCap, m)
   }
 
   /** Banded Hamming-≤-maxDist pairs on COMBINATION keys (Manku et al.,
