@@ -38,7 +38,45 @@ object DedupQueries {
     * both engines compute the identical signatures.
     */
   private def minhashLshOracle(k: Int, bands: Int,
-                               dfCap: Int = graft.operators.Dedup.DefaultDfCap): String = {
+                               dfCap: Int = graft.operators.Dedup.DefaultDfCap): String =
+    s"""
+    ${minhashCandCtes(k, bands, dfCap)},
+    sz AS (SELECT doc_id, count(*) AS n FROM shc GROUP BY 1),
+    com AS (SELECT id1, id2, count(*) AS c
+            FROM cand JOIN shc sa ON sa.doc_id = id1
+                      JOIN shc sb ON sb.doc_id = id2 AND sa.s = sb.s
+            GROUP BY 1, 2)
+    SELECT id1, id2, round(c * 1.0 / (s1.n + s2.n - c), 6) AS jaccard
+    FROM com JOIN sz s1 ON id1 = s1.doc_id JOIN sz s2 ON id2 = s2.doc_id
+    WHERE c * 1.0 / (s1.n + s2.n - c) >= 0.8"""
+
+  /** Signature-AGREEMENT verification tail over the same candidate CTEs —
+    * the oracle for the streaming near-dup gate (q104), whose verify is
+    * the fraction of equal signature positions (a stream cannot replay
+    * exact Jaccard without holding every shingle set in state).
+    */
+  private[queries] def minhashSigAgreementOracle(k: Int, bands: Int,
+                                                 threshold: Double): String = {
+    val agree = (0 until k)
+      .map(i => s"CASE WHEN a.s$i = b.s$i THEN 1 ELSE 0 END")
+      .mkString("\n                 + ")
+    s"""
+    ${minhashCandCtes(k, bands, dfCap = 0)},
+    agree AS (SELECT id1, id2,
+                (${agree}) AS na
+              FROM cand JOIN sigs a ON a.doc_id = id1
+                        JOIN sigs b ON b.doc_id = id2)
+    SELECT id1, id2, round(na * 1.0 / $k, 6) AS sig_sim
+    FROM agree WHERE na * 1.0 / $k >= $threshold"""
+  }
+
+  /** Shared CTE chain through banded, bucket-capped candidate pairs
+    * (`cand(id1, id2)`, with `sigs` and `shc` still in scope for the
+    * verification tails). Constants interpolated from
+    * [[graft.functions.PortableHash]], so both engines compute identical
+    * signatures.
+    */
+  private def minhashCandCtes(k: Int, bands: Int, dfCap: Int): String = {
     val rows = k / bands
     val sigCols = (0 until k)
       .map(i => s"min(${PH.sqlDerived("h", i)}) AS s$i").mkString(",\n               ")
@@ -47,7 +85,7 @@ object DedupQueries {
       s"SELECT doc_id, $b AS band, ${PH.sqlMd5_64(s"array_to_string([$slice], ',')")} AS bh FROM sigs"
     }.mkString("\n          UNION ALL ")
     // dfCap <= 0 disables the document-frequency cap (the per-row kernel
-    // path, d13 — a scalar signature can't see corpus-level DF)
+    // path, d13/q104 — a scalar signature can't see corpus-level DF)
     val shcStage =
       if (dfCap <= 0) "shc AS (SELECT doc_id, s FROM sh),"
       else s"""shc AS (SELECT doc_id, s FROM (
@@ -68,15 +106,7 @@ object DedupQueries {
                WHERE sz <= ${graft.operators.Dedup.DefaultBucketCap}),
     cand AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
              FROM capped a JOIN capped b
-               ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
-    sz AS (SELECT doc_id, count(*) AS n FROM shc GROUP BY 1),
-    com AS (SELECT id1, id2, count(*) AS c
-            FROM cand JOIN shc sa ON sa.doc_id = id1
-                      JOIN shc sb ON sb.doc_id = id2 AND sa.s = sb.s
-            GROUP BY 1, 2)
-    SELECT id1, id2, round(c * 1.0 / (s1.n + s2.n - c), 6) AS jaccard
-    FROM com JOIN sz s1 ON id1 = s1.doc_id JOIN sz s2 ON id2 = s2.doc_id
-    WHERE c * 1.0 / (s1.n + s2.n - c) >= 0.8"""
+               ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id)"""
   }
 
   /** Shared DuckDB CTE chain for the d06 near-dup clustering pipeline:

@@ -730,6 +730,62 @@ object EventQueries {
       Some("""
         SELECT md5(text) AS content_md5, min(doc_id) AS keeper_id,
                count(*) AS dup_count
-        FROM documents GROUP BY 1"""))
+        FROM documents GROUP BY 1""")),
+
+    // Cross-batch streaming NEAR-dup (q104): the continuous-ingest twin
+    // of MinHash-LSH. Signatures come from the same zero-shuffle kernel
+    // as d13; band hashes are the same portable band hash as the batch
+    // path; bucketing + pairing is a transformWithState per (band,
+    // band_hash) on RocksDB (BucketPairer). After the 4-batch drain, the
+    // distinct emitted set equals the batch candidates verified at the
+    // same signature-agreement threshold — the oracle replays signatures,
+    // banding, caps, and the agreement fraction in DuckDB.
+    "q104_streaming_minhash_pairs" -> QueryDef(
+      (s, d) => {
+        import org.apache.spark.sql.streaming.{OutputMode, TimeMode, Trigger}
+        import s.implicits._
+        val sf = java.nio.file.Paths.get(d).getFileName.toString
+        val dir = java.nio.file.Paths.get(
+          sys.props("java.io.tmpdir"), "graft_export", sf, "docs_stream4")
+        if (!java.nio.file.Files.exists(dir.resolve("_SUCCESS")))
+          Tables.documents(s, d).repartition(4)
+            .write.mode("overwrite").parquet(dir.toString)
+        val schema = Tables.documents(s, d).schema
+        val (k, bands) = (32, 8)
+        val rows = k / bands
+        withStreamConf(s, parts = "8", rocksdb = true) {
+          val sigs = s.readStream
+            .option("maxFilesPerTrigger", "1") // 4 files → 4 batches
+            .schema(schema).parquet(dir.toString)
+            .select(col("doc_id"),
+              graft.operators.Dedup.minhashSigKernel(col("text"), 3, k).as("sig"))
+          val bandHashes = array((0 until bands).map(b =>
+            graft.functions.PortableHash.md5_64(concat_ws(",",
+              transform(slice(col("sig"), b * rows + 1, rows),
+                _.cast("string"))))): _*)
+          val pairs = sigs
+            .select(col("doc_id"), col("sig"), posexplode(bandHashes))
+            .toDF("doc_id", "sig", "band", "band_hash")
+            .select(col("band"), col("band_hash"), col("doc_id"), col("sig"))
+            .as[(Int, Long, Long, Array[Long])]
+            .groupByKey(r => (r._1, r._2))
+            .mapValues(r => (r._3, r._4))
+            .transformWithState(
+              new graft.streaming.BucketPairer(threshold = 0.5,
+                cap = graft.operators.Dedup.DefaultBucketCap),
+              TimeMode.None(), OutputMode.Update())
+            .toDF("id1", "id2", "sig_sim")
+          val q = pairs.writeStream.format("memory").queryName("q104_sink")
+            .outputMode(OutputMode.Update()).trigger(Trigger.AvailableNow()).start()
+          q.awaitTermination()
+          // cross-band duplicate emissions collapse here; rounding matches
+          // the oracle's 6 dp
+          s.table("q104_sink").distinct()
+            .select(col("id1"), col("id2"),
+                    round(col("sig_sim"), 6).as("sig_sim"))
+        }
+      },
+      Some(DedupQueries.minhashSigAgreementOracle(k = 32, bands = 8,
+        threshold = 0.5)))
   )
 }

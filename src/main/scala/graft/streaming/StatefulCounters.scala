@@ -57,6 +57,58 @@ class PerKeyCounter extends StatefulProcessor[Long, Long, (Long, Long)] {
   }
 }
 
+/** Cross-batch streaming NEAR-dup detection — the continuous-ingest twin
+  * of MinHash-LSH ([[graft.operators.Dedup.minhashCandidates]]): keyed by
+  * (band, band_hash), state is the bucket's member list (doc id +
+  * signature). Each arriving doc pairs against every member already in
+  * the bucket and emits (min id, max id, signature-agreement estimate)
+  * when the estimate clears `threshold` — so after the stream drains, the
+  * distinct emitted set equals the batch pipeline's banded candidates
+  * verified at the same signature threshold, regardless of arrival order
+  * or batch boundaries (each unordered pair is emitted when its LATER
+  * member arrives; cross-band duplicates collapse in the sink distinct).
+  *
+  * Capacity: state per bucket is its member list, RocksDB-resident, and
+  * a bucket at `cap` goes SATURATED — new members are neither added nor
+  * paired (the streaming analog of the batch path dropping over-cap
+  * buckets; divergence: batch drops such buckets retroactively, a stream
+  * cannot un-emit — documented, and at gate scale no bucket reaches cap).
+  */
+class BucketPairer(threshold: Double, cap: Int)
+    extends StatefulProcessor[(Int, Long), (Long, Array[Long]), (Long, Long, Double)] {
+
+  @transient private var members:
+    org.apache.spark.sql.streaming.ListState[(Long, Array[Long])] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    members = getHandle.getListState[(Long, Array[Long])]("members",
+      Encoders.product[(Long, Array[Long])], TTLConfig.NONE)
+
+  override def handleInputRows(key: (Int, Long),
+      rows: Iterator[(Long, Array[Long])],
+      timerValues: TimerValues): Iterator[(Long, Long, Double)] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+    var all = members.get().toSeq
+    rows.toSeq.sortBy(_._1).foreach { case (id, sig) =>
+      if (all.size < cap) {
+        all.foreach { case (oid, osig) =>
+          if (oid != id) {
+            var agree = 0
+            var i = 0
+            while (i < sig.length) { if (sig(i) == osig(i)) agree += 1; i += 1 }
+            val est = agree.toDouble / sig.length
+            if (est >= threshold)
+              out += ((math.min(id, oid), math.max(id, oid), est))
+          }
+        }
+        all = all :+ ((id, sig))
+        members.appendValue((id, sig))
+      }
+    }
+    out.iterator
+  }
+}
+
 /** Event-time TIMER surface of [[StatefulProcessor]]: per-key session
   * assembly where the CLOSE is driven by the watermark, not by seeing the
   * next event. State is a [[org.apache.spark.sql.streaming.ListState]]

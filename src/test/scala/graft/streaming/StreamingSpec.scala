@@ -498,4 +498,33 @@ class StreamingSpec extends SparkSpec {
     back.as[Ev].collect().sortBy(_.event_id) shouldBe
       events.as[Ev].collect().sortBy(_.event_id)
   }
+
+  test("streaming minhash near-dup (q104) equals the batch banded+agreement pipeline") {
+    val streamed = graft.SparkEntry.queries("q104_streaming_minhash_pairs")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // the batch twin: kernel signatures → band hashes → candidate pairs →
+    // signature-agreement fraction, all in one declarative plan
+    val (k, bands) = (32, 8)
+    val rows = k / bands
+    val sigs = graft.Tables.documents(spark, sfDir).select(col("doc_id"),
+      graft.operators.Dedup.minhashSigKernel(col("text"), 3, k).as("sig"))
+    val bandHashes = array((0 until bands).map(b =>
+      graft.functions.PortableHash.md5_64(concat_ws(",",
+        transform(slice(col("sig"), b * rows + 1, rows), _.cast("string"))))): _*)
+    val banded = sigs.select(col("doc_id"), col("sig"), posexplode(bandHashes))
+      .toDF("doc_id", "sig", "band", "bh")
+    val batch = banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"),
+              col("a.sig").as("s1"), col("b.sig").as("s2"))
+      .distinct()
+      .withColumn("est", expr(
+        s"size(filter(zip_with(s1, s2, (x, y) -> x = y), v -> v)) / CAST($k AS DOUBLE)"))
+      .filter(col("est") >= 0.5)
+      .select(col("id1"), col("id2"), round(col("est"), 6).as("sig_sim"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    streamed shouldBe batch
+    streamed should not be empty // the corpus plants near-dups; a silent empty set would vacuously pass
+  }
 }
