@@ -33,6 +33,28 @@ object EventQueries {
       case _ => df.withColumn("ts", col("ts").cast("timestamp"))
     }
 
+  /** Stage documents.parquet as a 4-file stream-source directory (4
+    * micro-batches under maxFilesPerTrigger=1), re-staging whenever the
+    * SOURCE fixture is newer than the staging marker — a driver-side
+    * fixture regeneration (the r5 events.ts incident) must never leave a
+    * streaming gate reading stale staged data. Shared by q101/q104.
+    */
+  private def stageDocsDir(s: org.apache.spark.sql.SparkSession,
+      d: String): java.nio.file.Path = {
+    val sf = java.nio.file.Paths.get(d).getFileName.toString
+    val dir = java.nio.file.Paths.get(
+      sys.props("java.io.tmpdir"), "graft_export", sf, "docs_stream4")
+    val src = java.nio.file.Paths.get(d, "documents.parquet")
+    val marker = dir.resolve("_SUCCESS")
+    val stale = !java.nio.file.Files.exists(marker) ||
+      java.nio.file.Files.getLastModifiedTime(src)
+        .compareTo(java.nio.file.Files.getLastModifiedTime(marker)) > 0
+    if (stale)
+      Tables.documents(s, d).repartition(4)
+        .write.mode("overwrite").parquet(dir.toString)
+    dir
+  }
+
   /** Stage events.parquet into a per-gate file-stream source directory
     * (the file source consumes directories); returns (dir, raw schema).
     * Shared by every executed-streaming gate.
@@ -701,12 +723,7 @@ object EventQueries {
       (s, d) => {
         import org.apache.spark.sql.streaming.{OutputMode, TimeMode, Trigger}
         import s.implicits._
-        val sf = java.nio.file.Paths.get(d).getFileName.toString
-        val dir = java.nio.file.Paths.get(
-          sys.props("java.io.tmpdir"), "graft_export", sf, "docs_stream4")
-        if (!java.nio.file.Files.exists(dir.resolve("_SUCCESS")))
-          Tables.documents(s, d).repartition(4)
-            .write.mode("overwrite").parquet(dir.toString)
+        val dir = stageDocsDir(s, d)
         val schema = Tables.documents(s, d).schema
         withStreamConf(s, parts = "8", rocksdb = true) {
           val deduped = s.readStream
@@ -744,12 +761,7 @@ object EventQueries {
       (s, d) => {
         import org.apache.spark.sql.streaming.{OutputMode, TimeMode, Trigger}
         import s.implicits._
-        val sf = java.nio.file.Paths.get(d).getFileName.toString
-        val dir = java.nio.file.Paths.get(
-          sys.props("java.io.tmpdir"), "graft_export", sf, "docs_stream4")
-        if (!java.nio.file.Files.exists(dir.resolve("_SUCCESS")))
-          Tables.documents(s, d).repartition(4)
-            .write.mode("overwrite").parquet(dir.toString)
+        val dir = stageDocsDir(s, d)
         val schema = Tables.documents(s, d).schema
         val (k, bands) = (32, 8)
         val rows = k / bands
