@@ -765,7 +765,7 @@ object EventQueries {
         val schema = Tables.documents(s, d).schema
         val (k, bands) = (32, 8)
         val rows = k / bands
-        withStreamConf(s, parts = "8", rocksdb = true) {
+        withStreamConf(s, parts = "4", rocksdb = true) {
           val sigs = s.readStream
             .option("maxFilesPerTrigger", "1") // 4 files → 4 batches
             .schema(schema).parquet(dir.toString)
