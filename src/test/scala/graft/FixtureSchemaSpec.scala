@@ -65,4 +65,22 @@ class FixtureSchemaSpec extends SparkSpec {
       assert(actual == expected(name),
         s"fixture drift in $name at $dir — update Tables/queries for the new encoding")
     }
+
+  test("Tables.events nanos-as-long branch still normalizes (legacy fixture encoding)") {
+    import org.apache.spark.sql.functions._
+    // synthesize the pre-r5 encoding: ts stored as raw epoch NANOS int64
+    val legacyDir = java.nio.file.Files.createTempDirectory("graft-legacy").toString
+    Tables.events(spark, "/root/testdata/sf0.001")
+      .withColumn("ts", (unix_micros(col("ts")) * 1000L).cast("long"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$legacyDir/events.parquet")
+    val legacy = Tables.events(spark, legacyDir)
+    legacy.schema("ts").dataType shouldBe TimestampType
+    // values round-trip exactly (µs → ns → floor-truncate back to µs)
+    val want = Tables.events(spark, "/root/testdata/sf0.001")
+      .select(col("event_id"), col("ts")).collect()
+      .map(r => r.getLong(0) -> r.getTimestamp(1)).toMap
+    val got = legacy.select(col("event_id"), col("ts")).collect()
+      .map(r => r.getLong(0) -> r.getTimestamp(1)).toMap
+    got shouldBe want
+  }
 }
