@@ -26,6 +26,29 @@ object SourceQueries {
     Paths.get(sys.props("java.io.tmpdir"), "graft_export", sf, name).toString
   }
 
+  /** Documents written with a parquet BLOOM FILTER on doc_id and small
+    * row groups (so several exist to skip). Sorted by doc_id so min/max
+    * stats AND the bloom both get a fair shot; shared by the src16 gate
+    * and BloomFilterSpec. Freshness-guarded against fixture regeneration
+    * like the streaming stagings.
+    */
+  private[queries] def stagedBloomDir(s: org.apache.spark.sql.SparkSession,
+                                      d: String): String = {
+    val out = exportDir(d, "docs_bloom")
+    val marker = Paths.get(out, "_SUCCESS")
+    val src = Paths.get(d, "documents.parquet")
+    val stale = !Files.exists(marker) ||
+      Files.getLastModifiedTime(src).compareTo(Files.getLastModifiedTime(marker)) > 0
+    if (stale)
+      Tables.documents(s, d).sort(col("doc_id")).coalesce(1)
+        .write.mode("overwrite")
+        .option("parquet.bloom.filter.enabled#doc_id", "true")
+        .option("parquet.bloom.filter.expected.ndv#doc_id", "100000")
+        .option("parquet.block.size", (64 * 1024).toString)
+        .parquet(out)
+    out
+  }
+
   def defs: Map[String, QueryDef] = Map(
 
     "src01_csv_roundtrip" -> QueryDef(
@@ -129,6 +152,24 @@ object SourceQueries {
         s.read.parquet(out)
       },
       Some("SELECT event_id, user_id FROM events")),
+
+    // Parquet BLOOM FILTERS: the opt-in point-lookup skipper. Min/max
+    // page stats cannot prune an equality probe on a high-cardinality
+    // column unless the data is sorted by it; a bloom filter skips whole
+    // row groups for ids they definitely do not contain — at 100 TB the
+    // difference between a needle lookup scanning every row group of
+    // every file and touching ~one. The gate probes three ids through
+    // the bloom-enabled staging; the oracle replays the probe on the
+    // source table, so equal results prove the skipping is LOSSLESS.
+    // BloomFilterSpec asserts the footers actually carry the filter (and
+    // that it answers membership correctly).
+    "src16_parquet_bloom" -> QueryDef(
+      (s, d) => s.read.parquet(stagedBloomDir(s, d))
+        .filter(col("doc_id").isin(7L, 99L, 311L))
+        .select(col("doc_id"), col("lang"), col("n_chars")),
+      Some("""
+        SELECT doc_id, lang, n_chars FROM documents
+        WHERE doc_id IN (7, 99, 311)""")),
 
     // Z-order (Morton) layout: interleave the bits of two grid coords so
     // one sort key co-locates rows close in BOTH dimensions; the gate
