@@ -76,6 +76,42 @@ class PlanSpec extends SparkSpec {
     "HashAggregate".r.findAllIn(p).length should be >= 2
   }
 
+  test("CBO column stats flip a filtered-dim join to broadcast (ANALYZE TABLE)") {
+    val confs = Map(
+      "spark.sql.cbo.enabled" -> "true",
+      // static plan only — AQE's runtime sizes would mask the stats decision
+      "spark.sql.adaptive.enabled" -> "false",
+      // below both RAW file sizes (orders 36KB, customer 7KB at sf0.001),
+      // above the ~10-row estimate CBO derives for the filtered side
+      "spark.sql.autoBroadcastJoinThreshold" -> "4096")
+    val prev = confs.keys.map(k => k -> spark.conf.getOption(k)).toMap
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      Tables.orders(spark, sfDir).write.mode("overwrite").saveAsTable("orders_cbo")
+      Tables.customer(spark, sfDir).write.mode("overwrite").saveAsTable("customer_cbo")
+      def planNow: String = spark.table("customer_cbo")
+        .join(spark.table("orders_cbo").filter(col("o_orderkey") < 10),
+              col("c_custkey") === col("o_custkey"))
+        .queryExecution.executedPlan.toString
+      // without stats the filtered relation is estimated at FILE size —
+      // too big to broadcast under the threshold
+      planNow should include("SortMergeJoin")
+      spark.sql(
+        "ANALYZE TABLE orders_cbo COMPUTE STATISTICS FOR COLUMNS o_orderkey, o_custkey")
+      // with row + column stats, FilterEstimation shrinks o_orderkey < 10
+      // to a handful of rows — the join flips to broadcast on STATS, the
+      // decision a 100 TB planner must make from the catalog, not file sizes
+      planNow should include("BroadcastHashJoin")
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS orders_cbo")
+      spark.sql("DROP TABLE IF EXISTS customer_cbo")
+      prev.foreach {
+        case (k, Some(v)) => spark.conf.set(k, v)
+        case (k, None) => spark.conf.unset(k)
+      }
+    }
+  }
+
   test("AQE splits a skewed join partition at runtime (skew=true)") {
     import spark.implicits._
     val confs = Map(
