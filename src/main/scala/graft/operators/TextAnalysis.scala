@@ -180,6 +180,56 @@ object TextAnalysis {
            round(avg(log(col("n") / col("t"))), 6).as("avg_logprob"))
   }
 
+  /** Stupid Backoff bigram LM scoring (Brants et al. 2007, "Large
+    * Language Models in Machine Translation" — the web-scale LM recipe:
+    * no normalized discounting, just count ratios with a fixed α
+    * backoff, chosen precisely because it needs only count tables that
+    * build in one shuffle each and distribute trivially). The LM trains
+    * on the rows matching `trainPred` (the 90% split in the gate) and
+    * scores EVERY document — held-out docs hit unseen bigrams, which is
+    * where the backoff earns its keep:
+    *
+    *   score(doc) = mean over positions i≥1 of log S(w_i | w_{i-1})
+    *   S(w|v) = count(v w) / count(v)       when the bigram was seen
+    *          = α · count(w) / T            otherwise (α = 0.4)
+    *          = α · 1 / T                   w itself unseen (floor)
+    *
+    * Movement: bigram + unigram count tables are one shuffle each over
+    * the TRAIN slice; scoring left-joins the position stream against
+    * both — Catalyst/AQE broadcasts them when they fit (web-scale LMs
+    * shard the bigram table instead; cut the tail by frequency when a
+    * broadcast is wanted). Docs with fewer than 2 tokens drop out.
+    */
+  def bigramBackoffLogProb(df: DataFrame, textCol: String, idCol: String,
+                           trainPred: Column,
+                           alpha: Double = 0.4): DataFrame = {
+    // trainPred must be expressible over (doc_id) — it is applied both to
+    // the source rows and to the exploded bigram stream
+    val ws = df.select(col(idCol).as("doc_id"),
+        split(col(textCol), " ").as("ws"))
+      .filter(size(col("ws")) >= 2)
+    val big = ws.select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(ws) - 1), i -> struct(ws[i-1] AS v, ws[i] AS w))")).as("vw"))
+      .select(col("doc_id"), col("vw.v").as("v"), col("vw.w").as("w"))
+    val train = df.filter(trainPred)
+    val uni = train.select(explode(split(col(textCol), " ")).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("nu"))
+    val tot = uni.agg(sum(col("nu")).as("t"))
+    val bg = big.filter(trainPred)
+      .groupBy(col("v"), col("w")).agg(count(lit(1)).as("nb"))
+    big
+      .join(bg, Seq("v", "w"), "left")
+      .join(uni.select(col("term").as("v"), col("nu").as("nv")), Seq("v"), "left")
+      .join(uni.select(col("term").as("w"), col("nu").as("nw")), Seq("w"), "left")
+      .crossJoin(broadcast(tot))
+      .withColumn("lp",
+        when(col("nb").isNotNull, log(col("nb") / col("nv")))
+          .otherwise(log(lit(alpha) * coalesce(col("nw"), lit(1L)) / col("t"))))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+           round(avg(col("lp")), 6).as("avg_logprob"))
+  }
+
   /** BM25 keyword scoring (k1 = 1.2, b = 0.75): score every document for
     * a bag of query terms, return the global top-k. The inverted-index
     * shape at scale: only rows matching the (tiny) query-term set survive

@@ -200,6 +200,38 @@ object TextQueries {
         FROM tok JOIN lm USING (term) CROSS JOIN tot
         GROUP BY doc_id""")),
 
+    // Stupid Backoff bigram LM (Brants et al. 2007): count-ratio bigram
+    // scoring with α-backoff to unigrams — the web-scale LM-quality
+    // filter one step up from t12's unigram scorer. The LM trains on the
+    // 90% split (doc_id % 10 <> 0) and scores ALL docs, so held-out docs
+    // exercise the backoff on genuinely unseen bigrams. The oracle
+    // replays counts, the seen/backoff CASE, and the unseen-word floor.
+    "t31_bigram_backoff" -> QueryDef(
+      (s, d) => TextAnalysis.bigramBackoffLogProb(
+        Tables.documents(s, d), "text", "doc_id",
+        trainPred = col("doc_id") % 10 =!= 0),
+      Some("""
+        WITH ws AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        big AS (SELECT doc_id, ws[i-1] AS v, ws[i] AS w
+                FROM ws, LATERAL (SELECT unnest(range(2, len(ws) + 1)) AS i) t
+                WHERE len(ws) >= 2),
+        tb AS (SELECT v, w, count(*) AS nb FROM big
+               WHERE doc_id % 10 <> 0 GROUP BY 1, 2),
+        uni AS (SELECT term, count(*) AS nu FROM (
+                  SELECT unnest(ws) AS term FROM ws WHERE doc_id % 10 <> 0)
+                GROUP BY 1),
+        tot AS (SELECT sum(nu) AS t FROM uni),
+        scored AS (
+          SELECT big.doc_id,
+                 CASE WHEN tb.nb IS NOT NULL THEN ln(tb.nb * 1.0 / uv.nu)
+                      ELSE ln(0.4 * coalesce(uw.nu, 1) * 1.0 / t) END AS lp
+          FROM big LEFT JOIN tb ON big.v = tb.v AND big.w = tb.w
+                   LEFT JOIN uni uv ON big.v = uv.term
+                   LEFT JOIN uni uw ON big.w = uw.term
+                   CROSS JOIN tot)
+        SELECT doc_id, count(*) AS n_bigrams, round(avg(lp), 6) AS avg_logprob
+        FROM scored GROUP BY 1""")),
+
     // BM25 keyword search: global top-20 via the bounded-heap operator
     // (no corpus-wide sort). Oracle replays the formula with row_number.
     "t11_bm25_search" -> QueryDef(

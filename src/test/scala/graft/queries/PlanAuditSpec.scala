@@ -24,7 +24,8 @@ class PlanAuditSpec extends SparkSpec {
     "q89_streaming_left_outer", "q90_transform_with_state",
     "q98_stateful_timers",  // streaming drain like q90
     "q99_sql_scripting",    // the script executes at sql() time
-    "q101_streaming_dedup") // streaming drain like q90
+    "q101_streaming_dedup", // streaming drain like q90
+    "q104_streaming_minhash_pairs") // streaming drain like q101
   private def eagerPrefix(n: String): Boolean =
     n.startsWith("p0") || n.startsWith("src")
 
@@ -68,7 +69,8 @@ class PlanAuditSpec extends SparkSpec {
     "t20_mixture_resample",  // 1-row total for temperature shares
     "t26_token_budget_mix",  // 1-row Z normalizer for budget shares
     "t30_length_batching",   // 1-row exact-percentile bucket boundaries
-    "s15_sql_ann"            // 1-row query vector attached to the re-rank
+    "s15_sql_ann",           // 1-row query vector attached to the re-rank
+    "t31_bigram_backoff"     // 1-row total token count (t12's shape)
   )
 
   test("no gate plans an unbounded pairwise join unless pairwise is its contract") {

@@ -108,6 +108,47 @@ class Round4OpsSpec extends SparkSpec {
     tight shouldBe window
   }
 
+  test("stupid-backoff bigram LM: corpus shape + all three scoring branches hand-verified") {
+    import org.apache.spark.sql.functions._
+    val docs = graft.Tables.documents(spark, sfDir)
+    val pred = col("doc_id") % 10 =!= 0
+    val scored = graft.operators.TextAnalysis
+      .bigramBackoffLogProb(docs, "text", "doc_id", trainPred = pred)
+    val byRow = scored.collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val fsize = org.apache.spark.sql.functions.size _
+    byRow.size.toLong shouldBe docs.filter(fsize(split(col("text"), " ")) >= 2).count()
+    // n_bigrams = tokens − 1
+    val toks = docs.select(col("doc_id"), fsize(split(col("text"), " ")).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    byRow.foreach { case (id, (nb, _)) => assert(nb == (toks(id) - 1).toLong) }
+    // pure function of the corpus: a re-run is bit-identical
+    graft.operators.TextAnalysis
+      .bigramBackoffLogProb(docs, "text", "doc_id", trainPred = pred)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2)))
+      .toMap shouldBe byRow
+
+    // all three branches with hand-computed numbers: train unigrams
+    // a:3 b:3 c:2 (T=8), train bigrams (a,b):3 (b,a):1 (b,c):2.
+    // doc 10 (held out): (a,b) seen → ln(3/3)=0; (b,zzz) w-unseen →
+    // ln(0.4·1/8); (zzz,c) bigram-unseen, c seen → ln(0.4·2/8)
+    import spark.implicits._
+    val tiny = Seq((1L, "a b a b c"), (2L, "a b c"), (10L, "a b zzz c"))
+      .toDF("doc_id", "text")
+    val got = graft.operators.TextAnalysis
+      .bigramBackoffLogProb(tiny, "text", "doc_id",
+        trainPred = col("doc_id") % 10 =!= 0)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    got(1L) shouldBe ((4L, BigDecimal(
+      (0 + math.log(1.0 / 3) + 0 + math.log(2.0 / 3)) / 4)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
+    got(2L) shouldBe ((2L, BigDecimal(math.log(2.0 / 3) / 2)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
+    got(10L) shouldBe ((3L, BigDecimal(
+      (0 + math.log(0.4 * 1 / 8.0) + math.log(0.4 * 2 / 8.0)) / 3)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
+  }
+
   test("hybridRrfTopK: dense ranks, both-list docs beat equal single-list docs, deterministic") {
     import org.apache.spark.sql.functions._
     val out = graft.operators.Similarity.hybridRrfTopK(
