@@ -515,7 +515,11 @@ object Dedup {
     val r = nBlocks - maxDist
     val combos = (0 until nBlocks).combinations(r).toIndexedSeq
     // fold (combo id, block values) into ONE long join key; worst case
-    // maxDist+3 blocks → 6 combo-id bits + r·(64/nBlocks) ≤ 30 key bits
+    // maxDist+3 blocks → 6 combo-id bits + r·(64/nBlocks) ≤ 30 key bits.
+    // Blocks have near-equal but VARIABLE widths, so keys from different
+    // combos can collide numerically — harmless: a cross-combo collision
+    // only adds a spurious candidate that the exact bit_count verify
+    // drops; the lossless guarantee rides on same-combo matches alone.
     val keys = array(combos.indices.map { j =>
       combos(j).foldLeft(lit(j.toLong): Column) { (acc, c) =>
         acc * lit(1L << (bounds(c + 1) - bounds(c))) + blockVal(c)
