@@ -230,6 +230,59 @@ object TextAnalysis {
            round(avg(col("lp")), 6).as("avg_logprob"))
   }
 
+  /** The trigram level of Stupid Backoff — the RECURSION that makes
+    * Brants et al. 2007 an n-gram method rather than a bigram trick:
+    *
+    *   S(w|u,v) = count(u v w) / count(u v)   trigram seen
+    *            = α · S(w|v)                  else (recurse to bigram)
+    *   with S(w|v) as in [[bigramBackoffLogProb]] (and its unseen-word
+    *   floor), so an unseen trigram whose bigram is also unseen pays α².
+    *
+    * Per document: mean over positions i ≥ 2 of log S(w_i | w_{i-2},
+    * w_{i-1}); docs with fewer than 3 tokens drop out. Count tables
+    * (trigram, bigram, unigram) are one shuffle each over the train
+    * slice — the same build-once-join-everywhere movement as the bigram
+    * level, one order higher.
+    */
+  def trigramBackoffLogProb(df: DataFrame, textCol: String, idCol: String,
+                            trainPred: Column,
+                            alpha: Double = 0.4): DataFrame = {
+    val ws = df.select(col(idCol).as("doc_id"),
+        split(col(textCol), " ").as("ws"))
+      .filter(size(col("ws")) >= 3)
+    val tri = ws.select(col("doc_id"), explode(expr(
+        "transform(sequence(2, size(ws) - 1), i -> struct(ws[i-2] AS u, ws[i-1] AS v, ws[i] AS w))")).as("t"))
+      .select(col("doc_id"), col("t.u").as("u"), col("t.v").as("v"), col("t.w").as("w"))
+    val train = df.filter(trainPred)
+    val trainWs = train.select(split(col(textCol), " ").as("ws"))
+    val uni = train.select(explode(split(col(textCol), " ")).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("nu"))
+    val tot = uni.agg(sum(col("nu")).as("t"))
+    val bg = trainWs.filter(size(col("ws")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, size(ws) - 1), i -> struct(ws[i-1] AS v, ws[i] AS w))")).as("b"))
+      .groupBy(col("b.v"), col("b.w")).agg(count(lit(1)).as("nb"))
+      .select(col("v"), col("w"), col("nb"))
+    val tg = tri.filter(trainPred)
+      .groupBy(col("u"), col("v"), col("w")).agg(count(lit(1)).as("nt"))
+    tri
+      .join(tg, Seq("u", "v", "w"), "left")
+      .join(bg.select(col("v").as("u"), col("w").as("v"), col("nb").as("nuv")),
+            Seq("u", "v"), "left")
+      .join(bg.select(col("v"), col("w"), col("nb").as("nvw")), Seq("v", "w"), "left")
+      .join(uni.select(col("term").as("v"), col("nu").as("nv")), Seq("v"), "left")
+      .join(uni.select(col("term").as("w"), col("nu").as("nw")), Seq("w"), "left")
+      .crossJoin(broadcast(tot))
+      .withColumn("lp",
+        when(col("nt").isNotNull, log(col("nt") / col("nuv")))
+          .when(col("nvw").isNotNull, log(lit(alpha) * col("nvw") / col("nv")))
+          .otherwise(log(lit(alpha) * lit(alpha) *
+            coalesce(col("nw"), lit(1L)) / col("t"))))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_trigrams"),
+           round(avg(col("lp")), 6).as("avg_logprob"))
+  }
+
   /** BM25 keyword scoring (k1 = 1.2, b = 0.75): score every document for
     * a bag of query terms, return the global top-k. The inverted-index
     * shape at scale: only rows matching the (tiny) query-term set survive

@@ -232,6 +232,45 @@ object TextQueries {
         SELECT doc_id, count(*) AS n_bigrams, round(avg(lp), 6) AS avg_logprob
         FROM scored GROUP BY 1""")),
 
+    // The trigram level of Stupid Backoff — the recursion (trigram →
+    // α·bigram → α²·unigram floor) that makes it an n-gram method. Same
+    // split discipline as t31; α is CAST AS DOUBLE in the oracle so both
+    // engines compute the identical IEEE α² (the d13 decimal lesson).
+    "t32_trigram_backoff" -> QueryDef(
+      (s, d) => TextAnalysis.trigramBackoffLogProb(
+        Tables.documents(s, d), "text", "doc_id",
+        trainPred = col("doc_id") % 10 =!= 0),
+      Some("""
+        WITH ws AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        tri AS (SELECT doc_id, ws[i-2] AS u, ws[i-1] AS v, ws[i] AS w
+                FROM ws, LATERAL (SELECT unnest(range(3, len(ws) + 1)) AS i) t
+                WHERE len(ws) >= 3),
+        tg AS (SELECT u, v, w, count(*) AS nt FROM tri
+               WHERE doc_id % 10 <> 0 GROUP BY 1, 2, 3),
+        big AS (SELECT doc_id, ws[i-1] AS v, ws[i] AS w
+                FROM ws, LATERAL (SELECT unnest(range(2, len(ws) + 1)) AS i) t
+                WHERE len(ws) >= 2),
+        tb AS (SELECT v, w, count(*) AS nb FROM big
+               WHERE doc_id % 10 <> 0 GROUP BY 1, 2),
+        uni AS (SELECT term, count(*) AS nu FROM (
+                  SELECT unnest(ws) AS term FROM ws WHERE doc_id % 10 <> 0)
+                GROUP BY 1),
+        tot AS (SELECT sum(nu) AS t FROM uni),
+        a AS (SELECT CAST(0.4 AS DOUBLE) AS alpha),
+        scored AS (
+          SELECT tri.doc_id,
+                 CASE WHEN tg.nt IS NOT NULL THEN ln(tg.nt * 1.0 / uvb.nb)
+                      WHEN vwb.nb IS NOT NULL THEN ln(alpha * vwb.nb / uv.nu)
+                      ELSE ln(alpha * alpha * coalesce(uw.nu, 1) / t) END AS lp
+          FROM tri LEFT JOIN tg ON tri.u = tg.u AND tri.v = tg.v AND tri.w = tg.w
+               LEFT JOIN tb uvb ON tri.u = uvb.v AND tri.v = uvb.w
+               LEFT JOIN tb vwb ON tri.v = vwb.v AND tri.w = vwb.w
+               LEFT JOIN uni uv ON tri.v = uv.term
+               LEFT JOIN uni uw ON tri.w = uw.term
+               CROSS JOIN tot CROSS JOIN a)
+        SELECT doc_id, count(*) AS n_trigrams, round(avg(lp), 6) AS avg_logprob
+        FROM scored GROUP BY 1""")),
+
     // BM25 keyword search: global top-20 via the bounded-heap operator
     // (no corpus-wide sort). Oracle replays the formula with row_number.
     "t11_bm25_search" -> QueryDef(

@@ -70,7 +70,8 @@ class PlanAuditSpec extends SparkSpec {
     "t26_token_budget_mix",  // 1-row Z normalizer for budget shares
     "t30_length_batching",   // 1-row exact-percentile bucket boundaries
     "s15_sql_ann",           // 1-row query vector attached to the re-rank
-    "t31_bigram_backoff"     // 1-row total token count (t12's shape)
+    "t31_bigram_backoff",    // 1-row total token count (t12's shape)
+    "t32_trigram_backoff"    // 1-row total token count (t12's shape)
   )
 
   test("no gate plans an unbounded pairwise join unless pairwise is its contract") {

@@ -149,6 +149,31 @@ class Round4OpsSpec extends SparkSpec {
       .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
   }
 
+  test("stupid-backoff trigram LM: the three-level recursion hand-verified") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // train: unigrams a:3 b:3 c:2 d:1 (T=9); bigrams ab:3 bc:2 ca:1 bd:1;
+    // trigrams abc:2 bca:1 cab:1 abd:1
+    val tiny = Seq(
+      (1L, "a b c a b c"), (2L, "a b d"),
+      (10L, "a b c x d"), // seen trigram + two α² floors (x unseen)
+      (20L, "d a b"))     // trigram unseen, bigram (a,b) seen → α·3/3
+      .toDF("doc_id", "text")
+    val got = graft.operators.TextAnalysis
+      .trigramBackoffLogProb(tiny, "text", "doc_id",
+        trainPred = col("doc_id") % 10 =!= 0)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val a = 0.4
+    def r6(v: Double) =
+      BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    got(1L) shouldBe ((4L,
+      r6((2 * math.log(2.0 / 3) + math.log(1.0 / 2) + 0.0) / 4)))
+    got(2L) shouldBe ((1L, r6(math.log(1.0 / 3))))
+    got(10L) shouldBe ((3L,
+      r6((math.log(2.0 / 3) + 2 * math.log(a * a * 1 / 9.0)) / 3)))
+    got(20L) shouldBe ((1L, r6(math.log(a * 3 / 3.0))))
+  }
+
   test("hybridRrfTopK: dense ranks, both-list docs beat equal single-list docs, deterministic") {
     import org.apache.spark.sql.functions._
     val out = graft.operators.Similarity.hybridRrfTopK(
