@@ -31,10 +31,17 @@ object Tables {
   def events(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.functions.{expr, timestamp_micros}
     import org.apache.spark.sql.types.LongType
-    // set unconditionally so a nanos fixture loads at all; harmless for
-    // micros fixtures (conf.getOption can't distinguish unset from default)
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val df = load(s, d, "events")
+    // A nanos footer is unreadable natively — schema inference throws on
+    // TIMESTAMP(NANOS) — so probe first and set nanosAsLong only for the
+    // fixture generation that needs it (it must then stay set for the
+    // session: executors re-convert the footer schema at scan time).
+    // Micros fixtures leave the session conf untouched.
+    val df =
+      try load(s, d, "events")
+      catch { case _: org.apache.spark.sql.AnalysisException =>
+        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        load(s, d, "events")
+      }
     df.schema("ts").dataType match {
       case LongType => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
       // timestamp[us] reads back as TIMESTAMP_NTZ; cast to TimestampType so

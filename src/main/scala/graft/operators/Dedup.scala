@@ -496,10 +496,11 @@ object Dedup {
     * WWW'07 §3): split the 64-bit hash into `nBlocks` near-equal blocks;
     * a pair within distance d differs in at most d blocks, so it agrees
     * exactly on some `r = nBlocks − maxDist` of them — every r-subset of
-    * blocks becomes a join key (combo id folded into the key), which
+    * blocks becomes a (combo, folded-block-values) join key, which
     * multiplies key bits by r without narrowing the lossless radius.
     * Fan-out is C(nBlocks, r) rows per input row; data movement is still
-    * only (key, id, h64) — payloads never shuffle.
+    * only (combo, key, h64) over distinct hashes — payloads never
+    * shuffle.
     */
   def hammingPairsBlocks(hashes: DataFrame, idCol: String, hashCol: String,
                          maxDist: Int, bucketCap: Int, nBlocks: Int): DataFrame = {
@@ -514,23 +515,29 @@ object Dedup {
     }
     val r = nBlocks - maxDist
     val combos = (0 until nBlocks).combinations(r).toIndexedSeq
-    // fold (combo id, block values) into ONE long join key; worst case
-    // maxDist+3 blocks → 6 combo-id bits + r·(64/nBlocks) ≤ 30 key bits.
-    // Blocks have near-equal but VARIABLE widths, so keys from different
-    // combos can collide numerically — harmless: a cross-combo collision
-    // only adds a spurious candidate that the exact bit_count verify
-    // drops; the lossless guarantee rides on same-combo matches alone.
+    // fold block values into ONE long join key per combo; worst case
+    // maxDist+3 blocks → r·(64/nBlocks) ≤ 30 key bits. Blocks have
+    // near-equal but VARIABLE widths, so folded keys from different
+    // combos can collide numerically — the combo index therefore stays a
+    // SEPARATE column: buckets cap per (combo, key) and the self-join
+    // matches on both, so a cross-combo collision can neither merge two
+    // unrelated buckets past the cap nor add spurious candidates. The
+    // lossless guarantee rides on same-combo matches, which (combo, key)
+    // equality preserves exactly.
     val keys = array(combos.indices.map { j =>
-      combos(j).foldLeft(lit(j.toLong): Column) { (acc, c) =>
+      combos(j).foldLeft(lit(0L): Column) { (acc, c) =>
         acc * lit(1L << (bounds(c + 1) - bounds(c))) + blockVal(c)
       }
     }: _*)
     val base = hashes.select(col(idCol).as("id"), col(hashCol).as("h64"))
     val keyed = base.select(col("h64")).distinct()
-      .select(col("h64"), explode(keys).as("key"))
-      .withColumn("sz", count(lit(1)).over(Window.partitionBy(col("key"))))
+      .select(col("h64"), posexplode(keys))
+      .toDF("h64", "combo", "key")
+      .withColumn("sz", count(lit(1)).over(
+        Window.partitionBy(col("combo"), col("key"))))
       .filter(col("sz") <= bucketCap).drop("sz")
     val hashPairs = keyed.as("a").join(keyed.as("b"),
+        col("a.combo") === col("b.combo") &&
         col("a.key") === col("b.key") && col("a.h64") < col("b.h64"))
       .select(col("a.h64").as("h1"), col("b.h64").as("h2"))
       .distinct()

@@ -398,10 +398,23 @@ object Similarity {
   def ivfKnn(corpus: DataFrame, queries: DataFrame, k: Int, dim: Int,
              nLists: Int = 16, nProbe: Int = 4, maxIter: Int = 5,
              trainCap: Int = 100000,
-             idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+             idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    ivfSearch(corpus, queries, k,
+      kmeansTrain(corpus, nLists, maxIter, trainCap, idCol, vecCol),
+      nProbe, idCol, vecCol)
+
+  /** The query phase of [[ivfKnn]] against an ALREADY-TRAINED (or fixed)
+    * codebook: assignment argmax + nProbe probe lists + exact cosine
+    * re-rank. Split out so the probe/assign/re-rank semantics can be
+    * exercised (and DuckDB-oracled, gate s16) independently of k-means
+    * training — the training is what resists an SQL oracle (partial-sum
+    * order in the distributed avg), not the search.
+    */
+  def ivfSearch(corpus: DataFrame, queries: DataFrame, k: Int,
+                centroids: Array[Array[Double]], nProbe: Int,
+                idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val vecs = corpus.select(col(idCol).as("id"),
       col(vecCol).cast("array<double>").as("v"))
-    val centroids = kmeansTrain(corpus, nLists, maxIter, trainCap, idCol, vecCol)
     val listed = vecs.withColumn("cid", nearestCentroidExpr(centroids, col("v")))
     // each query probes its nProbe nearest centroids
     val probes = broadcast(

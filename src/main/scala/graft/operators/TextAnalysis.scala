@@ -196,9 +196,12 @@ object TextAnalysis {
     *
     * Movement: bigram + unigram count tables are one shuffle each over
     * the TRAIN slice; scoring left-joins the position stream against
-    * both — Catalyst/AQE broadcasts them when they fit (web-scale LMs
-    * shard the bigram table instead; cut the tail by frequency when a
-    * broadcast is wanted). Docs with fewer than 2 tokens drop out.
+    * both — Catalyst/AQE broadcasts them when they fit. When the LM
+    * outgrows broadcast (web scale), use [[bigramBackoffLogProbCut]]:
+    * Brants-style frequency cutoffs + precomputed score tables, scoring
+    * with zero position-stream shuffles; its `minCount = 1` setting is
+    * the spec-asserted bit-identical twin of this path. Docs with fewer
+    * than 2 tokens drop out.
     */
   def bigramBackoffLogProb(df: DataFrame, textCol: String, idCol: String,
                            trainPred: Column,
@@ -242,7 +245,10 @@ object TextAnalysis {
     * w_{i-1}); docs with fewer than 3 tokens drop out. Count tables
     * (trigram, bigram, unigram) are one shuffle each over the train
     * slice — the same build-once-join-everywhere movement as the bigram
-    * level, one order higher.
+    * level, one order higher. At web scale use
+    * [[trigramBackoffLogProbCut]] (frequency-cut, broadcast score
+    * tables, zero position-stream shuffles; `minCount = 1` is the
+    * bit-identical twin).
     */
   def trigramBackoffLogProb(df: DataFrame, textCol: String, idCol: String,
                             trainPred: Column,
@@ -278,6 +284,115 @@ object TextAnalysis {
           .when(col("nvw").isNotNull, log(lit(alpha) * col("nvw") / col("nv")))
           .otherwise(log(lit(alpha) * lit(alpha) *
             coalesce(col("nw"), lit(1L)) / col("t"))))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_trigrams"),
+           round(avg(col("lp")), 6).as("avg_logprob"))
+  }
+
+  /** The 100 TB execution of [[bigramBackoffLogProb]]: frequency-cut
+    * composite-LM scoring (Brants et al. 2007 §4 count cutoffs — the
+    * standard web-scale LM compaction; a Zipfian tail holds most ENTRIES
+    * but little MASS, so a small `minCount` shrinks the tables by orders
+    * of magnitude while touching few positions).
+    *
+    * Two changes versus the exact path, both about movement:
+    *  1. Entries with count < `minCount` are dropped from the bigram and
+    *     unigram tables; positions that lose their bigram take the
+    *     α-backoff, positions whose word was cut take the unseen floor —
+    *     the SAME formulas the exact path applies to genuinely unseen
+    *     n-grams, so the approximation is "pretend rare = unseen".
+    *  2. Scored values are PRECOMPUTED into the tables (seen-bigram
+    *     table carries log(nb/nv) directly, joined once on (v, w)), and
+    *     both tables are broadcast-hinted: the corpus-sized position
+    *     stream is scored with ZERO shuffles, where the exact path's
+    *     three count-table joins each reshuffle it when the LM outgrows
+    *     AQE's broadcast threshold.
+    *
+    * `minCount = 1` cuts nothing and is spec-asserted to reproduce the
+    * exact path's output bit-for-bit at 6 dp (the t26 pattern: the scale
+    * path is an equality-checked twin, not a lookalike).
+    */
+  def bigramBackoffLogProbCut(df: DataFrame, textCol: String, idCol: String,
+                              trainPred: Column, alpha: Double = 0.4,
+                              minCount: Long = 1L): DataFrame = {
+    val ws = df.select(col(idCol).as("doc_id"),
+        split(col(textCol), " ").as("ws"))
+      .filter(size(col("ws")) >= 2)
+    val big = ws.select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(ws) - 1), i -> struct(ws[i-1] AS v, ws[i] AS w))")).as("vw"))
+      .select(col("doc_id"), col("vw.v").as("v"), col("vw.w").as("w"))
+    val train = df.filter(trainPred)
+    val uni = train.select(explode(split(col(textCol), " ")).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("nu"))
+    val tot = uni.agg(sum(col("nu")).as("t"))
+    // count-table-sized joins (never the position stream): seen bigrams
+    // carry their final score; the kept-unigram table carries the count
+    // the backoff needs
+    val seen = big.filter(trainPred)
+      .groupBy(col("v"), col("w")).agg(count(lit(1)).as("nb"))
+      .filter(col("nb") >= minCount)
+      .join(uni.select(col("term").as("v"), col("nu").as("nv")), Seq("v"))
+      .select(col("v"), col("w"), log(col("nb") / col("nv")).as("lp_seen"))
+    val kept = uni.filter(col("nu") >= minCount)
+      .select(col("term").as("w"), col("nu").as("nw"))
+    big
+      .join(broadcast(seen), Seq("v", "w"), "left")
+      .join(broadcast(kept), Seq("w"), "left")
+      .crossJoin(broadcast(tot))
+      .withColumn("lp", coalesce(col("lp_seen"),
+        log(lit(alpha) * coalesce(col("nw"), lit(1L)) / col("t"))))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+           round(avg(col("lp")), 6).as("avg_logprob"))
+  }
+
+  /** Frequency-cut composite-LM execution of [[trigramBackoffLogProb]] —
+    * the trigram level of [[bigramBackoffLogProbCut]], same contract:
+    * per-level count cutoffs, precomputed score tables (trigram level
+    * carries log(nt/nuv), bigram level carries log(α·nvw/nv)), three
+    * broadcast joins against the position stream instead of the exact
+    * path's five reshuffling count-table joins. `minCount = 1` is the
+    * spec-asserted bit-identical twin of the exact path.
+    */
+  def trigramBackoffLogProbCut(df: DataFrame, textCol: String, idCol: String,
+                               trainPred: Column, alpha: Double = 0.4,
+                               minCount: Long = 1L): DataFrame = {
+    val ws = df.select(col(idCol).as("doc_id"),
+        split(col(textCol), " ").as("ws"))
+      .filter(size(col("ws")) >= 3)
+    val tri = ws.select(col("doc_id"), explode(expr(
+        "transform(sequence(2, size(ws) - 1), i -> struct(ws[i-2] AS u, ws[i-1] AS v, ws[i] AS w))")).as("t"))
+      .select(col("doc_id"), col("t.u").as("u"), col("t.v").as("v"), col("t.w").as("w"))
+    val train = df.filter(trainPred)
+    val trainWs = train.select(split(col(textCol), " ").as("ws"))
+    val uni = train.select(explode(split(col(textCol), " ")).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("nu"))
+    val tot = uni.agg(sum(col("nu")).as("t"))
+    val bg = trainWs.filter(size(col("ws")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, size(ws) - 1), i -> struct(ws[i-1] AS v, ws[i] AS w))")).as("b"))
+      .groupBy(col("b.v"), col("b.w")).agg(count(lit(1)).as("nb"))
+      .select(col("v"), col("w"), col("nb"))
+    val seen3 = tri.filter(trainPred)
+      .groupBy(col("u"), col("v"), col("w")).agg(count(lit(1)).as("nt"))
+      .filter(col("nt") >= minCount)
+      .join(bg.select(col("v").as("u"), col("w").as("v"), col("nb").as("nuv")),
+            Seq("u", "v"))
+      .select(col("u"), col("v"), col("w"), log(col("nt") / col("nuv")).as("lp3"))
+    val seen2 = bg.filter(col("nb") >= minCount)
+      .join(uni.select(col("term").as("v"), col("nu").as("nv")), Seq("v"))
+      .select(col("v"), col("w"),
+              log(lit(alpha) * col("nb") / col("nv")).as("lp2"))
+    val kept = uni.filter(col("nu") >= minCount)
+      .select(col("term").as("w"), col("nu").as("nw"))
+    tri
+      .join(broadcast(seen3), Seq("u", "v", "w"), "left")
+      .join(broadcast(seen2), Seq("v", "w"), "left")
+      .join(broadcast(kept), Seq("w"), "left")
+      .crossJoin(broadcast(tot))
+      .withColumn("lp", coalesce(col("lp3"), col("lp2"),
+        log(lit(alpha) * lit(alpha) *
+          coalesce(col("nw"), lit(1L)) / col("t"))))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_trigrams"),
            round(avg(col("lp")), 6).as("avg_logprob"))
@@ -666,7 +781,10 @@ object TextAnalysis {
     * source's slice carries at least min(budget, source_tokens) tokens
     * (a tiny per-source aggregate), doubling the cutoff for any source
     * that fell short — token counts are independent of the admission
-    * hash, so one probe almost surely suffices and the loop is bounded.
+    * hash, so one probe almost surely suffices and the loop is bounded
+    * (8 rounds = safety·2^8; if a source is STILL short after that, its
+    * cutoff drops to the full slice, so admit-set equality with the
+    * window path is unconditional, never merely probable).
     * Pass 2 runs the SAME (pri, doc_id) prefix-sum window on the slice;
     * a slice is prefix-closed in that order, so every admitted doc's
     * `cum_before` is identical to the full-window value.
@@ -695,11 +813,7 @@ object TextAnalysis {
     val state = budgets.collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
     var margin = state.map { case (g, _, _) => g -> safety }.toMap
-    var slice: DataFrame = null
-    var settled = false
-    var rounds = 0
-    while (!settled && rounds < 8) {
-      rounds += 1
+    def buildSlice(): DataFrame = {
       val cuts = state.map { case (g, gt, b) =>
         val p = if (gt == 0L) 1.0
                 else math.min(1.0, margin(g) * b.toDouble / gt)
@@ -707,15 +821,32 @@ object TextAnalysis {
                   else (Long.MinValue + p * math.pow(2.0, 64)).toLong
         (g, cut)
       }.toSeq.toDF("grp", "cut")
-      slice = toks.join(broadcast(cuts), Seq("grp"))
+      toks.join(broadcast(cuts), Seq("grp"))
         .filter(col("pri") <= col("cut")).drop("cut")
+    }
+    var slice: DataFrame = null
+    var shortNow: Seq[String] = Nil
+    var settled = false
+    var rounds = 0
+    while (!settled && rounds < 8) {
+      rounds += 1
+      slice = buildSlice()
       val sliceMass = slice.groupBy(col("grp"))
         .agg(sum(col("n_tokens")).as("m")).collect()
         .map(r => r.getString(0) -> r.getLong(1)).toMap
-      val short = state.collect { case (g, gt, b)
-        if sliceMass.getOrElse(g, 0L) < math.min(b, gt) => g }
-      if (short.isEmpty) settled = true
-      else margin = margin ++ short.map(g => g -> margin(g) * 2.0)
+      shortNow = state.collect { case (g, gt, b)
+        if sliceMass.getOrElse(g, 0L) < math.min(b, gt) => g }.toSeq
+      if (shortNow.isEmpty) settled = true
+      else margin = margin ++ shortNow.map(g => g -> margin(g) * 2.0)
+    }
+    if (!settled) {
+      // Escalation exhausted with still-short sources (pathologically
+      // heavy-tailed token masses vs the safety factor): fall back to
+      // the FULL slice (cut = Long.MaxValue) for exactly those sources,
+      // so the admit set stays guaranteed-equal to the window path
+      // instead of silently under-admitting.
+      margin = margin ++ shortNow.map(g => g -> Double.MaxValue)
+      slice = buildSlice()
     }
     val w = Window.partitionBy(col("grp")).orderBy(col("pri"), col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, -1)

@@ -164,8 +164,11 @@ object DedupQueries {
 
     // SimHash with Hamming ≤ 3: 16-bit-chunk banding is LOSSLESS at this
     // distance (pigeonhole: ≤3 differing bits across 4 chunks ⇒ one chunk
-    // equal) — but the operator also drops docs in over-cap chunk buckets,
-    // so the oracle replays the banding + cap exactly (as d03 does).
+    // equal). The oracle replays the engine's DISTINCT-hash-first banding
+    // exactly: buckets cap on distinct simhash VALUES per (chunk,
+    // chunk_val) — not per-doc rows — and equal-hash (distance-0) pairs
+    // are emitted unconditionally, outside any cap, exactly as
+    // Dedup.expandHashPairs does.
     "d04_dedup_simhash" -> QueryDef(
       (s, d) => Dedup.simhashPairs(Tables.documents(s, d), "text", "doc_id",
         maxDist = 3),
@@ -181,20 +184,28 @@ object DedupQueries {
                                      THEN (1::BIGINT << b) ELSE 0 END
                                 for b in range(64)]) AS BIGINT) AS simhash
                FROM hs),
-        ch AS (SELECT doc_id, simhash, c AS chunk,
+        dh AS (SELECT DISTINCT simhash FROM sh),
+        ch AS (SELECT simhash, c AS chunk,
                       (simhash >> (c * 16)) & 65535 AS chunk_val
-               FROM sh, LATERAL (SELECT unnest(range(0, 4)) AS c) t),
-        capped AS (SELECT doc_id, simhash, chunk, chunk_val FROM (
+               FROM dh, LATERAL (SELECT unnest(range(0, 4)) AS c) t),
+        capped AS (SELECT simhash, chunk, chunk_val FROM (
                      SELECT *, count(*) OVER (PARTITION BY chunk, chunk_val) AS sz
                      FROM ch)
                    WHERE sz <= ${graft.operators.Dedup.DefaultBucketCap}),
-        cand AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2,
-                        a.simhash AS h1, b.simhash AS h2
-                 FROM capped a JOIN capped b
-                   ON a.chunk = b.chunk AND a.chunk_val = b.chunk_val
-                  AND a.doc_id < b.doc_id)
-        SELECT id1, id2, CAST(bit_count(xor(h1, h2)) AS BIGINT) AS hamming
-        FROM cand WHERE bit_count(xor(h1, h2)) <= 3""")),
+        hv AS (SELECT h1, h2, CAST(bit_count(xor(h1, h2)) AS BIGINT) AS hamming
+               FROM (SELECT DISTINCT a.simhash AS h1, b.simhash AS h2
+                     FROM capped a JOIN capped b
+                       ON a.chunk = b.chunk AND a.chunk_val = b.chunk_val
+                      AND a.simhash < b.simhash)
+               WHERE bit_count(xor(h1, h2)) <= 3)
+        SELECT least(x.doc_id, y.doc_id) AS id1,
+               greatest(x.doc_id, y.doc_id) AS id2, hv.hamming
+        FROM hv JOIN sh x ON x.simhash = hv.h1
+                JOIN sh y ON y.simhash = hv.h2
+        UNION ALL
+        SELECT x.doc_id AS id1, y.doc_id AS id2, CAST(0 AS BIGINT) AS hamming
+        FROM sh x JOIN sh y
+          ON x.simhash = y.simhash AND x.doc_id < y.doc_id""")),
 
     // Pairs → connected components → keeper: the per-document cluster
     // assignment a dedup pipeline actually emits. Oracle = recursive

@@ -798,6 +798,44 @@ object EventQueries {
         }
       },
       Some(DedupQueries.minhashSigAgreementOracle(k = 32, bands = 8,
-        threshold = 0.5)))
+        threshold = 0.5))),
+
+    // The streaming LIFECYCLE FLOOR, measured: the executed-streaming
+    // gates (q101/q104, q89/q98, …) each pay a fixed multi-batch setup
+    // cost — per-batch planning, a RocksDB state store instance per
+    // shuffle partition per batch, checkpoint + commit log, memory
+    // sink — that has nothing to do with data volume. This gate runs the
+    // IDENTICAL lifecycle to q101/q104 (same 4-file staged source, 1
+    // file per trigger, same withStreamConf(parts=4, rocksdb),
+    // transformWithState, AvailableNow drain) with the data term cut to
+    // ONE row by a pushed-down predicate, so BENCH_DETAIL's q105 value
+    // IS the floor: a streaming gate's data term ≈ gate − q105, making
+    // per-gate deltas interpretable (a regression can no longer hide
+    // inside an unmeasured floor).
+    "q105_streaming_lifecycle_floor" -> QueryDef(
+      (s, d) => {
+        import org.apache.spark.sql.streaming.{OutputMode, TimeMode, Trigger}
+        import s.implicits._
+        val dir = stageDocsDir(s, d)
+        val schema = Tables.documents(s, d).schema
+        withStreamConf(s, parts = "4", rocksdb = true) {
+          val one = s.readStream
+            .option("maxFilesPerTrigger", "1") // 4 files → 4 batches
+            .schema(schema).parquet(dir.toString)
+            .filter(col("doc_id") === 1L) // row-group stats skip the rest
+            .select(col("doc_id"))
+            .as[Long]
+            .groupByKey(identity)
+            .transformWithState(new graft.streaming.PerKeyCounter,
+              TimeMode.None(), OutputMode.Update())
+            .toDF("doc_id", "n")
+          val q = one.writeStream.format("memory").queryName("q105_sink")
+            .outputMode(OutputMode.Update()).trigger(Trigger.AvailableNow()).start()
+          q.awaitTermination()
+          s.table("q105_sink").groupBy(col("doc_id"))
+            .agg(max(col("n")).as("n"))
+        }
+      },
+      Some("SELECT CAST(1 AS BIGINT) AS doc_id, CAST(1 AS BIGINT) AS n"))
   )
 }

@@ -114,7 +114,10 @@ object MultimodalQueries {
     // Media near-dup: SimHash over the payload's byte 4-gram shingles
     // (the opaque-binary perceptual hash), banded on 6×10-bit chunks
     // (lossless to Hamming 5), exact xor-popcount verify. The oracle
-    // replays shingling, votes, banding, cap, and verify bit-for-bit.
+    // replays the engine's DISTINCT-hash-first banding exactly: buckets
+    // cap on distinct phash VALUES per (chunk, chunk_val), and equal-hash
+    // (distance-0) pairs are emitted unconditionally outside any cap, as
+    // Dedup.expandHashPairs does.
     "m06_media_phash_pairs" -> QueryDef(
       (s, d) => {
         val media = Multimodal.asMediaTable(Tables.documents(s, d), "text", "doc_id")
@@ -135,20 +138,28 @@ object MultimodalQueries {
                                      THEN (1::BIGINT << b) ELSE 0 END
                                 for b in range(64)]) AS BIGINT) AS phash
                FROM hs),
-        ch AS (SELECT doc_id, phash, c AS chunk,
+        dh AS (SELECT DISTINCT phash FROM ph),
+        ch AS (SELECT phash, c AS chunk,
                       (phash >> (c * 10)) & 1023 AS chunk_val
-               FROM ph, LATERAL (SELECT unnest(range(0, 6)) AS c) t),
-        capped AS (SELECT doc_id, phash, chunk, chunk_val FROM (
+               FROM dh, LATERAL (SELECT unnest(range(0, 6)) AS c) t),
+        capped AS (SELECT phash, chunk, chunk_val FROM (
                      SELECT *, count(*) OVER (PARTITION BY chunk, chunk_val) AS sz
                      FROM ch)
                    WHERE sz <= ${graft.operators.Dedup.DefaultBucketCap}),
-        cand AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2,
-                        a.phash AS h1, b.phash AS h2
-                 FROM capped a JOIN capped b
-                   ON a.chunk = b.chunk AND a.chunk_val = b.chunk_val
-                  AND a.doc_id < b.doc_id)
-        SELECT id1, id2, CAST(bit_count(xor(h1, h2)) AS BIGINT) AS hamming
-        FROM cand WHERE bit_count(xor(h1, h2)) <= 5""")),
+        hv AS (SELECT h1, h2, CAST(bit_count(xor(h1, h2)) AS BIGINT) AS hamming
+               FROM (SELECT DISTINCT a.phash AS h1, b.phash AS h2
+                     FROM capped a JOIN capped b
+                       ON a.chunk = b.chunk AND a.chunk_val = b.chunk_val
+                      AND a.phash < b.phash)
+               WHERE bit_count(xor(h1, h2)) <= 5)
+        SELECT least(x.doc_id, y.doc_id) AS id1,
+               greatest(x.doc_id, y.doc_id) AS id2, hv.hamming
+        FROM hv JOIN ph x ON x.phash = hv.h1
+                JOIN ph y ON y.phash = hv.h2
+        UNION ALL
+        SELECT x.doc_id AS id1, y.doc_id AS id2, CAST(0 AS BIGINT) AS hamming
+        FROM ph x JOIN ph y
+          ON x.phash = y.phash AND x.doc_id < y.doc_id""")),
 
     // The WIDE-corpus banding path (Manku-style block-combination keys,
     // nBlocks=7 → 21 18-bit keys/row) hash-oracled end to end: at sf0.01

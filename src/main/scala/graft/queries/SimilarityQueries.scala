@@ -346,8 +346,81 @@ object SimilarityQueries {
         Tables.embeddings(s, d).createOrReplaceTempView("embeddings_sql")
         s.sql(sqlAnnSparkSql)
       },
-      Some(sqlAnnOracle))
+      Some(sqlAnnOracle)),
+
+    // IVF probe/assign/re-rank, hash-oracled (the s15 treatment applied
+    // to s04): the codebook is a FIXED plan literal — the same dyadic
+    // doubles interpolated into both engines — so the oracle replays the
+    // nearest-centroid argmax (explicit left-to-right ±term chains, the
+    // fold ArrayDotProduct runs; first-max tie like array_position),
+    // the nProbe probe lists (cdot desc, cid asc), candidate-list
+    // membership, and the exact cosine re-rank bit-for-bit. What remains
+    // un-oracled about s04 is ONLY k-means training (distributed
+    // partial-sum order in avg — see SURVEY §2d); its search semantics
+    // are hash-checked here.
+    "s16_ivf_search_oracle" -> QueryDef(
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        Similarity.ivfSearch(emb, emb.filter(col("vec_id") < 5), k = 10,
+          IvfFixedCodebook, nProbe = 3)
+      },
+      Some(ivfSearchOracle))
   )
+
+  /** Fixed IVF codebook: 8 centroids × 64 dims of dyadic doubles
+    * (k/1024, exact in binary and in decimal round-trip) derived from
+    * MD5("ivf:list:pos") — deterministic, data-independent, identical
+    * literals on both engines.
+    */
+  private[queries] lazy val IvfFixedCodebook: Array[Array[Double]] =
+    Array.tabulate(8, 64) { (j, p) =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"ivf:$j:$p".getBytes("UTF-8"))
+      val h = java.nio.ByteBuffer.wrap(md).getLong(0)
+      ((Math.floorMod(h, 2049L) - 1024L).toDouble) / 1024.0
+    }
+
+  /** DuckDB replay of s16: each centroid dot is an explicit
+    * left-to-right term chain over the DOUBLE[] vector with the literal
+    * centroid values (::DOUBLE so DuckDB doesn't parse them as
+    * DECIMAL); assignment = first index of the list max (engine's
+    * array_position convention); probes = row_number over (cdot desc,
+    * cid asc) ≤ nProbe.
+    */
+  private lazy val ivfSearchOracle: String = {
+    def dotChain(c: Array[Double], vec: String): String =
+      c.zipWithIndex.map { case (x, i) => s"$vec[${i + 1}]*($x::DOUBLE)" }
+        .mkString("(", " + ", ")")
+    def dotsList(vec: String): String =
+      IvfFixedCodebook.map(dotChain(_, vec)).mkString("[", ", ", "]")
+    s"""
+    WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    asg AS (SELECT vec_id, v, ${dotsList("v")} AS dots FROM c),
+    a2 AS (SELECT vec_id, v,
+                  list_position(dots, list_max(dots)) - 1 AS cid FROM asg),
+    q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+          FROM embeddings WHERE vec_id < 5),
+    qd AS (SELECT query_id, qv, ${dotsList("qv")} AS dots FROM q),
+    pe AS (SELECT query_id, qv, j AS cid, dots[j + 1] AS cdot
+           FROM qd, LATERAL (SELECT unnest(range(0, 8)) AS j) t),
+    pr AS (SELECT query_id, qv, cid FROM (
+             SELECT *, row_number() OVER (PARTITION BY query_id
+                                          ORDER BY cdot DESC, cid ASC) AS rnk
+             FROM pe)
+           WHERE rnk <= 3),
+    cand AS (SELECT pr.query_id, pr.qv, a2.vec_id AS neighbor_id, a2.v
+             FROM pr JOIN a2 ON pr.cid = a2.cid
+             WHERE pr.query_id <> a2.vec_id),
+    rr AS (SELECT query_id, neighbor_id,
+                  list_cosine_similarity(qv, v) AS sim FROM cand),
+    rk AS (SELECT query_id, neighbor_id, sim,
+                  row_number() OVER (PARTITION BY query_id
+                                     ORDER BY sim DESC, neighbor_id ASC) AS rank
+           FROM rr)
+    SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id,
+           round(sim, 6) AS sim
+    FROM rk WHERE rank <= 10"""
+  }
 
   private val AnnDim = 64
   private val AnnBits = 8

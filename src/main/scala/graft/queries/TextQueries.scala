@@ -232,6 +232,40 @@ object TextQueries {
         SELECT doc_id, count(*) AS n_bigrams, round(avg(lp), 6) AS avg_logprob
         FROM scored GROUP BY 1""")),
 
+    // The 100 TB execution of t31: Brants-style frequency-cut (minCount=2)
+    // composite-LM scoring — rare bigrams/words are dropped from the
+    // broadcast score tables and their positions take the SAME backoff /
+    // floor formulas the exact path applies to unseen n-grams. The oracle
+    // replays the cut: count predicates (nb >= 2, nu >= 2) fold the
+    // "rare = unseen" contract into t31's CASE. minCount=1 equality with
+    // the exact path is spec-asserted (Round7OpsSpec).
+    "t33_bigram_backoff_cut" -> QueryDef(
+      (s, d) => TextAnalysis.bigramBackoffLogProbCut(
+        Tables.documents(s, d), "text", "doc_id",
+        trainPred = col("doc_id") % 10 =!= 0, minCount = 2L),
+      Some("""
+        WITH ws AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        big AS (SELECT doc_id, ws[i-1] AS v, ws[i] AS w
+                FROM ws, LATERAL (SELECT unnest(range(2, len(ws) + 1)) AS i) t
+                WHERE len(ws) >= 2),
+        tb AS (SELECT v, w, count(*) AS nb FROM big
+               WHERE doc_id % 10 <> 0 GROUP BY 1, 2),
+        uni AS (SELECT term, count(*) AS nu FROM (
+                  SELECT unnest(ws) AS term FROM ws WHERE doc_id % 10 <> 0)
+                GROUP BY 1),
+        tot AS (SELECT sum(nu) AS t FROM uni),
+        scored AS (
+          SELECT big.doc_id,
+                 CASE WHEN tb.nb >= 2 THEN ln(tb.nb * 1.0 / uv.nu)
+                      ELSE ln(0.4 * (CASE WHEN uw.nu >= 2 THEN uw.nu
+                                          ELSE 1 END) * 1.0 / t) END AS lp
+          FROM big LEFT JOIN tb ON big.v = tb.v AND big.w = tb.w
+                   LEFT JOIN uni uv ON big.v = uv.term
+                   LEFT JOIN uni uw ON big.w = uw.term
+                   CROSS JOIN tot)
+        SELECT doc_id, count(*) AS n_bigrams, round(avg(lp), 6) AS avg_logprob
+        FROM scored GROUP BY 1""")),
+
     // The trigram level of Stupid Backoff — the recursion (trigram →
     // α·bigram → α²·unigram floor) that makes it an n-gram method. Same
     // split discipline as t31; α is CAST AS DOUBLE in the oracle so both
@@ -741,6 +775,24 @@ object TextQueries {
       (s, d) => TextAnalysis.trainClassifier(
         Tables.documents(s, d), "text", col("lang") === "en")._2,
       None),
+
+    // Iteration 1 of the t27 trainer, hash-oracled — the only GD
+    // iteration an SQL oracle can replay exactly: with zero-init weights
+    // every doc scores p = 0.5 precisely, so the loss is ln 2 for every
+    // row and accuracy is the non-target label share (integer counting,
+    // no float-order sensitivity). This pins t27's feature build,
+    // scoring expression, and loss/accuracy aggregates to the DuckDB
+    // oracle; later iterations stay rows-only because the gradient avg
+    // is a distributed float sum whose partial order an SQL engine
+    // cannot replay (see SURVEY §2d).
+    "t34_classifier_train_iter1" -> QueryDef(
+      (s, d) => TextAnalysis.trainClassifier(
+        Tables.documents(s, d), "text", col("lang") === "en", iters = 1)._2,
+      Some("""
+        SELECT CAST(1 AS BIGINT) AS iter, round(ln(2), 6) AS loss,
+               round(avg(CASE WHEN lang = 'en' THEN 0.0 ELSE 1.0 END), 6)
+                 AS accuracy
+        FROM documents""")),
 
     // In-engine BPE tokenizer (t28): merge rules trained on the
     // word-frequency dictionary (Sennrich et al. 2016 — k iterations of

@@ -25,7 +25,8 @@ class PlanAuditSpec extends SparkSpec {
     "q98_stateful_timers",  // streaming drain like q90
     "q99_sql_scripting",    // the script executes at sql() time
     "q101_streaming_dedup", // streaming drain like q90
-    "q104_streaming_minhash_pairs") // streaming drain like q101
+    "q104_streaming_minhash_pairs", // streaming drain like q101
+    "q105_streaming_lifecycle_floor") // streaming drain by design (the floor probe)
   private def eagerPrefix(n: String): Boolean =
     n.startsWith("p0") || n.startsWith("src")
 
@@ -40,8 +41,14 @@ class PlanAuditSpec extends SparkSpec {
     "s04_knn_ivf", "s08_knn_pq", "s10_kmeans",
     "t25_dsir_weights", // bucket-table aggregate collects at build time
     "t27_classifier_train", // GD iterations collect at build time
+    "t34_classifier_train_iter1", // one GD iteration collects at build time
     "t28_bpe_tokenize", // merge-training argmax collects per iteration
-    "s14_mmr_diverse") // bounded poolK pool+sims collect; greedy on driver
+    "s14_mmr_diverse", // bounded poolK pool+sims collect; greedy on driver
+    // hammingPairsAuto sizes its banding from a corpus count(): building
+    // the gate here would localCheckpoint + run the full phash kernel —
+    // work, not a plan. Both banding paths it routes to ARE audited:
+    // d04 covers hammingPairs, m07 covers hammingPairsBlocks.
+    "m06_media_phash_pairs")
 
   /** Pairwise-by-contract: the nested-loop is the documented semantics,
     * not an accident.
@@ -71,7 +78,8 @@ class PlanAuditSpec extends SparkSpec {
     "t30_length_batching",   // 1-row exact-percentile bucket boundaries
     "s15_sql_ann",           // 1-row query vector attached to the re-rank
     "t31_bigram_backoff",    // 1-row total token count (t12's shape)
-    "t32_trigram_backoff"    // 1-row total token count (t12's shape)
+    "t32_trigram_backoff",   // 1-row total token count (t12's shape)
+    "t33_bigram_backoff_cut" // 1-row total token count (t12's shape)
   )
 
   test("no gate plans an unbounded pairwise join unless pairwise is its contract") {
