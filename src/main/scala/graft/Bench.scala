@@ -26,7 +26,10 @@ object Bench {
     "q87_lateral_topk", "q88_sketch_rollup", "q89_streaming_left_outer",
     "q90_transform_with_state", "s09_random_projection", "s10_kmeans",
     "t20_mixture_resample",
-    "q91_recursive_cte", "q93_approx_top_k", "t21_classifier_score")
+    "q91_recursive_cte", "q93_approx_top_k", "t21_classifier_score",
+    // the streaming fixed-cost floor next to the heaviest streaming gate,
+    // so the round artifact carries the gate-minus-floor data term
+    "q104_streaming_minhash_pairs", "q105_streaming_lifecycle_floor")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

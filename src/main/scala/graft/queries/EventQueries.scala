@@ -61,7 +61,6 @@ object EventQueries {
     */
   private def stageEventsDir(s: org.apache.spark.sql.SparkSession, d: String,
       name: String): (java.nio.file.Path, org.apache.spark.sql.types.StructType) = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val sf = java.nio.file.Paths.get(d).getFileName.toString
     val dir = java.nio.file.Paths.get(
       sys.props("java.io.tmpdir"), "graft_export", sf, name)
@@ -70,7 +69,16 @@ object EventQueries {
       java.nio.file.Paths.get(d, "events.parquet"),
       dir.resolve("events.parquet"),
       java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-    (dir, s.read.parquet(s"$d/events.parquet").schema)
+    // same probe-first dispatch as Tables.events: only a TIMESTAMP(NANOS)
+    // footer (which fails schema inference) sets nanosAsLong, and it must
+    // then stay set for the streaming scan of the same footer
+    val schema =
+      try s.read.parquet(s"$d/events.parquet").schema
+      catch { case _: org.apache.spark.sql.AnalysisException =>
+        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        s.read.parquet(s"$d/events.parquet").schema
+      }
+    (dir, schema)
   }
 
   /** Run `body` with fewer shuffle partitions (state-store setup cost is

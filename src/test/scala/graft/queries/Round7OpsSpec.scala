@@ -85,6 +85,72 @@ class Round7OpsSpec extends SparkSpec {
     got(20L) shouldBe exact(20L)
   }
 
+  test("combination banding with (combo, key) caps is lossless vs brute force on a random hash corpus") {
+    import spark.implicits._
+    // 400 hashes: 200 seeded-random (uniform — banding must not lose any
+    // close pair) + 200 built as ≤5-bit perturbations of 50 bases (dense
+    // near-dup structure — exercises equal-hash groups and multi-block
+    // diffs). Deterministic seed; brute force is the ground truth.
+    val rnd = new scala.util.Random(7)
+    val base = Seq.fill(200)(rnd.nextLong())
+    val pert = Seq.fill(200) {
+      val b = base(rnd.nextInt(50))
+      (0 until rnd.nextInt(6)).foldLeft(b)((h, _) => h ^ (1L << rnd.nextInt(64)))
+    }
+    val hashes = (base ++ pert).zipWithIndex
+      .map { case (h, i) => (i.toLong, h) }.toDF("id", "h64")
+    def pairSet(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val brute = pairSet(hashes.as("a")
+      .join(hashes.as("b"), col("a.id") < col("b.id"))
+      .select(col("a.id").as("id1"), col("b.id").as("id2"),
+        bit_count(col("a.h64").bitwiseXOR(col("b.h64"))).cast("long").as("hamming"))
+      .filter(col("hamming") <= 5))
+    for (nBlocks <- Seq(6, 7, 8)) {
+      val banded = pairSet(graft.operators.Dedup.hammingPairsBlocks(
+        hashes, "id", "h64", maxDist = 5, bucketCap = 100000, nBlocks = nBlocks))
+      withClue(s"nBlocks=$nBlocks ") { banded shouldBe brute }
+    }
+  }
+
+  test("hammingPairs over-cap semantics: caps count DISTINCT hashes, equal-hash pairs survive any cap") {
+    import spark.implicits._
+    // Bucket stress: hashes k (k < 64) have DISTINCT chunk-0 values
+    // (singleton buckets) but all share chunks 1..3 (= 0), so those
+    // three buckets hold 64 distinct hashes — over a cap of 8 they drop
+    // and no cross-hash candidate survives anywhere. Meanwhile hash 5
+    // appears under THREE ids (5, 105, 205): its distance-0 pairs must
+    // survive even though every multi-hash bucket containing hash 5 is
+    // over-cap — the ADVICE divergence scenario, now the engine contract
+    // the d04/m06 oracles replay.
+    val rows =
+      (0 until 64).map(k => (k.toLong, k.toLong)) ++          // dense group
+      Seq((105L, 5L), (205L, 5L))                             // dup ids of hash 5
+    val out = graft.operators.Dedup.hammingPairs(
+        rows.toDF("id", "h64"), "id", "h64", maxDist = 3, bucketCap = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // every chunk bucket the dense group lands in holds 64 distinct
+    // hashes > cap 8 ⇒ no cross-hash candidates at all...
+    out.filter(_._3 > 0) shouldBe empty
+    // ...but the three ids sharing hash 5 still pair at distance 0,
+    // because expandHashPairs emits equal-hash pairs OUTSIDE the caps
+    out shouldBe Set((5L, 105L, 0L), (5L, 205L, 0L), (105L, 205L, 0L))
+    // and with the cap lifted the dense group pairs normally again
+    val uncapped = graft.operators.Dedup.hammingPairs(
+        rows.toDF("id", "h64"), "id", "h64", maxDist = 3, bucketCap = 100000)
+      .collect()
+    uncapped.length should be > 3
+  }
+
+  test("t33 scores the position stream through broadcast joins only (the zero-shuffle-scoring claim)") {
+    val plan = graft.SparkEntry.queries("t33_bigram_backoff_cut")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    plan should include("BroadcastHashJoin")
+    withClue("a sort-merge join would reshuffle the position stream: ") {
+      plan should not include "SortMergeJoin"
+    }
+  }
+
   test("tokenBudgetMixThreshold exhaustion fallback: admit set equals window path even when escalation can't settle") {
     // A heavy-tailed source: one doc holds nearly all the mass, so a
     // priority cutoff sized from average token mass almost surely misses
