@@ -171,11 +171,8 @@ object Similarity {
     // the unrolled array-of-literal-dots tree blows Janino's 64 KB method
     // limit at m=16 and silently drops every scan to interpreted eval.
     // Arithmetic (2c·x − ‖c‖², first-wins ties) is bit-identical.
-    def encodeCol(cbs: Array[Array[Array[Double]]], vec: Column): Column = {
-      val flat2c = cbs.flatten.flatten.map(_ * 2)
-      val norms = cbs.flatMap(_.map(c => c.map(x => x * x).sum))
-      graft.functions.PqKernels.encode(vec, flat2c, norms, m, codebookSize, sub)
-    }
+    def encodeCol(cbs: Array[Array[Array[Double]]], vec: Column): Column =
+      pqEncodeCol(cbs, vec)
 
     val train = vecs.withColumn("h", xxhash64(col("id")))
       .orderBy(col("h")).limit(trainCap).select(col("v")).persist()
@@ -202,9 +199,36 @@ object Similarity {
       }
     }
     train.unpersist()
+    pqSearch(corpus, queries, k, codebooks, rerank, idCol, vecCol)
+  }
 
+  /** Shared PQ encode column: all m argmins in one codegen'd kernel over
+    * precomputed (2c, ‖c‖²) literals — used by the Lloyd trainer, the
+    * index build, and the fixed-codebook search path alike.
+    */
+  private def pqEncodeCol(cbs: Array[Array[Array[Double]]], vec: Column): Column = {
+    val (m, cbSize, sub) = (cbs.length, cbs(0).length, cbs(0)(0).length)
+    val flat2c = cbs.flatten.flatten.map(_ * 2)
+    val norms = cbs.flatMap(_.map(c => c.map(x => x * x).sum))
+    graft.functions.PqKernels.encode(vec, flat2c, norms, m, cbSize, sub)
+  }
+
+  /** The query phase of [[pqKnn]] against ALREADY-TRAINED (or fixed)
+    * codebooks: kernel encode of the corpus, ADC candidate scoring, exact
+    * cosine re-rank. Split out (like [[ivfSearch]]) so PQ's
+    * encode/score/re-rank semantics can be DuckDB-oracled against a
+    * fixed literal codebook (gate s17) independently of the k-means
+    * training that resists an SQL oracle.
+    */
+  def pqSearch(corpus: DataFrame, queries: DataFrame, k: Int,
+               codebooks: Array[Array[Array[Double]]], rerank: Int,
+               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val (m, codebookSize, sub) =
+      (codebooks.length, codebooks(0).length, codebooks(0)(0).length)
+    val vecs = corpus.select(col(idCol).as("id"),
+      col(vecCol).cast("array<double>").as("v"))
     // encode: one codegen'd kernel in ONE corpus scan — the stored index
-    val coded = vecs.select(col("id"), encodeCol(codebooks, col("v")).as("codes"))
+    val coded = vecs.select(col("id"), pqEncodeCol(codebooks, col("v")).as("codes"))
 
     // ADC scoring: approx dot = Σ_s  q_sub(s) · centroid[s][code_s],
     // one codegen'd lookup-sum over the codes array per (query, row).

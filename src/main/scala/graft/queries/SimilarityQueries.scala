@@ -364,7 +364,24 @@ object SimilarityQueries {
         Similarity.ivfSearch(emb, emb.filter(col("vec_id") < 5), k = 10,
           IvfFixedCodebook, nProbe = 3)
       },
-      Some(ivfSearchOracle))
+      Some(ivfSearchOracle)),
+
+    // PQ encode/ADC/re-rank, hash-oracled (completing the ANN-search
+    // oracle set: LSH→s15, IVF→s16, PQ→s17): fixed dyadic per-subspace
+    // codebooks ride both engines as identical literals; the oracle
+    // replays PqEncode's argmax (per-centroid left-to-right product
+    // chain minus the SAME Scala-computed ‖c‖² literal, first-max ties),
+    // the codes array, PqAdcScore's per-subspace subtotal sum, the
+    // k·rerank candidate window, and the exact cosine re-rank — so the
+    // only rows-only thing left about s08 is codebook TRAINING (the
+    // distributed-avg float-order note, SURVEY §2d).
+    "s17_pq_search_oracle" -> QueryDef(
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        Similarity.pqSearch(emb, emb.filter(col("vec_id") < 5), k = 10,
+          PqFixedCodebooks, rerank = 4)
+      },
+      Some(pqSearchOracle))
   )
 
   /** Fixed IVF codebook: 8 centroids × 64 dims of dyadic doubles
@@ -379,6 +396,79 @@ object SimilarityQueries {
       val h = java.nio.ByteBuffer.wrap(md).getLong(0)
       ((Math.floorMod(h, 2049L) - 1024L).toDouble) / 1024.0
     }
+
+  /** Fixed PQ codebooks: 4 subspaces × 8 centroids × 16 dims of dyadic
+    * doubles from MD5("pq:sub:centroid:pos") — same construction as
+    * [[IvfFixedCodebook]], identical literals on both engines.
+    */
+  private[queries] lazy val PqFixedCodebooks: Array[Array[Array[Double]]] =
+    Array.tabulate(4, 8, 16) { (s, c, p) =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"pq:$s:$c:$p".getBytes("UTF-8"))
+      val h = java.nio.ByteBuffer.wrap(md).getLong(0)
+      ((Math.floorMod(h, 2049L) - 1024L).toDouble) / 1024.0
+    }
+
+  /** DuckDB replay of s17: PqEncode scores each centroid as the
+    * left-to-right chain Σ v[idx]·(2c_j) minus the ‖c‖² literal — the
+    * norm is computed by the SAME Scala fold the kernel's literal came
+    * from, so both engines subtract the identical double. codes =
+    * first-max index per subspace; ADC = per-subspace qdot subtotals
+    * (each its own chain) summed left-to-right, exactly the kernel's
+    * loop nesting.
+    */
+  private lazy val pqSearchOracle: String = {
+    val cbs = PqFixedCodebooks
+    val (m, cbSize, sub) = (cbs.length, cbs(0).length, cbs(0)(0).length)
+    // score chain for PqEncode: products of v against 2c, minus ‖c‖²
+    def encChain(s: Int, c: Int, vec: String): String = {
+      val prods = (0 until sub)
+        .map(j => s"$vec[${s * sub + j + 1}]*(${cbs(s)(c)(j) * 2}::DOUBLE)")
+        .mkString(" + ")
+      val norm = cbs(s)(c).map(x => x * x).sum
+      s"(($prods) - ($norm::DOUBLE))"
+    }
+    def scoreList(s: Int, vec: String): String =
+      (0 until cbSize).map(encChain(s, _, vec)).mkString("[", ", ", "]")
+    val codeCols = (0 until m).map(s =>
+      s"list_position(S$s, list_max(S$s)) - 1").mkString("[", ", ", "]")
+    val scoreCols = (0 until m)
+      .map(s => s"${scoreList(s, "v")} AS S$s").mkString(",\n             ")
+    // ADC: flat list of q·centroid chains, indexed by subspace and code
+    def qChain(s: Int, c: Int): String =
+      (0 until sub)
+        .map(j => s"qv[${s * sub + j + 1}]*(${cbs(s)(c)(j)}::DOUBLE)")
+        .mkString("(", " + ", ")")
+    val qdList = (for (s <- 0 until m; c <- 0 until cbSize) yield qChain(s, c))
+      .mkString("[", ", ", "]")
+    val adot = (0 until m)
+      .map(s => s"qd[${s * cbSize} + codes[${s + 1}] + 1]").mkString(" + ")
+    s"""
+    WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    sc AS (SELECT vec_id, v,
+             $scoreCols
+           FROM c),
+    enc AS (SELECT vec_id, v, $codeCols AS codes FROM sc),
+    q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+          FROM embeddings WHERE vec_id < 5),
+    qd AS (SELECT query_id, qv, $qdList AS qd FROM q),
+    cand AS (SELECT query_id, qv, vec_id, v, $adot AS adot
+             FROM qd JOIN enc ON query_id <> vec_id),
+    ar AS (SELECT query_id, qv, vec_id, v FROM (
+             SELECT *, row_number() OVER (PARTITION BY query_id
+                                          ORDER BY adot DESC, vec_id ASC) AS arnk
+             FROM cand)
+           WHERE arnk <= 40),
+    rr AS (SELECT query_id, vec_id AS neighbor_id,
+                  list_cosine_similarity(qv, v) AS sim FROM ar),
+    rk AS (SELECT query_id, neighbor_id, sim,
+                  row_number() OVER (PARTITION BY query_id
+                                     ORDER BY sim DESC, neighbor_id ASC) AS rank
+           FROM rr)
+    SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id,
+           round(sim, 6) AS sim
+    FROM rk WHERE rank <= 10"""
+  }
 
   /** DuckDB replay of s16: each centroid dot is an explicit
     * left-to-right term chain over the DOUBLE[] vector with the literal
