@@ -50,7 +50,16 @@ object ScaleProbe {
     // expected ~linear
     "t28_bpe_tokenize", "s13_hard_negatives", "t29_chunk_windows",
     "d13_sql_minhash", "d14_snapshot_diff", "s14_mmr_diverse",
-    "t30_length_batching")
+    "t30_length_batching",
+    // round-6/7 additions (r7 two-decade rows in SURVEY §2e): backoff
+    // LMs + the frequency-cut path, approx profile, wide banding, bloom
+    // probe, the fixed-codebook ANN search oracles, trainer iter-1, and
+    // the streaming near-dup next to its measured lifecycle floor
+    "t31_bigram_backoff", "t32_trigram_backoff", "t33_bigram_backoff_cut",
+    "q102b_data_profile_approx", "m07_phash_pairs_wide",
+    "src16_parquet_bloom", "s16_ivf_search_oracle", "s17_pq_search_oracle",
+    "t34_classifier_train_iter1",
+    "q104_streaming_minhash_pairs", "q105_streaming_lifecycle_floor")
 
   private val IdShift = 10000000L
   private val DayShift = 4000 // > TPC-H date span, so copies never overlap

@@ -84,4 +84,68 @@ class RobustnessSpec extends SparkSpec {
     row.getLong(1) shouldBe 50L
     row.getDouble(2) shouldBe 0.5 +- 1e-9 // single group: rate = fraction
   }
+
+  test("backoff LMs: empty corpus, null text, and too-short docs all drop out cleanly") {
+    val pred = col("doc_id") % 10 =!= 0
+    TextAnalysis.bigramBackoffLogProb(emptyDocs, "text", "doc_id", pred)
+      .count() shouldBe 0L
+    TextAnalysis.trigramBackoffLogProb(emptyDocs, "text", "doc_id", pred)
+      .count() shouldBe 0L
+    TextAnalysis.bigramBackoffLogProbCut(emptyDocs, "text", "doc_id", pred)
+      .count() shouldBe 0L
+    // null text and 1-token docs have no bigrams — dropped, not crashed;
+    // the 2-token doc survives
+    val docs = Seq((1L, null.asInstanceOf[String], "en"), (2L, "one", "en"),
+        (3L, "two tokens", "en")).toDF("doc_id", "text", "lang")
+    val ids = TextAnalysis.bigramBackoffLogProb(docs, "text", "doc_id", pred)
+      .collect().map(_.getLong(0)).toSet
+    ids shouldBe Set(3L)
+    TextAnalysis.trigramBackoffLogProb(docs, "text", "doc_id", pred)
+      .count() shouldBe 0L // no 3-token doc
+  }
+
+  test("backoff LMs: an empty TRAIN slice emits rows with null scores, never throws") {
+    // every doc held out (trainPred always false): the LM has no counts
+    // and no total, so scores are undefined — the contract is null
+    // avg_logprob per surviving doc, not a crash mid-pipeline
+    val docs = Seq((1L, "a b c", "en"), (2L, "b c d", "en"))
+      .toDF("doc_id", "text", "lang")
+    val out = TextAnalysis.bigramBackoffLogProb(docs, "text", "doc_id",
+      trainPred = lit(false)).collect()
+    out.length shouldBe 2
+    out.foreach(r => r.isNullAt(2) shouldBe true)
+    val cut = TextAnalysis.bigramBackoffLogProbCut(docs, "text", "doc_id",
+      trainPred = lit(false)).collect()
+    cut.length shouldBe 2
+    cut.foreach(r => r.isNullAt(2) shouldBe true)
+  }
+
+  test("banded Hamming joins: empty hash table plans and runs at every banding width") {
+    val empty = Seq.empty[(Long, Long)].toDF("id", "h64")
+    Dedup.hammingPairs(empty, "id", "h64", maxDist = 3).count() shouldBe 0L
+    Dedup.hammingPairsBlocks(empty, "id", "h64", maxDist = 5,
+      bucketCap = 1000, nBlocks = 7).count() shouldBe 0L
+    // hammingPairsAuto sizes from count() = 0 → smallest width, still runs
+    Dedup.hammingPairsAuto(empty, "id", "h64", maxDist = 5).count() shouldBe 0L
+  }
+
+  test("token budget mix: empty corpus runs through both the window and threshold paths") {
+    val empty = Seq.empty[(Long, String, String)].toDF("doc_id", "source", "text")
+    TextAnalysis.tokenBudgetMix(empty, "doc_id", "source", "text",
+      temperature = 0.6, budgetTokens = 1000L).count() shouldBe 0L
+    TextAnalysis.tokenBudgetMixThreshold(empty, "doc_id", "source", "text",
+      temperature = 0.6, budgetTokens = 1000L).count() shouldBe 0L
+  }
+
+  test("fixed-codebook ANN search: empty corpus or empty query set → empty result") {
+    val emptyVecs = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
+    val vecs = Seq((1L, Array.fill(64)(1.0f)), (2L, Array.fill(64)(0.5f)))
+      .toDF("vec_id", "embedding")
+    val ivfCb = Array.tabulate(4, 64)((j, p) => (j + p % 3).toDouble / 4)
+    val pqCb = Array.tabulate(2, 3, 32)((s, c, p) => (s + c + p % 2).toDouble / 4)
+    Similarity.ivfSearch(emptyVecs, vecs, k = 5, ivfCb, nProbe = 2).count() shouldBe 0L
+    Similarity.ivfSearch(vecs, emptyVecs, k = 5, ivfCb, nProbe = 2).count() shouldBe 0L
+    Similarity.pqSearch(emptyVecs, vecs, k = 5, pqCb, rerank = 2).count() shouldBe 0L
+    Similarity.pqSearch(vecs, emptyVecs, k = 5, pqCb, rerank = 2).count() shouldBe 0L
+  }
 }
