@@ -59,7 +59,11 @@ object ScaleProbe {
     "q102b_data_profile_approx", "m07_phash_pairs_wide",
     "src16_parquet_bloom", "s16_ivf_search_oracle", "s17_pq_search_oracle",
     "t34_classifier_train_iter1",
-    "q104_streaming_minhash_pairs", "q105_streaming_lifecycle_floor")
+    "q104_streaming_minhash_pairs", "q105_streaming_lifecycle_floor",
+    // one-sided banded admission (near-linear) and broadcast-eval
+    // decontam (BOTH sides grow with the probe corpus ⇒ quadratic pair
+    // work BY CONTRACT, like s13 — production eval sets are fixed-size)
+    "d16_incremental_minhash", "t35_embedding_decontam")
 
   private val IdShift = 10000000L
   private val DayShift = 4000 // > TPC-H date span, so copies never overlap

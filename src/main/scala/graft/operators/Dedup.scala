@@ -133,6 +133,74 @@ object Dedup {
     novel.unionByName(residual)
   }
 
+  /** Incremental NEAR-dup admission — the daily-crawl question d07
+    * answers for exact content, asked at near-dup granularity: which
+    * incoming documents near-duplicate something ALREADY in the corpus?
+    * Batch and existing sides get kernel MinHash signatures
+    * ([[minhashSigKernel]] — per-row, so the existing side's signatures
+    * are exactly what a production system precomputed when each doc was
+    * admitted); candidates come from banding the BATCH against the
+    * EXISTING side's band buckets only — never batch×batch (that is
+    * [[minhashLsh]] on the batch) and never existing×existing (already
+    * settled when those docs were admitted) — then exact Jaccard
+    * verification over the uncapped shingle sets (the kernel contract,
+    * as d13).
+    *
+    * Movement at 100 TB: the existing side's (band, band_hash, id)
+    * table IS the index — computed once, bucket-stored by (band, hash);
+    * per batch only the batch's own band rows shuffle against it, and
+    * verification joins shingles for CANDIDATE docs only (semi-joined
+    * first), so cost tracks the candidate set, not the corpus. Over-cap
+    * EXISTING buckets are dropped (ubiquitous-content detector, d03's
+    * cap argument); batch-side buckets need no cap — each batch row
+    * meets at most cap existing members per band.
+    */
+  def incrementalMinhash(batch: DataFrame, existing: DataFrame,
+                         textCol: String, idCol: String,
+                         k: Int = 32, bands: Int = 8, shingleN: Int = 3,
+                         threshold: Double = 0.8,
+                         bucketCap: Int = DefaultBucketCap): DataFrame = {
+    val rows = k / bands
+    def sigs(df: DataFrame) = df.select(col(idCol).as("id"),
+      minhashSigKernel(col(textCol), shingleN, k).as("sig"))
+    def banded(s: DataFrame) = {
+      val bandHashes = array((0 until bands).map(b =>
+        graft.functions.PortableHash.md5_64(concat_ws(",",
+          transform(slice(col("sig"), b * rows + 1, rows), _.cast("string"))))): _*)
+      s.select(col("id"), posexplode(bandHashes)).toDF("id", "band", "band_hash")
+    }
+    val exB = banded(sigs(existing))
+      .withColumn("sz", count(lit(1)).over(
+        Window.partitionBy(col("band"), col("band_hash"))))
+      .filter(col("sz") <= bucketCap).drop("sz")
+    val cands = banded(sigs(batch)).as("n").join(exB.as("e"),
+        col("n.band") === col("e.band") &&
+        col("n.band_hash") === col("e.band_hash"))
+      .select(col("n.id").as("id_new"), col("e.id").as("id_existing"))
+      .distinct()
+    // exact verify over UNCAPPED distinct shingle sets, candidate docs only
+    def sh(df: DataFrame, keep: DataFrame) = df
+      .select(col(idCol).as("id"), explode(shingles(col(textCol), shingleN)).as("s"))
+      .join(keep, Seq("id"), "left_semi")
+    val shNew = sh(batch, cands.select(col("id_new").as("id")))
+    val shEx = sh(existing, cands.select(col("id_existing").as("id")))
+    val common = cands
+      .join(shNew.as("sa"), col("id_new") === col("sa.id"))
+      .join(shEx.as("sb"),
+        col("id_existing") === col("sb.id") && col("sa.s") === col("sb.s"))
+      .groupBy(col("id_new"), col("id_existing")).agg(count(lit(1)).as("common"))
+    common
+      .join(shNew.groupBy(col("id")).agg(count(lit(1)).as("n")).as("n1"),
+        col("id_new") === col("n1.id"))
+      .join(shEx.groupBy(col("id")).agg(count(lit(1)).as("n")).as("n2"),
+        col("id_existing") === col("n2.id"))
+      .withColumn("jaccard",
+        col("common") / (col("n1.n") + col("n2.n") - col("common")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_new"), col("id_existing"),
+              round(col("jaccard"), 6).as("jaccard"))
+  }
+
   /** Corpus snapshot diff: classify every document across two corpus
     * versions as added / removed / changed / unchanged — the primitive an
     * incremental pipeline runs nightly to decide what to re-process

@@ -461,6 +461,38 @@ object Similarity {
               round(col("sim"), 6).as("sim"))
   }
 
+  /** Embedding-space benchmark decontamination — the semantic sibling of
+    * the n-gram decontam (t08): flag corpus vectors whose nearest EVAL
+    * vector clears a cosine threshold (paraphrased test-set leakage that
+    * shingle overlap can't see). Output per corpus vector: (vec_id,
+    * max_sim, closest_eval_id, contaminated), ties on sim broken by
+    * lowest eval id. `contaminated` compares the ROUNDED max_sim so an
+    * engine ulp can't flip the boundary.
+    *
+    * Scale contract = t08's/s01's: the eval set (benchmarks are small)
+    * BROADCASTS against one corpus scan — the corpus never shuffles; the
+    * per-row argmax window groups exactly |eval| rows per vector. An
+    * eval set too large to broadcast routes through the ANN candidate
+    * paths (s02/s04/s08) first, same as every other big-anchor case.
+    */
+  def embeddingDecontam(corpus: DataFrame, evalSet: DataFrame,
+                        threshold: Double, idCol: String = "vec_id",
+                        vecCol: String = "embedding"): DataFrame = {
+    val ev = broadcast(evalSet.select(col(idCol).as("eval_id"),
+      col(vecCol).cast("array<double>").as("ev")))
+    val c = corpus.select(col(idCol).as("vec_id"),
+      col(vecCol).cast("array<double>").as("v"))
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("sim").desc, col("eval_id").asc)
+    c.crossJoin(ev)
+      .withColumn("sim", cosine(col("v"), col("ev")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), round(col("sim"), 6).as("max_sim"),
+              col("eval_id").as("closest_eval_id"),
+              (round(col("sim"), 6) >= threshold).as("contaminated"))
+  }
+
   /** Per-group element-wise centroids of an embedding column, emitted as
     * (group, pos, centroid) rows — the core of prototype/class-mean
     * computation and IVF coarse-quantizer training. One explode + one

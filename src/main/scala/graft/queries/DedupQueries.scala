@@ -109,6 +109,46 @@ object DedupQueries {
                ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id)"""
   }
 
+  /** DuckDB replay of d16: kernel (uncapped) signatures for every doc,
+    * band table split by the d07 side convention (doc_id % 10), bucket
+    * cap on the EXISTING side only, batch×existing candidates, exact
+    * Jaccard over the uncapped distinct shingle sets.
+    */
+  private def incrementalMinhashOracle(k: Int, bands: Int,
+                                       threshold: Double): String = {
+    val rows = k / bands
+    val sigCols = (0 until k)
+      .map(i => s"min(${PH.sqlDerived("h", i)}) AS s$i").mkString(",\n               ")
+    val bandRows = (0 until bands).map { b =>
+      val slice = (b * rows until (b + 1) * rows).map(i => s"s$i").mkString(", ")
+      s"SELECT doc_id, $b AS band, ${PH.sqlMd5_64(s"array_to_string([$slice], ',')")} AS bh FROM sigs"
+    }.mkString("\n          UNION ALL ")
+    s"""
+    WITH d AS (SELECT doc_id, string_split(text, ' ') ws FROM documents),
+    sh AS (SELECT DISTINCT doc_id, array_to_string(ws[i:i+2], ' ') AS s
+           FROM d, LATERAL (SELECT unnest(range(1, len(ws) - 1)) AS i) t),
+    hb AS (SELECT doc_id, s, ${PH.sqlMd5_64("s")} % ${PH.Mod31} AS h FROM sh),
+    sigs AS (SELECT doc_id,
+               $sigCols
+             FROM hb GROUP BY doc_id),
+    bandv AS ($bandRows),
+    exb AS (SELECT doc_id, band, bh FROM (
+              SELECT *, count(*) OVER (PARTITION BY band, bh) AS sz
+              FROM bandv WHERE doc_id % 10 = 0)
+            WHERE sz <= ${graft.operators.Dedup.DefaultBucketCap}),
+    newb AS (SELECT doc_id, band, bh FROM bandv WHERE doc_id % 10 <> 0),
+    cand AS (SELECT DISTINCT n.doc_id AS id_new, e.doc_id AS id_existing
+             FROM newb n JOIN exb e ON n.band = e.band AND n.bh = e.bh),
+    sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+    com AS (SELECT id_new, id_existing, count(*) AS c
+            FROM cand JOIN sh sa ON sa.doc_id = id_new
+                      JOIN sh sb ON sb.doc_id = id_existing AND sa.s = sb.s
+            GROUP BY 1, 2)
+    SELECT id_new, id_existing, round(c * 1.0 / (s1.n + s2.n - c), 6) AS jaccard
+    FROM com JOIN sz s1 ON id_new = s1.doc_id JOIN sz s2 ON id_existing = s2.doc_id
+    WHERE c * 1.0 / (s1.n + s2.n - c) >= $threshold"""
+  }
+
   /** Shared DuckDB CTE chain for the d06 near-dup clustering pipeline:
     * 3-gram shingles (DF-capped) → Jaccard ≥ 0.8 pairs → undirected
     * edges → recursive transitive closure → per-node component = min
@@ -217,6 +257,24 @@ object DedupQueries {
         .select(col("id").as("doc_id"), col("component").as("cluster_keeper")),
       Some(closureCtes + """
         SELECT doc_id, component AS cluster_keeper FROM comp""")),
+
+    // Incremental NEAR-dup admission (d16): the incoming batch
+    // (doc_id % 10 <> 0) banded against the EXISTING corpus's
+    // (doc_id % 10 = 0) band-bucket index only — never batch×batch or
+    // existing×existing — then exact-Jaccard verified on the uncapped
+    // shingle sets (kernel contract, d13). The oracle replays kernel
+    // signatures, the one-sided banding, the existing-side bucket cap,
+    // and the verification bit-for-bit.
+    "d16_incremental_minhash" -> QueryDef(
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        Dedup.incrementalMinhash(
+          docs.filter(col("doc_id") % 10 =!= 0),
+          docs.filter(col("doc_id") % 10 === 0),
+          "text", "doc_id", k = 32, bands = 8, shingleN = 3,
+          threshold = 0.5)
+      },
+      Some(incrementalMinhashOracle(k = 32, bands = 8, threshold = 0.5))),
 
     // Incremental dedup: the incoming batch (doc_id % 10 != 0) against
     // the existing corpus (doc_id % 10 == 0) — hash-only anti-join.

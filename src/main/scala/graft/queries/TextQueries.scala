@@ -776,6 +776,36 @@ object TextQueries {
         Tables.documents(s, d), "text", col("lang") === "en")._2,
       None),
 
+    // Embedding-space benchmark decontamination (t35) — t08's semantic
+    // sibling: corpus vectors whose nearest EVAL-set vector clears a
+    // cosine threshold are flagged (paraphrased leakage n-gram overlap
+    // can't see). Eval set = vec_id % 20 = 0 (the held-out benchmark),
+    // corpus = the rest. Oracle replays the exact cosine argmax (ties to
+    // lowest eval id) and the rounded-boundary flag.
+    "t35_embedding_decontam" -> QueryDef(
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        graft.operators.Similarity.embeddingDecontam(
+          emb.filter(col("vec_id") % 20 =!= 0),
+          emb.filter(col("vec_id") % 20 === 0),
+          threshold = 0.35)
+      },
+      Some("""
+        WITH ev AS (SELECT vec_id AS eval_id, CAST(embedding AS DOUBLE[]) AS evv
+                    FROM embeddings WHERE vec_id % 20 = 0),
+        c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+              FROM embeddings WHERE vec_id % 20 <> 0),
+        sims AS (SELECT c.vec_id, ev.eval_id,
+                        list_cosine_similarity(v, evv) AS sim
+                 FROM c, ev),
+        r AS (SELECT vec_id, eval_id, sim,
+                     row_number() OVER (PARTITION BY vec_id
+                                        ORDER BY sim DESC, eval_id ASC) AS rn
+              FROM sims)
+        SELECT vec_id, round(sim, 6) AS max_sim, eval_id AS closest_eval_id,
+               round(sim, 6) >= 0.35 AS contaminated
+        FROM r WHERE rn = 1""")),
+
     // Iteration 1 of the t27 trainer, hash-oracled — the only GD
     // iteration an SQL oracle can replay exactly: with zero-init weights
     // every doc scores p = 0.5 precisely, so the loss is ln 2 for every

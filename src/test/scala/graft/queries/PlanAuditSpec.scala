@@ -60,7 +60,8 @@ class PlanAuditSpec extends SparkSpec {
     "q75_scalar_subquery", // scalar subquery compiles to a 1-row broadcast
     "s12_hybrid_rrf",      // vector side IS s01's brute-force contract (1 broadcast query row)
     "s13_hard_negatives",  // exact triplet mining: anchors broadcast × corpus, s01's contract
-    "s17_pq_search_oracle" // broadcast queries × coded corpus: s08's ADC scan contract (s08 itself trains at build)
+    "s17_pq_search_oracle", // broadcast queries × coded corpus: s08's ADC scan contract (s08 itself trains at build)
+    "t35_embedding_decontam" // broadcast eval set × corpus scan: t08's/s01's contract
   )
 
   /** Global-stat attach: a crossJoin against an AGGREGATE output whose

@@ -151,6 +151,42 @@ class Round7OpsSpec extends SparkSpec {
     }
   }
 
+  test("incrementalMinhash pairs batch against existing ONLY, never within a side") {
+    import spark.implicits._
+    // e1/e2: identical existing docs (existing×existing — must NOT pair);
+    // b1: identical to e1 (must pair, jaccard 1.0); b2: identical to b1
+    // (batch×batch — must NOT pair); b3: unrelated (no pair)
+    val shared = "the quick brown fox jumps over the lazy dog again and again"
+    val existing = Seq((10L, shared), (20L, shared)).toDF("doc_id", "text")
+    val batch = Seq((1L, shared), (2L, shared),
+      (3L, "completely different words in this one here nothing shared at all"))
+      .toDF("doc_id", "text")
+    val out = graft.operators.Dedup.incrementalMinhash(
+        batch, existing, "text", "doc_id", threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    out shouldBe Set((1L, 10L, 1.0), (1L, 20L, 1.0),
+                     (2L, 10L, 1.0), (2L, 20L, 1.0))
+    // deterministic: a re-run is identical
+    graft.operators.Dedup.incrementalMinhash(
+        batch, existing, "text", "doc_id", threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .toSet shouldBe out
+  }
+
+  test("embeddingDecontam flags planted eval duplicates and clears orthogonal vectors") {
+    import spark.implicits._
+    val evalVec = Array.tabulate(8)(i => if (i < 4) 1.0f else 0.0f)
+    val ortho = Array.tabulate(8)(i => if (i >= 4) 1.0f else 0.0f)
+    val evalSet = Seq((100L, evalVec)).toDF("vec_id", "embedding")
+    val corpus = Seq((1L, evalVec), (2L, ortho)).toDF("vec_id", "embedding")
+    val got = graft.operators.Similarity
+      .embeddingDecontam(corpus, evalSet, threshold = 0.35)
+      .collect().map(r =>
+        r.getLong(0) -> (r.getDouble(1), r.getLong(2), r.getBoolean(3))).toMap
+    got(1L) shouldBe ((1.0, 100L, true))   // exact planted duplicate
+    got(2L) shouldBe ((0.0, 100L, false))  // orthogonal: sim 0, clean
+  }
+
   test("tokenBudgetMixThreshold exhaustion fallback: admit set equals window path even when escalation can't settle") {
     // A heavy-tailed source: one doc holds nearly all the mass, so a
     // priority cutoff sized from average token mass almost surely misses
