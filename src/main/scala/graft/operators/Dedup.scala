@@ -521,6 +521,60 @@ object Dedup {
     cross.union(intra)
   }
 
+  /** One-sided banded Hamming admission — [[hammingPairs]]' answer to
+    * d16's question for 64-bit fingerprints (media phashes, SimHash):
+    * which incoming hashes sit within `maxDist` of something ALREADY in
+    * the corpus? Candidates come from joining the batch's distinct-hash
+    * chunk table against the EXISTING side's (the precomputable index;
+    * over-cap existing buckets drop, batch side needs no cap), verified
+    * by exact bit_count. EQUAL hashes — an incoming item byte-identical
+    * in fingerprint to an indexed one, the case an admission gate must
+    * never lose — bypass the banding through a direct cap-free h64
+    * equi-join (output-sized, the [[hammingPairs]] intra/cross split
+    * one-sided). Output (id_new, id_existing, hamming); never pairs
+    * within a side.
+    */
+  def hammingPairsAgainst(batch: DataFrame, existing: DataFrame,
+                          idCol: String, hashCol: String,
+                          maxDist: Int = 3, bucketCap: Int = DefaultBucketCap,
+                          nChunks: Int = 4, chunkBits: Int = 16): DataFrame = {
+    require(maxDist <= nChunks - 1,
+      s"banding on $nChunks chunks is only lossless for distance <= ${nChunks - 1}")
+    val mask = (1L << chunkBits) - 1
+    def base(df: DataFrame) =
+      df.select(col(idCol).as("id"), col(hashCol).as("h64"))
+    def chunked(b: DataFrame) = {
+      val chunkVals = array((0 until nChunks).map(c =>
+        shiftright(col("h64"), c * chunkBits).bitwiseAND(mask)): _*)
+      b.select(col("h64")).distinct()
+        .select(col("h64"), posexplode(chunkVals))
+        .toDF("h64", "chunk", "chunk_val")
+    }
+    val bn = base(batch)
+    val be = base(existing)
+    val exChunks = chunked(be)
+      .withColumn("sz", count(lit(1)).over(
+        Window.partitionBy(col("chunk"), col("chunk_val"))))
+      .filter(col("sz") <= bucketCap).drop("sz")
+    val hashPairs = chunked(bn).as("n").join(exChunks.as("e"),
+        col("n.chunk") === col("e.chunk") &&
+        col("n.chunk_val") === col("e.chunk_val") &&
+        col("n.h64") =!= col("e.h64"))
+      .select(col("n.h64").as("hn"), col("e.h64").as("he"))
+      .distinct()
+      .withColumn("hamming", bit_count(col("hn").bitwiseXOR(col("he"))))
+      .filter(col("hamming") <= maxDist)
+    val cross = hashPairs
+      .join(bn.as("x"), col("x.h64") === col("hn"))
+      .join(be.as("y"), col("y.h64") === col("he"))
+      .select(col("x.id").as("id_new"), col("y.id").as("id_existing"),
+              col("hamming").cast("long").as("hamming"))
+    val equal = bn.as("x").join(be.as("y"), col("x.h64") === col("y.h64"))
+      .select(col("x.id").as("id_new"), col("y.id").as("id_existing"),
+              lit(0L).as("hamming"))
+    cross.union(equal)
+  }
+
   /** Smallest block count whose banding keys keep the EXPECTED bucket
     * size (n / 2^keyBits, uniform-hash heuristic) at or under
     * `targetBucket`. With `m` blocks a ≤`maxDist` pair agrees exactly on

@@ -195,6 +195,65 @@ object MultimodalQueries {
         FROM ph a JOIN ph b ON a.doc_id < b.doc_id
         WHERE bit_count(xor(a.phash, b.phash)) <= 5""")),
 
+    // Incremental media admission (m08): which incoming media payloads
+    // sit within Hamming 5 of a perceptual hash ALREADY in the corpus —
+    // d16's question for the media stack. Batch chunks band against the
+    // EXISTING side's precomputable chunk index only (cap on existing
+    // buckets); byte-identical fingerprints bypass banding through a
+    // cap-free h64 equi-join. The oracle replays sides, banding, cap,
+    // the equal-hash bypass, and the verify bit-for-bit.
+    "m08_incremental_phash" -> QueryDef(
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        def phash(df: org.apache.spark.sql.DataFrame) =
+          Multimodal.perceptualHash(
+            Multimodal.asMediaTable(df, "text", "doc_id"), "doc_id")
+        graft.operators.Dedup.hammingPairsAgainst(
+          phash(docs.filter(col("doc_id") % 10 =!= 0)),
+          phash(docs.filter(col("doc_id") % 10 === 0)),
+          "id", "phash", maxDist = 5, nChunks = 6, chunkBits = 10)
+      },
+      Some(s"""
+        WITH pay AS (SELECT doc_id, encode(text) AS payload FROM documents),
+        hx AS (SELECT doc_id, hex(payload) AS hx, octet_length(payload) AS nb
+               FROM pay),
+        tok AS (SELECT doc_id, substr(hx, i*2+1, 8) AS w
+                FROM hx, LATERAL (SELECT unnest(range(0, greatest(nb-3,1))) AS i) t),
+        hs AS (SELECT doc_id, list(${PH.sqlMd5_64("w")}) AS hl
+               FROM tok GROUP BY doc_id),
+        ph AS (SELECT doc_id,
+                 CAST(list_sum([CASE WHEN list_sum([CASE WHEN (h >> b) & 1 = 1
+                                                        THEN 1 ELSE -1 END
+                                                   for h in hl]) > 0
+                                     THEN (1::BIGINT << b) ELSE 0 END
+                                for b in range(64)]) AS BIGINT) AS phash
+               FROM hs),
+        phn AS (SELECT doc_id, phash FROM ph WHERE doc_id % 10 <> 0),
+        phe AS (SELECT doc_id, phash FROM ph WHERE doc_id % 10 = 0),
+        chn AS (SELECT phash, c AS chunk, (phash >> (c * 10)) & 1023 AS chunk_val
+                FROM (SELECT DISTINCT phash FROM phn),
+                     LATERAL (SELECT unnest(range(0, 6)) AS c) t),
+        cape AS (SELECT phash, chunk, chunk_val FROM (
+                   SELECT *, count(*) OVER (PARTITION BY chunk, chunk_val) AS sz
+                   FROM (SELECT phash, c AS chunk,
+                                (phash >> (c * 10)) & 1023 AS chunk_val
+                         FROM (SELECT DISTINCT phash FROM phe),
+                              LATERAL (SELECT unnest(range(0, 6)) AS c) t))
+                 WHERE sz <= ${graft.operators.Dedup.DefaultBucketCap}),
+        hv AS (SELECT hn, he, CAST(bit_count(xor(hn, he)) AS BIGINT) AS hamming
+               FROM (SELECT DISTINCT n.phash AS hn, e.phash AS he
+                     FROM chn n JOIN cape e
+                       ON n.chunk = e.chunk AND n.chunk_val = e.chunk_val
+                      AND n.phash <> e.phash)
+               WHERE bit_count(xor(hn, he)) <= 5)
+        SELECT x.doc_id AS id_new, y.doc_id AS id_existing, hv.hamming
+        FROM hv JOIN phn x ON x.phash = hv.hn
+                JOIN phe y ON y.phash = hv.he
+        UNION ALL
+        SELECT x.doc_id AS id_new, y.doc_id AS id_existing,
+               CAST(0 AS BIGINT) AS hamming
+        FROM phn x JOIN phe y ON x.phash = y.phash""")),
+
     "m03_frame_sampling" -> QueryDef(
       (s, d) => {
         val media = Multimodal.asMediaTable(Tables.documents(s, d), "text", "doc_id")

@@ -173,6 +173,31 @@ class Round7OpsSpec extends SparkSpec {
       .toSet shouldBe out
   }
 
+  test("hammingPairsAgainst: one-sided pairing, equal-hash bypass survives over-cap index buckets") {
+    import spark.implicits._
+    // plain case: batch hash 0 equals existing id 10 and is 1 bit from
+    // existing id 20; existing 10/20 are 1 bit apart WITHIN the side
+    // (must not pair); batch id 2 is > maxDist from everything
+    val existing = Seq((10L, 0L), (20L, 1L)).toDF("id", "h64")
+    val batch = Seq((1L, 0L), (2L, 255L)).toDF("id", "h64")
+    val out = graft.operators.Dedup.hammingPairsAgainst(
+        batch, existing, "id", "h64", maxDist = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    out shouldBe Set((1L, 10L, 0L), (1L, 20L, 1L))
+    // over-cap case: 64 dense existing hashes share chunks 1..3 (buckets
+    // of 64 distinct hashes > cap 8 → dropped, so near-misses vanish —
+    // the documented cap drop), but the batch item byte-identical in
+    // fingerprint to TWO indexed items still pairs via the cap-free
+    // equal-hash bypass
+    val dense = ((0 until 64).map(k => (1000L + k, k.toLong)) :+ (2000L, 5L))
+      .toDF("id", "h64")
+    val probe = Seq((1L, 5L)).toDF("id", "h64")
+    val capped = graft.operators.Dedup.hammingPairsAgainst(
+        probe, dense, "id", "h64", maxDist = 3, bucketCap = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    capped shouldBe Set((1L, 1005L, 0L), (1L, 2000L, 0L))
+  }
+
   test("embeddingDecontam flags planted eval duplicates and clears orthogonal vectors") {
     import spark.implicits._
     val evalVec = Array.tabulate(8)(i => if (i < 4) 1.0f else 0.0f)
