@@ -64,7 +64,7 @@ object ScaleProbe {
     // decontam (BOTH sides grow with the probe corpus ⇒ quadratic pair
     // work BY CONTRACT, like s13 — production eval sets are fixed-size)
     "d16_incremental_minhash", "t35_embedding_decontam",
-    "m08_incremental_phash")
+    "m08_incremental_phash", "q106_streaming_admission")
 
   private val IdShift = 10000000L
   private val DayShift = 4000 // > TPC-H date span, so copies never overlap

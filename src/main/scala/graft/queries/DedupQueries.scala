@@ -109,6 +109,13 @@ object DedupQueries {
                ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id)"""
   }
 
+  /** q106 (streaming admission) shares d16's oracle verbatim: admission
+    * is per-doc against the static index, so the drained union over
+    * micro-batches equals the batch answer at any batch boundary.
+    */
+  private[queries] lazy val streamingAdmissionOracle: String =
+    incrementalMinhashOracle(k = 32, bands = 8, threshold = 0.5)
+
   /** DuckDB replay of d16: kernel (uncapped) signatures for every doc,
     * band table split by the d07 side convention (doc_id % 10), bucket
     * cap on the EXISTING side only, batch×existing candidates, exact

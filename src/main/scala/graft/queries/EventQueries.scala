@@ -844,6 +844,43 @@ object EventQueries {
             .agg(max(col("n")).as("n"))
         }
       },
-      Some("SELECT CAST(1 AS BIGINT) AS doc_id, CAST(1 AS BIGINT) AS n"))
+      Some("SELECT CAST(1 AS BIGINT) AS doc_id, CAST(1 AS BIGINT) AS n")),
+
+    // Streaming ADMISSION (q106): d16 run as a continuous ingest — the
+    // incoming document stream (4 micro-batches) is near-dup-checked
+    // against the STATIC existing-corpus index inside foreachBatch.
+    // Admission is per-doc against the index (no cross-batch state:
+    // candidates, caps, and verification all involve one incoming doc
+    // and the static side only), so the drained union over batches
+    // equals the batch d16 answer at ANY batch boundary — and the gate
+    // shares d16's DuckDB oracle verbatim. A production job checkpoints
+    // the existing side's banded index instead of re-deriving it per
+    // batch; at gate scale the re-derivation is the cheaper honest form.
+    "q106_streaming_admission" -> QueryDef(
+      (s, d) => {
+        import org.apache.spark.sql.streaming.Trigger
+        val dir = stageDocsDir(s, d)
+        val schema = Tables.documents(s, d).schema
+        val existing = Tables.documents(s, d)
+          .filter(col("doc_id") % 10 === 0).localCheckpoint()
+        val out = java.nio.file.Files.createTempDirectory("graft_q106")
+        withStreamConf(s, parts = "4", rocksdb = false) {
+          val stream = s.readStream
+            .option("maxFilesPerTrigger", "1") // 4 files → 4 batches
+            .schema(schema).parquet(dir.toString)
+            .filter(col("doc_id") % 10 =!= 0)
+          val q = stream.writeStream
+            .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+              graft.operators.Dedup.incrementalMinhash(
+                  batch, existing, "text", "doc_id",
+                  k = 32, bands = 8, shingleN = 3, threshold = 0.5)
+                .write.mode("append").parquet(out.toString)
+            }
+            .trigger(Trigger.AvailableNow()).start()
+          q.awaitTermination()
+          s.read.parquet(out.toString)
+        }
+      },
+      Some(DedupQueries.streamingAdmissionOracle))
   )
 }

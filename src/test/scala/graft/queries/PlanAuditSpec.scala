@@ -26,7 +26,8 @@ class PlanAuditSpec extends SparkSpec {
     "q99_sql_scripting",    // the script executes at sql() time
     "q101_streaming_dedup", // streaming drain like q90
     "q104_streaming_minhash_pairs", // streaming drain like q101
-    "q105_streaming_lifecycle_floor") // streaming drain by design (the floor probe)
+    "q105_streaming_lifecycle_floor", // streaming drain by design (the floor probe)
+    "q106_streaming_admission") // streaming drain (foreachBatch against the static index)
   private def eagerPrefix(n: String): Boolean =
     n.startsWith("p0") || n.startsWith("src")
 

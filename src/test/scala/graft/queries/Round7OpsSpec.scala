@@ -198,6 +198,12 @@ class Round7OpsSpec extends SparkSpec {
     capped shouldBe Set((1L, 1005L, 0L), (1L, 2000L, 0L))
   }
 
+  test("q106 streaming admission equals batch d16 at the gate's batch boundaries") {
+    def rows3(name: String) = graft.SparkEntry.queries(name)(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    rows3("q106_streaming_admission") shouldBe rows3("d16_incremental_minhash")
+  }
+
   test("embeddingDecontam flags planted eval duplicates and clears orthogonal vectors") {
     import spark.implicits._
     val evalVec = Array.tabulate(8)(i => if (i < 4) 1.0f else 0.0f)
