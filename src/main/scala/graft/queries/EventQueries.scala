@@ -881,6 +881,67 @@ object EventQueries {
           s.read.parquet(out.toString)
         }
       },
-      Some(DedupQueries.streamingAdmissionOracle))
+      Some(DedupQueries.streamingAdmissionOracle)),
+
+    // Link-graph authority scoring (PageRank) in exact integer
+    // fixed-point — the crawl-domain quality-weighting primitive (see
+    // GraphRank doc: integer micro-units make every iteration
+    // order-independent, so K full iterations are hash-oracled where a
+    // float PageRank would be rows-only by the partial-sum-order
+    // argument). The gate ranks the supplier→customer trade graph
+    // (distinct pairs from lineitem⋈orders); the oracle replays the
+    // integer recurrence as K unrolled CTEs.
+    "q107_link_rank" -> QueryDef(
+      (s, d) => {
+        val li = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_suppkey"))
+        val ord = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"))
+        // both directions of the trade relation, so the graph has cycles
+        // and authority actually circulates (a one-way bipartite graph
+        // just drains); customers offset so ids never collide
+        val pairs = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+          .select(col("l_suppkey").as("s"),
+                  (col("o_custkey") + lit(1000000L)).as("c"))
+        val edges = pairs.select(col("s").as("src"), col("c").as("dst"))
+          .union(pairs.select(col("c").as("src"), col("s").as("dst")))
+        graft.operators.GraphRank.pageRank(edges, "src", "dst", iterations = 5)
+      },
+      Some(linkRankOracle(iterations = 5))),
   )
+
+  /** q107's oracle: the integer fixed-point PageRank recurrence unrolled
+    * as one CTE per iteration. Every operation is BIGINT arithmetic
+    * (`//` = floor division, all values non-negative), so DuckDB lands on
+    * the engine's ranks bit-for-bit.
+    */
+  private def linkRankOracle(iterations: Int): String = {
+    val units = graft.operators.GraphRank.DefaultUnits
+    val iterCtes = (1 to iterations).map { i =>
+      val prev = if (i == 1) "it0" else s"it${i - 1}"
+      s"""it$i AS (
+        SELECT nd.node,
+               (SELECT base FROM c) + (85 * coalesce(s.insum, 0)) // 100 AS r
+        FROM nodes nd LEFT JOIN (
+          SELECT e.dst AS node, sum(p.r // od.outdeg) AS insum
+          FROM e JOIN od USING (src) JOIN $prev p ON p.node = e.src
+          GROUP BY e.dst) s USING (node))"""
+    }.mkString(",\n")
+    s"""
+      WITH p AS (
+        SELECT DISTINCT CAST(l_suppkey AS BIGINT) AS s,
+                        CAST(o_custkey AS BIGINT) + 1000000 AS c
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+      e AS (SELECT s AS src, c AS dst FROM p
+            UNION SELECT c AS src, s AS dst FROM p),
+      nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+      od AS (SELECT src, count(*) AS outdeg FROM e GROUP BY src),
+      c AS (SELECT count(*) AS n,
+                   CAST($units AS BIGINT) // count(*) AS r0,
+                   (CAST(15 AS BIGINT) * $units) // (100 * count(*)) AS base
+            FROM nodes),
+      it0 AS (SELECT node, (SELECT r0 FROM c) AS r FROM nodes),
+      $iterCtes
+      SELECT node, CAST(r AS BIGINT) AS rank_units,
+             round(r / $units.0, 6) AS rank
+      FROM it$iterations"""
+  }
 }

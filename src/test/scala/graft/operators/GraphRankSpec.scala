@@ -1,0 +1,91 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Integer fixed-point PageRank (GraphRank): exactness, determinism
+  * across partitionings, the documented mass contract, and agreement
+  * with the textbook double-precision recurrence within fixed-point
+  * granularity.
+  */
+class GraphRankSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ranksOf(edges: Seq[(Long, Long)], iters: Int = 5) =
+    GraphRank.pageRank(edges.toDF("src", "dst"), "src", "dst", iters)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  // a 4-node graph with a clear authority: everyone links to node 1
+  private val star = Seq(2L -> 1L, 3L -> 1L, 4L -> 1L, 1L -> 2L)
+
+  test("authority ordering: the node everyone links to ranks highest") {
+    val r = ranksOf(star)
+    r(1L) should be > r(2L)
+    // 3 and 4 are symmetric sinks of nothing: identical rank, below 2
+    r(3L) shouldBe r(4L)
+    r(2L) should be > r(3L)
+  }
+
+  test("hand-computed first iteration on the star graph") {
+    // N=4, r0 = 250_000_000; base = 15e8/400 = 37_500_00? -> compute:
+    // base = (15 * 1e9) / (100 * 4) = 37_500_000.
+    // in(1) = r0/1 * 3 (from 2,3,4) = 750_000_000 -> r(1) = base + 85*in/100
+    val r = ranksOf(star, iters = 1)
+    val r0 = 1000000000L / 4
+    val base = (15L * 1000000000L) / (100L * 4)
+    r(1L) shouldBe base + (85L * (3 * r0)) / 100
+    r(2L) shouldBe base + (85L * r0) / 100 // only 1 -> 2
+    r(3L) shouldBe base                    // no in-edges
+    r(4L) shouldBe base
+  }
+
+  test("bit-identical across partitionings and reruns (the fixed-point claim)") {
+    val pairs = (0L until 200L).map(i => i -> (i * 7 + 3) % 200)
+    val a = ranksOf(pairs)
+    val edges = pairs.toDF("src", "dst").repartition(7)
+    val b = GraphRank.pageRank(edges, "src", "dst", 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    a shouldBe b
+  }
+
+  test("mass contract: total units never exceed the initial mass and leak is bounded") {
+    val pairs = (0L until 100L).flatMap(i =>
+      Seq(i -> (i + 1) % 100, i -> (i * 13 + 7) % 100))
+    val df = GraphRank.pageRank(pairs.toDF("src", "dst"), "src", "dst", 5)
+    val total = df.agg(sum("rank_units")).as[Long].head()
+    val units = GraphRank.DefaultUnits
+    total should be <= units
+    // leak per iteration < (edges + nodes) units + damping truncation;
+    // on this 200-edge graph 5 iterations leak far less than 0.1% of mass
+    total should be >= (units * 999L) / 1000
+  }
+
+  test("parallel edges collapse: duplicated edge rows do not change ranks") {
+    val dup = star ++ star ++ star
+    ranksOf(dup) shouldBe ranksOf(star)
+  }
+
+  test("tracks the double-precision recurrence within fixed-point granularity") {
+    val pairs = (0L until 50L).flatMap(i =>
+      Seq(i -> (i * 3 + 1) % 50, (i * 11 + 2) % 50 -> i))
+    val got = ranksOf(pairs, iters = 5)
+    // reference double-precision PageRank with the same dangling-drop
+    // and parallel-edge-collapse semantics
+    val e = pairs.distinct
+    val nodes = (e.map(_._1) ++ e.map(_._2)).distinct
+    val out = e.groupBy(_._1).map { case (s, es) => s -> es.size }
+    var r = nodes.map(_ -> 1.0 / nodes.size).toMap
+    for (_ <- 1 to 5) {
+      val in = e.groupBy(_._2).map { case (d, es) =>
+        d -> es.map(x => r(x._1) / out(x._1)).sum
+      }
+      r = nodes.map(n => n -> (0.15 / nodes.size + 0.85 * in.getOrElse(n, 0.0))).toMap
+    }
+    val units = GraphRank.DefaultUnits.toDouble
+    nodes.foreach { n =>
+      // integer truncation drops <1 unit per edge per round; with ≤100
+      // edges and 5 rounds the drift stays well under 1e-5 of mass
+      math.abs(got(n) / units - r(n)) should be < 1e-5
+    }
+  }
+}

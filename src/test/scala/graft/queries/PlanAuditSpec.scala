@@ -49,7 +49,11 @@ class PlanAuditSpec extends SparkSpec {
     // the gate here would localCheckpoint + run the full phash kernel —
     // work, not a plan. Both banding paths it routes to ARE audited:
     // d04 covers hammingPairs, m07 covers hammingPairsBlocks.
-    "m06_media_phash_pairs")
+    "m06_media_phash_pairs",
+    // pageRank counts nodes + localCheckpoints edges/ranks per iteration
+    // at build time (the d06 iterate-at-build shape); each round is one
+    // equi-join + one hash agg by construction — GraphRankSpec covers it
+    "q107_link_rank")
 
   /** Pairwise-by-contract: the nested-loop is the documented semantics,
     * not an accident.
