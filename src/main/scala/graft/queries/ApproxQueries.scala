@@ -109,6 +109,49 @@ object ApproxQueries {
           .select(col("event_type"), col("exact_users"),
                   col("est_users"), col("within_5pct"))
       },
-      None)
+      None),
+
+    // Mergeable PERCENTILE rollup (q88's quantile sibling, with a
+    // stronger verification story): day-grain integer HDR histograms of
+    // price cents roll up to month by a pure count-sum — the corpus is
+    // never rescanned at a coarser grain — and extraction reports the
+    // bracketing bucket [est_lo, est_hi] provably containing the true
+    // percentile (width ≤ 2^-5 relative). Unlike KLL/GK sketches the
+    // histogram is order-free integer math, so where q88 is rows-only by
+    // design, EVERY stage here (bit-length bucketing, rollup, rank
+    // extraction) replays in DuckDB and the gate is hash-oracled.
+    "q108_quantile_rollup" -> QueryDef(
+      (s, d) => {
+        import graft.operators.QuantileRollup
+        val li = Tables.lineitem(s, d)
+          .withColumn("cents",
+            round(col("l_extendedprice") * 100).cast("long"))
+          .withColumn("month", date_trunc("month", col("l_shipdate")))
+          .withColumn("day", date_trunc("day", col("l_shipdate")))
+        val daily = QuantileRollup.histogram(li, "cents", Seq("month", "day"))
+        val monthly = QuantileRollup.rollup(daily, Seq("month"))
+        QuantileRollup.percentiles(monthly, Seq("month"), Seq(0.5, 0.95, 0.99))
+      },
+      Some("""
+        WITH v AS (SELECT date_trunc('month', l_shipdate) AS month,
+                          CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+                   FROM lineitem),
+        b AS (SELECT month, cents,
+                     greatest(length(bin(cents)) - 6, 0) AS sh FROM v),
+        h AS (SELECT month,
+                     (cents >> sh) << sh AS bucket_lo,
+                     (((cents >> sh) + 1) << sh) - 1 AS bucket_hi,
+                     count(*) AS cnt
+              FROM b GROUP BY 1, 2, 3),
+        c AS (SELECT month, bucket_lo, bucket_hi, cnt,
+                     sum(cnt) OVER (PARTITION BY month ORDER BY bucket_lo) AS cum,
+                     sum(cnt) OVER (PARTITION BY month) AS n
+              FROM h),
+        p AS (SELECT unnest([CAST(0.5 AS DOUBLE), CAST(0.95 AS DOUBLE),
+                             CAST(0.99 AS DOUBLE)]) AS p)
+        SELECT month, p, bucket_lo AS est_lo, bucket_hi AS est_hi,
+               CAST(n AS BIGINT) AS n
+        FROM c CROSS JOIN p
+        WHERE cum >= ceil(p * n) AND cum - cnt < ceil(p * n)"""))
   )
 }
