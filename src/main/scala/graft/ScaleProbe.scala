@@ -64,7 +64,12 @@ object ScaleProbe {
     // decontam (BOTH sides grow with the probe corpus ⇒ quadratic pair
     // work BY CONTRACT, like s13 — production eval sets are fixed-size)
     "d16_incremental_minhash", "t35_embedding_decontam",
-    "m08_incremental_phash", "q106_streaming_admission")
+    "m08_incremental_phash", "q106_streaming_admission",
+    // round-7 continuation: integer fixed-point PageRank (per-iteration
+    // broadcastable rank join + one dst-keyed long-sum shuffle) and the
+    // mergeable histogram percentile rollup (bounded bucket keys)
+    "q107_link_rank", "q108_quantile_rollup", "q109_hits",
+    "q110_trust_rank")
 
   private val IdShift = 10000000L
   private val DayShift = 4000 // > TPC-H date span, so copies never overlap

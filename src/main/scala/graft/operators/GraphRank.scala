@@ -64,7 +64,33 @@ object GraphRank {
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
                iterations: Int = 5,
                dampNum: Long = 85, dampDen: Long = 100,
-               totalUnits: Long = DefaultUnits): DataFrame = {
+               totalUnits: Long = DefaultUnits): DataFrame =
+    biasedRank(edges, srcCol, dstCol, None, iterations, dampNum, dampDen,
+      totalUnits)
+
+  /** TrustRank (Gyöngyi, Garcia-Molina & Pedersen 2004): PageRank with
+    * the teleport mass restricted to a TRUSTED seed set — authority can
+    * only be reached through link paths from seeds, so spam farms that
+    * fabricate internal link mass rank near zero. The crawl-corpus
+    * anti-spam weighting signal next to q107's global authority: seed
+    * with editorially-vetted domains, threshold the result, and the
+    * complement is the spam-likely crawl slice. Same exact integer
+    * fixed-point arithmetic, so the biased recurrence is hash-oracled
+    * and partition-invariant like the unbiased one. `seeds` is one
+    * column of node ids; seeds absent from the graph are ignored.
+    */
+  def trustRank(edges: DataFrame, srcCol: String, dstCol: String,
+                seeds: DataFrame, iterations: Int = 5,
+                dampNum: Long = 85, dampDen: Long = 100,
+                totalUnits: Long = DefaultUnits): DataFrame =
+    biasedRank(edges, srcCol, dstCol, Some(seeds), iterations, dampNum,
+      dampDen, totalUnits)
+
+  private def biasedRank(edges: DataFrame, srcCol: String, dstCol: String,
+               seedsOpt: Option[DataFrame],
+               iterations: Int,
+               dampNum: Long, dampDen: Long,
+               totalUnits: Long): DataFrame = {
     require(iterations >= 1 && dampNum >= 0 && dampNum <= dampDen)
     // dedup + materialize the edge lineage exactly once; repartition by
     // src so each iteration's rank join reuses the layout
@@ -74,20 +100,34 @@ object GraphRank {
       .distinct()
       .repartition(col("src"))
       .localCheckpoint()
-    val nodes = e.select(col("src").as("node"))
+    val bare = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node")))
       .distinct()
-      .localCheckpoint()
+    // teleport target flag: every node (unbiased) or the seed set only
+    // (TrustRank) — seeds outside the graph are dropped by the semi-join
+    val nodes = (seedsOpt match {
+      case None => bare.withColumn("is_tgt", lit(true))
+      case Some(sd) =>
+        val seedSet = sd.select(sd.columns.head).toDF("node")
+          .select(col("node").cast("long").as("node")).distinct()
+        bare.join(seedSet.withColumn("is_tgt", lit(true)), Seq("node"), "left")
+          .select(col("node"), coalesce(col("is_tgt"), lit(false)).as("is_tgt"))
+    }).localCheckpoint()
     val n = nodes.count() // driver scalar: one Long
-    require(n > 0, "pageRank on an empty edge list")
+    require(n > 0, "rank on an empty edge list")
+    val m = if (seedsOpt.isEmpty) n
+            else nodes.filter(col("is_tgt")).count()
+    require(m > 0, "trustRank with no seed present in the graph")
     val outdeg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
     // (src, dst, outdeg) — the per-iteration join input, materialized once
     val eo = e.join(outdeg, "src").localCheckpoint()
 
-    val r0 = totalUnits / n
-    val base = ((dampDen - dampNum) * totalUnits) / (dampDen * n)
+    // initial and teleport mass go to the m teleport targets only
+    val r0 = totalUnits / m
+    val base = ((dampDen - dampNum) * totalUnits) / (dampDen * m)
 
-    var ranks = nodes.withColumn("r", lit(r0))
+    var ranks = nodes.withColumn("r",
+      when(col("is_tgt"), lit(r0)).otherwise(lit(0L)))
     var i = 0
     while (i < iterations) {
       // integer per-edge contribution: exact, order-free
@@ -96,13 +136,80 @@ object GraphRank {
         .groupBy(col("dst").as("node"))
         .agg(sum(col("c")).as("insum")) // Long sum: order-independent
       ranks = nodes.join(inSum, Seq("node"), "left")
-        .select(col("node"),
-          (lit(base) + expr(s"$dampNum * coalesce(insum, 0L) div $dampDen"))
+        .select(col("node"), col("is_tgt"),
+          (when(col("is_tgt"), lit(base)).otherwise(lit(0L)) +
+            expr(s"$dampNum * coalesce(insum, 0L) div $dampDen"))
             .as("r"))
         .localCheckpoint() // truncate lineage so round N's plan is O(1)
       i += 1
     }
     ranks.select(col("node"), col("r").as("rank_units"),
       round(col("r") / lit(totalUnits.toDouble), 6).as("rank"))
+  }
+
+  /** HITS (Kleinberg 1999) in the same exact integer fixed-point: per
+    * iteration, authority(v) = Σ_{u→v} hub(u) and hub(u) = Σ_{u→v}
+    * authority(v), each renormalized to ~`totalUnits` total mass by the
+    * integer contraction `x div max(T div totalUnits, 1)` where T is the
+    * raw total — a 1-row aggregate attached by broadcast, so the
+    * normalizer is part of the plan, not driver state. All sums are
+    * Longs: order-free, bit-deterministic, SQL-replayable (the q107
+    * argument). Raw totals are bounded by edges·totalUnits, so keep
+    * totalUnits·|E| under 2⁶³ (at 10⁹ edges use totalUnits = 1e6 — the
+    * knob exists for exactly this reason).
+    *
+    * Hub scores surface link CURATORS (pages whose out-links point at
+    * authorities) — the crawl-seed-list signal next to pageRank's
+    * authority signal. Returns (node, auth_units, hub_units, authority,
+    * hub) with the unit columns exact and the doubles rounded 6 dp.
+    */
+  def hits(edges: DataFrame, srcCol: String, dstCol: String,
+           iterations: Int = 5,
+           totalUnits: Long = DefaultUnits): DataFrame = {
+    require(iterations >= 1)
+    val e = edges
+      .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
+      .where(col("src").isNotNull && col("dst").isNotNull)
+      .distinct()
+      .localCheckpoint()
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node")))
+      .distinct()
+      .localCheckpoint()
+    val n = nodes.count()
+    require(n > 0, "hits on an empty edge list")
+    val r0 = totalUnits / n
+
+    // renormalize raw integer scores to ~totalUnits total mass; the
+    // 1-row total is broadcast so both engines divide by the same T
+    def rescale(raw: DataFrame, cName: String): DataFrame = {
+      val t = raw.agg(sum(col(cName)).as("__t"))
+      raw.crossJoin(broadcast(t))
+        .select(col("node"),
+          expr(s"$cName div greatest(__t div $totalUnits, 1L)").as(cName))
+    }
+
+    var hubs = nodes.withColumn("h", lit(r0))
+    var auths = nodes.withColumn("a", lit(r0))
+    var i = 0
+    while (i < iterations) {
+      val aRaw = nodes.join(
+        e.join(hubs, e("src") === hubs("node"))
+          .groupBy(col("dst").as("node")).agg(sum(col("h")).as("a_raw")),
+        Seq("node"), "left")
+        .select(col("node"), coalesce(col("a_raw"), lit(0L)).as("a"))
+      auths = rescale(aRaw, "a").localCheckpoint()
+      val hRaw = nodes.join(
+        e.join(auths, e("dst") === auths("node"))
+          .groupBy(col("src").as("node")).agg(sum(col("a")).as("h_raw")),
+        Seq("node"), "left")
+        .select(col("node"), coalesce(col("h_raw"), lit(0L)).as("h"))
+      hubs = rescale(hRaw, "h").localCheckpoint()
+      i += 1
+    }
+    auths.join(hubs, "node")
+      .select(col("node"), col("a").as("auth_units"), col("h").as("hub_units"),
+        round(col("a") / lit(totalUnits.toDouble), 6).as("authority"),
+        round(col("h") / lit(totalUnits.toDouble), 6).as("hub"))
   }
 }

@@ -906,39 +906,133 @@ object EventQueries {
         graft.operators.GraphRank.pageRank(edges, "src", "dst", iterations = 5)
       },
       Some(linkRankOracle(iterations = 5))),
+
+    // TrustRank (Gyöngyi et al. 2004): q107's recurrence with teleport
+    // mass restricted to a trusted SEED set — authority is reachable
+    // only through link paths from seeds, so link farms that fabricate
+    // internal mass rank near zero: the crawl-corpus anti-spam
+    // weighting signal. Seeds here: every 5th supplier (deterministic,
+    // so the oracle replays seed selection too). Same integer
+    // fixed-point arithmetic, same unrolled-CTE oracle with a
+    // seed-conditional teleport term.
+    "q110_trust_rank" -> QueryDef(
+      (s, d) => {
+        val li = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_suppkey"))
+        val ord = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"))
+        val pairs = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+          .select(col("l_suppkey").as("s"),
+                  (col("o_custkey") + lit(1000000L)).as("c"))
+        val edges = pairs.select(col("s").as("src"), col("c").as("dst"))
+          .union(pairs.select(col("c").as("src"), col("s").as("dst")))
+        val seeds = Tables.supplier(s, d)
+          .filter(col("s_suppkey") % 5 === 0).select(col("s_suppkey"))
+        graft.operators.GraphRank.trustRank(edges, "src", "dst", seeds,
+          iterations = 5)
+      },
+      Some(linkRankOracle(iterations = 5,
+        seedPred = Some("node < 1000000 AND node % 5 = 0")))),
+
+    // HITS hubs/authorities on the DIRECTED supplier→customer trade
+    // graph (the bipartite case HITS was built for: suppliers act as
+    // hubs/curators, customers as authorities) — same exact integer
+    // fixed-point treatment as q107, so all five mutual-reinforcement
+    // iterations, including the integer renormalization, replay in
+    // DuckDB bit-for-bit.
+    "q109_hits" -> QueryDef(
+      (s, d) => {
+        val li = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_suppkey"))
+        val ord = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"))
+        val edges = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+          .select(col("l_suppkey").as("src"),
+                  (col("o_custkey") + lit(1000000L)).as("dst"))
+        graft.operators.GraphRank.hits(edges, "src", "dst", iterations = 5)
+      },
+      Some(hitsOracle(iterations = 5))),
   )
 
-  /** q107's oracle: the integer fixed-point PageRank recurrence unrolled
-    * as one CTE per iteration. Every operation is BIGINT arithmetic
-    * (`//` = floor division, all values non-negative), so DuckDB lands on
-    * the engine's ranks bit-for-bit.
+  /** q109's oracle: HITS unrolled — per iteration an authority CTE
+    * (hub-sum over in-edges + integer renormalization) then a hub CTE
+    * (authority-sum over out-edges + the same renorm). Pure BIGINT
+    * arithmetic; HUGEINT intermediates cast back at the end.
     */
-  private def linkRankOracle(iterations: Int): String = {
+  private def hitsOracle(iterations: Int): String = {
     val units = graft.operators.GraphRank.DefaultUnits
     val iterCtes = (1 to iterations).map { i =>
+      val prevH = if (i == 1) "hs0" else s"hs${i - 1}"
+      s"""au${i}_raw AS MATERIALIZED (
+        SELECT nd.node, coalesce(s.v, 0) AS a
+        FROM nodes nd LEFT JOIN (
+          SELECT e.dst AS node, sum(p.h) AS v
+          FROM e JOIN $prevH p ON p.node = e.src GROUP BY e.dst) s USING (node)),
+      au$i AS MATERIALIZED (
+        SELECT node, a // greatest((SELECT sum(a) FROM au${i}_raw) // $units, 1) AS a
+        FROM au${i}_raw),
+      hs${i}_raw AS MATERIALIZED (
+        SELECT nd.node, coalesce(s.v, 0) AS h
+        FROM nodes nd LEFT JOIN (
+          SELECT e.src AS node, sum(p.a) AS v
+          FROM e JOIN au$i p ON p.node = e.dst GROUP BY e.src) s USING (node)),
+      hs$i AS MATERIALIZED (
+        SELECT node, h // greatest((SELECT sum(h) FROM hs${i}_raw) // $units, 1) AS h
+        FROM hs${i}_raw)"""
+    }.mkString(",\n")
+    s"""
+      WITH e AS (
+        SELECT DISTINCT CAST(l_suppkey AS BIGINT) AS src,
+                        CAST(o_custkey AS BIGINT) + 1000000 AS dst
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+      nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+      c AS (SELECT CAST($units AS BIGINT) // count(*) AS r0 FROM nodes),
+      hs0 AS (SELECT node, (SELECT r0 FROM c) AS h FROM nodes),
+      $iterCtes
+      SELECT au$iterations.node,
+             CAST(au$iterations.a AS BIGINT) AS auth_units,
+             CAST(hs$iterations.h AS BIGINT) AS hub_units,
+             round(au$iterations.a / $units.0, 6) AS authority,
+             round(hs$iterations.h / $units.0, 6) AS hub
+      FROM au$iterations JOIN hs$iterations USING (node)"""
+  }
+
+  /** q107's / q110's oracle: the integer fixed-point (Trust/Page)Rank
+    * recurrence unrolled as one CTE per iteration. Every operation is
+    * BIGINT arithmetic (`//` = floor division, all values
+    * non-negative), so DuckDB lands on the engine's ranks bit-for-bit.
+    * `seedPred` restricts the teleport targets (TrustRank); None =
+    * every node (PageRank).
+    */
+  private def linkRankOracle(iterations: Int,
+                             seedPred: Option[String] = None): String = {
+    val units = graft.operators.GraphRank.DefaultUnits
+    val tgt = seedPred.getOrElse("TRUE")
+    val iterCtes = (1 to iterations).map { i =>
       val prev = if (i == 1) "it0" else s"it${i - 1}"
-      s"""it$i AS (
+      s"""it$i AS MATERIALIZED (
         SELECT nd.node,
-               (SELECT base FROM c) + (85 * coalesce(s.insum, 0)) // 100 AS r
+               (CASE WHEN $tgt THEN (SELECT base FROM c) ELSE 0 END)
+                 + (85 * coalesce(s.insum, 0)) // 100 AS r
         FROM nodes nd LEFT JOIN (
           SELECT e.dst AS node, sum(p.r // od.outdeg) AS insum
           FROM e JOIN od USING (src) JOIN $prev p ON p.node = e.src
           GROUP BY e.dst) s USING (node))"""
     }.mkString(",\n")
     s"""
-      WITH p AS (
+      WITH p AS MATERIALIZED (
         SELECT DISTINCT CAST(l_suppkey AS BIGINT) AS s,
                         CAST(o_custkey AS BIGINT) + 1000000 AS c
         FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
-      e AS (SELECT s AS src, c AS dst FROM p
-            UNION SELECT c AS src, s AS dst FROM p),
-      nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
-      od AS (SELECT src, count(*) AS outdeg FROM e GROUP BY src),
-      c AS (SELECT count(*) AS n,
-                   CAST($units AS BIGINT) // count(*) AS r0,
-                   (CAST(15 AS BIGINT) * $units) // (100 * count(*)) AS base
-            FROM nodes),
-      it0 AS (SELECT node, (SELECT r0 FROM c) AS r FROM nodes),
+      e AS MATERIALIZED (
+        SELECT s AS src, c AS dst FROM p
+        UNION SELECT c AS src, s AS dst FROM p),
+      nodes AS MATERIALIZED (SELECT src AS node FROM e UNION SELECT dst FROM e),
+      od AS MATERIALIZED (SELECT src, count(*) AS outdeg FROM e GROUP BY src),
+      c AS MATERIALIZED (
+        SELECT count(*) AS m,
+               CAST($units AS BIGINT) // count(*) AS r0,
+               (CAST(15 AS BIGINT) * $units) // (100 * count(*)) AS base
+        FROM nodes nd WHERE $tgt),
+      it0 AS (SELECT node,
+                     CASE WHEN $tgt THEN (SELECT r0 FROM c) ELSE 0 END AS r
+              FROM nodes nd),
       $iterCtes
       SELECT node, CAST(r AS BIGINT) AS rank_units,
              round(r / $units.0, 6) AS rank

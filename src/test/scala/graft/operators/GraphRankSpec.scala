@@ -88,4 +88,84 @@ class GraphRankSpec extends SparkSpec {
       math.abs(got(n) / units - r(n)) should be < 1e-5
     }
   }
+
+  // --- TrustRank ---
+
+  test("trustRank: mass is reachable only through link paths from seeds") {
+    // seed 1 -> 2 -> 3; node 10 -> 11 is a disconnected "link farm"
+    val e = Seq(1L -> 2L, 2L -> 3L, 10L -> 11L, 11L -> 10L)
+    val seeds = Seq(Tuple1(1L)).toDF("node")
+    val r = GraphRank.trustRank(e.toDF("src", "dst"), "src", "dst", seeds, 5)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    // the farm gets zero: no path from the seed reaches it
+    r(10L) shouldBe 0L
+    r(11L) shouldBe 0L
+    // trust decays along the path: seed > its target > the next hop
+    r(1L) should be > r(2L)
+    r(2L) should be > r(3L)
+    r(3L) should be > 0L
+  }
+
+  test("trustRank: with every node seeded it equals pageRank") {
+    val pairs = (0L until 60L).map(i => i -> (i * 7 + 3) % 60)
+    val edges = pairs.toDF("src", "dst")
+    val all = pairs.flatMap(p => Seq(p._1, p._2)).distinct.map(Tuple1(_))
+      .toDF("node")
+    val tr = GraphRank.trustRank(edges, "src", "dst", all, 4)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    val pr = GraphRank.pageRank(edges, "src", "dst", 4)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    tr shouldBe pr
+  }
+
+  test("trustRank: seeds outside the graph are ignored; none present throws") {
+    val e = Seq(1L -> 2L).toDF("src", "dst")
+    val r = GraphRank.trustRank(e, "src", "dst",
+      Seq(Tuple1(1L), Tuple1(99L)).toDF("node"), 2)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    r.keySet shouldBe Set(1L, 2L)
+    an[IllegalArgumentException] should be thrownBy
+      GraphRank.trustRank(e, "src", "dst", Seq(Tuple1(99L)).toDF("node"), 2)
+  }
+
+  // --- HITS ---
+
+  private def hitsOf(edges: Seq[(Long, Long)], iters: Int = 5) =
+    GraphRank.hits(edges.toDF("src", "dst"), "src", "dst", iters)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+
+  test("hits: on a bipartite graph the best-covered authority and the widest hub win") {
+    // hubs 1,2,3 -> authorities 10,11,12; 10 cited by all, 1 cites all
+    val e = Seq(1L -> 10L, 1L -> 11L, 1L -> 12L,
+                2L -> 10L, 2L -> 11L, 3L -> 10L)
+    val r = hitsOf(e)
+    r(10L)._1 should be > r(11L)._1 // authority: 10 > 11
+    r(11L)._1 should be > r(12L)._1
+    r(1L)._2 should be > r(2L)._2 // hub: 1 > 2
+    r(2L)._2 should be > r(3L)._2
+    // pure hubs have no authority; pure authorities have no hub score
+    r(1L)._1 shouldBe 0L
+    r(10L)._2 shouldBe 0L
+  }
+
+  test("hits: bit-identical across partitionings") {
+    val pairs = (0L until 150L).map(i => i -> (200 + (i * 11 + 3) % 60))
+    val a = hitsOf(pairs)
+    val b = GraphRank.hits(pairs.toDF("src", "dst").repartition(7), "src", "dst", 5)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    a shouldBe b
+  }
+
+  test("hits: renormalization keeps total mass near totalUnits on both sides") {
+    val pairs = (0L until 100L).map(i => i -> (500 + (i * 7) % 40))
+    val df = GraphRank.hits(pairs.toDF("src", "dst"), "src", "dst", 5)
+    val Seq(aTot, hTot) = df.agg(sum("auth_units"), sum("hub_units"))
+      .collect().head.toSeq.map(_.asInstanceOf[Long]).toSeq
+    val units = GraphRank.DefaultUnits
+    // contraction divides by max(T div units, 1): result in (units/2, 2*units)
+    aTot should be > units / 2
+    aTot should be < units * 2
+    hTot should be > units / 2
+    hTot should be < units * 2
+  }
 }

@@ -148,4 +148,35 @@ class RobustnessSpec extends SparkSpec {
     Similarity.pqSearch(emptyVecs, vecs, k = 5, pqCb, rerank = 2).count() shouldBe 0L
     Similarity.pqSearch(vecs, emptyVecs, k = 5, pqCb, rerank = 2).count() shouldBe 0L
   }
+
+  test("graph rank: empty edges fail loudly; null endpoints and self-loops are inert") {
+    val empty = Seq.empty[(Long, Long)].toDF("src", "dst")
+    // an empty graph has no N to normalize by — the contract is a loud
+    // require, not a silent empty result
+    an[IllegalArgumentException] should be thrownBy
+      GraphRank.pageRank(empty, "src", "dst", 2)
+    an[IllegalArgumentException] should be thrownBy
+      GraphRank.hits(empty, "src", "dst", 2)
+    // null endpoints drop before the node set forms; a self-loop is just
+    // an edge (its node both gives and receives)
+    val withNulls = Seq((Some(1L), Some(2L)), (None, Some(3L)),
+      (Some(4L), None), (Some(5L), Some(5L))).toDF("src", "dst")
+    val pr = GraphRank.pageRank(withNulls, "src", "dst", 2)
+    pr.count() shouldBe 3L // nodes 1, 2, 5
+    val hs = GraphRank.hits(withNulls, "src", "dst", 2)
+    hs.count() shouldBe 3L
+  }
+
+  test("quantile rollup: empty input and single-value input both run") {
+    val empty = Seq.empty[(Long, String)].toDF("v", "g")
+    QuantileRollup.histogram(empty, "v", Seq("g")).count() shouldBe 0L
+    QuantileRollup.percentiles(
+      QuantileRollup.histogram(empty, "v", Seq("g")), Seq("g"),
+      Seq(0.5)).count() shouldBe 0L
+    val one = Seq((42L, "g")).toDF("v", "g")
+    val br = QuantileRollup.percentiles(
+      QuantileRollup.histogram(one, "v", Seq("g")), Seq("g"),
+      Seq(0.5, 1.0)).select("est_lo", "est_hi").as[(Long, Long)].collect()
+    br.foreach { case (lo, hi) => lo shouldBe 42L; hi shouldBe 42L }
+  }
 }

@@ -50,10 +50,11 @@ class PlanAuditSpec extends SparkSpec {
     // work, not a plan. Both banding paths it routes to ARE audited:
     // d04 covers hammingPairs, m07 covers hammingPairsBlocks.
     "m06_media_phash_pairs",
-    // pageRank counts nodes + localCheckpoints edges/ranks per iteration
-    // at build time (the d06 iterate-at-build shape); each round is one
-    // equi-join + one hash agg by construction — GraphRankSpec covers it
-    "q107_link_rank")
+    // pageRank/hits count nodes + localCheckpoint edges/scores per
+    // iteration at build time (the d06 iterate-at-build shape); each
+    // round is equi-joins + hash aggs (plus hits' 1-row renorm
+    // broadcast) by construction — GraphRankSpec covers both
+    "q107_link_rank", "q109_hits", "q110_trust_rank")
 
   /** Pairwise-by-contract: the nested-loop is the documented semantics,
     * not an accident.
