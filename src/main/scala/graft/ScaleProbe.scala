@@ -69,7 +69,7 @@ object ScaleProbe {
     // broadcastable rank join + one dst-keyed long-sum shuffle) and the
     // mergeable histogram percentile rollup (bounded bucket keys)
     "q107_link_rank", "q108_quantile_rollup", "q109_hits",
-    "q110_trust_rank")
+    "q110_trust_rank", "q111_streaming_quantile")
 
   private val IdShift = 10000000L
   private val DayShift = 4000 // > TPC-H date span, so copies never overlap

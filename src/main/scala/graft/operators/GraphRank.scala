@@ -64,9 +64,10 @@ object GraphRank {
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
                iterations: Int = 5,
                dampNum: Long = 85, dampDen: Long = 100,
-               totalUnits: Long = DefaultUnits): DataFrame =
+               totalUnits: Long = DefaultUnits,
+               weightCol: Option[String] = None): DataFrame =
     biasedRank(edges, srcCol, dstCol, None, iterations, dampNum, dampDen,
-      totalUnits)
+      totalUnits, weightCol)
 
   /** TrustRank (Gyöngyi, Garcia-Molina & Pedersen 2004): PageRank with
     * the teleport mass restricted to a TRUSTED seed set — authority can
@@ -82,22 +83,40 @@ object GraphRank {
   def trustRank(edges: DataFrame, srcCol: String, dstCol: String,
                 seeds: DataFrame, iterations: Int = 5,
                 dampNum: Long = 85, dampDen: Long = 100,
-                totalUnits: Long = DefaultUnits): DataFrame =
+                totalUnits: Long = DefaultUnits,
+                weightCol: Option[String] = None): DataFrame =
     biasedRank(edges, srcCol, dstCol, Some(seeds), iterations, dampNum,
-      dampDen, totalUnits)
+      dampDen, totalUnits, weightCol)
 
   private def biasedRank(edges: DataFrame, srcCol: String, dstCol: String,
                seedsOpt: Option[DataFrame],
                iterations: Int,
                dampNum: Long, dampDen: Long,
-               totalUnits: Long): DataFrame = {
+               totalUnits: Long,
+               weightCol: Option[String] = None): DataFrame = {
     require(iterations >= 1 && dampNum >= 0 && dampNum <= dampDen)
     // dedup + materialize the edge lineage exactly once; repartition by
-    // src so each iteration's rank join reuses the layout
-    val e = edges
-      .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
-      .where(col("src").isNotNull && col("dst").isNotNull)
-      .distinct()
+    // src so each iteration's rank join reuses the layout. Weighted
+    // edges: integer weights, parallel edges ADD (the link-count
+    // semantics); contribution becomes (r*w) div W_src. Keep
+    // totalUnits*maxWeight under 2^63 (scale weights down, not up —
+    // scaling ALL weights by a common factor provably leaves ranks
+    // bit-identical, since (k*a) div (k*b) = a div b).
+    val e = (weightCol match {
+      case None =>
+        edges
+          .select(col(srcCol).cast("long").as("src"),
+            col(dstCol).cast("long").as("dst"))
+          .where(col("src").isNotNull && col("dst").isNotNull)
+          .distinct()
+          .withColumn("w", lit(1L))
+      case Some(wc) =>
+        edges
+          .select(col(srcCol).cast("long").as("src"),
+            col(dstCol).cast("long").as("dst"), col(wc).cast("long").as("w"))
+          .where(col("src").isNotNull && col("dst").isNotNull && col("w") > 0)
+          .groupBy(col("src"), col("dst")).agg(sum(col("w")).as("w"))
+    })
       .repartition(col("src"))
       .localCheckpoint()
     val bare = e.select(col("src").as("node"))
@@ -118,9 +137,9 @@ object GraphRank {
     val m = if (seedsOpt.isEmpty) n
             else nodes.filter(col("is_tgt")).count()
     require(m > 0, "trustRank with no seed present in the graph")
-    val outdeg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
-    // (src, dst, outdeg) — the per-iteration join input, materialized once
-    val eo = e.join(outdeg, "src").localCheckpoint()
+    val outw = e.groupBy("src").agg(sum(col("w")).as("outw"))
+    // (src, dst, w, outw) — the per-iteration join input, materialized once
+    val eo = e.join(outw, "src").localCheckpoint()
 
     // initial and teleport mass go to the m teleport targets only
     val r0 = totalUnits / m
@@ -132,7 +151,7 @@ object GraphRank {
     while (i < iterations) {
       // integer per-edge contribution: exact, order-free
       val inSum = eo.join(ranks, eo("src") === ranks("node"))
-        .select(col("dst"), expr("r div outdeg").as("c"))
+        .select(col("dst"), expr("r * w div outw").as("c"))
         .groupBy(col("dst").as("node"))
         .agg(sum(col("c")).as("insum")) // Long sum: order-independent
       ranks = nodes.join(inSum, Seq("node"), "left")

@@ -47,9 +47,11 @@ object QuantileRollup {
       .withColumn("__v", col(valueCol).cast("long"))
       .withColumn("__b",
         greatest(length(bin(col("__v"))) - lit(s + 1), lit(0)).cast("int"))
+      // hi = lo + (2^b - 1): never overflows for v >= 0 (the naive
+      // ((q+1) << b) - 1 wraps past Long.Max in the top octave)
       .withColumn("bucket_lo", expr("shiftleft(shiftright(__v, __b), __b)"))
       .withColumn("bucket_hi",
-        expr("shiftleft(shiftright(__v, __b) + 1L, __b) - 1L"))
+        expr("shiftleft(shiftright(__v, __b), __b) + (shiftleft(1L, __b) - 1L)"))
     withBucket.groupBy(grainCols.map(col) :+ col("bucket_lo") :+ col("bucket_hi"): _*)
       .agg(count(lit(1)).as("cnt"))
   }

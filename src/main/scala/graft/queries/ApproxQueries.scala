@@ -140,7 +140,7 @@ object ApproxQueries {
                      greatest(length(bin(cents)) - 6, 0) AS sh FROM v),
         h AS (SELECT month,
                      (cents >> sh) << sh AS bucket_lo,
-                     (((cents >> sh) + 1) << sh) - 1 AS bucket_hi,
+                     ((cents >> sh) << sh) + ((CAST(1 AS BIGINT) << sh) - 1) AS bucket_hi,
                      count(*) AS cnt
               FROM b GROUP BY 1, 2, 3),
         c AS (SELECT month, bucket_lo, bucket_hi, cnt,

@@ -883,6 +883,60 @@ object EventQueries {
       },
       Some(DedupQueries.streamingAdmissionOracle)),
 
+    // Streaming percentile maintenance (q111): q108's mergeable integer
+    // histogram run as a continuous ingest — each micro-batch's
+    // (lang, bucket) counts land from foreachBatch, and the final
+    // extraction merges them with a commutative count-sum. The histogram
+    // is a monoid, so the drained result equals the batch computation at
+    // ANY batch boundary or arrival order — no cross-batch state store
+    // is needed; the append sink IS the state, bounded by bucket keys
+    // (≤2k per lang), not rows. The continuously-maintained ops
+    // percentile, exact where sketch-based monitoring drifts, and
+    // oracled by replaying the batch computation in DuckDB.
+    "q111_streaming_quantile" -> QueryDef(
+      (s, d) => {
+        import org.apache.spark.sql.streaming.Trigger
+        val dir = stageDocsDir(s, d)
+        val schema = Tables.documents(s, d).schema
+        val out = java.nio.file.Files.createTempDirectory("graft_q111")
+        withStreamConf(s, parts = "4", rocksdb = false) {
+          val stream = s.readStream
+            .option("maxFilesPerTrigger", "1") // 4 files → 4 batches
+            .schema(schema).parquet(dir.toString)
+          val q = stream.writeStream
+            .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+              graft.operators.QuantileRollup.histogram(
+                  batch.select(col("lang"), col("n_chars")),
+                  "n_chars", Seq("lang"))
+                .write.mode("append").parquet(out.toString)
+            }
+            .trigger(Trigger.AvailableNow()).start()
+          q.awaitTermination()
+          val merged = graft.operators.QuantileRollup.rollup(
+            s.read.parquet(out.toString), Seq("lang"))
+          graft.operators.QuantileRollup.percentiles(merged, Seq("lang"),
+            Seq(0.5, 0.95, 0.99))
+        }
+      },
+      Some("""
+        WITH b AS (SELECT lang, n_chars AS v,
+                          greatest(length(bin(n_chars)) - 6, 0) AS sh
+                   FROM documents),
+        h AS (SELECT lang, (v >> sh) << sh AS bucket_lo,
+                     ((v >> sh) << sh) + ((CAST(1 AS BIGINT) << sh) - 1) AS bucket_hi,
+                     count(*) AS cnt
+              FROM b GROUP BY 1, 2, 3),
+        c AS (SELECT lang, bucket_lo, bucket_hi, cnt,
+                     sum(cnt) OVER (PARTITION BY lang ORDER BY bucket_lo) AS cum,
+                     sum(cnt) OVER (PARTITION BY lang) AS n
+              FROM h),
+        p AS (SELECT unnest([CAST(0.5 AS DOUBLE), CAST(0.95 AS DOUBLE),
+                             CAST(0.99 AS DOUBLE)]) AS p)
+        SELECT lang, p, bucket_lo AS est_lo, bucket_hi AS est_hi,
+               CAST(n AS BIGINT) AS n
+        FROM c CROSS JOIN p
+        WHERE cum >= ceil(p * n) AND cum - cnt < ceil(p * n)""")),
+
     // Link-graph authority scoring (PageRank) in exact integer
     // fixed-point — the crawl-domain quality-weighting primitive (see
     // GraphRank doc: integer micro-units make every iteration

@@ -89,6 +89,47 @@ class GraphRankSpec extends SparkSpec {
     }
   }
 
+  // --- weighted edges ---
+
+  test("weighted: rank follows edge weight; parallel unweighted edges do NOT add") {
+    // 1 sends 9x more mass to 2 than to 3
+    val weighted = Seq((1L, 2L, 9L), (1L, 3L, 1L), (2L, 1L, 1L), (3L, 1L, 1L))
+      .toDF("src", "dst", "w")
+    val r = GraphRank.pageRank(weighted, "src", "dst", 5,
+        weightCol = Some("w"))
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    r(2L) should be > r(3L)
+    // the unweighted path collapses parallel edges, so replicating the
+    // (1,2) edge 9 times changes nothing there
+    val dup = (Seq.fill(9)((1L, 2L)) ++ Seq((1L, 3L), (2L, 1L), (3L, 1L)))
+      .toDF("src", "dst")
+    val ru = GraphRank.pageRank(dup, "src", "dst", 5)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    ru(2L) shouldBe ru(3L)
+  }
+
+  test("weighted: scaling every weight by a common factor is bit-identical") {
+    val base = (0L until 80L).map(i => (i, (i * 7 + 3) % 80, (i % 5) + 1))
+    def run(f: Long) = GraphRank.pageRank(
+      base.map { case (s, d, w) => (s, d, w * f) }.toDF("src", "dst", "w"),
+      "src", "dst", 5, weightCol = Some("w"))
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    run(1L) shouldBe run(1000L) // (k*a) div (k*b) = a div b, per edge
+  }
+
+  test("weighted: parallel weighted edges add, and uniform weights equal unweighted") {
+    val split = Seq((1L, 2L, 4L), (1L, 2L, 5L), (1L, 3L, 1L), (2L, 1L, 1L),
+      (3L, 1L, 1L)).toDF("src", "dst", "w")
+    val merged = Seq((1L, 2L, 9L), (1L, 3L, 1L), (2L, 1L, 1L), (3L, 1L, 1L))
+      .toDF("src", "dst", "w")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      GraphRank.pageRank(df, "src", "dst", 3, weightCol = Some("w"))
+        .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    run(split) shouldBe run(merged)
+    val uni = star.map { case (s, d) => (s, d, 7L) }.toDF("src", "dst", "w")
+    run(uni) shouldBe ranksOf(star, iters = 3)
+  }
+
   // --- TrustRank ---
 
   test("trustRank: mass is reachable only through link paths from seeds") {

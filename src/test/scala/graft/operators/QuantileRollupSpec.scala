@@ -73,6 +73,19 @@ class QuantileRollupSpec extends SparkSpec {
     a shouldBe b
   }
 
+  test("extreme magnitudes bracket correctly (top of the long range)") {
+    val vals = Seq(Long.MaxValue, Long.MaxValue - 1, 1L << 62, (1L << 62) + 7)
+    val df = vals.map(v => (v, "g")).toDF("v", "g")
+    val h = QuantileRollup.histogram(df, "v", Seq("g"))
+      .select("bucket_lo", "bucket_hi", "cnt").as[(Long, Long, Long)].collect()
+    h.map(_._3).sum shouldBe vals.size
+    h.foreach { case (lo, hi, _) =>
+      lo should be >= 0L // no shift overflow into the sign bit
+      hi should be > lo
+      vals.exists(v => v >= lo && v <= hi) shouldBe true
+    }
+  }
+
   test("zero values land in the exact zero bucket") {
     val df = Seq((0L, "g"), (0L, "g"), (5L, "g")).toDF("v", "g")
     val h = QuantileRollup.histogram(df, "v", Seq("g"))

@@ -27,7 +27,8 @@ class PlanAuditSpec extends SparkSpec {
     "q101_streaming_dedup", // streaming drain like q90
     "q104_streaming_minhash_pairs", // streaming drain like q101
     "q105_streaming_lifecycle_floor", // streaming drain by design (the floor probe)
-    "q106_streaming_admission") // streaming drain (foreachBatch against the static index)
+    "q106_streaming_admission", // streaming drain (foreachBatch against the static index)
+    "q111_streaming_quantile")  // streaming drain (foreachBatch histogram append)
   private def eagerPrefix(n: String): Boolean =
     n.startsWith("p0") || n.startsWith("src")
 
