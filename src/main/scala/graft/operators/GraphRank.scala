@@ -166,6 +166,83 @@ object GraphRank {
       round(col("r") / lit(totalUnits.toDouble), 6).as("rank"))
   }
 
+  /** Label propagation / label spreading (Zhu & Ghahramani 2002; Zhou
+    * et al. 2004) in the same exact integer fixed-point: a small SEED
+    * set carries ground-truth labels (human quality ratings, vetted
+    * spam/ham, language tags) and mass diffuses over the graph so every
+    * reachable node acquires a label distribution — the semi-supervised
+    * corpus-labeling primitive (label 0.1% by hand, propagate over the
+    * near-dup/link/similarity graph, threshold the argmax).
+    *
+    * Recurrence (per node v and label l):
+    * `m'(v,l) = (alphaNum · Σ_{u→v} m(u,l) div outdeg_u) div alphaDen
+    *            + clamp(v,l)` where `clamp(v,l) = ((alphaDen−alphaNum) ·
+    * unitsPerSeed) div alphaDen` for seed pairs and 0 otherwise, with
+    * m₀ = clamp — the standard clamped label-spreading update in
+    * integer micro-units, so every iteration is order-free,
+    * bit-deterministic, and SQL-replayable (the q107 argument).
+    *
+    * Scale shape: masses are SPARSE (node, label, mass>0) rows — after
+    * K iterations only (node, label) pairs within K hops of a
+    * same-label seed exist, so the shuffle per iteration carries the
+    * reachable sparse mass table keyed by dst, with map-side combine;
+    * the edge table is materialized once like pageRank's. Returns the
+    * argmax label per node: (node, label, mass_units, n_labels) with
+    * ties broken toward the smallest label; unreached nodes are absent
+    * (no mass ⇒ no claim — the honest semi-supervised contract).
+    */
+  def labelPropagation(edges: DataFrame, srcCol: String, dstCol: String,
+                       seeds: DataFrame, seedNodeCol: String, seedLabelCol: String,
+                       iterations: Int = 4,
+                       alphaNum: Long = 80, alphaDen: Long = 100,
+                       unitsPerSeed: Long = 1000000L): DataFrame = {
+    require(iterations >= 1 && alphaNum >= 0 && alphaNum <= alphaDen)
+    val e = edges
+      .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
+      .where(col("src").isNotNull && col("dst").isNotNull)
+      .distinct()
+      .repartition(col("src"))
+      .localCheckpoint()
+    val outdeg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
+    val eo = e.join(outdeg, "src").localCheckpoint()
+    // clamp table: the (1-alpha) share of a seed's unit mass, on its label
+    val clampUnits = ((alphaDen - alphaNum) * unitsPerSeed) / alphaDen
+    val clamp = seeds
+      .select(col(seedNodeCol).cast("long").as("node"),
+        col(seedLabelCol).cast("long").as("label"))
+      .where(col("node").isNotNull && col("label").isNotNull)
+      .distinct()
+      .withColumn("clamp", lit(clampUnits))
+      .localCheckpoint()
+
+    var mass = clamp.select(col("node"), col("label"), col("clamp").as("mass"))
+    var i = 0
+    while (i < iterations) {
+      val in = eo.join(mass, eo("src") === mass("node"))
+        .select(col("dst"), col("label"), expr("mass div outdeg").as("c"))
+        .groupBy(col("dst").as("node"), col("label"))
+        .agg(sum(col("c")).as("insum")) // Long sum: order-free
+      mass = in
+        .join(clamp, Seq("node", "label"), "full")
+        .select(col("node"), col("label"),
+          (expr(s"$alphaNum * coalesce(insum, 0L) div $alphaDen") +
+            coalesce(col("clamp"), lit(0L))).as("mass"))
+        .where(col("mass") > 0) // keep the table sparse
+        .localCheckpoint()
+      i += 1
+    }
+    // argmax label per node, ties to the smallest label — deterministic
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("node"))
+      .orderBy(col("mass").desc, col("label").asc)
+    mass
+      .withColumn("n_labels", count(lit(1)).over(Window.partitionBy(col("node"))))
+      .withColumn("__rn", row_number().over(w))
+      .where(col("__rn") === 1)
+      .select(col("node"), col("label"), col("mass").as("mass_units"),
+        col("n_labels"))
+  }
+
   /** HITS (Kleinberg 1999) in the same exact integer fixed-point: per
     * iteration, authority(v) = Σ_{u→v} hub(u) and hub(u) = Σ_{u→v}
     * authority(v), each renormalized to ~`totalUnits` total mass by the

@@ -986,6 +986,31 @@ object EventQueries {
       Some(linkRankOracle(iterations = 5,
         seedPred = Some("node < 1000000 AND node % 5 = 0")))),
 
+    // Graph label propagation (Zhu & Ghahramani 2002): supplier nation
+    // labels spread over the bidirectional trade graph, attributing
+    // every reachable customer to a market — the semi-supervised
+    // corpus-labeling primitive (label a seed slice by hand, propagate
+    // over the near-dup/link graph, threshold the argmax) in the same
+    // exact integer fixed-point as q107/q110, so all four clamped
+    // diffusion iterations AND the final argmax (ties to smallest
+    // label) replay in DuckDB bit-for-bit. Masses stay SPARSE: only
+    // (node, label) pairs within K hops of a same-label seed exist.
+    "q112_label_propagation" -> QueryDef(
+      (s, d) => {
+        val li = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_suppkey"))
+        val ord = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"))
+        val pairs = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+          .select(col("l_suppkey").as("s"),
+                  (col("o_custkey") + lit(1000000L)).as("c"))
+        val edges = pairs.select(col("s").as("src"), col("c").as("dst"))
+          .union(pairs.select(col("c").as("src"), col("s").as("dst")))
+        val seeds = Tables.supplier(s, d)
+          .select(col("s_suppkey"), col("s_nationkey"))
+        graft.operators.GraphRank.labelPropagation(edges, "src", "dst",
+          seeds, "s_suppkey", "s_nationkey", iterations = 4)
+      },
+      Some(labelPropOracle(iterations = 4))),
+
     // HITS hubs/authorities on the DIRECTED supplier→customer trade
     // graph (the bipartite case HITS was built for: suppliers act as
     // hubs/curators, customers as authorities) — same exact integer
@@ -1003,6 +1028,53 @@ object EventQueries {
       },
       Some(hitsOracle(iterations = 5))),
   )
+
+  /** q112's oracle: clamped label spreading unrolled — per iteration a
+    * sparse (node, label) in-sum joined FULL OUTER against the clamp
+    * table, the integer α-damped update, and a mass>0 filter keeping
+    * the table sparse exactly like the engine; the final argmax
+    * replays as a row_number window (ties to smallest label).
+    */
+  private def labelPropOracle(iterations: Int): String = {
+    val clampUnits = ((100L - 80L) * 1000000L) / 100L
+    val iterCtes = (1 to iterations).map { i =>
+      val prev = if (i == 1) "m0" else s"m${i - 1}"
+      s"""m$i AS MATERIALIZED (
+        SELECT * FROM (
+          SELECT coalesce(i.node, c.node) AS node,
+                 coalesce(i.label, c.label) AS label,
+                 (80 * coalesce(i.insum, 0)) // 100 + coalesce(c.clamp, 0) AS mass
+          FROM (SELECT e.dst AS node, m.label, sum(m.mass // od.outdeg) AS insum
+                FROM e JOIN od USING (src) JOIN $prev m ON m.node = e.src
+                GROUP BY e.dst, m.label) i
+          FULL OUTER JOIN clamp c ON c.node = i.node AND c.label = i.label) t
+        WHERE mass > 0)"""
+    }.mkString(",\n")
+    s"""
+      WITH p AS MATERIALIZED (
+        SELECT DISTINCT CAST(l_suppkey AS BIGINT) AS s,
+                        CAST(o_custkey AS BIGINT) + 1000000 AS c
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+      e AS MATERIALIZED (
+        SELECT s AS src, c AS dst FROM p
+        UNION SELECT c AS src, s AS dst FROM p),
+      od AS MATERIALIZED (SELECT src, count(*) AS outdeg FROM e GROUP BY src),
+      clamp AS MATERIALIZED (
+        SELECT DISTINCT CAST(s_suppkey AS BIGINT) AS node,
+                        CAST(s_nationkey AS BIGINT) AS label,
+                        CAST($clampUnits AS BIGINT) AS clamp
+        FROM supplier),
+      m0 AS (SELECT node, label, clamp AS mass FROM clamp),
+      $iterCtes
+      SELECT node, label, CAST(mass AS BIGINT) AS mass_units,
+             CAST(n_labels AS BIGINT) AS n_labels
+      FROM (SELECT node, label, mass,
+                   count(*) OVER (PARTITION BY node) AS n_labels,
+                   row_number() OVER (PARTITION BY node
+                                      ORDER BY mass DESC, label ASC) AS rn
+            FROM m$iterations) t
+      WHERE rn = 1"""
+  }
 
   /** q109's oracle: HITS unrolled — per iteration an authority CTE
     * (hub-sum over in-edges + integer renormalization) then a hub CTE

@@ -169,6 +169,49 @@ class GraphRankSpec extends SparkSpec {
       GraphRank.trustRank(e, "src", "dst", Seq(Tuple1(99L)).toDF("node"), 2)
   }
 
+  // --- label propagation ---
+
+  private def lpOf(edges: Seq[(Long, Long)], seeds: Seq[(Long, Long)],
+                   iters: Int = 4) =
+    GraphRank.labelPropagation(edges.toDF("src", "dst"),
+        "src", "dst", seeds.toDF("node", "label"), "node", "label", iters)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+
+  test("label propagation: labels reach neighbors and the closer seed wins") {
+    // chain: 1 -- 2 -- 3 -- 4 -- 5 (bidirectional), seeds 1->A(10), 5->B(20)
+    val chain = Seq(1L -> 2L, 2L -> 3L, 3L -> 4L, 4L -> 5L)
+    val bidir = chain ++ chain.map(_.swap)
+    val r = lpOf(bidir, Seq(1L -> 10L, 5L -> 20L))
+    r(2L)._1 shouldBe 10L // nearer to seed A
+    r(4L)._1 shouldBe 20L // nearer to seed B
+    r(1L)._1 shouldBe 10L // seeds keep their own label (clamp dominates)
+    r(5L)._1 shouldBe 20L
+    // 3 is equidistant: both labels present, tie broken to the SMALLER
+    val mid = GraphRank.labelPropagation(bidir.toDF("src", "dst"), "src", "dst",
+      Seq(1L -> 10L, 5L -> 20L).toDF("node", "label"), "node", "label", 4)
+      .filter(col("node") === 3L).select("label", "n_labels")
+      .as[(Long, Long)].head()
+    mid shouldBe ((10L, 2L))
+  }
+
+  test("label propagation: unreached nodes are absent, not mislabeled") {
+    val e = Seq(1L -> 2L, 2L -> 1L, 8L -> 9L, 9L -> 8L) // two components
+    val r = lpOf(e, Seq(1L -> 7L))
+    r.keySet shouldBe Set(1L, 2L) // the 8-9 island has no seed path
+  }
+
+  test("label propagation: bit-identical across partitionings") {
+    val edges = (0L until 120L).flatMap(i =>
+      Seq(i -> (i + 1) % 120, (i + 1) % 120 -> i))
+    val seeds = (0L until 120L by 17L).map(i => i -> (i % 3))
+    val a = lpOf(edges, seeds)
+    val b = GraphRank.labelPropagation(
+        edges.toDF("src", "dst").repartition(11), "src", "dst",
+        seeds.toDF("node", "label"), "node", "label", 4)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    a shouldBe b
+  }
+
   // --- HITS ---
 
   private def hitsOf(edges: Seq[(Long, Long)], iters: Int = 5) =

@@ -55,7 +55,8 @@ class PlanAuditSpec extends SparkSpec {
     // iteration at build time (the d06 iterate-at-build shape); each
     // round is equi-joins + hash aggs (plus hits' 1-row renorm
     // broadcast) by construction — GraphRankSpec covers both
-    "q107_link_rank", "q109_hits", "q110_trust_rank")
+    "q107_link_rank", "q109_hits", "q110_trust_rank",
+    "q112_label_propagation")
 
   /** Pairwise-by-contract: the nested-loop is the documented semantics,
     * not an accident.
