@@ -69,7 +69,10 @@ object ScaleProbe {
     // broadcastable rank join + one dst-keyed long-sum shuffle) and the
     // mergeable histogram percentile rollup (bounded bucket keys)
     "q107_link_rank", "q108_quantile_rollup", "q109_hits",
-    "q110_trust_rank", "q111_streaming_quantile")
+    "q110_trust_rank", "q111_streaming_quantile",
+    // label propagation: q107's movement with a sparse (node, label)
+    // mass table — labels constant (25 nations), edges ~linear
+    "q112_label_propagation")
 
   private val IdShift = 10000000L
   private val DayShift = 4000 // > TPC-H date span, so copies never overlap

@@ -190,21 +190,45 @@ object GraphRank {
     * argmax label per node: (node, label, mass_units, n_labels) with
     * ties broken toward the smallest label; unreached nodes are absent
     * (no mass ⇒ no claim — the honest semi-supervised contract).
+    *
+    * Weighted edges (`weightCol`): integer weights, parallel edges ADD,
+    * contribution becomes `(m·w) div W_src` — similarity-graph edges
+    * (near-dup counts, link multiplicities) pull labels proportionally.
+    * Same overflow rule as pageRank: keep mass·maxWeight under 2^63 and
+    * scale weights DOWN by a common factor when needed (bit-identical,
+    * since (k·a) div (k·b) = a div b).
     */
   def labelPropagation(edges: DataFrame, srcCol: String, dstCol: String,
                        seeds: DataFrame, seedNodeCol: String, seedLabelCol: String,
                        iterations: Int = 4,
                        alphaNum: Long = 80, alphaDen: Long = 100,
-                       unitsPerSeed: Long = 1000000L): DataFrame = {
-    require(iterations >= 1 && alphaNum >= 0 && alphaNum <= alphaDen)
-    val e = edges
-      .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
-      .where(col("src").isNotNull && col("dst").isNotNull)
-      .distinct()
+                       unitsPerSeed: Long = 1000000L,
+                       weightCol: Option[String] = None): DataFrame = {
+    require(iterations >= 1 && alphaNum >= 0,
+      "labelPropagation needs iterations >= 1 and alphaNum >= 0")
+    // alphaNum == alphaDen would zero every clamp: no label mass could
+    // ever exist and the result would be silently empty — fail loudly
+    require(alphaNum < alphaDen,
+      "alphaNum must be < alphaDen: the (alphaDen-alphaNum) share is the seed clamp mass")
+    val e = (weightCol match {
+      case None =>
+        edges
+          .select(col(srcCol).cast("long").as("src"),
+            col(dstCol).cast("long").as("dst"))
+          .where(col("src").isNotNull && col("dst").isNotNull)
+          .distinct()
+          .withColumn("w", lit(1L))
+      case Some(wc) =>
+        edges
+          .select(col(srcCol).cast("long").as("src"),
+            col(dstCol).cast("long").as("dst"), col(wc).cast("long").as("w"))
+          .where(col("src").isNotNull && col("dst").isNotNull && col("w") > 0)
+          .groupBy(col("src"), col("dst")).agg(sum(col("w")).as("w"))
+    })
       .repartition(col("src"))
       .localCheckpoint()
-    val outdeg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
-    val eo = e.join(outdeg, "src").localCheckpoint()
+    val outw = e.groupBy("src").agg(sum(col("w")).as("outw"))
+    val eo = e.join(outw, "src").localCheckpoint()
     // clamp table: the (1-alpha) share of a seed's unit mass, on its label
     val clampUnits = ((alphaDen - alphaNum) * unitsPerSeed) / alphaDen
     val clamp = seeds
@@ -219,7 +243,7 @@ object GraphRank {
     var i = 0
     while (i < iterations) {
       val in = eo.join(mass, eo("src") === mass("node"))
-        .select(col("dst"), col("label"), expr("mass div outdeg").as("c"))
+        .select(col("dst"), col("label"), expr("mass * w div outw").as("c"))
         .groupBy(col("dst").as("node"), col("label"))
         .agg(sum(col("c")).as("insum")) // Long sum: order-free
       mass = in

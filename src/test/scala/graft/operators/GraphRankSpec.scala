@@ -200,6 +200,64 @@ class GraphRankSpec extends SparkSpec {
     r.keySet shouldBe Set(1L, 2L) // the 8-9 island has no seed path
   }
 
+  test("label propagation: weighted — labels follow the weight SPLIT") {
+    // weight matters only where a source splits mass across out-edges
+    // (contribution = m·w div W_src): each seed sends 9/10 of its mass
+    // down its heavy edge, so 3 inherits A and 4 inherits B — under
+    // uniform weights both nodes would TIE (to the smaller label, A)
+    val e = Seq((1L, 3L, 9L), (1L, 4L, 1L), (2L, 3L, 1L), (2L, 4L, 9L))
+      .toDF("src", "dst", "w")
+    val seeds = Seq(1L -> 10L, 2L -> 20L).toDF("node", "label")
+    val r = GraphRank.labelPropagation(e, "src", "dst", seeds,
+        "node", "label", iterations = 2, weightCol = Some("w"))
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    r(3L) shouldBe 10L
+    r(4L) shouldBe 20L
+    // same graph, uniform weights: the split is 50/50 and the tie rule
+    // (smaller label) gives BOTH nodes label A — the weighted result
+    // above is genuinely weight-driven, not topology-driven
+    val u = GraphRank.labelPropagation(e.drop("w"), "src", "dst", seeds,
+        "node", "label", iterations = 2)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    u(3L) shouldBe 10L
+    u(4L) shouldBe 10L
+  }
+
+  test("label propagation: uniform weights equal the unweighted path bit-for-bit") {
+    val chain = Seq(1L -> 2L, 2L -> 3L, 3L -> 4L, 4L -> 5L)
+    val bidir = chain ++ chain.map(_.swap)
+    val seeds = Seq(1L -> 10L, 5L -> 20L)
+    val unweighted = GraphRank.labelPropagation(bidir.toDF("src", "dst"),
+        "src", "dst", seeds.toDF("node", "label"), "node", "label", 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // all weights 7: (7·m) div (7·W) = m div W — common factors cancel
+    val weighted = GraphRank.labelPropagation(
+        bidir.map { case (s, d) => (s, d, 7L) }.toDF("src", "dst", "w"),
+        "src", "dst", seeds.toDF("node", "label"), "node", "label", 4,
+        weightCol = Some("w"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    weighted shouldBe unweighted
+  }
+
+  test("label propagation: degenerate inputs keep their contracts") {
+    // no edges: seeds keep their own labels (clamp mass), nothing else
+    val noEdges = GraphRank.labelPropagation(
+        spark.emptyDataset[(Long, Long)].toDF("src", "dst"), "src", "dst",
+        Seq(1L -> 10L).toDF("node", "label"), "node", "label", 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    noEdges shouldBe Map(1L -> 10L)
+    // no seeds: no mass can ever exist — empty result, not an error
+    GraphRank.labelPropagation(Seq(1L -> 2L).toDF("src", "dst"), "src", "dst",
+      spark.emptyDataset[(Long, Long)].toDF("node", "label"),
+      "node", "label", 2).count() shouldBe 0L
+    // alphaNum == alphaDen zeroes every clamp: must fail loudly
+    an[IllegalArgumentException] shouldBe thrownBy {
+      GraphRank.labelPropagation(Seq(1L -> 2L).toDF("src", "dst"),
+        "src", "dst", Seq(1L -> 10L).toDF("node", "label"), "node", "label",
+        2, alphaNum = 100, alphaDen = 100)
+    }
+  }
+
   test("label propagation: bit-identical across partitionings") {
     val edges = (0L until 120L).flatMap(i =>
       Seq(i -> (i + 1) % 120, (i + 1) % 120 -> i))
