@@ -197,13 +197,28 @@ object GraphRank {
     * Same overflow rule as pageRank: keep mass·maxWeight under 2^63 and
     * scale weights DOWN by a common factor when needed (bit-identical,
     * since (k·a) div (k·b) = a div b).
+    *
+    * `maxLabelsPerNode` is the web-scale knob: per iteration keep only
+    * each node's top-L labels by (mass DESC, label ASC) — the standard
+    * sparsification for label propagation over open label sets (user
+    * tags, host ids), where the honest per-iteration volume is
+    * |E|·labels-per-src and an uncapped run with thousands of live
+    * labels per node would shuffle the cross product. The cap is a
+    * DETERMINISTIC window filter, so a capped run is still
+    * bit-identical across partitionings and still SQL-replayable
+    * (row_number ≤ L per round); L ≥ the total label count is exactly
+    * the uncapped path (spec-asserted). Capping changes semantics only
+    * when a label outside a node's top-L would later overtake — the
+    * usual beam-search contract.
     */
   def labelPropagation(edges: DataFrame, srcCol: String, dstCol: String,
                        seeds: DataFrame, seedNodeCol: String, seedLabelCol: String,
                        iterations: Int = 4,
                        alphaNum: Long = 80, alphaDen: Long = 100,
                        unitsPerSeed: Long = 1000000L,
-                       weightCol: Option[String] = None): DataFrame = {
+                       weightCol: Option[String] = None,
+                       maxLabelsPerNode: Option[Int] = None): DataFrame = {
+    require(maxLabelsPerNode.forall(_ >= 1), "maxLabelsPerNode must be >= 1")
     require(iterations >= 1 && alphaNum >= 0,
       "labelPropagation needs iterations >= 1 and alphaNum >= 0")
     // alphaNum == alphaDen would zero every clamp: no label mass could
@@ -246,13 +261,20 @@ object GraphRank {
         .select(col("dst"), col("label"), expr("mass * w div outw").as("c"))
         .groupBy(col("dst").as("node"), col("label"))
         .agg(sum(col("c")).as("insum")) // Long sum: order-free
-      mass = in
+      val updated = in
         .join(clamp, Seq("node", "label"), "full")
         .select(col("node"), col("label"),
           (expr(s"$alphaNum * coalesce(insum, 0L) div $alphaDen") +
             coalesce(col("clamp"), lit(0L))).as("mass"))
         .where(col("mass") > 0) // keep the table sparse
-        .localCheckpoint()
+      mass = (maxLabelsPerNode match {
+        case None => updated
+        case Some(l) => // beam cut: deterministic, replayable window
+          val wTop = org.apache.spark.sql.expressions.Window
+            .partitionBy(col("node")).orderBy(col("mass").desc, col("label").asc)
+          updated.withColumn("__rn", row_number().over(wTop))
+            .where(col("__rn") <= l).drop("__rn")
+      }).localCheckpoint()
       i += 1
     }
     // argmax label per node, ties to the smallest label — deterministic
@@ -331,5 +353,122 @@ object GraphRank {
       .select(col("node"), col("a").as("auth_units"), col("h").as("hub_units"),
         round(col("a") / lit(totalUnits.toDouble), 6).as("authority"),
         round(col("h") / lit(totalUnits.toDouble), 6).as("hub"))
+  }
+
+  /** Synchronous label-propagation community detection (Raghavan et al.
+    * 2007, the near-linear-time community algorithm): every node starts
+    * in its own community (label = node id); per round each node adopts
+    * the MODE of its neighbors' labels plus its own current label (the
+    * self-vote — the standard damping that keeps sync LPA from
+    * oscillating on bipartite structure), ties broken toward the
+    * smallest label. All votes are integer counts and the tie rule is
+    * total, so every round — unlike classic random-order LPA — is
+    * bit-deterministic, partitioning-independent, and SQL-replayable;
+    * the cost is the known sync-LPA caveat that label flows can trade
+    * places between rounds, which the self-vote damps but bounded
+    * `iterations` does not fully eliminate (the R-round answer IS the
+    * contract, exactly like pageRank's fixed-iteration contract).
+    *
+    * The LLM-pipeline use: domain/host community discovery on crawl
+    * graphs (template farms and mirror networks collapse into one
+    * community long before they are exact dupes) and topic-cluster
+    * discovery over near-dup/similarity graphs — the unsupervised
+    * sibling of [[labelPropagation]]'s seeded labeling.
+    *
+    * Scale shape: edges are symmetrized, dedup'd, and materialized
+    * ONCE; per round ONE join of the (node, label) table (one row per
+    * node) against the edge list + ONE (node, label) count shuffle +
+    * one per-node argmax window over ≤distinct-neighbor-labels rows.
+    * Labels are node ids (Longs) — no strings move. Returns (node,
+    * community, csize) where community = the final label and csize =
+    * community population.
+    */
+  def labelCommunities(edges: DataFrame, srcCol: String, dstCol: String,
+                       iterations: Int = 4): DataFrame = {
+    require(iterations >= 1, "labelCommunities needs iterations >= 1")
+    val raw = edges
+      .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
+      .where(col("src").isNotNull && col("dst").isNotNull && col("src") =!= col("dst"))
+    val e = raw.union(raw.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+      .repartition(col("src"))
+      .localCheckpoint()
+    val nodes = e.select(col("src").as("node")).distinct().localCheckpoint()
+
+    var labels = nodes.withColumn("label", col("node"))
+    var i = 0
+    while (i < iterations) {
+      // votes = every neighbor's label (once per edge) + the self-vote
+      val votes = e.join(labels, e("src") === labels("node"))
+        .select(e("dst").as("node"), col("label"))
+        .unionAll(labels)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("node")).orderBy(col("c").desc, col("label").asc)
+      labels = votes
+        .groupBy(col("node"), col("label")).agg(count(lit(1)).as("c"))
+        .withColumn("__rn", row_number().over(w))
+        .where(col("__rn") === 1)
+        .select(col("node"), col("label"))
+        .localCheckpoint() // truncate lineage: round N's plan stays O(1)
+      i += 1
+    }
+    val sizes = labels.groupBy(col("label")).agg(count(lit(1)).as("csize"))
+    labels.join(sizes, "label")
+      .select(col("node"), col("label").as("community"), col("csize"))
+  }
+
+  /** Bounded k-core peel (Seidman 1983): symmetrize + dedup the edge
+    * list, then `rounds` synchronous peels — drop every node whose
+    * current degree is below `k`, restrict the edge list to surviving
+    * endpoints, repeat. When the peel converges within `rounds` (no
+    * node dropped in the last round — true for any graph whose peel
+    * depth ≤ rounds), the survivors are EXACTLY the k-core: the maximal
+    * subgraph with all degrees ≥ k. Unconverged peels return the
+    * R-round upper bound (a superset of the core) — the same
+    * fixed-round contract as pageRank, chosen so the whole computation
+    * is action-free and SQL-replayable (a fixpoint loop would make the
+    * round count data-dependent). Returns surviving (node, degree,
+    * converged) with degree measured in the final subgraph and
+    * `converged` a constant flag the caller can gate on.
+    *
+    * The LLM-pipeline use: crawl-graph quality tiers — pages/hosts in a
+    * high-k core sit in densely interlinked regions (established
+    * sites), while spam farms and orphan clusters peel away at low k;
+    * k-core is the standard cheap prefilter before PageRank-weighting a
+    * frontier. On similarity graphs it isolates dense near-dup cliques.
+    *
+    * Scale shape: per round one degree count (map-side combined) + one
+    * semi-join of edges against survivors on each endpoint; the edge
+    * table shrinks monotonically, lineage is truncated per round, and
+    * nothing but (node, degree) pairs ever shuffles.
+    */
+  def kCore(edges: DataFrame, srcCol: String, dstCol: String,
+            k: Int, rounds: Int = 6): DataFrame = {
+    require(k >= 1 && rounds >= 1, "kCore needs k >= 1 and rounds >= 1")
+    val raw = edges
+      .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
+      .where(col("src").isNotNull && col("dst").isNotNull && col("src") =!= col("dst"))
+    var e = raw.union(raw.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+      .repartition(col("src"))
+      .localCheckpoint()
+    var i = 0
+    while (i < rounds) {
+      val alive = e.groupBy(col("src").as("node"))
+        .agg(count(lit(1)).as("deg"))
+        .where(col("deg") >= k)
+        .select(col("node"))
+      e = e
+        .join(alive.withColumnRenamed("node", "src"), Seq("src"), "semi")
+        .join(alive.withColumnRenamed("node", "dst"), Seq("dst"), "semi")
+        .select(col("src"), col("dst"))
+        .localCheckpoint()
+      i += 1
+    }
+    val deg = e.groupBy(col("src").as("node")).agg(count(lit(1)).as("degree"))
+    // converged ⇔ the last peel dropped nobody ⇔ all final degrees ≥ k
+    val conv = deg.agg((min(col("degree")) >= k).as("converged"))
+    deg.crossJoin(broadcast(conv))
+      .select(col("node"), col("degree"), coalesce(col("converged"), lit(true)).as("converged"))
   }
 }

@@ -1027,7 +1027,106 @@ object EventQueries {
         graft.operators.GraphRank.hits(edges, "src", "dst", iterations = 5)
       },
       Some(hitsOracle(iterations = 5))),
+
+    // Synchronous label-propagation community detection (Raghavan et
+    // al. 2007) on the trade graph — the UNSUPERVISED sibling of q112:
+    // every node starts in its own community, adopts the mode of
+    // neighbor labels + a self-vote per round, ties to the smallest
+    // label. All-integer votes and a total tie rule make each round
+    // bit-deterministic (classic LPA is random-order), so all four
+    // rounds AND the final community sizes replay in DuckDB.
+    "q113_lpa_communities" -> QueryDef(
+      (s, d) => {
+        val li = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_suppkey"))
+        val ord = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"))
+        val edges = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+          .select(col("l_suppkey").as("src"),
+                  (col("o_custkey") + lit(1000000L)).as("dst"))
+        graft.operators.GraphRank.labelCommunities(edges, "src", "dst",
+          iterations = 4)
+      },
+      Some(lpaCommunitiesOracle(iterations = 4))),
+
+    // Bounded k-core peel (Seidman 1983) on the trade graph — the
+    // crawl-graph quality-tier prefilter: nodes in a dense k-core sit
+    // in well-interlinked regions, thin spam/orphan structure peels
+    // away. Four synchronous peels, action-free by design (a fixpoint
+    // loop would make the round count data-dependent and kill the SQL
+    // replay); the `converged` flag reports whether the peel settled.
+    "q114_kcore" -> QueryDef(
+      (s, d) => {
+        val li = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_suppkey"))
+        val ord = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"))
+        val edges = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+          .select(col("l_suppkey").as("src"),
+                  (col("o_custkey") + lit(1000000L)).as("dst"))
+        graft.operators.GraphRank.kCore(edges, "src", "dst",
+          k = 12, rounds = 4)
+      },
+      Some(kCoreOracle(k = 12, rounds = 4))),
   )
+
+  /** q113's oracle: sync LPA unrolled — per round the neighbor-label
+    * votes UNION ALL the self-vote, integer counts, and the same
+    * (count DESC, label ASC) argmax window; community sizes replay as
+    * one final count per label.
+    */
+  private def lpaCommunitiesOracle(iterations: Int): String = {
+    val iterCtes = (1 to iterations).map { i =>
+      val prev = if (i == 1) "l0" else s"l${i - 1}"
+      s"""l$i AS MATERIALIZED (
+        SELECT node, label FROM (
+          SELECT node, label,
+                 row_number() OVER (PARTITION BY node
+                                    ORDER BY c DESC, label ASC) AS rn
+          FROM (SELECT node, label, count(*) AS c FROM (
+                  SELECT e.dst AS node, m.label FROM e JOIN $prev m ON m.node = e.src
+                  UNION ALL SELECT node, label FROM $prev) v
+                GROUP BY node, label) g) t
+        WHERE rn = 1)"""
+    }.mkString(",\n")
+    s"""
+      WITH p AS MATERIALIZED (
+        SELECT DISTINCT CAST(l_suppkey AS BIGINT) AS s,
+                        CAST(o_custkey AS BIGINT) + 1000000 AS c
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+      e AS MATERIALIZED (
+        SELECT s AS src, c AS dst FROM p
+        UNION SELECT c AS src, s AS dst FROM p),
+      l0 AS (SELECT DISTINCT src AS node, src AS label FROM e),
+      $iterCtes,
+      sizes AS (SELECT label, CAST(count(*) AS BIGINT) AS csize
+                FROM l$iterations GROUP BY label)
+      SELECT node, label AS community, csize
+      FROM l$iterations JOIN sizes USING (label)"""
+  }
+
+  /** q114's oracle: the peel unrolled — per round a degree HAVING
+    * filter and an edge restriction to surviving endpoints; the final
+    * degrees and the min-degree convergence flag replay directly.
+    */
+  private def kCoreOracle(k: Int, rounds: Int): String = {
+    val iterCtes = (1 to rounds).map { i =>
+      val prev = if (i == 1) "e0" else s"e${i - 1}"
+      s"""a$i AS (SELECT src AS node FROM $prev GROUP BY src HAVING count(*) >= $k),
+      e$i AS MATERIALIZED (
+        SELECT e.src, e.dst FROM $prev e
+        JOIN a$i x ON e.src = x.node JOIN a$i y ON e.dst = y.node)"""
+    }.mkString(",\n")
+    s"""
+      WITH p AS MATERIALIZED (
+        SELECT DISTINCT CAST(l_suppkey AS BIGINT) AS s,
+                        CAST(o_custkey AS BIGINT) + 1000000 AS c
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+      e0 AS MATERIALIZED (
+        SELECT s AS src, c AS dst FROM p
+        UNION SELECT c AS src, s AS dst FROM p),
+      $iterCtes,
+      deg AS (SELECT src AS node, CAST(count(*) AS BIGINT) AS degree
+              FROM e$rounds GROUP BY src),
+      conv AS (SELECT coalesce(min(degree) >= $k, true) AS converged FROM deg)
+      SELECT node, degree, converged FROM deg CROSS JOIN conv"""
+  }
 
   /** q112's oracle: clamped label spreading unrolled — per iteration a
     * sparse (node, label) in-sum joined FULL OUTER against the clamp

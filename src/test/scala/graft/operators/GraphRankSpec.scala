@@ -239,6 +239,27 @@ class GraphRankSpec extends SparkSpec {
     weighted shouldBe unweighted
   }
 
+  test("label propagation: a top-L cap at or above the label count is the exact path") {
+    val chain = Seq(1L -> 2L, 2L -> 3L, 3L -> 4L, 4L -> 5L)
+    val bidir = chain ++ chain.map(_.swap)
+    val seeds = Seq(1L -> 10L, 5L -> 20L)
+    def run(cap: Option[Int]) = GraphRank.labelPropagation(
+        bidir.toDF("src", "dst"), "src", "dst",
+        seeds.toDF("node", "label"), "node", "label", 4,
+        maxLabelsPerNode = cap)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    run(Some(2)) shouldBe run(None) // only 2 labels exist: cap is exact
+    // beam width 1: every node carries exactly one label and the
+    // closer-seed argmax survives the cut
+    val beam = GraphRank.labelPropagation(bidir.toDF("src", "dst"), "src", "dst",
+        seeds.toDF("node", "label"), "node", "label", 4,
+        maxLabelsPerNode = Some(1))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(3)))).toMap
+    beam.values.map(_._2).toSet shouldBe Set(1L) // n_labels == 1 everywhere
+    beam(2L)._1 shouldBe 10L
+    beam(4L)._1 shouldBe 20L
+  }
+
   test("label propagation: degenerate inputs keep their contracts") {
     // no edges: seeds keep their own labels (clamp mass), nothing else
     val noEdges = GraphRank.labelPropagation(
@@ -268,6 +289,74 @@ class GraphRankSpec extends SparkSpec {
         seeds.toDF("node", "label"), "node", "label", 4)
       .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
     a shouldBe b
+  }
+
+  // --- label-propagation communities (Raghavan et al. 2007, sync) ---
+
+  private def commOf(edges: Seq[(Long, Long)], iters: Int = 4) =
+    GraphRank.labelCommunities(edges.toDF("src", "dst"), "src", "dst", iters)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+
+  test("communities: two triangles joined by a bridge split in two") {
+    val e = Seq(1L -> 2L, 2L -> 3L, 1L -> 3L, // triangle A
+                4L -> 5L, 5L -> 6L, 4L -> 6L, // triangle B
+                3L -> 4L)                     // bridge
+    val r = commOf(e)
+    Seq(1L, 2L, 3L).map(r(_)._1).toSet shouldBe Set(1L)
+    Seq(4L, 5L, 6L).map(r(_)._1).toSet shouldBe Set(4L)
+    r(1L)._2 shouldBe 3L // csize
+    r(5L)._2 shouldBe 3L
+  }
+
+  test("communities: the tie rule is total — a single edge settles on the smaller id") {
+    // votes at both endpoints tie 1:1 (self vs neighbor); smallest wins
+    val r = commOf(Seq(1L -> 2L))
+    r(1L) shouldBe ((1L, 2L))
+    r(2L) shouldBe ((1L, 2L))
+  }
+
+  test("communities: self-loops are ignored and direction does not matter") {
+    val r = commOf(Seq(7L -> 7L, 2L -> 1L, 1L -> 2L))
+    r.keySet shouldBe Set(1L, 2L) // 7 has only a self-loop: no edges
+    r(2L)._1 shouldBe 1L
+  }
+
+  test("communities: bit-identical across partitionings") {
+    // three 30-cycles plus two bridges
+    val edges = (0L until 90L).map(i => i -> ((i + 1) % 30 + 30 * (i / 30))) ++
+      Seq(0L -> 30L, 30L -> 60L)
+    val a = commOf(edges)
+    val b = GraphRank.labelCommunities(
+        edges.toDF("src", "dst").repartition(13), "src", "dst", 4)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    a shouldBe b
+  }
+
+  // --- k-core peel (Seidman 1983) ---
+
+  private def coreOf(edges: Seq[(Long, Long)], k: Int, rounds: Int = 6) =
+    GraphRank.kCore(edges.toDF("src", "dst"), "src", "dst", k, rounds)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+
+  private val triPendant = Seq(1L -> 2L, 2L -> 3L, 1L -> 3L, 1L -> 4L)
+
+  test("k-core: a pendant peels off the triangle at k=2") {
+    val r = coreOf(triPendant, k = 2)
+    r.keySet shouldBe Set(1L, 2L, 3L)
+    r.values.toSet shouldBe Set((2L, true)) // all degree 2, converged
+  }
+
+  test("k-core: k above the densest core empties the graph") {
+    coreOf(triPendant, k = 3) shouldBe Map.empty
+  }
+
+  test("k-core: a chain peels one layer per round; bounded rounds report non-convergence") {
+    val chain = Seq(1L -> 2L, 2L -> 3L, 3L -> 4L, 4L -> 5L)
+    coreOf(chain, k = 2, rounds = 6) shouldBe Map.empty // full peel
+    val partial = coreOf(chain, k = 2, rounds = 1) // only endpoints dropped
+    partial.keySet shouldBe Set(2L, 3L, 4L)
+    partial(3L) shouldBe ((2L, false)) // still-peeling upper bound, flagged
+    partial(2L)._2 shouldBe false
   }
 
   // --- HITS ---
