@@ -72,7 +72,10 @@ object ScaleProbe {
     "q110_trust_rank", "q111_streaming_quantile",
     // label propagation: q107's movement with a sparse (node, label)
     // mass table — labels constant (25 nations), edges ~linear
-    "q112_label_propagation")
+    "q112_label_propagation", "q112b_label_prop_dense",
+    // sync LPA (votes = |E| + |V| rows/round) and the k-core peel
+    // (edge table shrinks monotonically) — both expected ~linear
+    "q113_lpa_communities", "q114_kcore")
 
   private val IdShift = 10000000L
   private val DayShift = 4000 // > TPC-H date span, so copies never overlap

@@ -1011,6 +1011,30 @@ object EventQueries {
       },
       Some(labelPropOracle(iterations = 4))),
 
+    // q112's dense closed-universe twin: the same clamped diffusion
+    // carried as a length-25 Long vector per node (one array row per
+    // edge crosses the shuffle instead of ~25 (node, label) rows, and
+    // the 25 per-slot sums are codegen'd with working map-side
+    // combine) — the scale path that fixes the sparse path's 16× spill
+    // bend. Bit-identical by construction AND by spec, so it replays
+    // the SAME DuckDB oracle as q112.
+    "q112b_label_prop_dense" -> QueryDef(
+      (s, d) => {
+        val li = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_suppkey"))
+        val ord = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"))
+        val pairs = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+          .select(col("l_suppkey").as("s"),
+                  (col("o_custkey") + lit(1000000L)).as("c"))
+        val edges = pairs.select(col("s").as("src"), col("c").as("dst"))
+          .union(pairs.select(col("c").as("src"), col("s").as("dst")))
+        val seeds = Tables.supplier(s, d)
+          .select(col("s_suppkey"), col("s_nationkey"))
+        graft.operators.GraphRank.labelPropagationDense(edges, "src", "dst",
+          seeds, "s_suppkey", "s_nationkey", labels = (0L until 25L),
+          iterations = 4)
+      },
+      Some(labelPropOracle(iterations = 4))),
+
     // HITS hubs/authorities on the DIRECTED supplier→customer trade
     // graph (the bipartite case HITS was built for: suppliers act as
     // hubs/curators, customers as authorities) — same exact integer

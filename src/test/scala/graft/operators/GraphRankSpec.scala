@@ -260,6 +260,39 @@ class GraphRankSpec extends SparkSpec {
     beam(4L)._1 shouldBe 20L
   }
 
+  test("label propagation: the dense closed-universe path is bit-identical to sparse") {
+    // a messy graph: ring + chords + a seedless island, 3 labels
+    val ring = (0L until 40L).map(i => i -> (i + 1) % 40)
+    val chords = Seq(0L -> 20L, 5L -> 33L, 12L -> 27L)
+    val island = Seq(100L -> 101L, 101L -> 100L)
+    val edges = (ring ++ chords ++ island).flatMap(p => Seq(p, p.swap))
+    val seeds = Seq(0L -> 7L, 13L -> 5L, 26L -> 9L)
+    def collectSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val sparse = collectSet(GraphRank.labelPropagation(
+      edges.toDF("src", "dst"), "src", "dst",
+      seeds.toDF("node", "label"), "node", "label", 4))
+    val dense = collectSet(GraphRank.labelPropagationDense(
+      edges.toDF("src", "dst"), "src", "dst",
+      seeds.toDF("node", "label"), "node", "label", Seq(5L, 7L, 9L), 4))
+    dense shouldBe sparse
+    // weighted: same equality with a weight column in play
+    val wEdges = edges.zipWithIndex.map { case ((s, d), i) => (s, d, 1L + i % 3) }
+    val sparseW = collectSet(GraphRank.labelPropagation(
+      wEdges.toDF("src", "dst", "w"), "src", "dst",
+      seeds.toDF("node", "label"), "node", "label", 4, weightCol = Some("w")))
+    val denseW = collectSet(GraphRank.labelPropagationDense(
+      wEdges.toDF("src", "dst", "w"), "src", "dst",
+      seeds.toDF("node", "label"), "node", "label", Seq(5L, 7L, 9L), 4,
+      weightCol = Some("w")))
+    denseW shouldBe sparseW
+    // a seed label outside the declared universe must fail loudly
+    an[IllegalArgumentException] shouldBe thrownBy {
+      GraphRank.labelPropagationDense(edges.toDF("src", "dst"), "src", "dst",
+        seeds.toDF("node", "label"), "node", "label", Seq(5L, 7L), 4)
+    }
+  }
+
   test("label propagation: degenerate inputs keep their contracts") {
     // no edges: seeds keep their own labels (clamp mass), nothing else
     val noEdges = GraphRank.labelPropagation(

@@ -56,7 +56,8 @@ class PlanAuditSpec extends SparkSpec {
     // round is equi-joins + hash aggs (plus hits' 1-row renorm
     // broadcast) by construction — GraphRankSpec covers both
     "q107_link_rank", "q109_hits", "q110_trust_rank",
-    "q112_label_propagation", "q113_lpa_communities", "q114_kcore")
+    "q112_label_propagation", "q112b_label_prop_dense",
+    "q113_lpa_communities", "q114_kcore")
 
   /** Pairwise-by-contract: the nested-loop is the documented semantics,
     * not an accident.
