@@ -159,21 +159,52 @@ object Dedup {
                          textCol: String, idCol: String,
                          k: Int = 32, bands: Int = 8, shingleN: Int = 3,
                          threshold: Double = 0.8,
-                         bucketCap: Int = DefaultBucketCap): DataFrame = {
+                         bucketCap: Int = DefaultBucketCap): DataFrame =
+    incrementalMinhashIndexed(batch, existing,
+      minhashAdmissionIndex(existing, textCol, idCol, k, bands, shingleN, bucketCap),
+      textCol, idCol, k, bands, shingleN, threshold)
+
+  private def bandedSigs(df: DataFrame, textCol: String, idCol: String,
+                         k: Int, bands: Int, shingleN: Int): DataFrame = {
     val rows = k / bands
-    def sigs(df: DataFrame) = df.select(col(idCol).as("id"),
+    val s = df.select(col(idCol).as("id"),
       minhashSigKernel(col(textCol), shingleN, k).as("sig"))
-    def banded(s: DataFrame) = {
-      val bandHashes = array((0 until bands).map(b =>
-        graft.functions.PortableHash.md5_64(concat_ws(",",
-          transform(slice(col("sig"), b * rows + 1, rows), _.cast("string"))))): _*)
-      s.select(col("id"), posexplode(bandHashes)).toDF("id", "band", "band_hash")
-    }
-    val exB = banded(sigs(existing))
+    val bandHashes = array((0 until bands).map(b =>
+      graft.functions.PortableHash.md5_64(concat_ws(",",
+        transform(slice(col("sig"), b * rows + 1, rows), _.cast("string"))))): _*)
+    s.select(col("id"), posexplode(bandHashes)).toDF("id", "band", "band_hash")
+  }
+
+  /** The existing side's capped banded index — `incrementalMinhash`'s
+    * candidate-generation state, factored out so a continuous-ingest
+    * job computes (or loads) it ONCE and checkpoints it across
+    * micro-batches instead of re-deriving the existing corpus's
+    * signatures per batch. (id, band, band_hash) rows, over-cap buckets
+    * already dropped; store bucketed by (band, band_hash) and the
+    * per-batch candidate join needs no shuffle on the index side.
+    */
+  def minhashAdmissionIndex(existing: DataFrame, textCol: String, idCol: String,
+                            k: Int = 32, bands: Int = 8, shingleN: Int = 3,
+                            bucketCap: Int = DefaultBucketCap): DataFrame =
+    bandedSigs(existing, textCol, idCol, k, bands, shingleN)
       .withColumn("sz", count(lit(1)).over(
         Window.partitionBy(col("band"), col("band_hash"))))
       .filter(col("sz") <= bucketCap).drop("sz")
-    val cands = banded(sigs(batch)).as("n").join(exB.as("e"),
+
+  /** [[incrementalMinhash]] with the existing side's banded index
+    * supplied by the caller (see [[minhashAdmissionIndex]]) — the
+    * production continuous-ingest form: per batch, only the batch's own
+    * band rows join the precomputed index, and exact verification still
+    * reads existing TEXT for candidate docs only (semi-joined first).
+    */
+  def incrementalMinhashIndexed(batch: DataFrame, existing: DataFrame,
+                                index: DataFrame,
+                                textCol: String, idCol: String,
+                                k: Int = 32, bands: Int = 8, shingleN: Int = 3,
+                                threshold: Double = 0.8): DataFrame = {
+    val exB = index
+    val cands = bandedSigs(batch, textCol, idCol, k, bands, shingleN).as("n")
+      .join(exB.as("e"),
         col("n.band") === col("e.band") &&
         col("n.band_hash") === col("e.band_hash"))
       .select(col("n.id").as("id_new"), col("e.id").as("id_existing"))

@@ -853,9 +853,11 @@ object EventQueries {
     // candidates, caps, and verification all involve one incoming doc
     // and the static side only), so the drained union over batches
     // equals the batch d16 answer at ANY batch boundary — and the gate
-    // shares d16's DuckDB oracle verbatim. A production job checkpoints
-    // the existing side's banded index instead of re-deriving it per
-    // batch; at gate scale the re-derivation is the cheaper honest form.
+    // shares d16's DuckDB oracle verbatim. The existing side's banded
+    // index is computed ONCE and checkpointed across batches
+    // (minhashAdmissionIndex — the production continuous-ingest form);
+    // only exact verification re-reads existing TEXT, and only for
+    // candidate docs (semi-joined first).
     "q106_streaming_admission" -> QueryDef(
       (s, d) => {
         import org.apache.spark.sql.streaming.Trigger
@@ -863,6 +865,9 @@ object EventQueries {
         val schema = Tables.documents(s, d).schema
         val existing = Tables.documents(s, d)
           .filter(col("doc_id") % 10 === 0).localCheckpoint()
+        val index = graft.operators.Dedup.minhashAdmissionIndex(
+          existing, "text", "doc_id", k = 32, bands = 8, shingleN = 3)
+          .localCheckpoint()
         val out = java.nio.file.Files.createTempDirectory("graft_q106")
         withStreamConf(s, parts = "4", rocksdb = false) {
           val stream = s.readStream
@@ -871,8 +876,8 @@ object EventQueries {
             .filter(col("doc_id") % 10 =!= 0)
           val q = stream.writeStream
             .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
-              graft.operators.Dedup.incrementalMinhash(
-                  batch, existing, "text", "doc_id",
+              graft.operators.Dedup.incrementalMinhashIndexed(
+                  batch, existing, index, "text", "doc_id",
                   k = 32, bands = 8, shingleN = 3, threshold = 0.5)
                 .write.mode("append").parquet(out.toString)
             }
