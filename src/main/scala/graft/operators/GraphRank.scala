@@ -488,15 +488,46 @@ object GraphRank {
     * Labels are node ids (Longs) — no strings move. Returns (node,
     * community, csize) where community = the final label and csize =
     * community population.
+    *
+    * Weighted votes (`weightCol`): integer weights, a neighbor's vote
+    * counts `w` instead of 1 — on a similarity graph, communities form
+    * along STRONG near-dup ties rather than mere adjacency. Parallel
+    * edges add; the symmetrized weight of an undirected pair is the sum
+    * over both directions. The self-vote then carries `selfWeight`
+    * (default 1) so its damping stays proportionate — all still integer
+    * sums, still bit-deterministic, and scaling all weights AND
+    * selfWeight by a common factor leaves every argmax unchanged
+    * (spec-asserted).
     */
   def labelCommunities(edges: DataFrame, srcCol: String, dstCol: String,
-                       iterations: Int = 4): DataFrame = {
+                       iterations: Int = 4,
+                       weightCol: Option[String] = None,
+                       selfWeight: Long = 1L): DataFrame = {
     require(iterations >= 1, "labelCommunities needs iterations >= 1")
-    val raw = edges
-      .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
-      .where(col("src").isNotNull && col("dst").isNotNull && col("src") =!= col("dst"))
-    val e = raw.union(raw.select(col("dst").as("src"), col("src").as("dst")))
-      .distinct()
+    require(selfWeight >= 0, "selfWeight must be >= 0")
+    val e = (weightCol match {
+      case None =>
+        // unweighted: symmetrize THEN dedup, so an input listing both
+        // directions of a pair still casts ONE vote per neighbor
+        val raw = edges
+          .select(col(srcCol).cast("long").as("src"),
+            col(dstCol).cast("long").as("dst"))
+          .where(col("src").isNotNull && col("dst").isNotNull &&
+            col("src") =!= col("dst"))
+        raw.union(raw.select(col("dst").as("src"), col("src").as("dst")))
+          .distinct()
+          .withColumn("w", lit(1L))
+      case Some(wc) =>
+        // weighted: parallel edges ADD; the undirected pair weight is
+        // the sum over both listed directions
+        val raw = edges
+          .select(col(srcCol).cast("long").as("src"),
+            col(dstCol).cast("long").as("dst"), col(wc).cast("long").as("w"))
+          .where(col("src").isNotNull && col("dst").isNotNull &&
+            col("w") > 0 && col("src") =!= col("dst"))
+        raw.unionAll(raw.select(col("dst").as("src"), col("src").as("dst"), col("w")))
+          .groupBy(col("src"), col("dst")).agg(sum(col("w")).as("w"))
+    })
       .repartition(col("src"))
       .localCheckpoint()
     val nodes = e.select(col("src").as("node")).distinct().localCheckpoint()
@@ -504,14 +535,15 @@ object GraphRank {
     var labels = nodes.withColumn("label", col("node"))
     var i = 0
     while (i < iterations) {
-      // votes = every neighbor's label (once per edge) + the self-vote
+      // votes = every neighbor's label at edge weight + the self-vote
       val votes = e.join(labels, e("src") === labels("node"))
-        .select(e("dst").as("node"), col("label"))
-        .unionAll(labels)
+        .select(e("dst").as("node"), col("label"), col("w").as("v"))
+        .unionAll(labels.select(col("node"), col("label"),
+          lit(selfWeight).as("v")))
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("node")).orderBy(col("c").desc, col("label").asc)
       labels = votes
-        .groupBy(col("node"), col("label")).agg(count(lit(1)).as("c"))
+        .groupBy(col("node"), col("label")).agg(sum(col("v")).as("c"))
         .withColumn("__rn", row_number().over(w))
         .where(col("__rn") === 1)
         .select(col("node"), col("label"))

@@ -365,6 +365,33 @@ class GraphRankSpec extends SparkSpec {
     a shouldBe b
   }
 
+  test("communities: weighted votes — a strong tie beats a tie of weak ones") {
+    // node 5's neighbors: 9 over weight 10, 1 and 2 over weight 1.
+    // Unweighted, round 1 at node 5 is a 4-way tie → smallest label 1;
+    // weighted, label 9's ten votes win outright.
+    val e = Seq((9L, 5L, 10L), (5L, 1L, 1L), (5L, 2L, 1L), (1L, 2L, 1L))
+    val unw = GraphRank.labelCommunities(
+        e.map(t => (t._1, t._2)).toDF("src", "dst"), "src", "dst", 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    unw(5L) shouldBe 1L
+    val wtd = GraphRank.labelCommunities(
+        e.toDF("src", "dst", "w"), "src", "dst", 1, weightCol = Some("w"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    wtd(5L) shouldBe 9L
+    // common-factor scaling of weights AND selfWeight changes nothing
+    val scaled = GraphRank.labelCommunities(
+        e.map(t => (t._1, t._2, t._3 * 7)).toDF("src", "dst", "w"),
+        "src", "dst", 1, weightCol = Some("w"), selfWeight = 7L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    scaled shouldBe wtd
+    // uniform weights with a matching self-vote reduce to the unweighted path
+    val uniform = GraphRank.labelCommunities(
+        e.map(t => (t._1, t._2, 3L)).toDF("src", "dst", "w"),
+        "src", "dst", 1, weightCol = Some("w"), selfWeight = 3L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    uniform shouldBe unw
+  }
+
   // --- k-core peel (Seidman 1983) ---
 
   private def coreOf(edges: Seq[(Long, Long)], k: Int, rounds: Int = 6) =
