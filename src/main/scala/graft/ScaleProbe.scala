@@ -75,7 +75,9 @@ object ScaleProbe {
     "q112_label_propagation", "q112b_label_prop_dense",
     // sync LPA (votes = |E| + |V| rows/round) and the k-core peel
     // (edge table shrinks monotonically) — both expected ~linear
-    "q113_lpa_communities", "q114_kcore")
+    "q113_lpa_communities", "q114_kcore",
+    // degree-oriented wedge join: out-degree bounded O(sqrt(E))
+    "q115_triangle_count")
 
   private val IdShift = 10000000L
   private val DayShift = 4000 // > TPC-H date span, so copies never overlap

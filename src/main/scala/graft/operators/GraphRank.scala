@@ -555,6 +555,62 @@ object GraphRank {
       .select(col("node"), col("label").as("community"), col("csize"))
   }
 
+  /** Exact triangle counting with DEGREE ORIENTATION (Suri &
+    * Vassilvitskii 2011's "curse of the last reducer" fix; Chiba &
+    * Nishizeki 1985): each undirected edge is directed from its
+    * lower-(degree, id) endpoint to its higher one, which makes the
+    * orientation acyclic with out-degree bounded by O(√|E|) on ANY
+    * graph — so the wedge join (the quadratic step in a naive
+    * neighbor-join) is capped per node even when a hub has 10⁸
+    * neighbors. Every triangle {u,v,w} then appears exactly once as
+    * the oriented wedge u→v→w closed by u→w.
+    *
+    * Returns (node, degree, triangles, coeff): per-node triangle
+    * counts and the local clustering coefficient `2T/(deg·(deg−1))`
+    * (0 when degree < 2), rounded 6 dp — the graph-cohesion signal
+    * used for spam detection (link farms have near-zero clustering
+    * while organic neighborhoods are dense) and community quality.
+    * All counts are integers over deterministic joins: bit-identical
+    * across partitionings and fully SQL-replayable.
+    *
+    * Scale shape: symmetrize+dedup once; one degree aggregate; the
+    * oriented edge list is a projection (degrees joined in, tuple
+    * comparison); wedges = one self-equi-join on the middle node with
+    * the √|E| out-degree bound; closure = one more equi-join against
+    * the oriented list; per-node counts = one explode + count. No
+    * iteration, no driver state.
+    */
+  def triangles(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    val raw = edges
+      .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
+      .where(col("src").isNotNull && col("dst").isNotNull && col("src") =!= col("dst"))
+    val e = raw.union(raw.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+      .localCheckpoint()
+    val deg = e.groupBy(col("src").as("node")).agg(count(lit(1)).as("degree"))
+    // orient each edge toward the higher (degree, id) endpoint
+    val o = e
+      .join(deg.select(col("node").as("src"), col("degree").as("ds")), "src")
+      .join(deg.select(col("node").as("dst"), col("degree").as("dd")), "dst")
+      .where(col("ds") < col("dd") ||
+        (col("ds") === col("dd") && col("src") < col("dst")))
+      .select(col("src").as("u"), col("dst").as("v"))
+      .localCheckpoint()
+    // wedges u→v→w closed by u→w: each triangle counted exactly once
+    val tri = o.as("e1")
+      .join(o.select(col("u").as("v"), col("v").as("w")).as("e2"), "v")
+      .join(o.select(col("u"), col("v").as("w")).as("e3"), Seq("u", "w"), "semi")
+      .select(col("u"), col("v"), col("w"))
+    val perNode = tri.select(explode(array(col("u"), col("v"), col("w"))).as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("triangles"))
+    deg.join(perNode, Seq("node"), "left")
+      .select(col("node"), col("degree"),
+        coalesce(col("triangles"), lit(0L)).as("triangles"),
+        when(col("degree") < 2, lit(0.0)).otherwise(
+          round(lit(2.0) * coalesce(col("triangles"), lit(0L)) /
+            (col("degree") * (col("degree") - 1)), 6)).as("coeff"))
+  }
+
   /** Bounded k-core peel (Seidman 1983): symmetrize + dedup the edge
     * list, then `rounds` synchronous peels — drop every node whose
     * current degree is below `k`, restrict the edge list to surviving

@@ -1093,7 +1093,63 @@ object EventQueries {
           k = 12, rounds = 4)
       },
       Some(kCoreOracle(k = 12, rounds = 4))),
+
+    // Exact triangle counting + local clustering coefficient (Suri &
+    // Vassilvitskii 2011's degree orientation — out-degree bounded
+    // O(√|E|) on any graph, so the wedge join survives hubs) on the
+    // supplier CO-OCCURRENCE graph: suppliers are adjacent when they
+    // supply the same order (per-order fan-out ≤ lineitems-per-order,
+    // so the projection is bounded). Clustering separates organic
+    // dense neighborhoods from farm-like flat link structure. Integer
+    // counts over deterministic joins: fully hash-oracled.
+    "q115_triangle_count" -> QueryDef(
+      (s, d) => {
+        val li = Tables.lineitem(s, d)
+          .select(col("l_orderkey"), col("l_suppkey").cast("long").as("s"))
+        val pairs = li.as("a").join(li.as("b"),
+            col("a.l_orderkey") === col("b.l_orderkey") &&
+            col("a.s") < col("b.s"))
+          .select(col("a.s").as("src"), col("b.s").as("dst"))
+          .distinct()
+        graft.operators.GraphRank.triangles(pairs, "src", "dst")
+      },
+      Some(trianglesOracle)),
   )
+
+  /** q115's oracle: the degree orientation and both wedge joins replay
+    * directly — a (degree, id) tuple comparison, one self-join on the
+    * middle node, an EXISTS closure, and a 3-way explode for per-node
+    * counts; the coefficient reproduces the engine's `2T/(d(d-1))`
+    * rounded 6 dp with degree<2 pinned to 0.
+    */
+  private val trianglesOracle: String = """
+    WITH li AS MATERIALIZED (
+      SELECT DISTINCT l_orderkey, CAST(l_suppkey AS BIGINT) AS s FROM lineitem),
+    p AS MATERIALIZED (
+      SELECT DISTINCT a.s AS u, b.s AS v
+      FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey AND a.s < b.s),
+    e AS MATERIALIZED (
+      SELECT u AS src, v AS dst FROM p UNION SELECT v, u FROM p),
+    deg AS (SELECT src AS node, CAST(count(*) AS BIGINT) AS degree
+            FROM e GROUP BY src),
+    o AS MATERIALIZED (
+      SELECT e.src AS u, e.dst AS v
+      FROM e JOIN deg d1 ON e.src = d1.node JOIN deg d2 ON e.dst = d2.node
+      WHERE d1.degree < d2.degree
+         OR (d1.degree = d2.degree AND e.src < e.dst)),
+    tri AS MATERIALIZED (
+      SELECT e1.u, e1.v, e2.v AS w
+      FROM o e1 JOIN o e2 ON e1.v = e2.u
+      WHERE EXISTS (SELECT 1 FROM o e3 WHERE e3.u = e1.u AND e3.v = e2.v)),
+    tn AS (SELECT node, CAST(count(*) AS BIGINT) AS triangles FROM (
+             SELECT u AS node FROM tri
+             UNION ALL SELECT v FROM tri
+             UNION ALL SELECT w FROM tri) x GROUP BY node)
+    SELECT d.node, d.degree, coalesce(t.triangles, 0) AS triangles,
+           CASE WHEN d.degree < 2 THEN 0.0
+                ELSE round(2.0 * coalesce(t.triangles, 0) /
+                           (d.degree * (d.degree - 1)), 6) END AS coeff
+    FROM deg d LEFT JOIN tn t ON t.node = d.node"""
 
   /** q113's oracle: sync LPA unrolled — per round the neighbor-label
     * votes UNION ALL the self-vote, integer counts, and the same

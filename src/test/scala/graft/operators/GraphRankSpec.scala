@@ -392,6 +392,38 @@ class GraphRankSpec extends SparkSpec {
     uniform shouldBe unw
   }
 
+  // --- triangle counting (degree-oriented wedge join) ---
+
+  private def triOf(edges: Seq[(Long, Long)]) =
+    GraphRank.triangles(edges.toDF("src", "dst"), "src", "dst")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+
+  test("triangles: hand-computed counts and clustering coefficients") {
+    // triangle {1,2,3} with pendant 4 on node 1
+    val r = triOf(Seq(1L -> 2L, 2L -> 3L, 1L -> 3L, 1L -> 4L))
+    r(1L) shouldBe ((3L, 1L, 0.333333)) // 2*1/(3*2)
+    r(2L) shouldBe ((2L, 1L, 1.0))
+    r(3L) shouldBe ((2L, 1L, 1.0))
+    r(4L) shouldBe ((1L, 0L, 0.0)) // degree < 2: coefficient pinned to 0
+  }
+
+  test("triangles: a shared edge is counted into both triangles") {
+    // {1,2,3} and {2,3,4} share edge 2-3
+    val r = triOf(Seq(1L -> 2L, 1L -> 3L, 2L -> 3L, 2L -> 4L, 3L -> 4L))
+    r(2L) shouldBe ((3L, 2L, 0.666667))
+    r(3L) shouldBe ((3L, 2L, 0.666667))
+    r(1L) shouldBe ((2L, 1L, 1.0))
+    r(4L) shouldBe ((2L, 1L, 1.0))
+  }
+
+  test("triangles: a star has none, and double-listed directions do not double-count") {
+    val star = Seq(1L -> 2L, 1L -> 3L, 1L -> 4L, 1L -> 5L)
+    val r = triOf(star ++ star.map(_.swap)) // both directions listed
+    r(1L) shouldBe ((4L, 0L, 0.0))
+    r(2L) shouldBe ((1L, 0L, 0.0))
+  }
+
   // --- k-core peel (Seidman 1983) ---
 
   private def coreOf(edges: Seq[(Long, Long)], k: Int, rounds: Int = 6) =

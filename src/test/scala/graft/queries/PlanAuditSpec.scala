@@ -57,7 +57,8 @@ class PlanAuditSpec extends SparkSpec {
     // broadcast) by construction — GraphRankSpec covers both
     "q107_link_rank", "q109_hits", "q110_trust_rank",
     "q112_label_propagation", "q112b_label_prop_dense",
-    "q113_lpa_communities", "q114_kcore")
+    "q113_lpa_communities", "q114_kcore",
+    "q115_triangle_count") // localCheckpoints the oriented edge list at build
 
   /** Pairwise-by-contract: the nested-loop is the documented semantics,
     * not an accident.
