@@ -16,6 +16,10 @@ import sys
 def main(old_path, new_path, min_delta=0.25):
     old, new = json.load(open(old_path)), json.load(open(new_path))
     f_old, f_new = set(old.get("failed", [])), set(new.get("failed", []))
+    # retried = the targeted third pass fired (slow or wildly-disagreeing
+    # passes) — a mover that retried in either round is flagged so a
+    # systematic slow-start isn't mistaken for a code regression
+    r_old, r_new = set(old.get("retried_queries", [])), set(new.get("retried_queries", []))
     qo, qn = old["queries"], new["queries"]
     common = sorted(set(qo) & set(qn))
     quotable = []
@@ -26,7 +30,9 @@ def main(old_path, new_path, min_delta=0.25):
         elif abs(qo[q] - qn[q]) >= min_delta:
             quotable.append((qo[q] - qn[q], q))
     for d, q in sorted(quotable, reverse=True):
-        print(f"   {q}: {qo[q]:.2f} -> {qn[q]:.2f} ({'-' if d > 0 else '+'}{abs(d):.2f}s)")
+        where = "+".join(w for w, s in (("old", r_old), ("new", r_new)) if q in s)
+        note = f"  [retried in {where}]" if where else ""
+        print(f"   {q}: {qo[q]:.2f} -> {qn[q]:.2f} ({'-' if d > 0 else '+'}{abs(d):.2f}s){note}")
     only_old, only_new = sorted(set(qo) - set(qn)), sorted(set(qn) - set(qo))
     if only_old or only_new:
         print(f"   (not comparable: {len(only_old)} only-old, {len(only_new)} only-new)")

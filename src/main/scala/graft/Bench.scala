@@ -83,14 +83,19 @@ object Bench {
       val best2 = math.min(pass1(name), pass2(name))
       name -> (if (noisy(name)) math.min(best2, timeOnce(fn, name)) else best2)
     }
-    val retried = ordered.count { case (name, _) => noisy(name) }
+    // which gates retried, not just how many: the outlier-retry pass can
+    // mask systematic slow-starts unless the artifact names the gates
+    // (VERDICT r7 "What's wrong" #3)
+    val retriedNames = ordered.collect { case (name, _) if noisy(name) => name }
+    val retried = retriedNames.size
     // Locale.ROOT: a comma-decimal default locale would print 62,700 and
     // corrupt the JSON line
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     // full per-query detail for offline inspection (not on the line)
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val retriedJson = retriedNames.map("\"" + _ + "\"").mkString("[", ",", "]")
     try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_DETAIL.json"),
-      s"""{"total":${fmt(total)},"n":${results.size},"sf":"$sfDir","runs":2,"retried":$retried,"failed":$failedJson,"queries":${jsonMap(results)}}
+      s"""{"total":${fmt(total)},"n":${results.size},"sf":"$sfDir","runs":2,"retried":$retried,"retried_queries":$retriedJson,"failed":$failedJson,"queries":${jsonMap(results)}}
 """.getBytes("UTF-8"))
     catch { case _: Throwable => () }
     println(line(total, results, sfDir))

@@ -48,6 +48,40 @@ object GraphRank {
     */
   val DefaultUnits: Long = 1000000000L
 
+  /** Driver-scalar max of a Long column on an already-materialized small
+    * aggregate input (0 on an empty table) — used by the loud overflow
+    * guards, never on raw corpus data.
+    */
+  private def maxOf(df: DataFrame, c: String): Long =
+    df.agg(coalesce(max(col(c)), lit(0L))).head.getLong(0)
+
+  /** Loud enforcement of the documented `a · b < 2⁶³` contracts: Spark's
+    * non-ANSI Long sum wraps silently while the DuckDB oracle sums in
+    * HUGEINT, so an overflow at scale would otherwise surface as a
+    * confusing hash mismatch instead of an actionable failure.
+    */
+  private def requireProductFits(a: Long, b: Long, what: String): Unit =
+    require(a <= 0 || b <= Long.MaxValue / a,
+      s"$what = $b * $a overflows Long (2^63): scale the inputs down — " +
+        "dividing all weights by a common factor leaves results " +
+        "bit-identical, since (k*a) div (k*b) = a div b")
+
+  /** Label-propagation worst-case mass bound, checked in BigInt so the
+    * guard itself cannot wrap: total live mass is at most
+    * `seeds · clampUnits · alphaDen/(alphaDen−alphaNum)` (the geometric
+    * fixpoint of `total' ≤ α·total + clampTotal`), and the per-edge
+    * product multiplies that by max(w).
+    */
+  private def requireLabelMassFits(seedCount: Long, clampUnits: Long,
+      alphaNum: Long, alphaDen: Long, maxW: Long, what: String): Unit = {
+    val bound = BigInt(clampUnits) * BigInt(seedCount) * BigInt(alphaDen) /
+      BigInt(alphaDen - alphaNum) * BigInt(maxW.max(1L))
+    require(bound <= BigInt(Long.MaxValue),
+      s"$what: worst-case label mass * max(edge weight) = $bound overflows " +
+        "Long (2^63): lower unitsPerSeed or scale edge weights down by a " +
+        "common factor (bit-identical by the (k*a) div (k*b) = a div b rule)")
+  }
+
   /** PageRank over a directed edge list, `iterations` exact fixed-point
     * rounds at damping `dampNum/dampDen` (default 85/100).
     *
@@ -98,10 +132,10 @@ object GraphRank {
     // dedup + materialize the edge lineage exactly once; repartition by
     // src so each iteration's rank join reuses the layout. Weighted
     // edges: integer weights, parallel edges ADD (the link-count
-    // semantics); contribution becomes (r*w) div W_src. Keep
-    // totalUnits*maxWeight under 2^63 (scale weights down, not up —
-    // scaling ALL weights by a common factor provably leaves ranks
-    // bit-identical, since (k*a) div (k*b) = a div b).
+    // semantics); contribution becomes (r*w) div W_src. The
+    // totalUnits*maxWeight < 2^63 contract is ENFORCED below (scale
+    // weights down, not up — scaling ALL weights by a common factor
+    // provably leaves ranks bit-identical, since (k*a) div (k*b) = a div b).
     val e = (weightCol match {
       case None =>
         edges
@@ -119,6 +153,15 @@ object GraphRank {
     })
       .repartition(col("src"))
       .localCheckpoint()
+    // loud overflow guard: the per-edge product r*w is bounded by
+    // totalUnits*max(w); a silent Long wrap would produce confidently
+    // wrong ranks (Spark's non-ANSI sum wraps where DuckDB's HUGEINT
+    // doesn't, so the failure would surface as a confusing hash
+    // mismatch). One max() aggregate on the already-materialized edge
+    // table — weighted path only, since unweighted w = 1 cannot wrap.
+    if (weightCol.isDefined) requireProductFits(
+      maxOf(e, "w"), totalUnits,
+      "pageRank/trustRank: totalUnits * max(edge weight)")
     val bare = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node")))
       .distinct()
@@ -253,6 +296,10 @@ object GraphRank {
       .distinct()
       .withColumn("clamp", lit(clampUnits))
       .localCheckpoint()
+    // loud overflow guard (see requireLabelMassFits): one count on the
+    // checkpointed clamp table + (weighted only) one max on the edges
+    requireLabelMassFits(clamp.count(), clampUnits, alphaNum, alphaDen,
+      if (weightCol.isDefined) maxOf(e, "w") else 1L, "labelPropagation")
 
     var mass = clamp.select(col("node"), col("label"), col("clamp").as("mass"))
     var i = 0
@@ -287,6 +334,62 @@ object GraphRank {
       .where(col("__rn") === 1)
       .select(col("node"), col("label"), col("mass").as("mass_units"),
         col("n_labels"))
+  }
+
+  /** A label universe at or under this size runs the dense vector path
+    * — small enough that the L per-slot codegen'd sums stay cheap and a
+    * length-L Long vector per node is a few hundred bytes.
+    */
+  val DenseLabelUniverseMax = 64
+
+  /** Default beam cap for the open-label-set sparse path: wide enough
+    * that a realistic per-node label distribution is exact (a node
+    * rarely holds mass from > a handful of labels after α-damping),
+    * finite so the per-iteration shuffle volume is bounded by
+    * |E|·DefaultLabelBeam instead of |E|·|labels| — the configuration
+    * that measured a 16×-corpus spill when left uncapped.
+    */
+  val DefaultLabelBeam = 16
+
+  /** The ROUTED label-propagation entry point — call this one unless you
+    * need a specific path. The live label universe of the clamped
+    * recurrence is CLOSED BY CONSTRUCTION (clamp mass is the only label
+    * source, so exactly the distinct seed labels can ever hold mass), so
+    * routing is decidable from the seed table alone: a universe of at
+    * most [[DenseLabelUniverseMax]] labels runs [[labelPropagationDense]]
+    * (bit-identical to uncapped sparse by spec, and the scale-safe shape
+    * — the sparse path's |E|·labels-per-src row stream is what spills at
+    * 16× corpus on one box), anything larger runs the sparse path with
+    * `maxLabelsPerNode` DEFAULTED to a finite [[DefaultLabelBeam]]
+    * (uncapped open-set propagation is exactly the spilling
+    * configuration; pass `maxLabelsPerNode = Some(n)` to widen, with
+    * n ≥ |labels| provably equal to uncapped). The same threshold-routing
+    * pattern as `Similarity.cosinePairsAuto`. The probe collects at most
+    * DenseLabelUniverseMax+1 label ids (bounded driver state).
+    */
+  def labelPropagationAuto(edges: DataFrame, srcCol: String, dstCol: String,
+                           seeds: DataFrame, seedNodeCol: String, seedLabelCol: String,
+                           iterations: Int = 4,
+                           alphaNum: Long = 80, alphaDen: Long = 100,
+                           unitsPerSeed: Long = 1000000L,
+                           weightCol: Option[String] = None,
+                           maxLabelsPerNode: Option[Int] = Some(DefaultLabelBeam)): DataFrame = {
+    val universe = seeds
+      .select(col(seedLabelCol).cast("long").as("label"))
+      .where(col("label").isNotNull)
+      .distinct().orderBy(col("label"))
+      .limit(DenseLabelUniverseMax + 1)
+      .collect().map(_.getLong(0)).toSeq // bounded: ≤ DenseLabelUniverseMax+1 rows
+    if (universe.nonEmpty && universe.size <= DenseLabelUniverseMax)
+      labelPropagationDense(edges, srcCol, dstCol, seeds, seedNodeCol,
+        seedLabelCol, labels = universe, iterations = iterations,
+        alphaNum = alphaNum, alphaDen = alphaDen, unitsPerSeed = unitsPerSeed,
+        weightCol = weightCol)
+    else
+      labelPropagation(edges, srcCol, dstCol, seeds, seedNodeCol,
+        seedLabelCol, iterations = iterations, alphaNum = alphaNum,
+        alphaDen = alphaDen, unitsPerSeed = unitsPerSeed,
+        weightCol = weightCol, maxLabelsPerNode = maxLabelsPerNode)
   }
 
   /** [[labelPropagation]] for a CLOSED label universe, carried as a
@@ -358,6 +461,10 @@ object GraphRank {
         max(when(col("label") === lit(labels(i)), lit(clampUnits))
           .otherwise(lit(0L)))): _*).as("cv"))
       .localCheckpoint()
+    // same loud overflow guard as the sparse path: a seed node clamps at
+    // most L slots, so seed PAIRS ≤ clamp rows · L bounds the mass total
+    requireLabelMassFits(clamp.count() * L, clampUnits, alphaNum, alphaDen,
+      if (weightCol.isDefined) maxOf(e, "w") else 1L, "labelPropagationDense")
 
     var mass = clamp.select(col("node"), col("cv").as("m"))
     var i = 0
@@ -402,9 +509,17 @@ object GraphRank {
     * raw total — a 1-row aggregate attached by broadcast, so the
     * normalizer is part of the plan, not driver state. All sums are
     * Longs: order-free, bit-deterministic, SQL-replayable (the q107
-    * argument). Raw totals are bounded by edges·totalUnits, so keep
-    * totalUnits·|E| under 2⁶³ (at 10⁹ edges use totalUnits = 1e6 — the
-    * knob exists for exactly this reason).
+    * argument). Raw totals are bounded by edges·totalUnits, so
+    * totalUnits·|E| < 2⁶³ is ENFORCED at entry (at 10⁹ edges use
+    * totalUnits = 1e6 — the knob exists for exactly this reason).
+    *
+    * The per-phase renormalizer T is computed from the PREVIOUS node
+    * table degree-weighted (T_a = Σ_u h_u·outdeg(u), T_h = Σ_v
+    * a_v·indeg(v)) — mathematically identical to summing the raw phase
+    * output (every edge delivers its source's score exactly once), but
+    * the total comes from a node-sized join against the once-computed
+    * degree tables instead of re-running the edge join+aggregate
+    * subtree a second time per phase for the broadcast.
     *
     * Hub scores surface link CURATORS (pages whose out-links point at
     * authorities) — the crawl-seed-list signal next to pageRank's
@@ -426,16 +541,25 @@ object GraphRank {
       .localCheckpoint()
     val n = nodes.count()
     require(n > 0, "hits on an empty edge list")
+    // loud overflow guard: raw phase totals are bounded by |E|·totalUnits
+    // (every edge delivers ≤ totalUnits of score) — one count on the
+    // already-checkpointed edge table
+    requireProductFits(e.count(), totalUnits, "hits: totalUnits * |E|")
     val r0 = totalUnits / n
+
+    // degree tables, computed once: the renorm totals are degree-weighted
+    // node sums (see class doc), so no phase re-runs its edge aggregate
+    val outdeg = e.groupBy(col("src").as("node"))
+      .agg(count(lit(1)).as("odeg")).localCheckpoint()
+    val indeg = e.groupBy(col("dst").as("node"))
+      .agg(count(lit(1)).as("ideg")).localCheckpoint()
 
     // renormalize raw integer scores to ~totalUnits total mass; the
     // 1-row total is broadcast so both engines divide by the same T
-    def rescale(raw: DataFrame, cName: String): DataFrame = {
-      val t = raw.agg(sum(col(cName)).as("__t"))
+    def rescale(raw: DataFrame, t: DataFrame, cName: String): DataFrame =
       raw.crossJoin(broadcast(t))
         .select(col("node"),
           expr(s"$cName div greatest(__t div $totalUnits, 1L)").as(cName))
-    }
 
     var hubs = nodes.withColumn("h", lit(r0))
     var auths = nodes.withColumn("a", lit(r0))
@@ -446,13 +570,18 @@ object GraphRank {
           .groupBy(col("dst").as("node")).agg(sum(col("h")).as("a_raw")),
         Seq("node"), "left")
         .select(col("node"), coalesce(col("a_raw"), lit(0L)).as("a"))
-      auths = rescale(aRaw, "a").localCheckpoint()
+      // T_a = Σ_u h_u·outdeg(u): exactly Σ_v a_raw(v), from node-sized input
+      val tA = hubs.join(outdeg, "node")
+        .agg(coalesce(sum(col("h") * col("odeg")), lit(0L)).as("__t"))
+      auths = rescale(aRaw, tA, "a").localCheckpoint()
       val hRaw = nodes.join(
         e.join(auths, e("dst") === auths("node"))
           .groupBy(col("src").as("node")).agg(sum(col("a")).as("h_raw")),
         Seq("node"), "left")
         .select(col("node"), coalesce(col("h_raw"), lit(0L)).as("h"))
-      hubs = rescale(hRaw, "h").localCheckpoint()
+      val tH = auths.join(indeg, "node")
+        .agg(coalesce(sum(col("a") * col("ideg")), lit(0L)).as("__t"))
+      hubs = rescale(hRaw, tH, "h").localCheckpoint()
       i += 1
     }
     auths.join(hubs, "node")
@@ -662,7 +791,120 @@ object GraphRank {
     val deg = e.groupBy(col("src").as("node")).agg(count(lit(1)).as("degree"))
     // converged ⇔ the last peel dropped nobody ⇔ all final degrees ≥ k
     val conv = deg.agg((min(col("degree")) >= k).as("converged"))
+    // no coalesce: an empty deg crossJoins to zero rows, and a non-empty
+    // 1-row aggregate's flag is never null
     deg.crossJoin(broadcast(conv))
-      .select(col("node"), col("degree"), coalesce(col("converged"), lit(true)).as("converged"))
+      .select(col("node"), col("degree"), col("converged"))
+  }
+
+  /** Normalize an edge list the way every iterative operator here does:
+    * unweighted → distinct (src, dst) with w = 1; weighted → parallel
+    * edges ADD, non-positive weights dropped.
+    */
+  private def normalizeEdges(edges: DataFrame, srcCol: String, dstCol: String,
+                             weightCol: Option[String]): DataFrame =
+    weightCol match {
+      case None =>
+        edges
+          .select(col(srcCol).cast("long").as("src"),
+            col(dstCol).cast("long").as("dst"))
+          .where(col("src").isNotNull && col("dst").isNotNull)
+          .distinct()
+          .withColumn("w", lit(1L))
+      case Some(wc) =>
+        edges
+          .select(col(srcCol).cast("long").as("src"),
+            col(dstCol).cast("long").as("dst"), col(wc).cast("long").as("w"))
+          .where(col("src").isNotNull && col("dst").isNotNull && col("w") > 0)
+          .groupBy(col("src"), col("dst")).agg(sum(col("w")).as("w"))
+    }
+
+  /** Edge-list snapshot diff — the graph sibling of `Dedup.snapshotDiff`
+    * (d14) and the "what changed" primitive the incremental-admission
+    * family (d07/d14/d16/m08/q106) answers for content: classify every
+    * (src, dst) pair across two graph snapshots as `added` / `removed` /
+    * `reweighted` / `unchanged` from the normalized weights alone.
+    * Unweighted graphs can only produce added/removed/unchanged.
+    *
+    * Scale shape: both snapshots normalize with ONE map-side-combined
+    * aggregate each, then a single full-outer shuffle join keyed
+    * (src, dst) — no iteration, no driver state; the output is one row
+    * per surviving pair, and the typical incremental caller immediately
+    * filters `status <> 'unchanged'`, which pushes down to the join
+    * output before anything else moves.
+    *
+    * Returns (src, dst, w_old, w_new, status); w_old/w_new are null on
+    * the side the pair is absent from, exactly like d14's md5 columns.
+    */
+  def edgeDelta(oldEdges: DataFrame, newEdges: DataFrame,
+                srcCol: String, dstCol: String,
+                weightCol: Option[String] = None): DataFrame = {
+    val eo = normalizeEdges(oldEdges, srcCol, dstCol, weightCol)
+      .withColumnRenamed("w", "w_old")
+    val en = normalizeEdges(newEdges, srcCol, dstCol, weightCol)
+      .withColumnRenamed("w", "w_new")
+    eo.join(en, Seq("src", "dst"), "full_outer")
+      .select(col("src"), col("dst"), col("w_old"), col("w_new"),
+        when(col("w_old").isNull, lit("added"))
+          .when(col("w_new").isNull, lit("removed"))
+          .when(col("w_old") === col("w_new"), lit("unchanged"))
+          .otherwise(lit("reweighted")).as("status"))
+  }
+
+  /** Which nodes' ranks are STALE after an edge delta — the bounded
+    * forward-reachability frontier that makes the graph family
+    * incremental-aware: recompute (or re-verify) only the frontier
+    * instead of re-ranking the whole corpus after a crawl increment.
+    *
+    * Contract: a changed edge (u→v, any status ≠ unchanged) perturbs
+    * v's in-sum directly AND u's out-weight W_u — so every out-neighbor
+    * of u in the NEW graph is perturbed too. That dirty set is hop 0;
+    * influence then propagates one out-hop per rank iteration, so after
+    * K iterations of [[pageRank]]/[[trustRank]]/[[labelPropagation]] on
+    * the new graph, every node whose rank can differ from the old-graph
+    * run lies in the frontier at `hops = K − 1` (hop h = first
+    * iteration, 0-based, at which the node's value can diverge;
+    * reported as the MINIMUM such hop, deterministically).
+    *
+    * Scale shape: the delta is one full-outer join (see [[edgeDelta]]);
+    * each hop is one join of the current frontier ring against the
+    * src-keyed new edge list + one min-aggregate — frontier rows only,
+    * never the corpus; lineage truncated per hop. Fixed `hops`, so the
+    * whole computation is action-free and SQL-replayable as unrolled
+    * CTEs (the kCore argument).
+    *
+    * Returns (node, hop).
+    */
+  def staleFrontier(oldEdges: DataFrame, newEdges: DataFrame,
+                    srcCol: String, dstCol: String,
+                    hops: Int,
+                    weightCol: Option[String] = None): DataFrame = {
+    require(hops >= 0, "staleFrontier needs hops >= 0")
+    val delta = edgeDelta(oldEdges, newEdges, srcCol, dstCol, weightCol)
+    val changed = delta.where(col("status") =!= "unchanged")
+      .select(col("src"), col("dst"))
+      .localCheckpoint()
+    val eNew = normalizeEdges(newEdges, srcCol, dstCol, weightCol)
+      .select(col("src"), col("dst"))
+      .repartition(col("src"))
+      .localCheckpoint()
+    // hop 0: dst of every changed edge + (new-graph) out-neighbors of
+    // every changed src — the nodes whose iteration-1 in-sum differs
+    val dirty0 = changed.select(col("dst").as("node"))
+      .union(eNew.join(changed.select(col("src")).distinct(), Seq("src"), "semi")
+        .select(col("dst").as("node")))
+      .distinct()
+    var frontier = dirty0.withColumn("hop", lit(0L)).localCheckpoint()
+    var i = 1
+    while (i <= hops) {
+      val ring = frontier.where(col("hop") === (i - 1))
+      val next = eNew.join(ring, eNew("src") === ring("node"))
+        .select(eNew("dst").as("node"), lit(i.toLong).as("hop"))
+      frontier = frontier.unionByName(next)
+        .groupBy(col("node")).agg(min(col("hop")).as("hop"))
+        .localCheckpoint()
+      i += 1
+    }
+    frontier
   }
 }

@@ -44,7 +44,18 @@ object QuantileRollup {
   def histogram(df: DataFrame, valueCol: String, grainCols: Seq[String]): DataFrame = {
     val s = SubBucketBits
     val withBucket = df
-      .withColumn("__v", col(valueCol).cast("long"))
+      // loud guard on the non-negative contract: a negative long's
+      // two's-complement bin() has length 64, so it would land in an
+      // arithmetic-shift bucket whose [lo, hi] does NOT bracket the
+      // value — silently wrong output. Fail per-row instead (the
+      // labelPropagation zero-clamp convention).
+      .withColumn("__v",
+        when(col(valueCol) < 0,
+          raise_error(concat(
+            lit(s"QuantileRollup.histogram: negative value in '$valueCol' " +
+              "violates the non-negative LONG contract: "),
+            col(valueCol).cast("string"))).cast("long"))
+          .otherwise(col(valueCol).cast("long")))
       .withColumn("__b",
         greatest(length(bin(col("__v"))) - lit(s + 1), lit(0)).cast("int"))
       // hi = lo + (2^b - 1): never overflows for v >= 0 (the naive
@@ -72,6 +83,10 @@ object QuantileRollup {
     */
   def percentiles(hist: DataFrame, grainCols: Seq[String],
                   ps: Seq[Double]): DataFrame = {
+    // p ≤ 0 would silently match no bucket (target_rank 0 is below every
+    // cum count) and the percentile would just vanish from the output
+    require(ps.nonEmpty && ps.forall(p => p > 0 && p <= 1),
+      s"percentiles needs every p in (0, 1], got ${ps.mkString(", ")}")
     import org.apache.spark.sql.expressions.Window
     val g = grainCols.map(col)
     val w = Window.partitionBy(g: _*).orderBy(col("bucket_lo"))

@@ -502,6 +502,40 @@ object DedupQueries {
       },
       Some(minhashLshOracle(k = 32, bands = 8, dfCap = 0))),
 
+    // Community-keyed canonical selection (r8 capstone): the graph
+    // family composed INTO the curation stack, end-to-end — d03's
+    // verified near-dup pairs become a jaccard-weighted similarity
+    // graph, sync LPA (q113's operator, weighted votes, self-vote at
+    // full tie strength 1e6 = a jaccard-1.0 neighbor) collapses
+    // template farms / mirror networks into communities, and each
+    // community keeps its HIGHEST-quality member (d10's selection
+    // keyed on community instead of connected component — communities
+    // refine components, so a bridge document that merely links two
+    // farms no longer drags both into one keeper pool). Docs with no
+    // near-dup edge are their own community. The oracle composes three
+    // already-oracled stages (d03's pair CTEs + q113's unrolled
+    // weighted votes + d10's quality window) in one CTE chain.
+    "d17_community_canonical" -> QueryDef(
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val pairs = Dedup.minhashLsh(docs, "text", "doc_id",
+          k = 32, bands = 8, shingleN = 3, threshold = 0.8)
+        // integer weight in 1e6 units of jaccard; floor(x*1e6 + 0.5) is
+        // the same IEEE op sequence DuckDB runs on the same 6dp-rounded
+        // double, so both engines land on the identical Long
+        val edges = pairs.select(col("id1").as("src"), col("id2").as("dst"),
+          floor(col("jaccard") * 1000000d + 0.5d).cast("long").as("w"))
+        val comm = graft.operators.GraphRank.labelCommunities(
+          edges, "src", "dst", iterations = 4,
+          weightCol = Some("w"), selfWeight = 1000000L)
+        val scores = graft.operators.TextAnalysis.qualityMetrics(docs, "text")
+          .select(col("doc_id"), col("quality_score"))
+        Dedup.canonicalByScore(scores,
+          comm.select(col("node").as("id"), col("community").as("component")),
+          "doc_id", "quality_score")
+      },
+      Some(communityCanonicalOracle(iterations = 4, selfWeight = 1000000L))),
+
     // Corpus snapshot diff: old = 90% of docs, new = drops every 13th,
     // revises every 7th — the operator classifies every id as added /
     // removed / changed / unchanged from (id, content-hash) pairs alone.
@@ -529,6 +563,75 @@ object DedupQueries {
                     ELSE 'changed' END AS status
         FROM so FULL OUTER JOIN sn ON so.doc_id = sn.doc_id"""))
   )
+
+  /** d17's oracle: three already-oracled stages in one CTE chain —
+    * d03's candidate/verification CTEs (verified pairs + exact jaccard),
+    * q113's weighted sync-LPA votes unrolled (neighbor votes at the
+    * 1e6-unit integer jaccard weight, self-vote at `selfWeight`, total
+    * (sum DESC, label ASC) tie rule), and d10's quality score + keeper
+    * window keyed on the COMMUNITY.
+    */
+  private def communityCanonicalOracle(iterations: Int, selfWeight: Long): String = {
+    val iterCtes = (1 to iterations).map { i =>
+      val prev = if (i == 1) "l0" else s"l${i - 1}"
+      s"""l$i AS MATERIALIZED (
+        SELECT node, label FROM (
+          SELECT node, label,
+                 row_number() OVER (PARTITION BY node
+                                    ORDER BY c DESC, label ASC) AS rn
+          FROM (SELECT node, label, sum(v) AS c FROM (
+                  SELECT ge.dst AS node, m.label, ge.w AS v
+                  FROM ge JOIN $prev m ON m.node = ge.src
+                  UNION ALL SELECT node, label, $selfWeight AS v FROM $prev) u
+                GROUP BY node, label) g) t
+        WHERE rn = 1)"""
+    }.mkString(",\n")
+    s"""
+    ${minhashCandCtes(32, 8, graft.operators.Dedup.DefaultDfCap)},
+    sz AS (SELECT doc_id, count(*) AS n FROM shc GROUP BY 1),
+    com AS (SELECT id1, id2, count(*) AS c
+            FROM cand JOIN shc sa ON sa.doc_id = id1
+                      JOIN shc sb ON sb.doc_id = id2 AND sa.s = sb.s
+            GROUP BY 1, 2),
+    vp AS (SELECT id1, id2, round(c * 1.0 / (s1.n + s2.n - c), 6) AS jaccard
+           FROM com JOIN sz s1 ON id1 = s1.doc_id JOIN sz s2 ON id2 = s2.doc_id
+           WHERE c * 1.0 / (s1.n + s2.n - c) >= 0.8),
+    wts AS (SELECT id1, id2,
+                   CAST(floor(jaccard * 1000000 + 0.5) AS BIGINT) AS w
+            FROM vp),
+    ge AS MATERIALIZED (
+      SELECT id1 AS src, id2 AS dst, w FROM wts
+      UNION ALL SELECT id2 AS src, id1 AS dst, w FROM wts),
+    l0 AS (SELECT DISTINCT src AS node, src AS label FROM ge),
+    $iterCtes,
+    comm AS (SELECT node, label AS community FROM l$iterations),
+    t2 AS (SELECT doc_id, text, string_split(text, ' ') AS ws2 FROM documents),
+    m AS (SELECT doc_id,
+            CAST(len(ws2) AS DOUBLE) AS nw,
+            CAST(len(list_filter(ws2, w -> w IN ${enList})) AS DOUBLE) AS stops,
+            CAST(len(list_distinct(ws2)) AS DOUBLE) AS uniq,
+            CASE WHEN strlen(text) > 0 THEN
+                   CAST(strlen(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)
+                     / CAST(strlen(text) AS DOUBLE)
+                 WHEN strlen(text) = 0 THEN 0.0 END AS alpha
+          FROM t2),
+    q AS (SELECT doc_id,
+            round(least(nw / 100.0, 1.0) * 0.3 +
+                  least(stops / nw * 5.0, 1.0) * 0.3 +
+                  uniq / nw * 0.2 + alpha * 0.2, 6) AS score
+          FROM m),
+    lab AS (SELECT q.doc_id, q.score,
+                   coalesce(cm.community, q.doc_id) AS component
+            FROM q LEFT JOIN comm cm ON q.doc_id = cm.node)
+    SELECT doc_id, score,
+           first_value(doc_id) OVER
+             (PARTITION BY component ORDER BY score DESC, doc_id)
+             AS canonical_id,
+           doc_id = first_value(doc_id) OVER
+             (PARTITION BY component ORDER BY score DESC, doc_id)
+             AS is_canonical
+    FROM lab"""
+  }
 
   /** d13's Spark-SQL pipeline: kernel signatures → 8 band hashes (same
     * canonical comma-joined portable hash as [[Dedup.minhashCandidates]])

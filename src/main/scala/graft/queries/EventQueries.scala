@@ -950,6 +950,15 @@ object EventQueries {
     // argument). The gate ranks the supplier→customer trade graph
     // (distinct pairs from lineitem⋈orders); the oracle replays the
     // integer recurrence as K unrolled CTEs.
+    //
+    // All trade-graph gates (q107…q117) put customers in the shared
+    // node-id space at `o_custkey + custOffset` (1e6). BOUND: TPC-H
+    // suppkeys run to SF·10⁴, so the offset is collision-free for
+    // SF < 100 — the gate SFs (≤ 0.1) and the 16× probe copies (which
+    // shift custkeys UP and leave the fixed supplier dim alone) sit far
+    // inside it, and the oracles' `node < 1000000` TrustRank seed
+    // predicate shares the same bound. A deployment at SF ≥ 100 must
+    // derive the offset from max(s_suppkey) on BOTH sides instead.
     "q107_link_rank" -> QueryDef(
       (s, d) => {
         val li = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_suppkey"))
@@ -1040,6 +1049,31 @@ object EventQueries {
       },
       Some(labelPropOracle(iterations = 4))),
 
+    // The ROUTED label-propagation entry point (r8): the clamped
+    // recurrence's label universe is closed by construction (clamp mass
+    // is the only label source), so labelPropagationAuto discovers the
+    // distinct seed labels and routes ≤ 64 of them to the dense vector
+    // path — here 25 nations ⇒ dense, bit-identical to q112/q112b by
+    // spec, replaying the SAME DuckDB oracle. Callers no longer choose
+    // the scale-safe path by hand (the r7 VERDICT's one perf-weak
+    // routing gap); open universes (> 64 labels) would run sparse with
+    // a finite default beam cap instead of the uncapped spilling shape.
+    "q112c_label_prop_auto" -> QueryDef(
+      (s, d) => {
+        val li = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_suppkey"))
+        val ord = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"))
+        val pairs = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+          .select(col("l_suppkey").as("s"),
+                  (col("o_custkey") + lit(1000000L)).as("c"))
+        val edges = pairs.select(col("s").as("src"), col("c").as("dst"))
+          .union(pairs.select(col("c").as("src"), col("s").as("dst")))
+        val seeds = Tables.supplier(s, d)
+          .select(col("s_suppkey"), col("s_nationkey"))
+        graft.operators.GraphRank.labelPropagationAuto(edges, "src", "dst",
+          seeds, "s_suppkey", "s_nationkey", iterations = 4)
+      },
+      Some(labelPropOracle(iterations = 4))),
+
     // HITS hubs/authorities on the DIRECTED supplier→customer trade
     // graph (the bipartite case HITS was built for: suppliers act as
     // hubs/curators, customers as authorities) — same exact integer
@@ -1121,7 +1155,117 @@ object EventQueries {
         graft.operators.GraphRank.triangles(pairs, "src", "dst")
       },
       Some(trianglesOracle)),
+
+    // Graph snapshot diff (r8) — the incremental-maintenance primitive
+    // the admission family (d07/d14/d16/m08/q106) has for content,
+    // now for the link graph: two weighted trade-graph snapshots (old =
+    // order links before 1997-06-01, new = links since 1993-01-01, so
+    // the overlap window yields all four statuses), every (src, dst)
+    // pair classified added/removed/reweighted/unchanged from the
+    // normalized link-count weights. One full-outer join, no iteration.
+    "q116_edge_delta" -> QueryDef(
+      (s, d) => {
+        val (oldE, newE) = tradeSnapshots(s, d)
+        graft.operators.GraphRank.edgeDelta(oldE, newE, "src", "dst",
+          weightCol = Some("w"))
+      },
+      Some(edgeDeltaOracle + """
+        SELECT src, dst, w_old, w_new, status FROM delta""")),
+
+    // Stale-rank frontier (r8): which nodes' PageRank/label values are
+    // STALE after q116's delta — dst of every changed edge plus the
+    // changed srcs' new-graph out-neighbors (their out-weight moved) at
+    // hop 0, then `hops` forward expansions along the new graph: after
+    // K rank iterations every divergent node lies in the hops = K−1
+    // frontier, so an incremental pipeline re-ranks the frontier
+    // instead of the corpus. Fixed hop count ⇒ action-free and
+    // replayable as unrolled CTEs (the kCore argument).
+    "q117_stale_frontier" -> QueryDef(
+      (s, d) => {
+        val (oldE, newE) = tradeSnapshots(s, d)
+        graft.operators.GraphRank.staleFrontier(oldE, newE, "src", "dst",
+          hops = 2, weightCol = Some("w"))
+      },
+      Some(staleFrontierOracle(hops = 2))),
   )
+
+  /** Customer-node id offset shared by every trade-graph gate and
+    * oracle — see the bound note above q107: collision-free for SF < 100
+    * (suppkey max = SF·10⁴); derive from max(s_suppkey) beyond that.
+    */
+  private val custOffset = 1000000L
+
+  /** q116/q117's weighted trade-graph snapshots: one row per
+    * lineitem-order link (weight accumulates per parallel link), old =
+    * links before 1997-06-01, new = links since 1993-01-01. Directed
+    * supplier→customer; the customer-id offset is [[custOffset]].
+    */
+  private def tradeSnapshots(s: org.apache.spark.sql.SparkSession,
+                             d: String): (org.apache.spark.sql.DataFrame,
+                                          org.apache.spark.sql.DataFrame) = {
+    val li = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_suppkey"))
+    val ord = Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"))
+    val links = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_suppkey").as("src"),
+        (col("o_custkey") + lit(custOffset)).as("dst"),
+        col("o_orderdate").as("d"), lit(1L).as("w"))
+    (links.filter(col("d") < lit("1997-06-01").cast("date")),
+     links.filter(col("d") >= lit("1993-01-01").cast("date")))
+  }
+
+  /** Shared delta CTEs for q116/q117: normalized weighted snapshots +
+    * the full-outer classification, mirroring GraphRank.edgeDelta.
+    */
+  private val edgeDeltaOracle: String = s"""
+      WITH l AS MATERIALIZED (
+        SELECT CAST(l_suppkey AS BIGINT) AS s,
+               CAST(o_custkey AS BIGINT) + $custOffset AS c,
+               o_orderdate AS d
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+      eo AS MATERIALIZED (
+        SELECT s AS src, c AS dst, CAST(count(*) AS BIGINT) AS w
+        FROM l WHERE d < DATE '1997-06-01' GROUP BY 1, 2),
+      en AS MATERIALIZED (
+        SELECT s AS src, c AS dst, CAST(count(*) AS BIGINT) AS w
+        FROM l WHERE d >= DATE '1993-01-01' GROUP BY 1, 2),
+      delta AS MATERIALIZED (
+        SELECT coalesce(eo.src, en.src) AS src,
+               coalesce(eo.dst, en.dst) AS dst,
+               eo.w AS w_old, en.w AS w_new,
+               CASE WHEN eo.w IS NULL THEN 'added'
+                    WHEN en.w IS NULL THEN 'removed'
+                    WHEN eo.w = en.w THEN 'unchanged'
+                    ELSE 'reweighted' END AS status
+        FROM eo FULL OUTER JOIN en
+          ON eo.src = en.src AND eo.dst = en.dst)"""
+
+  /** q117's oracle: hop 0 = changed dsts + changed srcs' new-graph
+    * out-neighbors, then `hops` unrolled expansions along the new
+    * graph, min-hop per node — replaying GraphRank.staleFrontier.
+    */
+  private def staleFrontierOracle(hops: Int): String = {
+    val hopCtes = (1 to hops).map { i =>
+      val prev = s"f${i - 1}"
+      s"""f$i AS MATERIALIZED (
+        SELECT node, min(hop) AS hop FROM (
+          SELECT node, hop FROM $prev
+          UNION ALL
+          SELECT en.dst AS node, $i AS hop
+          FROM en JOIN $prev p ON en.src = p.node WHERE p.hop = ${i - 1}) u
+        GROUP BY node)"""
+    }.mkString(",\n")
+    s"""$edgeDeltaOracle,
+      ch AS MATERIALIZED (
+        SELECT src, dst FROM delta WHERE status <> 'unchanged'),
+      d0 AS (SELECT dst AS node FROM ch
+             UNION
+             SELECT en.dst FROM en
+             JOIN (SELECT DISTINCT src FROM ch) cs ON en.src = cs.src),
+      f0 AS (SELECT node, 0 AS hop FROM d0),
+      $hopCtes
+      SELECT node, CAST(hop AS BIGINT) AS hop FROM f$hops"""
+  }
 
   /** q115's oracle: the degree orientation and both wedge joins replay
     * directly — a (degree, id) tuple comparison, one self-join on the
