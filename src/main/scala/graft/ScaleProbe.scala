@@ -77,7 +77,13 @@ object ScaleProbe {
     // (edge table shrinks monotonically) — both expected ~linear
     "q113_lpa_communities", "q114_kcore",
     // degree-oriented wedge join: out-degree bounded O(sqrt(E))
-    "q115_triangle_count")
+    "q115_triangle_count",
+    // round-8 additions: the routed LP entry (dense path, q112b's
+    // shape), the snapshot delta (one full-outer equi-join, ~linear),
+    // the bounded-hop frontier (delta + 2 edge joins), and the capstone
+    // (d03 pairs → weighted LPA → keeper window; all stages ~linear)
+    "q112c_label_prop_auto", "q116_edge_delta", "q117_stale_frontier",
+    "d17_community_canonical")
 
   private val IdShift = 10000000L
   private val DayShift = 4000 // > TPC-H date span, so copies never overlap

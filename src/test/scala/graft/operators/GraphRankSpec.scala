@@ -491,4 +491,105 @@ class GraphRankSpec extends SparkSpec {
     hTot should be > units / 2
     hTot should be < units * 2
   }
+
+  // ---------------------------------------- r8: routed entry point
+
+  private def lpRows(df: org.apache.spark.sql.DataFrame) = df.collect()
+    .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+    .toMap
+
+  test("labelPropagationAuto routes a small closed universe to the dense path, equal to both explicit paths") {
+    // chain with two seed labels pulling from both ends
+    val edges = Seq(1L -> 2L, 2L -> 3L, 3L -> 4L, 4L -> 5L, 5L -> 4L,
+      2L -> 1L, 3L -> 2L, 4L -> 3L).toDF("src", "dst")
+    val seeds = Seq((1L, 10L), (5L, 20L)).toDF("node", "label")
+    val auto = lpRows(GraphRank.labelPropagationAuto(
+      edges, "src", "dst", seeds, "node", "label", iterations = 3))
+    val sparse = lpRows(GraphRank.labelPropagation(
+      edges, "src", "dst", seeds, "node", "label", iterations = 3))
+    val dense = lpRows(GraphRank.labelPropagationDense(
+      edges, "src", "dst", seeds, "node", "label",
+      labels = Seq(10L, 20L), iterations = 3))
+    auto shouldBe dense
+    auto shouldBe sparse // dense ≡ sparse uncapped, so routing is free
+    auto.nonEmpty shouldBe true
+  }
+
+  test("labelPropagationAuto routes an open universe (> DenseLabelUniverseMax labels) to sparse with the default beam cap") {
+    val l = GraphRank.DenseLabelUniverseMax + 6 // 70 distinct labels
+    // every node i seeds its own label and links to a shared hub, so
+    // the hub accumulates mass from ALL labels and the beam cap bites
+    val edges = (1 to l).map(i => i.toLong -> 1000L).toDF("src", "dst")
+    val seeds = (1 to l).map(i => (i.toLong, 100L + i)).toDF("node", "label")
+    val auto = lpRows(GraphRank.labelPropagationAuto(
+      edges, "src", "dst", seeds, "node", "label", iterations = 2))
+    val cappedSparse = lpRows(GraphRank.labelPropagation(
+      edges, "src", "dst", seeds, "node", "label", iterations = 2,
+      maxLabelsPerNode = Some(GraphRank.DefaultLabelBeam)))
+    auto shouldBe cappedSparse
+    // the beam cap actually bit: the hub keeps DefaultLabelBeam labels,
+    // not all 70 (n_labels is the kept count)
+    auto(1000L)._3 shouldBe GraphRank.DefaultLabelBeam.toLong
+  }
+
+  // ---------------------------------------- r8: snapshot delta + frontier
+
+  test("edgeDelta classifies added/removed/reweighted/unchanged (hand-computed, weighted)") {
+    val oldE = Seq((1L, 2L, 1L), (1L, 2L, 1L), (2L, 3L, 1L), (3L, 4L, 1L))
+      .toDF("src", "dst", "w")
+    val newE = Seq((1L, 2L, 1L), (2L, 3L, 1L), (2L, 3L, 1L), (5L, 6L, 1L))
+      .toDF("src", "dst", "w")
+    val got = GraphRank.edgeDelta(oldE, newE, "src", "dst", Some("w"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getString(4)).toMap
+    got shouldBe Map(
+      (1L, 2L) -> "reweighted", // 2 parallel links -> 1
+      (2L, 3L) -> "reweighted", // 1 -> 2
+      (3L, 4L) -> "removed",
+      (5L, 6L) -> "added")
+    // unweighted: multiplicity is invisible, so both multi-link pairs
+    // are unchanged and reweighted is unreachable
+    val gotU = GraphRank.edgeDelta(oldE, newE, "src", "dst", None)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getString(4)).toMap
+    gotU shouldBe Map(
+      (1L, 2L) -> "unchanged", (2L, 3L) -> "unchanged",
+      (3L, 4L) -> "removed", (5L, 6L) -> "added")
+  }
+
+  test("staleFrontier: hop 0 = changed dsts + changed srcs' new out-neighbors, then forward hops (hand-computed)") {
+    def frontier(oldE: Seq[(Long, Long)], newE: Seq[(Long, Long)], hops: Int) =
+      GraphRank.staleFrontier(oldE.toDF("src", "dst"), newE.toDF("src", "dst"),
+        "src", "dst", hops)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // adding 0→1 at the head of a chain: 1 dirty at hop 0, influence
+    // walks one hop per iteration
+    val chain = Seq(1L -> 2L, 2L -> 3L, 3L -> 4L, 4L -> 5L)
+    frontier(chain, (0L -> 1L) +: chain, hops = 2) shouldBe
+      Map(1L -> 0L, 2L -> 1L, 3L -> 2L)
+    // removing 1→3 changes node 1's out-weight, so its SURVIVING
+    // neighbor 2 is dirty too, not just the lost target 3
+    frontier(Seq(1L -> 2L, 1L -> 3L), Seq(1L -> 2L), hops = 0) shouldBe
+      Map(2L -> 0L, 3L -> 0L)
+    // min-hop wins when a node is reachable at two depths
+    val oldD = Seq(1L -> 2L)
+    val newD = Seq(1L -> 2L, 9L -> 2L, 2L -> 9L) // added 9→2 and 2→9
+    // changed = {9→2, 2→9}: dirty0 = dsts {2, 9} ∪ outNbr_new(9)={2},
+    // outNbr_new(2)={9} → {2, 9} at hop 0, and they stay hop 0
+    frontier(oldD, newD, hops = 2) shouldBe Map(2L -> 0L, 9L -> 0L)
+  }
+
+  test("edgeDelta and staleFrontier are deterministic across partitionings") {
+    val oldE = (0L until 300L).map(i => i -> ((i * 7 + 1) % 300, 1L + i % 3))
+      .map { case (s, (d, w)) => (s, d, w) }
+    val newE = (0L until 300L).map(i => i -> ((i * 7 + 1) % 300, 1L + (i + 1) % 3))
+      .map { case (s, (d, w)) => (s, d, w) }
+      .filter(_._1 % 13 != 0L)
+    val a = GraphRank.staleFrontier(oldE.toDF("src", "dst", "w"),
+      newE.toDF("src", "dst", "w"), "src", "dst", 2, Some("w"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val b = GraphRank.staleFrontier(oldE.toDF("src", "dst", "w").repartition(7),
+      newE.toDF("src", "dst", "w").repartition(11), "src", "dst", 2, Some("w"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    a shouldBe b
+    a.nonEmpty shouldBe true
+  }
 }

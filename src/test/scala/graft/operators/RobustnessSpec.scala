@@ -167,6 +167,60 @@ class RobustnessSpec extends SparkSpec {
     hs.count() shouldBe 3L
   }
 
+  test("graph rank: the documented 2^63 overflow contracts fail loudly, not wrap") {
+    // weighted pageRank: totalUnits * max(w) must fit — a silent Long
+    // wrap would surface as a confusing oracle hash mismatch instead
+    val heavy = Seq((1L, 2L, Long.MaxValue / 2), (2L, 1L, 3L))
+      .toDF("src", "dst", "w")
+    val exPr = the[IllegalArgumentException] thrownBy
+      GraphRank.pageRank(heavy, "src", "dst", 1, weightCol = Some("w"))
+    exPr.getMessage should include("overflows Long")
+    // same product guard through the trustRank entry point
+    an[IllegalArgumentException] should be thrownBy
+      GraphRank.trustRank(heavy, "src", "dst",
+        Seq(1L).toDF("node"), 1, weightCol = Some("w"))
+    // hits: totalUnits * |E| must fit
+    val tri = Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("src", "dst")
+    val exH = the[IllegalArgumentException] thrownBy
+      GraphRank.hits(tri, "src", "dst", 1, totalUnits = Long.MaxValue / 2)
+    exH.getMessage should include("overflows Long")
+    // label propagation: worst-case mass * max(w) must fit (BigInt-checked)
+    val seeds = Seq((1L, 0L)).toDF("node", "label")
+    val wEdges = Seq((1L, 2L, 10000000000000L), (2L, 3L, 1L))
+      .toDF("src", "dst", "w")
+    val exLp = the[IllegalArgumentException] thrownBy
+      GraphRank.labelPropagation(wEdges, "src", "dst", seeds, "node", "label",
+        iterations = 1, weightCol = Some("w"))
+    exLp.getMessage should include("overflows Long")
+    an[IllegalArgumentException] should be thrownBy
+      GraphRank.labelPropagationDense(wEdges, "src", "dst", seeds, "node",
+        "label", labels = Seq(0L), iterations = 1, weightCol = Some("w"))
+    // the same inputs with sane weights pass the guards and run
+    val ok = Seq((1L, 2L, 3L), (2L, 1L, 2L)).toDF("src", "dst", "w")
+    GraphRank.pageRank(ok, "src", "dst", 1, weightCol = Some("w"))
+      .count() shouldBe 2L
+  }
+
+  test("quantile rollup: negative values and out-of-range p fail loudly") {
+    // a negative long's 64-bit bin() length would land it in a bucket
+    // that does not bracket it — the contract violation raises per-row
+    val neg = Seq((5L, "g"), (-3L, "g")).toDF("v", "g")
+    val ex = intercept[Throwable] {
+      QuantileRollup.histogram(neg, "v", Seq("g")).collect()
+    }
+    Iterator.iterate(ex)(_.getCause).takeWhile(_ != null)
+      .map(_.toString).mkString(" ") should include("negative value")
+    // p <= 0 silently matched no bucket before r8 — now a loud require
+    val hist = QuantileRollup.histogram(Seq((5L, "g")).toDF("v", "g"),
+      "v", Seq("g"))
+    an[IllegalArgumentException] should be thrownBy
+      QuantileRollup.percentiles(hist, Seq("g"), Seq(0.0, 0.5))
+    an[IllegalArgumentException] should be thrownBy
+      QuantileRollup.percentiles(hist, Seq("g"), Seq(1.5))
+    an[IllegalArgumentException] should be thrownBy
+      QuantileRollup.percentiles(hist, Seq("g"), Seq.empty)
+  }
+
   test("quantile rollup: empty input and single-value input both run") {
     val empty = Seq.empty[(Long, String)].toDF("v", "g")
     QuantileRollup.histogram(empty, "v", Seq("g")).count() shouldBe 0L

@@ -57,8 +57,12 @@ class PlanAuditSpec extends SparkSpec {
     // broadcast) by construction — GraphRankSpec covers both
     "q107_link_rank", "q109_hits", "q110_trust_rank",
     "q112_label_propagation", "q112b_label_prop_dense",
+    "q112c_label_prop_auto", // collects the ≤65-label universe + dense path's checkpoints
     "q113_lpa_communities", "q114_kcore",
-    "q115_triangle_count") // localCheckpoints the oriented edge list at build
+    "q115_triangle_count", // localCheckpoints the oriented edge list at build
+    "q117_stale_frontier", // localCheckpoints delta + per-hop frontier at build
+    "d17_community_canonical") // labelCommunities' per-round checkpoints at build
+    // (q116_edge_delta stays AUDITED: one full-outer equi-join, plan-only)
 
   /** Pairwise-by-contract: the nested-loop is the documented semantics,
     * not an accident.
