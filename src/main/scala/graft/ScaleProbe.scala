@@ -83,7 +83,9 @@ object ScaleProbe {
     // the bounded-hop frontier (delta + 2 edge joins), and the capstone
     // (d03 pairs → weighted LPA → keeper window; all stages ~linear)
     "q112c_label_prop_auto", "q116_edge_delta", "q117_stale_frontier",
-    "d17_community_canonical")
+    "d17_community_canonical",
+    // warm-start resume: q107's per-iteration movement, 3+2 rounds
+    "q118_warm_rank")
 
   private val IdShift = 10000000L
   private val DayShift = 4000 // > TPC-H date span, so copies never overlap

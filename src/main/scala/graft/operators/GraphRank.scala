@@ -122,12 +122,35 @@ object GraphRank {
     biasedRank(edges, srcCol, dstCol, Some(seeds), iterations, dampNum,
       dampDen, totalUnits, weightCol)
 
+  /** Resume (Trust/Page)Rank from a previously computed rank table —
+    * the recurrence is memoryless given current ranks (the node set and
+    * constants derive from the edges alone), so resuming R iterations
+    * from a K-iteration result is BIT-IDENTICAL to running K+R
+    * iterations cold (spec-asserted). Two production uses: (1)
+    * checkpoint/restart — a long rank job on 10⁹ nodes persists
+    * (node, rank_units) and resumes after preemption without replaying
+    * earlier rounds; (2) incremental warm-start — after [[edgeDelta]],
+    * re-rank the NEW graph starting from the old ranks (nodes new to
+    * the graph cold-start at the teleport value), which converges in
+    * far fewer rounds than a uniform start since only [[staleFrontier]]
+    * neighborhoods are out of equilibrium. `ranks` must carry the
+    * pageRank output contract columns (node, rank_units).
+    */
+  def pageRankResume(edges: DataFrame, srcCol: String, dstCol: String,
+                     ranks: DataFrame, iterations: Int,
+                     dampNum: Long = 85, dampDen: Long = 100,
+                     totalUnits: Long = DefaultUnits,
+                     weightCol: Option[String] = None): DataFrame =
+    biasedRank(edges, srcCol, dstCol, None, iterations, dampNum, dampDen,
+      totalUnits, weightCol, initRanks = Some(ranks))
+
   private def biasedRank(edges: DataFrame, srcCol: String, dstCol: String,
                seedsOpt: Option[DataFrame],
                iterations: Int,
                dampNum: Long, dampDen: Long,
                totalUnits: Long,
-               weightCol: Option[String] = None): DataFrame = {
+               weightCol: Option[String] = None,
+               initRanks: Option[DataFrame] = None): DataFrame = {
     require(iterations >= 1 && dampNum >= 0 && dampNum <= dampDen)
     // dedup + materialize the edge lineage exactly once; repartition by
     // src so each iteration's rank join reuses the layout. Weighted
@@ -188,8 +211,21 @@ object GraphRank {
     val r0 = totalUnits / m
     val base = ((dampDen - dampNum) * totalUnits) / (dampDen * m)
 
-    var ranks = nodes.withColumn("r",
-      when(col("is_tgt"), lit(r0)).otherwise(lit(0L)))
+    var ranks = initRanks match {
+      case None =>
+        nodes.withColumn("r",
+          when(col("is_tgt"), lit(r0)).otherwise(lit(0L)))
+      case Some(ir) =>
+        // warm start: provided ranks win; nodes absent from the table
+        // (new to the graph) cold-start at the teleport value
+        val init = ir.select(col("node").cast("long").as("node"),
+          col("rank_units").cast("long").as("__init"))
+        nodes.join(init, Seq("node"), "left")
+          .select(col("node"), col("is_tgt"),
+            coalesce(col("__init"),
+              when(col("is_tgt"), lit(r0)).otherwise(lit(0L))).as("r"))
+          .localCheckpoint()
+    }
     var i = 0
     while (i < iterations) {
       // integer per-edge contribution: exact, order-free
@@ -865,6 +901,15 @@ object GraphRank {
     * run lies in the frontier at `hops = K − 1` (hop h = first
     * iteration, 0-based, at which the node's value can diverge;
     * reported as the MINIMUM such hop, deterministically).
+    *
+    * The containment bound holds for a FIXED node universe (the typical
+    * crawl increment: links move between known hosts). If the delta
+    * adds or removes nodes, pageRank's teleport base `f(N)` shifts for
+    * every node — a global uniform rescale on top of the structural
+    * divergence this frontier tracks; label propagation (no teleport
+    * term) keeps the containment bound even then, provided the seed
+    * set is unchanged. GraphRankSpec asserts the fixed-universe bound
+    * exactly: ranks outside the frontier are bit-identical.
     *
     * Scale shape: the delta is one full-outer join (see [[edgeDelta]]);
     * each hop is one join of the current frontier ring against the

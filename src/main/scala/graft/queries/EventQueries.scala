@@ -1187,6 +1187,30 @@ object EventQueries {
           hops = 2, weightCol = Some("w"))
       },
       Some(staleFrontierOracle(hops = 2))),
+
+    // Warm-start rank resume (r8): pageRankResume continues the integer
+    // recurrence from a persisted (node, rank_units) table — the
+    // recurrence is memoryless given current ranks, so 3 cold + 2
+    // resumed iterations are BIT-IDENTICAL to 5 cold (the gate's very
+    // construction), which is the checkpoint/restart story for long
+    // rank jobs and the warm-start companion to q116/q117's
+    // incremental maintenance. The oracle is simply the 5-iteration
+    // unrolled recurrence — the resume seam is invisible by design.
+    "q118_warm_rank" -> QueryDef(
+      (s, d) => {
+        val li = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_suppkey"))
+        val ord = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"))
+        val pairs = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+          .select(col("l_suppkey").as("s"),
+                  (col("o_custkey") + lit(custOffset)).as("c"))
+        val edges = pairs.select(col("s").as("src"), col("c").as("dst"))
+          .union(pairs.select(col("c").as("src"), col("s").as("dst")))
+        val warm = graft.operators.GraphRank.pageRank(edges, "src", "dst",
+          iterations = 3)
+        graft.operators.GraphRank.pageRankResume(edges, "src", "dst",
+          warm, iterations = 2)
+      },
+      Some(linkRankOracle(iterations = 5))),
   )
 
   /** Customer-node id offset shared by every trade-graph gate and

@@ -577,6 +577,32 @@ class GraphRankSpec extends SparkSpec {
     frontier(oldD, newD, hops = 2) shouldBe Map(2L -> 0L, 9L -> 0L)
   }
 
+  test("pageRankResume: 3 cold + 2 resumed iterations are bit-identical to 5 cold") {
+    val pairs = (0L until 200L).map(i => i -> (i * 7 + 3) % 200)
+    val edges = pairs.toDF("src", "dst")
+    val cold5 = ranksOf(pairs, iters = 5)
+    val warm3 = GraphRank.pageRank(edges, "src", "dst", 3)
+    val resumed = GraphRank.pageRankResume(edges, "src", "dst", warm3, 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    resumed shouldBe cold5
+  }
+
+  test("staleFrontier soundness: ranks outside the hops=K-1 frontier are bit-identical after K iterations (fixed node universe)") {
+    val K = 3
+    val oldE = Seq(1L -> 2L, 2L -> 3L, 3L -> 4L, 4L -> 5L, 5L -> 6L, 6L -> 1L)
+    val newE = oldE :+ (2L -> 4L) // chord added; node set unchanged
+    val frontier = GraphRank.staleFrontier(oldE.toDF("src", "dst"),
+      newE.toDF("src", "dst"), "src", "dst", hops = K - 1)
+      .collect().map(_.getLong(0)).toSet
+    frontier shouldBe Set(3L, 4L, 5L, 6L) // hand-computed: {3,4}+1 hop {5}+1 hop {6}
+    val before = ranksOf(oldE, iters = K)
+    val after = ranksOf(newE, iters = K)
+    // outside the frontier: exactly equal, to the unit
+    (before.keySet -- frontier).foreach { n => after(n) shouldBe before(n) }
+    // and the frontier is not vacuous: the chord target really moved
+    after(4L) should not be before(4L)
+  }
+
   test("edgeDelta and staleFrontier are deterministic across partitionings") {
     val oldE = (0L until 300L).map(i => i -> ((i * 7 + 1) % 300, 1L + i % 3))
       .map { case (s, (d, w)) => (s, d, w) }

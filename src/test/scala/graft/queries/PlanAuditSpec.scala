@@ -61,6 +61,7 @@ class PlanAuditSpec extends SparkSpec {
     "q113_lpa_communities", "q114_kcore",
     "q115_triangle_count", // localCheckpoints the oriented edge list at build
     "q117_stale_frontier", // localCheckpoints delta + per-hop frontier at build
+    "q118_warm_rank",      // runs the warm 3-iteration rank at build, then resumes
     "d17_community_canonical") // labelCommunities' per-round checkpoints at build
     // (q116_edge_delta stays AUDITED: one full-outer equi-join, plan-only)
 
