@@ -85,7 +85,10 @@ object ScaleProbe {
     "q112c_label_prop_auto", "q116_edge_delta", "q117_stale_frontier",
     "d17_community_canonical",
     // warm-start resume: q107's per-iteration movement, 3+2 rounds
-    "q118_warm_rank")
+    "q118_warm_rank",
+    // streaming edge delta (q116's movement behind the q111 monoid
+    // seam) and warm label resume (q112's movement, 2+2 rounds)
+    "q119_streaming_edge_delta", "q120_warm_labels")
 
   private val IdShift = 10000000L
   private val DayShift = 4000 // > TPC-H date span, so copies never overlap

@@ -296,7 +296,47 @@ object GraphRank {
                        alphaNum: Long = 80, alphaDen: Long = 100,
                        unitsPerSeed: Long = 1000000L,
                        weightCol: Option[String] = None,
-                       maxLabelsPerNode: Option[Int] = None): DataFrame = {
+                       maxLabelsPerNode: Option[Int] = None): DataFrame =
+    labelArgmax(labelPropagationMasses(edges, srcCol, dstCol, seeds,
+      seedNodeCol, seedLabelCol, iterations, alphaNum, alphaDen,
+      unitsPerSeed, weightCol, maxLabelsPerNode))
+
+  /** Resume label propagation from a persisted sparse (node, label,
+    * mass) table — the recurrence is memoryless given the current mass
+    * table (clamp derives from the seeds, constants from the edges), so
+    * resuming R iterations from a K-iteration mass table is
+    * BIT-IDENTICAL to running K+R cold (spec-asserted; the q118
+    * argument applied to the label family). The incremental use: a
+    * corpus-labeling job persists [[labelPropagationMasses]], a crawl
+    * increment arrives, and the pipeline resumes diffusion on the new
+    * graph from labeled equilibrium instead of replaying from the
+    * seeds. Same seeds must be supplied (they are the clamp, part of
+    * the recurrence, not the state).
+    */
+  def labelPropagationResume(edges: DataFrame, srcCol: String, dstCol: String,
+                             seeds: DataFrame, seedNodeCol: String, seedLabelCol: String,
+                             masses: DataFrame, iterations: Int,
+                             alphaNum: Long = 80, alphaDen: Long = 100,
+                             unitsPerSeed: Long = 1000000L,
+                             weightCol: Option[String] = None,
+                             maxLabelsPerNode: Option[Int] = None): DataFrame =
+    labelArgmax(labelPropagationMasses(edges, srcCol, dstCol, seeds,
+      seedNodeCol, seedLabelCol, iterations, alphaNum, alphaDen,
+      unitsPerSeed, weightCol, maxLabelsPerNode, initMasses = Some(masses)))
+
+  /** The raw sparse (node, label, mass) table after `iterations` rounds
+    * — the persistable state behind [[labelPropagation]] (which is just
+    * this plus the deterministic argmax). Checkpoint/restart and
+    * incremental warm-start both go through here.
+    */
+  def labelPropagationMasses(edges: DataFrame, srcCol: String, dstCol: String,
+                       seeds: DataFrame, seedNodeCol: String, seedLabelCol: String,
+                       iterations: Int = 4,
+                       alphaNum: Long = 80, alphaDen: Long = 100,
+                       unitsPerSeed: Long = 1000000L,
+                       weightCol: Option[String] = None,
+                       maxLabelsPerNode: Option[Int] = None,
+                       initMasses: Option[DataFrame] = None): DataFrame = {
     require(maxLabelsPerNode.forall(_ >= 1), "maxLabelsPerNode must be >= 1")
     require(iterations >= 1 && alphaNum >= 0,
       "labelPropagation needs iterations >= 1 and alphaNum >= 0")
@@ -337,7 +377,15 @@ object GraphRank {
     requireLabelMassFits(clamp.count(), clampUnits, alphaNum, alphaDen,
       if (weightCol.isDefined) maxOf(e, "w") else 1L, "labelPropagation")
 
-    var mass = clamp.select(col("node"), col("label"), col("clamp").as("mass"))
+    var mass = initMasses match {
+      case None => clamp.select(col("node"), col("label"), col("clamp").as("mass"))
+      case Some(m) => // warm start: the provided table IS the state
+        m.select(col("node").cast("long").as("node"),
+          col("label").cast("long").as("label"),
+          col("mass").cast("long").as("mass"))
+          .where(col("mass") > 0)
+          .localCheckpoint()
+    }
     var i = 0
     while (i < iterations) {
       val in = eo.join(mass, eo("src") === mass("node"))
@@ -360,7 +408,14 @@ object GraphRank {
       }).localCheckpoint()
       i += 1
     }
-    // argmax label per node, ties to the smallest label — deterministic
+    mass
+  }
+
+  /** The deterministic argmax over a sparse mass table: top label per
+    * node (mass DESC, label ASC) + the per-node label count — shared by
+    * every label-propagation entry point.
+    */
+  private def labelArgmax(mass: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("node"))
       .orderBy(col("mass").desc, col("label").asc)

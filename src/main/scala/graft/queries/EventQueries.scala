@@ -1211,7 +1211,95 @@ object EventQueries {
           warm, iterations = 2)
       },
       Some(linkRankOracle(iterations = 5))),
+
+    // Streaming edge delta (r8): q116 as a continuous ingest — the new
+    // snapshot's link rows stream in bounded micro-batches, foreachBatch
+    // appends per-batch (src, dst, count) PARTIALS, and the final
+    // classification merges them by count-sum against the old snapshot.
+    // The weight table is a MONOID (q111's histogram argument): the
+    // drained result equals batch q116 at any batch boundary with no
+    // cross-batch state store at all — so this gate shares q116's
+    // oracle verbatim, and the streaming seam is invisible by design.
+    "q119_streaming_edge_delta" -> QueryDef(
+      (s, d) => {
+        import org.apache.spark.sql.streaming.Trigger
+        val (oldE, _) = tradeSnapshots(s, d)
+        val dir = stageNewLinksDir(s, d)
+        val schema = org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("src",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("dst",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("w",
+            org.apache.spark.sql.types.LongType)))
+        val out = java.nio.file.Files.createTempDirectory("graft_q119")
+        withStreamConf(s, parts = "4", rocksdb = false) {
+          val stream = s.readStream
+            .option("maxFilesPerTrigger", "1") // 4 files → 4 batches
+            .schema(schema).parquet(dir.toString)
+          val q = stream.writeStream
+            .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+              batch.groupBy(col("src"), col("dst"))
+                .agg(sum(col("w")).as("w"))
+                .write.mode("append").parquet(out.toString)
+            }
+            .trigger(Trigger.AvailableNow()).start()
+          q.awaitTermination()
+          // partials re-sum inside edgeDelta's weighted normalization
+          graft.operators.GraphRank.edgeDelta(oldE,
+            s.read.parquet(out.toString), "src", "dst", weightCol = Some("w"))
+        }
+      },
+      Some(edgeDeltaOracle + """
+        SELECT src, dst, w_old, w_new, status FROM delta""")),
+
+    // Warm-start label resume (r8): q118's restartability for the label
+    // family — labelPropagationMasses persists the sparse (node, label,
+    // mass) state after 2 rounds and labelPropagationResume continues
+    // for 2 more; the recurrence is memoryless given the mass table, so
+    // the result is bit-identical to 4 cold rounds and the gate shares
+    // q112's 4-iteration oracle. The incremental corpus-labeling story:
+    // persist labeled equilibrium, resume diffusion after each crawl
+    // increment instead of replaying from the seeds.
+    "q120_warm_labels" -> QueryDef(
+      (s, d) => {
+        val li = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_suppkey"))
+        val ord = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"))
+        val pairs = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+          .select(col("l_suppkey").as("s"),
+                  (col("o_custkey") + lit(custOffset)).as("c"))
+        val edges = pairs.select(col("s").as("src"), col("c").as("dst"))
+          .union(pairs.select(col("c").as("src"), col("s").as("dst")))
+        val seeds = Tables.supplier(s, d)
+          .select(col("s_suppkey"), col("s_nationkey"))
+        val m2 = graft.operators.GraphRank.labelPropagationMasses(edges,
+          "src", "dst", seeds, "s_suppkey", "s_nationkey", iterations = 2)
+        graft.operators.GraphRank.labelPropagationResume(edges, "src", "dst",
+          seeds, "s_suppkey", "s_nationkey", m2, iterations = 2)
+      },
+      Some(labelPropOracle(iterations = 4))),
   )
+
+  /** q119's staged stream source: the NEW trade snapshot's link rows
+    * (src, dst, w=1) in 4 parquet files under the per-SF export dir;
+    * restaged when orders.parquet changes (the stageDocsDir pattern).
+    */
+  private def stageNewLinksDir(s: org.apache.spark.sql.SparkSession,
+      d: String): java.nio.file.Path = {
+    val sf = java.nio.file.Paths.get(d).getFileName.toString
+    val dir = java.nio.file.Paths.get(
+      sys.props("java.io.tmpdir"), "graft_export", sf, "trade_new4")
+    val src = java.nio.file.Paths.get(d, "orders.parquet")
+    val marker = dir.resolve("_SUCCESS")
+    val stale = !java.nio.file.Files.exists(marker) ||
+      java.nio.file.Files.getLastModifiedTime(src)
+        .compareTo(java.nio.file.Files.getLastModifiedTime(marker)) > 0
+    if (stale)
+      tradeSnapshots(s, d)._2.select(col("src"), col("dst"), col("w"))
+        .repartition(4)
+        .write.mode("overwrite").parquet(dir.toString)
+    dir
+  }
 
   /** Customer-node id offset shared by every trade-graph gate and
     * oracle — see the bound note above q107: collision-free for SF < 100

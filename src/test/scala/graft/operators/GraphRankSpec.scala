@@ -587,6 +587,20 @@ class GraphRankSpec extends SparkSpec {
     resumed shouldBe cold5
   }
 
+  test("labelPropagationResume: 2 cold + 2 resumed rounds are bit-identical to 4 cold") {
+    val edges = Seq(1L -> 2L, 2L -> 3L, 3L -> 4L, 4L -> 5L, 5L -> 4L,
+      2L -> 1L, 3L -> 2L, 4L -> 3L).toDF("src", "dst")
+    val seeds = Seq((1L, 10L), (5L, 20L)).toDF("node", "label")
+    val cold4 = lpRows(GraphRank.labelPropagation(
+      edges, "src", "dst", seeds, "node", "label", iterations = 4))
+    val m2 = GraphRank.labelPropagationMasses(
+      edges, "src", "dst", seeds, "node", "label", iterations = 2)
+    val resumed = lpRows(GraphRank.labelPropagationResume(
+      edges, "src", "dst", seeds, "node", "label", m2, iterations = 2))
+    resumed shouldBe cold4
+    resumed.nonEmpty shouldBe true
+  }
+
   test("staleFrontier soundness: ranks outside the hops=K-1 frontier are bit-identical after K iterations (fixed node universe)") {
     val K = 3
     val oldE = Seq(1L -> 2L, 2L -> 3L, 3L -> 4L, 4L -> 5L, 5L -> 6L, 6L -> 1L)
@@ -601,6 +615,21 @@ class GraphRankSpec extends SparkSpec {
     (before.keySet -- frontier).foreach { n => after(n) shouldBe before(n) }
     // and the frontier is not vacuous: the chord target really moved
     after(4L) should not be before(4L)
+  }
+
+  test("edgeDelta: weight partials merge to the same delta as raw rows (the q119 monoid seam)") {
+    val oldE = Seq((1L, 2L, 1L), (2L, 3L, 1L)).toDF("src", "dst", "w")
+    val raw = Seq((1L, 2L, 1L), (1L, 2L, 1L), (3L, 4L, 1L), (1L, 2L, 1L))
+    // split into two arbitrary micro-batches, pre-aggregated per batch
+    def agg(rows: Seq[(Long, Long, Long)]) = rows.toDF("src", "dst", "w")
+      .groupBy("src", "dst").agg(sum("w").as("w"))
+    val partials = agg(raw.take(2)).unionByName(agg(raw.drop(2)))
+    def rowsOf(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((Option(r.get(2)), Option(r.get(3)), r.getString(4)))).toMap
+    rowsOf(GraphRank.edgeDelta(oldE, partials, "src", "dst", Some("w"))) shouldBe
+      rowsOf(GraphRank.edgeDelta(oldE, raw.toDF("src", "dst", "w"),
+        "src", "dst", Some("w")))
   }
 
   test("edgeDelta and staleFrontier are deterministic across partitionings") {

@@ -28,7 +28,8 @@ class PlanAuditSpec extends SparkSpec {
     "q104_streaming_minhash_pairs", // streaming drain like q101
     "q105_streaming_lifecycle_floor", // streaming drain by design (the floor probe)
     "q106_streaming_admission", // streaming drain (foreachBatch against the static index)
-    "q111_streaming_quantile")  // streaming drain (foreachBatch histogram append)
+    "q111_streaming_quantile",  // streaming drain (foreachBatch histogram append)
+    "q119_streaming_edge_delta") // streaming drain (foreachBatch weight partials)
   private def eagerPrefix(n: String): Boolean =
     n.startsWith("p0") || n.startsWith("src")
 
@@ -62,6 +63,7 @@ class PlanAuditSpec extends SparkSpec {
     "q115_triangle_count", // localCheckpoints the oriented edge list at build
     "q117_stale_frontier", // localCheckpoints delta + per-hop frontier at build
     "q118_warm_rank",      // runs the warm 3-iteration rank at build, then resumes
+    "q120_warm_labels",    // runs the warm 2-round mass table at build, then resumes
     "d17_community_canonical") // labelCommunities' per-round checkpoints at build
     // (q116_edge_delta stays AUDITED: one full-outer equi-join, plan-only)
 
