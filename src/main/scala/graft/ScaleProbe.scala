@@ -88,7 +88,10 @@ object ScaleProbe {
     "q118_warm_rank",
     // streaming edge delta (q116's movement behind the q111 monoid
     // seam) and warm label resume (q112's movement, 2+2 rounds)
-    "q119_streaming_edge_delta", "q120_warm_labels")
+    "q119_streaming_edge_delta", "q120_warm_labels",
+    // weighted-teleport rank (q110's movement) and the weighted peel
+    // (q114's movement with sum-degree instead of count-degree)
+    "q121_topic_rank", "q122_kcore_weighted")
 
   private val IdShift = 10000000L
   private val DayShift = 4000 // > TPC-H date span, so copies never overlap

@@ -113,14 +113,26 @@ object GraphRank {
     * fixed-point arithmetic, so the biased recurrence is hash-oracled
     * and partition-invariant like the unbiased one. `seeds` is one
     * column of node ids; seeds absent from the graph are ignored.
+    *
+    * WEIGHTED seeds (`seedWeightCol` — topic-sensitive PageRank,
+    * Haveliwala 2002, and the graded-trust variant of TrustRank): the
+    * teleport mass splits across seeds PROPORTIONALLY to their integer
+    * weights instead of uniformly — seed i starts at and teleports
+    * `(totalUnits·tw_i) div TW` where TW = Σ tw over seeds present in
+    * the graph. Duplicate seed rows ADD (the parallel-edge rule);
+    * uniform weights are bit-identical to the unweighted path, and
+    * scaling all seed weights by a common factor leaves every rank
+    * bit-identical ((k·a) div (k·b) = a div b) — both spec-asserted.
+    * Contract (enforced): (dampDen−dampNum)·totalUnits·max(tw) < 2⁶³.
     */
   def trustRank(edges: DataFrame, srcCol: String, dstCol: String,
                 seeds: DataFrame, iterations: Int = 5,
                 dampNum: Long = 85, dampDen: Long = 100,
                 totalUnits: Long = DefaultUnits,
-                weightCol: Option[String] = None): DataFrame =
+                weightCol: Option[String] = None,
+                seedWeightCol: Option[String] = None): DataFrame =
     biasedRank(edges, srcCol, dstCol, Some(seeds), iterations, dampNum,
-      dampDen, totalUnits, weightCol)
+      dampDen, totalUnits, weightCol, seedWeightCol = seedWeightCol)
 
   /** Resume (Trust/Page)Rank from a previously computed rank table —
     * the recurrence is memoryless given current ranks (the node set and
@@ -150,7 +162,8 @@ object GraphRank {
                dampNum: Long, dampDen: Long,
                totalUnits: Long,
                weightCol: Option[String] = None,
-               initRanks: Option[DataFrame] = None): DataFrame = {
+               initRanks: Option[DataFrame] = None,
+               seedWeightCol: Option[String] = None): DataFrame = {
     require(iterations >= 1 && dampNum >= 0 && dampNum <= dampDen)
     // dedup + materialize the edge lineage exactly once; repartition by
     // src so each iteration's rank join reuses the layout. Weighted
@@ -188,42 +201,69 @@ object GraphRank {
     val bare = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node")))
       .distinct()
-    // teleport target flag: every node (unbiased) or the seed set only
-    // (TrustRank) — seeds outside the graph are dropped by the semi-join
+    // teleport weight per node: 1 everywhere (unbiased), 1 on seeds
+    // (TrustRank), or the seed's integer weight (topic-sensitive /
+    // graded trust — duplicate seed rows ADD, the parallel-edge rule);
+    // seeds outside the graph are dropped by the join
     val nodes = (seedsOpt match {
-      case None => bare.withColumn("is_tgt", lit(true))
+      case None => bare.withColumn("tw", lit(1L))
       case Some(sd) =>
-        val seedSet = sd.select(sd.columns.head).toDF("node")
-          .select(col("node").cast("long").as("node")).distinct()
-        bare.join(seedSet.withColumn("is_tgt", lit(true)), Seq("node"), "left")
-          .select(col("node"), coalesce(col("is_tgt"), lit(false)).as("is_tgt"))
+        val seedTw = (seedWeightCol match {
+          case None =>
+            sd.select(sd.columns.head).toDF("node")
+              .select(col("node").cast("long").as("node")).distinct()
+              .withColumn("tw", lit(1L))
+          case Some(swc) =>
+            sd.select(col(sd.columns.head).cast("long").as("node"),
+                col(swc).cast("long").as("tw"))
+              .where(col("node").isNotNull && col("tw") > 0)
+              .groupBy(col("node")).agg(sum(col("tw")).as("tw"))
+        })
+        bare.join(seedTw, Seq("node"), "left")
+          .select(col("node"), coalesce(col("tw"), lit(0L)).as("tw"))
     }).localCheckpoint()
     val n = nodes.count() // driver scalar: one Long
     require(n > 0, "rank on an empty edge list")
-    val m = if (seedsOpt.isEmpty) n
-            else nodes.filter(col("is_tgt")).count()
-    require(m > 0, "trustRank with no seed present in the graph")
+    // total teleport weight (m seeds when unweighted) — one driver Long
+    val twTotal = nodes.agg(coalesce(sum(col("tw")), lit(0L)).as("t"))
+      .head.getLong(0)
+    require(twTotal > 0, "trustRank with no seed present in the graph")
+    // weighted-teleport overflow guard: the per-node base numerator is
+    // (dampDen−dampNum)·totalUnits·tw — BigInt-checked so the guard
+    // itself cannot wrap (the unweighted max(tw) = 1 case is the
+    // already-safe classic bound)
+    if (seedWeightCol.isDefined) {
+      val maxTw = maxOf(nodes, "tw")
+      require(BigInt(dampDen - dampNum) * BigInt(totalUnits) * BigInt(maxTw)
+          <= BigInt(Long.MaxValue),
+        s"trustRank: (dampDen-dampNum) * totalUnits * max(seed weight) = " +
+          s"${dampDen - dampNum} * $totalUnits * $maxTw overflows Long " +
+          "(2^63): scale seed weights down by a common factor " +
+          "(bit-identical, since (k*a) div (k*b) = a div b)")
+    }
     val outw = e.groupBy("src").agg(sum(col("w")).as("outw"))
     // (src, dst, w, outw) — the per-iteration join input, materialized once
     val eo = e.join(outw, "src").localCheckpoint()
 
-    // initial and teleport mass go to the m teleport targets only
-    val r0 = totalUnits / m
-    val base = ((dampDen - dampNum) * totalUnits) / (dampDen * m)
+    // initial and teleport mass split across targets proportional to tw
+    // (uniform tw ∈ {0,1} reduces to the classic totalUnits div m and
+    // ((dampDen−dampNum)·totalUnits) div (dampDen·m) — same operands,
+    // bit-identical)
+    val r0Col = expr(s"(${totalUnits}L * tw) div ${twTotal}L")
+    val baseCol = expr(
+      s"(${dampDen - dampNum}L * ${totalUnits}L * tw) div (${dampDen}L * ${twTotal}L)")
 
     var ranks = initRanks match {
       case None =>
-        nodes.withColumn("r",
-          when(col("is_tgt"), lit(r0)).otherwise(lit(0L)))
+        nodes.withColumn("r", r0Col)
       case Some(ir) =>
         // warm start: provided ranks win; nodes absent from the table
         // (new to the graph) cold-start at the teleport value
         val init = ir.select(col("node").cast("long").as("node"),
           col("rank_units").cast("long").as("__init"))
         nodes.join(init, Seq("node"), "left")
-          .select(col("node"), col("is_tgt"),
-            coalesce(col("__init"),
-              when(col("is_tgt"), lit(r0)).otherwise(lit(0L))).as("r"))
+          .select(col("node"), col("tw"),
+            coalesce(col("__init"), r0Col).as("r"))
           .localCheckpoint()
     }
     var i = 0
@@ -234,8 +274,8 @@ object GraphRank {
         .groupBy(col("dst").as("node"))
         .agg(sum(col("c")).as("insum")) // Long sum: order-independent
       ranks = nodes.join(inSum, Seq("node"), "left")
-        .select(col("node"), col("is_tgt"),
-          (when(col("is_tgt"), lit(base)).otherwise(lit(0L)) +
+        .select(col("node"), col("tw"),
+          (baseCol +
             expr(s"$dampNum * coalesce(insum, 0L) div $dampDen"))
             .as("r"))
         .localCheckpoint() // truncate lineage so round N's plan is O(1)
@@ -857,29 +897,48 @@ object GraphRank {
     * nothing but (node, degree) pairs ever shuffles.
     */
   def kCore(edges: DataFrame, srcCol: String, dstCol: String,
-            k: Int, rounds: Int = 6): DataFrame = {
+            k: Int, rounds: Int = 6,
+            weightCol: Option[String] = None): DataFrame = {
     require(k >= 1 && rounds >= 1, "kCore needs k >= 1 and rounds >= 1")
-    val raw = edges
-      .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
+    // WEIGHTED peel (`weightCol` — the s-core / weighted-degree variant,
+    // Garas et al. 2012): degree = Σ of incident edge weights, so the
+    // survival bar measures tie STRENGTH, not tie count — on a
+    // similarity graph the core keeps densely-AND-strongly connected
+    // near-dup cliques while weakly-linked hubs peel. Parallel edges
+    // ADD; the symmetrized weight of an undirected pair is the sum over
+    // both listed directions (the labelCommunities rule). Unweighted
+    // (w = 1) is bit-identical to the classic count path.
+    val raw0 = edges
+      .select((col(srcCol).cast("long").as("src") ::
+        col(dstCol).cast("long").as("dst") ::
+        weightCol.map(wc => col(wc).cast("long").as("w")).toList): _*)
       .where(col("src").isNotNull && col("dst").isNotNull && col("src") =!= col("dst"))
-    var e = raw.union(raw.select(col("dst").as("src"), col("src").as("dst")))
-      .distinct()
+    var e = (weightCol match {
+      case None =>
+        raw0.union(raw0.select(col("dst").as("src"), col("src").as("dst")))
+          .distinct()
+          .withColumn("w", lit(1L))
+      case Some(_) =>
+        val raw = raw0.where(col("w") > 0)
+        raw.unionAll(raw.select(col("dst").as("src"), col("src").as("dst"), col("w")))
+          .groupBy(col("src"), col("dst")).agg(sum(col("w")).as("w"))
+    })
       .repartition(col("src"))
       .localCheckpoint()
     var i = 0
     while (i < rounds) {
       val alive = e.groupBy(col("src").as("node"))
-        .agg(count(lit(1)).as("deg"))
+        .agg(sum(col("w")).as("deg"))
         .where(col("deg") >= k)
         .select(col("node"))
       e = e
         .join(alive.withColumnRenamed("node", "src"), Seq("src"), "semi")
         .join(alive.withColumnRenamed("node", "dst"), Seq("dst"), "semi")
-        .select(col("src"), col("dst"))
+        .select(col("src"), col("dst"), col("w"))
         .localCheckpoint()
       i += 1
     }
-    val deg = e.groupBy(col("src").as("node")).agg(count(lit(1)).as("degree"))
+    val deg = e.groupBy(col("src").as("node")).agg(sum(col("w")).as("degree"))
     // converged ⇔ the last peel dropped nobody ⇔ all final degrees ≥ k
     val conv = deg.agg((min(col("degree")) >= k).as("converged"))
     // no coalesce: an empty deg crossJoins to zero rows, and a non-empty

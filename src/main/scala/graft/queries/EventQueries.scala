@@ -1278,7 +1278,86 @@ object EventQueries {
           seeds, "s_suppkey", "s_nationkey", m2, iterations = 2)
       },
       Some(labelPropOracle(iterations = 4))),
+
+    // Topic-sensitive rank (r8): trustRank with WEIGHTED seeds
+    // (Haveliwala 2002's topic-sensitive PageRank / graded-trust
+    // TrustRank) — the teleport mass splits across seeds proportional
+    // to integer weights, so an editorially-graded seed list (major
+    // reference site = weight 7, marginal directory = weight 1) shapes
+    // the whole authority field. Seeds: every 5th supplier at weight
+    // (s_suppkey % 7) + 1 — deterministic, so the oracle replays both
+    // seed selection and the weight split; same integer fixed-point,
+    // all 5 iterations hash-oracled.
+    "q121_topic_rank" -> QueryDef(
+      (s, d) => {
+        val li = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_suppkey"))
+        val ord = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"))
+        val pairs = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+          .select(col("l_suppkey").as("s"),
+                  (col("o_custkey") + lit(custOffset)).as("c"))
+        val edges = pairs.select(col("s").as("src"), col("c").as("dst"))
+          .union(pairs.select(col("c").as("src"), col("s").as("dst")))
+        val seeds = Tables.supplier(s, d)
+          .filter(col("s_suppkey") % 5 === 0)
+          .select(col("s_suppkey"),
+            ((col("s_suppkey") % 7) + 1).cast("long").as("tw"))
+        graft.operators.GraphRank.trustRank(edges, "src", "dst", seeds,
+          iterations = 5, seedWeightCol = Some("tw"))
+      },
+      Some(weightedRankOracle(iterations = 5,
+        seedPred = "node < 1000000 AND node % 5 = 0",
+        twExpr = "(node % 7) + 1"))),
+
+    // Weighted k-core / s-core peel (r8, Garas et al. 2012): degree =
+    // Σ incident edge weights, so the survival bar measures tie
+    // STRENGTH — here link multiplicity on the trade graph (one unit
+    // per lineitem-order link, parallel links add), keeping nodes held
+    // by many repeated trades while thin one-off relationships peel.
+    // Same action-free bounded-round contract as q114; fully
+    // hash-oracled including the weighted degrees and the convergence
+    // flag.
+    "q122_kcore_weighted" -> QueryDef(
+      (s, d) => {
+        val li = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_suppkey"))
+        val ord = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"))
+        val links = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+          .select(col("l_suppkey").as("src"),
+                  (col("o_custkey") + lit(custOffset)).as("dst"),
+                  lit(1L).as("w"))
+        graft.operators.GraphRank.kCore(links, "src", "dst",
+          k = 25, rounds = 4, weightCol = Some("w"))
+      },
+      Some(kCoreWeightedOracle(k = 25, rounds = 4))),
   )
+
+  /** q122's oracle: the weighted peel unrolled — symmetrized link-count
+    * weights, per round a weighted-degree HAVING filter and the edge
+    * restriction, mirroring kCore's weightCol path.
+    */
+  private def kCoreWeightedOracle(k: Int, rounds: Int): String = {
+    val iterCtes = (1 to rounds).map { i =>
+      val prev = if (i == 1) "e0" else s"e${i - 1}"
+      s"""a$i AS (SELECT src AS node FROM $prev GROUP BY src HAVING sum(w) >= $k),
+      e$i AS MATERIALIZED (
+        SELECT e.src, e.dst, e.w FROM $prev e
+        JOIN a$i x ON e.src = x.node JOIN a$i y ON e.dst = y.node)"""
+    }.mkString(",\n")
+    s"""
+      WITH l AS MATERIALIZED (
+        SELECT CAST(l_suppkey AS BIGINT) AS s,
+               CAST(o_custkey AS BIGINT) + $custOffset AS c
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+      cnt AS MATERIALIZED (
+        SELECT s, c, CAST(count(*) AS BIGINT) AS w FROM l GROUP BY 1, 2),
+      e0 AS MATERIALIZED (
+        SELECT s AS src, c AS dst, w FROM cnt
+        UNION ALL SELECT c AS src, s AS dst, w FROM cnt),
+      $iterCtes,
+      deg AS (SELECT src AS node, CAST(sum(w) AS BIGINT) AS degree
+              FROM e$rounds GROUP BY src),
+      conv AS (SELECT coalesce(min(degree) >= $k, true) AS converged FROM deg)
+      SELECT node, degree, converged FROM deg CROSS JOIN conv"""
+  }
 
   /** q119's staged stream source: the NEW trade snapshot's link rows
     * (src, dst, w=1) in 4 parquet files under the per-SF export dir;
@@ -1574,6 +1653,47 @@ object EventQueries {
     * `seedPred` restricts the teleport targets (TrustRank); None =
     * every node (PageRank).
     */
+  /** q121's oracle: the weighted-teleport recurrence — per-node teleport
+    * weight `tw` from a deterministic SQL expression over the node id,
+    * TW its sum over seeds present, r0/base per node proportional to tw
+    * (all BIGINT floor division, replaying trustRank's seedWeightCol
+    * path bit-for-bit).
+    */
+  private def weightedRankOracle(iterations: Int, seedPred: String,
+                                 twExpr: String): String = {
+    val units = graft.operators.GraphRank.DefaultUnits
+    val iterCtes = (1 to iterations).map { i =>
+      val prev = if (i == 1) "it0" else s"it${i - 1}"
+      s"""it$i AS MATERIALIZED (
+        SELECT t.node,
+               (CAST(15 AS BIGINT) * $units * t.tw) // (CAST(100 AS BIGINT) * (SELECT twt FROM c))
+                 + (85 * coalesce(s.insum, 0)) // 100 AS r
+        FROM tw t LEFT JOIN (
+          SELECT e.dst AS node, sum(p.r * e.w // od.outw) AS insum
+          FROM e JOIN od USING (src) JOIN $prev p ON p.node = e.src
+          GROUP BY e.dst) s USING (node))"""
+    }.mkString(",\n")
+    s"""
+      WITH p AS MATERIALIZED (
+        SELECT DISTINCT CAST(l_suppkey AS BIGINT) AS s,
+                        CAST(o_custkey AS BIGINT) + $custOffset AS c
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+      e AS MATERIALIZED (
+        SELECT s AS src, c AS dst, 1 AS w FROM p
+        UNION SELECT c AS src, s AS dst, 1 AS w FROM p),
+      nodes AS MATERIALIZED (SELECT src AS node FROM e UNION SELECT dst FROM e),
+      od AS MATERIALIZED (SELECT src, sum(w) AS outw FROM e GROUP BY src),
+      tw AS MATERIALIZED (
+        SELECT node, CASE WHEN $seedPred THEN ($twExpr) ELSE 0 END AS tw
+        FROM nodes nd),
+      c AS MATERIALIZED (SELECT sum(tw) AS twt FROM tw),
+      it0 AS (SELECT node, (CAST($units AS BIGINT) * tw) // (SELECT twt FROM c) AS r FROM tw),
+      $iterCtes
+      SELECT node, CAST(r AS BIGINT) AS rank_units,
+             round(r / $units.0, 6) AS rank
+      FROM it$iterations"""
+  }
+
   private def linkRankOracle(iterations: Int,
                              seedPred: Option[String] = None): String = {
     val units = graft.operators.GraphRank.DefaultUnits

@@ -577,6 +577,50 @@ class GraphRankSpec extends SparkSpec {
     frontier(oldD, newD, hops = 2) shouldBe Map(2L -> 0L, 9L -> 0L)
   }
 
+  test("weighted-teleport trustRank: mass splits by seed weight; uniform weights equal unweighted; common-factor scaling is bit-identical") {
+    val edges = Seq(1L -> 3L, 2L -> 4L, 3L -> 1L, 4L -> 2L).toDF("src", "dst")
+    def tr(seeds: org.apache.spark.sql.DataFrame, swc: Option[String], it: Int = 1) =
+      GraphRank.trustRank(edges, "src", "dst", seeds, it, seedWeightCol = swc)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // weights 3:1 → seed 1 teleports 3× seed 2's mass
+    val w31 = Seq((1L, 3L), (2L, 1L)).toDF("node", "tw")
+    val r = tr(w31, Some("tw"))
+    val units = GraphRank.DefaultUnits
+    // r0(1) = units*3 div 4, r0(2) = units div 4; after one round:
+    // node 1 gets base(1) + 85% of node 3's in-flow (r0(3) = 0) = base(1)
+    r(1L) shouldBe (15L * units * 3) / (100L * 4)
+    r(2L) shouldBe (15L * units * 1) / (100L * 4)
+    // uniform explicit weights ≡ the unweighted seed path, to the unit
+    val uni = Seq((1L, 1L), (2L, 1L)).toDF("node", "tw")
+    tr(uni, Some("tw"), it = 3) shouldBe
+      tr(Seq(1L, 2L).toDF("node"), None, it = 3)
+    // scaling every weight by 11 changes nothing ((k·a) div (k·b) = a div b)
+    val w31x11 = Seq((1L, 33L), (2L, 11L)).toDF("node", "tw")
+    tr(w31x11, Some("tw"), it = 3) shouldBe tr(w31, Some("tw"), it = 3)
+  }
+
+  test("weighted kCore: strength-based peel (hand-computed) and w=1 equals the classic path") {
+    // triangle 1-2-3 with strong ties (w=3 each) + pendant 4 tied to 1
+    // with a single weak link: at k=4 the pendant peels (weighted degree
+    // 1 < 4), the triangle survives (each node: 3+3 = 6 ≥ 4) — a COUNT
+    // peel at k=4 would kill everything (max degree 3)
+    val wEdges = Seq((1L, 2L, 3L), (2L, 3L, 3L), (1L, 3L, 3L), (1L, 4L, 1L))
+      .toDF("src", "dst", "w")
+    val core = GraphRank.kCore(wEdges, "src", "dst", k = 4, rounds = 3,
+        weightCol = Some("w"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    core shouldBe Map(1L -> 6L, 2L -> 6L, 3L -> 6L)
+    // all-ones weights reproduce the classic count peel exactly
+    val ones = Seq((1L, 2L, 1L), (2L, 3L, 1L), (1L, 3L, 1L), (1L, 4L, 1L))
+      .toDF("src", "dst", "w")
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    rows(GraphRank.kCore(ones, "src", "dst", k = 2, rounds = 3,
+      weightCol = Some("w"))) shouldBe
+      rows(GraphRank.kCore(ones.select(col("src"), col("dst")), "src", "dst",
+        k = 2, rounds = 3))
+  }
+
   test("pageRankResume: 3 cold + 2 resumed iterations are bit-identical to 5 cold") {
     val pairs = (0L until 200L).map(i => i -> (i * 7 + 3) % 200)
     val edges = pairs.toDF("src", "dst")

@@ -64,6 +64,8 @@ class PlanAuditSpec extends SparkSpec {
     "q117_stale_frontier", // localCheckpoints delta + per-hop frontier at build
     "q118_warm_rank",      // runs the warm 3-iteration rank at build, then resumes
     "q120_warm_labels",    // runs the warm 2-round mass table at build, then resumes
+    "q121_topic_rank",     // weighted-teleport rank iterates at build (q110's shape)
+    "q122_kcore_weighted", // weighted peel iterates at build (q114's shape)
     "d17_community_canonical") // labelCommunities' per-round checkpoints at build
     // (q116_edge_delta stays AUDITED: one full-outer equi-join, plan-only)
 
