@@ -91,7 +91,10 @@ object ScaleProbe {
     "q119_streaming_edge_delta", "q120_warm_labels",
     // weighted-teleport rank (q110's movement) and the weighted peel
     // (q114's movement with sum-degree instead of count-degree)
-    "q121_topic_rank", "q122_kcore_weighted")
+    "q121_topic_rank", "q122_kcore_weighted",
+    // coarsening (q113's rounds + two hash joins) and multi-source BFS
+    // (ring joins, frontier-sized)
+    "q123_community_graph", "q124_seed_distance")
 
   private val IdShift = 10000000L
   private val DayShift = 4000 // > TPC-H date span, so copies never overlap

@@ -947,6 +947,90 @@ object GraphRank {
       .select(col("node"), col("degree"), col("converged"))
   }
 
+  /** Quotient (community-level) graph — graph coarsening over a node→
+    * community assignment (typically [[labelCommunities]]' output):
+    * every edge maps to its endpoints' communities and collapses into
+    * ONE super-edge per (src_comm, dst_comm) carrying the edge count
+    * and summed weight; src_comm = dst_comm rows are the INTRA-community
+    * mass (cohesion numerator). The multi-level primitive: host-level
+    * crawl graphs coarsen to domain/community level, so the next
+    * pageRank/trustRank pass runs on thousands of super-nodes instead
+    * of billions of pages — the standard multilevel scheme (METIS /
+    * Louvain aggregation step).
+    *
+    * Nodes absent from `labels` quotient to themselves (the d17
+    * coalesce convention). Scale shape: two hash joins of the edge list
+    * against the (node, community) table + one map-side-combined
+    * aggregate — no iteration; output is community-pair-sized.
+    * Integer counts/sums over deterministic joins: fully hash-oracled.
+    */
+  def quotientGraph(edges: DataFrame, srcCol: String, dstCol: String,
+                    labels: DataFrame, nodeCol: String, communityCol: String,
+                    weightCol: Option[String] = None): DataFrame = {
+    val e = normalizeEdges(edges, srcCol, dstCol, weightCol)
+    val lab = labels.select(col(nodeCol).cast("long").as("node"),
+      col(communityCol).cast("long").as("comm"))
+      .where(col("node").isNotNull && col("comm").isNotNull)
+      .distinct()
+    e.join(lab.select(col("node").as("src"), col("comm").as("__cs")),
+        Seq("src"), "left")
+      .join(lab.select(col("node").as("dst"), col("comm").as("__cd")),
+        Seq("dst"), "left")
+      .select(coalesce(col("__cs"), col("src")).as("src_comm"),
+        coalesce(col("__cd"), col("dst")).as("dst_comm"), col("w"))
+      .groupBy(col("src_comm"), col("dst_comm"))
+      .agg(count(lit(1)).as("edges"), sum(col("w")).as("weight"))
+  }
+
+  /** Multi-source BFS hop distance from a seed set, bounded at
+    * `maxHops` — the link-distance signal: how many forward hops
+    * separate a node from the nearest trusted seed (Gyöngyi et al.'s
+    * seed-distance spam heuristic, and the cheap reachability check
+    * before a trustRank run: unreachable ⇒ rank exactly zero). Returns
+    * (node, hop) with the MINIMUM hop, deterministically; nodes beyond
+    * `maxHops` (or unreachable) are ABSENT — the labelPropagation
+    * honesty convention. Seeds absent from the graph still report hop 0
+    * if they appear as any endpoint. Fixed hop count ⇒ action-free per
+    * ring, unrolled-CTE replayable (the kCore argument); per hop ONE
+    * ring join against the src-partitioned edge list + one min-agg —
+    * frontier rows only.
+    */
+  def hopDistances(edges: DataFrame, srcCol: String, dstCol: String,
+                   seeds: DataFrame, maxHops: Int,
+                   weightCol: Option[String] = None): DataFrame = {
+    require(maxHops >= 0, "hopDistances needs maxHops >= 0")
+    val eNew = normalizeEdges(edges, srcCol, dstCol, weightCol)
+      .select(col("src"), col("dst"))
+      .repartition(col("src"))
+      .localCheckpoint()
+    val nodes = eNew.select(col("src").as("node"))
+      .union(eNew.select(col("dst").as("node"))).distinct()
+    val seedSet = seeds.select(col(seeds.columns.head).cast("long").as("node"))
+      .where(col("node").isNotNull).distinct()
+      .join(nodes, Seq("node"), "semi") // seeds outside the graph drop
+    expandRings(seedSet, eNew, maxHops)
+  }
+
+  /** Shared bounded ring expansion: `frontier0` at hop 0, then `hops`
+    * rounds of (ring ⋈ edges on src) + min-hop merge, lineage truncated
+    * per round. Used by [[staleFrontier]] and [[hopDistances]].
+    */
+  private def expandRings(frontier0: DataFrame, eNew: DataFrame,
+                          hops: Int): DataFrame = {
+    var frontier = frontier0.withColumn("hop", lit(0L)).localCheckpoint()
+    var i = 1
+    while (i <= hops) {
+      val ring = frontier.where(col("hop") === (i - 1))
+      val next = eNew.join(ring, eNew("src") === ring("node"))
+        .select(eNew("dst").as("node"), lit(i.toLong).as("hop"))
+      frontier = frontier.unionByName(next)
+        .groupBy(col("node")).agg(min(col("hop")).as("hop"))
+        .localCheckpoint()
+      i += 1
+    }
+    frontier
+  }
+
   /** Normalize an edge list the way every iterative operator here does:
     * unweighted → distinct (src, dst) with w = 1; weighted → parallel
     * edges ADD, non-positive weights dropped.
@@ -1053,17 +1137,6 @@ object GraphRank {
       .union(eNew.join(changed.select(col("src")).distinct(), Seq("src"), "semi")
         .select(col("dst").as("node")))
       .distinct()
-    var frontier = dirty0.withColumn("hop", lit(0L)).localCheckpoint()
-    var i = 1
-    while (i <= hops) {
-      val ring = frontier.where(col("hop") === (i - 1))
-      val next = eNew.join(ring, eNew("src") === ring("node"))
-        .select(eNew("dst").as("node"), lit(i.toLong).as("hop"))
-      frontier = frontier.unionByName(next)
-        .groupBy(col("node")).agg(min(col("hop")).as("hop"))
-        .localCheckpoint()
-      i += 1
-    }
-    frontier
+    expandRings(dirty0, eNew, hops)
   }
 }

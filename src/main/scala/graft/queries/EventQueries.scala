@@ -1328,7 +1328,92 @@ object EventQueries {
           k = 25, rounds = 4, weightCol = Some("w"))
       },
       Some(kCoreWeightedOracle(k = 25, rounds = 4))),
+
+    // Community quotient graph (r8): graph coarsening — LPA communities
+    // collapse the directed trade graph into super-edges (src_comm,
+    // dst_comm, edge count, summed weight), intra-community rows
+    // included (the cohesion numerator). The multilevel primitive:
+    // rank a billion-page crawl graph at domain/community granularity
+    // (METIS / Louvain aggregation step). Gate runs on the BULK-link
+    // subgraph (l_quantity > 45, q115's sparsification) where LPA
+    // finds ~70 real communities — the full dense trade graph
+    // collapses to one, which quotients to a single row (checked in
+    // DuckDB before gating, the q115 density protocol). Oracle
+    // composes the unrolled LPA rounds with the two-join collapse.
+    "q123_community_graph" -> QueryDef(
+      (s, d) => {
+        val li = Tables.lineitem(s, d)
+          .filter(col("l_quantity") > 45)
+          .select(col("l_orderkey"), col("l_suppkey"))
+        val ord = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"))
+        val edges = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+          .select(col("l_suppkey").as("src"),
+                  (col("o_custkey") + lit(custOffset)).as("dst"))
+        val comm = graft.operators.GraphRank.labelCommunities(edges,
+          "src", "dst", iterations = 4)
+        graft.operators.GraphRank.quotientGraph(edges, "src", "dst",
+          comm, "node", "community")
+      },
+      Some(s"""${lpaCtes(4, edgePred = "l_quantity > 45")},
+        q AS (SELECT coalesce(cs.label, ed.src) AS src_comm,
+                     coalesce(cd.label, ed.dst) AS dst_comm
+              FROM ed LEFT JOIN l4 cs ON cs.node = ed.src
+                      LEFT JOIN l4 cd ON cd.node = ed.dst)
+        SELECT src_comm, dst_comm, CAST(count(*) AS BIGINT) AS edges,
+               CAST(count(*) AS BIGINT) AS weight
+        FROM q GROUP BY 1, 2""")),
+
+    // Seed hop-distance (r8): bounded multi-source BFS from the trusted
+    // seed set over the bidirectional trade graph — the link-distance
+    // spam heuristic (how many hops from vetted seeds) and the cheap
+    // reachability prefilter before a trustRank run (absent ⇒ rank
+    // exactly zero). Min-hop per node, nodes beyond 3 hops absent.
+    "q124_seed_distance" -> QueryDef(
+      (s, d) => {
+        val li = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_suppkey"))
+        val ord = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"))
+        val pairs = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+          .select(col("l_suppkey").as("s"),
+                  (col("o_custkey") + lit(custOffset)).as("c"))
+        val edges = pairs.select(col("s").as("src"), col("c").as("dst"))
+          .union(pairs.select(col("c").as("src"), col("s").as("dst")))
+        val seeds = Tables.supplier(s, d)
+          .filter(col("s_suppkey") % 5 === 0).select(col("s_suppkey"))
+        graft.operators.GraphRank.hopDistances(edges, "src", "dst",
+          seeds, maxHops = 3)
+      },
+      Some(hopDistanceOracle(maxHops = 3,
+        seedPred = "node < 1000000 AND node % 5 = 0"))),
   )
+
+  /** q124's oracle: multi-source BFS unrolled — seeds present in the
+    * graph at hop 0, one ring expansion per hop along the symmetrized
+    * edges, min-hop per node (staleFrontierOracle's expansion shape).
+    */
+  private def hopDistanceOracle(maxHops: Int, seedPred: String): String = {
+    val hopCtes = (1 to maxHops).map { i =>
+      val prev = s"f${i - 1}"
+      s"""f$i AS MATERIALIZED (
+        SELECT node, min(hop) AS hop FROM (
+          SELECT node, hop FROM $prev
+          UNION ALL
+          SELECT e.dst AS node, $i AS hop
+          FROM e JOIN $prev p ON e.src = p.node WHERE p.hop = ${i - 1}) u
+        GROUP BY node)"""
+    }.mkString(",\n")
+    s"""
+      WITH p AS MATERIALIZED (
+        SELECT DISTINCT CAST(l_suppkey AS BIGINT) AS s,
+                        CAST(o_custkey AS BIGINT) + $custOffset AS c
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+      e AS MATERIALIZED (
+        SELECT s AS src, c AS dst FROM p
+        UNION SELECT c AS src, s AS dst FROM p),
+      nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+      f0 AS (SELECT node, 0 AS hop FROM nodes nd WHERE $seedPred),
+      $hopCtes
+      SELECT node, CAST(hop AS BIGINT) AS hop FROM f$maxHops"""
+  }
 
   /** q122's oracle: the weighted peel unrolled — symmetrized link-count
     * weights, per round a weighted-degree HAVING filter and the edge
@@ -1499,7 +1584,12 @@ object EventQueries {
     * (count DESC, label ASC) argmax window; community sizes replay as
     * one final count per label.
     */
-  private def lpaCommunitiesOracle(iterations: Int): String = {
+  /** Shared CTE prefix for the sync-LPA oracles (q113, q123): the
+    * DIRECTED trade edge list (`ed` — the quotient oracle needs it),
+    * the symmetrized vote edges (`e`), and the unrolled rounds ending
+    * at `l<iterations>(node, label)`.
+    */
+  private def lpaCtes(iterations: Int, edgePred: String = "TRUE"): String = {
     val iterCtes = (1 to iterations).map { i =>
       val prev = if (i == 1) "l0" else s"l${i - 1}"
       s"""l$i AS MATERIALIZED (
@@ -1517,17 +1607,22 @@ object EventQueries {
       WITH p AS MATERIALIZED (
         SELECT DISTINCT CAST(l_suppkey AS BIGINT) AS s,
                         CAST(o_custkey AS BIGINT) + 1000000 AS c
-        FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE $edgePred),
+      ed AS MATERIALIZED (SELECT s AS src, c AS dst FROM p),
       e AS MATERIALIZED (
-        SELECT s AS src, c AS dst FROM p
-        UNION SELECT c AS src, s AS dst FROM p),
+        SELECT src, dst FROM ed
+        UNION SELECT dst AS src, src AS dst FROM ed),
       l0 AS (SELECT DISTINCT src AS node, src AS label FROM e),
-      $iterCtes,
+      $iterCtes"""
+  }
+
+  private def lpaCommunitiesOracle(iterations: Int): String =
+    s"""${lpaCtes(iterations)},
       sizes AS (SELECT label, CAST(count(*) AS BIGINT) AS csize
                 FROM l$iterations GROUP BY label)
       SELECT node, label AS community, csize
       FROM l$iterations JOIN sizes USING (label)"""
-  }
 
   /** q114's oracle: the peel unrolled — per round a degree HAVING
     * filter and an edge restriction to surviving endpoints; the final

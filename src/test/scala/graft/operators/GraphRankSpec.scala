@@ -661,6 +661,33 @@ class GraphRankSpec extends SparkSpec {
     after(4L) should not be before(4L)
   }
 
+  test("quotientGraph: hand-computed coarsening with intra-community mass and unlabeled passthrough") {
+    // communities {1,2}→10 and {3}→30; node 4 unlabeled quotients to itself
+    val edges = Seq((1L, 2L, 5L), (2L, 1L, 5L), (1L, 3L, 2L), (3L, 4L, 1L))
+      .toDF("src", "dst", "w")
+    val labels = Seq((1L, 10L), (2L, 10L), (3L, 30L)).toDF("node", "community")
+    val got = GraphRank.quotientGraph(edges, "src", "dst", labels,
+        "node", "community", weightCol = Some("w"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3)))).toMap
+    got shouldBe Map(
+      (10L, 10L) -> ((2L, 10L)), // intra: 1→2 and 2→1, weight 5+5
+      (10L, 30L) -> ((1L, 2L)),
+      (30L, 4L) -> ((1L, 1L)))   // unlabeled 4 quotients to itself
+  }
+
+  test("hopDistances: multi-source min-hop BFS (hand-computed), out-of-graph seeds drop, bound respected") {
+    val edges = Seq(1L -> 2L, 2L -> 3L, 3L -> 4L, 9L -> 4L).toDF("src", "dst")
+    val seeds = Seq(1L, 9L, 777L).toDF("node") // 777 not in the graph
+    val got = GraphRank.hopDistances(edges, "src", "dst", seeds, maxHops = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // 4 is 3 hops from seed 1 but 1 hop from seed 9: min wins
+    got shouldBe Map(1L -> 0L, 9L -> 0L, 2L -> 1L, 4L -> 1L, 3L -> 2L)
+    // maxHops = 0: just the present seeds
+    GraphRank.hopDistances(edges, "src", "dst", seeds, maxHops = 0)
+      .collect().map(_.getLong(0)).toSet shouldBe Set(1L, 9L)
+  }
+
   test("edgeDelta: weight partials merge to the same delta as raw rows (the q119 monoid seam)") {
     val oldE = Seq((1L, 2L, 1L), (2L, 3L, 1L)).toDF("src", "dst", "w")
     val raw = Seq((1L, 2L, 1L), (1L, 2L, 1L), (3L, 4L, 1L), (1L, 2L, 1L))

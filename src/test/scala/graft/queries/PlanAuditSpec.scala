@@ -66,6 +66,8 @@ class PlanAuditSpec extends SparkSpec {
     "q120_warm_labels",    // runs the warm 2-round mass table at build, then resumes
     "q121_topic_rank",     // weighted-teleport rank iterates at build (q110's shape)
     "q122_kcore_weighted", // weighted peel iterates at build (q114's shape)
+    "q123_community_graph", // runs the 4-round LPA at build before quotienting
+    "q124_seed_distance",  // per-ring localCheckpoints at build (q117's shape)
     "d17_community_canonical") // labelCommunities' per-round checkpoints at build
     // (q116_edge_delta stays AUDITED: one full-outer equi-join, plan-only)
 
