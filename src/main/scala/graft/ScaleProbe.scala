@@ -94,7 +94,9 @@ object ScaleProbe {
     "q121_topic_rank", "q122_kcore_weighted",
     // coarsening (q113's rounds + two hash joins) and multi-source BFS
     // (ring joins, frontier-sized)
-    "q123_community_graph", "q124_seed_distance")
+    "q123_community_graph", "q124_seed_distance",
+    // bounded min-label components over the near-dup pair graph
+    "d18_minlabel_components")
 
   private val IdShift = 10000000L
   private val DayShift = 4000 // > TPC-H date span, so copies never overlap

@@ -1031,6 +1031,56 @@ object GraphRank {
     frontier
   }
 
+  /** Connected components by bounded synchronous min-label propagation —
+    * the SCALE path for component finding (Kiveris et al. 2014's
+    * connected-components-in-MapReduce family, the simple label-
+    * propagation member): every node starts labeled with its own id;
+    * per round each node takes the MIN of its own label and its
+    * neighbors' labels. After rounds ≥ component diameter the labels
+    * are exactly the min-reachable-id components (`Dedup.
+    * connectedComponents`' contract — spec-asserted equal when
+    * converged); an unconverged run returns the R-round labels with
+    * `converged = false` (the kCore bounded-round contract, so the
+    * whole computation stays action-free and SQL-replayable where the
+    * recursive-CTE closure is neither available nor bounded at 100 TB).
+    * `converged` ⇔ no surviving edge joins two labels — checked as one
+    * broadcast 1-row aggregate, not a fixpoint loop.
+    *
+    * Scale shape: symmetrize+dedup once; per round ONE (edges ⋈ labels
+    * on src) join + ONE map-side-combined min shuffle keyed node —
+    * label rows only (one per node), lineage truncated per round.
+    */
+  def minLabelComponents(edges: DataFrame, srcCol: String, dstCol: String,
+                         rounds: Int = 8): DataFrame = {
+    require(rounds >= 1, "minLabelComponents needs rounds >= 1")
+    val raw = edges
+      .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
+      .where(col("src").isNotNull && col("dst").isNotNull)
+    val e = raw.union(raw.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+      .repartition(col("src"))
+      .localCheckpoint()
+    var lab = e.select(col("src").as("node")).distinct()
+      .withColumn("comp", col("node"))
+      .localCheckpoint()
+    var i = 0
+    while (i < rounds) {
+      lab = e.join(lab, e("src") === lab("node"))
+        .select(e("dst").as("node"), col("comp"))
+        .unionByName(lab.select(col("node"), col("comp")))
+        .groupBy(col("node")).agg(min(col("comp")).as("comp"))
+        .localCheckpoint()
+      i += 1
+    }
+    // converged ⇔ every edge's endpoints agree — 1-row broadcast flag
+    val conv = e
+      .join(lab.select(col("node").as("src"), col("comp").as("__cs")), "src")
+      .join(lab.select(col("node").as("dst"), col("comp").as("__cd")), "dst")
+      .agg(coalesce(min(col("__cs") === col("__cd")), lit(true)).as("converged"))
+    lab.crossJoin(broadcast(conv))
+      .select(col("node"), col("comp").as("component"), col("converged"))
+  }
+
   /** Normalize an edge list the way every iterative operator here does:
     * unweighted → distinct (src, dst) with w = 1; weighted → parallel
     * edges ADD, non-positive weights dropped.

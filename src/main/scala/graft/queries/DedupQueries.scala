@@ -536,6 +536,24 @@ object DedupQueries {
       },
       Some(communityCanonicalOracle(iterations = 4, selfWeight = 1000000L))),
 
+    // Bounded min-label connected components (r8): the SCALE path for
+    // d06's clustering — synchronous min-label propagation over the
+    // verified near-dup pair graph (6 rounds ≥ near-dup cluster
+    // diameter), action-free and unrolled-CTE replayable where the
+    // recursive-closure CTE is neither available nor bounded at 100 TB.
+    // Converged labels equal d06's min-reachable-id components exactly
+    // (spec-asserted against Dedup.connectedComponents — two
+    // independent implementations cross-validated); the `converged`
+    // flag is a 1-row broadcast edge-agreement check, not a fixpoint.
+    "d18_minlabel_components" -> QueryDef(
+      (s, d) => {
+        val pairs = Dedup.jaccardPairs(Tables.documents(s, d), "text",
+          "doc_id", shingleN = 3, threshold = 0.8)
+        graft.operators.GraphRank.minLabelComponents(pairs, "id1", "id2",
+          rounds = 6)
+      },
+      Some(minLabelOracle(rounds = 6))),
+
     // Corpus snapshot diff: old = 90% of docs, new = drops every 13th,
     // revises every 7th — the operator classifies every id as added /
     // removed / changed / unchanged from (id, content-hash) pairs alone.
@@ -563,6 +581,31 @@ object DedupQueries {
                     ELSE 'changed' END AS status
         FROM so FULL OUTER JOIN sn ON so.doc_id = sn.doc_id"""))
   )
+
+  /** d18's oracle: the shared pair/edge CTEs (closureCtes' `edges`)
+    * plus the min-label rounds unrolled and the edge-agreement
+    * convergence flag — replaying GraphRank.minLabelComponents.
+    * (closureCtes' recursive `reach`/`comp` go unreferenced here and
+    * are never evaluated.)
+    */
+  private def minLabelOracle(rounds: Int): String = {
+    val iterCtes = (1 to rounds).map { i =>
+      val prev = if (i == 1) "mc0" else s"mc${i - 1}"
+      s"""mc$i AS MATERIALIZED (
+        SELECT node, min(comp) AS comp FROM (
+          SELECT eg.b AS node, p.comp FROM edges eg JOIN $prev p ON p.node = eg.a
+          UNION ALL SELECT node, comp FROM $prev) u
+        GROUP BY node)"""
+    }.mkString(",\n")
+    closureCtes + s""",
+      mc0 AS (SELECT DISTINCT a AS node, a AS comp FROM edges),
+      $iterCtes,
+      mconv AS (SELECT coalesce(bool_and(x.comp = y.comp), true) AS converged
+                FROM edges eg JOIN mc$rounds x ON eg.a = x.node
+                              JOIN mc$rounds y ON eg.b = y.node)
+      SELECT node, comp AS component, converged
+      FROM mc$rounds CROSS JOIN mconv"""
+  }
 
   /** d17's oracle: three already-oracled stages in one CTE chain —
     * d03's candidate/verification CTEs (verified pairs + exact jaccard),

@@ -661,6 +661,30 @@ class GraphRankSpec extends SparkSpec {
     after(4L) should not be before(4L)
   }
 
+  test("minLabelComponents: converged labels equal the transitive-closure components; bounded rounds flag honestly") {
+    // random sparse pair graph: cross-validate against the independent
+    // closure implementation (Dedup.connectedComponents)
+    val pairs = (0L until 120L).map(i => (i, (i * i + 7) % 120))
+      .filter { case (a, b) => a != b }
+    val closure = Dedup.connectedComponents(
+        pairs.toDF("id1", "id2").withColumn("jaccard", lit(1.0)))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val got = GraphRank.minLabelComponents(pairs.toDF("id1", "id2"),
+        "id1", "id2", rounds = 12)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    got.foreach { case (_, _, conv) => conv shouldBe true }
+    got.map { case (n, c, _) => n -> c }.toMap shouldBe closure
+    // a 6-chain at rounds=2 cannot settle: labels are the 2-round mins
+    // and the flag says so
+    val chain = Seq(10L -> 11L, 11L -> 12L, 12L -> 13L, 13L -> 14L, 14L -> 15L)
+    val short = GraphRank.minLabelComponents(chain.toDF("a", "b"), "a", "b",
+        rounds = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    short.foreach { case (_, _, conv) => conv shouldBe false }
+    short.toSeq.map(t => t._1 -> t._2).toMap shouldBe
+      Map(10L -> 10L, 11L -> 10L, 12L -> 10L, 13L -> 11L, 14L -> 12L, 15L -> 13L)
+  }
+
   test("quotientGraph: hand-computed coarsening with intra-community mass and unlabeled passthrough") {
     // communities {1,2}→10 and {3}→30; node 4 unlabeled quotients to itself
     val edges = Seq((1L, 2L, 5L), (2L, 1L, 5L), (1L, 3L, 2L), (3L, 4L, 1L))

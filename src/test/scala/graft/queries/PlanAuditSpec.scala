@@ -68,6 +68,7 @@ class PlanAuditSpec extends SparkSpec {
     "q122_kcore_weighted", // weighted peel iterates at build (q114's shape)
     "q123_community_graph", // runs the 4-round LPA at build before quotienting
     "q124_seed_distance",  // per-ring localCheckpoints at build (q117's shape)
+    "d18_minlabel_components", // min-label rounds localCheckpoint at build
     "d17_community_canonical") // labelCommunities' per-round checkpoints at build
     // (q116_edge_delta stays AUDITED: one full-outer equi-join, plan-only)
 
