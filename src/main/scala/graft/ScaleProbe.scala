@@ -96,7 +96,9 @@ object ScaleProbe {
     // (ring joins, frontier-sized)
     "q123_community_graph", "q124_seed_distance",
     // bounded min-label components over the near-dup pair graph
-    "d18_minlabel_components")
+    "d18_minlabel_components",
+    // end-to-end incremental re-rank (old-rank + 2 resumed rounds)
+    "q125_incremental_rank")
 
   private val IdShift = 10000000L
   private val DayShift = 4000 // > TPC-H date span, so copies never overlap

@@ -1384,7 +1384,72 @@ object EventQueries {
       },
       Some(hopDistanceOracle(maxHops = 3,
         seedPred = "node < 1000000 AND node % 5 = 0"))),
+
+    // Incremental re-rank, end-to-end (r8): the q116/q117/q118 story
+    // composed into ONE gate — rank the OLD weighted snapshot (5
+    // rounds), then resume 2 rounds on the NEW snapshot from those
+    // ranks: new nodes cold-start at the new graph's teleport value,
+    // old-only nodes drop with their graph, and (per the staleFrontier
+    // soundness spec) only frontier neighborhoods move. The oracle
+    // replays BOTH phases as one CTE chain — 5 unrolled rounds on the
+    // old edges feeding the warm-start init of 2 unrolled rounds on
+    // the new edges — so the whole incremental pipeline is
+    // hash-verified, not just its pieces.
+    "q125_incremental_rank" -> QueryDef(
+      (s, d) => {
+        val (oldE, newE) = tradeSnapshots(s, d)
+        val warm = graft.operators.GraphRank.pageRank(oldE, "src", "dst",
+          iterations = 5, weightCol = Some("w"))
+        graft.operators.GraphRank.pageRankResume(newE, "src", "dst",
+          warm, iterations = 2, weightCol = Some("w"))
+      },
+      Some(incrementalRankOracle(oldIters = 5, resumeIters = 2))),
   )
+
+  /** q125's oracle: two unrolled weighted-rank phases in one chain —
+    * the old snapshot's 5 rounds (uniform teleport over its node set)
+    * whose final table warm-starts 2 rounds over the new snapshot
+    * (missing nodes at the NEW graph's r0), replaying
+    * pageRank + pageRankResume end-to-end. Reuses edgeDeltaOracle's
+    * weighted snapshot CTEs (`eo`/`en`; `delta` goes unreferenced).
+    */
+  private def incrementalRankOracle(oldIters: Int, resumeIters: Int): String = {
+    val units = graft.operators.GraphRank.DefaultUnits
+    def phase(prefix: String, edges: String, iters: Int,
+              init: String): String = {
+      val rounds = (1 to iters).map { i =>
+        val prev = if (i == 1) s"${prefix}0" else s"$prefix${i - 1}"
+        s"""$prefix$i AS MATERIALIZED (
+          SELECT nd.node,
+                 (SELECT base FROM c$prefix) + (85 * coalesce(s.insum, 0)) // 100 AS r
+          FROM n$prefix nd LEFT JOIN (
+            SELECT e.dst AS node, sum(p.r * e.w // od.outw) AS insum
+            FROM $edges e JOIN od$prefix od USING (src)
+                          JOIN $prev p ON p.node = e.src
+            GROUP BY e.dst) s USING (node))"""
+      }.mkString(",\n")
+      s"""n$prefix AS MATERIALIZED (
+        SELECT src AS node FROM $edges UNION SELECT dst FROM $edges),
+      od$prefix AS MATERIALIZED (
+        SELECT src, sum(w) AS outw FROM $edges GROUP BY src),
+      c$prefix AS MATERIALIZED (
+        SELECT count(*) AS n,
+               CAST($units AS BIGINT) // count(*) AS r0,
+               (CAST(15 AS BIGINT) * $units) // (100 * count(*)) AS base
+        FROM n$prefix),
+      ${prefix}0 AS ($init),
+      $rounds"""
+    }
+    s"""$edgeDeltaOracle,
+      ${phase("o", "eo", oldIters,
+        "SELECT node, (SELECT r0 FROM co) AS r FROM no")},
+      ${phase("w", "en", resumeIters,
+        s"""SELECT nd.node, coalesce(o$oldIters.r, (SELECT r0 FROM cw)) AS r
+            FROM nw nd LEFT JOIN o$oldIters ON o$oldIters.node = nd.node""")}
+      SELECT node, CAST(r AS BIGINT) AS rank_units,
+             round(r / $units.0, 6) AS rank
+      FROM w$resumeIters"""
+  }
 
   /** q124's oracle: multi-source BFS unrolled — seeds present in the
     * graph at hop 0, one ring expansion per hop along the symmetrized

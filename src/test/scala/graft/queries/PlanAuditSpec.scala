@@ -69,6 +69,7 @@ class PlanAuditSpec extends SparkSpec {
     "q123_community_graph", // runs the 4-round LPA at build before quotienting
     "q124_seed_distance",  // per-ring localCheckpoints at build (q117's shape)
     "d18_minlabel_components", // min-label rounds localCheckpoint at build
+    "q125_incremental_rank", // ranks the old snapshot at build, then resumes
     "d17_community_canonical") // labelCommunities' per-round checkpoints at build
     // (q116_edge_delta stays AUDITED: one full-outer equi-join, plan-only)
 
