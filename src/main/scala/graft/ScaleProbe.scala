@@ -98,7 +98,9 @@ object ScaleProbe {
     // bounded min-label components over the near-dup pair graph
     "d18_minlabel_components",
     // end-to-end incremental re-rank (old-rank + 2 resumed rounds)
-    "q125_incremental_rank")
+    "q125_incremental_rank",
+    // warm community resume (q113's movement, 2+2 rounds)
+    "q126_warm_communities")
 
   private val IdShift = 10000000L
   private val DayShift = 4000 // > TPC-H date span, so copies never overlap

@@ -762,7 +762,29 @@ object GraphRank {
   def labelCommunities(edges: DataFrame, srcCol: String, dstCol: String,
                        iterations: Int = 4,
                        weightCol: Option[String] = None,
-                       selfWeight: Long = 1L): DataFrame = {
+                       selfWeight: Long = 1L): DataFrame =
+    communityLabels(edges, srcCol, dstCol, iterations, weightCol, selfWeight)
+
+  /** Resume sync-LPA community detection from a persisted (node, label)
+    * table — the recurrence is memoryless given current labels (votes
+    * derive from labels + edges alone), so resuming R rounds from a
+    * K-round label table is BIT-IDENTICAL to K+R cold rounds
+    * (spec-asserted; the q118/q120 argument, completing the resume
+    * seam across all three iterative families). Nodes absent from the
+    * table (new to the graph) cold-start in their own community.
+    */
+  def labelCommunitiesResume(edges: DataFrame, srcCol: String, dstCol: String,
+                             labels: DataFrame, iterations: Int,
+                             weightCol: Option[String] = None,
+                             selfWeight: Long = 1L): DataFrame =
+    communityLabels(edges, srcCol, dstCol, iterations, weightCol, selfWeight,
+      initLabels = Some(labels))
+
+  private def communityLabels(edges: DataFrame, srcCol: String, dstCol: String,
+                       iterations: Int,
+                       weightCol: Option[String],
+                       selfWeight: Long,
+                       initLabels: Option[DataFrame] = None): DataFrame = {
     require(iterations >= 1, "labelCommunities needs iterations >= 1")
     require(selfWeight >= 0, "selfWeight must be >= 0")
     val e = (weightCol match {
@@ -792,7 +814,20 @@ object GraphRank {
       .localCheckpoint()
     val nodes = e.select(col("src").as("node")).distinct().localCheckpoint()
 
-    var labels = nodes.withColumn("label", col("node"))
+    var labels = initLabels match {
+      case None => nodes.withColumn("label", col("node"))
+      case Some(il) =>
+        // warm start: provided labels win; nodes new to the graph
+        // cold-start in their own community. The resume table may use
+        // the public output's `community` column name or the raw `label`.
+        val lcol = if (il.columns.contains("label")) "label" else "community"
+        val init = il.select(col("node").cast("long").as("node"),
+          col(lcol).cast("long").as("__init"))
+        nodes.join(init, Seq("node"), "left")
+          .select(col("node"),
+            coalesce(col("__init"), col("node")).as("label"))
+          .localCheckpoint()
+    }
     var i = 0
     while (i < iterations) {
       // votes = every neighbor's label at edge weight + the self-vote

@@ -1404,6 +1404,26 @@ object EventQueries {
           warm, iterations = 2, weightCol = Some("w"))
       },
       Some(incrementalRankOracle(oldIters = 5, resumeIters = 2))),
+
+    // Warm-start community resume (r8): the third member of the resume
+    // seam — sync-LPA votes are memoryless given the current (node,
+    // label) table, so 2 cold + 2 resumed rounds are bit-identical to
+    // 4 cold and the gate shares q113's 4-round oracle verbatim. With
+    // q118 (rank) and q120 (label mass) every iterative graph family
+    // now checkpoints and resumes without replaying earlier rounds.
+    "q126_warm_communities" -> QueryDef(
+      (s, d) => {
+        val li = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_suppkey"))
+        val ord = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"))
+        val edges = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+          .select(col("l_suppkey").as("src"),
+                  (col("o_custkey") + lit(custOffset)).as("dst"))
+        val c2 = graft.operators.GraphRank.labelCommunities(edges,
+          "src", "dst", iterations = 2)
+        graft.operators.GraphRank.labelCommunitiesResume(edges, "src", "dst",
+          c2, iterations = 2)
+      },
+      Some(lpaCommunitiesOracle(iterations = 4))),
   )
 
   /** q125's oracle: two unrolled weighted-rank phases in one chain —

@@ -661,6 +661,18 @@ class GraphRankSpec extends SparkSpec {
     after(4L) should not be before(4L)
   }
 
+  test("labelCommunitiesResume: 2 cold + 2 resumed rounds are bit-identical to 4 cold") {
+    val pairs = (0L until 150L).map(i => i -> ((i * 13 + 5) % 150))
+      .filter { case (a, b) => a != b }
+    val edges = pairs.toDF("src", "dst")
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val cold4 = rows(GraphRank.labelCommunities(edges, "src", "dst", 4))
+    val c2 = GraphRank.labelCommunities(edges, "src", "dst", 2)
+    rows(GraphRank.labelCommunitiesResume(edges, "src", "dst", c2, 2)) shouldBe cold4
+    cold4.nonEmpty shouldBe true
+  }
+
   test("minLabelComponents: converged labels equal the transitive-closure components; bounded rounds flag honestly") {
     // random sparse pair graph: cross-validate against the independent
     // closure implementation (Dedup.connectedComponents)

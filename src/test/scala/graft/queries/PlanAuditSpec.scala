@@ -70,6 +70,7 @@ class PlanAuditSpec extends SparkSpec {
     "q124_seed_distance",  // per-ring localCheckpoints at build (q117's shape)
     "d18_minlabel_components", // min-label rounds localCheckpoint at build
     "q125_incremental_rank", // ranks the old snapshot at build, then resumes
+    "q126_warm_communities", // runs the warm 2-round LPA at build, then resumes
     "d17_community_canonical") // labelCommunities' per-round checkpoints at build
     // (q116_edge_delta stays AUDITED: one full-outer equi-join, plan-only)
 
