@@ -11,9 +11,23 @@ import org.apache.spark.sql.SparkSession
   * Prints one JSON line per query: {"query":...,"min":...,"runs":[...]}
   */
 object TimeQueries {
+  private val Usage =
+    "usage: runMain graft.TimeQueries <sfDir> <q1,q2,...> [passes]"
+
   def main(args: Array[String]): Unit = {
-    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
-    val names = args(1).split(",").toSeq
+    if (args.length < 2) {
+      System.err.println(Usage)
+      sys.exit(2)
+    }
+    val sfDir = args(0)
+    val names = args(1).split(",").toSeq.filter(_.nonEmpty)
+    val unknown = names.filterNot(SparkEntry.queries.contains)
+    if (names.isEmpty || unknown.nonEmpty) {
+      System.err.println(
+        if (names.isEmpty) s"empty query list\n$Usage"
+        else s"unknown queries: ${unknown.mkString(", ")}\n$Usage")
+      sys.exit(2)
+    }
     val passes = if (args.length > 2) args(2).toInt else 3
     val spark = SparkSession.builder()
       .master("local[32]")

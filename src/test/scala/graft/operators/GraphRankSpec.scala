@@ -754,4 +754,115 @@ class GraphRankSpec extends SparkSpec {
     a shouldBe b
     a.nonEmpty shouldBe true
   }
+
+  // ---------------------------------------- r9: resume-seam closure
+
+  test("trustRank resume: seeded warm-start is bit-identical to cold; omitting seeds is a DIFFERENT recurrence") {
+    val pairs = (0L until 200L).map(i => i -> (i * 7 + 3) % 200)
+    val edges = pairs.toDF("src", "dst")
+    val seeds = Seq(0L, 5L, 10L, 15L, 20L).toDF("node")
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val cold5 = rows(GraphRank.trustRank(edges, "src", "dst", seeds, 5))
+    val warm3 = GraphRank.trustRank(edges, "src", "dst", seeds, 3)
+    // the teleport distribution is part of the recurrence: resuming with
+    // the original seeds lands exactly on the cold run
+    rows(GraphRank.pageRankResume(edges, "src", "dst", warm3, 2,
+      seeds = Some(seeds))) shouldBe cold5
+    // resuming WITHOUT seeds silently switches the teleport base to
+    // uniform-over-all-nodes — provably NOT the trustRank answer (the
+    // misuse the seeded parameter exists to prevent)
+    rows(GraphRank.pageRankResume(edges, "src", "dst", warm3, 2)) should
+      not be cold5
+  }
+
+  test("weighted trustRank resume: seedWeightCol threads through, bit-identical to cold") {
+    val pairs = (0L until 150L).map(i => i -> (i * 11 + 2) % 150)
+    val edges = pairs.toDF("src", "dst")
+    val seeds = Seq((0L, 3L), (7L, 1L), (14L, 5L)).toDF("node", "tw")
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val cold4 = rows(GraphRank.trustRank(edges, "src", "dst", seeds, 4,
+      seedWeightCol = Some("tw")))
+    val warm2 = GraphRank.trustRank(edges, "src", "dst", seeds, 2,
+      seedWeightCol = Some("tw"))
+    rows(GraphRank.pageRankResume(edges, "src", "dst", warm2, 2,
+      seeds = Some(seeds), seedWeightCol = Some("tw"))) shouldBe cold4
+  }
+
+  test("dense label resume: sparse checkpoint warm-starts the dense path, bit-identical to 4 cold rounds of either path") {
+    val edges = Seq(1L -> 2L, 2L -> 3L, 3L -> 4L, 4L -> 5L, 5L -> 4L,
+      2L -> 1L, 3L -> 2L, 4L -> 3L).toDF("src", "dst")
+    val seeds = Seq((1L, 10L), (5L, 20L)).toDF("node", "label")
+    val cold4 = lpRows(GraphRank.labelPropagation(
+      edges, "src", "dst", seeds, "node", "label", iterations = 4))
+    val m2 = GraphRank.labelPropagationMasses(
+      edges, "src", "dst", seeds, "node", "label", iterations = 2)
+    // the persisted state is the SAME sparse table either path resumes
+    // from — the checkpoint format is path-independent
+    val denseResumed = lpRows(GraphRank.labelPropagationDense(
+      edges, "src", "dst", seeds, "node", "label", labels = Seq(10L, 20L),
+      iterations = 2, initMasses = Some(m2)))
+    denseResumed shouldBe cold4
+    // and the routed resume entry takes the dense path here (≤ 64
+    // labels), landing on the same answer as the explicit sparse resume
+    val autoResumed = lpRows(GraphRank.labelPropagationAutoResume(
+      edges, "src", "dst", seeds, "node", "label", m2, iterations = 2))
+    autoResumed shouldBe cold4
+    autoResumed shouldBe lpRows(GraphRank.labelPropagationResume(
+      edges, "src", "dst", seeds, "node", "label", m2, iterations = 2))
+    autoResumed.nonEmpty shouldBe true
+  }
+
+  test("labelPropagationAutoResume routes an open universe (> DenseLabelUniverseMax labels) to the capped sparse path") {
+    val l = GraphRank.DenseLabelUniverseMax + 6 // 70 distinct labels
+    val edges = (1 to l).map(i => i.toLong -> 1000L).toDF("src", "dst")
+    val seeds = (1 to l).map(i => (i.toLong, 100L + i)).toDF("node", "label")
+    val m1 = GraphRank.labelPropagationMasses(
+      edges, "src", "dst", seeds, "node", "label", iterations = 1,
+      maxLabelsPerNode = Some(GraphRank.DefaultLabelBeam))
+    val auto = lpRows(GraphRank.labelPropagationAutoResume(
+      edges, "src", "dst", seeds, "node", "label", m1, iterations = 1))
+    auto shouldBe lpRows(GraphRank.labelPropagationResume(
+      edges, "src", "dst", seeds, "node", "label", m1, iterations = 1,
+      maxLabelsPerNode = Some(GraphRank.DefaultLabelBeam)))
+    // the cap still bites on the resumed rounds
+    auto(1000L)._3 shouldBe GraphRank.DefaultLabelBeam.toLong
+  }
+
+  test("staleFrontier containment holds for label propagation under NODE CHURN (seeds unchanged)") {
+    // the r8 doc claimed this without a test: nodes added AND removed
+    // between snapshots, seed set unchanged — label masses outside the
+    // hops = K-1 frontier must be bit-identical per (node, label)
+    val K = 3
+    val oldE = Seq(1L -> 2L, 2L -> 3L, 3L -> 4L, 4L -> 5L, // node 5 will vanish
+      8L -> 9L, 9L -> 11L, 11L -> 12L)                     // stable chain
+    val newE = Seq(1L -> 2L, 2L -> 3L, 3L -> 4L,           // 4→5 removed
+      2L -> 6L, 6L -> 7L,                                  // nodes 6,7 added
+      8L -> 9L, 9L -> 11L, 11L -> 12L)
+    val seeds = Seq((1L, 10L), (8L, 20L)).toDF("node", "label")
+    val frontier = GraphRank.staleFrontier(oldE.toDF("src", "dst"),
+      newE.toDF("src", "dst"), "src", "dst", hops = K - 1)
+      .collect().map(_.getLong(0)).toSet
+    // changed = {4→5 removed, 2→6 added, 6→7 added}: hop 0 = dsts
+    // {5,6,7} ∪ new-graph out-neighbors of changed srcs {2,4,6} = {3,6,7}
+    // → {3,5,6,7}; +1 hop adds 4; +1 hop adds nothing
+    frontier shouldBe Set(3L, 4L, 5L, 6L, 7L)
+    def masses(e: Seq[(Long, Long)]) = GraphRank.labelPropagationMasses(
+        e.toDF("src", "dst"), "src", "dst", seeds, "node", "label",
+        iterations = K)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val before = masses(oldE)
+    val after = masses(newE)
+    // outside the frontier: identical sparse rows, to the unit —
+    // including identical ABSENCE (no phantom rows appear or vanish)
+    val outside = (k: ((Long, Long), Long)) => !frontier.contains(k._1._1)
+    before.filter(outside) shouldBe after.filter(outside)
+    // the outside set is not vacuous and spans both label chains
+    before.keys.filter(k => !frontier.contains(k._1)).map(_._1).toSet should
+      contain allOf (2L, 9L, 11L)
+    // and the frontier is not vacuous either: node 3's mass really moved
+    // (its in-neighbor 2 halved its out-share when 2→6 appeared)
+    after((3L, 10L)) should not be before((3L, 10L))
+  }
 }

@@ -201,6 +201,61 @@ class RobustnessSpec extends SparkSpec {
       .count() shouldBe 2L
   }
 
+  test("graph rank: the teleport DENOMINATOR dampDen * TW is guarded too (r9)") {
+    // many moderate seed weights can wrap dampDen·ΣTW even when every
+    // per-seed product passes the max(tw) guards — totalUnits = 1 keeps
+    // the numerator guards quiet so the denominator guard is what fires
+    val edges = (1L to 10L).map(i => i -> (i % 10 + 1)).toDF("src", "dst")
+    // 10 × 1e17: TW = 1e18 still fits a Long (so the guard, not the
+    // aggregation, is what detects the problem) but 100·TW = 1e20 wraps
+    val seeds = (1L to 10L).map(i => (i, 100000000000000000L)).toDF("node", "tw")
+    val ex = the[IllegalArgumentException] thrownBy
+      GraphRank.trustRank(edges, "src", "dst", seeds, 1,
+        totalUnits = 1L, seedWeightCol = Some("tw"))
+    ex.getMessage should include("total teleport weight")
+    ex.getMessage should include("overflows Long")
+  }
+
+  test("graph resume seams: duplicated state rows fail loudly, not double-count (r9)") {
+    val edges = Seq(1L -> 2L, 2L -> 3L, 3L -> 1L).toDF("src", "dst")
+    // rank: two rows for node 1 would double its out-contribution in
+    // every remaining iteration
+    val dupRanks = Seq((1L, 100L), (1L, 90L), (2L, 50L))
+      .toDF("node", "rank_units")
+    val exR = the[IllegalArgumentException] thrownBy
+      GraphRank.pageRankResume(edges, "src", "dst", dupRanks, 1)
+    exR.getMessage should include("duplicate")
+    // label masses: duplicate (node, label) state
+    val seeds = Seq((1L, 10L)).toDF("node", "label")
+    val dupMass = Seq((1L, 10L, 100L), (1L, 10L, 80L), (2L, 10L, 50L))
+      .toDF("node", "label", "mass")
+    an[IllegalArgumentException] should be thrownBy
+      GraphRank.labelPropagationResume(edges, "src", "dst", seeds,
+        "node", "label", dupMass, iterations = 1)
+    an[IllegalArgumentException] should be thrownBy
+      GraphRank.labelPropagationDense(edges, "src", "dst", seeds,
+        "node", "label", labels = Seq(10L), iterations = 1,
+        initMasses = Some(dupMass))
+    // communities: duplicate node rows
+    val dupLabels = Seq((1L, 1L), (1L, 2L), (2L, 2L)).toDF("node", "label")
+    an[IllegalArgumentException] should be thrownBy
+      GraphRank.labelCommunitiesResume(edges, "src", "dst", dupLabels, 1)
+  }
+
+  test("dense label resume: state labels outside the declared universe fail loudly (r9)") {
+    // an off-universe state label means the checkpoint was built with
+    // DIFFERENT seeds — resuming it would silently drop its mass
+    val edges = Seq(1L -> 2L, 2L -> 1L).toDF("src", "dst")
+    val seeds = Seq((1L, 10L)).toDF("node", "label")
+    val alienState = Seq((1L, 10L, 100L), (2L, 77L, 50L))
+      .toDF("node", "label", "mass")
+    val ex = the[IllegalArgumentException] thrownBy
+      GraphRank.labelPropagationDense(edges, "src", "dst", seeds,
+        "node", "label", labels = Seq(10L), iterations = 1,
+        initMasses = Some(alienState))
+    ex.getMessage should include("outside the declared universe")
+  }
+
   test("quantile rollup: negative values and out-of-range p fail loudly") {
     // a negative long's 64-bit bin() length would land it in a bucket
     // that does not bracket it — the contract violation raises per-row
