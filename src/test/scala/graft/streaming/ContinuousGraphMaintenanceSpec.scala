@@ -1,0 +1,99 @@
+package graft.streaming
+
+import graft.SparkSpec
+import graft.operators.GraphRank
+import org.apache.spark.sql.functions._
+
+/** The continuous maintenance loop (r9 capstone): the drained stream
+  * equals the one-shot batch resume regardless of batching (the weight
+  * monoid), empty-delta boundaries provably skip the re-rank, and a
+  * stream with no increments serves the old equilibrium unchanged.
+  */
+class ContinuousGraphMaintenanceSpec extends SparkSpec {
+  import spark.implicits._
+
+  // old snapshot: a weighted ring with a chord; new snapshot: one edge
+  // reweighted, one removed, one added (plus a brand-new node)
+  private val oldLinks = Seq(
+    (1L, 2L, 2L), (2L, 3L, 1L), (3L, 4L, 1L), (4L, 1L, 1L), (1L, 3L, 1L))
+  private val newLinks = Seq(
+    (1L, 2L, 3L), (2L, 3L, 1L), (4L, 1L, 1L), (2L, 5L, 1L), (5L, 1L, 1L))
+
+  private def oldDF = oldLinks.toDF("src", "dst", "w")
+
+  private def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+    .map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  /** Stage `files` row-groups as one parquet file each under a fresh
+    * dir, then drain them through continuousRank one file per batch.
+    */
+  private def drain(files: Seq[Seq[(Long, Long, Long)]])
+      : ContinuousGraphMaintenance.Run = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_cgm_spec")
+    files.zipWithIndex.foreach { case (rows, i) =>
+      val df = if (rows.isEmpty)
+        Seq.empty[(Long, Long, Long)].toDF("src", "dst", "w")
+      else rows.toDF("src", "dst", "w")
+      df.coalesce(1).write.mode("append").parquet(s"$dir/f$i.parquet")
+    }
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("src",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("dst",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("w",
+        org.apache.spark.sql.types.LongType)))
+    val stream = spark.readStream
+      .option("maxFilesPerTrigger", "1")
+      .schema(schema).parquet(s"$dir/*.parquet")
+    ContinuousGraphMaintenance.continuousRank(spark, oldDF, stream,
+      "src", "dst", "w", oldIterations = 4, resumeIterations = 2)
+  }
+
+  test("drain equals batch: any batching of the partials lands on the one-shot resume, bit-identical") {
+    val direct = rows(GraphRank.pageRankResume(
+      newLinks.toDF("src", "dst", "w"), "src", "dst",
+      GraphRank.pageRank(oldDF, "src", "dst", 4, weightCol = Some("w")),
+      2, weightCol = Some("w")))
+    // one batch with everything
+    val oneShot = drain(Seq(newLinks))
+    rows(oneShot.ranks) shouldBe direct
+    // three uneven batches, with a duplicated pair whose partials must
+    // re-sum across batches (the monoid seam)
+    val split = Seq(
+      Seq((1L, 2L, 1L), (2L, 3L, 1L)),
+      Seq((1L, 2L, 2L), (4L, 1L, 1L)), // (1,2) again: 1+2 = the full 3
+      Seq((2L, 5L, 1L), (5L, 1L, 1L)))
+    val staged = drain(split)
+    rows(staged.ranks) shouldBe direct
+    // every boundary recomputed (each batch changed the graph), and the
+    // frontier was measured each time
+    staged.boundaries.size shouldBe 3
+    staged.boundaries.foreach { b =>
+      b.recomputed shouldBe true
+      b.frontierSize should be > 0L
+    }
+  }
+
+  test("empty-delta boundary skips the re-rank and serves the same ranks (provably lossless)") {
+    val run = drain(Seq(newLinks, Seq.empty))
+    // boundary 1 published; boundary 2 saw an empty delta → skipped
+    run.boundaries.size shouldBe 2
+    run.boundaries.head.recomputed shouldBe true
+    run.boundaries.last.recomputed shouldBe false
+    run.boundaries.last.frontierSize shouldBe 0L
+    // the served ranks are the boundary-1 equilibrium, bit-for-bit
+    rows(run.ranks) shouldBe rows(GraphRank.pageRankResume(
+      newLinks.toDF("src", "dst", "w"), "src", "dst",
+      GraphRank.pageRank(oldDF, "src", "dst", 4, weightCol = Some("w")),
+      2, weightCol = Some("w")))
+  }
+
+  test("no increments: the loop serves the old equilibrium unchanged") {
+    val run = drain(Seq(Seq.empty))
+    run.boundaries.size shouldBe 1
+    run.boundaries.head.recomputed shouldBe false
+    rows(run.ranks) shouldBe rows(
+      GraphRank.pageRank(oldDF, "src", "dst", 4, weightCol = Some("w")))
+  }
+}
