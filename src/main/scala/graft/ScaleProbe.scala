@@ -100,7 +100,12 @@ object ScaleProbe {
     // end-to-end incremental re-rank (old-rank + 2 resumed rounds)
     "q125_incremental_rank",
     // warm community resume (q113's movement, 2+2 rounds)
-    "q126_warm_communities")
+    "q126_warm_communities",
+    // round-9 additions: dense-routed label resume (q112b's movement on
+    // the resumed rounds + the sparse-state vector load) and the
+    // continuous maintenance loop (q125's two phases + per-boundary
+    // delta/frontier work — boundaries constant, so ~q125's decade)
+    "q127_warm_labels_auto", "q128_continuous_rank")
 
   private val IdShift = 10000000L
   private val DayShift = 4000 // > TPC-H date span, so copies never overlap
@@ -214,7 +219,7 @@ object ScaleProbe {
       math.min(once, once)
     }
     probes.foreach { q => time(q, base); () } // warmup pass at 1×
-    probes.foreach { q =>
+    val entries = probes.map { q =>
       val t1 = time(q, base)
       val tn = dirs.map { case (f, d) => f -> time(q, d) }
       val cols = tn.map { case (f, t) =>
@@ -223,7 +228,17 @@ object ScaleProbe {
       }.mkString
       println(String.format(java.util.Locale.ROOT,
         """{"query":"%s","t1x":%.3f%s}""", q, Double.box(t1), cols))
+      String.format(java.util.Locale.ROOT, """"%s":{"t1x":%.3f%s}""",
+        q, Double.box(t1), cols)
     }
+    // machine-diffable per-round artifact (the BENCH_DETAIL convention):
+    // gate → {t1x, tNx, ratioNx} plus the run parameters a comparison
+    // needs to refuse not-comparable rows (scripts/probes_delta.py)
+    val factorsJson = factors.mkString("[", ",", "]")
+    try java.nio.file.Files.write(java.nio.file.Paths.get("PROBES.json"),
+      s"""{"base":"$base","factors":$factorsJson,"runs":2,"queries":${entries.mkString("{", ",", "}")}}
+""".getBytes("UTF-8"))
+    catch { case _: Throwable => () }
     spark.stop()
   }
 }
