@@ -47,8 +47,9 @@ def main(old_path, new_path, min_delta=0.5):
         # (the r8 s16 lesson: 0.30s bases manufacture phantom ratio moves)
         note = " [sub-second 1x base: ratio is noise-amplified]" \
             if min(t1_old or 9e9, t1_new or 9e9) < 0.5 else ""
+        fmt = lambda t: f"{t:.2f}s" if t is not None else "?"
         print(f"   {q} @{f}x: {r_old:.2f} -> {r_new:.2f} "
-              f"(1x base {t1_old:.2f}s -> {t1_new:.2f}s){note}")
+              f"(1x base {fmt(t1_old)} -> {fmt(t1_new)}){note}")
     only_old, only_new = sorted(set(qo) - set(qn)), sorted(set(qn) - set(qo))
     if only_old or only_new:
         print(f"   (not comparable: {len(only_old)} only-old, {len(only_new)} only-new)")

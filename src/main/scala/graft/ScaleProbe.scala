@@ -17,7 +17,7 @@ import org.apache.spark.sql.functions._
   */
 object ScaleProbe {
 
-  private val DefaultProbes = Seq(
+  private[graft] val DefaultProbes = Seq(
     "q43_range_join_banded", "t04_fingerprint", "t07_tfidf_top_terms",
     "t08_decontamination", "t09_repetition_ratio",
     "s06_centroids_by_lang", "d03_dedup_minhash_lsh",
@@ -196,6 +196,11 @@ object ScaleProbe {
     val probes = if (args.length > 1) args(1).split(",").toSeq else DefaultProbes
     val factors =
       if (args.length > 2) args(2).split(",").map(_.toInt).toSeq else Seq(4)
+    // fail-fast with NAMES, not a NoSuchElementException mid-probe: a
+    // roster entry whose gate was (re)moved is a rot error to report
+    val dangling = probes.filterNot(SparkEntry.queries.contains)
+    require(dangling.isEmpty,
+      s"probe roster gates not in SparkEntry.queries: ${dangling.mkString(", ")}")
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")

@@ -66,6 +66,26 @@ object GraphRank {
         "dividing all weights by a common factor leaves results " +
         "bit-identical, since (k*a) div (k*b) = a div b")
 
+  /** Loud uniqueness contract on resume-state tables: every resume entry
+    * point joins (or full-joins) the supplied state back into the
+    * recurrence, so a DUPLICATED state row would silently multiply its
+    * node's contribution through every remaining iteration — the same
+    * confidently-wrong-number failure mode as a silent Long wrap, and
+    * just as invisible until an oracle mismatch. One aggregate job on the
+    * node-sized state table at the resume seam, matching the
+    * fail-loudly-not-wrap convention of [[requireProductFits]].
+    */
+  private def requireUniqueKeys(df: DataFrame, keys: Seq[String],
+      what: String): Unit = {
+    val dup = df.groupBy(keys.map(col): _*).agg(count(lit(1)).as("__n"))
+      .where(col("__n") > 1)
+    require(dup.isEmpty,
+      s"$what: the supplied state table has duplicate rows per " +
+        s"(${keys.mkString(", ")}) — e.g. ${dup.take(3).mkString("; ")} — " +
+        "which would silently inflate every iteration's sums: aggregate " +
+        "the state to one row per key before resuming")
+  }
+
   /** Label-propagation worst-case mass bound, checked in BigInt so the
     * guard itself cannot wrap: total live mass is at most
     * `seeds · clampUnits · alphaDen/(alphaDen−alphaNum)` (the geometric
@@ -135,10 +155,9 @@ object GraphRank {
       dampDen, totalUnits, weightCol, seedWeightCol = seedWeightCol)
 
   /** Resume (Trust/Page)Rank from a previously computed rank table —
-    * the recurrence is memoryless given current ranks (the node set and
-    * constants derive from the edges alone), so resuming R iterations
-    * from a K-iteration result is BIT-IDENTICAL to running K+R
-    * iterations cold (spec-asserted). Two production uses: (1)
+    * the recurrence is memoryless given current ranks, so resuming R
+    * iterations from a K-iteration result is BIT-IDENTICAL to running
+    * K+R iterations cold (spec-asserted). Two production uses: (1)
     * checkpoint/restart — a long rank job on 10⁹ nodes persists
     * (node, rank_units) and resumes after preemption without replaying
     * earlier rounds; (2) incremental warm-start — after [[edgeDelta]],
@@ -146,15 +165,29 @@ object GraphRank {
     * the graph cold-start at the teleport value), which converges in
     * far fewer rounds than a uniform start since only [[staleFrontier]]
     * neighborhoods are out of equilibrium. `ranks` must carry the
-    * pageRank output contract columns (node, rank_units).
+    * pageRank output contract columns (node, rank_units) with ONE row
+    * per node (enforced loudly — a duplicated state row would silently
+    * double-count through every iteration).
+    *
+    * The TELEPORT DISTRIBUTION is part of the recurrence, NOT of the
+    * state, and it is NOT derivable from the edges: resuming a
+    * [[trustRank]] (or weighted/topic-sensitive) checkpoint MUST pass
+    * the same `seeds`/`seedWeightCol` as the original run, or the
+    * teleport base silently reverts to uniform-over-all-nodes and the
+    * result is NOT the K+R trustRank answer (spec-asserted both ways:
+    * seeded resume ≡ seeded cold, and the constants re-derive from
+    * edges + seeds alone).
     */
   def pageRankResume(edges: DataFrame, srcCol: String, dstCol: String,
                      ranks: DataFrame, iterations: Int,
                      dampNum: Long = 85, dampDen: Long = 100,
                      totalUnits: Long = DefaultUnits,
-                     weightCol: Option[String] = None): DataFrame =
-    biasedRank(edges, srcCol, dstCol, None, iterations, dampNum, dampDen,
-      totalUnits, weightCol, initRanks = Some(ranks))
+                     weightCol: Option[String] = None,
+                     seeds: Option[DataFrame] = None,
+                     seedWeightCol: Option[String] = None): DataFrame =
+    biasedRank(edges, srcCol, dstCol, seeds, iterations, dampNum, dampDen,
+      totalUnits, weightCol, initRanks = Some(ranks),
+      seedWeightCol = seedWeightCol)
 
   private def biasedRank(edges: DataFrame, srcCol: String, dstCol: String,
                seedsOpt: Option[DataFrame],
@@ -240,7 +273,22 @@ object GraphRank {
           s"${dampDen - dampNum} * $totalUnits * $maxTw overflows Long " +
           "(2^63): scale seed weights down by a common factor " +
           "(bit-identical, since (k*a) div (k*b) = a div b)")
+      // the r0 numerator totalUnits·tw is NOT implied by the base-mass
+      // guard when dampNum = dampDen (its factor degenerates to 0)
+      require(BigInt(totalUnits) * BigInt(maxTw) <= BigInt(Long.MaxValue),
+        s"trustRank: totalUnits * max(seed weight) = $totalUnits * $maxTw " +
+          "overflows Long (2^63): scale seed weights down by a common factor")
     }
+    // the baseCol/r0Col DENOMINATOR dampDen·TW is plain Long arithmetic in
+    // the plan; a very large aggregate seed-weight sum (many seeds, each
+    // individually under max(tw)) would wrap it silently even when every
+    // per-seed product passes — BigInt-checked so the guard cannot wrap,
+    // on all paths (unweighted TW = n is safe until 9·10¹⁶ nodes, but the
+    // check is one driver comparison)
+    require(BigInt(dampDen) * BigInt(twTotal) <= BigInt(Long.MaxValue),
+      s"rank: dampDen * total teleport weight = $dampDen * $twTotal " +
+        "overflows Long (2^63): scale seed weights down by a common " +
+        "factor (bit-identical, since (k*a) div (k*b) = a div b)")
     val outw = e.groupBy("src").agg(sum(col("w")).as("outw"))
     // (src, dst, w, outw) — the per-iteration join input, materialized once
     val eo = e.join(outw, "src").localCheckpoint()
@@ -261,6 +309,7 @@ object GraphRank {
         // (new to the graph) cold-start at the teleport value
         val init = ir.select(col("node").cast("long").as("node"),
           col("rank_units").cast("long").as("__init"))
+        requireUniqueKeys(init, Seq("node"), "pageRankResume")
         nodes.join(init, Seq("node"), "left")
           .select(col("node"), col("tw"),
             coalesce(col("__init"), r0Col).as("r"))
@@ -420,11 +469,13 @@ object GraphRank {
     var mass = initMasses match {
       case None => clamp.select(col("node"), col("label"), col("clamp").as("mass"))
       case Some(m) => // warm start: the provided table IS the state
-        m.select(col("node").cast("long").as("node"),
+        val st = m.select(col("node").cast("long").as("node"),
           col("label").cast("long").as("label"),
           col("mass").cast("long").as("mass"))
           .where(col("mass") > 0)
           .localCheckpoint()
+        requireUniqueKeys(st, Seq("node", "label"), "labelPropagationResume")
+        st
     }
     var i = 0
     while (i < iterations) {
@@ -523,6 +574,46 @@ object GraphRank {
         weightCol = weightCol, maxLabelsPerNode = maxLabelsPerNode)
   }
 
+  /** The ROUTED label-propagation RESUME entry point — the warm-start
+    * twin of [[labelPropagationAuto]], closing the r8 seam where the
+    * scale-safe path and the restartable path were different paths: a
+    * restarted job probes the seed-label universe exactly like the cold
+    * auto entry (bounded ≤[[DenseLabelUniverseMax]]+1-row collect) and
+    * routes the SAME way — ≤64 labels warm-start [[labelPropagationDense]]
+    * from the persisted sparse state, larger open sets warm-start the
+    * sparse path with the same finite default beam. Routing is decided
+    * by the seeds alone (the clamp is the recurrence's only label
+    * source, so the state's label universe is the seed universe when
+    * the seeds are unchanged — and an unchanged seed set is already the
+    * resume contract), so cold and resumed runs of the same job always
+    * take the same shape. Both routes are bit-identical to K+R cold
+    * rounds (spec-asserted; shares q120's oracle).
+    */
+  def labelPropagationAutoResume(edges: DataFrame, srcCol: String, dstCol: String,
+                                 seeds: DataFrame, seedNodeCol: String, seedLabelCol: String,
+                                 masses: DataFrame, iterations: Int,
+                                 alphaNum: Long = 80, alphaDen: Long = 100,
+                                 unitsPerSeed: Long = 1000000L,
+                                 weightCol: Option[String] = None,
+                                 maxLabelsPerNode: Option[Int] = Some(DefaultLabelBeam)): DataFrame = {
+    val universe = seeds
+      .select(col(seedLabelCol).cast("long").as("label"))
+      .where(col("label").isNotNull)
+      .distinct().orderBy(col("label"))
+      .limit(DenseLabelUniverseMax + 1)
+      .collect().map(_.getLong(0)).toSeq // bounded: ≤ DenseLabelUniverseMax+1 rows
+    if (universe.nonEmpty && universe.size <= DenseLabelUniverseMax)
+      labelPropagationDense(edges, srcCol, dstCol, seeds, seedNodeCol,
+        seedLabelCol, labels = universe, iterations = iterations,
+        alphaNum = alphaNum, alphaDen = alphaDen, unitsPerSeed = unitsPerSeed,
+        weightCol = weightCol, initMasses = Some(masses))
+    else
+      labelPropagationResume(edges, srcCol, dstCol, seeds, seedNodeCol,
+        seedLabelCol, masses, iterations, alphaNum = alphaNum,
+        alphaDen = alphaDen, unitsPerSeed = unitsPerSeed,
+        weightCol = weightCol, maxLabelsPerNode = maxLabelsPerNode)
+  }
+
   /** [[labelPropagation]] for a CLOSED label universe, carried as a
     * dense length-L Long vector per node instead of (node, label) rows
     * — the scale path when L is small and known (languages, nations,
@@ -541,6 +632,21 @@ object GraphRank {
     * verbatim too. Requires `labels` distinct; seeds with labels
     * outside the universe are rejected loudly (a silent drop would
     * un-clamp ground truth).
+    *
+    * RESUME (`initMasses`): accepts the same persisted SPARSE (node,
+    * label, mass) state table as [[labelPropagationResume]] — the
+    * checkpoint format is path-independent, so a job that persisted
+    * state from either shape warm-starts on the scale-safe dense shape.
+    * The sparse rows load into the length-L vectors (absent slots = 0,
+    * exactly a pruned sparse row), after which dense ≡ sparse holds
+    * elementwise as in the cold case, so R resumed dense rounds on a
+    * K-round state are bit-identical to K+R cold rounds of EITHER path
+    * (spec-asserted; shares q120's oracle). State labels outside the
+    * declared universe are rejected loudly (they cannot exist for an
+    * unchanged seed set — the clamp is the only label source — so one
+    * present means the seeds changed and the resume is invalid);
+    * duplicate (node, label) state rows fail loudly like every resume
+    * seam.
     */
   def labelPropagationDense(edges: DataFrame, srcCol: String, dstCol: String,
                             seeds: DataFrame, seedNodeCol: String, seedLabelCol: String,
@@ -548,7 +654,8 @@ object GraphRank {
                             iterations: Int = 4,
                             alphaNum: Long = 80, alphaDen: Long = 100,
                             unitsPerSeed: Long = 1000000L,
-                            weightCol: Option[String] = None): DataFrame = {
+                            weightCol: Option[String] = None,
+                            initMasses: Option[DataFrame] = None): DataFrame = {
     require(iterations >= 1 && alphaNum >= 0 && alphaNum < alphaDen,
       "labelPropagationDense needs iterations >= 1 and 0 <= alphaNum < alphaDen")
     require(labels.nonEmpty && labels.distinct == labels,
@@ -597,7 +704,30 @@ object GraphRank {
     requireLabelMassFits(clamp.count() * L, clampUnits, alphaNum, alphaDen,
       if (weightCol.isDefined) maxOf(e, "w") else 1L, "labelPropagationDense")
 
-    var mass = clamp.select(col("node"), col("cv").as("m"))
+    var mass = initMasses match {
+      case None => clamp.select(col("node"), col("cv").as("m"))
+      case Some(m0) =>
+        // warm start from the persisted SPARSE state: load each node's
+        // rows into its length-L vector (absent slot ≡ pruned sparse row
+        // ≡ 0 — the same identity the cold-path equivalence rests on)
+        val st = m0.select(col("node").cast("long").as("node"),
+          col("label").cast("long").as("label"),
+          col("mass").cast("long").as("mass"))
+          .where(col("mass") > 0)
+          .localCheckpoint()
+        requireUniqueKeys(st, Seq("node", "label"), "labelPropagationDense resume")
+        val offState = st.filter(!col("label").isin(labels: _*))
+        require(offState.isEmpty,
+          "labelPropagationDense resume: state labels outside the declared " +
+            s"universe: ${offState.take(5).mkString(", ")} — the clamped " +
+            "recurrence cannot produce them, so the state was built with " +
+            "DIFFERENT seeds and resuming it here would be wrong")
+        st.groupBy(col("node"))
+          .agg(array((0 until L).map(i =>
+            max(when(col("label") === lit(labels(i)), col("mass"))
+              .otherwise(lit(0L)))): _*).as("m"))
+          .localCheckpoint()
+    }
     var i = 0
     while (i < iterations) {
       // ONE row per (edge × mass-carrying src): the dense win
@@ -823,6 +953,7 @@ object GraphRank {
         val lcol = if (il.columns.contains("label")) "label" else "community"
         val init = il.select(col("node").cast("long").as("node"),
           col(lcol).cast("long").as("__init"))
+        requireUniqueKeys(init, Seq("node"), "labelCommunitiesResume")
         nodes.join(init, Seq("node"), "left")
           .select(col("node"),
             coalesce(col("__init"), col("node")).as("label"))
@@ -1191,8 +1322,12 @@ object GraphRank {
     * every node — a global uniform rescale on top of the structural
     * divergence this frontier tracks; label propagation (no teleport
     * term) keeps the containment bound even then, provided the seed
-    * set is unchanged. GraphRankSpec asserts the fixed-universe bound
-    * exactly: ranks outside the frontier are bit-identical.
+    * set is unchanged. BOTH claims are spec-asserted exactly:
+    * GraphRankSpec proves the fixed-universe rank bound (ranks outside
+    * the frontier bit-identical) AND the node-churn label bound (nodes
+    * added and removed between snapshots, seeds unchanged — label
+    * masses outside the frontier bit-identical per (node, label),
+    * including identical absence).
     *
     * Scale shape: the delta is one full-outer join (see [[edgeDelta]]);
     * each hop is one join of the current frontier ring against the

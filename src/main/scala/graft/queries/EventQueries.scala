@@ -951,14 +951,15 @@ object EventQueries {
     // (distinct pairs from lineitem⋈orders); the oracle replays the
     // integer recurrence as K unrolled CTEs.
     //
-    // All trade-graph gates (q107…q117) put customers in the shared
-    // node-id space at `o_custkey + custOffset` (1e6). BOUND: TPC-H
-    // suppkeys run to SF·10⁴, so the offset is collision-free for
-    // SF < 100 — the gate SFs (≤ 0.1) and the 16× probe copies (which
-    // shift custkeys UP and leave the fixed supplier dim alone) sit far
-    // inside it, and the oracles' `node < 1000000` TrustRank seed
-    // predicate shares the same bound. A deployment at SF ≥ 100 must
-    // derive the offset from max(s_suppkey) on BOTH sides instead.
+    // All trade-graph gates (q107…q128) put customers in the shared
+    // node-id space at `o_custkey + custOffset(s, d)`, with the offset
+    // DERIVED as max(s_suppkey) + 1 on both the Spark side and the
+    // oracle side (the shared `off` CTE) — collision-free at ANY scale
+    // factor by construction, closing the r8 doc's SF < 100 bound on
+    // the old hard-coded 1e6. The 16× probe copies shift custkeys UP
+    // and leave the fixed supplier dim alone, so derived offsets stay
+    // stable there too; the TrustRank seed predicates use the same
+    // derived bound (`node < off` ⇔ supplier node).
     "q107_link_rank" -> QueryDef(
       (s, d) => {
         val li = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_suppkey"))
@@ -968,7 +969,7 @@ object EventQueries {
         // just drains); customers offset so ids never collide
         val pairs = li.join(ord, col("l_orderkey") === col("o_orderkey"))
           .select(col("l_suppkey").as("s"),
-                  (col("o_custkey") + lit(1000000L)).as("c"))
+                  (col("o_custkey") + lit(custOffset(s, d))).as("c"))
         val edges = pairs.select(col("s").as("src"), col("c").as("dst"))
           .union(pairs.select(col("c").as("src"), col("s").as("dst")))
         graft.operators.GraphRank.pageRank(edges, "src", "dst", iterations = 5)
@@ -989,7 +990,7 @@ object EventQueries {
         val ord = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"))
         val pairs = li.join(ord, col("l_orderkey") === col("o_orderkey"))
           .select(col("l_suppkey").as("s"),
-                  (col("o_custkey") + lit(1000000L)).as("c"))
+                  (col("o_custkey") + lit(custOffset(s, d))).as("c"))
         val edges = pairs.select(col("s").as("src"), col("c").as("dst"))
           .union(pairs.select(col("c").as("src"), col("s").as("dst")))
         val seeds = Tables.supplier(s, d)
@@ -998,7 +999,7 @@ object EventQueries {
           iterations = 5)
       },
       Some(linkRankOracle(iterations = 5,
-        seedPred = Some("node < 1000000 AND node % 5 = 0")))),
+        seedPred = Some(seedEvery5)))),
 
     // Graph label propagation (Zhu & Ghahramani 2002): supplier nation
     // labels spread over the bidirectional trade graph, attributing
@@ -1015,7 +1016,7 @@ object EventQueries {
         val ord = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"))
         val pairs = li.join(ord, col("l_orderkey") === col("o_orderkey"))
           .select(col("l_suppkey").as("s"),
-                  (col("o_custkey") + lit(1000000L)).as("c"))
+                  (col("o_custkey") + lit(custOffset(s, d))).as("c"))
         val edges = pairs.select(col("s").as("src"), col("c").as("dst"))
           .union(pairs.select(col("c").as("src"), col("s").as("dst")))
         val seeds = Tables.supplier(s, d)
@@ -1038,7 +1039,7 @@ object EventQueries {
         val ord = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"))
         val pairs = li.join(ord, col("l_orderkey") === col("o_orderkey"))
           .select(col("l_suppkey").as("s"),
-                  (col("o_custkey") + lit(1000000L)).as("c"))
+                  (col("o_custkey") + lit(custOffset(s, d))).as("c"))
         val edges = pairs.select(col("s").as("src"), col("c").as("dst"))
           .union(pairs.select(col("c").as("src"), col("s").as("dst")))
         val seeds = Tables.supplier(s, d)
@@ -1064,7 +1065,7 @@ object EventQueries {
         val ord = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"))
         val pairs = li.join(ord, col("l_orderkey") === col("o_orderkey"))
           .select(col("l_suppkey").as("s"),
-                  (col("o_custkey") + lit(1000000L)).as("c"))
+                  (col("o_custkey") + lit(custOffset(s, d))).as("c"))
         val edges = pairs.select(col("s").as("src"), col("c").as("dst"))
           .union(pairs.select(col("c").as("src"), col("s").as("dst")))
         val seeds = Tables.supplier(s, d)
@@ -1086,7 +1087,7 @@ object EventQueries {
         val ord = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"))
         val edges = li.join(ord, col("l_orderkey") === col("o_orderkey"))
           .select(col("l_suppkey").as("src"),
-                  (col("o_custkey") + lit(1000000L)).as("dst"))
+                  (col("o_custkey") + lit(custOffset(s, d))).as("dst"))
         graft.operators.GraphRank.hits(edges, "src", "dst", iterations = 5)
       },
       Some(hitsOracle(iterations = 5))),
@@ -1104,7 +1105,7 @@ object EventQueries {
         val ord = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"))
         val edges = li.join(ord, col("l_orderkey") === col("o_orderkey"))
           .select(col("l_suppkey").as("src"),
-                  (col("o_custkey") + lit(1000000L)).as("dst"))
+                  (col("o_custkey") + lit(custOffset(s, d))).as("dst"))
         graft.operators.GraphRank.labelCommunities(edges, "src", "dst",
           iterations = 4)
       },
@@ -1122,7 +1123,7 @@ object EventQueries {
         val ord = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"))
         val edges = li.join(ord, col("l_orderkey") === col("o_orderkey"))
           .select(col("l_suppkey").as("src"),
-                  (col("o_custkey") + lit(1000000L)).as("dst"))
+                  (col("o_custkey") + lit(custOffset(s, d))).as("dst"))
         graft.operators.GraphRank.kCore(edges, "src", "dst",
           k = 12, rounds = 4)
       },
@@ -1202,7 +1203,7 @@ object EventQueries {
         val ord = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"))
         val pairs = li.join(ord, col("l_orderkey") === col("o_orderkey"))
           .select(col("l_suppkey").as("s"),
-                  (col("o_custkey") + lit(custOffset)).as("c"))
+                  (col("o_custkey") + lit(custOffset(s, d))).as("c"))
         val edges = pairs.select(col("s").as("src"), col("c").as("dst"))
           .union(pairs.select(col("c").as("src"), col("s").as("dst")))
         val warm = graft.operators.GraphRank.pageRank(edges, "src", "dst",
@@ -1267,7 +1268,7 @@ object EventQueries {
         val ord = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"))
         val pairs = li.join(ord, col("l_orderkey") === col("o_orderkey"))
           .select(col("l_suppkey").as("s"),
-                  (col("o_custkey") + lit(custOffset)).as("c"))
+                  (col("o_custkey") + lit(custOffset(s, d))).as("c"))
         val edges = pairs.select(col("s").as("src"), col("c").as("dst"))
           .union(pairs.select(col("c").as("src"), col("s").as("dst")))
         val seeds = Tables.supplier(s, d)
@@ -1294,7 +1295,7 @@ object EventQueries {
         val ord = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"))
         val pairs = li.join(ord, col("l_orderkey") === col("o_orderkey"))
           .select(col("l_suppkey").as("s"),
-                  (col("o_custkey") + lit(custOffset)).as("c"))
+                  (col("o_custkey") + lit(custOffset(s, d))).as("c"))
         val edges = pairs.select(col("s").as("src"), col("c").as("dst"))
           .union(pairs.select(col("c").as("src"), col("s").as("dst")))
         val seeds = Tables.supplier(s, d)
@@ -1305,7 +1306,7 @@ object EventQueries {
           iterations = 5, seedWeightCol = Some("tw"))
       },
       Some(weightedRankOracle(iterations = 5,
-        seedPred = "node < 1000000 AND node % 5 = 0",
+        seedPred = seedEvery5,
         twExpr = "(node % 7) + 1"))),
 
     // Weighted k-core / s-core peel (r8, Garas et al. 2012): degree =
@@ -1322,7 +1323,7 @@ object EventQueries {
         val ord = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"))
         val links = li.join(ord, col("l_orderkey") === col("o_orderkey"))
           .select(col("l_suppkey").as("src"),
-                  (col("o_custkey") + lit(custOffset)).as("dst"),
+                  (col("o_custkey") + lit(custOffset(s, d))).as("dst"),
                   lit(1L).as("w"))
         graft.operators.GraphRank.kCore(links, "src", "dst",
           k = 25, rounds = 4, weightCol = Some("w"))
@@ -1348,7 +1349,7 @@ object EventQueries {
         val ord = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"))
         val edges = li.join(ord, col("l_orderkey") === col("o_orderkey"))
           .select(col("l_suppkey").as("src"),
-                  (col("o_custkey") + lit(custOffset)).as("dst"))
+                  (col("o_custkey") + lit(custOffset(s, d))).as("dst"))
         val comm = graft.operators.GraphRank.labelCommunities(edges,
           "src", "dst", iterations = 4)
         graft.operators.GraphRank.quotientGraph(edges, "src", "dst",
@@ -1374,7 +1375,7 @@ object EventQueries {
         val ord = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"))
         val pairs = li.join(ord, col("l_orderkey") === col("o_orderkey"))
           .select(col("l_suppkey").as("s"),
-                  (col("o_custkey") + lit(custOffset)).as("c"))
+                  (col("o_custkey") + lit(custOffset(s, d))).as("c"))
         val edges = pairs.select(col("s").as("src"), col("c").as("dst"))
           .union(pairs.select(col("c").as("src"), col("s").as("dst")))
         val seeds = Tables.supplier(s, d)
@@ -1383,7 +1384,7 @@ object EventQueries {
           seeds, maxHops = 3)
       },
       Some(hopDistanceOracle(maxHops = 3,
-        seedPred = "node < 1000000 AND node % 5 = 0"))),
+        seedPred = seedEvery5))),
 
     // Incremental re-rank, end-to-end (r8): the q116/q117/q118 story
     // composed into ONE gate — rank the OLD weighted snapshot (5
@@ -1417,13 +1418,75 @@ object EventQueries {
         val ord = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"))
         val edges = li.join(ord, col("l_orderkey") === col("o_orderkey"))
           .select(col("l_suppkey").as("src"),
-                  (col("o_custkey") + lit(custOffset)).as("dst"))
+                  (col("o_custkey") + lit(custOffset(s, d))).as("dst"))
         val c2 = graft.operators.GraphRank.labelCommunities(edges,
           "src", "dst", iterations = 2)
         graft.operators.GraphRank.labelCommunitiesResume(edges, "src", "dst",
           c2, iterations = 2)
       },
       Some(lpaCommunitiesOracle(iterations = 4))),
+
+    // Routed label resume (r9): the warm-start twin of q112c, closing
+    // the r8 seam where the scale-safe dense shape could not restart —
+    // the SAME persisted sparse (node, label, mass) checkpoint that
+    // q120 resumes on the sparse path here warm-starts the DENSE vector
+    // path through labelPropagationAutoResume (25 nations ≤ 64 ⇒ dense
+    // routing, exactly like the cold auto entry), and 2 cold + 2
+    // dense-resumed rounds are bit-identical to 4 cold rounds of either
+    // path — so this gate shares q112/q120's 4-iteration oracle
+    // verbatim and the restartable path IS the scale path now.
+    "q127_warm_labels_auto" -> QueryDef(
+      (s, d) => {
+        val li = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_suppkey"))
+        val ord = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"))
+        val pairs = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+          .select(col("l_suppkey").as("s"),
+                  (col("o_custkey") + lit(custOffset(s, d))).as("c"))
+        val edges = pairs.select(col("s").as("src"), col("c").as("dst"))
+          .union(pairs.select(col("c").as("src"), col("s").as("dst")))
+        val seeds = Tables.supplier(s, d)
+          .select(col("s_suppkey"), col("s_nationkey"))
+        val m2 = graft.operators.GraphRank.labelPropagationMasses(edges,
+          "src", "dst", seeds, "s_suppkey", "s_nationkey", iterations = 2)
+        graft.operators.GraphRank.labelPropagationAutoResume(edges,
+          "src", "dst", seeds, "s_suppkey", "s_nationkey", m2, iterations = 2)
+      },
+      Some(labelPropOracle(iterations = 4))),
+
+    // Continuous graph maintenance, end-to-end (r9): the q119 streaming
+    // delta, the q117 frontier, and the q118 warm-start composed into
+    // ONE foreachBatch loop — the new snapshot's link partials stream
+    // in micro-batches, each batch boundary measures the staleFrontier
+    // against the previously served graph (skipping the re-rank
+    // entirely when the delta is empty — provably lossless, no
+    // containment assumption needed) and otherwise publishes a BOUNDED
+    // re-rank: 2 resumed rounds from the old snapshot's 5-round
+    // equilibrium. Weight partials are a monoid, so the drained result
+    // equals the one-shot batch run (spec-asserted) and the final
+    // boundary is exactly q125's two-phase computation — this gate
+    // replays q125's unrolled two-phase CTE oracle verbatim, proving
+    // the whole production crawl-increment loop, not just its pieces.
+    "q128_continuous_rank" -> QueryDef(
+      (s, d) => {
+        val (oldE, _) = tradeSnapshots(s, d)
+        val dir = stageNewLinksDir(s, d)
+        val schema = org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("src",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("dst",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("w",
+            org.apache.spark.sql.types.LongType)))
+        withStreamConf(s, parts = "4", rocksdb = false) {
+          val stream = s.readStream
+            .option("maxFilesPerTrigger", "2") // 4 staged files → 2 boundaries
+            .schema(schema).parquet(dir.toString)
+          graft.streaming.ContinuousGraphMaintenance.continuousRank(
+            s, oldE, stream, "src", "dst", "w",
+            oldIterations = 5, resumeIterations = 2).ranks
+        }
+      },
+      Some(incrementalRankOracle(oldIters = 5, resumeIters = 2))),
   )
 
   /** q125's oracle: two unrolled weighted-rank phases in one chain —
@@ -1487,9 +1550,10 @@ object EventQueries {
         GROUP BY node)"""
     }.mkString(",\n")
     s"""
-      WITH p AS MATERIALIZED (
+      WITH $offCte,
+      p AS MATERIALIZED (
         SELECT DISTINCT CAST(l_suppkey AS BIGINT) AS s,
-                        CAST(o_custkey AS BIGINT) + $custOffset AS c
+                        CAST(o_custkey AS BIGINT) + $offSql AS c
         FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
       e AS MATERIALIZED (
         SELECT s AS src, c AS dst FROM p
@@ -1513,9 +1577,10 @@ object EventQueries {
         JOIN a$i x ON e.src = x.node JOIN a$i y ON e.dst = y.node)"""
     }.mkString(",\n")
     s"""
-      WITH l AS MATERIALIZED (
+      WITH $offCte,
+      l AS MATERIALIZED (
         SELECT CAST(l_suppkey AS BIGINT) AS s,
-               CAST(o_custkey AS BIGINT) + $custOffset AS c
+               CAST(o_custkey AS BIGINT) + $offSql AS c
         FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
       cnt AS MATERIALIZED (
         SELECT s, c, CAST(count(*) AS BIGINT) AS w FROM l GROUP BY 1, 2),
@@ -1533,11 +1598,15 @@ object EventQueries {
     * (src, dst, w=1) in 4 parquet files under the per-SF export dir;
     * restaged when orders.parquet changes (the stageDocsDir pattern).
     */
-  private def stageNewLinksDir(s: org.apache.spark.sql.SparkSession,
+  private[graft] def stageNewLinksDir(s: org.apache.spark.sql.SparkSession,
       d: String): java.nio.file.Path = {
     val sf = java.nio.file.Paths.get(d).getFileName.toString
+    // the derived node offset is part of the staged data, so it is part
+    // of the cache key — a stale dir with a different offset would
+    // stream ids from a different node space than the batch side
     val dir = java.nio.file.Paths.get(
-      sys.props("java.io.tmpdir"), "graft_export", sf, "trade_new4")
+      sys.props("java.io.tmpdir"), "graft_export", sf,
+      s"trade_new4_off${custOffset(s, d)}")
     val src = java.nio.file.Paths.get(d, "orders.parquet")
     val marker = dir.resolve("_SUCCESS")
     val stale = !java.nio.file.Files.exists(marker) ||
@@ -1550,18 +1619,38 @@ object EventQueries {
     dir
   }
 
-  /** Customer-node id offset shared by every trade-graph gate and
-    * oracle — see the bound note above q107: collision-free for SF < 100
-    * (suppkey max = SF·10⁴); derive from max(s_suppkey) beyond that.
+  /** Customer-node id offset shared by every trade-graph gate — DERIVED
+    * from the supplier dimension (`max(s_suppkey) + 1`) instead of the
+    * r8 era's hard-coded 1e6, so the shared node-id space is
+    * collision-free at ANY scale factor (the old bound broke at
+    * SF ≥ 100, where suppkeys outgrow 1e6). One tiny dimension-table
+    * aggregate per gate build; the oracles mirror the derivation
+    * verbatim as the [[offCte]] prefix, so both engines compute the
+    * same ids from the same table.
     */
-  private val custOffset = 1000000L
+  private[graft] def custOffset(s: org.apache.spark.sql.SparkSession,
+                         d: String): Long =
+    Tables.supplier(s, d)
+      .agg(max(col("s_suppkey").cast("long"))).head.getLong(0) + 1L
+
+  /** The oracle-side twin of [[custOffset]]: a CTE every trade-graph
+    * oracle prefixes its WITH chain with, referenced as [[offSql]].
+    */
+  private val offCte =
+    "off AS MATERIALIZED (SELECT CAST(max(s_suppkey) AS BIGINT) + 1 AS o FROM supplier)"
+  private val offSql = "(SELECT o FROM off)"
+
+  /** The oracle-side seed predicate for "every 5th supplier": supplier
+    * nodes are exactly the ids below the derived offset.
+    */
+  private val seedEvery5 = s"node < $offSql AND node % 5 = 0"
 
   /** q116/q117's weighted trade-graph snapshots: one row per
     * lineitem-order link (weight accumulates per parallel link), old =
     * links before 1997-06-01, new = links since 1993-01-01. Directed
     * supplier→customer; the customer-id offset is [[custOffset]].
     */
-  private def tradeSnapshots(s: org.apache.spark.sql.SparkSession,
+  private[graft] def tradeSnapshots(s: org.apache.spark.sql.SparkSession,
                              d: String): (org.apache.spark.sql.DataFrame,
                                           org.apache.spark.sql.DataFrame) = {
     val li = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_suppkey"))
@@ -1569,7 +1658,7 @@ object EventQueries {
       .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"))
     val links = li.join(ord, col("l_orderkey") === col("o_orderkey"))
       .select(col("l_suppkey").as("src"),
-        (col("o_custkey") + lit(custOffset)).as("dst"),
+        (col("o_custkey") + lit(custOffset(s, d))).as("dst"),
         col("o_orderdate").as("d"), lit(1L).as("w"))
     (links.filter(col("d") < lit("1997-06-01").cast("date")),
      links.filter(col("d") >= lit("1993-01-01").cast("date")))
@@ -1579,9 +1668,10 @@ object EventQueries {
     * the full-outer classification, mirroring GraphRank.edgeDelta.
     */
   private val edgeDeltaOracle: String = s"""
-      WITH l AS MATERIALIZED (
+      WITH $offCte,
+      l AS MATERIALIZED (
         SELECT CAST(l_suppkey AS BIGINT) AS s,
-               CAST(o_custkey AS BIGINT) + $custOffset AS c,
+               CAST(o_custkey AS BIGINT) + $offSql AS c,
                o_orderdate AS d
         FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
       eo AS MATERIALIZED (
@@ -1689,9 +1779,10 @@ object EventQueries {
         WHERE rn = 1)"""
     }.mkString(",\n")
     s"""
-      WITH p AS MATERIALIZED (
+      WITH $offCte,
+      p AS MATERIALIZED (
         SELECT DISTINCT CAST(l_suppkey AS BIGINT) AS s,
-                        CAST(o_custkey AS BIGINT) + 1000000 AS c
+                        CAST(o_custkey AS BIGINT) + $offSql AS c
         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         WHERE $edgePred),
       ed AS MATERIALIZED (SELECT s AS src, c AS dst FROM p),
@@ -1722,9 +1813,10 @@ object EventQueries {
         JOIN a$i x ON e.src = x.node JOIN a$i y ON e.dst = y.node)"""
     }.mkString(",\n")
     s"""
-      WITH p AS MATERIALIZED (
+      WITH $offCte,
+      p AS MATERIALIZED (
         SELECT DISTINCT CAST(l_suppkey AS BIGINT) AS s,
-                        CAST(o_custkey AS BIGINT) + 1000000 AS c
+                        CAST(o_custkey AS BIGINT) + $offSql AS c
         FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
       e0 AS MATERIALIZED (
         SELECT s AS src, c AS dst FROM p
@@ -1758,9 +1850,10 @@ object EventQueries {
         WHERE mass > 0)"""
     }.mkString(",\n")
     s"""
-      WITH p AS MATERIALIZED (
+      WITH $offCte,
+      p AS MATERIALIZED (
         SELECT DISTINCT CAST(l_suppkey AS BIGINT) AS s,
-                        CAST(o_custkey AS BIGINT) + 1000000 AS c
+                        CAST(o_custkey AS BIGINT) + $offSql AS c
         FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
       e AS MATERIALIZED (
         SELECT s AS src, c AS dst FROM p
@@ -1810,9 +1903,10 @@ object EventQueries {
         FROM hs${i}_raw)"""
     }.mkString(",\n")
     s"""
-      WITH e AS (
+      WITH $offCte,
+      e AS (
         SELECT DISTINCT CAST(l_suppkey AS BIGINT) AS src,
-                        CAST(o_custkey AS BIGINT) + 1000000 AS dst
+                        CAST(o_custkey AS BIGINT) + $offSql AS dst
         FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
       nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
       c AS (SELECT CAST($units AS BIGINT) // count(*) AS r0 FROM nodes),
@@ -1854,9 +1948,10 @@ object EventQueries {
           GROUP BY e.dst) s USING (node))"""
     }.mkString(",\n")
     s"""
-      WITH p AS MATERIALIZED (
+      WITH $offCte,
+      p AS MATERIALIZED (
         SELECT DISTINCT CAST(l_suppkey AS BIGINT) AS s,
-                        CAST(o_custkey AS BIGINT) + $custOffset AS c
+                        CAST(o_custkey AS BIGINT) + $offSql AS c
         FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
       e AS MATERIALIZED (
         SELECT s AS src, c AS dst, 1 AS w FROM p
@@ -1890,9 +1985,10 @@ object EventQueries {
           GROUP BY e.dst) s USING (node))"""
     }.mkString(",\n")
     s"""
-      WITH p AS MATERIALIZED (
+      WITH $offCte,
+      p AS MATERIALIZED (
         SELECT DISTINCT CAST(l_suppkey AS BIGINT) AS s,
-                        CAST(o_custkey AS BIGINT) + 1000000 AS c
+                        CAST(o_custkey AS BIGINT) + $offSql AS c
         FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
       e AS MATERIALIZED (
         SELECT s AS src, c AS dst FROM p

@@ -97,51 +97,83 @@ object ContinuousGraphMaintenance {
       .localCheckpoint()
     val warmState = warmFull.select(col("node"), col("rank_units"))
 
-    val accumDir = java.nio.file.Files
-      .createTempDirectory("graft_cgm_accum").toString
-    val ranksDir = java.nio.file.Files
-      .createTempDirectory("graft_cgm_ranks").toString
+    val loop = new Loop(spark, oldEdges, warmFull, warmState,
+      srcCol, dstCol, weightCol, resumeIterations, dampNum, dampDen,
+      totalUnits,
+      java.nio.file.Files.createTempDirectory("graft_cgm_accum").toString,
+      java.nio.file.Files.createTempDirectory("graft_cgm_ranks").toString)
+    val q = linkStream.writeStream
+      .foreachBatch(loop.processBatch _)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    loop.result
+  }
+
+  /** The per-boundary state machine, extracted from the foreachBatch
+    * closure so the REDELIVERY contract is spec-assertable rather than
+    * asserted in prose: `accumDir`/`ranksDir` outlive a query restart,
+    * and [[processBatch]] is idempotent per batchId — each batch's
+    * partials land in a batchId-keyed subdirectory with OVERWRITE, so
+    * when Structured Streaming redelivers the last uncommitted batchId
+    * after a failure, the rewrite REPLACES the earlier attempt instead
+    * of double-counting its weights into every later boundary (the
+    * failure mode an append-mode accumulator has).
+    *
+    * After a restart the in-memory seam state is conservative, never
+    * lossy: `served` re-baselines to `oldEdges` (frontier measured too
+    * LARGE, so the first boundary re-ranks when it could have skipped)
+    * and `published` re-arms (the first non-empty boundary republishes)
+    * — both re-converge at that boundary because the accumulated graph
+    * on disk is the ground truth.
+    */
+  private[graft] final class Loop(spark: SparkSession,
+      oldEdges: DataFrame, warmFull: DataFrame, warmState: DataFrame,
+      srcCol: String, dstCol: String, weightCol: String,
+      resumeIterations: Int, dampNum: Long, dampDen: Long,
+      totalUnits: Long, accumDir: String, ranksDir: String) {
     val boundaries = scala.collection.mutable.ArrayBuffer.empty[Boundary]
     // the graph the CURRENT published ranks were measured against —
     // oldEdges until the first increment lands
-    var served: DataFrame = oldEdges
-    var published = false
+    private var served: DataFrame = oldEdges
+    private var published = false
 
-    val q = linkStream.writeStream
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        // append this batch's map-side-combined partials; the weight
-        // monoid makes the accumulated table batching-invariant
-        batch.groupBy(col(srcCol), col(dstCol))
-          .agg(sum(col(weightCol)).as(weightCol))
-          .write.mode("append").parquet(accumDir)
-        // pin the boundary's accumulated snapshot (later appends must
-        // not leak into this boundary's delta)
-        val current = spark.read.parquet(accumDir).localCheckpoint()
-        val frontierSize = GraphRank.staleFrontier(served, current,
-          srcCol, dstCol, hops = resumeIterations - 1, Some(weightCol))
-          .count()
-        if (current.isEmpty || (frontierSize == 0 && published)) {
-          // empty delta ⇔ identical normalized graphs ⇔ the resume
-          // would republish the same ranks bit-for-bit: skip it. An
-          // EMPTY accumulated graph (only empty batches so far) also
-          // skips: there is no snapshot to replace the old one with
-          // yet, and rank on an empty edge list is a loud contract
-          // violation, not a publishable equilibrium.
-          boundaries += Boundary(batchId, frontierSize, recomputed = false)
-        } else {
-          GraphRank.pageRankResume(current, srcCol, dstCol, warmState,
-            resumeIterations, dampNum, dampDen, totalUnits,
-            Some(weightCol))
-            .write.mode("overwrite").parquet(ranksDir)
-          published = true
-          boundaries += Boundary(batchId, frontierSize, recomputed = true)
-        }
-        served = current
+    def processBatch(batch: DataFrame, batchId: Long): Unit = {
+      // map-side-combined partials, keyed by batchId (see class doc);
+      // the weight monoid makes the accumulated table (the union of
+      // the subdirectories) batching-invariant
+      batch.groupBy(col(srcCol), col(dstCol))
+        .agg(sum(col(weightCol)).as(weightCol))
+        .write.mode("overwrite").parquet(s"$accumDir/batch=$batchId")
+      // pin the boundary's accumulated snapshot (later batches must
+      // not leak into this boundary's delta); drop the discovered
+      // partition column — the graph is the union of all partials
+      val current = spark.read.parquet(accumDir)
+        .select(col(srcCol), col(dstCol), col(weightCol))
+        .localCheckpoint()
+      val frontierSize = GraphRank.staleFrontier(served, current,
+        srcCol, dstCol, hops = resumeIterations - 1, Some(weightCol))
+        .count()
+      if (current.isEmpty || (frontierSize == 0 && published)) {
+        // empty delta ⇔ identical normalized graphs ⇔ the resume
+        // would republish the same ranks bit-for-bit: skip it. An
+        // EMPTY accumulated graph (only empty batches so far) also
+        // skips: there is no snapshot to replace the old one with
+        // yet, and rank on an empty edge list is a loud contract
+        // violation, not a publishable equilibrium.
+        boundaries += Boundary(batchId, frontierSize, recomputed = false)
+      } else {
+        GraphRank.pageRankResume(current, srcCol, dstCol, warmState,
+          resumeIterations, dampNum, dampDen, totalUnits,
+          Some(weightCol))
+          .write.mode("overwrite").parquet(ranksDir)
+        published = true
+        boundaries += Boundary(batchId, frontierSize, recomputed = true)
       }
-      .trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination()
+      served = current
+    }
 
-    val ranks = if (published) spark.read.parquet(ranksDir) else warmFull
-    Run(ranks, boundaries.toSeq)
+    def result: Run =
+      Run(if (published) spark.read.parquet(ranksDir) else warmFull,
+        boundaries.toSeq)
   }
 }

@@ -31,6 +31,19 @@ class SparkEntrySpec extends SparkSpec {
     SparkEntry.entry(spark).count() should be > 0L
   }
 
+  test("ScaleProbe roster names only registered gates, exactly once") {
+    // the r9 damage mode: a snapshot commit de-registered gates the
+    // probe roster still named, so every default probe run crashed.
+    // This pins roster ⊆ queries (and no duplicate roster rows) inside
+    // the suite, so a half-reverted tree fails `sbt test`, not ScaleProbe.
+    val roster = ScaleProbe.DefaultProbes
+    val dangling = roster.filterNot(SparkEntry.queries.contains)
+    withClue(s"probe roster gates missing from SparkEntry.queries: $dangling") {
+      dangling shouldBe empty
+    }
+    roster.distinct.size shouldBe roster.size
+  }
+
   test("most queries are oracle-checked; rows-only is the exception") {
     val total = SparkEntry.queries.size
     val checked = SparkEntry.oracleSql.size

@@ -96,4 +96,45 @@ class ContinuousGraphMaintenanceSpec extends SparkSpec {
     rows(run.ranks) shouldBe rows(
       GraphRank.pageRank(oldDF, "src", "dst", 4, weightCol = Some("w")))
   }
+
+  test("redelivered batchId replaces, never double-counts: drain survives a mid-stream restart") {
+    // Structured Streaming redelivers the last uncommitted batchId after
+    // a failure. Model it directly against the extracted Loop: batch 1
+    // is delivered, the query "dies" before committing, a RESTARTED loop
+    // (fresh in-memory state, same accumDir/ranksDir — the on-disk truth)
+    // redelivers batch 1 and continues. The accumulated weights and the
+    // final ranks must equal the no-failure run bit-for-bit; an
+    // append-mode accumulator would double batch 1's partials here.
+    val b0 = Seq((1L, 2L, 1L), (2L, 3L, 1L))
+    val b1 = Seq((1L, 2L, 2L), (4L, 1L, 1L)) // (1,2) re-summed: 1+2 = 3
+    val b2 = Seq((2L, 5L, 1L), (5L, 1L, 1L))
+    val warmFull = GraphRank.pageRank(oldDF, "src", "dst", 4,
+      weightCol = Some("w")).localCheckpoint()
+    val warmState = warmFull.select(col("node"), col("rank_units"))
+    val accumDir = java.nio.file.Files
+      .createTempDirectory("graft_cgm_redeliver_a").toString
+    val ranksDir = java.nio.file.Files
+      .createTempDirectory("graft_cgm_redeliver_r").toString
+    def newLoop() = new ContinuousGraphMaintenance.Loop(spark, oldDF,
+      warmFull, warmState, "src", "dst", "w", resumeIterations = 2,
+      dampNum = 85, dampDen = 100, totalUnits = GraphRank.DefaultUnits,
+      accumDir, ranksDir)
+    val first = newLoop()
+    first.processBatch(b0.toDF("src", "dst", "w"), 0L)
+    first.processBatch(b1.toDF("src", "dst", "w"), 1L) // uncommitted…
+    val restarted = newLoop() // …query restarts: fresh seam state
+    restarted.processBatch(b1.toDF("src", "dst", "w"), 1L) // redelivery
+    restarted.processBatch(b2.toDF("src", "dst", "w"), 2L)
+    // accumulated graph = the monoid over {b0, b1, b2}, batch 1 ONCE
+    val accum = spark.read.parquet(accumDir)
+      .groupBy("src", "dst").agg(sum("w").as("w"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    accum shouldBe newLinks.map { case (s, d, w) => (s, d) -> w }.toMap
+    // and the published ranks equal the clean (no-failure) drain
+    rows(restarted.result.ranks) shouldBe rows(GraphRank.pageRankResume(
+      newLinks.toDF("src", "dst", "w"), "src", "dst",
+      GraphRank.pageRank(oldDF, "src", "dst", 4, weightCol = Some("w")),
+      2, weightCol = Some("w")))
+  }
 }
