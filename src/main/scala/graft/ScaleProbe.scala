@@ -193,7 +193,9 @@ object ScaleProbe {
     */
   def main(args: Array[String]): Unit = {
     val base = args.headOption.getOrElse("/root/testdata/sf0.1")
-    val probes = if (args.length > 1) args(1).split(",").toSeq else DefaultProbes
+    val probes = // "" selects the default roster (lets callers reach argv[2])
+      if (args.length > 1 && args(1).nonEmpty) args(1).split(",").toSeq
+      else DefaultProbes
     val factors =
       if (args.length > 2) args(2).split(",").map(_.toInt).toSeq else Seq(4)
     // fail-fast with NAMES, not a NoSuchElementException mid-probe: a
