@@ -105,7 +105,11 @@ object ScaleProbe {
     // the resumed rounds + the sparse-state vector load) and the
     // continuous maintenance loop (q125's two phases + per-boundary
     // delta/frontier work — boundaries constant, so ~q125's decade)
-    "q127_warm_labels_auto", "q128_continuous_rank")
+    "q127_warm_labels_auto", "q128_continuous_rank",
+    // round-10 addition: index maintenance = anti-join (state × touched
+    // ids) + bandedSigs over DELTA docs + the capped-view window — the
+    // corpus term is the delta sig pass, expected ~linear in delta size
+    "d19_index_maintenance")
 
   private val IdShift = 10000000L
   private val DayShift = 4000 // > TPC-H date span, so copies never overlap

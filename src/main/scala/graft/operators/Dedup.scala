@@ -186,10 +186,69 @@ object Dedup {
   def minhashAdmissionIndex(existing: DataFrame, textCol: String, idCol: String,
                             k: Int = 32, bands: Int = 8, shingleN: Int = 3,
                             bucketCap: Int = DefaultBucketCap): DataFrame =
-    bandedSigs(existing, textCol, idCol, k, bands, shingleN)
-      .withColumn("sz", count(lit(1)).over(
+    cappedIndexView(
+      minhashIndexState(existing, textCol, idCol, k, bands, shingleN),
+      bucketCap)
+
+  /** The UNCAPPED banded index state — (id, band, band_hash) rows for
+    * every document. This, not the capped view, is what an incremental
+    * pipeline PERSISTS across corpus versions (d19): capping is not
+    * closed under deletion — a bucket over cap in version N can fall
+    * back under cap in version N+1 once members are removed, and its
+    * rows must REAPPEAR in the serving view, which is only possible if
+    * the persisted state still has them. Serve through
+    * [[cappedIndexView]]; maintain with [[maintainMinhashIndex]].
+    */
+  def minhashIndexState(corpus: DataFrame, textCol: String, idCol: String,
+                        k: Int = 32, bands: Int = 8,
+                        shingleN: Int = 3): DataFrame =
+    bandedSigs(corpus, textCol, idCol, k, bands, shingleN)
+
+  /** The capped serving view over an (id, band, band_hash) index state:
+    * over-cap buckets dropped wholesale (d03's ubiquitous-content cap
+    * argument). One window count per (band, bucket) partition — the
+    * state is already bucket-keyed, so no extra shuffle when it is
+    * stored bucketed by (band, band_hash).
+    */
+  def cappedIndexView(state: DataFrame,
+                      bucketCap: Int = DefaultBucketCap): DataFrame =
+    state.withColumn("sz", count(lit(1)).over(
         Window.partitionBy(col("band"), col("band_hash"))))
       .filter(col("sz") <= bucketCap).drop("sz")
+
+  /** d19: near-dup index MAINTENANCE across corpus versions — the
+    * admission index (d16) kept current under document adds, CHANGES,
+    * and REMOVES without rebuilding it from the corpus. Inputs: the
+    * persisted uncapped state ([[minhashIndexState]] of version N), the
+    * [[snapshotDiff]] of N → N+1 (columns id/status), and the N+1
+    * corpus (read ONLY for delta docs — see below). Returns the N+1
+    * state; contract (spec-asserted AND hash-oracled via the gate's
+    * rebuild oracle): maintained state ≡ `minhashIndexState(V_{N+1})`
+    * row-for-row, hence `cappedIndexView` of it ≡ the rebuilt admission
+    * index.
+    *
+    * Movement at 100 TB: ONE anti-join of the state against the
+    * touched-id set (removed ∪ changed — delta-sized, broadcastable)
+    * plus the shingle/signature pass over DELTA docs only (added ∪
+    * changed, selected by a hash-only semi-join); the unchanged corpus
+    * is never re-shingled, never even read — the spec proves it by
+    * corrupting unchanged docs' text in the passed corpus and getting
+    * the correct index anyway.
+    */
+  def maintainMinhashIndex(state: DataFrame, diff: DataFrame,
+                           newCorpus: DataFrame,
+                           textCol: String, idCol: String,
+                           k: Int = 32, bands: Int = 8,
+                           shingleN: Int = 3): DataFrame = {
+    val touched = diff.filter(col("status").isin("removed", "changed"))
+      .select(col("id"))
+    val fresh = diff.filter(col("status").isin("added", "changed"))
+      .select(col("id").as("__fresh_id"))
+    val kept = state.join(touched, Seq("id"), "left_anti")
+    val delta = newCorpus.join(fresh,
+      col(idCol) === col("__fresh_id"), "left_semi")
+    kept.unionByName(bandedSigs(delta, textCol, idCol, k, bands, shingleN))
+  }
 
   /** [[incrementalMinhash]] with the existing side's banded index
     * supplied by the caller (see [[minhashAdmissionIndex]]) — the

@@ -156,6 +156,39 @@ object DedupQueries {
     WHERE c * 1.0 / (s1.n + s2.n - c) >= $threshold"""
   }
 
+  /** d19's oracle: the d03/d16 signature/banding replay machinery, run
+    * as a REBUILD of the banded index from the V2 corpus (the gate's
+    * exact V1→V2 construction) with the bucket cap applied — no
+    * maintenance logic at all. The Spark side computes the same rows by
+    * MAINTAINING V1's persisted state through the snapshot diff, so the
+    * hash match proves maintained ≡ rebuilt row-for-row.
+    */
+  private def indexMaintenanceOracle(k: Int, bands: Int): String = {
+    val rows = k / bands
+    val sigCols = (0 until k)
+      .map(i => s"min(${PH.sqlDerived("h", i)}) AS s$i").mkString(",\n               ")
+    val bandRows = (0 until bands).map { b =>
+      val slice = (b * rows until (b + 1) * rows).map(i => s"s$i").mkString(", ")
+      s"SELECT doc_id, CAST($b AS BIGINT) AS band, ${PH.sqlMd5_64(s"array_to_string([$slice], ',')")} AS bh FROM sigs"
+    }.mkString("\n          UNION ALL ")
+    s"""
+    WITH v2 AS (SELECT doc_id,
+                  CASE WHEN doc_id % 13 = 0 THEN text || ' rev2qq'
+                       ELSE text END AS text
+                FROM documents WHERE doc_id % 19 <> 5),
+    d AS (SELECT doc_id, string_split(text, ' ') ws FROM v2),
+    sh AS (SELECT DISTINCT doc_id, array_to_string(ws[i:i+2], ' ') AS s
+           FROM d, LATERAL (SELECT unnest(range(1, len(ws) - 1)) AS i) t),
+    hb AS (SELECT doc_id, s, ${PH.sqlMd5_64("s")} % ${PH.Mod31} AS h FROM sh),
+    sigs AS (SELECT doc_id,
+               $sigCols
+             FROM hb GROUP BY doc_id),
+    bandv AS ($bandRows)
+    SELECT doc_id AS id, band, bh AS band_hash FROM (
+      SELECT *, count(*) OVER (PARTITION BY band, bh) AS sz FROM bandv)
+    WHERE sz <= ${graft.operators.Dedup.DefaultBucketCap}"""
+  }
+
   /** Shared DuckDB CTE chain for the d06 near-dup clustering pipeline:
     * 3-gram shingles (DF-capped) → Jaccard ≥ 0.8 pairs → undirected
     * edges → recursive transitive closure → per-node component = min
@@ -282,6 +315,33 @@ object DedupQueries {
           threshold = 0.5)
       },
       Some(incrementalMinhashOracle(k = 32, bands = 8, threshold = 0.5))),
+
+    // d19: near-dup index MAINTENANCE across corpus versions (r10) —
+    // d16's admission index kept current under adds/CHANGES/REMOVES
+    // without a rebuild. V1 = docs minus the %17=3 slice (those are
+    // "added" in V2); V2 = docs minus the %19=5 slice ("removed"), with
+    // the %13=0 slice's text revised ("changed"). The gate maintains
+    // V1's persisted UNCAPPED state through the d14 snapshot diff and
+    // serves the capped view; the ORACLE REBUILDS the index from V2
+    // from scratch — so the hash match IS the maintenance ≡ rebuild
+    // theorem, verified end-to-end (the q125/q128 oracle pattern).
+    "d19_index_maintenance" -> QueryDef(
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val v1 = docs.filter(col("doc_id") % 17 =!= 3)
+        val v2 = docs.filter(col("doc_id") % 19 =!= 5)
+          .withColumn("text", when(col("doc_id") % 13 === 0,
+            concat(col("text"), lit(" rev2qq"))).otherwise(col("text")))
+        val state1 = Dedup.minhashIndexState(v1, "text", "doc_id")
+        val diff = Dedup.snapshotDiff(v1, v2, "text", "doc_id")
+        val maintained = Dedup.maintainMinhashIndex(state1, diff, v2,
+          "text", "doc_id")
+        Dedup.cappedIndexView(maintained)
+          .select(col("id").cast("long").as("id"),
+                  col("band").cast("long").as("band"),
+                  col("band_hash"))
+      },
+      Some(indexMaintenanceOracle(k = 32, bands = 8))),
 
     // Incremental dedup: the incoming batch (doc_id % 10 != 0) against
     // the existing corpus (doc_id % 10 == 0) — hash-only anti-join.

@@ -173,4 +173,84 @@ class DedupPropertiesSpec extends SparkSpec {
       .agg(countDistinct(col("split")).as("sides"))
       .filter(col("sides") > 1).count() should be > 0L
   }
+
+  // --- d19: index maintenance across corpus versions ---
+
+  private def idxRows(df: org.apache.spark.sql.DataFrame) =
+    df.select("id", "band", "band_hash").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+
+  test("index maintenance equals rebuild across adds, changes, and removes") {
+    import spark.implicits._
+    val v1 = Seq(
+      (1L, "alpha beta gamma delta epsilon"),
+      (2L, "one two three four five six"),      // will change
+      (3L, "red green blue yellow purple"),     // will be removed
+      (4L, "north south east west center"))
+      .toDF("doc_id", "text")
+    val v2 = Seq(
+      (1L, "alpha beta gamma delta epsilon"),   // unchanged
+      (2L, "one two three four five seven"),    // changed
+      (4L, "north south east west center"),     // unchanged
+      (5L, "new doc body arrives here now"))    // added
+      .toDF("doc_id", "text")
+    val maintained = Dedup.maintainMinhashIndex(
+      Dedup.minhashIndexState(v1, "text", "doc_id"),
+      Dedup.snapshotDiff(v1, v2, "text", "doc_id"),
+      v2, "text", "doc_id")
+    idxRows(maintained) shouldBe
+      idxRows(Dedup.minhashIndexState(v2, "text", "doc_id"))
+  }
+
+  test("maintenance never reads unchanged docs: corrupting their text changes nothing") {
+    import spark.implicits._
+    // the no-recompute claim proven behaviorally: hand the maintainer a
+    // corpus whose UNCHANGED docs carry garbage text — if it (wrongly)
+    // re-signatured them, the result would diverge from the rebuild
+    val v1 = Seq(
+      (1L, "alpha beta gamma delta epsilon"),
+      (2L, "one two three four five six"))
+      .toDF("doc_id", "text")
+    val v2 = Seq(
+      (1L, "alpha beta gamma delta epsilon"),   // unchanged
+      (2L, "one two three four five seven"),    // changed
+      (6L, "brand new sixth document text"))    // added
+      .toDF("doc_id", "text")
+    val diff = Dedup.snapshotDiff(v1, v2, "text", "doc_id")
+    val corrupted = v2.withColumn("text",
+      when(col("doc_id") === 1L, lit("GARBAGE")).otherwise(col("text")))
+    val maintained = Dedup.maintainMinhashIndex(
+      Dedup.minhashIndexState(v1, "text", "doc_id"),
+      diff, corrupted, "text", "doc_id")
+    idxRows(maintained) shouldBe
+      idxRows(Dedup.minhashIndexState(v2, "text", "doc_id"))
+  }
+
+  test("an over-cap bucket resurfaces in the capped view once removals take it under cap") {
+    import spark.implicits._
+    // capping is not closed under deletion — this is WHY the persisted
+    // state is uncapped. Three identical docs share every band bucket;
+    // at cap=2 the capped view drops them all. Removing one in V2 takes
+    // every bucket to size 2, and the remaining docs' rows must REAPPEAR.
+    val t = "same text shared by all copies"
+    val v1 = Seq((1L, t), (2L, t), (3L, t)).toDF("doc_id", "text")
+    val v2 = Seq((1L, t), (2L, t)).toDF("doc_id", "text")
+    val state1 = Dedup.minhashIndexState(v1, "text", "doc_id")
+    Dedup.cappedIndexView(state1, bucketCap = 2).count() shouldBe 0L
+    val maintained = Dedup.maintainMinhashIndex(state1,
+      Dedup.snapshotDiff(v1, v2, "text", "doc_id"), v2, "text", "doc_id")
+    idxRows(Dedup.cappedIndexView(maintained, bucketCap = 2)) shouldBe
+      idxRows(Dedup.minhashIndexState(v2, "text", "doc_id"))
+  }
+
+  test("empty diff: maintenance is the identity on the state") {
+    import spark.implicits._
+    val v = Seq(
+      (1L, "alpha beta gamma delta epsilon"),
+      (2L, "one two three four five six")).toDF("doc_id", "text")
+    val state = Dedup.minhashIndexState(v, "text", "doc_id")
+    val maintained = Dedup.maintainMinhashIndex(state,
+      Dedup.snapshotDiff(v, v, "text", "doc_id"), v, "text", "doc_id")
+    idxRows(maintained) shouldBe idxRows(state)
+  }
 }
