@@ -106,10 +106,11 @@ object ScaleProbe {
     // continuous maintenance loop (q125's two phases + per-boundary
     // delta/frontier work — boundaries constant, so ~q125's decade)
     "q127_warm_labels_auto", "q128_continuous_rank",
-    // round-10 addition: index maintenance = anti-join (state × touched
-    // ids) + bandedSigs over DELTA docs + the capped-view window — the
-    // corpus term is the delta sig pass, expected ~linear in delta size
-    "d19_index_maintenance")
+    // round-10 additions: index maintenance = anti-join (state × touched
+    // ids) + kernel over DELTA docs + the capped-view window — the
+    // corpus term is the delta kernel pass, expected ~linear in delta
+    // size; m09 adds the admission serve on the maintained index
+    "d19_index_maintenance", "m09_phash_maintenance")
 
   private val IdShift = 10000000L
   private val DayShift = 4000 // > TPC-H date span, so copies never overlap

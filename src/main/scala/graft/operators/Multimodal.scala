@@ -115,6 +115,34 @@ object Multimodal {
     media.select(col(idCol).as("id"),
       graft.functions.ByteShingleSimHash.of(col("payload")).as("phash"))
 
+  /** m09: the media fingerprint table kept current across corpus
+    * versions — d19's maintenance seam for the media stack, where
+    * skipping the unchanged corpus matters MOST: the per-item cost is
+    * the payload-byte kernel (a full media decode in production), so
+    * maintenance must never touch an unchanged payload. State = the
+    * (id, phash) table [[perceptualHash]] emits — one row per item, no
+    * capping question here (m08's chunk index + cap DERIVE from this
+    * table inside `hammingPairsAgainst`, identically whether the table
+    * was maintained or rebuilt). Maintenance = one broadcastable
+    * anti-join on the touched ids + the kernel over DELTA payloads only
+    * (hash-only semi-join selects them); contract (spec-asserted AND
+    * hash-oracled through the m09 gate, whose oracle REBUILDS the
+    * existing side from V2): maintained ≡ `perceptualHash(V2)`
+    * row-for-row, hence any admission served from it ≡ served from a
+    * rebuild.
+    */
+  def maintainPhashState(state: DataFrame, diff: DataFrame,
+                         newMedia: DataFrame, idCol: String): DataFrame = {
+    val touched = diff.filter(col("status").isin("removed", "changed"))
+      .select(col("id"))
+    val fresh = diff.filter(col("status").isin("added", "changed"))
+      .select(col("id").as("__fresh_id"))
+    val kept = state.join(touched, Seq("id"), "left_anti")
+    val delta = newMedia.join(fresh,
+      col(idCol) === col("__fresh_id"), "left_semi")
+    kept.unionByName(perceptualHash(delta, idCol))
+  }
+
   /** The original exploded formulation of [[perceptualHash]] — ~1 row
     * per payload byte shuffled into the shared 64-way vote aggregate.
     * Kept as the reference the single-loop kernel is spec-asserted

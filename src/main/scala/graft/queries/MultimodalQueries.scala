@@ -254,6 +254,86 @@ object MultimodalQueries {
                CAST(0 AS BIGINT) AS hamming
         FROM phn x JOIN phe y ON x.phash = y.phash""")),
 
+    // m09: media fingerprint-index maintenance (r10) — d19's seam for
+    // the media stack. The EXISTING (indexed) corpus moves V1→V2 with
+    // the d19 version construction (%17=3 slice added, %19=5 slice
+    // removed, %13=0 slice's payload revised); the gate maintains V1's
+    // (id, phash) state through the snapshot diff — re-running the
+    // payload kernel on DELTA items only — and serves m08's admission
+    // batch against the MAINTAINED index, while the ORACLE rebuilds the
+    // existing side's fingerprints from V2 from scratch. The hash match
+    // is the maintenance ≡ rebuild theorem THROUGH the full banded
+    // admission pipeline (chunk index + cap + equal-hash bypass).
+    "m09_phash_maintenance" -> QueryDef(
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val ex = docs.filter(col("doc_id") % 10 === 0)
+        val v1e = ex.filter(col("doc_id") % 17 =!= 3)
+        val v2e = ex.filter(col("doc_id") % 19 =!= 5)
+          .withColumn("text", when(col("doc_id") % 13 === 0,
+            concat(col("text"), lit(" rev2qq"))).otherwise(col("text")))
+        def media(df: org.apache.spark.sql.DataFrame) =
+          Multimodal.asMediaTable(df, "text", "doc_id")
+        val state1 = Multimodal.perceptualHash(media(v1e), "doc_id")
+        val diff = graft.operators.Dedup.snapshotDiff(v1e, v2e,
+          "text", "doc_id")
+        val maintained = Multimodal.maintainPhashState(state1, diff,
+          media(v2e), "doc_id")
+        graft.operators.Dedup.hammingPairsAgainst(
+          Multimodal.perceptualHash(
+            media(docs.filter(col("doc_id") % 10 =!= 0)), "doc_id"),
+          maintained,
+          "id", "phash", maxDist = 5, nChunks = 6, chunkBits = 10)
+      },
+      Some(s"""
+        WITH paye AS (SELECT doc_id,
+                        encode(CASE WHEN doc_id % 13 = 0
+                                    THEN text || ' rev2qq' ELSE text END)
+                          AS payload
+                      FROM documents
+                      WHERE doc_id % 10 = 0 AND doc_id % 19 <> 5),
+        payn AS (SELECT doc_id, encode(text) AS payload FROM documents
+                 WHERE doc_id % 10 <> 0),
+        pay AS (SELECT * FROM paye UNION ALL SELECT * FROM payn),
+        hx AS (SELECT doc_id, hex(payload) AS hx, octet_length(payload) AS nb
+               FROM pay),
+        tok AS (SELECT doc_id, substr(hx, i*2+1, 8) AS w
+                FROM hx, LATERAL (SELECT unnest(range(0, greatest(nb-3,1))) AS i) t),
+        hs AS (SELECT doc_id, list(${PH.sqlMd5_64("w")}) AS hl
+               FROM tok GROUP BY doc_id),
+        ph AS (SELECT doc_id,
+                 CAST(list_sum([CASE WHEN list_sum([CASE WHEN (h >> b) & 1 = 1
+                                                        THEN 1 ELSE -1 END
+                                                   for h in hl]) > 0
+                                     THEN (1::BIGINT << b) ELSE 0 END
+                                for b in range(64)]) AS BIGINT) AS phash
+               FROM hs),
+        phn AS (SELECT doc_id, phash FROM ph WHERE doc_id % 10 <> 0),
+        phe AS (SELECT doc_id, phash FROM ph WHERE doc_id % 10 = 0),
+        chn AS (SELECT phash, c AS chunk, (phash >> (c * 10)) & 1023 AS chunk_val
+                FROM (SELECT DISTINCT phash FROM phn),
+                     LATERAL (SELECT unnest(range(0, 6)) AS c) t),
+        cape AS (SELECT phash, chunk, chunk_val FROM (
+                   SELECT *, count(*) OVER (PARTITION BY chunk, chunk_val) AS sz
+                   FROM (SELECT phash, c AS chunk,
+                                (phash >> (c * 10)) & 1023 AS chunk_val
+                         FROM (SELECT DISTINCT phash FROM phe),
+                              LATERAL (SELECT unnest(range(0, 6)) AS c) t))
+                 WHERE sz <= ${graft.operators.Dedup.DefaultBucketCap}),
+        hv AS (SELECT hn, he, CAST(bit_count(xor(hn, he)) AS BIGINT) AS hamming
+               FROM (SELECT DISTINCT n.phash AS hn, e.phash AS he
+                     FROM chn n JOIN cape e
+                       ON n.chunk = e.chunk AND n.chunk_val = e.chunk_val
+                      AND n.phash <> e.phash)
+               WHERE bit_count(xor(hn, he)) <= 5)
+        SELECT x.doc_id AS id_new, y.doc_id AS id_existing, hv.hamming
+        FROM hv JOIN phn x ON x.phash = hv.hn
+                JOIN phe y ON y.phash = hv.he
+        UNION ALL
+        SELECT x.doc_id AS id_new, y.doc_id AS id_existing,
+               CAST(0 AS BIGINT) AS hamming
+        FROM phn x JOIN phe y ON x.phash = y.phash""")),
+
     "m03_frame_sampling" -> QueryDef(
       (s, d) => {
         val media = Multimodal.asMediaTable(Tables.documents(s, d), "text", "doc_id")

@@ -364,6 +364,40 @@ class ExtensionOperatorsSpec extends SparkSpec {
     again shouldBe ph
   }
 
+  test("m09 phash maintenance equals rebuild and never reads unchanged payloads") {
+    import spark.implicits._
+    def media(df: org.apache.spark.sql.DataFrame) =
+      Multimodal.asMediaTable(df, "text", "doc_id")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toSet
+    val v1 = Seq(
+      (1L, "alpha beta gamma delta epsilon payload body"),
+      (2L, "one two three four five six payload body"),   // will change
+      (3L, "red green blue yellow purple payload body"))  // will be removed
+      .toDF("doc_id", "text")
+    val v2 = Seq(
+      (1L, "alpha beta gamma delta epsilon payload body"), // unchanged
+      (2L, "one two three four five SEVEN payload body"),  // changed
+      (4L, "brand new media item payload body arrives"))   // added
+      .toDF("doc_id", "text")
+    val state1 = Multimodal.perceptualHash(media(v1), "doc_id")
+    val diff = Dedup.snapshotDiff(v1, v2, "text", "doc_id")
+    rows(Multimodal.maintainPhashState(state1, diff, media(v2), "doc_id")) shouldBe
+      rows(Multimodal.perceptualHash(media(v2), "doc_id"))
+    // the no-decode claim, proven behaviorally: corrupt the UNCHANGED
+    // item's payload in the corpus handed to the maintainer — a correct
+    // maintainer never reads it, so the result must still match rebuild
+    val corrupted = v2.withColumn("text",
+      when(col("doc_id") === 1L, lit("GARBAGE")).otherwise(col("text")))
+    rows(Multimodal.maintainPhashState(state1, diff, media(corrupted),
+      "doc_id")) shouldBe
+      rows(Multimodal.perceptualHash(media(v2), "doc_id"))
+    // empty diff: maintenance is the identity
+    rows(Multimodal.maintainPhashState(state1,
+      Dedup.snapshotDiff(v1, v1, "text", "doc_id"), media(v1),
+      "doc_id")) shouldBe rows(state1)
+  }
+
   test("ByteShingleSimHash kernel equals the exploded vote pipeline bit-for-bit") {
     import spark.implicits._
     // real corpus payloads plus the short-payload edge cases (< 4 bytes
