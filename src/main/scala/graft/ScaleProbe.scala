@@ -110,7 +110,10 @@ object ScaleProbe {
     // ids) + kernel over DELTA docs + the capped-view window — the
     // corpus term is the delta kernel pass, expected ~linear in delta
     // size; m09 adds the admission serve on the maintained index
-    "d19_index_maintenance", "m09_phash_maintenance")
+    "d19_index_maintenance", "m09_phash_maintenance",
+    // the continuous drain adds ~2 boundary floors + per-boundary state
+    // rewrite over d19's movement — expect near-flat like q128
+    "q129_continuous_index")
 
   private val IdShift = 10000000L
   private val DayShift = 4000 // > TPC-H date span, so copies never overlap

@@ -163,7 +163,7 @@ object DedupQueries {
     * MAINTAINING V1's persisted state through the snapshot diff, so the
     * hash match proves maintained ≡ rebuilt row-for-row.
     */
-  private def indexMaintenanceOracle(k: Int, bands: Int): String = {
+  private[queries] def indexMaintenanceOracle(k: Int, bands: Int): String = {
     val rows = k / bands
     val sigCols = (0 until k)
       .map(i => s"min(${PH.sqlDerived("h", i)}) AS s$i").mkString(",\n               ")

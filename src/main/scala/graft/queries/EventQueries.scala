@@ -1487,7 +1487,83 @@ object EventQueries {
         }
       },
       Some(incrementalRankOracle(oldIters = 5, resumeIters = 2))),
+
+    // Continuous index maintenance (q129, r10): d19 run as a continuous
+    // ingest — the q128 pattern for the dedup family. The V1→V2 diff
+    // rows (added/changed/removed, the d14 vocabulary, one row per
+    // touched doc) stream in micro-batches, and each boundary advances
+    // the persisted UNCAPPED banded index state with d19's movement:
+    // anti-join the batch's touched ids, signature the batch's delta
+    // docs ONLY. The diff has one row per doc, so any file batching is
+    // id-disjoint and the drained state equals the one-shot maintenance
+    // (spec) — which equals a from-scratch REBUILD of V2 (d19's
+    // theorem), so this gate shares d19's rebuild oracle verbatim:
+    // streaming drain, maintenance seam, and capped serving view all
+    // hash-verified in one gate. State versions are batchId-keyed pure
+    // functions of the previous version (restart-idempotent, spec'd).
+    "q129_continuous_index" -> QueryDef(
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val v1 = docs.filter(col("doc_id") % 17 =!= 3)
+        val dir = stageDiffDir(s, d)
+        val schema = org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("doc_id",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("text",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("status",
+            org.apache.spark.sql.types.StringType)))
+        withStreamConf(s, parts = "4", rocksdb = false) {
+          val stream = s.readStream
+            .option("maxFilesPerTrigger", "2") // 4 staged files → 2 boundaries
+            .schema(schema).parquet(dir.toString)
+          val run = graft.streaming.ContinuousIndexMaintenance
+            .continuousIndex(s,
+              graft.operators.Dedup.minhashIndexState(v1, "text", "doc_id")
+                .localCheckpoint(),
+              stream, "text", "doc_id")
+          graft.operators.Dedup.cappedIndexView(run.state)
+            .select(col("id").cast("long").as("id"),
+                    col("band").cast("long").as("band"),
+                    col("band_hash"))
+        }
+      },
+      Some(DedupQueries.indexMaintenanceOracle(k = 32, bands = 8))),
   )
+
+  /** q129's staged stream source: the V1→V2 snapshot-diff rows (doc_id,
+    * text, status; `text` = the NEW payload for added/changed, null for
+    * removed; `unchanged` rows excluded — maintenance never needs them)
+    * in 4 parquet files. The diff emits ONE row per doc, so any file
+    * batching is id-disjoint. Restaged when documents.parquet changes
+    * (the stageDocsDir pattern).
+    */
+  private def stageDiffDir(s: org.apache.spark.sql.SparkSession,
+      d: String): java.nio.file.Path = {
+    val sf = java.nio.file.Paths.get(d).getFileName.toString
+    val dir = java.nio.file.Paths.get(
+      sys.props("java.io.tmpdir"), "graft_export", sf, "diff_stream4")
+    val src = java.nio.file.Paths.get(d, "documents.parquet")
+    val marker = dir.resolve("_SUCCESS")
+    val stale = !java.nio.file.Files.exists(marker) ||
+      java.nio.file.Files.getLastModifiedTime(src)
+        .compareTo(java.nio.file.Files.getLastModifiedTime(marker)) > 0
+    if (stale) {
+      val docs = Tables.documents(s, d)
+      val v1 = docs.filter(col("doc_id") % 17 =!= 3)
+      val v2 = docs.filter(col("doc_id") % 19 =!= 5)
+        .withColumn("text", when(col("doc_id") % 13 === 0,
+          concat(col("text"), lit(" rev2qq"))).otherwise(col("text")))
+      graft.operators.Dedup.snapshotDiff(v1, v2, "text", "doc_id")
+        .filter(col("status") =!= "unchanged")
+        .join(v2.select(col("doc_id"), col("text")),
+          col("id") === col("doc_id"), "left")
+        .select(col("id").as("doc_id"), col("text"), col("status"))
+        .repartition(4)
+        .write.mode("overwrite").parquet(dir.toString)
+    }
+    dir
+  }
 
   /** q125's oracle: two unrolled weighted-rank phases in one chain —
     * the old snapshot's 5 rounds (uniform teleport over its node set)

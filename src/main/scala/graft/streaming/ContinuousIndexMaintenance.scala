@@ -1,0 +1,139 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.operators.Dedup
+
+/** The continuous form of d19's index maintenance — the q128 pattern
+  * brought to the dedup family: corpus version deltas stream in as
+  * micro-batches of (id, text, status) rows (the d14 snapshot-diff
+  * vocabulary: added / changed / removed, with `text` carrying the NEW
+  * payload for added/changed and ignored for removed), and each batch
+  * boundary advances the persisted UNCAPPED banded index state
+  * ([[Dedup.maintainMinhashIndex]]'s movement: anti-join the touched
+  * ids, signature the delta docs only — the unchanged corpus is never
+  * re-shingled at any boundary).
+  *
+  * Contract (spec-asserted; the gate shares d19's REBUILD oracle):
+  *  - Batches apply SEQUENTIALLY: boundary k's state =
+  *    maintain(boundary k−1's state, batch k). For batchings whose
+  *    batches touch DISJOINT ids, the drained state is bit-identical to
+  *    the one-shot batch maintenance of the union (and hence to a
+  *    from-scratch rebuild of the final corpus — d19's theorem). When
+  *    the SAME id appears in several batches, later batches override
+  *    earlier ones (last-writer-wins, the natural crawl semantics) —
+  *    also spec-asserted.
+  *  - State versions are written to batchId-KEYED directories: version
+  *    k is a pure function of version k−1 and batch k, so Structured
+  *    Streaming's redelivery of an uncommitted batchId REWRITES the
+  *    same version (overwrite mode) instead of corrupting the chain —
+  *    the same restart-idempotence argument as
+  *    [[ContinuousGraphMaintenance]]'s accumulator, for REPLACED rather
+  *    than accumulated state.
+  *
+  * Scale shape: per boundary ONE anti-join of the current state against
+  * the batch's touched ids (batch-sized, broadcastable), the shingle/
+  * signature pass over the batch's added/changed docs only, and one
+  * state rewrite. Driver state: the boundary stats and the current
+  * version number — row data lives in the versioned parquet state, not
+  * on the driver. Serving at any boundary = [[Dedup.cappedIndexView]]
+  * over the current version (the cap stays a view — capping is not
+  * closed under deletion, d19's argument).
+  *
+  * Reference analog: none — the reference re-ingests fixed task
+  * partitions at-most-once (worker/.../JobRunner semantics); a
+  * continuously-maintained similarity index has no counterpart there.
+  */
+object ContinuousIndexMaintenance {
+
+  /** One boundary's record: rows touched (removed ∪ changed) and rows
+    * signatured (added ∪ changed) at that boundary.
+    */
+  final case class Boundary(batchId: Long, touched: Long, signatured: Long)
+
+  /** The drained run: the final UNCAPPED index state (id, band,
+    * band_hash) and per-boundary stats. Serve via
+    * [[Dedup.cappedIndexView]].
+    */
+  final case class Run(state: DataFrame, boundaries: Seq[Boundary])
+
+  def continuousIndex(spark: SparkSession,
+                      initialState: DataFrame,
+                      deltaStream: DataFrame,
+                      textCol: String, idCol: String,
+                      k: Int = 32, bands: Int = 8,
+                      shingleN: Int = 3): Run = {
+    val loop = new Loop(spark, initialState, textCol, idCol, k, bands,
+      shingleN,
+      java.nio.file.Files.createTempDirectory("graft_cim_state").toString)
+    val q = deltaStream.writeStream
+      .foreachBatch(loop.processBatch _)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    loop.result
+  }
+
+  /** The per-boundary state machine, extracted (the q128 Loop pattern)
+    * so the redelivery contract is spec-assertable. Version k lands in
+    * a batchId-keyed directory with OVERWRITE, and — the load-bearing
+    * rule — batch k's BASE is always the latest on-disk version with id
+    * BELOW k (falling back to the initial state), never an in-memory
+    * pointer: after a failure, Structured Streaming redelivers only the
+    * uncommitted batch k, and a loop that resumed from memory (or from
+    * a half-written version k) would lose or double-apply deltas. Batch
+    * k fires only after k−1 committed, so every version below k is
+    * fully written; a partial directory can only be k itself, which the
+    * `< k` rule excludes and the overwrite rewrite repairs. Version k
+    * is thus a pure function of (version k−1, batch k) — redelivery
+    * REWRITES it, byte-compatibly, instead of re-applying the delta.
+    */
+  private[graft] final class Loop(spark: SparkSession,
+      initialState: DataFrame, textCol: String, idCol: String,
+      k: Int, bands: Int, shingleN: Int, val stateDir: String) {
+    val boundaries = scala.collection.mutable.ArrayBuffer.empty[Boundary]
+    private var lastVersion: Option[Long] = None
+
+    private def versionsBelow(b: Long): Seq[Long] = {
+      val s = java.nio.file.Files.list(java.nio.file.Paths.get(stateDir))
+      try {
+        val it = s.iterator()
+        val buf = scala.collection.mutable.ArrayBuffer.empty[Long]
+        while (it.hasNext) {
+          val name = it.next().getFileName.toString
+          if (name.startsWith("v")) {
+            val id = name.drop(1).toLong
+            if (id < b) buf += id
+          }
+        }
+        buf.toSeq
+      } finally s.close()
+    }
+
+    private def stateAt(v: Long): DataFrame =
+      spark.read.parquet(s"$stateDir/v$v")
+
+    def processBatch(batch: DataFrame, batchId: Long): Unit = {
+      val base = versionsBelow(batchId).sorted.lastOption
+        .map(stateAt).getOrElse(initialState)
+      // the d14 diff vocabulary arrives as rows; rebuild the two sides
+      // maintainMinhashIndex expects (its `diff` and `newCorpus` views)
+      val diff = batch.select(col(idCol).as("id"), col("status"))
+      val docs = batch.filter(col("status").isin("added", "changed"))
+        .select(col(idCol), col(textCol))
+      val touched = batch.filter(col("status").isin("removed", "changed"))
+        .count()
+      val signatured = docs.count()
+      Dedup.maintainMinhashIndex(base, diff, docs,
+        textCol, idCol, k, bands, shingleN)
+        .write.mode("overwrite").parquet(s"$stateDir/v$batchId")
+      lastVersion = Some(batchId)
+      boundaries += Boundary(batchId, touched, signatured)
+    }
+
+    def result: Run =
+      Run(lastVersion.map(stateAt).getOrElse(initialState),
+        boundaries.toSeq)
+  }
+}

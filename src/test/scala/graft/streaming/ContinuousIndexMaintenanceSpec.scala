@@ -1,0 +1,108 @@
+package graft.streaming
+
+import graft.SparkSpec
+import graft.operators.Dedup
+import org.apache.spark.sql.functions._
+
+/** The continuous index-maintenance loop (q129): the drained state
+  * equals the one-shot d19 maintenance (and hence a from-scratch
+  * rebuild) for id-disjoint batchings, later batches override earlier
+  * ones for re-touched ids, and the batchId-versioned state makes a
+  * redelivered batch rewrite its version instead of re-applying it.
+  */
+class ContinuousIndexMaintenanceSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def idx(df: org.apache.spark.sql.DataFrame) =
+    df.select("id", "band", "band_hash").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+
+  private val v1 = Seq(
+    (1L, "alpha beta gamma delta epsilon"),
+    (2L, "one two three four five six"),      // changed in V2
+    (3L, "red green blue yellow purple"),     // removed in V2
+    (4L, "north south east west center"))
+  private val v2 = Seq(
+    (1L, "alpha beta gamma delta epsilon"),
+    (2L, "one two three four five seven"),
+    (4L, "north south east west center"),
+    (5L, "new doc body arrives here now"))    // added in V2
+
+  private def df(rows: Seq[(Long, String)]) = rows.toDF("doc_id", "text")
+
+  /** The stream rows: one (doc_id, text, status) row per touched doc. */
+  private def diffRows: Seq[(Long, String, String)] = Seq(
+    (2L, "one two three four five seven", "changed"),
+    (3L, null, "removed"),
+    (5L, "new doc body arrives here now", "added"))
+
+  private def drain(files: Seq[Seq[(Long, String, String)]])
+      : ContinuousIndexMaintenance.Run = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_cim_spec")
+    files.zipWithIndex.foreach { case (rows, i) =>
+      rows.toDF("doc_id", "text", "status")
+        .coalesce(1).write.mode("append").parquet(s"$dir/f$i.parquet")
+    }
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("status",
+        org.apache.spark.sql.types.StringType)))
+    val stream = spark.readStream.option("maxFilesPerTrigger", "1")
+      .schema(schema).parquet(s"$dir/*.parquet")
+    ContinuousIndexMaintenance.continuousIndex(spark,
+      Dedup.minhashIndexState(df(v1), "text", "doc_id"), stream,
+      "text", "doc_id")
+  }
+
+  test("drain equals rebuild: any id-disjoint batching lands on the V2 index") {
+    val rebuild = idx(Dedup.minhashIndexState(df(v2), "text", "doc_id"))
+    idx(drain(Seq(diffRows)).state) shouldBe rebuild
+    val split = drain(Seq(diffRows.take(1), diffRows.drop(1)))
+    idx(split.state) shouldBe rebuild
+    split.boundaries.map(_.batchId) shouldBe Seq(0L, 1L)
+    split.boundaries.map(_.signatured).sum shouldBe 2L // changed + added
+    split.boundaries.map(_.touched).sum shouldBe 2L    // changed + removed
+  }
+
+  test("later batches override earlier ones for a re-touched id") {
+    val twice = Seq(
+      Seq((2L, "intermediate text version here", "changed")),
+      Seq((2L, "one two three four five seven", "changed"),
+          (3L, null, "removed"),
+          (5L, "new doc body arrives here now", "added")))
+    idx(drain(twice).state) shouldBe
+      idx(Dedup.minhashIndexState(df(v2), "text", "doc_id"))
+  }
+
+  test("empty stream: the initial state is served unchanged") {
+    val run = drain(Seq(Seq.empty))
+    idx(run.state) shouldBe idx(Dedup.minhashIndexState(df(v1), "text", "doc_id"))
+    run.boundaries.map(_.signatured).sum shouldBe 0L
+  }
+
+  test("redelivered batchId rewrites its version: a mid-stream restart loses nothing") {
+    // model the failure directly against the extracted Loop: batch 1 is
+    // processed but its offset never commits; a restarted loop (fresh
+    // memory, same stateDir) redelivers batch 1 — its base must be
+    // version 0, NOT the half-applied version 1 or the initial state
+    val stateDir = java.nio.file.Files
+      .createTempDirectory("graft_cim_redeliver").toString
+    val init = Dedup.minhashIndexState(df(v1), "text", "doc_id")
+      .localCheckpoint()
+    def newLoop() = new ContinuousIndexMaintenance.Loop(spark, init,
+      "text", "doc_id", 32, 8, 3, stateDir)
+    def batch(rows: Seq[(Long, String, String)]) =
+      rows.toDF("doc_id", "text", "status")
+    val first = newLoop()
+    first.processBatch(batch(diffRows.take(1)), 0L)
+    first.processBatch(batch(diffRows.slice(1, 2)), 1L) // uncommitted…
+    val restarted = newLoop() // …restart: fresh seam state, same dir
+    restarted.processBatch(batch(diffRows.slice(1, 2)), 1L) // redelivery
+    restarted.processBatch(batch(diffRows.drop(2)), 2L)
+    idx(restarted.result.state) shouldBe
+      idx(Dedup.minhashIndexState(df(v2), "text", "doc_id"))
+  }
+}
