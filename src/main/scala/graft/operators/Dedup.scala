@@ -240,7 +240,15 @@ object Dedup {
                            textCol: String, idCol: String,
                            k: Int = 32, bands: Int = 8,
                            shingleN: Int = 3): DataFrame = {
-    val touched = diff.filter(col("status").isin("removed", "changed"))
+    // EVERY touched id leaves the kept side — including "added": a d14
+    // diff against the true previous snapshot never adds a present id,
+    // but an at-least-once upstream can re-announce one, and keeping the
+    // old rows would silently DUPLICATE the index (the r9
+    // duplicate-state trap). Dropping first makes maintenance an UPSERT
+    // per id — idempotent under re-announcement — and the rebuild
+    // theorem is unchanged (a rebuild only ever sees the new corpus).
+    val touched = diff
+      .filter(col("status").isin("removed", "changed", "added"))
       .select(col("id"))
     val fresh = diff.filter(col("status").isin("added", "changed"))
       .select(col("id").as("__fresh_id"))

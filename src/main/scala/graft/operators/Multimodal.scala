@@ -133,7 +133,11 @@ object Multimodal {
     */
   def maintainPhashState(state: DataFrame, diff: DataFrame,
                          newMedia: DataFrame, idCol: String): DataFrame = {
-    val touched = diff.filter(col("status").isin("removed", "changed"))
+    // "added" joins the touched set too: upsert semantics, so an
+    // at-least-once upstream re-announcing a present id can never
+    // silently duplicate fingerprint rows (see maintainMinhashIndex)
+    val touched = diff
+      .filter(col("status").isin("removed", "changed", "added"))
       .select(col("id"))
     val fresh = diff.filter(col("status").isin("added", "changed"))
       .select(col("id").as("__fresh_id"))

@@ -243,6 +243,23 @@ class DedupPropertiesSpec extends SparkSpec {
       idxRows(Dedup.minhashIndexState(v2, "text", "doc_id"))
   }
 
+  test("re-announced 'added' for a present id upserts — never duplicates index rows") {
+    import spark.implicits._
+    // an at-least-once upstream can mark a doc "added" that the state
+    // already indexes; keeping the old rows would silently double every
+    // band row (the r9 duplicate-state trap). Maintenance drops first.
+    val v1 = Seq(
+      (1L, "alpha beta gamma delta epsilon"),
+      (2L, "one two three four five six")).toDF("doc_id", "text")
+    val state = Dedup.minhashIndexState(v1, "text", "doc_id")
+    val reAnnounce = Seq((2L, "added")).toDF("id", "status")
+    val maintained = Dedup.maintainMinhashIndex(state, reAnnounce, v1,
+      "text", "doc_id")
+    idxRows(maintained) shouldBe idxRows(state) // same text ⇒ same rows, ONCE
+    maintained.groupBy("id", "band").count()
+      .filter(col("count") > 1).count() shouldBe 0L
+  }
+
   test("empty diff: maintenance is the identity on the state") {
     import spark.implicits._
     val v = Seq(

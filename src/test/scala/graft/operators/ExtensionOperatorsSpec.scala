@@ -396,6 +396,13 @@ class ExtensionOperatorsSpec extends SparkSpec {
     rows(Multimodal.maintainPhashState(state1,
       Dedup.snapshotDiff(v1, v1, "text", "doc_id"), media(v1),
       "doc_id")) shouldBe rows(state1)
+    // re-announced "added" for a present id upserts, never duplicates
+    val reAnnounce = Seq((1L, "added")).toDF("id", "status")
+    val upserted = Multimodal.maintainPhashState(state1, reAnnounce,
+      media(v1), "doc_id")
+    rows(upserted) shouldBe rows(state1)
+    upserted.groupBy("id").count().filter(col("count") > 1)
+      .count() shouldBe 0L
   }
 
   test("ByteShingleSimHash kernel equals the exploded vote pipeline bit-for-bit") {
