@@ -113,7 +113,10 @@ object ScaleProbe {
     "d19_index_maintenance", "m09_phash_maintenance",
     // the continuous drain adds ~2 boundary floors + per-boundary state
     // rewrite over d19's movement — expect near-flat like q128
-    "q129_continuous_index")
+    "q129_continuous_index",
+    // ANN assignment maintenance: broadcast k-row codebook × delta
+    // argmin + the state anti-join — expect ~linear in the delta
+    "s18_assignment_maintenance")
 
   private val IdShift = 10000000L
   private val DayShift = 4000 // > TPC-H date span, so copies never overlap

@@ -556,6 +556,82 @@ object Similarity {
     * id. Returns a (true-group → assigned-centroid) confusion summary
     * with mean distance — flat output, bounded by k².
     */
+  /** Per-vector assignment rows (id, grp_true, assigned, dist2 6dp) —
+    * the persistable ASSIGNMENT STATE that [[maintainAssignments]]
+    * keeps current across corpus versions. Same broadcast-codebook
+    * argmin as [[assignToCentroids]] (that function is this one's
+    * per-(group, centroid) rollup in shape), but emitting the state
+    * row per vector; dist2 rounds to 6 dp AFTER the argmin so the
+    * state hash-oracles (s11's rounded-per-row-distance argument)
+    * while ties still break on the unrounded value then the label.
+    */
+  def assignVectors(vectors: DataFrame, cents: DataFrame,
+                    idCol: String, groupCol: String, vecCol: String): DataFrame = {
+    val cvec = cents.groupBy(col("grp"))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("centroid")))),
+        s => s.getField("centroid")).as("cv"))
+      .select(col("grp").as("assigned"), col("cv"),
+              dot(col("cv"), col("cv")).as("cc"))
+    val v = vectors.select(col(idCol).as("id"), col(groupCol).as("grp_true"),
+        col(vecCol).cast("array<double>").as("v"))
+      .withColumn("vv", dot(col("v"), col("v")))
+    v.crossJoin(broadcast(cvec))
+      .select(col("id"), col("grp_true"), col("assigned"),
+        (col("vv") - lit(2.0) * dot(col("v"), col("cv")) + col("cc")).as("dist2"))
+      .groupBy(col("id"), col("grp_true"))
+      .agg(min(struct(col("dist2"), col("assigned"))).as("best"))
+      .select(col("id"), col("grp_true"),
+              col("best.assigned").as("assigned"),
+              round(col("best.dist2"), 6).as("dist2"))
+  }
+
+  /** Corpus snapshot diff for VECTOR tables — d14's question where the
+    * payload is an embedding: one row per id in either snapshot with
+    * status added / removed / changed / unchanged, compared EXACTLY on
+    * the stored array (no hash, no collision risk — an embedding row is
+    * ~256 B, so moving it once through the full-outer join is cheap;
+    * with both snapshots bucketed by id the join needs no shuffle at
+    * all, d14's bucketing twin).
+    */
+  def vectorSnapshotDiff(oldDf: DataFrame, newDf: DataFrame,
+                         vecCol: String, idCol: String): DataFrame =
+    oldDf.select(col(idCol).as("id"), col(vecCol).as("__old_v"))
+      .join(newDf.select(col(idCol).as("id"), col(vecCol).as("__new_v")),
+        Seq("id"), "full_outer")
+      .withColumn("status",
+        when(col("__old_v").isNull, lit("added"))
+          .when(col("__new_v").isNull, lit("removed"))
+          .when(col("__old_v") === col("__new_v"), lit("unchanged"))
+          .otherwise(lit("changed")))
+      .select(col("id"), col("status"))
+
+  /** s18: ANN assignment-index maintenance — the d19/m09 seam for the
+    * similarity family. The codebook is FIXED (trained on the old
+    * corpus, the production cadence: centroids retrain rarely,
+    * assignments maintain continuously), so an unchanged vector's
+    * assignment can never move and maintenance touches DELTA vectors
+    * only: one broadcastable anti-join on the touched ids (UPSERT —
+    * "added" drops first too, the at-least-once safety) + the
+    * k-distance argmin over added ∪ changed vectors. Contract
+    * (spec-asserted AND hash-oracled via the s18 gate's V2-rebuild
+    * oracle): maintained ≡ `assignVectors(V2, sameCents)` row-for-row.
+    */
+  def maintainAssignments(state: DataFrame, diff: DataFrame,
+                          newVectors: DataFrame, cents: DataFrame,
+                          idCol: String, groupCol: String,
+                          vecCol: String): DataFrame = {
+    val touched = diff
+      .filter(col("status").isin("removed", "changed", "added"))
+      .select(col("id"))
+    val fresh = diff.filter(col("status").isin("added", "changed"))
+      .select(col("id").as("__fresh_id"))
+    val kept = state.join(touched, Seq("id"), "left_anti")
+    val delta = newVectors.join(fresh,
+      col(idCol) === col("__fresh_id"), "left_semi")
+    kept.unionByName(
+      assignVectors(delta, cents, idCol, groupCol, vecCol))
+  }
+
   def assignToCentroids(vectors: DataFrame, cents: DataFrame,
                         idCol: String, groupCol: String, vecCol: String): DataFrame = {
     val cvec = cents.groupBy(col("grp"))

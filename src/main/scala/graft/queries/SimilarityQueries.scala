@@ -219,6 +219,61 @@ object SimilarityQueries {
     // encode): per-language centroids from s06's machinery, every vector
     // assigned by squared L2 against the broadcast centroid set; output
     // is the (true lang → assigned centroid) confusion summary.
+    // s18: ANN assignment-index maintenance (r10) — the d19/m09 seam
+    // for the similarity family. The vector corpus moves V1→V2 (%17=3
+    // slice added, %19=5 removed, %13=0 vectors CHANGED by negation —
+    // exactly replayable in SQL); the codebook is FIXED, trained on V1
+    // (centroids retrain rarely, assignments maintain continuously), so
+    // unchanged vectors' assignments provably cannot move and the
+    // maintainer touches only delta vectors. The ORACLE re-derives the
+    // V1 codebook and assigns the V2 corpus from scratch — the hash
+    // match is maintained ≡ rebuilt, per vector, at 6dp distance.
+    "s18_assignment_maintenance" -> QueryDef(
+      (s, d) => {
+        val v = Tables.embeddings(s, d).join(
+          Tables.documents(s, d).select(col("doc_id"), col("lang")),
+          col("vec_id") === col("doc_id"))
+        val v1 = v.filter(col("vec_id") % 17 =!= 3)
+        val v2 = v.filter(col("vec_id") % 19 =!= 5)
+          .withColumn("embedding", when(col("vec_id") % 13 === 0,
+            transform(col("embedding"), x => -x))
+            .otherwise(col("embedding")))
+        val cents = Similarity.centroids(v1, "lang", "embedding")
+        val state1 = Similarity.assignVectors(v1, cents,
+          "vec_id", "lang", "embedding")
+        val diff = Similarity.vectorSnapshotDiff(v1, v2,
+          "embedding", "vec_id")
+        Similarity.maintainAssignments(state1, diff, v2, cents,
+          "vec_id", "lang", "embedding")
+          .select(col("id"), col("grp_true").as("lang"),
+                  col("assigned"), col("dist2"))
+      },
+      Some("""
+        WITH base AS (SELECT e.vec_id, d.lang,
+                        CAST(e.embedding AS DOUBLE[]) AS vd
+                      FROM embeddings e JOIN documents d ON e.vec_id = d.doc_id),
+        v1 AS (SELECT * FROM base WHERE vec_id % 17 <> 3),
+        v2 AS (SELECT vec_id, lang,
+                 CASE WHEN vec_id % 13 = 0
+                      THEN list_transform(vd, x -> -x) ELSE vd END AS vd
+               FROM base WHERE vec_id % 19 <> 5),
+        c AS (SELECT lang AS cl, i - 1 AS pos,
+                round(avg(vd[i]), 6) AS centroid
+              FROM v1, LATERAL (SELECT unnest(range(1, len(vd) + 1)) AS i) t
+              GROUP BY 1, 2),
+        cv AS (SELECT cl, list(centroid ORDER BY pos) AS cvec FROM c GROUP BY 1),
+        sc AS (SELECT vec_id, lang, cl,
+                 list_inner_product(vd, vd) - 2 * list_inner_product(vd, cvec)
+                   + list_inner_product(cvec, cvec) AS dist2
+               FROM v2 CROSS JOIN cv),
+        b AS (SELECT vec_id, lang, cl, dist2,
+                row_number() OVER (PARTITION BY vec_id
+                                   ORDER BY dist2, cl) AS rn
+              FROM sc)
+        SELECT vec_id AS id, lang, cl AS assigned,
+               round(dist2, 6) AS dist2
+        FROM b WHERE rn = 1""")),
+
     "s07_centroid_assign" -> QueryDef(
       (s, d) => {
         val v = Tables.embeddings(s, d).join(

@@ -364,6 +364,56 @@ class ExtensionOperatorsSpec extends SparkSpec {
     again shouldBe ph
   }
 
+  test("s18 assignment maintenance equals rebuild under a fixed codebook") {
+    import spark.implicits._
+    def vecs(rows: Seq[(Long, String, Seq[Double])]) =
+      rows.toDF("vec_id", "lang", "embedding")
+    def assign(df: org.apache.spark.sql.DataFrame,
+               cents: org.apache.spark.sql.DataFrame) =
+      Similarity.assignVectors(df, cents, "vec_id", "lang", "embedding")
+        .collect().map(r => (r.getLong(0), r.getString(1),
+          r.getString(2), r.getDouble(3))).toSet
+    val v1 = Seq(
+      (1L, "en", Seq(1.0, 0.0)), (2L, "en", Seq(0.9, 0.1)),
+      (3L, "fr", Seq(0.0, 1.0)), (4L, "fr", Seq(0.1, 0.9)))
+    val v2 = Seq(
+      (1L, "en", Seq(1.0, 0.0)),              // unchanged
+      (2L, "en", Seq(0.05, 0.95)),            // changed — flips cluster
+      (4L, "fr", Seq(0.1, 0.9)),              // unchanged (3 removed)
+      (5L, "en", Seq(0.2, 0.8)))              // added
+    val cents = Similarity.centroids(vecs(v1), "lang", "embedding")
+    val state1 = Similarity.assignVectors(vecs(v1), cents,
+      "vec_id", "lang", "embedding")
+    val diff = Similarity.vectorSnapshotDiff(vecs(v1), vecs(v2),
+      "embedding", "vec_id")
+    // the diff classifies exactly
+    diff.collect().map(r => r.getLong(0) -> r.getString(1)).toMap shouldBe
+      Map(1L -> "unchanged", 2L -> "changed", 3L -> "removed",
+          4L -> "unchanged", 5L -> "added")
+    val maintained = Similarity.maintainAssignments(state1, diff,
+      vecs(v2), cents, "vec_id", "lang", "embedding")
+    maintained.collect().map(r => (r.getLong(0), r.getString(1),
+      r.getString(2), r.getDouble(3))).toSet shouldBe assign(vecs(v2), cents)
+    // never touches unchanged vectors: corrupt them in the passed corpus
+    val corrupted = vecs(v2).withColumn("embedding",
+      when(col("vec_id").isin(1L, 4L),
+        typedLit(Seq(9.9, 9.9))).otherwise(col("embedding")))
+    Similarity.maintainAssignments(state1, diff, corrupted, cents,
+        "vec_id", "lang", "embedding")
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        r.getString(2), r.getDouble(3))).toSet shouldBe
+      assign(vecs(v2), cents)
+    // re-announced "added" for a present id upserts, never duplicates
+    val re = Seq((1L, "added")).toDF("id", "status")
+    val upserted = Similarity.maintainAssignments(state1, re, vecs(v1),
+      cents, "vec_id", "lang", "embedding")
+    upserted.groupBy("id").count().filter(col("count") > 1)
+      .count() shouldBe 0L
+    upserted.collect().map(r => (r.getLong(0), r.getString(1),
+      r.getString(2), r.getDouble(3))).toSet shouldBe
+      assign(vecs(v1), cents)
+  }
+
   test("m09 phash maintenance equals rebuild and never reads unchanged payloads") {
     import spark.implicits._
     def media(df: org.apache.spark.sql.DataFrame) =

@@ -95,6 +95,7 @@ class PlanAuditSpec extends SparkSpec {
     */
   private val singletonBroadcast: Set[String] = Set(
     "s07_centroid_assign",   // k-row codebook broadcast against the scan
+    "s18_assignment_maintenance", // same k-row codebook broadcast (s07's shape) on the delta side
     "t07_tfidf_top_terms",   // 1-row corpus doc-count
     "t11_bm25_search",       // 1-row (N, avgdl) stats
     "t12_unigram_logprob",   // 1-row total token count
