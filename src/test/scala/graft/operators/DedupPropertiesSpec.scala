@@ -260,6 +260,42 @@ class DedupPropertiesSpec extends SparkSpec {
       .filter(col("count") > 1).count() shouldBe 0L
   }
 
+  test("maintenance equals rebuild on random corpora under random mutation sets") {
+    import spark.implicits._
+    // the hand-built cases pin each status once; this drives the
+    // maintained ≡ rebuild theorem across 15 random (corpus, mutation)
+    // draws — any partition of ids into keep/remove/change/add must land
+    // on the from-scratch index
+    val words = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta",
+      "eta", "theta", "iota", "kappa")
+    def text(seed: Int, len: Int): String =
+      (0 until (3 + len)).map(i => words((seed * 7 + i * 13) % 10))
+        .mkString(" ")
+    val gen = for {
+      n      <- Gen.choose(4, 12)
+      remove <- Gen.someOf(0 until n)
+      change <- Gen.someOf(0 until n)
+      nAdd   <- Gen.choose(0, 4)
+      salt   <- Gen.choose(0, 1000)
+    } yield (n, remove.toSet, change.toSet, nAdd, salt)
+    forAll(gen, trials = 15) { case (n, remove, change, nAdd, salt) =>
+      val v1 = (0 until n).map(i => (i.toLong, text(i + salt, i % 4)))
+      val v2 = (0 until n).filterNot(remove)
+        .map(i => (i.toLong,
+          if (change(i)) text(i + salt, i % 4) + " mutated tail words"
+          else text(i + salt, i % 4))) ++
+        (n until n + nAdd).map(i => (i.toLong, text(i + salt * 3, i % 5)))
+      val v1df = v1.toDF("doc_id", "text")
+      val v2df = v2.toDF("doc_id", "text")
+      val maintained = Dedup.maintainMinhashIndex(
+        Dedup.minhashIndexState(v1df, "text", "doc_id"),
+        Dedup.snapshotDiff(v1df, v2df, "text", "doc_id"),
+        v2df, "text", "doc_id")
+      idxRows(maintained) shouldBe
+        idxRows(Dedup.minhashIndexState(v2df, "text", "doc_id"))
+    }
+  }
+
   test("empty diff: maintenance is the identity on the state") {
     import spark.implicits._
     val v = Seq(
