@@ -1702,12 +1702,20 @@ object EventQueries {
     * SF ≥ 100, where suppkeys outgrow 1e6). One tiny dimension-table
     * aggregate per gate build; the oracles mirror the derivation
     * verbatim as the [[offCte]] prefix, so both engines compute the
-    * same ids from the same table.
+    * same ids from the same table. Memoized per data directory — the
+    * offset is a pure function of the staged supplier table, and every
+    * trade-graph gate build (pairs, seeds, snapshots, staging) calls
+    * this several times; without the cache each call is a
+    * driver-blocking aggregate job.
     */
+  private val custOffsetCache =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+
   private[graft] def custOffset(s: org.apache.spark.sql.SparkSession,
                          d: String): Long =
-    Tables.supplier(s, d)
-      .agg(max(col("s_suppkey").cast("long"))).head.getLong(0) + 1L
+    custOffsetCache.computeIfAbsent(d, _ =>
+      Tables.supplier(s, d)
+        .agg(max(col("s_suppkey").cast("long"))).head.getLong(0) + 1L)
 
   /** The oracle-side twin of [[custOffset]]: a CTE every trade-graph
     * oracle prefixes its WITH chain with, referenced as [[offSql]].

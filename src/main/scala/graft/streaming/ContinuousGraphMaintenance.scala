@@ -79,6 +79,15 @@ object ContinuousGraphMaintenance {
     * class doc. Returns the final boundary's published ranks — or the
     * old equilibrium itself when the stream delivered no batches (no
     * increment ⇒ the old snapshot is still the snapshot).
+    *
+    * Production callers that need RESTART resumption must pass stable
+    * `accumDir`/`ranksDir` AND a `checkpointLocation` (all default to
+    * fresh temp/none, the one-shot drain shape): the checkpoint is what
+    * makes Structured Streaming redeliver only uncommitted batches, and
+    * the stable dirs are what the Loop's redelivery idempotence is
+    * measured against. With the defaults a driver restart silently
+    * loses the accumulated graph and re-baselines — fine for a
+    * drain-once job, wrong for a service.
     */
   def continuousRank(spark: SparkSession,
                      oldEdges: DataFrame,
@@ -87,7 +96,10 @@ object ContinuousGraphMaintenance {
                      oldIterations: Int = 5,
                      resumeIterations: Int = 2,
                      dampNum: Long = 85, dampDen: Long = 100,
-                     totalUnits: Long = GraphRank.DefaultUnits): Run = {
+                     totalUnits: Long = GraphRank.DefaultUnits,
+                     accumDir: Option[String] = None,
+                     ranksDir: Option[String] = None,
+                     checkpointLocation: Option[String] = None): Run = {
     require(resumeIterations >= 1,
       "continuousRank needs resumeIterations >= 1")
     // the last full equilibrium, computed once — every boundary's
@@ -100,11 +112,15 @@ object ContinuousGraphMaintenance {
     val loop = new Loop(spark, oldEdges, warmFull, warmState,
       srcCol, dstCol, weightCol, resumeIterations, dampNum, dampDen,
       totalUnits,
-      java.nio.file.Files.createTempDirectory("graft_cgm_accum").toString,
-      java.nio.file.Files.createTempDirectory("graft_cgm_ranks").toString)
-    val q = linkStream.writeStream
+      accumDir.getOrElse(java.nio.file.Files
+        .createTempDirectory("graft_cgm_accum").toString),
+      ranksDir.getOrElse(java.nio.file.Files
+        .createTempDirectory("graft_cgm_ranks").toString))
+    val w = linkStream.writeStream
       .foreachBatch(loop.processBatch _)
-      .trigger(Trigger.AvailableNow()).start()
+      .trigger(Trigger.AvailableNow())
+    val q = checkpointLocation
+      .fold(w)(cp => w.option("checkpointLocation", cp)).start()
     q.awaitTermination()
     loop.result
   }

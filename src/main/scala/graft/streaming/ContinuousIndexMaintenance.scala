@@ -59,18 +59,32 @@ object ContinuousIndexMaintenance {
     */
   final case class Run(state: DataFrame, boundaries: Seq[Boundary])
 
+  /** Drain `deltaStream` as described in the class doc. Production
+    * callers that need RESTART resumption must pass a stable `stateDir`
+    * AND a `checkpointLocation` (both default to fresh temp/none, the
+    * one-shot test shape): the checkpoint is what makes Structured
+    * Streaming redeliver only uncommitted batches, and the stable state
+    * dir is what the redelivered batch's base is resolved against. With
+    * the defaults a driver restart silently re-baselines from
+    * `initialState` — fine for a drain-once job, wrong for a service.
+    */
   def continuousIndex(spark: SparkSession,
                       initialState: DataFrame,
                       deltaStream: DataFrame,
                       textCol: String, idCol: String,
                       k: Int = 32, bands: Int = 8,
-                      shingleN: Int = 3): Run = {
+                      shingleN: Int = 3,
+                      stateDir: Option[String] = None,
+                      checkpointLocation: Option[String] = None): Run = {
     val loop = new Loop(spark, initialState, textCol, idCol, k, bands,
       shingleN,
-      java.nio.file.Files.createTempDirectory("graft_cim_state").toString)
-    val q = deltaStream.writeStream
+      stateDir.getOrElse(java.nio.file.Files
+        .createTempDirectory("graft_cim_state").toString))
+    val w = deltaStream.writeStream
       .foreachBatch(loop.processBatch _)
-      .trigger(Trigger.AvailableNow()).start()
+      .trigger(Trigger.AvailableNow())
+    val q = checkpointLocation
+      .fold(w)(cp => w.option("checkpointLocation", cp)).start()
     q.awaitTermination()
     loop.result
   }
@@ -93,7 +107,11 @@ object ContinuousIndexMaintenance {
       initialState: DataFrame, textCol: String, idCol: String,
       k: Int, bands: Int, shingleN: Int, val stateDir: String) {
     val boundaries = scala.collection.mutable.ArrayBuffer.empty[Boundary]
-    private var lastVersion: Option[Long] = None
+
+    // only ^v\d+$ entries are version directories — a stray file in a
+    // caller-supplied stateDir (checkpoint crumbs, editor droppings)
+    // must be ignored, not NumberFormatException the drain
+    private val VersionDir = "^v(\\d+)$".r
 
     private def versionsBelow(b: Long): Seq[Long] = {
       val s = java.nio.file.Files.list(java.nio.file.Paths.get(stateDir))
@@ -101,10 +119,9 @@ object ContinuousIndexMaintenance {
         val it = s.iterator()
         val buf = scala.collection.mutable.ArrayBuffer.empty[Long]
         while (it.hasNext) {
-          val name = it.next().getFileName.toString
-          if (name.startsWith("v")) {
-            val id = name.drop(1).toLong
-            if (id < b) buf += id
+          it.next().getFileName.toString match {
+            case VersionDir(id) if id.toLong < b => buf += id.toLong
+            case _ => ()
           }
         }
         buf.toSeq
@@ -115,6 +132,17 @@ object ContinuousIndexMaintenance {
       spark.read.parquet(s"$stateDir/v$v")
 
     def processBatch(batch: DataFrame, batchId: Long): Unit = {
+      // one diff row per id per boundary — last-writer-wins applies
+      // ACROSS batches; within one batch two rows for the same id are
+      // order-ambiguous and would emit conflicting index rows, so fail
+      // loudly (the requireUniqueKeys convention of the resume seams)
+      val dup = batch.groupBy(col(idCol)).agg(count(lit(1)).as("__n"))
+        .where(col("__n") > 1)
+      require(dup.isEmpty,
+        s"continuousIndex: batch $batchId carries duplicate rows per " +
+          s"'$idCol' — e.g. ${dup.take(3).mkString("; ")} — the " +
+          "boundary contract is one diff row per id; pre-aggregate " +
+          "the batch to its final per-id status upstream")
       val base = versionsBelow(batchId).sorted.lastOption
         .map(stateAt).getOrElse(initialState)
       // the d14 diff vocabulary arrives as rows; rebuild the two sides
@@ -128,12 +156,16 @@ object ContinuousIndexMaintenance {
       Dedup.maintainMinhashIndex(base, diff, docs,
         textCol, idCol, k, bands, shingleN)
         .write.mode("overwrite").parquet(s"$stateDir/v$batchId")
-      lastVersion = Some(batchId)
       boundaries += Boundary(batchId, touched, signatured)
     }
 
+    /** The served state is the latest ON-DISK version — not an
+      * in-memory pointer — so a restarted Loop over a stable stateDir
+      * whose stream had nothing left to redeliver still serves the
+      * drained state rather than silently re-baselining.
+      */
     def result: Run =
-      Run(lastVersion.map(stateAt).getOrElse(initialState),
-        boundaries.toSeq)
+      Run(versionsBelow(Long.MaxValue).sorted.lastOption
+        .map(stateAt).getOrElse(initialState), boundaries.toSeq)
   }
 }

@@ -97,6 +97,47 @@ class ContinuousGraphMaintenanceSpec extends SparkSpec {
       GraphRank.pageRank(oldDF, "src", "dst", 4, weightCol = Some("w")))
   }
 
+  test("public entry point resumes across restarts with stable dirs + checkpoint") {
+    // the advisor's gap: continuousRank with defaults loses the
+    // accumulated graph on restart. With stable accumDir/ranksDir AND a
+    // checkpointLocation, a second invocation redelivers only
+    // uncommitted batches and the accumulated on-disk partials carry
+    // over — drain half the increments, "restart", drain the rest.
+    val srcDir = java.nio.file.Files.createTempDirectory("graft_cgm_src")
+    val accumDir = java.nio.file.Files
+      .createTempDirectory("graft_cgm_accum2").toString
+    val ranksDir = java.nio.file.Files
+      .createTempDirectory("graft_cgm_ranks2").toString
+    val cpDir = java.nio.file.Files
+      .createTempDirectory("graft_cgm_cp").toString
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("src",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("dst",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("w",
+        org.apache.spark.sql.types.LongType)))
+    def stream() = spark.readStream.option("maxFilesPerTrigger", "1")
+      .schema(schema).parquet(s"$srcDir/*.parquet")
+    def run() = ContinuousGraphMaintenance.continuousRank(spark, oldDF,
+      stream(), "src", "dst", "w", oldIterations = 4,
+      resumeIterations = 2, accumDir = Some(accumDir),
+      ranksDir = Some(ranksDir), checkpointLocation = Some(cpDir))
+    newLinks.take(3).toDF("src", "dst", "w")
+      .coalesce(1).write.mode("append").parquet(s"$srcDir/f0.parquet")
+    run() // first incarnation drains batch 0
+    newLinks.drop(3).toDF("src", "dst", "w")
+      .coalesce(1).write.mode("append").parquet(s"$srcDir/f1.parquet")
+    val resumed = run() // restart: only the NEW file is delivered…
+    resumed.boundaries.map(_.batchId) shouldBe Seq(1L)
+    // …and the accumulated graph still carries batch 0's partials, so
+    // the published ranks equal the one-shot resume over ALL links
+    rows(resumed.ranks) shouldBe rows(GraphRank.pageRankResume(
+      newLinks.toDF("src", "dst", "w"), "src", "dst",
+      GraphRank.pageRank(oldDF, "src", "dst", 4, weightCol = Some("w")),
+      2, weightCol = Some("w")))
+  }
+
   test("redelivered batchId replaces, never double-counts: drain survives a mid-stream restart") {
     // Structured Streaming redelivers the last uncommitted batchId after
     // a failure. Model it directly against the extracted Loop: batch 1

@@ -83,6 +83,74 @@ class ContinuousIndexMaintenanceSpec extends SparkSpec {
     run.boundaries.map(_.signatured).sum shouldBe 0L
   }
 
+  test("a batch with duplicate ids fails loudly instead of emitting conflicting index rows") {
+    val stateDir = java.nio.file.Files
+      .createTempDirectory("graft_cim_dup").toString
+    val loop = new ContinuousIndexMaintenance.Loop(spark,
+      Dedup.minhashIndexState(df(v1), "text", "doc_id"),
+      "text", "doc_id", 32, 8, 3, stateDir)
+    val dupBatch = Seq(
+      (2L, "first version in the batch", "changed"),
+      (2L, "second version same batch", "changed")).toDF(
+      "doc_id", "text", "status")
+    val ex = intercept[IllegalArgumentException] {
+      loop.processBatch(dupBatch, 0L)
+    }
+    ex.getMessage should include("duplicate")
+  }
+
+  test("stray non-version entries in a caller-supplied stateDir are ignored") {
+    val stateDir = java.nio.file.Files
+      .createTempDirectory("graft_cim_stray")
+    // checkpoint crumbs / editor droppings that start with 'v' but are
+    // not version directories must not NumberFormatException the drain
+    java.nio.file.Files.createFile(stateDir.resolve("victory.txt"))
+    java.nio.file.Files.createDirectory(stateDir.resolve("v1notdigits"))
+    val init = Dedup.minhashIndexState(df(v1), "text", "doc_id")
+      .localCheckpoint()
+    val loop = new ContinuousIndexMaintenance.Loop(spark, init,
+      "text", "doc_id", 32, 8, 3, stateDir.toString)
+    loop.processBatch(
+      diffRows.toDF("doc_id", "text", "status"), 0L)
+    idx(loop.result.state) shouldBe
+      idx(Dedup.minhashIndexState(df(v2), "text", "doc_id"))
+  }
+
+  test("public entry point resumes across restarts with stable stateDir + checkpoint") {
+    // the advisor's gap: continuousIndex with defaults re-baselines on
+    // restart. With a stable stateDir AND checkpointLocation, a second
+    // invocation redelivers only uncommitted batches and serves the
+    // latest ON-DISK state — drain, "restart" with more files, drain.
+    val srcDir = java.nio.file.Files.createTempDirectory("graft_cim_src")
+    val stateDir = java.nio.file.Files
+      .createTempDirectory("graft_cim_state2").toString
+    val cpDir = java.nio.file.Files
+      .createTempDirectory("graft_cim_cp").toString
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("status",
+        org.apache.spark.sql.types.StringType)))
+    def stream() = spark.readStream.option("maxFilesPerTrigger", "1")
+      .schema(schema).parquet(s"$srcDir/*.parquet")
+    def run() = ContinuousIndexMaintenance.continuousIndex(spark,
+      Dedup.minhashIndexState(df(v1), "text", "doc_id"), stream(),
+      "text", "doc_id", stateDir = Some(stateDir),
+      checkpointLocation = Some(cpDir))
+    diffRows.take(1).toDF("doc_id", "text", "status")
+      .coalesce(1).write.mode("append").parquet(s"$srcDir/f0.parquet")
+    run() // first incarnation drains batch 0
+    diffRows.drop(1).toDF("doc_id", "text", "status")
+      .coalesce(1).write.mode("append").parquet(s"$srcDir/f1.parquet")
+    val resumed = run() // restart: only the NEW file is delivered…
+    resumed.boundaries.map(_.batchId) shouldBe Seq(1L)
+    // …and its base was batch 0's on-disk state, not initialState
+    idx(resumed.state) shouldBe
+      idx(Dedup.minhashIndexState(df(v2), "text", "doc_id"))
+  }
+
   test("redelivered batchId rewrites its version: a mid-stream restart loses nothing") {
     // model the failure directly against the extracted Loop: batch 1 is
     // processed but its offset never commits; a restarted loop (fresh
