@@ -116,7 +116,11 @@ object ScaleProbe {
     "q129_continuous_index",
     // ANN assignment maintenance: broadcast k-row codebook × delta
     // argmin + the state anti-join — expect ~linear in the delta
-    "s18_assignment_maintenance")
+    "s18_assignment_maintenance",
+    // round-11: integer fixed-point k-means — per iteration one scan
+    // (codegen'd literal-centroid argmax) + one k·dim-key hash agg, the
+    // s10 shape with exact arithmetic — expect ~linear like s10
+    "s19_kmeans_fixed")
 
   private val IdShift = 10000000L
   private val DayShift = 4000 // > TPC-H date span, so copies never overlap

@@ -406,6 +406,69 @@ object Similarity {
     centroids
   }
 
+  /** Integer fixed-point Lloyd k-means — the trainer whose every bit is
+    * DuckDB-replayable, closing the one verification boundary the float
+    * trainer ([[kmeansTrain]]) documents as infeasible (distributed
+    * partial-sum order in `avg`). House style (the graph family's
+    * integer-mass argument, applied to vector quantization):
+    *
+    *  - vectors quantize to `floor(x·scale)` micro-units. Every score and
+    *    every sum below stays under 2^53, so the double arithmetic both
+    *    engines run is EXACT integer arithmetic — order-independent,
+    *    bit-identical across partitionings (spec-asserted).
+    *  - init = the `k` smallest-id rows in id order (replayable ORDER BY,
+    *    no RNG, no hash function the oracle lacks).
+    *  - assignment = argmax of 2c·x − ‖c‖² (⇔ min L2 distance) over
+    *    literal integer centroids, first-max ties ([[nearestOfDots]]) —
+    *    one codegen'd scan, no join, same shape as [[kmeansTrain]].
+    *  - update = floor(Σx / n) per (cluster, dim): the Long sum is exact,
+    *    the IEEE division of two exact integers is correctly rounded in
+    *    both engines, and floor of it is therefore identical (quotients
+    *    ≤ scale, so the ulp argument has ~1e9 of slack). Empty clusters
+    *    keep their previous centroid.
+    *
+    * Scale contract = [[kmeansTrain]]'s: per iteration one scan +
+    * ONE (cid, pos) hash-aggregate whose shuffle carries k·dim partial
+    * sums after map-side combine; centroids live driver-side as plan
+    * literals (k·dim longs). Callers cap the training set upstream
+    * (deterministically, e.g. by id) — quality needs a sample, not the
+    * corpus.
+    */
+  def kmeansTrainFixedPoint(corpus: DataFrame, k: Int, maxIter: Int = 3,
+                            scale: Long = 1000000L,
+                            idCol: String = "vec_id", vecCol: String = "embedding")
+      : Array[Array[Long]] = {
+    // quantized vector, carried as EXACT-integer doubles so the shared
+    // codegen'd dot kernel (and the update's long cast) both consume it
+    val vecs = corpus.select(col(idCol).as("id"),
+      transform(col(vecCol).cast("array<double>"),
+        x => floor(x * lit(scale.toDouble)).cast("double")).as("xd"))
+    def toArr(r: org.apache.spark.sql.Row): Array[Long] =
+      r.getSeq[Double](1).map(_.toLong).toArray
+    var centroids: Array[Array[Long]] =
+      vecs.orderBy(col("id")).limit(k).collect().sortBy(_.getLong(0)).map(toArr)
+    for (_ <- 0 until maxIter) {
+      // argmax of 2c·x − ‖c‖², every term an exact integer in double
+      val scores = array(centroids.toIndexedSeq.map { c =>
+        dot(col("xd"), typedLit(c.map(x => (2 * x).toDouble).toSeq)) -
+          lit(c.map(x => x.toDouble * x.toDouble).sum)
+      }: _*)
+      val updated = vecs
+        .withColumn("cid", nearestOfDots(scores))
+        .select(col("cid"), posexplode(col("xd")).as(Seq("pos", "x")))
+        .groupBy(col("cid"), col("pos"))
+        .agg(sum(col("x").cast("long")).as("s"), count(lit(1)).as("n"))
+        .collect().groupBy(_.getInt(0))
+        .map { case (cid, rows) =>
+          cid -> rows.sortBy(_.getInt(1))
+            .map(r => math.floor(r.getLong(2).toDouble / r.getLong(3)).toLong)
+        }
+      centroids = centroids.indices
+        .map(i => updated.getOrElse(i, centroids(i))).toArray
+    }
+    centroids
+  }
+
   /** IVF (inverted-file) ANN: a k-means coarse quantizer partitions the
     * corpus into `nLists` inverted lists; each query probes its `nProbe`
     * nearest centroids and re-ranks exactly (cosine) within those lists —

@@ -442,8 +442,71 @@ object SimilarityQueries {
         Similarity.pqSearch(emb, emb.filter(col("vec_id") < 5), k = 10,
           PqFixedCodebooks, rerank = 4)
       },
-      Some(pqSearchOracle))
+      Some(pqSearchOracle)),
+
+    // Integer fixed-point k-means TRAINING, hash-oracled (r11): the one
+    // phase every prior ANN oracle (s15/s16/s17) had to hold fixed —
+    // codebook training — made replayable by the house integer-mass
+    // style: floor(x·1e6) micro-units, exact-integer scores and sums,
+    // floor-div centroid updates. The oracle re-trains from scratch in
+    // DuckDB (maxIter unrolled CTE iterations) and the hash match is the
+    // trainer's bit-determinism theorem. The float trainer's no_oracle
+    // note (s04/s08/s10) now bounds exactly the LEGACY path, not the
+    // capability.
+    "s19_kmeans_fixed" -> QueryDef(
+      (s, d) => {
+        val cb = Similarity.kmeansTrainFixedPoint(
+          Tables.embeddings(s, d), k = KmFixedK, maxIter = KmFixedIters)
+        import s.implicits._
+        cb.zipWithIndex.flatMap { case (c, cid) =>
+          c.zipWithIndex.map { case (v, pos) => (cid.toLong, pos.toLong, v) }
+        }.toSeq.toDF("cid", "pos", "c")
+      },
+      Some(kmeansFixedOracle(KmFixedK, KmFixedIters, 64, 1000000L)))
   )
+
+  private val KmFixedK = 8
+  private val KmFixedIters = 3
+
+  /** DuckDB replay of s19: the ENTIRE fixed-point trainer, unrolled —
+    * quantize, id-order init, then per iteration the exact-integer
+    * 2c·x − ‖c‖² argmax (first-max ties via (score desc, cid asc)), the
+    * exact Long per-(cluster,dim) sums, and the floor-div update with
+    * empty-cluster retention. Every intermediate is an integer below
+    * 2^53 on both engines, so the hash match is exact, not approximate.
+    */
+  private def kmeansFixedOracle(k: Int, maxIter: Int, dim: Int,
+                                scale: Long): String = {
+    val iters = (1 to maxIter).map { i =>
+      s"""sc$i AS (SELECT xv.vec_id, ct.cid,
+             SUM(2 * ct.c * xv.x) - SUM(ct.c * ct.c) AS score
+           FROM xv JOIN cent${i - 1} ct ON xv.pos = ct.pos
+           GROUP BY 1, 2),
+    asg$i AS (SELECT vec_id, cid FROM (
+             SELECT vec_id, cid,
+                    row_number() OVER (PARTITION BY vec_id
+                                       ORDER BY score DESC, cid ASC) AS rn
+             FROM sc$i) WHERE rn = 1),
+    upd$i AS (SELECT a.cid, xv.pos,
+             CAST(floor(CAST(SUM(xv.x) AS DOUBLE) / COUNT(*)) AS BIGINT) AS c
+           FROM asg$i a JOIN xv ON a.vec_id = xv.vec_id
+           GROUP BY 1, 2),
+    cent$i AS (SELECT p.cid, p.pos, COALESCE(u.c, p.c) AS c
+           FROM cent${i - 1} p
+           LEFT JOIN upd$i u ON p.cid = u.cid AND p.pos = u.pos)"""
+    }.mkString(",\n    ")
+    s"""
+    WITH xv AS MATERIALIZED (
+      SELECT vec_id, i - 1 AS pos,
+             CAST(floor(CAST(embedding[i] AS DOUBLE) * $scale.0) AS BIGINT) AS x
+      FROM embeddings, LATERAL (SELECT unnest(range(1, ${dim + 1})) AS i) t),
+    ids AS (SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS cid
+            FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT $k)),
+    cent0 AS (SELECT ids.cid, xv.pos, xv.x AS c FROM ids JOIN xv USING (vec_id)),
+    $iters
+    SELECT CAST(cid AS BIGINT) AS cid, CAST(pos AS BIGINT) AS pos, c
+    FROM cent$maxIter"""
+  }
 
   /** Fixed IVF codebook: 8 centroids × 64 dims of dyadic doubles
     * (k/1024, exact in binary and in decimal round-trip) derived from

@@ -1,0 +1,62 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** The integer fixed-point k-means trainer (gate s19): hand-computed
+  * micro-case, first-max tie + empty-cluster retention, and the
+  * bit-determinism-across-partitionings theorem the integer design
+  * exists for.
+  */
+class FixedPointKmeansSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def embeddings = spark.read.parquet(s"$sfDir/embeddings.parquet")
+
+  test("hand case: one iteration of quantize, assign, floor-div update") {
+    // exact-in-binary inputs so the quantization is trivially floor-free
+    val vecs = Seq(
+      (0L, Seq(0.0, 0.0)),
+      (1L, Seq(0.25, 0.0)),
+      (2L, Seq(1.0, 1.0)),
+      (3L, Seq(0.75, 1.0))).toDF("vec_id", "embedding")
+    val cb = Similarity.kmeansTrainFixedPoint(vecs, k = 2, maxIter = 1)
+    // init c0=(0,0), c1=(250000,0). Scores 2c·x − ‖c‖²: v0 → c0 (0 beats
+    // −6.25e10); v1/v2/v3 → c1. Update: c0 = v0; c1 = floor-div of
+    // (250000+1000000+750000, 0+1000000+1000000) by 3 = (666666, 666666).
+    cb.map(_.toSeq) shouldBe Array(Seq(0L, 0L), Seq(666666L, 666666L))
+  }
+
+  test("first-max tie goes to the lower cid; an emptied cluster keeps its centroid") {
+    val vecs = Seq(
+      (0L, Seq(0.0, 0.0)),
+      (1L, Seq(1.0, 1.0)),
+      (2L, Seq(1.0, 1.0)), // init c2 duplicates c1 → ties on every score
+      (3L, Seq(1.0, 1.0))).toDF("vec_id", "embedding")
+    val cb = Similarity.kmeansTrainFixedPoint(vecs, k = 3, maxIter = 1)
+    // c1 and c2 are identical, so every member scores them equal and the
+    // first-max tie sends all three vectors to cid 1; cid 2 goes empty
+    // and must retain its previous centroid verbatim
+    cb.map(_.toSeq) shouldBe Array(
+      Seq(0L, 0L), Seq(1000000L, 1000000L), Seq(1000000L, 1000000L))
+  }
+
+  test("bit-identical codebooks across partitionings (the integer-mass theorem)") {
+    val one = Similarity.kmeansTrainFixedPoint(
+      embeddings.repartition(1), k = 8, maxIter = 2)
+    val many = Similarity.kmeansTrainFixedPoint(
+      embeddings.repartition(13, col("vec_id")), k = 8, maxIter = 2)
+    one.map(_.toSeq) shouldBe many.map(_.toSeq)
+  }
+
+  test("quantization floors toward minus infinity on both signs") {
+    // -0.3·1e6 = -300000.0000000000xx in double → floor -300001 iff the
+    // product rounds below; pin the actual contract: floor(double
+    // product), not round or truncate — mirror it here in Scala
+    val vecs = Seq((0L, Seq(-0.3, 0.3))).toDF("vec_id", "embedding")
+    val cb = Similarity.kmeansTrainFixedPoint(vecs, k = 1, maxIter = 0)
+    cb(0).toSeq shouldBe Seq(
+      math.floor(-0.3 * 1e6).toLong, math.floor(0.3 * 1e6).toLong)
+  }
+}

@@ -42,6 +42,8 @@ class PlanAuditSpec extends SparkSpec {
     */
   private val trainsAtBuild: Set[String] = Set(
     "s04_knn_ivf", "s08_knn_pq", "s10_kmeans",
+    "s19_kmeans_fixed", // fixed-point Lloyd collects per iteration at build
+    "s20_retrain_reassign", // retrains the fixed-point codebook at build
     "t25_dsir_weights", // bucket-table aggregate collects at build time
     "t27_classifier_train", // GD iterations collect at build time
     "t34_classifier_train_iter1", // one GD iteration collects at build time
