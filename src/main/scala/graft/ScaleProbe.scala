@@ -120,7 +120,10 @@ object ScaleProbe {
     // round-11: integer fixed-point k-means — per iteration one scan
     // (codegen'd literal-centroid argmax) + one k·dim-key hash agg, the
     // s10 shape with exact arithmetic — expect ~linear like s10
-    "s19_kmeans_fixed")
+    "s19_kmeans_fixed",
+    // retrain seam: two s19 trainings + one full-corpus assignment scan
+    // + the state anti-join — expect ~linear (2× s19's slope)
+    "s20_retrain_reassign")
 
   private val IdShift = 10000000L
   private val DayShift = 4000 // > TPC-H date span, so copies never overlap

@@ -438,23 +438,14 @@ object Similarity {
                             scale: Long = 1000000L,
                             idCol: String = "vec_id", vecCol: String = "embedding")
       : Array[Array[Long]] = {
-    // quantized vector, carried as EXACT-integer doubles so the shared
-    // codegen'd dot kernel (and the update's long cast) both consume it
-    val vecs = corpus.select(col(idCol).as("id"),
-      transform(col(vecCol).cast("array<double>"),
-        x => floor(x * lit(scale.toDouble)).cast("double")).as("xd"))
+    val vecs = quantized(corpus, scale, idCol, vecCol)
     def toArr(r: org.apache.spark.sql.Row): Array[Long] =
       r.getSeq[Double](1).map(_.toLong).toArray
     var centroids: Array[Array[Long]] =
       vecs.orderBy(col("id")).limit(k).collect().sortBy(_.getLong(0)).map(toArr)
     for (_ <- 0 until maxIter) {
-      // argmax of 2c·x − ‖c‖², every term an exact integer in double
-      val scores = array(centroids.toIndexedSeq.map { c =>
-        dot(col("xd"), typedLit(c.map(x => (2 * x).toDouble).toSeq)) -
-          lit(c.map(x => x.toDouble * x.toDouble).sum)
-      }: _*)
       val updated = vecs
-        .withColumn("cid", nearestOfDots(scores))
+        .withColumn("cid", nearestOfDots(fixedScores(centroids)))
         .select(col("cid"), posexplode(col("xd")).as(Seq("pos", "x")))
         .groupBy(col("cid"), col("pos"))
         .agg(sum(col("x").cast("long")).as("s"), count(lit(1)).as("n"))
@@ -467,6 +458,70 @@ object Similarity {
         .map(i => updated.getOrElse(i, centroids(i))).toArray
     }
     centroids
+  }
+
+  /** (id, xd) with xd = floor(x·scale) per dim, carried as exact-integer
+    * doubles so the codegen'd dot kernel consumes it directly.
+    */
+  private def quantized(corpus: DataFrame, scale: Long,
+                        idCol: String, vecCol: String): DataFrame =
+    corpus.select(col(idCol).as("id"),
+      transform(col(vecCol).cast("array<double>"),
+        x => floor(x * lit(scale.toDouble)).cast("double")).as("xd"))
+
+  /** The exact-integer score array over a fixed-point codebook:
+    * element j = 2c_j·xd − ‖c_j‖², every term an integer below 2^53.
+    */
+  private def fixedScores(cb: Array[Array[Long]]): Column =
+    array(cb.toIndexedSeq.map { c =>
+      dot(col("xd"), typedLit(c.map(x => (2 * x).toDouble).toSeq)) -
+        lit(c.map(x => x.toDouble * x.toDouble).sum)
+    }: _*)
+
+  /** The fixed-point E-step: (id, cid) nearest-centroid assignment of
+    * every corpus vector against a literal integer codebook — one
+    * codegen'd scan, no join, bit-deterministic (exact-integer scores,
+    * first-max ties). The ASSIGNMENT STATE a production IVF index
+    * persists; [[maintainAssignments]] keeps it current across corpus
+    * versions and [[retrainReassign]] across codebook versions.
+    */
+  def assignFixedPoint(corpus: DataFrame, codebook: Array[Array[Long]],
+                       scale: Long = 1000000L,
+                       idCol: String = "vec_id", vecCol: String = "embedding")
+      : DataFrame =
+    quantized(corpus, scale, idCol, vecCol)
+      .select(col("id"), nearestOfDots(fixedScores(codebook)).cast("long").as("cid"))
+
+  /** s20: the RARE event s18's contract defers — the codebook retrains
+    * and the assignment state must follow. Scoring is unavoidably a full
+    * pass (every vector's argmin may move under new centroids; one
+    * broadcast-literal codegen'd scan), but the WRITE volume is the
+    * seam: only vectors whose argmin actually changed are rewritten
+    * (`moved = true` rows — the inverted-list rows an index must
+    * physically relocate); unchanged-argmin rows are carried from the
+    * old state by anti-join, never rewritten. Contract (hash-oracled by
+    * the s20 gate, which re-trains BOTH codebooks from scratch in
+    * DuckDB): final (id, cid) ≡ [[assignFixedPoint]] under the new
+    * codebook row-for-row, and `moved` marks exactly the
+    * changed-argmin ids (spec-asserted too).
+    *
+    * `state` is (id, cid) under the OLD codebook over the SAME corpus —
+    * corpus drift is [[maintainAssignments]]'s seam; compose the two for
+    * drift + retrain.
+    */
+  def retrainReassign(state: DataFrame, corpus: DataFrame,
+                      newCodebook: Array[Array[Long]],
+                      scale: Long = 1000000L,
+                      idCol: String = "vec_id", vecCol: String = "embedding")
+      : DataFrame = {
+    val fresh = assignFixedPoint(corpus, newCodebook, scale, idCol, vecCol)
+    val moves = fresh
+      .join(state.select(col("id"), col("cid").as("__old_cid")), Seq("id"))
+      .filter(col("cid") =!= col("__old_cid"))
+      .select(col("id"), col("cid"))
+    val kept = state.join(moves.select(col("id")), Seq("id"), "left_anti")
+    kept.withColumn("moved", lit(false))
+      .unionByName(moves.withColumn("moved", lit(true)))
   }
 
   /** IVF (inverted-file) ANN: a k-means coarse quantizer partitions the

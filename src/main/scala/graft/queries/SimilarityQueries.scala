@@ -462,51 +462,116 @@ object SimilarityQueries {
           c.zipWithIndex.map { case (v, pos) => (cid.toLong, pos.toLong, v) }
         }.toSeq.toDF("cid", "pos", "c")
       },
-      Some(kmeansFixedOracle(KmFixedK, KmFixedIters, 64, 1000000L)))
+      Some(kmeansFixedOracle(KmFixedK, KmFixedIters, 64, 1000000L))),
+
+    // The RARE retrain event (r11, the other half of s18's contract):
+    // the codebook retrains (drifted corpus: V2's added rows change the
+    // training set) and the assignment state follows — but only the
+    // changed-argmin rows are rewritten (`moved = true`, the inverted-
+    // list rows an index physically relocates); unchanged rows carry
+    // over by anti-join. The oracle re-trains BOTH fixed-point
+    // codebooks from scratch in DuckDB (two unrolled Lloyd chains),
+    // assigns the corpus under each, and recomputes the move set — so
+    // the hash match pins the final state AND the delta itself.
+    "s20_retrain_reassign" -> QueryDef(
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val v1 = emb.filter(col("vec_id") % 17 =!= 3)
+        val cbOld = Similarity.kmeansTrainFixedPoint(v1,
+          k = KmFixedK, maxIter = KmFixedIters)
+        val cbNew = Similarity.kmeansTrainFixedPoint(emb,
+          k = KmFixedK, maxIter = KmFixedIters)
+        val state = Similarity.assignFixedPoint(emb, cbOld)
+        Similarity.retrainReassign(state, emb, cbNew)
+      },
+      Some(retrainReassignOracle(KmFixedK, KmFixedIters, 64, 1000000L)))
   )
 
   private val KmFixedK = 8
   private val KmFixedIters = 3
 
-  /** DuckDB replay of s19: the ENTIRE fixed-point trainer, unrolled —
-    * quantize, id-order init, then per iteration the exact-integer
-    * 2c·x − ‖c‖² argmax (first-max ties via (score desc, cid asc)), the
-    * exact Long per-(cluster,dim) sums, and the floor-div update with
-    * empty-cluster retention. Every intermediate is an integer below
-    * 2^53 on both engines, so the hash match is exact, not approximate.
+  /** Quantized (vec_id, pos, x) CTE — floor(x·scale) micro-units, the
+    * s19 trainer's exact quantization.
     */
-  private def kmeansFixedOracle(k: Int, maxIter: Int, dim: Int,
-                                scale: Long): String = {
+  private def kmXvCte(dim: Int, scale: Long): String =
+    s"""xv AS MATERIALIZED (
+      SELECT vec_id, i - 1 AS pos,
+             CAST(floor(CAST(embedding[i] AS DOUBLE) * $scale.0) AS BIGINT) AS x
+      FROM embeddings, LATERAL (SELECT unnest(range(1, ${dim + 1})) AS i) t)"""
+
+  /** The unrolled fixed-point Lloyd chain over the vec_ids in CTE `src`,
+    * all CTEs prefixed `p`, ending in `${p}cent$maxIter` — id-order
+    * init, exact-integer 2c·x − ‖c‖² argmax (first-max ties via (score
+    * desc, cid asc)), exact Long sums, floor-div update, empty-cluster
+    * retention. Every intermediate is an integer below 2^53 on both
+    * engines, so the hash match is exact, not approximate.
+    */
+  private def kmChainCte(p: String, src: String, k: Int, maxIter: Int): String = {
     val iters = (1 to maxIter).map { i =>
-      s"""sc$i AS (SELECT xv.vec_id, ct.cid,
-             SUM(2 * ct.c * xv.x) - SUM(ct.c * ct.c) AS score
-           FROM xv JOIN cent${i - 1} ct ON xv.pos = ct.pos
+      s"""${p}sc$i AS (SELECT tv.vec_id, ct.cid,
+             SUM(2 * ct.c * tv.x) - SUM(ct.c * ct.c) AS score
+           FROM ${p}tv tv JOIN ${p}cent${i - 1} ct ON tv.pos = ct.pos
            GROUP BY 1, 2),
-    asg$i AS (SELECT vec_id, cid FROM (
+    ${p}asg$i AS (SELECT vec_id, cid FROM (
              SELECT vec_id, cid,
                     row_number() OVER (PARTITION BY vec_id
                                        ORDER BY score DESC, cid ASC) AS rn
-             FROM sc$i) WHERE rn = 1),
-    upd$i AS (SELECT a.cid, xv.pos,
-             CAST(floor(CAST(SUM(xv.x) AS DOUBLE) / COUNT(*)) AS BIGINT) AS c
-           FROM asg$i a JOIN xv ON a.vec_id = xv.vec_id
+             FROM ${p}sc$i) WHERE rn = 1),
+    ${p}upd$i AS (SELECT a.cid, tv.pos,
+             CAST(floor(CAST(SUM(tv.x) AS DOUBLE) / COUNT(*)) AS BIGINT) AS c
+           FROM ${p}asg$i a JOIN ${p}tv tv ON a.vec_id = tv.vec_id
            GROUP BY 1, 2),
-    cent$i AS (SELECT p.cid, p.pos, COALESCE(u.c, p.c) AS c
-           FROM cent${i - 1} p
-           LEFT JOIN upd$i u ON p.cid = u.cid AND p.pos = u.pos)"""
+    ${p}cent$i AS (SELECT pr.cid, pr.pos, COALESCE(u.c, pr.c) AS c
+           FROM ${p}cent${i - 1} pr
+           LEFT JOIN ${p}upd$i u ON pr.cid = u.cid AND pr.pos = u.pos)"""
     }.mkString(",\n    ")
+    s"""${p}tv AS (SELECT xv.* FROM xv JOIN $src s ON xv.vec_id = s.vec_id),
+    ${p}ids AS (SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS cid
+            FROM (SELECT vec_id FROM $src ORDER BY vec_id LIMIT $k)),
+    ${p}cent0 AS (SELECT i.cid, tv.pos, tv.x AS c
+            FROM ${p}ids i JOIN ${p}tv tv ON i.vec_id = tv.vec_id),
+    $iters"""
+  }
+
+  /** Full-corpus fixed-point E-step under centroid CTE `cent`:
+    * `${p}a` = (vec_id, cid), same argmax/tie convention as the chain.
+    */
+  private def kmAssignCte(p: String, cent: String): String =
+    s"""${p}sca AS (SELECT xv.vec_id, ct.cid,
+           SUM(2 * ct.c * xv.x) - SUM(ct.c * ct.c) AS score
+         FROM xv JOIN $cent ct ON xv.pos = ct.pos
+         GROUP BY 1, 2),
+    ${p}a AS (SELECT vec_id, cid FROM (
+         SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
+                  ORDER BY score DESC, cid ASC) AS rn
+         FROM ${p}sca) WHERE rn = 1)"""
+
+  /** DuckDB replay of s19: re-train from scratch, emit the codebook. */
+  private def kmeansFixedOracle(k: Int, maxIter: Int, dim: Int,
+                                scale: Long): String =
     s"""
-    WITH xv AS MATERIALIZED (
-      SELECT vec_id, i - 1 AS pos,
-             CAST(floor(CAST(embedding[i] AS DOUBLE) * $scale.0) AS BIGINT) AS x
-      FROM embeddings, LATERAL (SELECT unnest(range(1, ${dim + 1})) AS i) t),
-    ids AS (SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS cid
-            FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT $k)),
-    cent0 AS (SELECT ids.cid, xv.pos, xv.x AS c FROM ids JOIN xv USING (vec_id)),
-    $iters
+    WITH ${kmXvCte(dim, scale)},
+    allv AS (SELECT vec_id FROM embeddings),
+    ${kmChainCte("", "allv", k, maxIter)}
     SELECT CAST(cid AS BIGINT) AS cid, CAST(pos AS BIGINT) AS pos, c
     FROM cent$maxIter"""
-  }
+
+  /** DuckDB replay of s20: train the old (V1-subset) and new
+    * (full-corpus) codebooks from scratch, assign every vector under
+    * both, and mark exactly the changed-argmin ids as moved.
+    */
+  private def retrainReassignOracle(k: Int, maxIter: Int, dim: Int,
+                                    scale: Long): String =
+    s"""
+    WITH ${kmXvCte(dim, scale)},
+    v1 AS (SELECT vec_id FROM embeddings WHERE vec_id % 17 <> 3),
+    allv AS (SELECT vec_id FROM embeddings),
+    ${kmChainCte("o", "v1", k, maxIter)},
+    ${kmChainCte("n", "allv", k, maxIter)},
+    ${kmAssignCte("o", s"ocent$maxIter")},
+    ${kmAssignCte("n", s"ncent$maxIter")}
+    SELECT na.vec_id AS id, na.cid AS cid, (na.cid <> oa.cid) AS moved
+    FROM na JOIN oa ON na.vec_id = oa.vec_id"""
 
   /** Fixed IVF codebook: 8 centroids × 64 dims of dyadic doubles
     * (k/1024, exact in binary and in decimal round-trip) derived from

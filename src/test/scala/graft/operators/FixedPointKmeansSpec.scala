@@ -50,6 +50,29 @@ class FixedPointKmeansSpec extends SparkSpec {
     one.map(_.toSeq) shouldBe many.map(_.toSeq)
   }
 
+  test("retrainReassign: moved marks exactly the changed-argmin ids; final equals from-scratch reassign") {
+    val cbOld = Similarity.kmeansTrainFixedPoint(
+      embeddings.filter(col("vec_id") % 2 === 0), k = 4, maxIter = 1)
+    val cbNew = Similarity.kmeansTrainFixedPoint(embeddings, k = 4, maxIter = 1)
+    val state = Similarity.assignFixedPoint(embeddings, cbOld)
+    val out = Similarity.retrainReassign(state, embeddings, cbNew)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    val old = Similarity.assignFixedPoint(embeddings, cbOld)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val fresh = Similarity.assignFixedPoint(embeddings, cbNew)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // maintenance ≡ rebuild: one row per id, cid = the fresh argmin
+    out.map(t => t._1 -> t._2).toMap shouldBe fresh
+    out.length shouldBe fresh.size
+    // the delta is exactly the changed-argmin ids — nothing more moves,
+    // nothing that moved is missed
+    out.filter(_._3).map(_._1).toSet shouldBe
+      fresh.keySet.filter(id => old(id) != fresh(id))
+    // both paths must actually be exercised by this corpus
+    out.count(_._3) should be > 0
+    out.count(!_._3) should be > 0
+  }
+
   test("quantization floors toward minus infinity on both signs") {
     // -0.3·1e6 = -300000.0000000000xx in double → floor -300001 iff the
     // product rounds below; pin the actual contract: floor(double
