@@ -239,24 +239,9 @@ object Dedup {
                            newCorpus: DataFrame,
                            textCol: String, idCol: String,
                            k: Int = 32, bands: Int = 8,
-                           shingleN: Int = 3): DataFrame = {
-    // EVERY touched id leaves the kept side — including "added": a d14
-    // diff against the true previous snapshot never adds a present id,
-    // but an at-least-once upstream can re-announce one, and keeping the
-    // old rows would silently DUPLICATE the index (the r9
-    // duplicate-state trap). Dropping first makes maintenance an UPSERT
-    // per id — idempotent under re-announcement — and the rebuild
-    // theorem is unchanged (a rebuild only ever sees the new corpus).
-    val touched = diff
-      .filter(col("status").isin("removed", "changed", "added"))
-      .select(col("id"))
-    val fresh = diff.filter(col("status").isin("added", "changed"))
-      .select(col("id").as("__fresh_id"))
-    val kept = state.join(touched, Seq("id"), "left_anti")
-    val delta = newCorpus.join(fresh,
-      col(idCol) === col("__fresh_id"), "left_semi")
-    kept.unionByName(bandedSigs(delta, textCol, idCol, k, bands, shingleN))
-  }
+                           shingleN: Int = 3): DataFrame =
+    IndexMaintenance.upsert(state, diff, newCorpus, idCol)(
+      bandedSigs(_, textCol, idCol, k, bands, shingleN))
 
   /** [[incrementalMinhash]] with the existing side's banded index
     * supplied by the caller (see [[minhashAdmissionIndex]]) — the

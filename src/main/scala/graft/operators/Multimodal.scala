@@ -132,20 +132,9 @@ object Multimodal {
     * rebuild.
     */
   def maintainPhashState(state: DataFrame, diff: DataFrame,
-                         newMedia: DataFrame, idCol: String): DataFrame = {
-    // "added" joins the touched set too: upsert semantics, so an
-    // at-least-once upstream re-announcing a present id can never
-    // silently duplicate fingerprint rows (see maintainMinhashIndex)
-    val touched = diff
-      .filter(col("status").isin("removed", "changed", "added"))
-      .select(col("id"))
-    val fresh = diff.filter(col("status").isin("added", "changed"))
-      .select(col("id").as("__fresh_id"))
-    val kept = state.join(touched, Seq("id"), "left_anti")
-    val delta = newMedia.join(fresh,
-      col(idCol) === col("__fresh_id"), "left_semi")
-    kept.unionByName(perceptualHash(delta, idCol))
-  }
+                         newMedia: DataFrame, idCol: String): DataFrame =
+    IndexMaintenance.upsert(state, diff, newMedia, idCol)(
+      perceptualHash(_, idCol))
 
   /** The original exploded formulation of [[perceptualHash]] — ~1 row
     * per payload byte shuffled into the shared 64-way vote aggregate.

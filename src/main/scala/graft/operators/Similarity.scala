@@ -737,18 +737,9 @@ object Similarity {
   def maintainAssignments(state: DataFrame, diff: DataFrame,
                           newVectors: DataFrame, cents: DataFrame,
                           idCol: String, groupCol: String,
-                          vecCol: String): DataFrame = {
-    val touched = diff
-      .filter(col("status").isin("removed", "changed", "added"))
-      .select(col("id"))
-    val fresh = diff.filter(col("status").isin("added", "changed"))
-      .select(col("id").as("__fresh_id"))
-    val kept = state.join(touched, Seq("id"), "left_anti")
-    val delta = newVectors.join(fresh,
-      col(idCol) === col("__fresh_id"), "left_semi")
-    kept.unionByName(
-      assignVectors(delta, cents, idCol, groupCol, vecCol))
-  }
+                          vecCol: String): DataFrame =
+    IndexMaintenance.upsert(state, diff, newVectors, idCol)(
+      assignVectors(_, cents, idCol, groupCol, vecCol))
 
   def assignToCentroids(vectors: DataFrame, cents: DataFrame,
                         idCol: String, groupCol: String, vecCol: String): DataFrame = {
