@@ -123,7 +123,11 @@ object ScaleProbe {
     "s19_kmeans_fixed",
     // retrain seam: two s19 trainings + one full-corpus assignment scan
     // + the state anti-join — expect ~linear (2× s19's slope)
-    "s20_retrain_reassign")
+    "s20_retrain_reassign",
+    // continuous maintenance for the media and ANN families: ~2
+    // boundary floors + the family kernel over per-batch deltas — the
+    // q129 shape, expect near-flat over the one-shot m09/s18 movement
+    "m10_continuous_phash", "s21_continuous_assignments")
 
   private val IdShift = 10000000L
   private val DayShift = 4000 // > TPC-H date span, so copies never overlap

@@ -285,7 +285,74 @@ object MultimodalQueries {
           maintained,
           "id", "phash", maxDist = 5, nChunks = 6, chunkBits = 10)
       },
-      Some(s"""
+      Some(phashMaintenanceOracle)),
+
+    // m10: m09 run as a CONTINUOUS ingest (r11) — the q129 pattern for
+    // the media family. The V1→V2 media diff rows (doc_id, payload,
+    // status; one row per touched item) stream in micro-batches, and
+    // each boundary advances the persisted (id, phash) state with m09's
+    // movement: anti-join the batch's touched ids, payload-kernel the
+    // batch's delta payloads ONLY. The diff has one row per item, so
+    // any file batching is id-disjoint and the drained state equals the
+    // one-shot maintenance — which equals a from-scratch rebuild of the
+    // V2 fingerprints (m09's theorem), so this gate serves the SAME
+    // admission query and shares m09's rebuild oracle verbatim. State
+    // versions are batchId-keyed pure functions of the previous version
+    // (restart-idempotent, spec'd in ContinuousIndexMaintenanceSpec).
+    "m10_continuous_phash" -> QueryDef(
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val ex = docs.filter(col("doc_id") % 10 === 0)
+        val v1e = ex.filter(col("doc_id") % 17 =!= 3)
+        def media(df: org.apache.spark.sql.DataFrame) =
+          Multimodal.asMediaTable(df, "text", "doc_id")
+        val dir = stageMediaDiffDir(s, d)
+        val schema = org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("doc_id",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("payload",
+            org.apache.spark.sql.types.BinaryType),
+          org.apache.spark.sql.types.StructField("status",
+            org.apache.spark.sql.types.StringType)))
+        val stream = s.readStream
+          .option("maxFilesPerTrigger", "2") // 4 staged files → 2 boundaries
+          .schema(schema).parquet(dir.toString)
+        val run = graft.streaming.ContinuousIndexMaintenance
+          .continuousPhash(s,
+            Multimodal.perceptualHash(media(v1e), "doc_id")
+              .localCheckpoint(),
+            stream, "doc_id")
+        graft.operators.Dedup.hammingPairsAgainst(
+          Multimodal.perceptualHash(
+            media(docs.filter(col("doc_id") % 10 =!= 0)), "doc_id"),
+          run.state,
+          "id", "phash", maxDist = 5, nChunks = 6, chunkBits = 10)
+      },
+      Some(phashMaintenanceOracle)),
+
+
+    "m03_frame_sampling" -> QueryDef(
+      (s, d) => {
+        val media = Multimodal.asMediaTable(Tables.documents(s, d), "text", "doc_id")
+        Multimodal.sampleFrames(Multimodal.decodeFeatures(media, "doc_id"),
+          "doc_id", everyK = 4)
+      },
+      Some("""
+        WITH n AS (SELECT doc_id,
+                     1 + CAST(('0x' || substr(md5(text), 9, 2)) AS INTEGER) % 64 AS n_frames
+                   FROM documents)
+        SELECT doc_id, CAST(frame AS BIGINT) AS frame
+        FROM n, LATERAL (SELECT unnest(range(0, n_frames)) AS frame) t
+        WHERE frame % 4 = 0"""))
+  )
+
+  /** The m09/m10 rebuild oracle: fingerprints of the V2 existing side
+    * rebuilt FROM SCRATCH (no maintenance anywhere), then the full
+    * banded admission pipeline (chunk index + cap + equal-hash bypass)
+    * against the fresh side — the maintenance ≡ rebuild theorem for
+    * both the one-shot (m09) and continuous (m10) forms.
+    */
+  private lazy val phashMaintenanceOracle: String = s"""
         WITH paye AS (SELECT doc_id,
                         encode(CASE WHEN doc_id % 13 = 0
                                     THEN text || ' rev2qq' ELSE text END)
@@ -332,20 +399,40 @@ object MultimodalQueries {
         UNION ALL
         SELECT x.doc_id AS id_new, y.doc_id AS id_existing,
                CAST(0 AS BIGINT) AS hamming
-        FROM phn x JOIN phe y ON x.phash = y.phash""")),
+        FROM phn x JOIN phe y ON x.phash = y.phash"""
 
-    "m03_frame_sampling" -> QueryDef(
-      (s, d) => {
-        val media = Multimodal.asMediaTable(Tables.documents(s, d), "text", "doc_id")
-        Multimodal.sampleFrames(Multimodal.decodeFeatures(media, "doc_id"),
-          "doc_id", everyK = 4)
-      },
-      Some("""
-        WITH n AS (SELECT doc_id,
-                     1 + CAST(('0x' || substr(md5(text), 9, 2)) AS INTEGER) % 64 AS n_frames
-                   FROM documents)
-        SELECT doc_id, CAST(frame AS BIGINT) AS frame
-        FROM n, LATERAL (SELECT unnest(range(0, n_frames)) AS frame) t
-        WHERE frame % 4 = 0"""))
-  )
+  /** m10's staged stream source: the V1→V2 snapshot-diff of the
+    * EXISTING media corpus as (doc_id, payload, status) rows — payload
+    * = the NEW bytes for added/changed, null for removed; unchanged
+    * rows excluded — in 4 parquet files. The diff emits ONE row per
+    * item, so any file batching is id-disjoint. Restaged when
+    * documents.parquet changes (the stageDiffDir pattern).
+    */
+  private def stageMediaDiffDir(s: org.apache.spark.sql.SparkSession,
+      d: String): java.nio.file.Path = {
+    val sf = java.nio.file.Paths.get(d).getFileName.toString
+    val dir = java.nio.file.Paths.get(
+      sys.props("java.io.tmpdir"), "graft_export", sf, "media_diff_stream4")
+    val src = java.nio.file.Paths.get(d, "documents.parquet")
+    val marker = dir.resolve("_SUCCESS")
+    val stale = !java.nio.file.Files.exists(marker) ||
+      java.nio.file.Files.getLastModifiedTime(src)
+        .compareTo(java.nio.file.Files.getLastModifiedTime(marker)) > 0
+    if (stale) {
+      val ex = Tables.documents(s, d).filter(col("doc_id") % 10 === 0)
+      val v1e = ex.filter(col("doc_id") % 17 =!= 3)
+      val v2e = ex.filter(col("doc_id") % 19 =!= 5)
+        .withColumn("text", when(col("doc_id") % 13 === 0,
+          concat(col("text"), lit(" rev2qq"))).otherwise(col("text")))
+      graft.operators.Dedup.snapshotDiff(v1e, v2e, "text", "doc_id")
+        .filter(col("status") =!= "unchanged")
+        .join(v2e.select(col("doc_id"), col("text")),
+          col("id") === col("doc_id"), "left")
+        .select(col("id").as("doc_id"),
+                col("text").cast("binary").as("payload"), col("status"))
+        .repartition(4)
+        .write.mode("overwrite").parquet(dir.toString)
+    }
+    dir
+  }
 }

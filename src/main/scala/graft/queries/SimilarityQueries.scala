@@ -254,31 +254,52 @@ object SimilarityQueries {
           .select(col("id"), col("grp_true").as("lang"),
                   col("assigned"), col("dist2"))
       },
-      Some("""
-        WITH base AS (SELECT e.vec_id, d.lang,
-                        CAST(e.embedding AS DOUBLE[]) AS vd
-                      FROM embeddings e JOIN documents d ON e.vec_id = d.doc_id),
-        v1 AS (SELECT * FROM base WHERE vec_id % 17 <> 3),
-        v2 AS (SELECT vec_id, lang,
-                 CASE WHEN vec_id % 13 = 0
-                      THEN list_transform(vd, x -> -x) ELSE vd END AS vd
-               FROM base WHERE vec_id % 19 <> 5),
-        c AS (SELECT lang AS cl, i - 1 AS pos,
-                round(avg(vd[i]), 6) AS centroid
-              FROM v1, LATERAL (SELECT unnest(range(1, len(vd) + 1)) AS i) t
-              GROUP BY 1, 2),
-        cv AS (SELECT cl, list(centroid ORDER BY pos) AS cvec FROM c GROUP BY 1),
-        sc AS (SELECT vec_id, lang, cl,
-                 list_inner_product(vd, vd) - 2 * list_inner_product(vd, cvec)
-                   + list_inner_product(cvec, cvec) AS dist2
-               FROM v2 CROSS JOIN cv),
-        b AS (SELECT vec_id, lang, cl, dist2,
-                row_number() OVER (PARTITION BY vec_id
-                                   ORDER BY dist2, cl) AS rn
-              FROM sc)
-        SELECT vec_id AS id, lang, cl AS assigned,
-               round(dist2, 6) AS dist2
-        FROM b WHERE rn = 1""")),
+      Some(assignMaintenanceOracle)),
+
+    // s21: s18 run as a CONTINUOUS ingest (r11) — the q129 pattern for
+    // the ANN family, codebook still FIXED (retrains are the separate
+    // rare event, s20). The V1→V2 vector diff rows (vec_id, lang,
+    // embedding, status; one row per touched vector) stream in
+    // micro-batches, and each boundary advances the persisted
+    // assignment state with s18's movement: anti-join the batch's
+    // touched ids, centroid-argmin the batch's delta vectors ONLY. The
+    // diff has one row per vector, so any file batching is id-disjoint
+    // and the drained state equals the one-shot maintenance — which
+    // equals a from-scratch V2 assignment (s18's theorem), so this
+    // gate shares s18's rebuild oracle verbatim. State versions are
+    // batchId-keyed pure functions of the previous version
+    // (restart-idempotent, spec'd in ContinuousIndexMaintenanceSpec).
+    "s21_continuous_assignments" -> QueryDef(
+      (s, d) => {
+        val v = Tables.embeddings(s, d).join(
+          Tables.documents(s, d).select(col("doc_id"), col("lang")),
+          col("vec_id") === col("doc_id"))
+        val v1 = v.filter(col("vec_id") % 17 =!= 3)
+        val cents = Similarity.centroids(v1, "lang", "embedding")
+          .localCheckpoint()
+        val state1 = Similarity.assignVectors(v1, cents,
+          "vec_id", "lang", "embedding").localCheckpoint()
+        val dir = stageVecDiffDir(s, d)
+        val schema = org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("vec_id",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("lang",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("embedding",
+            org.apache.spark.sql.types.ArrayType(
+              org.apache.spark.sql.types.FloatType)),
+          org.apache.spark.sql.types.StructField("status",
+            org.apache.spark.sql.types.StringType)))
+        val stream = s.readStream
+          .option("maxFilesPerTrigger", "2") // 4 staged files → 2 boundaries
+          .schema(schema).parquet(dir.toString)
+        val run = graft.streaming.ContinuousIndexMaintenance
+          .continuousAssignments(s, state1, stream, cents,
+            "vec_id", "lang", "embedding")
+        run.state.select(col("id"), col("grp_true").as("lang"),
+          col("assigned"), col("dist2"))
+      },
+      Some(assignMaintenanceOracle)),
 
     "s07_centroid_assign" -> QueryDef(
       (s, d) => {
@@ -489,6 +510,74 @@ object SimilarityQueries {
 
   private val KmFixedK = 8
   private val KmFixedIters = 3
+
+  /** The s18/s21 rebuild oracle: centroids from V1, then every V2
+    * vector assigned FROM SCRATCH (no maintenance anywhere) — the
+    * maintenance ≡ rebuild theorem for both the one-shot (s18) and
+    * continuous (s21) forms.
+    */
+  private lazy val assignMaintenanceOracle: String = """
+        WITH base AS (SELECT e.vec_id, d.lang,
+                        CAST(e.embedding AS DOUBLE[]) AS vd
+                      FROM embeddings e JOIN documents d ON e.vec_id = d.doc_id),
+        v1 AS (SELECT * FROM base WHERE vec_id % 17 <> 3),
+        v2 AS (SELECT vec_id, lang,
+                 CASE WHEN vec_id % 13 = 0
+                      THEN list_transform(vd, x -> -x) ELSE vd END AS vd
+               FROM base WHERE vec_id % 19 <> 5),
+        c AS (SELECT lang AS cl, i - 1 AS pos,
+                round(avg(vd[i]), 6) AS centroid
+              FROM v1, LATERAL (SELECT unnest(range(1, len(vd) + 1)) AS i) t
+              GROUP BY 1, 2),
+        cv AS (SELECT cl, list(centroid ORDER BY pos) AS cvec FROM c GROUP BY 1),
+        sc AS (SELECT vec_id, lang, cl,
+                 list_inner_product(vd, vd) - 2 * list_inner_product(vd, cvec)
+                   + list_inner_product(cvec, cvec) AS dist2
+               FROM v2 CROSS JOIN cv),
+        b AS (SELECT vec_id, lang, cl, dist2,
+                row_number() OVER (PARTITION BY vec_id
+                                   ORDER BY dist2, cl) AS rn
+              FROM sc)
+        SELECT vec_id AS id, lang, cl AS assigned,
+               round(dist2, 6) AS dist2
+        FROM b WHERE rn = 1"""
+
+  /** s21's staged stream source: the V1→V2 vector snapshot-diff as
+    * (vec_id, lang, embedding, status) rows — embedding/lang = the NEW
+    * values for added/changed, null for removed; unchanged rows
+    * excluded — in 4 parquet files. One row per vector, so any file
+    * batching is id-disjoint. Restaged when embeddings.parquet changes.
+    */
+  private def stageVecDiffDir(s: org.apache.spark.sql.SparkSession,
+      d: String): java.nio.file.Path = {
+    val sf = java.nio.file.Paths.get(d).getFileName.toString
+    val dir = java.nio.file.Paths.get(
+      sys.props("java.io.tmpdir"), "graft_export", sf, "vec_diff_stream4")
+    val src = java.nio.file.Paths.get(d, "embeddings.parquet")
+    val marker = dir.resolve("_SUCCESS")
+    val stale = !java.nio.file.Files.exists(marker) ||
+      java.nio.file.Files.getLastModifiedTime(src)
+        .compareTo(java.nio.file.Files.getLastModifiedTime(marker)) > 0
+    if (stale) {
+      val v = Tables.embeddings(s, d).join(
+        Tables.documents(s, d).select(col("doc_id"), col("lang")),
+        col("vec_id") === col("doc_id"))
+      val v1 = v.filter(col("vec_id") % 17 =!= 3)
+      val v2 = v.filter(col("vec_id") % 19 =!= 5)
+        .withColumn("embedding", when(col("vec_id") % 13 === 0,
+          transform(col("embedding"), x => -x))
+          .otherwise(col("embedding")))
+      Similarity.vectorSnapshotDiff(v1, v2, "embedding", "vec_id")
+        .filter(col("status") =!= "unchanged")
+        .join(v2.select(col("vec_id"), col("lang"), col("embedding")),
+          col("id") === col("vec_id"), "left")
+        .select(col("id").as("vec_id"), col("lang"),
+                col("embedding"), col("status"))
+        .repartition(4)
+        .write.mode("overwrite").parquet(dir.toString)
+    }
+    dir
+  }
 
   /** Quantized (vec_id, pos, x) CTE — floor(x·scale) micro-units, the
     * s19 trainer's exact quantization.

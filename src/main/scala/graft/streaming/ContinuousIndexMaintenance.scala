@@ -4,27 +4,35 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 
-import graft.operators.Dedup
+import graft.operators.{Dedup, Multimodal, Similarity}
 
-/** The continuous form of d19's index maintenance — the q128 pattern
-  * brought to the dedup family: corpus version deltas stream in as
-  * micro-batches of (id, text, status) rows (the d14 snapshot-diff
-  * vocabulary: added / changed / removed, with `text` carrying the NEW
-  * payload for added/changed and ignored for removed), and each batch
-  * boundary advances the persisted UNCAPPED banded index state
-  * ([[Dedup.maintainMinhashIndex]]'s movement: anti-join the touched
-  * ids, signature the delta docs only — the unchanged corpus is never
-  * re-shingled at any boundary).
+/** The continuous form of the [[graft.operators.IndexMaintenance]] seam
+  * — the q128 pattern for per-id derived state, one generic Loop with a
+  * per-family maintenance kernel: corpus version deltas stream in as
+  * micro-batches of (id, payload…, status) rows (the d14 snapshot-diff
+  * vocabulary: added / changed / removed, with the payload columns
+  * carrying the NEW value for added/changed and ignored for removed),
+  * and each batch boundary advances the persisted state with the
+  * family maintainer's movement (anti-join the touched ids, kernel the
+  * delta rows only — the unchanged corpus is never re-read at any
+  * boundary).
   *
-  * Contract (spec-asserted; the gate shares d19's REBUILD oracle):
+  * Families: [[continuousIndex]] (q129 — the d19 banded near-dup
+  * index), [[continuousPhash]] (m10 — the m09 media fingerprint
+  * table), [[continuousAssignments]] (s21 — the s18 ANN assignment
+  * state). All three share the Loop, its versioned-state restart
+  * rules, and their one-shot maintainer's rebuild oracle.
+  *
+  * Contract (spec-asserted; the gates share the one-shot rebuild
+  * oracles):
   *  - Batches apply SEQUENTIALLY: boundary k's state =
   *    maintain(boundary k−1's state, batch k). For batchings whose
   *    batches touch DISJOINT ids, the drained state is bit-identical to
   *    the one-shot batch maintenance of the union (and hence to a
-  *    from-scratch rebuild of the final corpus — d19's theorem). When
-  *    the SAME id appears in several batches, later batches override
-  *    earlier ones (last-writer-wins, the natural crawl semantics) —
-  *    also spec-asserted.
+  *    from-scratch rebuild of the final corpus). When the SAME id
+  *    appears in several batches, later batches override earlier ones
+  *    (last-writer-wins, the natural crawl semantics) — also
+  *    spec-asserted.
   *  - State versions are written to batchId-KEYED directories: version
   *    k is a pure function of version k−1 and batch k, so Structured
   *    Streaming's redelivery of an uncommitted batchId REWRITES the
@@ -34,39 +42,31 @@ import graft.operators.Dedup
   *    than accumulated state.
   *
   * Scale shape: per boundary ONE anti-join of the current state against
-  * the batch's touched ids (batch-sized, broadcastable), the shingle/
-  * signature pass over the batch's added/changed docs only, and one
-  * state rewrite. Driver state: the boundary stats and the current
-  * version number — row data lives in the versioned parquet state, not
-  * on the driver. Serving at any boundary = [[Dedup.cappedIndexView]]
-  * over the current version (the cap stays a view — capping is not
-  * closed under deletion, d19's argument).
+  * the batch's touched ids (batch-sized, broadcastable), the family
+  * kernel over the batch's added/changed rows only, and one state
+  * rewrite. Driver state: the boundary stats — row data lives in the
+  * versioned parquet state, not on the driver.
   *
   * Reference analog: none — the reference re-ingests fixed task
   * partitions at-most-once (worker/.../JobRunner semantics); a
-  * continuously-maintained similarity index has no counterpart there.
+  * continuously-maintained derived index has no counterpart there.
   */
 object ContinuousIndexMaintenance {
 
   /** One boundary's record: rows touched (removed ∪ changed) and rows
-    * signatured (added ∪ changed) at that boundary.
+    * the kernel ran over (added ∪ changed) at that boundary.
     */
   final case class Boundary(batchId: Long, touched: Long, signatured: Long)
 
-  /** The drained run: the final UNCAPPED index state (id, band,
-    * band_hash) and per-boundary stats. Serve via
-    * [[Dedup.cappedIndexView]].
+  /** The drained run: the final state and per-boundary stats. For the
+    * near-dup index, serve via [[Dedup.cappedIndexView]] (the cap stays
+    * a view — capping is not closed under deletion, d19's argument).
     */
   final case class Run(state: DataFrame, boundaries: Seq[Boundary])
 
-  /** Drain `deltaStream` as described in the class doc. Production
-    * callers that need RESTART resumption must pass a stable `stateDir`
-    * AND a `checkpointLocation` (both default to fresh temp/none, the
-    * one-shot test shape): the checkpoint is what makes Structured
-    * Streaming redeliver only uncommitted batches, and the stable state
-    * dir is what the redelivered batch's base is resolved against. With
-    * the defaults a driver restart silently re-baselines from
-    * `initialState` — fine for a drain-once job, wrong for a service.
+  /** Drain `deltaStream` of (idCol, textCol, status) rows through
+    * [[Dedup.maintainMinhashIndex]] — q129. See [[drain]] for the
+    * restart contract.
     */
   def continuousIndex(spark: SparkSession,
                       initialState: DataFrame,
@@ -75,11 +75,78 @@ object ContinuousIndexMaintenance {
                       k: Int = 32, bands: Int = 8,
                       shingleN: Int = 3,
                       stateDir: Option[String] = None,
-                      checkpointLocation: Option[String] = None): Run = {
-    val loop = new Loop(spark, initialState, textCol, idCol, k, bands,
-      shingleN,
-      stateDir.getOrElse(java.nio.file.Files
-        .createTempDirectory("graft_cim_state").toString))
+                      checkpointLocation: Option[String] = None): Run =
+    drain(deltaStream, checkpointLocation,
+      minhashLoop(spark, initialState, textCol, idCol, k, bands, shingleN,
+        resolve(stateDir)))
+
+  /** Drain `deltaStream` of (idCol, payload binary, status) rows through
+    * [[Multimodal.maintainPhashState]] — m10, the continuous form of
+    * m09. The payload kernel (a full media decode in production) runs
+    * over each batch's added/changed payloads only.
+    */
+  def continuousPhash(spark: SparkSession,
+                      initialState: DataFrame,
+                      deltaStream: DataFrame,
+                      idCol: String,
+                      stateDir: Option[String] = None,
+                      checkpointLocation: Option[String] = None): Run =
+    drain(deltaStream, checkpointLocation,
+      phashLoop(spark, initialState, idCol, resolve(stateDir)))
+
+  /** Drain `deltaStream` of (idCol, groupCol, vecCol, status) rows
+    * through [[Similarity.maintainAssignments]] under the FIXED
+    * codebook `cents` — s21, the continuous form of s18 (retrains are
+    * the separate rare event, [[Similarity.retrainReassign]]).
+    */
+  def continuousAssignments(spark: SparkSession,
+                            initialState: DataFrame,
+                            deltaStream: DataFrame,
+                            cents: DataFrame,
+                            idCol: String, groupCol: String, vecCol: String,
+                            stateDir: Option[String] = None,
+                            checkpointLocation: Option[String] = None): Run =
+    drain(deltaStream, checkpointLocation,
+      assignLoop(spark, initialState, cents, idCol, groupCol, vecCol,
+        resolve(stateDir)))
+
+  private[graft] def minhashLoop(spark: SparkSession, initialState: DataFrame,
+      textCol: String, idCol: String, k: Int, bands: Int, shingleN: Int,
+      stateDir: String): Loop =
+    new Loop(spark, initialState, idCol, stateDir,
+      (base, diff, docs) => Dedup.maintainMinhashIndex(base, diff,
+        docs.select(col(idCol), col(textCol)), textCol, idCol,
+        k, bands, shingleN))
+
+  private[graft] def phashLoop(spark: SparkSession, initialState: DataFrame,
+      idCol: String, stateDir: String): Loop =
+    new Loop(spark, initialState, idCol, stateDir,
+      (base, diff, docs) => Multimodal.maintainPhashState(base, diff,
+        docs.select(col(idCol), col("payload")), idCol))
+
+  private[graft] def assignLoop(spark: SparkSession, initialState: DataFrame,
+      cents: DataFrame, idCol: String, groupCol: String, vecCol: String,
+      stateDir: String): Loop =
+    new Loop(spark, initialState, idCol, stateDir,
+      (base, diff, docs) => Similarity.maintainAssignments(base, diff,
+        docs.select(col(idCol), col(groupCol), col(vecCol)),
+        cents, idCol, groupCol, vecCol))
+
+  private def resolve(stateDir: Option[String]): String =
+    stateDir.getOrElse(java.nio.file.Files
+      .createTempDirectory("graft_cim_state").toString)
+
+  /** Run the AvailableNow drain. Production callers that need RESTART
+    * resumption must pass a stable `stateDir` AND a
+    * `checkpointLocation` (both default to fresh temp/none, the
+    * one-shot test shape): the checkpoint is what makes Structured
+    * Streaming redeliver only uncommitted batches, and the stable state
+    * dir is what the redelivered batch's base is resolved against. With
+    * the defaults a driver restart silently re-baselines from
+    * `initialState` — fine for a drain-once job, wrong for a service.
+    */
+  private def drain(deltaStream: DataFrame,
+                    checkpointLocation: Option[String], loop: Loop): Run = {
     val w = deltaStream.writeStream
       .foreachBatch(loop.processBatch _)
       .trigger(Trigger.AvailableNow())
@@ -90,22 +157,25 @@ object ContinuousIndexMaintenance {
   }
 
   /** The per-boundary state machine, extracted (the q128 Loop pattern)
-    * so the redelivery contract is spec-assertable. Version k lands in
-    * a batchId-keyed directory with OVERWRITE, and — the load-bearing
-    * rule — batch k's BASE is always the latest on-disk version with id
-    * BELOW k (falling back to the initial state), never an in-memory
-    * pointer: after a failure, Structured Streaming redelivers only the
-    * uncommitted batch k, and a loop that resumed from memory (or from
-    * a half-written version k) would lose or double-apply deltas. Batch
-    * k fires only after k−1 committed, so every version below k is
-    * fully written; a partial directory can only be k itself, which the
-    * `< k` rule excludes and the overwrite rewrite repairs. Version k
-    * is thus a pure function of (version k−1, batch k) — redelivery
-    * REWRITES it, byte-compatibly, instead of re-applying the delta.
+    * so the redelivery contract is spec-assertable, generic over the
+    * family maintainer: `maintain(base, diff, docs)` where `diff` is
+    * the batch's (id, status) view and `docs` its added/changed rows
+    * with payload columns. Version k lands in a batchId-keyed directory
+    * with OVERWRITE, and — the load-bearing rule — batch k's BASE is
+    * always the latest on-disk version with id BELOW k (falling back to
+    * the initial state), never an in-memory pointer: after a failure,
+    * Structured Streaming redelivers only the uncommitted batch k, and
+    * a loop that resumed from memory (or from a half-written version k)
+    * would lose or double-apply deltas. Batch k fires only after k−1
+    * committed, so every version below k is fully written; a partial
+    * directory can only be k itself, which the `< k` rule excludes and
+    * the overwrite rewrite repairs. Version k is thus a pure function
+    * of (version k−1, batch k) — redelivery REWRITES it,
+    * byte-compatibly, instead of re-applying the delta.
     */
   private[graft] final class Loop(spark: SparkSession,
-      initialState: DataFrame, textCol: String, idCol: String,
-      k: Int, bands: Int, shingleN: Int, val stateDir: String) {
+      initialState: DataFrame, idCol: String, val stateDir: String,
+      maintain: (DataFrame, DataFrame, DataFrame) => DataFrame) {
     val boundaries = scala.collection.mutable.ArrayBuffer.empty[Boundary]
 
     // only ^v\d+$ entries are version directories — a stray file in a
@@ -134,27 +204,26 @@ object ContinuousIndexMaintenance {
     def processBatch(batch: DataFrame, batchId: Long): Unit = {
       // one diff row per id per boundary — last-writer-wins applies
       // ACROSS batches; within one batch two rows for the same id are
-      // order-ambiguous and would emit conflicting index rows, so fail
+      // order-ambiguous and would emit conflicting state rows, so fail
       // loudly (the requireUniqueKeys convention of the resume seams)
       val dup = batch.groupBy(col(idCol)).agg(count(lit(1)).as("__n"))
         .where(col("__n") > 1)
       require(dup.isEmpty,
-        s"continuousIndex: batch $batchId carries duplicate rows per " +
-          s"'$idCol' — e.g. ${dup.take(3).mkString("; ")} — the " +
+        s"continuous maintenance: batch $batchId carries duplicate rows " +
+          s"per '$idCol' — e.g. ${dup.take(3).mkString("; ")} — the " +
           "boundary contract is one diff row per id; pre-aggregate " +
           "the batch to its final per-id status upstream")
       val base = versionsBelow(batchId).sorted.lastOption
         .map(stateAt).getOrElse(initialState)
       // the d14 diff vocabulary arrives as rows; rebuild the two sides
-      // maintainMinhashIndex expects (its `diff` and `newCorpus` views)
+      // the maintainer expects (its `diff` and `newCorpus` views)
       val diff = batch.select(col(idCol).as("id"), col("status"))
       val docs = batch.filter(col("status").isin("added", "changed"))
-        .select(col(idCol), col(textCol))
+        .drop("status")
       val touched = batch.filter(col("status").isin("removed", "changed"))
         .count()
       val signatured = docs.count()
-      Dedup.maintainMinhashIndex(base, diff, docs,
-        textCol, idCol, k, bands, shingleN)
+      maintain(base, diff, docs)
         .write.mode("overwrite").parquet(s"$stateDir/v$batchId")
       boundaries += Boundary(batchId, touched, signatured)
     }

@@ -29,7 +29,11 @@ class PlanAuditSpec extends SparkSpec {
     "q105_streaming_lifecycle_floor", // streaming drain by design (the floor probe)
     "q106_streaming_admission", // streaming drain (foreachBatch against the static index)
     "q111_streaming_quantile",  // streaming drain (foreachBatch histogram append)
-    "q119_streaming_edge_delta") // streaming drain (foreachBatch weight partials)
+    "q119_streaming_edge_delta", // streaming drain (foreachBatch weight partials)
+    "q128_continuous_rank",  // streaming drain (the continuous maintenance loop)
+    "q129_continuous_index", // streaming drain (q128's pattern, dedup family)
+    "m10_continuous_phash",  // streaming drain (q129's pattern, media family)
+    "s21_continuous_assignments") // streaming drain (q129's pattern, ANN family)
   private def eagerPrefix(n: String): Boolean =
     n.startsWith("p0") || n.startsWith("src")
 

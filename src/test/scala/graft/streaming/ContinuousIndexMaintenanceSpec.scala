@@ -86,7 +86,7 @@ class ContinuousIndexMaintenanceSpec extends SparkSpec {
   test("a batch with duplicate ids fails loudly instead of emitting conflicting index rows") {
     val stateDir = java.nio.file.Files
       .createTempDirectory("graft_cim_dup").toString
-    val loop = new ContinuousIndexMaintenance.Loop(spark,
+    val loop = ContinuousIndexMaintenance.minhashLoop(spark,
       Dedup.minhashIndexState(df(v1), "text", "doc_id"),
       "text", "doc_id", 32, 8, 3, stateDir)
     val dupBatch = Seq(
@@ -108,7 +108,7 @@ class ContinuousIndexMaintenanceSpec extends SparkSpec {
     java.nio.file.Files.createDirectory(stateDir.resolve("v1notdigits"))
     val init = Dedup.minhashIndexState(df(v1), "text", "doc_id")
       .localCheckpoint()
-    val loop = new ContinuousIndexMaintenance.Loop(spark, init,
+    val loop = ContinuousIndexMaintenance.minhashLoop(spark, init,
       "text", "doc_id", 32, 8, 3, stateDir.toString)
     loop.processBatch(
       diffRows.toDF("doc_id", "text", "status"), 0L)
@@ -151,6 +151,68 @@ class ContinuousIndexMaintenanceSpec extends SparkSpec {
       idx(Dedup.minhashIndexState(df(v2), "text", "doc_id"))
   }
 
+  test("phash loop (m10): drain equals rebuild, and redelivery rewrites its version") {
+    // the media family instantiation of the same Loop: payload kernel
+    // over delta payloads only, batchId-versioned state
+    def media(rows: Seq[(Long, String)]) = rows.toDF("doc_id", "text")
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+    val stateDir = java.nio.file.Files
+      .createTempDirectory("graft_cpm_spec").toString
+    val init = graft.operators.Multimodal
+      .perceptualHash(media(v1), "doc_id").localCheckpoint()
+    def newLoop() = ContinuousIndexMaintenance.phashLoop(
+      spark, init, "doc_id", stateDir)
+    def batch(rows: Seq[(Long, String, String)]) =
+      rows.toDF("doc_id", "text", "status")
+        .select(col("doc_id"), col("text").cast("binary").as("payload"),
+                col("status"))
+    val first = newLoop()
+    first.processBatch(batch(diffRows.take(1)), 0L)
+    first.processBatch(batch(diffRows.slice(1, 2)), 1L) // uncommitted…
+    val restarted = newLoop() // …restart: fresh seam state, same dir
+    restarted.processBatch(batch(diffRows.slice(1, 2)), 1L) // redelivery
+    restarted.processBatch(batch(diffRows.drop(2)), 2L)
+    val drained = restarted.result.state.collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val rebuilt = graft.operators.Multimodal
+      .perceptualHash(media(v2), "doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    drained shouldBe rebuilt
+  }
+
+  test("assignment loop (s21): drain equals rebuild under the fixed codebook") {
+    // the ANN family instantiation: centroid argmin over delta vectors
+    // only, codebook fixed (retrains are s20's separate event)
+    def vecs(rows: Seq[(Long, String, Seq[Double])]) =
+      rows.toDF("vec_id", "lang", "embedding")
+    val w1 = Seq(
+      (1L, "en", Seq(1.0, 0.0)), (2L, "fr", Seq(0.0, 1.0)),
+      (3L, "en", Seq(0.9, 0.1)), (4L, "fr", Seq(0.2, 0.8)))
+    val w2 = Seq(
+      (1L, "en", Seq(1.0, 0.0)), (2L, "fr", Seq(0.7, 0.3)), // changed
+      (4L, "fr", Seq(0.2, 0.8)), (5L, "en", Seq(0.6, 0.4))) // 3 rm, 5 add
+    val cents = graft.operators.Similarity
+      .centroids(vecs(w1), "lang", "embedding").localCheckpoint()
+    val init = graft.operators.Similarity.assignVectors(
+      vecs(w1), cents, "vec_id", "lang", "embedding").localCheckpoint()
+    val stateDir = java.nio.file.Files
+      .createTempDirectory("graft_cam_spec").toString
+    val loop = ContinuousIndexMaintenance.assignLoop(
+      spark, init, cents, "vec_id", "lang", "embedding", stateDir)
+    val d1 = Seq((2L, "fr", Seq(0.7, 0.3), "changed"),
+                 (3L, null.asInstanceOf[String],
+                  null.asInstanceOf[Seq[Double]], "removed"))
+    val d2 = Seq((5L, "en", Seq(0.6, 0.4), "added"))
+    loop.processBatch(d1.toDF("vec_id", "lang", "embedding", "status"), 0L)
+    loop.processBatch(d2.toDF("vec_id", "lang", "embedding", "status"), 1L)
+    val drained = loop.result.state.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    val rebuilt = graft.operators.Similarity.assignVectors(
+      vecs(w2), cents, "vec_id", "lang", "embedding").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    drained shouldBe rebuilt
+  }
+
   test("redelivered batchId rewrites its version: a mid-stream restart loses nothing") {
     // model the failure directly against the extracted Loop: batch 1 is
     // processed but its offset never commits; a restarted loop (fresh
@@ -160,7 +222,7 @@ class ContinuousIndexMaintenanceSpec extends SparkSpec {
       .createTempDirectory("graft_cim_redeliver").toString
     val init = Dedup.minhashIndexState(df(v1), "text", "doc_id")
       .localCheckpoint()
-    def newLoop() = new ContinuousIndexMaintenance.Loop(spark, init,
+    def newLoop() = ContinuousIndexMaintenance.minhashLoop(spark, init,
       "text", "doc_id", 32, 8, 3, stateDir)
     def batch(rows: Seq[(Long, String, String)]) =
       rows.toDF("doc_id", "text", "status")
