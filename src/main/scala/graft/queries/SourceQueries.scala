@@ -381,6 +381,18 @@ object SourceQueries {
         val props = new java.util.Properties()
         props.setProperty("driver", "org.apache.derby.jdbc.EmbeddedDriver")
         val url = s"jdbc:derby:${exportDir(d, "derby_db")};create=true"
+        // SINGLE-JVM STAND-IN (documented via the r11 local-cluster
+        // smoke, which skips this gate): Spark's JDBC source/sink open
+        // driver-side connections (table-exists check, schema
+        // inference) AND executor-side data connections concurrently,
+        // so they require a SERVER-mode database; embedded Derby — the
+        // only JDBC endpoint in the sandbox — admits one JVM per boot
+        // and cannot serve driver + a separate executor JVM at once.
+        // Under any local[k] master everything shares one JVM and the
+        // full write+read roundtrip runs for real; a production
+        // deployment swaps the URL for a database server and the SAME
+        // plan (JDBCRelation scan / JdbcUtils sink) distributes —
+        // nothing graft-side is in that path to break.
         val nation = Tables.nation(s, d)
         nation.write.mode("overwrite").jdbc(url, "nation_tbl", props)
         s.read.jdbc(url, "nation_tbl", props)
