@@ -127,7 +127,10 @@ object ScaleProbe {
     // continuous maintenance for the media and ANN families: ~2
     // boundary floors + the family kernel over per-batch deltas — the
     // q129 shape, expect near-flat over the one-shot m09/s18 movement
-    "m10_continuous_phash", "s21_continuous_assignments")
+    "m10_continuous_phash", "s21_continuous_assignments",
+    // end-to-end fixed-point IVF: s19's training + one listing scan +
+    // probed-candidate re-rank (fixed query set) — expect ~linear
+    "s22_ivf_fixed_search")
 
   private val IdShift = 10000000L
   private val DayShift = 4000 // > TPC-H date span, so copies never overlap

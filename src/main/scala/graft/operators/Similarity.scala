@@ -492,6 +492,51 @@ object Similarity {
     quantized(corpus, scale, idCol, vecCol)
       .select(col("id"), nearestOfDots(fixedScores(codebook)).cast("long").as("cid"))
 
+  /** IVF search where the assignment/probe phases run on a FIXED-POINT
+    * codebook ([[kmeansTrainFixedPoint]]'s output) with exact-integer
+    * scores: corpus vectors list by integer argmax, each query probes
+    * its `nProbe` top-score centroids (score desc, cid asc — exact
+    * ties), and candidates re-rank by exact double cosine. With the
+    * fixed-point trainer this makes the ENTIRE ANN path — training,
+    * assignment, probing, re-ranking — DuckDB-replayable in one oracle
+    * (gate s22), the end-to-end theorem s16 could only state modulo a
+    * handed-in codebook. Movement = [[ivfSearch]]'s: one corpus scan to
+    * list (codegen'd literal argmax, no join), probes broadcast,
+    * corpus shuffled once by list id.
+    */
+  def ivfSearchFixedPoint(corpus: DataFrame, queries: DataFrame, k: Int,
+                          codebook: Array[Array[Long]], nProbe: Int,
+                          scale: Long = 1000000L,
+                          idCol: String = "vec_id", vecCol: String = "embedding")
+      : DataFrame = {
+    val listed = assignFixedPoint(corpus, codebook, scale, idCol, vecCol)
+    val probes = broadcast(
+      quantized(queries, scale, idCol, vecCol)
+        .select(col("id").as("query_id"),
+          posexplode(fixedScores(codebook)).as(Seq("cid", "score")))
+        .withColumn("rnk", row_number().over(Window
+          .partitionBy(col("query_id"))
+          .orderBy(col("score").desc, col("cid"))))
+        .filter(col("rnk") <= nProbe)
+        .select(col("query_id"), col("cid").cast("long").as("cid")))
+    val vecs = corpus.select(col(idCol).as("neighbor_id"),
+      col(vecCol).cast("array<double>").as("nv"))
+    val qvecs = broadcast(queries.select(col(idCol).as("query_id"),
+      col(vecCol).cast("array<double>").as("qv")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id").asc)
+    probes.join(listed, Seq("cid"))
+      .filter(col("query_id") =!= col("id"))
+      .select(col("query_id"), col("id").as("neighbor_id"))
+      .join(vecs, Seq("neighbor_id"))
+      .join(qvecs, Seq("query_id"))
+      .withColumn("sim", cosine(col("qv"), col("nv")))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+              round(col("sim"), 6).as("sim"))
+  }
+
   /** s20: the RARE event s18's contract defers — the codebook retrains
     * and the assignment state must follow. Scoring is unavoidably a full
     * pass (every vector's argmin may move under new centroids; one

@@ -505,7 +505,27 @@ object SimilarityQueries {
         val state = Similarity.assignFixedPoint(emb, cbOld)
         Similarity.retrainReassign(state, emb, cbNew)
       },
-      Some(retrainReassignOracle(KmFixedK, KmFixedIters, 64, 1000000L)))
+      Some(retrainReassignOracle(KmFixedK, KmFixedIters, 64, 1000000L))),
+
+    // END-TO-END ANN, hash-oracled INCLUDING training (s22, r11): the
+    // theorem s16 could only state modulo a handed-in codebook, closed
+    // by composing the fixed-point pieces — the oracle RE-TRAINS the
+    // codebook from scratch (s19's unrolled Lloyd chain), re-derives
+    // every corpus vector's list (exact-integer argmax), replays each
+    // query's nProbe probe ranking (score desc, cid asc — exact integer
+    // ties), and re-ranks the probed candidates by exact cosine. A
+    // hash mismatch ANYWHERE in train/assign/probe/re-rank fails the
+    // gate; nothing is held fixed, nothing is rows-only.
+    "s22_ivf_fixed_search" -> QueryDef(
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val cb = Similarity.kmeansTrainFixedPoint(emb,
+          k = KmFixedK, maxIter = KmFixedIters)
+        Similarity.ivfSearchFixedPoint(emb, emb.filter(col("vec_id") < 5),
+          k = 10, cb, nProbe = 3)
+      },
+      Some(ivfFixedSearchOracle(KmFixedK, KmFixedIters, 64, 1000000L,
+        nProbe = 3, k = 10)))
   )
 
   private val KmFixedK = 8
@@ -644,6 +664,39 @@ object SimilarityQueries {
     ${kmChainCte("", "allv", k, maxIter)}
     SELECT CAST(cid AS BIGINT) AS cid, CAST(pos AS BIGINT) AS pos, c
     FROM cent$maxIter"""
+
+  /** DuckDB replay of s22: re-train (s19's chain), re-assign the
+    * corpus, re-rank each query's probe lists — the whole ANN path
+    * from scratch. The probe ranking reads the SAME score table the
+    * assignment argmax used (a query is a corpus member here), so the
+    * integer scores are computed once per (vector, centroid) pair.
+    */
+  private def ivfFixedSearchOracle(kC: Int, maxIter: Int, dim: Int,
+                                   scale: Long, nProbe: Int, k: Int): String =
+    s"""
+    WITH ${kmXvCte(dim, scale)},
+    allv AS (SELECT vec_id FROM embeddings),
+    ${kmChainCte("", "allv", kC, maxIter)},
+    ${kmAssignCte("c", s"cent$maxIter")},
+    probes AS (SELECT vec_id AS query_id, cid FROM (
+         SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
+                  ORDER BY score DESC, cid ASC) AS rn
+         FROM csca WHERE vec_id < 5) WHERE rn <= $nProbe),
+    vr AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    cand AS (SELECT p.query_id, a.vec_id AS neighbor_id
+             FROM probes p JOIN ca a ON p.cid = a.cid
+             WHERE p.query_id <> a.vec_id),
+    rr AS (SELECT c.query_id, c.neighbor_id,
+                  list_cosine_similarity(q.v, n.v) AS sim
+           FROM cand c JOIN vr q ON q.vec_id = c.query_id
+                       JOIN vr n ON n.vec_id = c.neighbor_id),
+    rk AS (SELECT query_id, neighbor_id, sim,
+                  row_number() OVER (PARTITION BY query_id
+                                     ORDER BY sim DESC, neighbor_id ASC) AS rank
+           FROM rr)
+    SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id,
+           round(sim, 6) AS sim
+    FROM rk WHERE rank <= $k"""
 
   /** DuckDB replay of s20: train the old (V1-subset) and new
     * (full-corpus) codebooks from scratch, assign every vector under

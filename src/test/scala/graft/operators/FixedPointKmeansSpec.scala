@@ -73,6 +73,22 @@ class FixedPointKmeansSpec extends SparkSpec {
     out.count(!_._3) should be > 0
   }
 
+  test("ivfSearchFixedPoint: useful recall vs brute force, deterministic across partitionings") {
+    val cb = Similarity.kmeansTrainFixedPoint(embeddings, k = 8, maxIter = 3)
+    val queries = embeddings.filter(col("vec_id") < 5)
+    def pairs(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val got = pairs(Similarity.ivfSearchFixedPoint(
+      embeddings, queries, k = 10, cb, nProbe = 3))
+    val exact = pairs(Similarity.bruteForceKnn(embeddings, queries, k = 10))
+    // the oracle pins EXACTNESS of the composed path; this pins that the
+    // path is also a useful ANN (measured 0.94 at sf0.01, floor 0.6)
+    (got & exact).size.toDouble / exact.size should be >= 0.6
+    got shouldBe pairs(Similarity.ivfSearchFixedPoint(
+      embeddings.repartition(13, col("vec_id")), queries, k = 10, cb,
+      nProbe = 3))
+  }
+
   test("quantization floors toward minus infinity on both signs") {
     // -0.3·1e6 = -300000.0000000000xx in double → floor -300001 iff the
     // product rounds below; pin the actual contract: floor(double
