@@ -130,7 +130,10 @@ object ScaleProbe {
     "m10_continuous_phash", "s21_continuous_assignments",
     // end-to-end fixed-point IVF: s19's training + one listing scan +
     // probed-candidate re-rank (fixed query set) — expect ~linear
-    "s22_ivf_fixed_search")
+    "s22_ivf_fixed_search",
+    // end-to-end fixed-point PQ: fused subspace training (pqKnn's
+    // shape) + encode scan + broadcast ADC (fixed query set) — ~linear
+    "s23_pq_fixed_search")
 
   private val IdShift = 10000000L
   private val DayShift = 4000 // > TPC-H date span, so copies never overlap

@@ -537,6 +537,104 @@ object Similarity {
               round(col("sim"), 6).as("sim"))
   }
 
+  /** Per-subspace integer fixed-point PQ codebooks — [[pqKnn]]'s Lloyd
+    * trainer re-expressed in the s19 exact-integer style so PQ training
+    * becomes DuckDB-replayable (gate s23). Same fused scale shape as
+    * [[pqKnn]]: all m subspace argmins in ONE codegen'd kernel pass
+    * ([[graft.functions.PqEncode]] over exact-integer doubles — every
+    * score ≤ ~1.2e13 ≪ 2^53, so the kernel's float arithmetic IS
+    * integer arithmetic), then ONE (s, cid, pos) hash-aggregate per
+    * iteration carrying exact Long sums; floor-div updates, empty
+    * clusters keep their centroid, init = the `codebookSize`
+    * smallest-id rows sliced per subspace (replayable ORDER BY).
+    */
+  def pqTrainFixedPoint(corpus: DataFrame, dim: Int, m: Int = 4,
+                        codebookSize: Int = 8, maxIter: Int = 2,
+                        scale: Long = 1000000L,
+                        idCol: String = "vec_id", vecCol: String = "embedding")
+      : Array[Array[Array[Long]]] = {
+    require(dim % m == 0, s"dim $dim must divide into $m subspaces")
+    val sub = dim / m
+    val vecs = quantized(corpus, scale, idCol, vecCol)
+    val initRows = vecs.orderBy(col("id")).limit(codebookSize).collect()
+      .sortBy(_.getLong(0))
+      .map(_.getSeq[Double](1).map(_.toLong).toArray)
+    var cbs: Array[Array[Array[Long]]] = Array.tabulate(m) { s =>
+      initRows.map(_.slice(s * sub, (s + 1) * sub))
+    }
+    for (_ <- 0 until maxIter) {
+      val updated = vecs
+        .select(col("xd"),
+          posexplode(pqEncodeFixed(cbs, col("xd"))).as(Seq("s", "cid")))
+        .select(col("s"), col("cid"),
+          posexplode(slice(col("xd"), col("s") * lit(sub) + 1, lit(sub)))
+            .as(Seq("pos", "x")))
+        .groupBy(col("s"), col("cid"), col("pos"))
+        .agg(sum(col("x").cast("long")).as("sm"), count(lit(1)).as("n"))
+        .collect().groupBy(r => (r.getInt(0), r.getInt(1)))
+        .map { case (key, rows) =>
+          key -> rows.sortBy(_.getInt(2))
+            .map(r => math.floor(r.getLong(3).toDouble / r.getLong(4)).toLong)
+        }
+      cbs = Array.tabulate(m) { s =>
+        cbs(s).indices.map(c => updated.getOrElse((s, c), cbs(s)(c))).toArray
+      }
+    }
+    cbs
+  }
+
+  /** [[graft.functions.PqEncode]] over a fixed-point codebook: the
+    * (2c, ‖c‖²) reference arrays hold exact-integer doubles, so the
+    * kernel's per-subspace argmax is exact and first-max ties match
+    * the oracle's (score desc, cid asc).
+    */
+  private def pqEncodeFixed(cbs: Array[Array[Array[Long]]], vec: Column): Column = {
+    val (m, cbSize, sub) = (cbs.length, cbs(0).length, cbs(0)(0).length)
+    val flat2c = cbs.flatten.flatten.map(x => (2 * x).toDouble)
+    val norms = cbs.flatMap(_.map(c => c.map(x => x.toDouble * x.toDouble).sum))
+    graft.functions.PqKernels.encode(vec, flat2c, norms, m, cbSize, sub)
+  }
+
+  /** The PQ query phase against FIXED-POINT codebooks (gate s23 with
+    * [[pqTrainFixedPoint]]): kernel encode of the quantized corpus, ADC
+    * scoring of quantized queries against integer centroids (exact, so
+    * the k·rerank candidate window replays bit-for-bit), exact double
+    * cosine re-rank of the raw vectors. Movement = [[pqSearch]]'s.
+    */
+  def pqSearchFixedPoint(corpus: DataFrame, queries: DataFrame, k: Int,
+                         cbs: Array[Array[Array[Long]]], rerank: Int,
+                         scale: Long = 1000000L,
+                         idCol: String = "vec_id", vecCol: String = "embedding")
+      : DataFrame = {
+    val (m, cbSize, sub) = (cbs.length, cbs(0).length, cbs(0)(0).length)
+    val vecs = corpus.select(col(idCol).as("id"),
+      col(vecCol).cast("array<double>").as("v"))
+    val coded = quantized(corpus, scale, idCol, vecCol)
+      .select(col("id"), pqEncodeFixed(cbs, col("xd")).as("codes"))
+    val q = broadcast(quantized(queries, scale, idCol, vecCol)
+      .select(col("id").as("query_id"), col("xd").as("qxd"))
+      .join(queries.select(col(idCol).as("query_id"),
+        col(vecCol).cast("array<double>").as("qv")), Seq("query_id")))
+    val flatC = cbs.flatten.flatten.map(_.toDouble)
+    val adot = graft.functions.PqKernels.adcScore(
+      col("qxd"), col("codes"), flatC, m, cbSize, sub)
+    val wA = Window.partitionBy(col("query_id"))
+      .orderBy(col("adot").desc, col("id").asc)
+    val wE = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id").asc)
+    q.join(coded, col("query_id") =!= col("id"))
+      .withColumn("adot", adot)
+      .withColumn("arnk", row_number().over(wA))
+      .filter(col("arnk") <= k * rerank)
+      .select(col("query_id"), col("qv"), col("id").as("neighbor_id"))
+      .join(vecs.withColumnRenamed("id", "neighbor_id"), Seq("neighbor_id"))
+      .withColumn("sim", cosine(col("qv"), col("v")))
+      .withColumn("rank", row_number().over(wE).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+              round(col("sim"), 6).as("sim"))
+  }
+
   /** s20: the RARE event s18's contract defers — the codebook retrains
     * and the assignment state must follow. Scoring is unavoidably a full
     * pass (every vector's argmin may move under new centroids; one

@@ -525,8 +525,31 @@ object SimilarityQueries {
           k = 10, cb, nProbe = 3)
       },
       Some(ivfFixedSearchOracle(KmFixedK, KmFixedIters, 64, 1000000L,
-        nProbe = 3, k = 10)))
+        nProbe = 3, k = 10))),
+
+    // END-TO-END PQ, hash-oracled INCLUDING training (s23, r11 — s22's
+    // theorem for the product-quantization family, completing the set:
+    // LSH needs no training and s02 is whole-path oracled, IVF is s22,
+    // PQ is this): the oracle re-trains all m per-subspace codebooks
+    // from scratch (the fused exact-integer Lloyd chain keyed (s, cid,
+    // pos)), re-encodes every corpus vector (per-subspace integer
+    // argmax — PqEncode's first-max ties), replays the ADC candidate
+    // window over exact integer q·centroid sums, and re-ranks by exact
+    // cosine. Nothing held fixed, nothing rows-only.
+    "s23_pq_fixed_search" -> QueryDef(
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val cbs = Similarity.pqTrainFixedPoint(emb, dim = 64,
+          m = PqFixedM, codebookSize = PqFixedCb, maxIter = PqFixedIters)
+        Similarity.pqSearchFixedPoint(emb, emb.filter(col("vec_id") < 5),
+          k = 10, cbs, rerank = 4)
+      },
+      Some(pqFixedSearchOracle(64, 1000000L, rerankWindow = 40, k = 10)))
   )
+
+  private val PqFixedM = 4
+  private val PqFixedCb = 8
+  private val PqFixedIters = 2
 
   private val KmFixedK = 8
   private val KmFixedIters = 3
@@ -697,6 +720,83 @@ object SimilarityQueries {
     SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id,
            round(sim, 6) AS sim
     FROM rk WHERE rank <= $k"""
+
+  /** DuckDB replay of s23: re-train the m per-subspace fixed-point
+    * codebooks from scratch (one fused Lloyd chain keyed (s, cid, pos)
+    * over the subspace-indexed quantized positions), re-encode the
+    * corpus (per-(vector, subspace) integer argmax, first-max ties),
+    * rebuild the ADC table (exact integer q·centroid sums per (query,
+    * s, cid)), replay the k·rerank candidate window, and re-rank by
+    * exact cosine — the whole PQ path from nothing.
+    */
+  private def pqFixedSearchOracle(dim: Int, scale: Long,
+                                  rerankWindow: Int, k: Int): String = {
+    val (m, cbSize, iters) = (PqFixedM, PqFixedCb, PqFixedIters)
+    val sub = dim / m
+    val pIters = (1 to iters).map { i =>
+      s"""psc$i AS (SELECT xvp.vec_id, ct.s, ct.cid,
+             SUM(2 * ct.c * xvp.x) - SUM(ct.c * ct.c) AS score
+           FROM xvp JOIN pcent${i - 1} ct
+             ON xvp.s = ct.s AND xvp.ppos = ct.pos
+           GROUP BY 1, 2, 3),
+    pasg$i AS (SELECT vec_id, s, cid FROM (
+             SELECT vec_id, s, cid,
+                    row_number() OVER (PARTITION BY vec_id, s
+                                       ORDER BY score DESC, cid ASC) AS rn
+             FROM psc$i) WHERE rn = 1),
+    pupd$i AS (SELECT a.s, a.cid, xvp.ppos AS pos,
+             CAST(floor(CAST(SUM(xvp.x) AS DOUBLE) / COUNT(*)) AS BIGINT) AS c
+           FROM pasg$i a JOIN xvp ON a.vec_id = xvp.vec_id AND a.s = xvp.s
+           GROUP BY 1, 2, 3),
+    pcent$i AS (SELECT pr.s, pr.cid, pr.pos, COALESCE(u.c, pr.c) AS c
+           FROM pcent${i - 1} pr
+           LEFT JOIN pupd$i u
+             ON pr.s = u.s AND pr.cid = u.cid AND pr.pos = u.pos)"""
+    }.mkString(",\n    ")
+    s"""
+    WITH ${kmXvCte(dim, scale)},
+    xvp AS (SELECT vec_id, pos // $sub AS s, pos % $sub AS ppos, x FROM xv),
+    pids AS (SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS cid
+             FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT $cbSize)),
+    pcent0 AS (SELECT i.cid, xvp.s, xvp.ppos AS pos, xvp.x AS c
+               FROM pids i JOIN xvp ON i.vec_id = xvp.vec_id),
+    $pIters,
+    esc AS (SELECT xvp.vec_id, ct.s, ct.cid,
+              SUM(2 * ct.c * xvp.x) - SUM(ct.c * ct.c) AS score
+            FROM xvp JOIN pcent$iters ct
+              ON xvp.s = ct.s AND xvp.ppos = ct.pos
+            GROUP BY 1, 2, 3),
+    enc AS (SELECT vec_id, s, cid FROM (
+              SELECT vec_id, s, cid,
+                     row_number() OVER (PARTITION BY vec_id, s
+                                        ORDER BY score DESC, cid ASC) AS rn
+              FROM esc) WHERE rn = 1),
+    qd AS (SELECT xvp.vec_id AS query_id, ct.s, ct.cid,
+              SUM(ct.c * xvp.x) AS qdot
+           FROM xvp JOIN pcent$iters ct
+             ON xvp.s = ct.s AND xvp.ppos = ct.pos
+           WHERE xvp.vec_id < 5 GROUP BY 1, 2, 3),
+    adc AS (SELECT qd.query_id, e.vec_id, SUM(qd.qdot) AS adot
+            FROM enc e JOIN qd ON e.s = qd.s AND e.cid = qd.cid
+            WHERE qd.query_id <> e.vec_id GROUP BY 1, 2),
+    ar AS (SELECT query_id, vec_id FROM (
+            SELECT query_id, vec_id,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY adot DESC, vec_id ASC) AS arnk
+            FROM adc) WHERE arnk <= $rerankWindow),
+    vr AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    rr AS (SELECT a.query_id, a.vec_id AS neighbor_id,
+                  list_cosine_similarity(q.v, n.v) AS sim
+           FROM ar a JOIN vr q ON q.vec_id = a.query_id
+                     JOIN vr n ON n.vec_id = a.vec_id),
+    rk AS (SELECT query_id, neighbor_id, sim,
+                  row_number() OVER (PARTITION BY query_id
+                                     ORDER BY sim DESC, neighbor_id ASC) AS rank
+           FROM rr)
+    SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id,
+           round(sim, 6) AS sim
+    FROM rk WHERE rank <= $k"""
+  }
 
   /** DuckDB replay of s20: train the old (V1-subset) and new
     * (full-corpus) codebooks from scratch, assign every vector under

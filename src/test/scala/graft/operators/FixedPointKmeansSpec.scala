@@ -89,6 +89,26 @@ class FixedPointKmeansSpec extends SparkSpec {
       nProbe = 3))
   }
 
+  test("pqTrainFixedPoint + pqSearchFixedPoint: useful recall, deterministic across partitionings") {
+    val cbs = Similarity.pqTrainFixedPoint(embeddings, dim = 64,
+      m = 4, codebookSize = 8, maxIter = 2)
+    val again = Similarity.pqTrainFixedPoint(
+      embeddings.repartition(13, col("vec_id")), dim = 64,
+      m = 4, codebookSize = 8, maxIter = 2)
+    cbs.map(_.map(_.toSeq).toSeq) shouldBe again.map(_.map(_.toSeq).toSeq)
+    val queries = embeddings.filter(col("vec_id") < 5)
+    def pairs(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val got = pairs(Similarity.pqSearchFixedPoint(
+      embeddings, queries, k = 10, cbs, rerank = 4))
+    val exact = pairs(Similarity.bruteForceKnn(embeddings, queries, k = 10))
+    // exactness of the composed path is the oracle's job; this pins that
+    // the small verification-twin codebook (m=4, 8 centroids) is still a
+    // working ANN (measured 0.66 at sf0.01, floor 0.3 — the production-
+    // recall PQ gate remains s08's m=16 float path)
+    (got & exact).size.toDouble / exact.size should be >= 0.3
+  }
+
   test("quantization floors toward minus infinity on both signs") {
     // -0.3·1e6 = -300000.0000000000xx in double → floor -300001 iff the
     // product rounds below; pin the actual contract: floor(double

@@ -49,6 +49,7 @@ class PlanAuditSpec extends SparkSpec {
     "s19_kmeans_fixed", // fixed-point Lloyd collects per iteration at build
     "s20_retrain_reassign", // retrains the fixed-point codebook at build
     "s22_ivf_fixed_search", // trains the fixed-point codebook at build
+    "s23_pq_fixed_search", // trains the fixed-point PQ codebooks at build
     "t25_dsir_weights", // bucket-table aggregate collects at build time
     "t27_classifier_train", // GD iterations collect at build time
     "t34_classifier_train_iter1", // one GD iteration collects at build time
