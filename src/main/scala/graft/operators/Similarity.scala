@@ -648,9 +648,15 @@ object Similarity {
     * codebook row-for-row, and `moved` marks exactly the
     * changed-argmin ids (spec-asserted too).
     *
-    * `state` is (id, cid) under the OLD codebook over the SAME corpus —
-    * corpus drift is [[maintainAssignments]]'s seam; compose the two for
-    * drift + retrain.
+    * `state` is (id, cid) under the OLD codebook, nominally over the
+    * SAME corpus — corpus drift is [[maintainAssignments]]'s seam;
+    * compose the two for drift + retrain. Drift that leaks through
+    * anyway degrades GRACEFULLY, never silently wrongly: a corpus id
+    * absent from the state is treated as added (`moved = true` — it
+    * must be written somewhere regardless), and a state id absent from
+    * the corpus is dropped (removed) — so the final (id, cid) set
+    * equals the from-scratch reassignment of `corpus` unconditionally
+    * (spec-asserted on a drifted pair).
     */
   def retrainReassign(state: DataFrame, corpus: DataFrame,
                       newCodebook: Array[Array[Long]],
@@ -659,10 +665,13 @@ object Similarity {
       : DataFrame = {
     val fresh = assignFixedPoint(corpus, newCodebook, scale, idCol, vecCol)
     val moves = fresh
-      .join(state.select(col("id"), col("cid").as("__old_cid")), Seq("id"))
-      .filter(col("cid") =!= col("__old_cid"))
+      .join(state.select(col("id"), col("cid").as("__old_cid")),
+        Seq("id"), "left")
+      .filter(col("__old_cid").isNull || col("cid") =!= col("__old_cid"))
       .select(col("id"), col("cid"))
-    val kept = state.join(moves.select(col("id")), Seq("id"), "left_anti")
+    val kept = state
+      .join(moves.select(col("id")), Seq("id"), "left_anti")
+      .join(fresh.select(col("id")), Seq("id"), "left_semi")
     kept.withColumn("moved", lit(false))
       .unionByName(moves.withColumn("moved", lit(true)))
   }

@@ -73,6 +73,25 @@ class FixedPointKmeansSpec extends SparkSpec {
     out.count(!_._3) should be > 0
   }
 
+  test("retrainReassign degrades gracefully under state/corpus drift") {
+    // ids present in only one side must not silently corrupt the final
+    // state: corpus-only ids are added (moved = true), state-only ids
+    // drop — final (id, cid) equals the from-scratch reassignment
+    val cbOld = Similarity.kmeansTrainFixedPoint(
+      embeddings.filter(col("vec_id") % 2 === 0), k = 4, maxIter = 1)
+    val cbNew = Similarity.kmeansTrainFixedPoint(embeddings, k = 4, maxIter = 1)
+    val state = Similarity.assignFixedPoint(
+      embeddings.filter(col("vec_id") % 7 =!= 1), cbOld) // drifted state
+    val out = Similarity.retrainReassign(state, embeddings, cbNew)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    val fresh = Similarity.assignFixedPoint(embeddings, cbNew)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    out.map(t => t._1 -> t._2).toMap shouldBe fresh
+    out.length shouldBe fresh.size
+    // every corpus id the state never saw is necessarily a move
+    out.filter(_._1 % 7 == 1).foreach(_._3 shouldBe true)
+  }
+
   test("ivfSearchFixedPoint: useful recall vs brute force, deterministic across partitionings") {
     val cb = Similarity.kmeansTrainFixedPoint(embeddings, k = 8, maxIter = 3)
     val queries = embeddings.filter(col("vec_id") < 5)
