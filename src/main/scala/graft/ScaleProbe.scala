@@ -133,7 +133,11 @@ object ScaleProbe {
     "s22_ivf_fixed_search",
     // end-to-end fixed-point PQ: fused subspace training (pqKnn's
     // shape) + encode scan + broadcast ADC (fixed query set) — ~linear
-    "s23_pq_fixed_search")
+    "s23_pq_fixed_search",
+    // fixed-point classifier training: one token explode + per
+    // iteration a doc-keyed margin agg + a 65-key gradient agg over the
+    // sparse feature table — expect ~linear in corpus tokens
+    "t36_classifier_train_fixed")
 
   private val IdShift = 10000000L
   private val DayShift = 4000 // > TPC-H date span, so copies never overlap

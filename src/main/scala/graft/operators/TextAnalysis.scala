@@ -726,6 +726,80 @@ object TextAnalysis {
     (w, hist)
   }
 
+  /** Integer fixed-point classifier trainer — [[trainClassifier]]'s
+    * question with a hash-oracle-able answer (gate t36), extending the
+    * s19 training-oracle style to the text family. The float GD's
+    * un-replayable pieces are replaced by exact integer twins:
+    *
+    *  - features = RAW hashed-bucket token counts, kept SPARSE as
+    *    (doc, bucket, cnt) rows (the count explode is one shuffle; per
+    *    iteration one doc-keyed margin aggregate + one 65-key gradient
+    *    aggregate, both map-side combined — t27's movement with the
+    *    dense histogram swapped for its sparse twin);
+    *  - the logistic sigmoid is replaced by the HARD sigmoid
+    *    p = clamp(½ + m/4, 0, 1) in probability micro-units
+    *    (p_units = clamp(500000 + ⌊m_units/4⌋, 0, 1e6)) — piecewise
+    *    linear, so every probability, error, and gradient is an exact
+    *    integer; the one rounding per (iter, doc) and per (iter,
+    *    bucket) is the established floor-of-double-division, identical
+    *    on both engines;
+    *  - updates: w_j ← w_j − ⌊Σ_docs (p − y·1e6)·x_j / (lrDen·n)⌋,
+    *    zero init. Every intermediate stays far below 2^53.
+    *
+    * Bit-deterministic across partitionings (exact Long sums) and the
+    * oracle RE-TRAINS from scratch as `iters` unrolled CTE stages.
+    * History reports integer (err_units, correct) instead of the float
+    * log-loss — the hard-sigmoid objective's honest metrics. The float
+    * trainer (t27) remains the production logistic path; this is its
+    * verification twin the way s19 twins s10.
+    */
+  def trainClassifierFixedPoint(df: DataFrame, idCol: String,
+                                textCol: String, labelCol: Column,
+                                buckets: Int = 64, iters: Int = 3,
+                                lrDen: Long = 2L)
+      : (Array[Long], DataFrame) = {
+    val spark = df.sparkSession
+    val P = 1000000L
+    val xb = df.select(col(idCol).as("id"), labelCol.cast("long").as("y"),
+        explode(transform(split(col(textCol), " "),
+          w => pmod(graft.functions.PortableHash.md5_64(w),
+            lit(buckets.toLong)))).as("j"))
+      .groupBy(col("id"), col("y"), col("j"))
+      .agg(count(lit(1)).as("cnt"))
+      .localCheckpoint() // one feature scan; iterations re-read it
+    val n = df.count()
+    val w = Array.fill(buckets + 1)(0L)
+    val history = Seq.newBuilder[(Long, Long, Long)]
+    for (it <- 1 to iters) {
+      val wLit = typedLit(w.take(buckets).toSeq)
+      val scored = xb.groupBy(col("id"), col("y"))
+        .agg(sum(element_at(wLit, col("j").cast("int") + 1) * col("cnt"))
+          .as("msum"))
+        .withColumn("p", least(lit(P), greatest(lit(0L),
+          lit(P / 2) + floor((col("msum") + lit(w(buckets)))
+            .cast("double") / 4.0).cast("long"))))
+        .withColumn("e", col("p") - col("y") * lit(P))
+        .localCheckpoint() // pin this iteration's probabilities
+      val gj = scored.select(col("id"), col("e"))
+        .join(xb.select(col("id"), col("j"), col("cnt")), Seq("id"))
+        .groupBy(col("j"))
+        .agg(sum(col("e") * col("cnt")).as("g"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val ex = scored.agg(
+        sum(col("e")).as("gb"),
+        sum(abs(col("e"))).as("err"),
+        sum(when((col("p") > lit(P / 2)) === (col("y") === 1L), 1L)
+          .otherwise(0L)).as("correct")).collect()(0)
+      for (j <- 0 until buckets)
+        w(j) -= math.floor(
+          gj.getOrElse(j.toLong, 0L).toDouble / (lrDen * n)).toLong
+      w(buckets) -= math.floor(ex.getLong(0).toDouble / (lrDen * n)).toLong
+      history += ((it.toLong, ex.getLong(1), ex.getLong(2)))
+    }
+    import spark.implicits._
+    (w, history.result().toDF("iter", "err_units", "correct"))
+  }
+
   /** Token-budget mixture: per-source TOKEN budgets (not doc counts —
     * the unit a training run actually consumes) from a temperature-
     * scaled share of the corpus token mass (data-mixing shape:

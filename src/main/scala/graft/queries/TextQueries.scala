@@ -824,6 +824,24 @@ object TextQueries {
                  AS accuracy
         FROM documents""")),
 
+    // Integer fixed-point classifier TRAINING, hash-oracled (t36, r11 —
+    // the s19 training-oracle style for the text family): raw hashed-
+    // bucket counts as sparse features, hard-sigmoid probabilities in
+    // exact micro-units, integer gradient sums, floor-div updates. The
+    // oracle RE-TRAINS from scratch (iters unrolled CTE stages) and the
+    // gate emits the final weight vector — a mismatch in any iteration's
+    // margins, clamps, gradients, or updates changes some weight. t27
+    // stays the production logistic path (its GD avg is float-order
+    // dependent); this is its verification twin the way s19 twins s10.
+    "t36_classifier_train_fixed" -> QueryDef(
+      (s, d) => {
+        val (w, _) = TextAnalysis.trainClassifierFixedPoint(
+          Tables.documents(s, d), "doc_id", "text", col("lang") === "en")
+        import s.implicits._
+        w.zipWithIndex.map { case (v, j) => (j.toLong, v) }.toSeq.toDF("j", "w")
+      },
+      Some(classifierFixedOracle(buckets = 64, iters = 3, lrDen = 2))),
+
     // In-engine BPE tokenizer (t28): merge rules trained on the
     // word-frequency dictionary (Sennrich et al. 2016 — k iterations of
     // pair-count argmax, each over |vocab| rows, so training cost is
@@ -962,4 +980,48 @@ object TextQueries {
   }
 
   private val PH = graft.functions.PortableHash
+
+  /** DuckDB replay of t36: re-train the fixed-point classifier from
+    * scratch — sparse (doc, bucket, cnt) features, then per iteration
+    * the exact-integer margin aggregate, the hard-sigmoid clamp
+    * (one floor-of-double-division per doc), the 65-key integer
+    * gradient sums, and the floor-div weight update. Bias rides as
+    * bucket id `buckets`.
+    */
+  private def classifierFixedOracle(buckets: Int, iters: Int,
+                                    lrDen: Long): String = {
+    val P = 1000000L
+    val steps = (1 to iters).map { i =>
+      s"""m$i AS (SELECT xb.doc_id, xb.y,
+             (SELECT w FROM w${i - 1} WHERE j = $buckets)
+               + SUM(wt.w * xb.cnt) AS mu
+           FROM xb JOIN w${i - 1} wt ON wt.j = xb.j
+           GROUP BY 1, 2),
+    p$i AS (SELECT doc_id, y,
+             LEAST($P, GREATEST(0, ${P / 2}
+               + CAST(floor(CAST(mu AS DOUBLE) / 4) AS BIGINT))) AS p
+           FROM m$i),
+    g$i AS (SELECT xb.j, SUM((p.p - p.y * $P) * xb.cnt) AS g
+           FROM p$i p JOIN xb ON xb.doc_id = p.doc_id GROUP BY 1),
+    w$i AS (SELECT wp.j, wp.w - CAST(floor(CAST(
+             CASE WHEN wp.j = $buckets
+                  THEN (SELECT SUM(p - y * $P) FROM p$i)
+                  ELSE COALESCE(g.g, 0) END
+             AS DOUBLE) / ($lrDen * (SELECT n FROM nn))) AS BIGINT) AS w
+           FROM w${i - 1} wp LEFT JOIN g$i g ON g.j = wp.j)"""
+    }.mkString(",\n    ")
+    s"""
+    WITH xb AS MATERIALIZED (
+      SELECT doc_id, y, j, COUNT(*) AS cnt FROM (
+        SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+               ${PH.sqlMd5_64("w")} % $buckets AS j
+        FROM (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w
+              FROM documents))
+      GROUP BY 1, 2, 3),
+    nn AS (SELECT COUNT(*) AS n FROM documents),
+    w0 AS (SELECT CAST(j AS BIGINT) AS j, CAST(0 AS BIGINT) AS w
+           FROM (SELECT unnest(range(0, ${buckets + 1})) AS j)),
+    $steps
+    SELECT j, w FROM w$iters"""
+  }
 }

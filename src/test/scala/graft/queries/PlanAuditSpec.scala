@@ -53,6 +53,7 @@ class PlanAuditSpec extends SparkSpec {
     "t25_dsir_weights", // bucket-table aggregate collects at build time
     "t27_classifier_train", // GD iterations collect at build time
     "t34_classifier_train_iter1", // one GD iteration collects at build time
+    "t36_classifier_train_fixed", // fixed-point GD iterations collect at build
     "t28_bpe_tokenize", // merge-training argmax collects per iteration
     "s14_mmr_diverse", // bounded poolK pool+sims collect; greedy on driver
     // hammingPairsAuto sizes its banding from a corpus count(): building
