@@ -439,10 +439,12 @@ object Similarity {
                             idCol: String = "vec_id", vecCol: String = "embedding")
       : Array[Array[Long]] = {
     val vecs = quantized(corpus, scale, idCol, vecCol)
+    requireFixedPointBounds(vecs, scale)
     def toArr(r: org.apache.spark.sql.Row): Array[Long] =
       r.getSeq[Double](1).map(_.toLong).toArray
     var centroids: Array[Array[Long]] =
       vecs.orderBy(col("id")).limit(k).collect().sortBy(_.getLong(0)).map(toArr)
+    if (centroids.isEmpty) return centroids // empty corpus: nothing to train
     for (_ <- 0 until maxIter) {
       val updated = vecs
         .withColumn("cid", nearestOfDots(fixedScores(centroids)))
@@ -468,6 +470,36 @@ object Similarity {
     corpus.select(col(idCol).as("id"),
       transform(col(vecCol).cast("array<double>"),
         x => floor(x * lit(scale.toDouble)).cast("double")).as("xd"))
+
+  /** The fixed-point trainers' exactness precondition, enforced LOUDLY
+    * (the graph family's 2⁶³-guard convention): every score/sum below
+    * is exact integer arithmetic in doubles ONLY while per-term
+    * products stay under 2⁵³ — i.e. max|⌊x·scale⌋| ≤ √(2⁵²/dim) (the
+    * 2c·x chain: 2·M²·dim < 2⁵³) AND n·M·scale < 2⁵³ (the update
+    * sums). Out-of-range embeddings (or a scale too large for the
+    * data) must fail with the offending magnitude named, never train
+    * on silently-rounded arithmetic. One aggregate over the (already
+    * eagerly consumed) quantized table — the trainers are driver
+    * loops, so the extra job is one of dozens.
+    */
+  private def requireFixedPointBounds(vecs: DataFrame, scale: Long): Unit = {
+    val r = vecs.agg(
+      max(array_max(transform(col("xd"), x => abs(x)))).as("m"),
+      max(size(col("xd"))).as("dim"),
+      count(lit(1)).as("n")).head()
+    if (!r.isNullAt(0)) {
+      val (m, dim, n) = (r.getDouble(0), r.getInt(1), r.getLong(2))
+      val mMax = math.sqrt(math.pow(2, 52) / math.max(dim, 1))
+      require(m <= mMax,
+        f"fixed-point trainer: quantized magnitude $m%.0f exceeds the " +
+          f"exactness bound $mMax%.0f for dim=$dim (scale=$scale) — " +
+          "2c·x chains would pass 2^53 and silently stop being integer " +
+          "arithmetic; lower the scale or normalize the vectors")
+      require(n.toDouble * m < math.pow(2, 53),
+        s"fixed-point trainer: n=$n rows at magnitude $m overflow the " +
+          "2^53-exact update sums; cap the training sample")
+    }
+  }
 
   /** The exact-integer score array over a fixed-point codebook:
     * element j = 2c_j·xd − ‖c_j‖², every term an integer below 2^53.
@@ -556,6 +588,7 @@ object Similarity {
     require(dim % m == 0, s"dim $dim must divide into $m subspaces")
     val sub = dim / m
     val vecs = quantized(corpus, scale, idCol, vecCol)
+    requireFixedPointBounds(vecs, scale)
     val initRows = vecs.orderBy(col("id")).limit(codebookSize).collect()
       .sortBy(_.getLong(0))
       .map(_.getSeq[Double](1).map(_.toLong).toArray)

@@ -67,6 +67,34 @@ class RobustnessSpec extends SparkSpec {
     cb.foreach(_.length shouldBe 4)
   }
 
+  test("kmeansTrainFixedPoint: k larger than the corpus degrades to corpus-sized codebook") {
+    val tiny = Seq((1L, Array.fill(4)(1.0f)), (2L, Array.fill(4)(2.0f)))
+      .toDF("vec_id", "embedding")
+    val cb = Similarity.kmeansTrainFixedPoint(tiny, k = 8, maxIter = 2)
+    cb.length shouldBe 2
+    cb.foreach(_.length shouldBe 4)
+  }
+
+  test("fixed-point trainers fail loudly past the 2^53 exactness bound") {
+    // |x| = 1e10 quantizes to 1e16 micro-units: 2c·x chains would pass
+    // 2^53 and the 'integer arithmetic in doubles' theorem would
+    // silently stop holding — the guard must name the magnitude instead
+    val huge = Seq((1L, Array.fill(4)(1.0e10f)), (2L, Array.fill(4)(2.0e10f)))
+      .toDF("vec_id", "embedding")
+    val e1 = intercept[IllegalArgumentException] {
+      Similarity.kmeansTrainFixedPoint(huge, k = 2, maxIter = 1)
+    }
+    e1.getMessage should include("exactness bound")
+    val e2 = intercept[IllegalArgumentException] {
+      Similarity.pqTrainFixedPoint(huge, dim = 4, m = 2,
+        codebookSize = 2, maxIter = 1)
+    }
+    e2.getMessage should include("exactness bound")
+    // and empty input does not trip the guard (null max aggregate)
+    val empty = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
+    Similarity.kmeansTrainFixedPoint(empty, k = 2, maxIter = 1).length shouldBe 0
+  }
+
   test("random projection: null embedding yields null projections, not a crash") {
     val docs = Seq((1L, Array.fill(8)(1.0f)), (2L, null.asInstanceOf[Array[Float]]))
       .toDF("vec_id", "embedding")
