@@ -73,10 +73,24 @@ object ClusterSmoke {
       (name, status, secs)
     }
     val failed = results.count(_._2.startsWith("FAIL"))
+    // full JSON string escape (the Verify.q convention) — a failure
+    // message carrying backslashes or control chars must not make the
+    // artifact unparseable exactly when it needs inspecting; Locale.ROOT
+    // so comma-decimal default locales can't corrupt the numbers
+    def q(s: String): String = "\"" + s.flatMap {
+      case '"'  => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
     val rows = results.map { case (n, s, t) =>
-      f"""  "$n": {"status": "$s", "secs": $t%.1f}"""
+      String.format(java.util.Locale.ROOT,
+        """  %s: {"status": %s, "secs": %.1f}""", q(n), q(s), Double.box(t))
     }.mkString("{\n \"master\": \"local-cluster[4,8,4096]\",\n" +
-      s""" "sf_dir": "$sfDir",\n "gates": ${results.size},\n""" +
+      s""" "sf_dir": ${q(sfDir)},\n "gates": ${results.size},\n""" +
       s""" "failed": $failed,\n "results": {\n""", ",\n", "\n }}\n")
     java.nio.file.Files.write(java.nio.file.Paths.get(out),
       rows.getBytes("UTF-8"))

@@ -473,10 +473,11 @@ object Similarity {
 
   /** The fixed-point trainers' exactness precondition, enforced LOUDLY
     * (the graph family's 2⁶³-guard convention): every score/sum below
-    * is exact integer arithmetic in doubles ONLY while per-term
-    * products stay under 2⁵³ — i.e. max|⌊x·scale⌋| ≤ √(2⁵²/dim) (the
-    * 2c·x chain: 2·M²·dim < 2⁵³) AND n·M·scale < 2⁵³ (the update
-    * sums). Out-of-range embeddings (or a scale too large for the
+    * is exact integer arithmetic in doubles ONLY while intermediates
+    * stay under 2⁵³. The score 2c·x − ‖c‖² is bounded by 3·M²·dim
+    * (2·M²·dim for the dot chain plus M²·dim for the norm), so
+    * max|⌊x·scale⌋| must satisfy 3·M²·dim < 2⁵³; the update sums need
+    * n·M < 2⁵³. Out-of-range embeddings (or a scale too large for the
     * data) must fail with the offending magnitude named, never train
     * on silently-rounded arithmetic. One aggregate over the (already
     * eagerly consumed) quantized table — the trainers are driver
@@ -489,12 +490,12 @@ object Similarity {
       count(lit(1)).as("n")).head()
     if (!r.isNullAt(0)) {
       val (m, dim, n) = (r.getDouble(0), r.getInt(1), r.getLong(2))
-      val mMax = math.sqrt(math.pow(2, 52) / math.max(dim, 1))
+      val mMax = math.sqrt(math.pow(2, 53) / (3.0 * math.max(dim, 1)))
       require(m <= mMax,
         f"fixed-point trainer: quantized magnitude $m%.0f exceeds the " +
           f"exactness bound $mMax%.0f for dim=$dim (scale=$scale) — " +
-          "2c·x chains would pass 2^53 and silently stop being integer " +
-          "arithmetic; lower the scale or normalize the vectors")
+          "2c·x − ‖c‖² scores would pass 2^53 and silently stop being " +
+          "integer arithmetic; lower the scale or normalize the vectors")
       require(n.toDouble * m < math.pow(2, 53),
         s"fixed-point trainer: n=$n rows at magnitude $m overflow the " +
           "2^53-exact update sums; cap the training sample")

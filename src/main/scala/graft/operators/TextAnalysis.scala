@@ -768,9 +768,25 @@ object TextAnalysis {
       .agg(count(lit(1)).as("cnt"))
       .localCheckpoint() // one feature scan; iterations re-read it
     val n = df.count()
+    // the 2^53 exactness guard (the fixed-point-trainer convention):
+    // gradient sums are bounded by P·totalTokens, and each iteration's
+    // margins by max|w|·maxDocTokens — both must stay exact integers
+    val stats = xb.groupBy(col("id")).agg(sum(col("cnt")).as("dt"))
+      .agg(sum(col("dt")), max(col("dt"))).head()
+    val (totalTokens, maxDocTokens) =
+      if (stats.isNullAt(0)) (0L, 0L) else (stats.getLong(0), stats.getLong(1))
+    require(totalTokens.toDouble * P < math.pow(2, 53),
+      s"fixed-point classifier: $totalTokens tokens overflow the " +
+        "2^53-exact gradient sums at micro-unit scale; cap the " +
+        "training sample")
     val w = Array.fill(buckets + 1)(0L)
     val history = Seq.newBuilder[(Long, Long, Long)]
     for (it <- 1 to iters) {
+      val maxW = w.map(math.abs).max
+      require(maxW.toDouble * maxDocTokens < math.pow(2, 53),
+        s"fixed-point classifier: iteration $it weights (max |w| $maxW) " +
+          s"× $maxDocTokens tokens/doc would overflow the 2^53-exact " +
+          "margins; lower the learning rate or iteration count")
       val wLit = typedLit(w.take(buckets).toSeq)
       val scored = xb.groupBy(col("id"), col("y"))
         .agg(sum(element_at(wLit, col("j").cast("int") + 1) * col("cnt"))

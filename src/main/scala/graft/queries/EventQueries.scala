@@ -40,20 +40,11 @@ object EventQueries {
     * streaming gate reading stale staged data. Shared by q101/q104.
     */
   private def stageDocsDir(s: org.apache.spark.sql.SparkSession,
-      d: String): java.nio.file.Path = {
-    val sf = java.nio.file.Paths.get(d).getFileName.toString
-    val dir = java.nio.file.Paths.get(
-      sys.props("java.io.tmpdir"), "graft_export", sf, "docs_stream4")
-    val src = java.nio.file.Paths.get(d, "documents.parquet")
-    val marker = dir.resolve("_SUCCESS")
-    val stale = !java.nio.file.Files.exists(marker) ||
-      java.nio.file.Files.getLastModifiedTime(src)
-        .compareTo(java.nio.file.Files.getLastModifiedTime(marker)) > 0
-    if (stale)
+      d: String): java.nio.file.Path =
+    Staging.stageIfStale(d, "docs_stream4", "documents.parquet") { dir =>
       Tables.documents(s, d).repartition(4)
         .write.mode("overwrite").parquet(dir.toString)
-    dir
-  }
+    }
 
   /** Stage events.parquet into a per-gate file-stream source directory
     * (the file source consumes directories); returns (dir, raw schema).
@@ -1539,16 +1530,8 @@ object EventQueries {
     * (the stageDocsDir pattern).
     */
   private def stageDiffDir(s: org.apache.spark.sql.SparkSession,
-      d: String): java.nio.file.Path = {
-    val sf = java.nio.file.Paths.get(d).getFileName.toString
-    val dir = java.nio.file.Paths.get(
-      sys.props("java.io.tmpdir"), "graft_export", sf, "diff_stream4")
-    val src = java.nio.file.Paths.get(d, "documents.parquet")
-    val marker = dir.resolve("_SUCCESS")
-    val stale = !java.nio.file.Files.exists(marker) ||
-      java.nio.file.Files.getLastModifiedTime(src)
-        .compareTo(java.nio.file.Files.getLastModifiedTime(marker)) > 0
-    if (stale) {
+      d: String): java.nio.file.Path =
+    Staging.stageIfStale(d, "diff_stream4", "documents.parquet") { dir =>
       val docs = Tables.documents(s, d)
       val v1 = docs.filter(col("doc_id") % 17 =!= 3)
       val v2 = docs.filter(col("doc_id") % 19 =!= 5)
@@ -1562,8 +1545,6 @@ object EventQueries {
         .repartition(4)
         .write.mode("overwrite").parquet(dir.toString)
     }
-    dir
-  }
 
   /** q125's oracle: two unrolled weighted-rank phases in one chain —
     * the old snapshot's 5 rounds (uniform teleport over its node set)
@@ -1675,25 +1656,16 @@ object EventQueries {
     * restaged when orders.parquet changes (the stageDocsDir pattern).
     */
   private[graft] def stageNewLinksDir(s: org.apache.spark.sql.SparkSession,
-      d: String): java.nio.file.Path = {
-    val sf = java.nio.file.Paths.get(d).getFileName.toString
+      d: String): java.nio.file.Path =
     // the derived node offset is part of the staged data, so it is part
     // of the cache key — a stale dir with a different offset would
     // stream ids from a different node space than the batch side
-    val dir = java.nio.file.Paths.get(
-      sys.props("java.io.tmpdir"), "graft_export", sf,
-      s"trade_new4_off${custOffset(s, d)}")
-    val src = java.nio.file.Paths.get(d, "orders.parquet")
-    val marker = dir.resolve("_SUCCESS")
-    val stale = !java.nio.file.Files.exists(marker) ||
-      java.nio.file.Files.getLastModifiedTime(src)
-        .compareTo(java.nio.file.Files.getLastModifiedTime(marker)) > 0
-    if (stale)
+    Staging.stageIfStale(d, s"trade_new4_off${custOffset(s, d)}",
+      "orders.parquet") { dir =>
       tradeSnapshots(s, d)._2.select(col("src"), col("dst"), col("w"))
         .repartition(4)
         .write.mode("overwrite").parquet(dir.toString)
-    dir
-  }
+    }
 
   /** Customer-node id offset shared by every trade-graph gate — DERIVED
     * from the supplier dimension (`max(s_suppkey) + 1`) instead of the
@@ -1712,10 +1684,17 @@ object EventQueries {
     new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
 
   private[graft] def custOffset(s: org.apache.spark.sql.SparkSession,
-                         d: String): Long =
-    custOffsetCache.computeIfAbsent(d, _ =>
+                         d: String): Long = {
+    // cache key carries the supplier table's mtime so a table restaged
+    // at the same path within one JVM (the stageIfStale convention)
+    // invalidates instead of serving a stale offset
+    val src = java.nio.file.Paths.get(d, "supplier.parquet")
+    val stamp = if (java.nio.file.Files.exists(src))
+      java.nio.file.Files.getLastModifiedTime(src).toMillis else 0L
+    custOffsetCache.computeIfAbsent(s"$d@$stamp", _ =>
       Tables.supplier(s, d)
         .agg(max(col("s_suppkey").cast("long"))).head.getLong(0) + 1L)
+  }
 
   /** The oracle-side twin of [[custOffset]]: a CTE every trade-graph
     * oracle prefixes its WITH chain with, referenced as [[offSql]].

@@ -409,16 +409,8 @@ object MultimodalQueries {
     * documents.parquet changes (the stageDiffDir pattern).
     */
   private def stageMediaDiffDir(s: org.apache.spark.sql.SparkSession,
-      d: String): java.nio.file.Path = {
-    val sf = java.nio.file.Paths.get(d).getFileName.toString
-    val dir = java.nio.file.Paths.get(
-      sys.props("java.io.tmpdir"), "graft_export", sf, "media_diff_stream4")
-    val src = java.nio.file.Paths.get(d, "documents.parquet")
-    val marker = dir.resolve("_SUCCESS")
-    val stale = !java.nio.file.Files.exists(marker) ||
-      java.nio.file.Files.getLastModifiedTime(src)
-        .compareTo(java.nio.file.Files.getLastModifiedTime(marker)) > 0
-    if (stale) {
+      d: String): java.nio.file.Path =
+    Staging.stageIfStale(d, "media_diff_stream4", "documents.parquet") { dir =>
       val ex = Tables.documents(s, d).filter(col("doc_id") % 10 === 0)
       val v1e = ex.filter(col("doc_id") % 17 =!= 3)
       val v2e = ex.filter(col("doc_id") % 19 =!= 5)
@@ -433,6 +425,4 @@ object MultimodalQueries {
         .repartition(4)
         .write.mode("overwrite").parquet(dir.toString)
     }
-    dir
-  }
 }

@@ -592,16 +592,8 @@ object SimilarityQueries {
     * batching is id-disjoint. Restaged when embeddings.parquet changes.
     */
   private def stageVecDiffDir(s: org.apache.spark.sql.SparkSession,
-      d: String): java.nio.file.Path = {
-    val sf = java.nio.file.Paths.get(d).getFileName.toString
-    val dir = java.nio.file.Paths.get(
-      sys.props("java.io.tmpdir"), "graft_export", sf, "vec_diff_stream4")
-    val src = java.nio.file.Paths.get(d, "embeddings.parquet")
-    val marker = dir.resolve("_SUCCESS")
-    val stale = !java.nio.file.Files.exists(marker) ||
-      java.nio.file.Files.getLastModifiedTime(src)
-        .compareTo(java.nio.file.Files.getLastModifiedTime(marker)) > 0
-    if (stale) {
+      d: String): java.nio.file.Path =
+    Staging.stageIfStale(d, "vec_diff_stream4", "embeddings.parquet") { dir =>
       val v = Tables.embeddings(s, d).join(
         Tables.documents(s, d).select(col("doc_id"), col("lang")),
         col("vec_id") === col("doc_id"))
@@ -619,8 +611,6 @@ object SimilarityQueries {
         .repartition(4)
         .write.mode("overwrite").parquet(dir.toString)
     }
-    dir
-  }
 
   /** Quantized (vec_id, pos, x) CTE — floor(x·scale) micro-units, the
     * s19 trainer's exact quantization.

@@ -34,18 +34,14 @@ object SourceQueries {
     */
   private[queries] def stagedBloomDir(s: org.apache.spark.sql.SparkSession,
                                       d: String): String = {
-    val out = exportDir(d, "docs_bloom")
-    val marker = Paths.get(out, "_SUCCESS")
-    val src = Paths.get(d, "documents.parquet")
-    val stale = !Files.exists(marker) ||
-      Files.getLastModifiedTime(src).compareTo(Files.getLastModifiedTime(marker)) > 0
-    if (stale)
+    val out = Staging.stageIfStale(d, "docs_bloom", "documents.parquet") { dir =>
       Tables.documents(s, d).sort(col("doc_id")).coalesce(1)
         .write.mode("overwrite")
         .option("parquet.bloom.filter.enabled#doc_id", "true")
         .option("parquet.bloom.filter.expected.ndv#doc_id", "100000")
         .option("parquet.block.size", (64 * 1024).toString)
-        .parquet(out)
+        .parquet(dir.toString)
+    }.toString
     out
   }
 

@@ -188,8 +188,19 @@ object ContinuousGraphMaintenance {
       served = current
     }
 
-    def result: Run =
-      Run(if (published) spark.read.parquet(ranksDir) else warmFull,
+    /** Published ranks are detected ON DISK, not via the in-memory
+      * `published` flag: a restarted loop over a stable ranksDir whose
+      * stream had nothing left to redeliver must serve the ranks the
+      * previous incarnation drained, not silently re-baseline to the
+      * old equilibrium (the same disk-is-truth rule as
+      * [[ContinuousIndexMaintenance]]'s version resolution).
+      */
+    def result: Run = {
+      val onDisk = java.nio.file.Files.exists(
+        java.nio.file.Paths.get(ranksDir, "_SUCCESS"))
+      Run(if (published || onDisk) spark.read.parquet(ranksDir)
+          else warmFull,
         boundaries.toSeq)
+    }
   }
 }

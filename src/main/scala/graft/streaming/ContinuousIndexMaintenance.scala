@@ -144,6 +144,14 @@ object ContinuousIndexMaintenance {
     * dir is what the redelivered batch's base is resolved against. With
     * the defaults a driver restart silently re-baselines from
     * `initialState` — fine for a drain-once job, wrong for a service.
+    *
+    * A stateDir belongs to ONE stream lineage (the checkpoint that
+    * numbers its batches): served state is the HIGHEST on-disk version,
+    * which is correct for every restart of the same lineage but
+    * undefined if a stateDir is reused with a different source or a
+    * fresh checkpoint whose batch ids restart from 0 — stale
+    * higher-numbered versions from the old lineage would win. Start a
+    * new lineage in a new stateDir.
     */
   private def drain(deltaStream: DataFrame,
                     checkpointLocation: Option[String], loop: Loop): Run = {
@@ -202,17 +210,31 @@ object ContinuousIndexMaintenance {
       spark.read.parquet(s"$stateDir/v$v")
 
     def processBatch(batch: DataFrame, batchId: Long): Unit = {
-      // one diff row per id per boundary — last-writer-wins applies
-      // ACROSS batches; within one batch two rows for the same id are
-      // order-ambiguous and would emit conflicting state rows, so fail
-      // loudly (the requireUniqueKeys convention of the resume seams)
-      val dup = batch.groupBy(col(idCol)).agg(count(lit(1)).as("__n"))
-        .where(col("__n") > 1)
-      require(dup.isEmpty,
+      // ONE stats pass per boundary: the duplicate-id guard (one diff
+      // row per id per boundary — last-writer-wins applies ACROSS
+      // batches; within one batch two rows per id are order-ambiguous
+      // and would emit conflicting state rows, so fail loudly — the
+      // requireUniqueKeys convention) folds into the same aggregation
+      // as the boundary counts, keeping the per-boundary job count at
+      // the class doc's contract (stats + the maintenance write)
+      val s = batch.groupBy(col(idCol))
+        .agg(count(lit(1)).as("__n"), first(col("status")).as("__st"))
+        .agg(max(col("__n")),
+          sum(when(col("__st").isin("removed", "changed"), 1L)
+            .otherwise(0L)),
+          sum(when(col("__st").isin("added", "changed"), 1L)
+            .otherwise(0L))).head()
+      val (maxn, touched, signatured) =
+        if (s.isNullAt(0)) (0L, 0L, 0L)
+        else (s.getLong(0), s.getLong(1), s.getLong(2))
+      require(maxn <= 1L, {
+        val dup = batch.groupBy(col(idCol)).agg(count(lit(1)).as("__n"))
+          .where(col("__n") > 1) // examples recomputed on the error path only
         s"continuous maintenance: batch $batchId carries duplicate rows " +
           s"per '$idCol' — e.g. ${dup.take(3).mkString("; ")} — the " +
           "boundary contract is one diff row per id; pre-aggregate " +
-          "the batch to its final per-id status upstream")
+          "the batch to its final per-id status upstream"
+      })
       val base = versionsBelow(batchId).sorted.lastOption
         .map(stateAt).getOrElse(initialState)
       // the d14 diff vocabulary arrives as rows; rebuild the two sides
@@ -220,9 +242,6 @@ object ContinuousIndexMaintenance {
       val diff = batch.select(col(idCol).as("id"), col("status"))
       val docs = batch.filter(col("status").isin("added", "changed"))
         .drop("status")
-      val touched = batch.filter(col("status").isin("removed", "changed"))
-        .count()
-      val signatured = docs.count()
       maintain(base, diff, docs)
         .write.mode("overwrite").parquet(s"$stateDir/v$batchId")
       boundaries += Boundary(batchId, touched, signatured)

@@ -132,10 +132,16 @@ class ContinuousGraphMaintenanceSpec extends SparkSpec {
     resumed.boundaries.map(_.batchId) shouldBe Seq(1L)
     // …and the accumulated graph still carries batch 0's partials, so
     // the published ranks equal the one-shot resume over ALL links
-    rows(resumed.ranks) shouldBe rows(GraphRank.pageRankResume(
+    val direct = rows(GraphRank.pageRankResume(
       newLinks.toDF("src", "dst", "w"), "src", "dst",
       GraphRank.pageRank(oldDF, "src", "dst", 4, weightCol = Some("w")),
       2, weightCol = Some("w")))
+    rows(resumed.ranks) shouldBe direct
+    // a further restart with NOTHING left to redeliver must serve the
+    // drained ranks from disk, not re-baseline to the old equilibrium
+    val idle = run()
+    idle.boundaries shouldBe empty
+    rows(idle.ranks) shouldBe direct
   }
 
   test("redelivered batchId replaces, never double-counts: drain survives a mid-stream restart") {
