@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The harness parses ONE bare JSON line from the tail of `runMain
+// graft.Bench` output; sbt's default logger prefixes forked stdout with
+// "[info] ", which defeats a strict json.loads per line (BENCH_r10/r11
+// `parsed: null`). Inherit stdout for forked runs so the bench line is
+// emitted verbatim.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

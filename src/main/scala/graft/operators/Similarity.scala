@@ -427,24 +427,36 @@ object Similarity {
     *    ≤ scale, so the ulp argument has ~1e9 of slack). Empty clusters
     *    keep their previous centroid.
     *
-    * Scale contract = [[kmeansTrain]]'s: per iteration one scan +
+    * Scale contract = [[kmeansTrain]]'s: per iteration one cached-scan +
     * ONE (cid, pos) hash-aggregate whose shuffle carries k·dim partial
     * sums after map-side combine; centroids live driver-side as plan
-    * literals (k·dim longs). Callers cap the training set upstream
-    * (deterministically, e.g. by id) — quality needs a sample, not the
-    * corpus.
+    * literals (k·dim longs). `trainCap` bounds the training set to the
+    * trainCap smallest-id rows (deterministic, oracle-replayable as an
+    * ORDER BY id LIMIT CTE prefix) — quality needs a sample, not the
+    * corpus, and the cap is what keeps the n·M < 2^53 update-sum guard
+    * satisfiable as the corpus grows.
     */
   def kmeansTrainFixedPoint(corpus: DataFrame, k: Int, maxIter: Int = 3,
                             scale: Long = 1000000L,
+                            trainCap: Int = 100000,
                             idCol: String = "vec_id", vecCol: String = "embedding")
       : Array[Array[Long]] = {
+    // deterministic built-in trainCap (kmeansTrain's convention, made
+    // replayable): the training set is the `trainCap` SMALLEST-id rows —
+    // an ORDER BY id LIMIT prefix the oracle replays as a CTE, planned
+    // as TakeOrderedAndProject (bounded per-partition heaps, one merge,
+    // no global sort). Corpus growth can then neither trip the n·M <
+    // 2^53 guard nor turn each Lloyd iteration into a full-corpus scan
+    // — the capped set is persisted and each iteration re-reads the
+    // cache, not the corpus.
     val vecs = quantized(corpus, scale, idCol, vecCol)
+      .orderBy(col("id")).limit(trainCap).persist()
     requireFixedPointBounds(vecs, scale)
     def toArr(r: org.apache.spark.sql.Row): Array[Long] =
       r.getSeq[Double](1).map(_.toLong).toArray
     var centroids: Array[Array[Long]] =
       vecs.orderBy(col("id")).limit(k).collect().sortBy(_.getLong(0)).map(toArr)
-    if (centroids.isEmpty) return centroids // empty corpus: nothing to train
+    if (centroids.isEmpty) { vecs.unpersist(); return centroids } // empty corpus
     for (_ <- 0 until maxIter) {
       val updated = vecs
         .withColumn("cid", nearestOfDots(fixedScores(centroids)))
@@ -459,6 +471,7 @@ object Similarity {
       centroids = centroids.indices
         .map(i => updated.getOrElse(i, centroids(i))).toArray
     }
+    vecs.unpersist()
     centroids
   }
 
@@ -584,15 +597,25 @@ object Similarity {
   def pqTrainFixedPoint(corpus: DataFrame, dim: Int, m: Int = 4,
                         codebookSize: Int = 8, maxIter: Int = 2,
                         scale: Long = 1000000L,
+                        trainCap: Int = 100000,
                         idCol: String = "vec_id", vecCol: String = "embedding")
       : Array[Array[Array[Long]]] = {
     require(dim % m == 0, s"dim $dim must divide into $m subspaces")
     val sub = dim / m
+    // same deterministic ORDER BY id LIMIT trainCap + persist as
+    // [[kmeansTrainFixedPoint]] — oracle-replayable cap, cached Lloyd
     val vecs = quantized(corpus, scale, idCol, vecCol)
+      .orderBy(col("id")).limit(trainCap).persist()
     requireFixedPointBounds(vecs, scale)
     val initRows = vecs.orderBy(col("id")).limit(codebookSize).collect()
       .sortBy(_.getLong(0))
       .map(_.getSeq[Double](1).map(_.toLong).toArray)
+    // empty corpus: empty per-subspace codebooks, nothing to train —
+    // the kmeansTrainFixedPoint convention (search rejects the shape)
+    if (initRows.isEmpty) {
+      vecs.unpersist()
+      return Array.fill(m)(Array.empty[Array[Long]])
+    }
     var cbs: Array[Array[Array[Long]]] = Array.tabulate(m) { s =>
       initRows.map(_.slice(s * sub, (s + 1) * sub))
     }
@@ -614,6 +637,7 @@ object Similarity {
         cbs(s).indices.map(c => updated.getOrElse((s, c), cbs(s)(c))).toArray
       }
     }
+    vecs.unpersist()
     cbs
   }
 
@@ -640,6 +664,9 @@ object Similarity {
                          scale: Long = 1000000L,
                          idCol: String = "vec_id", vecCol: String = "embedding")
       : DataFrame = {
+    require(cbs.nonEmpty && cbs.forall(_.nonEmpty),
+      "pqSearchFixedPoint: empty codebook (trained on an empty corpus?) — " +
+        "there is nothing to encode against; train on a non-empty sample")
     val (m, cbSize, sub) = (cbs.length, cbs(0).length, cbs(0)(0).length)
     val vecs = corpus.select(col(idCol).as("id"),
       col(vecCol).cast("array<double>").as("v"))

@@ -768,6 +768,14 @@ object TextAnalysis {
       .agg(count(lit(1)).as("cnt"))
       .localCheckpoint() // one feature scan; iterations re-read it
     val n = df.count()
+    if (n == 0L) {
+      // empty corpus: zero weights, no iterations — the
+      // kmeansTrainFixedPoint empty-corpus convention (training on
+      // nothing is a no-op, not an NPE in the scored aggregate)
+      import spark.implicits._
+      return (Array.fill(buckets + 1)(0L),
+        Seq.empty[(Long, Long, Long)].toDF("iter", "err_units", "correct"))
+    }
     // the 2^53 exactness guard (the fixed-point-trainer convention):
     // gradient sums are bounded by P·totalTokens, and each iteration's
     // margins by max|w|·maxDocTokens — both must stay exact integers
@@ -783,10 +791,12 @@ object TextAnalysis {
     val history = Seq.newBuilder[(Long, Long, Long)]
     for (it <- 1 to iters) {
       val maxW = w.map(math.abs).max
-      require(maxW.toDouble * maxDocTokens < math.pow(2, 53),
+      // the margin is msum + bias, so the bound is maxW·(maxDocTokens+1):
+      // the bias term is itself ≤ maxW and must sit inside the 2^53 window
+      require(maxW.toDouble * (maxDocTokens + 1) < math.pow(2, 53),
         s"fixed-point classifier: iteration $it weights (max |w| $maxW) " +
-          s"× $maxDocTokens tokens/doc would overflow the 2^53-exact " +
-          "margins; lower the learning rate or iteration count")
+          s"× $maxDocTokens tokens/doc (+ bias) would overflow the " +
+          "2^53-exact margins; lower the learning rate or iteration count")
       val wLit = typedLit(w.take(buckets).toSeq)
       val scored = xb.groupBy(col("id"), col("y"))
         .agg(sum(element_at(wLit, col("j").cast("int") + 1) * col("cnt"))

@@ -668,12 +668,23 @@ object SimilarityQueries {
                   ORDER BY score DESC, cid ASC) AS rn
          FROM ${p}sca) WHERE rn = 1)"""
 
+  /** The engine trainers' built-in deterministic trainCap (r12): the
+    * training set is the cap smallest-id rows, replayed in every
+    * training oracle as an ORDER BY vec_id LIMIT prefix CTE. The test
+    * corpora sit far below the cap, so the capped and uncapped
+    * training sets coincide at both SFs (the cap's ENGAGED behavior is
+    * spec'd in FixedPointKmeansSpec); what the oracle prefix pins is
+    * that the engine's cap semantics are exactly this SQL.
+    */
+  private val FixedTrainCap = 100000
+
   /** DuckDB replay of s19: re-train from scratch, emit the codebook. */
   private def kmeansFixedOracle(k: Int, maxIter: Int, dim: Int,
                                 scale: Long): String =
     s"""
     WITH ${kmXvCte(dim, scale)},
-    allv AS (SELECT vec_id FROM embeddings),
+    allv AS (SELECT vec_id FROM embeddings
+             ORDER BY vec_id LIMIT $FixedTrainCap),
     ${kmChainCte("", "allv", k, maxIter)}
     SELECT CAST(cid AS BIGINT) AS cid, CAST(pos AS BIGINT) AS pos, c
     FROM cent$maxIter"""
@@ -688,7 +699,8 @@ object SimilarityQueries {
                                    scale: Long, nProbe: Int, k: Int): String =
     s"""
     WITH ${kmXvCte(dim, scale)},
-    allv AS (SELECT vec_id FROM embeddings),
+    allv AS (SELECT vec_id FROM embeddings
+             ORDER BY vec_id LIMIT $FixedTrainCap),
     ${kmChainCte("", "allv", kC, maxIter)},
     ${kmAssignCte("c", s"cent$maxIter")},
     probes AS (SELECT vec_id AS query_id, cid FROM (
@@ -724,19 +736,19 @@ object SimilarityQueries {
     val (m, cbSize, iters) = (PqFixedM, PqFixedCb, PqFixedIters)
     val sub = dim / m
     val pIters = (1 to iters).map { i =>
-      s"""psc$i AS (SELECT xvp.vec_id, ct.s, ct.cid,
-             SUM(2 * ct.c * xvp.x) - SUM(ct.c * ct.c) AS score
-           FROM xvp JOIN pcent${i - 1} ct
-             ON xvp.s = ct.s AND xvp.ppos = ct.pos
+      s"""psc$i AS (SELECT xvt.vec_id, ct.s, ct.cid,
+             SUM(2 * ct.c * xvt.x) - SUM(ct.c * ct.c) AS score
+           FROM xvt JOIN pcent${i - 1} ct
+             ON xvt.s = ct.s AND xvt.ppos = ct.pos
            GROUP BY 1, 2, 3),
     pasg$i AS (SELECT vec_id, s, cid FROM (
              SELECT vec_id, s, cid,
                     row_number() OVER (PARTITION BY vec_id, s
                                        ORDER BY score DESC, cid ASC) AS rn
              FROM psc$i) WHERE rn = 1),
-    pupd$i AS (SELECT a.s, a.cid, xvp.ppos AS pos,
-             CAST(floor(CAST(SUM(xvp.x) AS DOUBLE) / COUNT(*)) AS BIGINT) AS c
-           FROM pasg$i a JOIN xvp ON a.vec_id = xvp.vec_id AND a.s = xvp.s
+    pupd$i AS (SELECT a.s, a.cid, xvt.ppos AS pos,
+             CAST(floor(CAST(SUM(xvt.x) AS DOUBLE) / COUNT(*)) AS BIGINT) AS c
+           FROM pasg$i a JOIN xvt ON a.vec_id = xvt.vec_id AND a.s = xvt.s
            GROUP BY 1, 2, 3),
     pcent$i AS (SELECT pr.s, pr.cid, pr.pos, COALESCE(u.c, pr.c) AS c
            FROM pcent${i - 1} pr
@@ -746,10 +758,13 @@ object SimilarityQueries {
     s"""
     WITH ${kmXvCte(dim, scale)},
     xvp AS (SELECT vec_id, pos // $sub AS s, pos % $sub AS ppos, x FROM xv),
+    tids AS (SELECT vec_id FROM embeddings
+             ORDER BY vec_id LIMIT $FixedTrainCap),
+    xvt AS (SELECT xvp.* FROM xvp JOIN tids USING (vec_id)),
     pids AS (SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS cid
-             FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT $cbSize)),
-    pcent0 AS (SELECT i.cid, xvp.s, xvp.ppos AS pos, xvp.x AS c
-               FROM pids i JOIN xvp ON i.vec_id = xvp.vec_id),
+             FROM (SELECT vec_id FROM tids ORDER BY vec_id LIMIT $cbSize)),
+    pcent0 AS (SELECT i.cid, xvt.s, xvt.ppos AS pos, xvt.x AS c
+               FROM pids i JOIN xvt ON i.vec_id = xvt.vec_id),
     $pIters,
     esc AS (SELECT xvp.vec_id, ct.s, ct.cid,
               SUM(2 * ct.c * xvp.x) - SUM(ct.c * ct.c) AS score
@@ -796,8 +811,10 @@ object SimilarityQueries {
                                     scale: Long): String =
     s"""
     WITH ${kmXvCte(dim, scale)},
-    v1 AS (SELECT vec_id FROM embeddings WHERE vec_id % 17 <> 3),
-    allv AS (SELECT vec_id FROM embeddings),
+    v1 AS (SELECT vec_id FROM embeddings WHERE vec_id % 17 <> 3
+           ORDER BY vec_id LIMIT $FixedTrainCap),
+    allv AS (SELECT vec_id FROM embeddings
+             ORDER BY vec_id LIMIT $FixedTrainCap),
     ${kmChainCte("o", "v1", k, maxIter)},
     ${kmChainCte("n", "allv", k, maxIter)},
     ${kmAssignCte("o", s"ocent$maxIter")},

@@ -88,6 +88,15 @@ object ContinuousGraphMaintenance {
     * measured against. With the defaults a driver restart silently
     * loses the accumulated graph and re-baselines — fine for a
     * drain-once job, wrong for a service.
+    *
+    * An `accumDir`/`ranksDir` pair belongs to ONE stream lineage (the
+    * checkpoint that numbers its batches) — the same rule as
+    * [[ContinuousIndexMaintenance.drain]]'s stateDir: `result` serves
+    * whatever ranks are on disk in `ranksDir`, which is correct for
+    * every restart of the same lineage but undefined if the dirs are
+    * reused with a different `oldEdges`/source/checkpoint — stale
+    * ranks (and accumulated partials) from the old lineage would be
+    * served as if current. Start a new lineage in new dirs.
     */
   def continuousRank(spark: SparkSession,
                      oldEdges: DataFrame,

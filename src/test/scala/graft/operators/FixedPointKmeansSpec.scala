@@ -128,6 +128,28 @@ class FixedPointKmeansSpec extends SparkSpec {
     (got & exact).size.toDouble / exact.size should be >= 0.3
   }
 
+  test("trainCap: a cap above the corpus is a no-op; an engaged cap trains on the id-prefix") {
+    // cap ≥ n: identical codebook to the (default-cap) full run — the
+    // LIMIT prefix covers the whole corpus, so nothing changes
+    val uncapped = Similarity.kmeansTrainFixedPoint(embeddings, k = 4, maxIter = 2)
+    val bigCap = Similarity.kmeansTrainFixedPoint(embeddings, k = 4, maxIter = 2,
+      trainCap = Int.MaxValue)
+    bigCap.map(_.toSeq) shouldBe uncapped.map(_.toSeq)
+    // engaged cap ≡ training on the trainCap smallest-id rows — the
+    // exact subset the oracle's ORDER BY vec_id LIMIT prefix names
+    val capIds = embeddings.orderBy(col("vec_id")).limit(40)
+    val capped = Similarity.kmeansTrainFixedPoint(embeddings, k = 4, maxIter = 2,
+      trainCap = 40)
+    val subset = Similarity.kmeansTrainFixedPoint(capIds, k = 4, maxIter = 2)
+    capped.map(_.toSeq) shouldBe subset.map(_.toSeq)
+    // same two contracts for the PQ trainer
+    val pqCapped = Similarity.pqTrainFixedPoint(embeddings, dim = 64,
+      m = 4, codebookSize = 8, maxIter = 1, trainCap = 40)
+    val pqSubset = Similarity.pqTrainFixedPoint(capIds, dim = 64,
+      m = 4, codebookSize = 8, maxIter = 1)
+    pqCapped.map(_.map(_.toSeq).toSeq) shouldBe pqSubset.map(_.map(_.toSeq).toSeq)
+  }
+
   test("quantization floors toward minus infinity on both signs") {
     // -0.3·1e6 = -300000.0000000000xx in double → floor -300001 iff the
     // product rounds below; pin the actual contract: floor(double

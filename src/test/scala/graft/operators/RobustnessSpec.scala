@@ -95,6 +95,30 @@ class RobustnessSpec extends SparkSpec {
     Similarity.kmeansTrainFixedPoint(empty, k = 2, maxIter = 1).length shouldBe 0
   }
 
+  test("pqTrainFixedPoint: empty corpus → empty codebooks; search rejects the shape loudly") {
+    val empty = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
+    val cbs = Similarity.pqTrainFixedPoint(empty, dim = 4, m = 2,
+      codebookSize = 2, maxIter = 1)
+    cbs.length shouldBe 2
+    cbs.foreach(_.length shouldBe 0)
+    // the empty structure cannot be searched against — a loud require,
+    // not an IndexOutOfBoundsException deep in the encode kernel
+    val vecs = Seq((1L, Array.fill(4)(1.0f))).toDF("vec_id", "embedding")
+    val ex = intercept[IllegalArgumentException] {
+      Similarity.pqSearchFixedPoint(vecs, vecs, k = 1, cbs, rerank = 2)
+    }
+    ex.getMessage should include("empty codebook")
+  }
+
+  test("trainClassifierFixedPoint: empty corpus → zero weights, empty history, no throw") {
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val (w, hist) = TextAnalysis.trainClassifierFixedPoint(empty, "doc_id",
+      "text", labelCol = lit(1L), buckets = 8, iters = 3)
+    w.length shouldBe 9
+    w.forall(_ == 0L) shouldBe true
+    hist.count() shouldBe 0L
+  }
+
   test("random projection: null embedding yields null projections, not a crash") {
     val docs = Seq((1L, Array.fill(8)(1.0f)), (2L, null.asInstanceOf[Array[Float]]))
       .toDF("vec_id", "embedding")
