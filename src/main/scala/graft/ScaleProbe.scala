@@ -134,6 +134,11 @@ object ScaleProbe {
     // end-to-end fixed-point PQ: fused subspace training (pqKnn's
     // shape) + encode scan + broadcast ADC (fixed query set) — ~linear
     "s23_pq_fixed_search",
+    // round-12: IVFADC — both trainings + ONE index scan, but the ADC
+    // window sees only probed lists (nProbe/nLists of the corpus), so
+    // the per-query candidate term should grow SLOWER than s23's
+    // scan-all ADC at the same decade
+    "s24_ivfpq_search",
     // fixed-point classifier training: one token explode + per
     // iteration a doc-keyed margin agg + a 65-key gradient agg over the
     // sparse feature table — expect ~linear in corpus tokens

@@ -696,6 +696,148 @@ object Similarity {
               round(col("sim"), 6).as("sim"))
   }
 
+  /** Per-id residual of the quantized corpus against a fixed-point
+    * coarse codebook: (id, cid, rd) where cid is the exact-integer
+    * coarse argmax ([[assignFixedPoint]]'s convention) and rd = xd −
+    * c_cid elementwise — integer micro-units minus integer micro-units,
+    * so the residual is itself exact and every downstream PQ score on
+    * it stays integer arithmetic. The centroid table is a plan literal
+    * (nLists·dim doubles); the subtraction is one per-row zip_with over
+    * the already-scored vector — O(dim) next to the O(nLists·dim)
+    * argmax that precedes it, so the interpreted lambda is not the
+    * scan's hot term.
+    */
+  private def residualized(corpus: DataFrame, coarseCb: Array[Array[Long]],
+                           scale: Long, idCol: String, vecCol: String)
+      : DataFrame = {
+    val cbLit = typedLit(coarseCb.map(_.map(_.toDouble).toSeq).toSeq)
+    quantized(corpus, scale, idCol, vecCol)
+      .withColumn("cid", nearestOfDots(fixedScores(coarseCb)))
+      .withColumn("rd", zip_with(col("xd"),
+        element_at(cbLit, col("cid") + 1), (x, c) => x - c))
+  }
+
+  /** IVFADC training — the two quantizer stages of the production ANN
+    * layout (Jégou et al. 2011's IVF + residual PQ composition),
+    * entirely in the s19 fixed-point style so gate s24's oracle can
+    * re-train BOTH stages from scratch:
+    *
+    *  1. coarse: [[kmeansTrainFixedPoint]] on the raw corpus →
+    *     `nLists` integer centroids (the inverted-list quantizer);
+    *  2. residual PQ: every vector's exact-integer residual x − c_list
+    *     under its coarse argmax, then [[pqTrainFixedPoint]] over the
+    *     residuals at scale 1 (they are ALREADY micro-units — floor(x·1)
+    *     is the identity on integral doubles), sharing ONE codebook set
+    *     across lists (the standard IVFADC shape: residual distributions
+    *     concentrate near 0, so one shared codebook quantizes them far
+    *     better than it would raw vectors).
+    *
+    * Residual magnitudes are ≤ 2·M, so the established 2^53 bounds hold
+    * with 4× headroom consumed ([[requireFixedPointBounds]] re-checks
+    * inside the PQ trainer). Both trainers apply the same deterministic
+    * `trainCap` id-prefix, replayed by the oracle as one shared CTE.
+    *
+    * Scale: stage 1 is s19's movement; the residual pass is one
+    * codegen'd-argmax scan + zip_with; stage 2 is s23's movement over
+    * the capped residuals. Codebooks stay driver-side plan literals
+    * (nLists·dim + m·codebookSize·dim/m longs).
+    */
+  def ivfPqTrainFixedPoint(corpus: DataFrame, dim: Int, nLists: Int,
+                           m: Int = 4, codebookSize: Int = 8,
+                           maxIterCoarse: Int = 3, maxIterPq: Int = 2,
+                           scale: Long = 1000000L, trainCap: Int = 100000,
+                           idCol: String = "vec_id",
+                           vecCol: String = "embedding")
+      : (Array[Array[Long]], Array[Array[Array[Long]]]) = {
+    val coarse = kmeansTrainFixedPoint(corpus, nLists, maxIterCoarse,
+      scale, trainCap, idCol, vecCol)
+    if (coarse.isEmpty)
+      return (coarse, Array.fill(m)(Array.empty[Array[Long]]))
+    val residuals = residualized(corpus, coarse, scale, idCol, vecCol)
+      .select(col("id"), col("rd"))
+    val pq = pqTrainFixedPoint(residuals, dim, m, codebookSize, maxIterPq,
+      scale = 1L, trainCap, idCol = "id", vecCol = "rd")
+    (coarse, pq)
+  }
+
+  /** IVFADC search (gate s24) — the composition the separate s22/s23
+    * gates exist to enable, and the one that removes s23's documented
+    * scan-all ADC term: each query probes its `nProbe` top-score coarse
+    * lists (s22's exact-integer probe ranking) and ADC-scans ONLY the
+    * corpus rows listed there — nProbe/nLists of the corpus instead of
+    * all of it — using the query's PER-LIST residual q − c_list against
+    * the shared residual codebooks. Candidates re-rank by exact double
+    * cosine. Every phase is exact integer arithmetic until the final
+    * cosine, so the whole path — both trainings, listing, residual
+    * encode, probe ranking, ADC window, re-rank — replays in one DuckDB
+    * oracle with nothing held fixed.
+    *
+    * Movement: ONE corpus scan builds the index view (codegen'd coarse
+    * argmax + residual zip_with + codegen'd PQ encode — no join, no
+    * shuffle); probes broadcast (|Q|·nProbe rows, each carrying its
+    * list residual); the ADC join shuffles the coded corpus once by
+    * list id, and only probed lists' rows reach the ADC kernel or the
+    * per-query candidate window. At production sizing (nLists ≈ √n)
+    * the scanned fraction nProbe/nLists vanishes as the corpus grows —
+    * the 100 TB ANN contract, with codes at m bytes/vector.
+    */
+  def ivfPqSearchFixedPoint(corpus: DataFrame, queries: DataFrame, k: Int,
+                            coarseCb: Array[Array[Long]],
+                            pqCbs: Array[Array[Array[Long]]],
+                            nProbe: Int, rerank: Int,
+                            scale: Long = 1000000L,
+                            idCol: String = "vec_id",
+                            vecCol: String = "embedding"): DataFrame = {
+    require(coarseCb.nonEmpty,
+      "ivfPqSearchFixedPoint: empty coarse codebook — train on a " +
+        "non-empty sample")
+    require(pqCbs.nonEmpty && pqCbs.forall(_.nonEmpty),
+      "ivfPqSearchFixedPoint: empty residual codebook (trained on an " +
+        "empty corpus?) — there is nothing to encode against")
+    val (m, cbSize, sub) = (pqCbs.length, pqCbs(0).length, pqCbs(0)(0).length)
+    val cbLit = typedLit(coarseCb.map(_.map(_.toDouble).toSeq).toSeq)
+    // the stored index: (id, list, residual codes) in ONE corpus scan
+    val listed = residualized(corpus, coarseCb, scale, idCol, vecCol)
+      .select(col("id"), col("cid"), pqEncodeFixed(pqCbs, col("rd")).as("codes"))
+    // each query probes its nProbe top-score lists, carrying the
+    // PER-LIST residual the ADC scores against
+    val probes = broadcast(quantized(queries, scale, idCol, vecCol)
+      .select(col("id").as("query_id"), col("xd"),
+        posexplode(fixedScores(coarseCb)).as(Seq("cid", "score")))
+      .withColumn("rnk", row_number().over(Window
+        .partitionBy(col("query_id"))
+        .orderBy(col("score").desc, col("cid"))))
+      .filter(col("rnk") <= nProbe)
+      .withColumn("qr", zip_with(col("xd"),
+        element_at(cbLit, col("cid") + 1), (x, c) => x - c))
+      .select(col("query_id"), col("cid"), col("qr")))
+    val adot = graft.functions.PqKernels.adcScore(
+      col("qr"), col("codes"), pqCbs.flatten.flatten.map(_.toDouble),
+      m, cbSize, sub)
+    val wA = Window.partitionBy(col("query_id"))
+      .orderBy(col("adot").desc, col("id").asc)
+    // a corpus vector lives in exactly ONE list, so the cid equi-join
+    // yields each (query, candidate) pair at most once — no dedup stage
+    val cands = probes.join(listed, Seq("cid"))
+      .filter(col("query_id") =!= col("id"))
+      .withColumn("adot", adot)
+      .withColumn("arnk", row_number().over(wA))
+      .filter(col("arnk") <= k * rerank)
+      .select(col("query_id"), col("id").as("neighbor_id"))
+    val vecs = corpus.select(col(idCol).as("neighbor_id"),
+      col(vecCol).cast("array<double>").as("nv"))
+    val qvecs = broadcast(queries.select(col(idCol).as("query_id"),
+      col(vecCol).cast("array<double>").as("qv")))
+    val wE = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id").asc)
+    cands.join(vecs, Seq("neighbor_id")).join(qvecs, Seq("query_id"))
+      .withColumn("sim", cosine(col("qv"), col("nv")))
+      .withColumn("rank", row_number().over(wE).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+              round(col("sim"), 6).as("sim"))
+  }
+
   /** s20: the RARE event s18's contract defers — the codebook retrains
     * and the assignment state must follow. Scoring is unavoidably a full
     * pass (every vector's argmin may move under new centroids; one

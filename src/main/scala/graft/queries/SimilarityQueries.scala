@@ -544,7 +544,29 @@ object SimilarityQueries {
         Similarity.pqSearchFixedPoint(emb, emb.filter(col("vec_id") < 5),
           k = 10, cbs, rerank = 4)
       },
-      Some(pqFixedSearchOracle(64, 1000000L, rerankWindow = 40, k = 10)))
+      Some(pqFixedSearchOracle(64, 1000000L, rerankWindow = 40, k = 10))),
+
+    // IVFADC (s24, r12 — the production composition the r11 verdict
+    // names): s22's coarse quantizer + s23's PQ, composed with RESIDUAL
+    // encoding (codes quantize x − c_list, not x) so each query probes
+    // its nProbe coarse lists and ADC-scans ONLY the rows listed there
+    // — removing s23's documented scan-all ADC term, the last ANN scale
+    // seam. The oracle re-trains BOTH stages from scratch (the coarse
+    // Lloyd chain, then the fused per-subspace residual chain), re-lists
+    // and re-encodes the corpus, replays each query's probe ranking and
+    // per-list residual ADC window over exact integers, and re-ranks by
+    // exact cosine. Nothing held fixed, nothing rows-only.
+    "s24_ivfpq_search" -> QueryDef(
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val (coarse, pq) = Similarity.ivfPqTrainFixedPoint(emb, dim = 64,
+          nLists = KmFixedK, m = PqFixedM, codebookSize = PqFixedCb,
+          maxIterCoarse = KmFixedIters, maxIterPq = PqFixedIters)
+        Similarity.ivfPqSearchFixedPoint(emb, emb.filter(col("vec_id") < 5),
+          k = 10, coarse, pq, nProbe = 3, rerank = 4)
+      },
+      Some(ivfPqSearchOracle(KmFixedK, KmFixedIters, 64, 1000000L,
+        nProbe = 3, rerankWindow = 40, k = 10)))
   )
 
   private val PqFixedM = 4
@@ -784,6 +806,106 @@ object SimilarityQueries {
     adc AS (SELECT qd.query_id, e.vec_id, SUM(qd.qdot) AS adot
             FROM enc e JOIN qd ON e.s = qd.s AND e.cid = qd.cid
             WHERE qd.query_id <> e.vec_id GROUP BY 1, 2),
+    ar AS (SELECT query_id, vec_id FROM (
+            SELECT query_id, vec_id,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY adot DESC, vec_id ASC) AS arnk
+            FROM adc) WHERE arnk <= $rerankWindow),
+    vr AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    rr AS (SELECT a.query_id, a.vec_id AS neighbor_id,
+                  list_cosine_similarity(q.v, n.v) AS sim
+           FROM ar a JOIN vr q ON q.vec_id = a.query_id
+                     JOIN vr n ON n.vec_id = a.vec_id),
+    rk AS (SELECT query_id, neighbor_id, sim,
+                  row_number() OVER (PARTITION BY query_id
+                                     ORDER BY sim DESC, neighbor_id ASC) AS rank
+           FROM rr)
+    SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id,
+           round(sim, 6) AS sim
+    FROM rk WHERE rank <= $k"""
+  }
+
+  /** DuckDB replay of s24 (IVFADC), from nothing: the coarse Lloyd
+    * chain over the capped id-prefix (s19's CTEs), full-corpus coarse
+    * assignment, exact-integer RESIDUALS x − c_list, the fused
+    * per-subspace residual-PQ Lloyd chain over the capped residuals
+    * (s23's CTEs re-sourced), residual encode of the whole corpus, each
+    * query's nProbe probe ranking (score desc, cid asc — exact ties),
+    * the per-list query-residual ADC table, the k·rerank candidate
+    * window restricted to probed lists (a vector lives in exactly one
+    * list, so the list equi-join yields each pair at most once), and
+    * the exact cosine re-rank.
+    */
+  private def ivfPqSearchOracle(kC: Int, itC: Int, dim: Int, scale: Long,
+                                nProbe: Int, rerankWindow: Int,
+                                k: Int): String = {
+    val (m, cbSize, itP) = (PqFixedM, PqFixedCb, PqFixedIters)
+    val sub = dim / m
+    val pIters = (1 to itP).map { i =>
+      s"""psc$i AS (SELECT xrt.vec_id, ct.s, ct.cid,
+             SUM(2 * ct.c * xrt.x) - SUM(ct.c * ct.c) AS score
+           FROM xrt JOIN pcent${i - 1} ct
+             ON xrt.s = ct.s AND xrt.ppos = ct.pos
+           GROUP BY 1, 2, 3),
+    pasg$i AS (SELECT vec_id, s, cid FROM (
+             SELECT vec_id, s, cid,
+                    row_number() OVER (PARTITION BY vec_id, s
+                                       ORDER BY score DESC, cid ASC) AS rn
+             FROM psc$i) WHERE rn = 1),
+    pupd$i AS (SELECT a.s, a.cid, xrt.ppos AS pos,
+             CAST(floor(CAST(SUM(xrt.x) AS DOUBLE) / COUNT(*)) AS BIGINT) AS c
+           FROM pasg$i a JOIN xrt ON a.vec_id = xrt.vec_id AND a.s = xrt.s
+           GROUP BY 1, 2, 3),
+    pcent$i AS (SELECT pr.s, pr.cid, pr.pos, COALESCE(u.c, pr.c) AS c
+           FROM pcent${i - 1} pr
+           LEFT JOIN pupd$i u
+             ON pr.s = u.s AND pr.cid = u.cid AND pr.pos = u.pos)"""
+    }.mkString(",\n    ")
+    s"""
+    WITH ${kmXvCte(dim, scale)},
+    allv AS (SELECT vec_id FROM embeddings
+             ORDER BY vec_id LIMIT $FixedTrainCap),
+    ${kmChainCte("", "allv", kC, itC)},
+    ${kmAssignCte("c", s"cent$itC")},
+    res AS (SELECT xv.vec_id, xv.pos, xv.x - ct.c AS x
+            FROM xv JOIN ca ON xv.vec_id = ca.vec_id
+                 JOIN cent$itC ct ON ct.cid = ca.cid AND ct.pos = xv.pos),
+    xrp AS (SELECT vec_id, pos // $sub AS s, pos % $sub AS ppos, x FROM res),
+    xrt AS (SELECT xrp.* FROM xrp JOIN allv USING (vec_id)),
+    pids AS (SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS cid
+             FROM (SELECT vec_id FROM allv ORDER BY vec_id LIMIT $cbSize)),
+    pcent0 AS (SELECT i.cid, xrt.s, xrt.ppos AS pos, xrt.x AS c
+               FROM pids i JOIN xrt ON i.vec_id = xrt.vec_id),
+    $pIters,
+    esc AS (SELECT xrp.vec_id, ct.s, ct.cid,
+              SUM(2 * ct.c * xrp.x) - SUM(ct.c * ct.c) AS score
+            FROM xrp JOIN pcent$itP ct
+              ON xrp.s = ct.s AND xrp.ppos = ct.pos
+            GROUP BY 1, 2, 3),
+    enc AS (SELECT vec_id, s, cid FROM (
+              SELECT vec_id, s, cid,
+                     row_number() OVER (PARTITION BY vec_id, s
+                                        ORDER BY score DESC, cid ASC) AS rn
+              FROM esc) WHERE rn = 1),
+    probes AS (SELECT vec_id AS query_id, cid FROM (
+         SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
+                  ORDER BY score DESC, cid ASC) AS rn
+         FROM csca WHERE vec_id < 5) WHERE rn <= $nProbe),
+    qres AS (SELECT p.query_id, p.cid AS lcid, xv.pos, xv.x - ct.c AS x
+             FROM probes p JOIN xv ON xv.vec_id = p.query_id
+                  JOIN cent$itC ct ON ct.cid = p.cid AND ct.pos = xv.pos),
+    qrp AS (SELECT query_id, lcid, pos // $sub AS s, pos % $sub AS ppos, x
+            FROM qres),
+    qd AS (SELECT qrp.query_id, qrp.lcid, ct.s, ct.cid,
+              SUM(ct.c * qrp.x) AS qdot
+           FROM qrp JOIN pcent$itP ct
+             ON ct.s = qrp.s AND ct.pos = qrp.ppos
+           GROUP BY 1, 2, 3, 4),
+    adc AS (SELECT qd.query_id, e.vec_id, SUM(qd.qdot) AS adot
+            FROM enc e JOIN ca a ON a.vec_id = e.vec_id
+                 JOIN qd ON qd.lcid = a.cid AND qd.s = e.s AND qd.cid = e.cid
+            WHERE qd.query_id <> e.vec_id
+            GROUP BY 1, 2),
     ar AS (SELECT query_id, vec_id FROM (
             SELECT query_id, vec_id,
                    row_number() OVER (PARTITION BY query_id

@@ -150,6 +150,35 @@ class FixedPointKmeansSpec extends SparkSpec {
     pqCapped.map(_.map(_.toSeq).toSeq) shouldBe pqSubset.map(_.map(_.toSeq).toSeq)
   }
 
+  test("IVFADC (s24): probed-lists-only candidates, useful recall, deterministic across partitionings") {
+    val (coarse, pq) = Similarity.ivfPqTrainFixedPoint(embeddings, dim = 64,
+      nLists = 8, m = 4, codebookSize = 8, maxIterCoarse = 2, maxIterPq = 1)
+    val queries = embeddings.filter(col("vec_id") < 5)
+    def pairs(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val got = pairs(Similarity.ivfPqSearchFixedPoint(
+      embeddings, queries, k = 10, coarse, pq, nProbe = 3, rerank = 4))
+    // exactness of the whole composed path is the s24 oracle's job;
+    // these pin (1) that it is a useful ANN against the exact baseline
+    // (measured 0.66 at sf0.01; the coarse probe bounds recall the same
+    // way s22's does), and (2) the structural claim the composition
+    // exists for: every returned neighbor lives in one of its query's
+    // nProbe probed lists — the ADC provably never left them
+    val exact = pairs(Similarity.bruteForceKnn(embeddings, queries, k = 10))
+    (got & exact).size.toDouble / exact.size should be >= 0.3
+    val assign = Similarity.assignFixedPoint(embeddings, coarse)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val probed = Similarity.ivfSearchFixedPoint(
+        embeddings, queries, k = Int.MaxValue, coarse, nProbe = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    got.foreach { case (q, n) => probed should contain ((q, n)) }
+    got.foreach { case (_, n) => assign.keySet should contain (n) }
+    // bit-determinism: the integer path is partitioning-invariant
+    got shouldBe pairs(Similarity.ivfPqSearchFixedPoint(
+      embeddings.repartition(13, col("vec_id")), queries, k = 10, coarse,
+      pq, nProbe = 3, rerank = 4))
+  }
+
   test("quantization floors toward minus infinity on both signs") {
     // -0.3·1e6 = -300000.0000000000xx in double → floor -300001 iff the
     // product rounds below; pin the actual contract: floor(double

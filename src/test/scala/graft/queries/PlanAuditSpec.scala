@@ -50,6 +50,8 @@ class PlanAuditSpec extends SparkSpec {
     "s20_retrain_reassign", // retrains the fixed-point codebook at build
     "s22_ivf_fixed_search", // trains the fixed-point codebook at build
     "s23_pq_fixed_search", // trains the fixed-point PQ codebooks at build
+    "s24_ivfpq_search", // trains BOTH fixed-point stages at build (s22+s23)
+    "s25_continuous_retrain", // streaming drain + retrains at a boundary
     "t25_dsir_weights", // bucket-table aggregate collects at build time
     "t27_classifier_train", // GD iterations collect at build time
     "t34_classifier_train_iter1", // one GD iteration collects at build time
