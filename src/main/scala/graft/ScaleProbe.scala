@@ -139,6 +139,10 @@ object ScaleProbe {
     // the per-query candidate term should grow SLOWER than s23's
     // scan-all ADC at the same decade
     "s24_ivfpq_search",
+    // drift+retrain composed: s21's boundary floors + one mid-stream
+    // s20 movement (capped training + one scoring scan) — expect the
+    // s20 decade plus near-flat boundary overhead
+    "s25_continuous_retrain",
     // fixed-point classifier training: one token explode + per
     // iteration a doc-keyed margin agg + a 65-key gradient agg over the
     // sparse feature table — expect ~linear in corpus tokens

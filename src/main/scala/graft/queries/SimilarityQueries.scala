@@ -566,7 +566,47 @@ object SimilarityQueries {
           k = 10, coarse, pq, nProbe = 3, rerank = 4)
       },
       Some(ivfPqSearchOracle(KmFixedK, KmFixedIters, 64, 1000000L,
-        nProbe = 3, rerankWindow = 40, k = 10)))
+        nProbe = 3, rerankWindow = 40, k = 10))),
+
+    // s25 (r12): drift + retrain COMPOSED through one continuous loop —
+    // the r11 verdict's item 2. The V1→V2 diff streams in four
+    // deterministic vec_id%4 slices (one file per batch, mtime-ordered);
+    // slice 2 carries a status='retrain' MARKER ROW, so boundary 2
+    // applies its delta, re-trains the fixed-point codebook on the
+    // post-delta corpus (V2 rows for %4≤2 ids, V1 rows for %4=3), and
+    // retrainReassign-rewrites the state; boundary 3 then maintains
+    // under the NEW codebook. The oracle re-trains that boundary-2
+    // codebook from scratch (the s19 chain over the mid-stream corpus,
+    // capped id-prefix) and assigns the FINAL corpus (V2) under it —
+    // the drained state must equal that from-scratch rebuild
+    // row-for-row, which is exactly the composed drift+retrain theorem
+    // (retrainReassign's contract erases pre-boundary drift; s18's
+    // fixed-codebook invariance carries boundary 3).
+    "s25_continuous_retrain" -> QueryDef(
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val v1 = emb.filter(col("vec_id") % 17 =!= 3)
+        val cbOld = Similarity.kmeansTrainFixedPoint(v1,
+          k = KmFixedK, maxIter = KmFixedIters)
+        val state1 = Similarity.assignFixedPoint(v1, cbOld).localCheckpoint()
+        val dir = stageRetrainSliceDir(s, d)
+        val schema = org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("vec_id",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("embedding",
+            org.apache.spark.sql.types.ArrayType(
+              org.apache.spark.sql.types.FloatType)),
+          org.apache.spark.sql.types.StructField("status",
+            org.apache.spark.sql.types.StringType)))
+        val stream = s.readStream
+          .option("maxFilesPerTrigger", "1") // 4 slices → 4 boundaries
+          .schema(schema).parquet(dir.toString)
+        val run = graft.streaming.ContinuousIndexMaintenance
+          .continuousAssignmentsWithRetrain(s, v1, state1, cbOld, stream,
+            k = KmFixedK, maxIter = KmFixedIters)
+        run.state.select(col("id"), col("cid"))
+      },
+      Some(continuousRetrainOracle(KmFixedK, KmFixedIters, 64, 1000000L)))
   )
 
   private val PqFixedM = 4
@@ -633,6 +673,93 @@ object SimilarityQueries {
         .repartition(4)
         .write.mode("overwrite").parquet(dir.toString)
     }
+
+  /** s25's staged stream source: the V1→V2 vector diff split into FOUR
+    * deterministic vec_id%4 slice files, renamed and mtime-spaced so
+    * FileStreamSource (maxFilesPerTrigger=1, oldest-first order)
+    * delivers slice i as batch i; slice 2 additionally carries the
+    * status='retrain' marker row that makes boundary 2 the retrain
+    * event. Restaged when embeddings.parquet changes.
+    */
+  private def stageRetrainSliceDir(s: org.apache.spark.sql.SparkSession,
+      d: String): java.nio.file.Path =
+    Staging.stageIfStale(d, "vec_retrain_slices4", "embeddings.parquet") { dir =>
+      val emb = Tables.embeddings(s, d)
+      val v1 = emb.filter(col("vec_id") % 17 =!= 3)
+      val v2 = emb.filter(col("vec_id") % 19 =!= 5)
+        .withColumn("embedding", when(col("vec_id") % 13 === 0,
+          transform(col("embedding"), x => -x))
+          .otherwise(col("embedding")))
+      val diff = Similarity.vectorSnapshotDiff(v1, v2, "embedding", "vec_id")
+        .filter(col("status") =!= "unchanged")
+        .join(v2.select(col("vec_id"), col("embedding")),
+          col("id") === col("vec_id"), "left")
+        .select(col("id").as("vec_id"), col("embedding"), col("status"))
+      val marker = s.range(1).select(
+        lit(null).cast("long").as("vec_id"),
+        lit(null).cast("array<float>").as("embedding"),
+        lit("retrain").as("status"))
+      java.nio.file.Files.createDirectories(dir)
+      // wipe any stale staged files so a restage can't leave extras
+      Option(dir.toFile.listFiles()).getOrElse(Array.empty)
+        .foreach(f => if (f.isFile) f.delete())
+      val base = System.currentTimeMillis()
+      for (i <- 0 to 3) {
+        val slice0 = diff.filter(pmod(col("vec_id"), lit(4L)) === i)
+        val slice = if (i == 2) slice0.unionByName(marker) else slice0
+        val tmp = java.nio.file.Files.createTempDirectory("graft_s25_slice")
+        slice.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+        val part = Option(tmp.toFile.listFiles()).getOrElse(Array.empty)
+          .find(f => f.getName.startsWith("part-") &&
+            f.getName.endsWith(".parquet"))
+          .getOrElse(sys.error(s"s25 staging: no part file under $tmp"))
+        val dest = dir.resolve(f"slice$i%02d.parquet")
+        java.nio.file.Files.move(part.toPath, dest,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        // distinct, increasing mtimes pin the batch order
+        dest.toFile.setLastModified(base + i * 2000L)
+      }
+      java.nio.file.Files.write(dir.resolve("_SUCCESS"), Array.empty[Byte])
+    }
+
+  /** DuckDB replay of s25: rebuild the RETRAIN-BOUNDARY corpus (V2
+    * state for vec_id%4 ≤ 2 ids, V1 state for %4 = 3 — slices 0..2
+    * applied, slice 3 not yet), re-train the fixed-point codebook on
+    * its capped id-prefix from scratch (the s19 chain), then assign the
+    * FINAL corpus (V2) under that codebook. The drained loop state must
+    * match row-for-row: retrainReassign's contract makes boundary 2's
+    * state ≡ from-scratch assignment of the boundary corpus, and the
+    * fixed-codebook delta upsert (s18's invariance) carries boundary 3
+    * to ≡ from-scratch assignment of V2.
+    */
+  private def continuousRetrainOracle(k: Int, maxIter: Int, dim: Int,
+                                      scale: Long): String =
+    s"""
+    WITH v1r AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vd
+                 FROM embeddings WHERE vec_id % 17 <> 3),
+    v2r AS (SELECT vec_id, CASE WHEN vec_id % 13 = 0
+                   THEN list_transform(CAST(embedding AS DOUBLE[]), x -> -x)
+                   ELSE CAST(embedding AS DOUBLE[]) END AS vd
+            FROM embeddings WHERE vec_id % 19 <> 5),
+    vmid AS (SELECT * FROM v2r WHERE vec_id % 4 <= 2
+             UNION ALL SELECT * FROM v1r WHERE vec_id % 4 = 3),
+    xv AS (SELECT vec_id, i - 1 AS pos,
+             CAST(floor(vd[i] * $scale.0) AS BIGINT) AS x
+           FROM vmid, LATERAL (SELECT unnest(range(1, ${dim + 1})) AS i) t),
+    rtids AS (SELECT vec_id FROM vmid
+              ORDER BY vec_id LIMIT $FixedTrainCap),
+    ${kmChainCte("", "rtids", k, maxIter)},
+    xw AS (SELECT vec_id, i - 1 AS pos,
+             CAST(floor(vd[i] * $scale.0) AS BIGINT) AS x
+           FROM v2r, LATERAL (SELECT unnest(range(1, ${dim + 1})) AS i) t),
+    fsc AS (SELECT xw.vec_id, ct.cid,
+              SUM(2 * ct.c * xw.x) - SUM(ct.c * ct.c) AS score
+            FROM xw JOIN cent$maxIter ct ON xw.pos = ct.pos
+            GROUP BY 1, 2)
+    SELECT vec_id AS id, CAST(cid AS BIGINT) AS cid FROM (
+      SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
+               ORDER BY score DESC, cid ASC) AS rn
+      FROM fsc) WHERE rn = 1"""
 
   /** Quantized (vec_id, pos, x) CTE — floor(x·scale) micro-units, the
     * s19 trainer's exact quantization.

@@ -136,6 +136,75 @@ object ContinuousIndexMaintenance {
     stateDir.getOrElse(java.nio.file.Files
       .createTempDirectory("graft_cim_state").toString)
 
+  /** The s25 run record: the drained assignment state, per-boundary
+    * stats, and which boundaries retrained the codebook.
+    */
+  final case class RetrainRun(state: DataFrame, boundaries: Seq[Boundary],
+                              retrainedAt: Seq[Long])
+
+  /** s25: drift AND retrain composed through one continuous loop — the
+    * two seams the one-shot gates exercise separately (s21's corpus
+    * drift under a fixed codebook; s20's rare retrain under a fixed
+    * corpus) driven through a single stream. `deltaStream` carries the
+    * d14 diff vocabulary of (idCol, vecCol, status) rows, plus the
+    * RETRAIN EVENT AS A SPECIAL ROW: a batch containing a
+    * `status = "retrain"` marker first applies its corpus delta, then
+    * re-trains the fixed-point codebook on the post-delta corpus
+    * ([[graft.operators.Similarity.kmeansTrainFixedPoint]], the
+    * deterministic capped trainer) and rewrites the assignment state
+    * through [[graft.operators.Similarity.retrainReassign]] — whose
+    * contract makes the post-boundary state ≡ a from-scratch
+    * assignment of the boundary corpus under the new codebook,
+    * REGARDLESS of any drift the maintained state carried in.
+    * Subsequent batches maintain under the new codebook (delta-only
+    * argmin upserts, s18's movement).
+    *
+    * Restart contract = the Loop's, for all THREE states: corpus
+    * version, assignment version, and codebook version each land in
+    * batchId-keyed dirs under `stateRoot` with overwrite, and a batch's
+    * bases are the latest ON-DISK versions strictly below its id — so a
+    * redelivered uncommitted batch (even a retrain batch: training is a
+    * pure function of the on-disk corpus base + the batch) REWRITES its
+    * versions byte-compatibly instead of re-applying. The marker
+    * travels IN the stream, so the retrain event itself is redelivered
+    * with its batch — no driver-side trigger state to lose. Same
+    * one-lineage-per-stateRoot rule as [[drain]].
+    *
+    * Scale shape per boundary: the s21 movement (anti-join + delta
+    * argmin) plus, at retrain boundaries only, the s20 movement (one
+    * capped training + one full scoring scan, write volume = moved
+    * rows). The corpus-version upsert adds one payload-sized anti-join;
+    * at 100 TB the corpus state is the existing lakehouse table, not a
+    * per-loop copy — here it is materialized per version so training is
+    * a pure function of on-disk state.
+    *
+    * In production the marker would be emitted by a drift monitor
+    * (e.g. mean assignment distance trending up); the mechanism under
+    * test — train at a boundary, rewrite moved rows, maintain under
+    * the new codebook — is the same whatever emits it.
+    */
+  def continuousAssignmentsWithRetrain(
+      spark: SparkSession,
+      initialCorpus: DataFrame,
+      initialState: DataFrame,
+      initialCb: Array[Array[Long]],
+      deltaStream: DataFrame,
+      k: Int, maxIter: Int,
+      scale: Long = 1000000L,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      stateRoot: Option[String] = None,
+      checkpointLocation: Option[String] = None): RetrainRun = {
+    val loop = new RetrainLoop(spark, initialCorpus, initialState,
+      initialCb, k, maxIter, scale, idCol, vecCol, resolve(stateRoot))
+    val w = deltaStream.writeStream
+      .foreachBatch(loop.processBatch _)
+      .trigger(Trigger.AvailableNow())
+    val q = checkpointLocation
+      .fold(w)(cp => w.option("checkpointLocation", cp)).start()
+    q.awaitTermination()
+    loop.result
+  }
+
   /** Run the AvailableNow drain. Production callers that need RESTART
     * resumption must pass a stable `stateDir` AND a
     * `checkpointLocation` (both default to fresh temp/none, the
@@ -255,5 +324,117 @@ object ContinuousIndexMaintenance {
     def result: Run =
       Run(versionsBelow(Long.MaxValue).sorted.lastOption
         .map(stateAt).getOrElse(initialState), boundaries.toSeq)
+  }
+
+  /** The s25 state machine (see [[continuousAssignmentsWithRetrain]]):
+    * the Loop's disk-is-truth versioning applied to three states at
+    * once — corpus payload, assignment, codebook — with the retrain
+    * marker row selecting the s20 movement over the s18 one at its
+    * boundary. Write order is corpus → codebook → assignment, and every
+    * base resolves strictly below the batch id, so a crash between any
+    * two writes redelivers into byte-compatible rewrites.
+    */
+  private[graft] final class RetrainLoop(spark: SparkSession,
+      initialCorpus: DataFrame, initialState: DataFrame,
+      initialCb: Array[Array[Long]], k: Int, maxIter: Int, scale: Long,
+      idCol: String, vecCol: String, val root: String) {
+    import graft.operators.{IndexMaintenance, Similarity}
+
+    val boundaries = scala.collection.mutable.ArrayBuffer.empty[Boundary]
+    val retrainedAt = scala.collection.mutable.ArrayBuffer.empty[Long]
+
+    private val corpusDir = s"$root/corpus"
+    private val assignDir = s"$root/assign"
+    private val cbDir = s"$root/cb"
+    Seq(corpusDir, assignDir, cbDir).foreach(d =>
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(d)))
+
+    private val VersionDir = "^v(\\d+)$".r
+    private def latestBelow(dir: String, b: Long): Option[Long] = {
+      val s = java.nio.file.Files.list(java.nio.file.Paths.get(dir))
+      try {
+        val it = s.iterator()
+        var best: Option[Long] = None
+        while (it.hasNext) {
+          it.next().getFileName.toString match {
+            case VersionDir(id) if id.toLong < b =>
+              if (best.forall(_ < id.toLong)) best = Some(id.toLong)
+            case _ => ()
+          }
+        }
+        best
+      } finally s.close()
+    }
+
+    // normalized (id, vecCol) corpus-state view of the caller's corpus
+    private val initCorpusN = initialCorpus
+      .select(col(idCol).as("id"), col(vecCol))
+
+    private def readCb(v: Long): Array[Array[Long]] =
+      spark.read.parquet(s"$cbDir/v$v").collect()
+        .groupBy(_.getLong(0)).toSeq.sortBy(_._1)
+        .map(_._2.sortBy(_.getLong(1)).map(_.getLong(2)).toArray).toArray
+
+    def processBatch(batch: DataFrame, batchId: Long): Unit = {
+      val delta = batch.filter(col("status") =!= "retrain")
+      // one stats pass: the Loop's duplicate-id guard + boundary
+      // counts, plus the retrain-marker detection folded in (markers
+      // have a null id, so they stay clear of the per-id guard)
+      val s = batch.groupBy(col(idCol))
+        .agg(count(lit(1)).as("__n"), first(col("status")).as("__st"))
+        .agg(max(when(col(idCol).isNotNull, col("__n"))),
+          sum(when(col("__st").isin("removed", "changed"), 1L).otherwise(0L)),
+          sum(when(col("__st").isin("added", "changed"), 1L).otherwise(0L)),
+          sum(when(col("__st") === "retrain", 1L).otherwise(0L))).head()
+      val (maxn, touched, signatured, markers) =
+        if (s.isNullAt(1) && s.isNullAt(3)) (0L, 0L, 0L, 0L)
+        else (if (s.isNullAt(0)) 0L else s.getLong(0),
+          s.getLong(1), s.getLong(2), s.getLong(3))
+      require(maxn <= 1L,
+        s"continuous retrain maintenance: batch $batchId carries " +
+          s"duplicate rows per '$idCol' — one diff row per id per " +
+          "boundary; pre-aggregate the batch upstream")
+      val corpusBase = latestBelow(corpusDir, batchId)
+        .map(v => spark.read.parquet(s"$corpusDir/v$v"))
+        .getOrElse(initCorpusN)
+      val assignBase = latestBelow(assignDir, batchId)
+        .map(v => spark.read.parquet(s"$assignDir/v$v"))
+        .getOrElse(initialState)
+      val cbBase = latestBelow(cbDir, batchId)
+        .map(readCb).getOrElse(initialCb)
+      val diff = delta.select(col(idCol).as("id"), col("status"))
+      val docs = delta.filter(col("status").isin("added", "changed"))
+        .drop("status")
+      // 1. corpus version: payload upsert (identity kernel)
+      IndexMaintenance.upsert(corpusBase, diff, docs, idCol)(
+          _.select(col(idCol).as("id"), col(vecCol)))
+        .write.mode("overwrite").parquet(s"$corpusDir/v$batchId")
+      val corpusV = spark.read.parquet(s"$corpusDir/v$batchId")
+      // 2 + 3. codebook + assignment under this boundary's movement
+      if (markers > 0) {
+        val newCb = Similarity.kmeansTrainFixedPoint(corpusV, k, maxIter,
+          scale, idCol = "id", vecCol = vecCol)
+        import spark.implicits._
+        newCb.zipWithIndex.flatMap { case (c, cid) =>
+          c.zipWithIndex.map { case (v, pos) => (cid.toLong, pos.toLong, v) }
+        }.toSeq.toDF("cid", "pos", "c")
+          .write.mode("overwrite").parquet(s"$cbDir/v$batchId")
+        Similarity.retrainReassign(assignBase.select(col("id"), col("cid")),
+            corpusV, newCb, scale, idCol = "id", vecCol = vecCol)
+          .select(col("id"), col("cid"))
+          .write.mode("overwrite").parquet(s"$assignDir/v$batchId")
+        retrainedAt += batchId
+      } else {
+        IndexMaintenance.upsert(assignBase, diff, docs, idCol)(
+            Similarity.assignFixedPoint(_, cbBase, scale, idCol, vecCol))
+          .write.mode("overwrite").parquet(s"$assignDir/v$batchId")
+      }
+      boundaries += Boundary(batchId, touched, signatured)
+    }
+
+    def result: RetrainRun =
+      RetrainRun(latestBelow(assignDir, Long.MaxValue)
+        .map(v => spark.read.parquet(s"$assignDir/v$v"))
+        .getOrElse(initialState), boundaries.toSeq, retrainedAt.toSeq)
   }
 }

@@ -213,6 +213,87 @@ class ContinuousIndexMaintenanceSpec extends SparkSpec {
     drained shouldBe rebuilt
   }
 
+  private def retrainFixture = {
+    val w1 = Seq(
+      (1L, Seq(1.0f, 0.0f)), (2L, Seq(0.0f, 1.0f)),
+      (3L, Seq(0.9f, 0.1f)), (4L, Seq(0.2f, 0.8f)))
+      .toDF("vec_id", "embedding")
+    val changed2 = Seq((2L, Seq(0.7f, 0.3f))).toDF("vec_id", "embedding")
+    val added5 = Seq((5L, Seq(0.6f, 0.4f))).toDF("vec_id", "embedding")
+    // boundary-1 corpus: 2 changed, 3 removed (the retrain trains here)
+    val mid = Seq((1L, Seq(1.0f, 0.0f)), (2L, Seq(0.7f, 0.3f)),
+      (4L, Seq(0.2f, 0.8f))).toDF("vec_id", "embedding")
+    // final corpus: + 5 added after the retrain
+    val fin = Seq((1L, Seq(1.0f, 0.0f)), (2L, Seq(0.7f, 0.3f)),
+      (4L, Seq(0.2f, 0.8f)), (5L, Seq(0.6f, 0.4f)))
+      .toDF("vec_id", "embedding")
+    (w1, changed2, added5, mid, fin)
+  }
+
+  private def retrainBatch(rows: Seq[(java.lang.Long, Seq[Float], String)]) =
+    rows.toDF("vec_id", "embedding", "status")
+
+  test("retrain loop (s25): drained state equals from-scratch assignment under the boundary codebook") {
+    val S = graft.operators.Similarity
+    val (w1, _, _, mid, fin) = retrainFixture
+    val cbOld = S.kmeansTrainFixedPoint(w1, k = 2, maxIter = 1)
+    val init = S.assignFixedPoint(w1, cbOld).localCheckpoint()
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_cra_spec").toString
+    val loop = new ContinuousIndexMaintenance.RetrainLoop(spark, w1, init,
+      cbOld, 2, 1, 1000000L, "vec_id", "embedding", root)
+    loop.processBatch(retrainBatch(Seq(
+      (2L, Seq(0.7f, 0.3f), "changed"))), 0L)
+    loop.processBatch(retrainBatch(Seq(
+      (3L, null, "removed"),
+      (null.asInstanceOf[java.lang.Long], null, "retrain"))), 1L)
+    loop.processBatch(retrainBatch(Seq(
+      (5L, Seq(0.6f, 0.4f), "added"))), 2L)
+    loop.retrainedAt shouldBe Seq(1L)
+    val cbMid = S.kmeansTrainFixedPoint(mid, k = 2, maxIter = 1)
+    // the retrain must actually have changed the codebook (otherwise
+    // this fixture wouldn't exercise the boundary at all)
+    cbMid.map(_.toSeq).toSeq should not be cbOld.map(_.toSeq).toSeq
+    val expected = S.assignFixedPoint(fin, cbMid).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    loop.result.state.collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap shouldBe expected
+  }
+
+  test("retrain loop: redelivery ACROSS the retrain boundary rewrites its versions") {
+    // the r12 brief's spec: the retrain batch itself is the one that
+    // goes uncommitted — a restarted loop redelivers it, re-trains from
+    // the same on-disk corpus base (pure function), rewrites corpus/
+    // codebook/assignment v1, and the post-retrain batch maintains
+    // under the rewritten codebook. The drained state must equal the
+    // no-failure run's.
+    val S = graft.operators.Similarity
+    val (w1, _, _, mid, fin) = retrainFixture
+    val cbOld = S.kmeansTrainFixedPoint(w1, k = 2, maxIter = 1)
+    val init = S.assignFixedPoint(w1, cbOld).localCheckpoint()
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_cra_redeliver").toString
+    def newLoop() = new ContinuousIndexMaintenance.RetrainLoop(spark, w1,
+      init, cbOld, 2, 1, 1000000L, "vec_id", "embedding", root)
+    val b1 = retrainBatch(Seq(
+      (3L, null, "removed"),
+      (null.asInstanceOf[java.lang.Long], null, "retrain")))
+    val first = newLoop()
+    first.processBatch(retrainBatch(Seq(
+      (2L, Seq(0.7f, 0.3f), "changed"))), 0L)
+    first.processBatch(b1, 1L) // the RETRAIN batch goes uncommitted…
+    val restarted = newLoop()  // …restart: fresh memory, same root
+    restarted.processBatch(b1, 1L) // redelivered retrain boundary
+    restarted.processBatch(retrainBatch(Seq(
+      (5L, Seq(0.6f, 0.4f), "added"))), 2L)
+    restarted.retrainedAt shouldBe Seq(1L)
+    val cbMid = S.kmeansTrainFixedPoint(mid, k = 2, maxIter = 1)
+    val expected = S.assignFixedPoint(fin, cbMid).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    restarted.result.state.collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap shouldBe expected
+  }
+
   test("redelivered batchId rewrites its version: a mid-stream restart loses nothing") {
     // model the failure directly against the extracted Loop: batch 1 is
     // processed but its offset never commits; a restarted loop (fresh
