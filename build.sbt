@@ -17,6 +17,12 @@ run / fork := true
 // `parsed: null`). Inherit stdout for forked runs so the bench line is
 // emitted verbatim.
 run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+// ... and sbt's own trailing "[success] Total time" line would still land
+// AFTER the bench line in the captured tail, so a parse that reads the
+// LAST line would see sbt's summary, not the JSON. Suppress it: with
+// StdoutOutput above this makes the bare bench JSON the final line of a
+// `sbt -batch "runMain graft.Bench"` invocation.
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

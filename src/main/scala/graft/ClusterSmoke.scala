@@ -44,11 +44,44 @@ object ClusterSmoke {
     // stand-in (Spark's JDBC paths need concurrent driver metadata +
     // executor data connections, i.e. a database SERVER, which the
     // sandbox lacks). Its plan is Spark's own JDBCRelation/JdbcUtils;
-    // nothing graft-side rides it, so off-local it is skipped with a
-    // recorded reason rather than failed.
-    val singleJvmStandIn = Map(
-      "src05_jdbc_roundtrip" ->
-        "skipped: embedded Derby stand-in is single-JVM by design")
+    // nothing graft-side rides it. PROBE, don't assume: if Derby's
+    // network server (derbynet's NetworkServerControl) and ClientDriver
+    // are on the classpath, start the server in-process and point src05
+    // at jdbc:derby://localhost — executor JVMs then open real network
+    // data connections and the gate runs multi-JVM. This sandbox ships
+    // only derby/derbyshared/derbytools (no derbynet/derbyclient under
+    // /opt/spark/jars or the offline coursier cache), so the probe
+    // records the skip with its evidence instead of hardcoding it.
+    val derbyNetPort = 15270
+    val derbyNet: Option[AnyRef] =
+      try {
+        val cls = Class.forName("org.apache.derby.drda.NetworkServerControl")
+        Class.forName("org.apache.derby.jdbc.ClientDriver")
+        val srv = cls
+          .getConstructor(classOf[java.net.InetAddress], classOf[Int])
+          .newInstance(java.net.InetAddress.getLoopbackAddress,
+            Integer.valueOf(derbyNetPort))
+          .asInstanceOf[AnyRef]
+        cls.getMethod("start", classOf[java.io.PrintWriter])
+          .invoke(srv, null)
+        Some(srv)
+      } catch { case _: Throwable => None }
+    derbyNet.foreach { _ =>
+      val dbDir = java.nio.file.Files.createTempDirectory("graft-derby-net")
+      spark.conf.set("spark.graft.src05.url",
+        s"jdbc:derby://localhost:$derbyNetPort/$dbDir/db;create=true")
+      spark.conf.set("spark.graft.src05.driver",
+        "org.apache.derby.jdbc.ClientDriver")
+      println(s"[smoke] derby network server up on :$derbyNetPort — " +
+        "src05 runs multi-JVM")
+    }
+    val singleJvmStandIn: Map[String, String] =
+      if (derbyNet.isDefined) Map.empty
+      else Map(
+        "src05_jdbc_roundtrip" ->
+          ("skipped: no network JDBC server available (derbynet/" +
+           "derbyclient probed absent at runtime; embedded Derby is " +
+           "single-JVM by design)"))
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.isEmpty || only(n) }
       .map { case (name, fn) =>
@@ -95,6 +128,10 @@ object ClusterSmoke {
     java.nio.file.Files.write(java.nio.file.Paths.get(out),
       rows.getBytes("UTF-8"))
     println(s"[smoke] ${results.size} gates, $failed failed -> $out")
+    derbyNet.foreach { srv =>
+      try srv.getClass.getMethod("shutdown").invoke(srv)
+      catch { case _: Throwable => () }
+    }
     spark.stop()
     if (failed > 0) sys.exit(1)
   }

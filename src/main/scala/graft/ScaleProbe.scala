@@ -143,6 +143,10 @@ object ScaleProbe {
     // s20 movement (capped training + one scoring scan) — expect the
     // s20 decade plus near-flat boundary overhead
     "s25_continuous_retrain",
+    // continuous IVFADC maintenance: 2 boundary floors + both trainings
+    // once + the encode kernel over per-batch deltas — the q129 shape
+    // over the s24 build, expect near-flat over s24's movement
+    "s26_continuous_ivfpq",
     // fixed-point classifier training: one token explode + per
     // iteration a doc-keyed margin agg + a 65-key gradient agg over the
     // sparse feature table — expect ~linear in corpus tokens

@@ -781,6 +781,49 @@ object Similarity {
     * the scanned fraction nProbe/nLists vanishes as the corpus grows —
     * the 100 TB ANN contract, with codes at m bytes/vector.
     */
+  /** The stored IVFADC index view — s24's listing phase, exposed as the
+    * per-id derived state the continuous form (s26) maintains: (id, cid,
+    * codes) = coarse list id + residual PQ codes, in ONE corpus scan
+    * (codegen'd coarse argmax + residual zip_with + codegen'd PQ
+    * encode — no join, no shuffle). At 100 TB this IS the index table:
+    * m bytes of codes per vector, partitionable by list id.
+    */
+  def ivfPqEncodeFixedPoint(corpus: DataFrame,
+                            coarseCb: Array[Array[Long]],
+                            pqCbs: Array[Array[Array[Long]]],
+                            scale: Long = 1000000L,
+                            idCol: String = "vec_id",
+                            vecCol: String = "embedding"): DataFrame = {
+    require(coarseCb.nonEmpty,
+      "ivfPqEncodeFixedPoint: empty coarse codebook — train on a " +
+        "non-empty sample")
+    require(pqCbs.nonEmpty && pqCbs.forall(_.nonEmpty),
+      "ivfPqEncodeFixedPoint: empty residual codebook (trained on an " +
+        "empty corpus?) — there is nothing to encode against")
+    residualized(corpus, coarseCb, scale, idCol, vecCol)
+      .select(col("id"), col("cid"),
+        pqEncodeFixed(pqCbs, col("rd")).as("codes"))
+  }
+
+  /** s26: IVFADC index maintenance — the d19/m09/s18 upsert seam applied
+    * to the production index layout. Both codebook stages are FIXED
+    * (retrain is the separate rare event, s20/s25), so an unchanged
+    * vector's (list, codes) row can never move and maintenance touches
+    * DELTA vectors only: one broadcastable anti-join on the touched ids
+    * + the one-scan encode kernel over added ∪ changed vectors.
+    * Contract (hash-oracled by the s26 gate's V2-rebuild oracle):
+    * maintained ≡ [[ivfPqEncodeFixedPoint]](V_{N+1}) row-for-row.
+    */
+  def maintainIvfPqIndex(state: DataFrame, diff: DataFrame,
+                         newVectors: DataFrame,
+                         coarseCb: Array[Array[Long]],
+                         pqCbs: Array[Array[Array[Long]]],
+                         scale: Long = 1000000L,
+                         idCol: String = "vec_id",
+                         vecCol: String = "embedding"): DataFrame =
+    IndexMaintenance.upsert(state, diff, newVectors, idCol)(
+      ivfPqEncodeFixedPoint(_, coarseCb, pqCbs, scale, idCol, vecCol))
+
   def ivfPqSearchFixedPoint(corpus: DataFrame, queries: DataFrame, k: Int,
                             coarseCb: Array[Array[Long]],
                             pqCbs: Array[Array[Array[Long]]],
@@ -796,9 +839,10 @@ object Similarity {
         "empty corpus?) — there is nothing to encode against")
     val (m, cbSize, sub) = (pqCbs.length, pqCbs(0).length, pqCbs(0)(0).length)
     val cbLit = typedLit(coarseCb.map(_.map(_.toDouble).toSeq).toSeq)
-    // the stored index: (id, list, residual codes) in ONE corpus scan
-    val listed = residualized(corpus, coarseCb, scale, idCol, vecCol)
-      .select(col("id"), col("cid"), pqEncodeFixed(pqCbs, col("rd")).as("codes"))
+    // the stored index: (id, list, residual codes) in ONE corpus scan —
+    // the same view s26 maintains continuously
+    val listed = ivfPqEncodeFixedPoint(corpus, coarseCb, pqCbs, scale,
+      idCol, vecCol)
     // each query probes its nProbe top-score lists, carrying the
     // PER-LIST residual the ADC scores against
     val probes = broadcast(quantized(queries, scale, idCol, vecCol)

@@ -879,6 +879,64 @@ object EventQueries {
       },
       Some(DedupQueries.streamingAdmissionOracle)),
 
+    // LIVE network ingest (q130): the one streaming source executed over
+    // a REAL network boundary in this sandbox. An in-process loopback TCP
+    // server serves the first 500 events as JSON lines; Spark's built-in
+    // socket source connects, StreamingIngest.parseJsonPayload decodes
+    // into typed rows (the exact bridge readEventKafka uses), and the
+    // drained sink must equal the same 500 rows read straight from
+    // parquet — bit-exact, because timestamps travel as unix_micros
+    // (JSON adds no precision loss on int64/string, and Jackson's double
+    // repr round-trips exactly). Kafka itself is broker-gated here (no
+    // broker, no connector jar — probed; see StreamingIngest's section
+    // note): format("socket") → format("kafka") is the cluster swap, the
+    // payload bridge and sink are THIS code. Reference analog: live AMQP
+    // consumption, worker/.../amqp/ResponseQueueConsumer.scala.
+    "q130_socket_ingest" -> QueryDef(
+      (s, d) => {
+        import org.apache.spark.sql.streaming.Trigger
+        val n = 500
+        val ddl = "event_id BIGINT, user_id BIGINT, event_type STRING, " +
+          "ts_us BIGINT, value DOUBLE"
+        // bounded driver-side collect: n JSON lines (the message feed), not
+        // data-scale — at 100 TB the server side IS the external system
+        val lines = Tables.events(s, d)
+          .orderBy("event_id").limit(n)
+          .select(to_json(struct(col("event_id"), col("user_id"),
+            col("event_type"), unix_micros(col("ts")).as("ts_us"),
+            col("value"))).as("v"))
+          .collect().map(_.getString(0)).toSeq
+        val server = graft.streaming.StreamingIngest.serveLines(lines)
+        try {
+          withStreamConf(s, parts = "4", rocksdb = false) {
+            val parsed = graft.streaming.StreamingIngest.readEventSocket(
+              s, "127.0.0.1", server.getLocalPort, ddl)
+            val q = parsed.writeStream.format("memory")
+              .queryName("q130_sink").outputMode("append")
+              .trigger(Trigger.ProcessingTime("50 milliseconds")).start()
+            // drain until all n rows landed — the server writes eagerly,
+            // the poll covers the connect/buffer race; hard 90 s deadline
+            // so a broken transport fails loudly instead of hanging
+            val deadline = System.nanoTime() + 90L * 1000 * 1000 * 1000
+            var seen = 0L
+            while (seen < n && System.nanoTime() < deadline) {
+              q.processAllAvailable()
+              seen = s.table("q130_sink").count()
+              if (seen < n) Thread.sleep(25)
+            }
+            q.stop(); q.awaitTermination()
+            require(seen >= n, s"q130: socket ingest drained $seen/$n rows")
+            // socket delivery is at-least-once across reconnects (a
+            // restarted query replays the feed) — key-dedup on ingest
+            // makes the gate restart-robust, like Kafka offset replay
+            s.table("q130_sink").dropDuplicates("event_id")
+          }
+        } finally { try server.close() catch { case _: Throwable => () } }
+      },
+      Some("""
+        SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us, value
+        FROM events ORDER BY event_id LIMIT 500""")),
+
     // Streaming percentile maintenance (q111): q108's mergeable integer
     // histogram run as a continuous ingest — each micro-batch's
     // (lang, bucket) counts land from foreachBatch, and the final

@@ -606,7 +606,55 @@ object SimilarityQueries {
             k = KmFixedK, maxIter = KmFixedIters)
         run.state.select(col("id"), col("cid"))
       },
-      Some(continuousRetrainOracle(KmFixedK, KmFixedIters, 64, 1000000L)))
+      Some(continuousRetrainOracle(KmFixedK, KmFixedIters, 64, 1000000L))),
+
+    // s26 (r12): the s24 IVFADC index maintained CONTINUOUSLY — the
+    // production pairing: the index everyone queries is s24's (coarse
+    // list + residual codes per vector); corpus drift arrives as a
+    // stream, and each boundary upserts exactly the delta rows through
+    // the one-scan encode kernel under FIXED codebooks (retrains stay
+    // the rare event, s25's loop). Both stages trained on V1; the V1→V2
+    // diff drains in 2 boundaries (s21's staging); the drained state
+    // must equal the from-scratch V2 encode — the rebuild theorem, with
+    // the oracle re-training coarse AND residual-PQ stages from scratch
+    // and re-encoding V2 entirely in exact integers. Completes the
+    // lifecycle for the composed index: build (s24) → maintain (s26) →
+    // retrain (s25's boundary machinery).
+    "s26_continuous_ivfpq" -> QueryDef(
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val v1 = emb.filter(col("vec_id") % 17 =!= 3)
+        val (coarse, pq) = Similarity.ivfPqTrainFixedPoint(v1, dim = 64,
+          nLists = KmFixedK, m = PqFixedM, codebookSize = PqFixedCb,
+          maxIterCoarse = KmFixedIters, maxIterPq = PqFixedIters)
+        val state1 = Similarity.ivfPqEncodeFixedPoint(v1, coarse, pq)
+          .localCheckpoint()
+        val dir = stageVecDiffDir(s, d)
+        val schema = org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("vec_id",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("lang",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("embedding",
+            org.apache.spark.sql.types.ArrayType(
+              org.apache.spark.sql.types.FloatType)),
+          org.apache.spark.sql.types.StructField("status",
+            org.apache.spark.sql.types.StringType)))
+        val stream = s.readStream
+          .option("maxFilesPerTrigger", "2") // 4 staged files → 2 boundaries
+          .schema(schema).parquet(dir.toString)
+        val run = graft.streaming.ContinuousIndexMaintenance
+          .continuousIvfPq(s, state1, stream, coarse, pq,
+            "vec_id", "embedding")
+        // flatten codes to the SQL-shaped (id, list, subspace, code)
+        run.state
+          .select(col("id"), col("cid"), posexplode(col("codes")))
+          .toDF("id", "cid", "s", "code")
+          .select(col("id"), col("cid").cast("long").as("cid"),
+            col("s").cast("long").as("s"),
+            col("code").cast("long").as("code"))
+      },
+      Some(continuousIvfPqOracle(KmFixedK, KmFixedIters, 64, 1000000L)))
   )
 
   private val PqFixedM = 4
@@ -761,6 +809,87 @@ object SimilarityQueries {
                ORDER BY score DESC, cid ASC) AS rn
       FROM fsc) WHERE rn = 1"""
 
+  /** DuckDB replay of s26 (continuous IVFADC maintenance), from
+    * nothing: both quantizer stages re-trained from scratch on V1 (the
+    * coarse Lloyd chain over the capped id-prefix, then the fused
+    * per-subspace residual-PQ chain over the capped V1 residuals), then
+    * the FINAL corpus (V2, with the s21 drift: %19 removals, %13
+    * negations) coarse-assigned and residual-encoded under them — the
+    * from-scratch rebuild the maintained state must equal row-for-row,
+    * flattened to (id, list, subspace, code).
+    */
+  private def continuousIvfPqOracle(kC: Int, itC: Int, dim: Int,
+                                    scale: Long): String = {
+    val (m, cbSize, itP) = (PqFixedM, PqFixedCb, PqFixedIters)
+    val sub = dim / m
+    val pIters = (1 to itP).map { i =>
+      s"""psc$i AS (SELECT xrt.vec_id, ct.s, ct.cid,
+             SUM(2 * ct.c * xrt.x) - SUM(ct.c * ct.c) AS score
+           FROM xrt JOIN pcent${i - 1} ct
+             ON xrt.s = ct.s AND xrt.ppos = ct.pos
+           GROUP BY 1, 2, 3),
+    pasg$i AS (SELECT vec_id, s, cid FROM (
+             SELECT vec_id, s, cid,
+                    row_number() OVER (PARTITION BY vec_id, s
+                                       ORDER BY score DESC, cid ASC) AS rn
+             FROM psc$i) WHERE rn = 1),
+    pupd$i AS (SELECT a.s, a.cid, xrt.ppos AS pos,
+             CAST(floor(CAST(SUM(xrt.x) AS DOUBLE) / COUNT(*)) AS BIGINT) AS c
+           FROM pasg$i a JOIN xrt ON a.vec_id = xrt.vec_id AND a.s = xrt.s
+           GROUP BY 1, 2, 3),
+    pcent$i AS (SELECT pr.s, pr.cid, pr.pos, COALESCE(u.c, pr.c) AS c
+           FROM pcent${i - 1} pr
+           LEFT JOIN pupd$i u
+             ON pr.s = u.s AND pr.cid = u.cid AND pr.pos = u.pos)"""
+    }.mkString(",\n    ")
+    s"""
+    WITH v1r AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vd
+                 FROM embeddings WHERE vec_id % 17 <> 3),
+    v2r AS (SELECT vec_id, CASE WHEN vec_id % 13 = 0
+                   THEN list_transform(CAST(embedding AS DOUBLE[]), x -> -x)
+                   ELSE CAST(embedding AS DOUBLE[]) END AS vd
+            FROM embeddings WHERE vec_id % 19 <> 5),
+    xv AS MATERIALIZED (
+      SELECT vec_id, i - 1 AS pos,
+             CAST(floor(vd[i] * $scale.0) AS BIGINT) AS x
+      FROM v1r, LATERAL (SELECT unnest(range(1, ${dim + 1})) AS i) t),
+    allv AS (SELECT vec_id FROM v1r ORDER BY vec_id LIMIT $FixedTrainCap),
+    ${kmChainCte("", "allv", kC, itC)},
+    ${kmAssignCte("c", s"cent$itC")},
+    res AS (SELECT xv.vec_id, xv.pos, xv.x - ct.c AS x
+            FROM xv JOIN ca ON xv.vec_id = ca.vec_id
+                 JOIN cent$itC ct ON ct.cid = ca.cid AND ct.pos = xv.pos),
+    xrp AS (SELECT vec_id, pos // $sub AS s, pos % $sub AS ppos, x FROM res),
+    xrt AS (SELECT xrp.* FROM xrp JOIN allv USING (vec_id)),
+    pids AS (SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS cid
+             FROM (SELECT vec_id FROM allv ORDER BY vec_id LIMIT $cbSize)),
+    pcent0 AS (SELECT i.cid, xrt.s, xrt.ppos AS pos, xrt.x AS c
+               FROM pids i JOIN xrt ON i.vec_id = xrt.vec_id),
+    $pIters,
+    xw AS MATERIALIZED (
+      SELECT vec_id, i - 1 AS pos,
+             CAST(floor(vd[i] * $scale.0) AS BIGINT) AS x
+      FROM v2r, LATERAL (SELECT unnest(range(1, ${dim + 1})) AS i) t),
+    ${kmAssignCte("w", s"cent$itC", "xw")},
+    rw AS (SELECT xw.vec_id, xw.pos, xw.x - ct.c AS x
+           FROM xw JOIN wa ON xw.vec_id = wa.vec_id
+                JOIN cent$itC ct ON ct.cid = wa.cid AND ct.pos = xw.pos),
+    rwp AS (SELECT vec_id, pos // $sub AS s, pos % $sub AS ppos, x FROM rw),
+    esc2 AS (SELECT rwp.vec_id, ct.s, ct.cid,
+               SUM(2 * ct.c * rwp.x) - SUM(ct.c * ct.c) AS score
+             FROM rwp JOIN pcent$itP ct
+               ON rwp.s = ct.s AND rwp.ppos = ct.pos
+             GROUP BY 1, 2, 3),
+    enc2 AS (SELECT vec_id, s, cid FROM (
+               SELECT vec_id, s, cid,
+                      row_number() OVER (PARTITION BY vec_id, s
+                                         ORDER BY score DESC, cid ASC) AS rn
+               FROM esc2) WHERE rn = 1)
+    SELECT w.vec_id AS id, CAST(w.cid AS BIGINT) AS cid,
+           CAST(e.s AS BIGINT) AS s, CAST(e.cid AS BIGINT) AS code
+    FROM enc2 e JOIN wa w ON e.vec_id = w.vec_id"""
+  }
+
   /** Quantized (vec_id, pos, x) CTE — floor(x·scale) micro-units, the
     * s19 trainer's exact quantization.
     */
@@ -804,13 +933,15 @@ object SimilarityQueries {
     $iters"""
   }
 
-  /** Full-corpus fixed-point E-step under centroid CTE `cent`:
+  /** Full-corpus fixed-point E-step under centroid CTE `cent` over the
+    * quantized (vec_id, pos, x) CTE `src` (default: the shared `xv`):
     * `${p}a` = (vec_id, cid), same argmax/tie convention as the chain.
     */
-  private def kmAssignCte(p: String, cent: String): String =
-    s"""${p}sca AS (SELECT xv.vec_id, ct.cid,
-           SUM(2 * ct.c * xv.x) - SUM(ct.c * ct.c) AS score
-         FROM xv JOIN $cent ct ON xv.pos = ct.pos
+  private def kmAssignCte(p: String, cent: String,
+                          src: String = "xv"): String =
+    s"""${p}sca AS (SELECT $src.vec_id, ct.cid,
+           SUM(2 * ct.c * $src.x) - SUM(ct.c * ct.c) AS score
+         FROM $src JOIN $cent ct ON $src.pos = ct.pos
          GROUP BY 1, 2),
     ${p}a AS (SELECT vec_id, cid FROM (
          SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id

@@ -375,8 +375,6 @@ object SourceQueries {
     "src05_jdbc_roundtrip" -> QueryDef(
       (s, d) => {
         val props = new java.util.Properties()
-        props.setProperty("driver", "org.apache.derby.jdbc.EmbeddedDriver")
-        val url = s"jdbc:derby:${exportDir(d, "derby_db")};create=true"
         // SINGLE-JVM STAND-IN (documented via the r11 local-cluster
         // smoke, which skips this gate): Spark's JDBC source/sink open
         // driver-side connections (table-exists check, schema
@@ -389,6 +387,18 @@ object SourceQueries {
         // deployment swaps the URL for a database server and the SAME
         // plan (JDBCRelation scan / JdbcUtils sink) distributes —
         // nothing graft-side is in that path to break.
+        //
+        // SERVER-MODE SEAM: when a network JDBC endpoint exists (e.g.
+        // Derby's NetworkServerControl + ClientDriver on the classpath —
+        // both probed absent from this sandbox's /opt/spark/jars and
+        // offline cache), spark.graft.src05.url/.driver point this gate
+        // at it unchanged and the data connections open executor-side;
+        // ClusterSmoke probes for it reflectively and sets these confs.
+        props.setProperty("driver",
+          s.conf.getOption("spark.graft.src05.driver")
+            .getOrElse("org.apache.derby.jdbc.EmbeddedDriver"))
+        val url = s.conf.getOption("spark.graft.src05.url")
+          .getOrElse(s"jdbc:derby:${exportDir(d, "derby_db")};create=true")
         val nation = Tables.nation(s, d)
         nation.write.mode("overwrite").jdbc(url, "nation_tbl", props)
         s.read.jdbc(url, "nation_tbl", props)

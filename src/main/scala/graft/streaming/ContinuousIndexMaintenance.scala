@@ -110,6 +110,32 @@ object ContinuousIndexMaintenance {
       assignLoop(spark, initialState, cents, idCol, groupCol, vecCol,
         resolve(stateDir)))
 
+  /** Drain `deltaStream` of (idCol, vecCol, status) rows through
+    * [[Similarity.maintainIvfPqIndex]] under FIXED two-stage codebooks —
+    * s26, the continuous form of the s24 IVFADC index build (codebook
+    * retrains stay the separate rare event: s20 one-shot, s25's loop).
+    */
+  def continuousIvfPq(spark: SparkSession,
+                      initialState: DataFrame,
+                      deltaStream: DataFrame,
+                      coarseCb: Array[Array[Long]],
+                      pqCbs: Array[Array[Array[Long]]],
+                      idCol: String, vecCol: String,
+                      scale: Long = 1000000L,
+                      stateDir: Option[String] = None,
+                      checkpointLocation: Option[String] = None): Run =
+    drain(deltaStream, checkpointLocation,
+      ivfPqLoop(spark, initialState, coarseCb, pqCbs, idCol, vecCol,
+        scale, resolve(stateDir)))
+
+  private[graft] def ivfPqLoop(spark: SparkSession, initialState: DataFrame,
+      coarseCb: Array[Array[Long]], pqCbs: Array[Array[Array[Long]]],
+      idCol: String, vecCol: String, scale: Long, stateDir: String): Loop =
+    new Loop(spark, initialState, idCol, stateDir,
+      (base, diff, docs) => Similarity.maintainIvfPqIndex(base, diff,
+        docs.select(col(idCol), col(vecCol)), coarseCb, pqCbs, scale,
+        idCol, vecCol))
+
   private[graft] def minhashLoop(spark: SparkSession, initialState: DataFrame,
       textCol: String, idCol: String, k: Int, bands: Int, shingleN: Int,
       stateDir: String): Loop =

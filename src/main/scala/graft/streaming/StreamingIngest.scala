@@ -111,13 +111,65 @@ object StreamingIngest {
   def runAvailableNow(writer: DataStreamWriter[org.apache.spark.sql.Row]): StreamingQuery =
     writer.trigger(Trigger.AvailableNow()).start()
 
+  // ---------------------------------------------- socket surface (LIVE)
+  //
+  // The one network streaming source this sandbox CAN execute: Spark's
+  // built-in TCP text source. It feeds the SAME JSON payload bridge the
+  // Kafka reader uses ([[parseJsonPayload]]), so the executed gate q130
+  // covers the decode/transform path end-to-end across a real network
+  // boundary; on a cluster the only delta is `format("socket")` →
+  // `format("kafka")` + the [[KafkaConfig]] options.
+
+  /** Serve a fixed payload of newline-delimited records over a loopback
+    * TCP socket — the live endpoint for the executed ingest gate q130 and
+    * its spec. Every accepted connection receives the full payload, then
+    * the connection is held open until the CLIENT hangs up (the socket
+    * source disconnects on query stop), then the next connection is
+    * accepted (a restarted query reconnects and replays — at-least-once,
+    * like a rewound Kafka offset). Close the returned server to stop.
+    */
+  def serveLines(lines: Seq[String]): java.net.ServerSocket = {
+    val server = new java.net.ServerSocket(
+      0, 1, java.net.InetAddress.getLoopbackAddress)
+    val payload = lines.mkString("", "\n", "\n")
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val t = new Thread(() => {
+      try while (!server.isClosed) {
+        val sock = server.accept()
+        try {
+          val os = sock.getOutputStream
+          os.write(payload); os.flush()
+          sock.getInputStream.read() // block until the client hangs up
+        } catch { case _: Throwable => () }
+        finally { try sock.close() catch { case _: Throwable => () } }
+      } catch { case _: Throwable => () } // server closed → thread exits
+    }, "graft-socket-ingest-server")
+    t.setDaemon(true)
+    t.start()
+    server
+  }
+
+  /** Live socket event stream — the executed twin of [[readEventKafka]]:
+    * a real network source feeding the same JSON bridge.
+    */
+  def readEventSocket(spark: SparkSession, host: String, port: Int,
+                      schemaDDL: String): DataFrame =
+    parseJsonPayload(
+      spark.readStream.format("socket")
+        .option("host", host).option("port", port).load(),
+      schemaDDL)
+
   // ------------------------------------------------------- Kafka surface
   //
   // BROKER-GATED: this environment ships neither a Kafka broker nor the
-  // spark-sql-kafka connector jar, so `.load()`/`.start()` on these cannot
+  // spark-sql-kafka connector jar (probed: no kafka artifact under
+  // /opt/spark/jars or the offline coursier cache — an embedded in-JVM
+  // broker is therefore not constructible here either), so
+  // `.load()`/`.start()` on these cannot
   // execute here — the option construction, the reader/writer wiring, and
   // the JSON payload bridge below are the testable surface (unit-tested in
-  // StreamingSpec), and the same plan runs unchanged once
+  // StreamingSpec; EXECUTED over a live TCP source by gate q130 via
+  // [[readEventSocket]]), and the same plan runs unchanged once
   // `--packages org.apache.spark:spark-sql-kafka-0-10_2.13` and
   // `kafka.bootstrap.servers` exist on the cluster. The cluster analog of
   // the reference's AMQP queue consumption (ResponseQueueConsumer.scala).

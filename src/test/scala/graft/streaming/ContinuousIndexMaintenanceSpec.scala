@@ -151,6 +151,39 @@ class ContinuousIndexMaintenanceSpec extends SparkSpec {
       idx(Dedup.minhashIndexState(df(v2), "text", "doc_id"))
   }
 
+  test("ivfpq loop (s26): drain equals rebuild under fixed two-stage codebooks") {
+    import graft.operators.Similarity
+    val dim = 8
+    def v(seed: Long): Seq[Float] =
+      (0 until dim).map(i => ((seed * 31 + i * 7) % 13 - 6).toFloat / 4f)
+    def vecs(rows: Seq[(Long, Seq[Float])]) = rows.toDF("vec_id", "embedding")
+    val v1v = Seq(1L, 2L, 3L, 4L, 6L).map(id => id -> v(id))
+    val v2v = Seq(1L -> v(1L), 2L -> v(20L), // 2 changed
+      4L -> v(4L), 5L -> v(5L), 6L -> v(6L)) // 3 removed, 5 added
+    val (coarse, pq) = Similarity.ivfPqTrainFixedPoint(vecs(v1v), dim = dim,
+      nLists = 2, m = 2, codebookSize = 2, maxIterCoarse = 2, maxIterPq = 1)
+    val init = Similarity.ivfPqEncodeFixedPoint(vecs(v1v), coarse, pq)
+      .localCheckpoint()
+    val stateDir = java.nio.file.Files
+      .createTempDirectory("graft_cis26").toString
+    val loop = ContinuousIndexMaintenance.ivfPqLoop(spark, init, coarse, pq,
+      "vec_id", "embedding", 1000000L, stateDir)
+    def flat(df: org.apache.spark.sql.DataFrame) =
+      df.select("id", "cid", "codes").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getSeq[Int](2))).toSet
+    // batch 0: the V1→V2 delta; batch 1 redelivers it (uncommitted-batch
+    // rewrite) — the final state must equal the from-scratch V2 encode
+    val delta = Seq(
+      (2L, v(20L), "changed"),
+      (3L, null.asInstanceOf[Seq[Float]], "removed"),
+      (5L, v(5L), "added")).toDF("vec_id", "embedding", "status")
+    loop.processBatch(delta, 0L)
+    val rebuild = flat(Similarity.ivfPqEncodeFixedPoint(vecs(v2v), coarse, pq))
+    flat(loop.result.state) shouldBe rebuild
+    loop.processBatch(delta, 0L) // redelivery rewrites v0, not re-applies
+    flat(loop.result.state) shouldBe rebuild
+  }
+
   test("phash loop (m10): drain equals rebuild, and redelivery rewrites its version") {
     // the media family instantiation of the same Loop: payload kernel
     // over delta payloads only, batchId-versioned state

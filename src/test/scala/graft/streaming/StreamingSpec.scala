@@ -499,6 +499,37 @@ class StreamingSpec extends SparkSpec {
       events.as[Ev].collect().sortBy(_.event_id)
   }
 
+  test("live socket ingest: serveLines → socket source → JSON bridge → typed rows") {
+    // the executed half of the network-ingest surface (gate q130 runs it
+    // at fixture scale): a real TCP round-trip through Spark's socket
+    // source into the SAME parseJsonPayload bridge the Kafka reader uses
+    val n = 5
+    val lines = (1 to n).map(i =>
+      s"""{"event_id":$i,"event_type":"e$i","value":$i.5}""")
+    val ddl = "event_id BIGINT, event_type STRING, value DOUBLE"
+    val server = StreamingIngest.serveLines(lines)
+    try {
+      val parsed = StreamingIngest.readEventSocket(
+        spark, "127.0.0.1", server.getLocalPort, ddl)
+      parsed.isStreaming shouldBe true
+      val q = parsed.writeStream.format("memory")
+        .queryName("socket_spec_sink").outputMode("append")
+        .trigger(Trigger.ProcessingTime("50 milliseconds")).start()
+      val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
+      var seen = 0L
+      while (seen < n && System.nanoTime() < deadline) {
+        q.processAllAvailable()
+        seen = spark.table("socket_spec_sink").count()
+        if (seen < n) Thread.sleep(20)
+      }
+      q.stop(); q.awaitTermination()
+      val rows = spark.table("socket_spec_sink").orderBy("event_id").collect()
+      rows.map(_.getLong(0)).toSeq shouldBe (1L to n.toLong)
+      rows.map(_.getString(1)).toSeq shouldBe (1 to n).map("e" + _)
+      rows.map(_.getDouble(2)).toSeq shouldBe (1 to n).map(_ + 0.5)
+    } finally server.close()
+  }
+
   test("streaming minhash near-dup (q104) equals the batch banded+agreement pipeline") {
     val streamed = graft.SparkEntry.queries("q104_streaming_minhash_pairs")(spark, sfDir)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
