@@ -23,6 +23,9 @@ run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // StdoutOutput above this makes the bare bench JSON the final line of a
 // `sbt -batch "runMain graft.Bench"` invocation.
 Global / showSuccess := false
+// showSuccess is consumed by sbt's command loop, not by a task — exclude
+// it from the unused-key lint so every build doesn't warn
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -29,7 +29,10 @@ object Bench {
     "q91_recursive_cte", "q93_approx_top_k", "t21_classifier_score",
     // the streaming fixed-cost floor next to the heaviest streaming gate,
     // so the round artifact carries the gate-minus-floor data term
-    "q104_streaming_minhash_pairs", "q105_streaming_lifecycle_floor")
+    "q104_streaming_minhash_pairs", "q105_streaming_lifecycle_floor",
+    // r12 flagships: the composed IVFADC lifecycle + the live TCP ingest
+    "s24_ivfpq_search", "s25_continuous_retrain", "s26_continuous_ivfpq",
+    "q130_socket_ingest")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -17,8 +17,18 @@ import org.apache.spark.sql.SparkSession
   * launch from the distribution) and ships the compiled classes to
   * executors via extraClassPath.
   *
-  * Usage: SPARK_HOME=/opt/spark sbt "runMain graft.ClusterSmoke
-  *   /root/testdata/sf0.01 SMOKE_CLUSTER.json"
+  * Usage (bare java, the run_verify.sh classpath — repo jar plus the
+  * spark jars-dir glob):
+  *   SPARK_HOME=/opt/spark SPARK_SCALA_VERSION=2.13 java <add-opens> \
+  *     -cp "target/scala-2.13/<jar>:<spark jars glob>" \
+  *     graft.ClusterSmoke /root/testdata/sf0.01 SMOKE_CLUSTER.json
+  * SPARK_SCALA_VERSION matters: the Worker builds each executor command
+  * in-process via Spark's launcher, whose getScalaVersion() only infers
+  * the version from source-build directories ($SPARK_HOME/launcher/
+  * target/scala-*) that a binary distribution lacks — the shell scripts
+  * normally export it from load-spark-env.sh, which this in-JVM path
+  * never runs. Without it every executor dies with "Cannot find any
+  * build directories."
   */
 object ClusterSmoke {
   def main(args: Array[String]): Unit = {

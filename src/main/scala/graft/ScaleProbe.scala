@@ -147,6 +147,10 @@ object ScaleProbe {
     // once + the encode kernel over per-batch deltas — the q129 shape
     // over the s24 build, expect near-flat over s24's movement
     "s26_continuous_ivfpq",
+    // drift+retrain composed for the composed index: s26's boundary
+    // floors + one mid-stream two-stage retrain + one full re-encode
+    // scan — expect the s24 decade plus near-flat boundary overhead
+    "s27_continuous_ivfpq_retrain",
     // fixed-point classifier training: one token explode + per
     // iteration a doc-keyed margin agg + a 65-key gradient agg over the
     // sparse feature table — expect ~linear in corpus tokens

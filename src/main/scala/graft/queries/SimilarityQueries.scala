@@ -654,7 +654,57 @@ object SimilarityQueries {
             col("s").cast("long").as("s"),
             col("code").cast("long").as("code"))
       },
-      Some(continuousIvfPqOracle(KmFixedK, KmFixedIters, 64, 1000000L)))
+      Some(continuousIvfPqOracle(KmFixedK, KmFixedIters, 64, 1000000L))),
+
+    // s27 (r12): drift + retrain composed for the COMPOSED index — the
+    // s25 boundary machinery applied to IVFADC. Slices 0–1 maintain the
+    // (id, list, codes) state under the V1-trained two-stage codebooks
+    // (s26's movement); slice 2's marker row applies its delta,
+    // re-trains BOTH stages on the post-delta corpus, and re-encodes the
+    // whole corpus (a quantizer swap moves essentially every row's list
+    // or codes — full rewrite IS the production movement, unlike s20's
+    // moved-only assignment seam); slice 3 maintains under the new
+    // codebooks. The oracle re-trains coarse + residual-PQ from scratch
+    // on the boundary-2 corpus (s25's vmid) and encodes the FINAL
+    // corpus under them — the composed theorem for the production
+    // index, nothing held fixed. Closes the s24→s26→s27 lifecycle:
+    // build → maintain → retrain-in-stream.
+    "s27_continuous_ivfpq_retrain" -> QueryDef(
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val v1 = emb.filter(col("vec_id") % 17 =!= 3)
+        val (coarseOld, pqOld) = Similarity.ivfPqTrainFixedPoint(v1,
+          dim = 64, nLists = KmFixedK, m = PqFixedM,
+          codebookSize = PqFixedCb, maxIterCoarse = KmFixedIters,
+          maxIterPq = PqFixedIters)
+        val state1 = Similarity.ivfPqEncodeFixedPoint(v1, coarseOld, pqOld)
+          .localCheckpoint()
+        val dir = stageRetrainSliceDir(s, d)
+        val schema = org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("vec_id",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("embedding",
+            org.apache.spark.sql.types.ArrayType(
+              org.apache.spark.sql.types.FloatType)),
+          org.apache.spark.sql.types.StructField("status",
+            org.apache.spark.sql.types.StringType)))
+        val stream = s.readStream
+          .option("maxFilesPerTrigger", "1") // 4 slices → 4 boundaries
+          .schema(schema).parquet(dir.toString)
+        val run = graft.streaming.ContinuousIndexMaintenance
+          .continuousIvfPqWithRetrain(s, v1, state1, coarseOld, pqOld,
+            stream, dim = 64, nLists = KmFixedK, m = PqFixedM,
+            codebookSize = PqFixedCb, maxIterCoarse = KmFixedIters,
+            maxIterPq = PqFixedIters)
+        run.state
+          .select(col("id"), col("cid"), posexplode(col("codes")))
+          .toDF("id", "cid", "s", "code")
+          .select(col("id"), col("cid").cast("long").as("cid"),
+            col("s").cast("long").as("s"),
+            col("code").cast("long").as("code"))
+      },
+      Some(continuousIvfPqRetrainOracle(KmFixedK, KmFixedIters, 64,
+        1000000L)))
   )
 
   private val PqFixedM = 4
@@ -819,7 +869,31 @@ object SimilarityQueries {
     * flattened to (id, list, subspace, code).
     */
   private def continuousIvfPqOracle(kC: Int, itC: Int, dim: Int,
-                                    scale: Long): String = {
+                                    scale: Long): String =
+    ivfPqEncodeRebuildOracle(kC, itC, dim, scale,
+      trainCte = "trn AS (SELECT vec_id, vd FROM v1r)")
+
+  /** DuckDB replay of s27 — s26's rebuild with the RETRAIN-BOUNDARY
+    * training corpus: slice 2's marker re-trains both stages on the
+    * mid-stream corpus (V2 rows for vec_id%4 ≤ 2, V1 rows for %4 = 3 —
+    * s25's vmid), then boundary 3 maintains, so the drained index must
+    * equal the FINAL corpus encoded under the boundary-2 codebooks.
+    */
+  private def continuousIvfPqRetrainOracle(kC: Int, itC: Int, dim: Int,
+                                           scale: Long): String =
+    ivfPqEncodeRebuildOracle(kC, itC, dim, scale,
+      trainCte = """trn AS (SELECT vec_id, vd FROM v2r WHERE vec_id % 4 <= 2
+             UNION ALL SELECT vec_id, vd FROM v1r WHERE vec_id % 4 = 3)""")
+
+  /** Shared rebuild-oracle body for the continuous IVFADC gates: train
+    * coarse + residual-PQ from scratch on the `trn` CTE (supplied by
+    * `trainCte` over the v1r/v2r drift views), then coarse-assign and
+    * residual-encode the FINAL corpus (v2r) under them, flattened to
+    * (id, list, subspace, code).
+    */
+  private def ivfPqEncodeRebuildOracle(kC: Int, itC: Int, dim: Int,
+                                       scale: Long,
+                                       trainCte: String): String = {
     val (m, cbSize, itP) = (PqFixedM, PqFixedCb, PqFixedIters)
     val sub = dim / m
     val pIters = (1 to itP).map { i =>
@@ -849,11 +923,12 @@ object SimilarityQueries {
                    THEN list_transform(CAST(embedding AS DOUBLE[]), x -> -x)
                    ELSE CAST(embedding AS DOUBLE[]) END AS vd
             FROM embeddings WHERE vec_id % 19 <> 5),
+    $trainCte,
     xv AS MATERIALIZED (
       SELECT vec_id, i - 1 AS pos,
              CAST(floor(vd[i] * $scale.0) AS BIGINT) AS x
-      FROM v1r, LATERAL (SELECT unnest(range(1, ${dim + 1})) AS i) t),
-    allv AS (SELECT vec_id FROM v1r ORDER BY vec_id LIMIT $FixedTrainCap),
+      FROM trn, LATERAL (SELECT unnest(range(1, ${dim + 1})) AS i) t),
+    allv AS (SELECT vec_id FROM trn ORDER BY vec_id LIMIT $FixedTrainCap),
     ${kmChainCte("", "allv", kC, itC)},
     ${kmAssignCte("c", s"cent$itC")},
     res AS (SELECT xv.vec_id, xv.pos, xv.x - ct.c AS x

@@ -463,4 +463,177 @@ object ContinuousIndexMaintenance {
         .map(v => spark.read.parquet(s"$assignDir/v$v"))
         .getOrElse(initialState), boundaries.toSeq, retrainedAt.toSeq)
   }
+
+  /** s27: drift AND retrain composed through one continuous loop for the
+    * COMPOSED IVFADC index — [[continuousAssignmentsWithRetrain]]'s
+    * machinery with the (id, list, residual codes) state of s24/s26 and
+    * BOTH quantizer stages retrained at the marker boundary. Non-retrain
+    * boundaries run s26's movement (delta-only encode upsert under the
+    * current codebooks); a `status = "retrain"` marker boundary applies
+    * its delta, re-trains coarse + residual-PQ on the post-delta corpus
+    * ([[graft.operators.Similarity.ivfPqTrainFixedPoint]], both stages
+    * capped/deterministic), and re-encodes the WHOLE corpus — under new
+    * codebooks essentially every row's list or codes move, so a
+    * moved-only write (s20's seam for assignments) has no volume to
+    * save; the full index rewrite IS the production movement for a
+    * quantizer swap. Restart contract = [[RetrainLoop]]'s, with the
+    * two-stage codebook serialized as (stage, sub, cid, pos, c) rows:
+    * every base resolves strictly below the batch id, so redelivery —
+    * even of the retrain boundary — rewrites byte-compatibly.
+    */
+  def continuousIvfPqWithRetrain(
+      spark: SparkSession,
+      initialCorpus: DataFrame,
+      initialState: DataFrame,
+      initialCoarse: Array[Array[Long]],
+      initialPq: Array[Array[Array[Long]]],
+      deltaStream: DataFrame,
+      dim: Int, nLists: Int, m: Int, codebookSize: Int,
+      maxIterCoarse: Int, maxIterPq: Int,
+      scale: Long = 1000000L,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      stateRoot: Option[String] = None,
+      checkpointLocation: Option[String] = None): RetrainRun = {
+    val loop = new IvfPqRetrainLoop(spark, initialCorpus, initialState,
+      initialCoarse, initialPq, dim, nLists, m, codebookSize,
+      maxIterCoarse, maxIterPq, scale, idCol, vecCol, resolve(stateRoot))
+    val w = deltaStream.writeStream
+      .foreachBatch(loop.processBatch _)
+      .trigger(Trigger.AvailableNow())
+    val q = checkpointLocation
+      .fold(w)(cp => w.option("checkpointLocation", cp)).start()
+    q.awaitTermination()
+    loop.result
+  }
+
+  /** The s27 state machine — RetrainLoop's three-state disk-is-truth
+    * versioning (corpus → codebooks → index, bases strictly below the
+    * batch id) for the composed index. The codebook version carries
+    * BOTH stages in one parquet: stage 0 = coarse rows (sub pinned 0),
+    * stage 1 = residual-PQ rows keyed by subspace.
+    */
+  private[graft] final class IvfPqRetrainLoop(spark: SparkSession,
+      initialCorpus: DataFrame, initialState: DataFrame,
+      initialCoarse: Array[Array[Long]], initialPq: Array[Array[Array[Long]]],
+      dim: Int, nLists: Int, m: Int, codebookSize: Int,
+      maxIterCoarse: Int, maxIterPq: Int, scale: Long,
+      idCol: String, vecCol: String, val root: String) {
+    import graft.operators.{IndexMaintenance, Similarity}
+
+    val boundaries = scala.collection.mutable.ArrayBuffer.empty[Boundary]
+    val retrainedAt = scala.collection.mutable.ArrayBuffer.empty[Long]
+
+    private val corpusDir = s"$root/corpus"
+    private val indexDir = s"$root/index"
+    private val cbDir = s"$root/cb"
+    Seq(corpusDir, indexDir, cbDir).foreach(d =>
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(d)))
+
+    private val VersionDir = "^v(\\d+)$".r
+    private def latestBelow(dir: String, b: Long): Option[Long] = {
+      val s = java.nio.file.Files.list(java.nio.file.Paths.get(dir))
+      try {
+        val it = s.iterator()
+        var best: Option[Long] = None
+        while (it.hasNext) {
+          it.next().getFileName.toString match {
+            case VersionDir(id) if id.toLong < b =>
+              if (best.forall(_ < id.toLong)) best = Some(id.toLong)
+            case _ => ()
+          }
+        }
+        best
+      } finally s.close()
+    }
+
+    private val initCorpusN = initialCorpus
+      .select(col(idCol).as("id"), col(vecCol))
+
+    private def writeCbs(coarse: Array[Array[Long]],
+                         pq: Array[Array[Array[Long]]], v: Long): Unit = {
+      import spark.implicits._
+      val coarseRows = coarse.zipWithIndex.flatMap { case (c, cid) =>
+        c.zipWithIndex.map { case (x, pos) =>
+          (0, 0, cid.toLong, pos.toLong, x) }
+      }
+      val pqRows = pq.zipWithIndex.flatMap { case (cb, s) =>
+        cb.zipWithIndex.flatMap { case (c, cid) =>
+          c.zipWithIndex.map { case (x, pos) =>
+            (1, s, cid.toLong, pos.toLong, x) } }
+      }
+      (coarseRows ++ pqRows).toSeq.toDF("stage", "sub", "cid", "pos", "c")
+        .write.mode("overwrite").parquet(s"$cbDir/v$v")
+    }
+
+    private def readCbs(v: Long)
+        : (Array[Array[Long]], Array[Array[Array[Long]]]) = {
+      val rows = spark.read.parquet(s"$cbDir/v$v").collect()
+      val coarse = rows.filter(_.getInt(0) == 0)
+        .groupBy(_.getLong(2)).toSeq.sortBy(_._1)
+        .map(_._2.sortBy(_.getLong(3)).map(_.getLong(4)).toArray).toArray
+      val pq = rows.filter(_.getInt(0) == 1)
+        .groupBy(_.getInt(1)).toSeq.sortBy(_._1)
+        .map { case (_, sub) =>
+          sub.groupBy(_.getLong(2)).toSeq.sortBy(_._1)
+            .map(_._2.sortBy(_.getLong(3)).map(_.getLong(4)).toArray).toArray
+        }.toArray
+      (coarse, pq)
+    }
+
+    def processBatch(batch: DataFrame, batchId: Long): Unit = {
+      val delta = batch.filter(col("status") =!= "retrain")
+      val s = batch.groupBy(col(idCol))
+        .agg(count(lit(1)).as("__n"), first(col("status")).as("__st"))
+        .agg(max(when(col(idCol).isNotNull, col("__n"))),
+          sum(when(col("__st").isin("removed", "changed"), 1L).otherwise(0L)),
+          sum(when(col("__st").isin("added", "changed"), 1L).otherwise(0L)),
+          sum(when(col("__st") === "retrain", 1L).otherwise(0L))).head()
+      val (maxn, touched, signatured, markers) =
+        if (s.isNullAt(1) && s.isNullAt(3)) (0L, 0L, 0L, 0L)
+        else (if (s.isNullAt(0)) 0L else s.getLong(0),
+          s.getLong(1), s.getLong(2), s.getLong(3))
+      require(maxn <= 1L,
+        s"continuous ivfpq retrain maintenance: batch $batchId carries " +
+          s"duplicate rows per '$idCol' — one diff row per id per " +
+          "boundary; pre-aggregate the batch upstream")
+      val corpusBase = latestBelow(corpusDir, batchId)
+        .map(v => spark.read.parquet(s"$corpusDir/v$v"))
+        .getOrElse(initCorpusN)
+      val indexBase = latestBelow(indexDir, batchId)
+        .map(v => spark.read.parquet(s"$indexDir/v$v"))
+        .getOrElse(initialState)
+      val (coarseBase, pqBase) = latestBelow(cbDir, batchId)
+        .map(readCbs).getOrElse((initialCoarse, initialPq))
+      val diff = delta.select(col(idCol).as("id"), col("status"))
+      val docs = delta.filter(col("status").isin("added", "changed"))
+        .drop("status")
+      // 1. corpus version: payload upsert (identity kernel)
+      IndexMaintenance.upsert(corpusBase, diff, docs, idCol)(
+          _.select(col(idCol).as("id"), col(vecCol)))
+        .write.mode("overwrite").parquet(s"$corpusDir/v$batchId")
+      val corpusV = spark.read.parquet(s"$corpusDir/v$batchId")
+      // 2 + 3. codebooks + index under this boundary's movement
+      if (markers > 0) {
+        val (newCoarse, newPq) = Similarity.ivfPqTrainFixedPoint(corpusV,
+          dim, nLists, m, codebookSize, maxIterCoarse, maxIterPq, scale,
+          idCol = "id", vecCol = vecCol)
+        writeCbs(newCoarse, newPq, batchId)
+        Similarity.ivfPqEncodeFixedPoint(corpusV, newCoarse, newPq, scale,
+            idCol = "id", vecCol = vecCol)
+          .write.mode("overwrite").parquet(s"$indexDir/v$batchId")
+        retrainedAt += batchId
+      } else {
+        IndexMaintenance.upsert(indexBase, diff, docs, idCol)(
+            Similarity.ivfPqEncodeFixedPoint(_, coarseBase, pqBase, scale,
+              idCol, vecCol))
+          .write.mode("overwrite").parquet(s"$indexDir/v$batchId")
+      }
+      boundaries += Boundary(batchId, touched, signatured)
+    }
+
+    def result: RetrainRun =
+      RetrainRun(latestBelow(indexDir, Long.MaxValue)
+        .map(v => spark.read.parquet(s"$indexDir/v$v"))
+        .getOrElse(initialState), boundaries.toSeq, retrainedAt.toSeq)
+  }
 }

@@ -327,6 +327,41 @@ class ContinuousIndexMaintenanceSpec extends SparkSpec {
       .map(r => r.getLong(0) -> r.getLong(1)).toMap shouldBe expected
   }
 
+  test("ivfpq retrain loop (s27): drain equals from-scratch encode under the boundary codebooks, redelivered across the boundary") {
+    // the composed-index twin of the s25 specs: the retrain boundary
+    // re-trains BOTH stages and re-encodes; the retrain batch itself
+    // goes uncommitted and is redelivered into byte-compatible rewrites
+    val S = graft.operators.Similarity
+    val (w1, _, _, mid, fin) = retrainFixture
+    val (cOld, pOld) = S.ivfPqTrainFixedPoint(w1, dim = 2, nLists = 2,
+      m = 2, codebookSize = 2, maxIterCoarse = 1, maxIterPq = 1)
+    val init = S.ivfPqEncodeFixedPoint(w1, cOld, pOld).localCheckpoint()
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_cipr_spec").toString
+    def newLoop() = new ContinuousIndexMaintenance.IvfPqRetrainLoop(spark,
+      w1, init, cOld, pOld, 2, 2, 2, 2, 1, 1, 1000000L,
+      "vec_id", "embedding", root)
+    val b1 = retrainBatch(Seq(
+      (3L, null, "removed"),
+      (null.asInstanceOf[java.lang.Long], null, "retrain")))
+    val first = newLoop()
+    first.processBatch(retrainBatch(Seq(
+      (2L, Seq(0.7f, 0.3f), "changed"))), 0L)
+    first.processBatch(b1, 1L) // the RETRAIN batch goes uncommitted…
+    val restarted = newLoop()  // …restart: fresh memory, same root
+    restarted.processBatch(b1, 1L) // redelivered retrain boundary
+    restarted.processBatch(retrainBatch(Seq(
+      (5L, Seq(0.6f, 0.4f), "added"))), 2L)
+    restarted.retrainedAt shouldBe Seq(1L)
+    val (cMid, pMid) = S.ivfPqTrainFixedPoint(mid, dim = 2, nLists = 2,
+      m = 2, codebookSize = 2, maxIterCoarse = 1, maxIterPq = 1)
+    def flat(df: org.apache.spark.sql.DataFrame) =
+      df.select("id", "cid", "codes").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getSeq[Int](2))).toSet
+    flat(restarted.result.state) shouldBe
+      flat(S.ivfPqEncodeFixedPoint(fin, cMid, pMid))
+  }
+
   test("redelivered batchId rewrites its version: a mid-stream restart loses nothing") {
     // model the failure directly against the extracted Loop: batch 1 is
     // processed but its offset never commits; a restarted loop (fresh
