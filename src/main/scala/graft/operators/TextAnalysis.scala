@@ -1017,20 +1017,28 @@ object TextAnalysis {
       .toMap
     val nt = counts.valuesIterator.map(_._1).sum
     val na = counts.valuesIterator.map(_._2).sum
-    val ratios = Array.tabulate(buckets) { b =>
+    // per-bucket log-ratios as INTEGER micro-units (6dp × 1e6): the
+    // per-doc sum is then exact Long arithmetic — associative, so
+    // engine summation order can't split a rounding tie (the r12
+    // sf0.001 sweep caught exactly that: a float fold landing on a
+    // .xxxx5 boundary rounded differently across engines). logw =
+    // sumMicro / 1e6 is the same IEEE double on both engines, bit-exact.
+    val ratiosMicro = Array.tabulate(buckets) { b =>
       val (ct, ca) = counts.getOrElse(b, (0L, 0L))
       BigDecimal(math.log((ct + 1.0) / (nt + buckets)) -
                  math.log((ca + 1.0) / (na + buckets)))
-        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP)
+        .underlying.movePointRight(6).longValueExact
     }
-    val rlit = array(ratios.map(lit).toIndexedSeq: _*)
+    val rlit = array(ratiosMicro.map(lit).toIndexedSeq: _*)
     df.select(col(idCol).as("doc_id"),
               filter(split(col(textCol), " "), w => length(w) > 0).as("_toks"))
       .withColumn("n_tokens", size(col("_toks")).cast("long"))
-      .withColumn("logw", round(aggregate(col("_toks"), lit(0.0),
+      .withColumn("_sum_micro", aggregate(col("_toks"), lit(0L),
         (acc, w) => acc + element_at(rlit,
-          (pmod(PH.md5_64(w), lit(B)) + 1).cast("int"))), 4))
-      .withColumn("target_like", col("logw") > 0)
+          (pmod(PH.md5_64(w), lit(B)) + 1).cast("int"))))
+      .withColumn("logw", col("_sum_micro").cast("double") / lit(1000000.0))
+      .withColumn("target_like", col("_sum_micro") > 0)
       .select(col("doc_id"), col("n_tokens"), col("logw"), col("target_like"))
   }
 

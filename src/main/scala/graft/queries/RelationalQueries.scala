@@ -249,15 +249,27 @@ object RelationalQueries {
         .agg(
           expr("max_by(l_orderkey, l_extendedprice)").as("top_price_order"),
           expr("min_by(l_orderkey, l_extendedprice)").as("bottom_price_order"),
-          expr("mode(l_quantity)").cast("double").as("modal_qty"),
+          // deterministic=true pins frequency ties to the LOWEST value —
+          // both engines' bare mode() is engine-defined on ties, and at
+          // sf0.001 two quantities really do tie (caught by the r12
+          // sf0.001 sweep); the oracle replays lowest-most-frequent
+          expr("mode(l_quantity, true)").cast("double").as("modal_qty"),
           round(max(col("l_extendedprice")), 2).as("max_price")),
       Some("""
-        SELECT l_returnflag,
-               arg_max(l_orderkey, l_extendedprice) AS top_price_order,
-               arg_min(l_orderkey, l_extendedprice) AS bottom_price_order,
-               CAST(mode(l_quantity) AS DOUBLE) AS modal_qty,
-               round(max(l_extendedprice), 2) AS max_price
-        FROM lineitem GROUP BY l_returnflag""")),
+        WITH mc AS (SELECT l_returnflag, l_quantity, count(*) AS n
+                    FROM lineitem GROUP BY 1, 2),
+        md AS (SELECT l_returnflag, l_quantity FROM (
+                 SELECT l_returnflag, l_quantity,
+                        row_number() OVER (PARTITION BY l_returnflag
+                          ORDER BY n DESC, l_quantity ASC) AS rn
+                 FROM mc) WHERE rn = 1)
+        SELECT l.l_returnflag,
+               arg_max(l.l_orderkey, l.l_extendedprice) AS top_price_order,
+               arg_min(l.l_orderkey, l.l_extendedprice) AS bottom_price_order,
+               CAST(any_value(md.l_quantity) AS DOUBLE) AS modal_qty,
+               round(max(l.l_extendedprice), 2) AS max_price
+        FROM lineitem l JOIN md ON l.l_returnflag = md.l_returnflag
+        GROUP BY 1""")),
 
     // linear-regression aggregates (the profiling pass a feature pipeline
     // runs before fitting anything): slope/intercept/r² of price ~ qty

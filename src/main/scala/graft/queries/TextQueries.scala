@@ -721,18 +721,21 @@ object TextQueries {
         fullb AS (SELECT t.i AS b, coalesce(bc.ct, 0) AS ct,
                     coalesce(bc.ca, 0) AS ca
                   FROM range(64) t(i) LEFT JOIN bc ON bc.b = t.i),
-        r AS (SELECT b, round(ln((ct + 1.0) / (nt + 64)) -
-                              ln((ca + 1.0) / (na + 64)), 6) AS lr
+        r AS (SELECT b, CAST(round(1000000 *
+                       round(ln((ct + 1.0) / (nt + 64)) -
+                             ln((ca + 1.0) / (na + 64)), 6), 0) AS BIGINT)
+                       AS lrm
               FROM fullb, tots),
-        rl AS (SELECT list(lr ORDER BY b) AS rl FROM r),
+        rl AS (SELECT list(lrm ORDER BY b) AS rl FROM r),
         d AS (SELECT doc_id,
                 list_filter(string_split(text, ' '), w -> len(w) > 0) AS ws
               FROM documents)
         SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_tokens,
-               round(list_sum([rl[(${PH.sqlMd5_64("w")} % 64) + 1]
-                               for w in ws]), 4) AS logw,
-               round(list_sum([rl[(${PH.sqlMd5_64("w")} % 64) + 1]
-                               for w in ws]), 4) > 0 AS target_like
+               CAST(coalesce(list_sum([rl[(${PH.sqlMd5_64("w")} % 64) + 1]
+                                       for w in ws]), 0) AS DOUBLE)
+                 / 1000000.0 AS logw,
+               coalesce(list_sum([rl[(${PH.sqlMd5_64("w")} % 64) + 1]
+                                  for w in ws]), 0) > 0 AS target_like
         FROM d, rl""")),
 
     // Token-budget mixture: per-source token budgets (τ-scaled share of
