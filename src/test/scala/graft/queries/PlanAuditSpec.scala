@@ -33,7 +33,8 @@ class PlanAuditSpec extends SparkSpec {
     "q128_continuous_rank",  // streaming drain (the continuous maintenance loop)
     "q129_continuous_index", // streaming drain (q128's pattern, dedup family)
     "m10_continuous_phash",  // streaming drain (q129's pattern, media family)
-    "s21_continuous_assignments") // streaming drain (q129's pattern, ANN family)
+    "s21_continuous_assignments", // streaming drain (q129's pattern, ANN family)
+    "q130_socket_ingest") // live TCP drain by design (server + socket source)
   private def eagerPrefix(n: String): Boolean =
     n.startsWith("p0") || n.startsWith("src")
 
@@ -52,6 +53,8 @@ class PlanAuditSpec extends SparkSpec {
     "s23_pq_fixed_search", // trains the fixed-point PQ codebooks at build
     "s24_ivfpq_search", // trains BOTH fixed-point stages at build (s22+s23)
     "s25_continuous_retrain", // streaming drain + retrains at a boundary
+    "s26_continuous_ivfpq", // trains both stages at build + streaming drain
+    "s27_continuous_ivfpq_retrain", // s26's build shape + in-stream retrain
     "t25_dsir_weights", // bucket-table aggregate collects at build time
     "t27_classifier_train", // GD iterations collect at build time
     "t34_classifier_train_iter1", // one GD iteration collects at build time
