@@ -151,6 +151,10 @@ object ScaleProbe {
     // floors + one mid-stream two-stage retrain + one full re-encode
     // scan — expect the s24 decade plus near-flat boundary overhead
     "s27_continuous_ivfpq_retrain",
+    // serving path: s26's drain + the probed-list ADC search against
+    // the drained state (no re-encode) — expect s26's decade plus
+    // s24's probe term
+    "s28_ivfpq_search_maintained",
     // fixed-point classifier training: one token explode + per
     // iteration a doc-keyed margin agg + a 65-key gradient agg over the
     // sparse feature table — expect ~linear in corpus tokens

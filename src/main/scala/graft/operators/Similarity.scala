@@ -830,19 +830,41 @@ object Similarity {
                             nProbe: Int, rerank: Int,
                             scale: Long = 1000000L,
                             idCol: String = "vec_id",
-                            vecCol: String = "embedding"): DataFrame = {
+                            vecCol: String = "embedding"): DataFrame =
+    ivfPqSearchIndexed(
+      ivfPqEncodeFixedPoint(corpus, coarseCb, pqCbs, scale, idCol, vecCol),
+      corpus, queries, k, coarseCb, pqCbs, nProbe, rerank, scale,
+      idCol, vecCol)
+
+  /** IVFADC search against a PRE-BUILT index (gate s28) — the serving
+    * path of the composed lifecycle: at 100 TB the (id, list, codes)
+    * index is encoded ONCE (s24's build or s26/s27's maintenance) and
+    * stored partitioned by list id; queries must not re-encode the
+    * corpus. `index` is that stored table; `corpus` supplies only the
+    * raw vectors the final exact-cosine re-rank reads, and only for the
+    * ≤ k·rerank candidates per query (a semi-joined point lookup at
+    * scale, never a scan). Same probe/ADC/re-rank movement as
+    * [[ivfPqSearchFixedPoint]], which is now a thin encode-then-search
+    * composition of this.
+    */
+  def ivfPqSearchIndexed(index: DataFrame,
+                         corpus: DataFrame, queries: DataFrame, k: Int,
+                         coarseCb: Array[Array[Long]],
+                         pqCbs: Array[Array[Array[Long]]],
+                         nProbe: Int, rerank: Int,
+                         scale: Long = 1000000L,
+                         idCol: String = "vec_id",
+                         vecCol: String = "embedding"): DataFrame = {
     require(coarseCb.nonEmpty,
-      "ivfPqSearchFixedPoint: empty coarse codebook — train on a " +
+      "ivfPqSearchIndexed: empty coarse codebook — train on a " +
         "non-empty sample")
     require(pqCbs.nonEmpty && pqCbs.forall(_.nonEmpty),
-      "ivfPqSearchFixedPoint: empty residual codebook (trained on an " +
+      "ivfPqSearchIndexed: empty residual codebook (trained on an " +
         "empty corpus?) — there is nothing to encode against")
     val (m, cbSize, sub) = (pqCbs.length, pqCbs(0).length, pqCbs(0)(0).length)
     val cbLit = typedLit(coarseCb.map(_.map(_.toDouble).toSeq).toSeq)
-    // the stored index: (id, list, residual codes) in ONE corpus scan —
-    // the same view s26 maintains continuously
-    val listed = ivfPqEncodeFixedPoint(corpus, coarseCb, pqCbs, scale,
-      idCol, vecCol)
+    // the stored index: (id, list, residual codes)
+    val listed = index
     // each query probes its nProbe top-score lists, carrying the
     // PER-LIST residual the ADC scores against
     val probes = broadcast(quantized(queries, scale, idCol, vecCol)

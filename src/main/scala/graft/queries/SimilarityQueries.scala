@@ -704,7 +704,54 @@ object SimilarityQueries {
             col("code").cast("long").as("code"))
       },
       Some(continuousIvfPqRetrainOracle(KmFixedK, KmFixedIters, 64,
-        1000000L)))
+        1000000L))),
+
+    // s28 (r12): SEARCH over the MAINTAINED index — the serving path of
+    // the composed lifecycle, and the reason ivfPqSearchIndexed exists:
+    // at 100 TB the (id, list, codes) table is encoded once (s24) or
+    // maintained (s26/s27) and stored partitioned by list; queries must
+    // not re-encode the corpus. The gate drains s26's loop over the
+    // V1→V2 drift and runs the probe/ADC/re-rank movement against the
+    // DRAINED state directly; the raw-vector side (exact-cosine
+    // re-rank) reads the drifted V2 corpus. The oracle rebuilds the
+    // V1-trained/V2-encoded index from scratch and replays the search —
+    // so the hash match pins maintenance AND serving in one gate.
+    "s28_ivfpq_search_maintained" -> QueryDef(
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val v1 = emb.filter(col("vec_id") % 17 =!= 3)
+        val (coarse, pq) = Similarity.ivfPqTrainFixedPoint(v1, dim = 64,
+          nLists = KmFixedK, m = PqFixedM, codebookSize = PqFixedCb,
+          maxIterCoarse = KmFixedIters, maxIterPq = PqFixedIters)
+        val state1 = Similarity.ivfPqEncodeFixedPoint(v1, coarse, pq)
+          .localCheckpoint()
+        val dir = stageVecDiffDir(s, d)
+        val schema = org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("vec_id",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("lang",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("embedding",
+            org.apache.spark.sql.types.ArrayType(
+              org.apache.spark.sql.types.FloatType)),
+          org.apache.spark.sql.types.StructField("status",
+            org.apache.spark.sql.types.StringType)))
+        val stream = s.readStream
+          .option("maxFilesPerTrigger", "2") // 4 staged files → 2 boundaries
+          .schema(schema).parquet(dir.toString)
+        val run = graft.streaming.ContinuousIndexMaintenance
+          .continuousIvfPq(s, state1, stream, coarse, pq,
+            "vec_id", "embedding")
+        val v2 = emb.filter(col("vec_id") % 19 =!= 5)
+          .withColumn("embedding", when(col("vec_id") % 13 === 0,
+            transform(col("embedding"), x => -x))
+            .otherwise(col("embedding")))
+        Similarity.ivfPqSearchIndexed(run.state, v2,
+          v2.filter(col("vec_id") < 5), k = 10, coarse, pq,
+          nProbe = 3, rerank = 4)
+      },
+      Some(ivfPqSearchMaintainedOracle(KmFixedK, KmFixedIters, 64,
+        1000000L, nProbe = 3, rerankWindow = 40, k = 10)))
   )
 
   private val PqFixedM = 4
@@ -893,7 +940,22 @@ object SimilarityQueries {
     */
   private def ivfPqEncodeRebuildOracle(kC: Int, itC: Int, dim: Int,
                                        scale: Long,
-                                       trainCte: String): String = {
+                                       trainCte: String): String =
+    s"""
+    WITH ${ivfPqRebuildCtes(kC, itC, dim, scale, trainCte)}
+    SELECT w.vec_id AS id, CAST(w.cid AS BIGINT) AS cid,
+           CAST(e.s AS BIGINT) AS s, CAST(e.cid AS BIGINT) AS code
+    FROM enc2 e JOIN wa w ON e.vec_id = w.vec_id"""
+
+  /** The shared CTE prefix: drift views (v1r/v2r), both quantizer
+    * stages trained from scratch on `trn` (capped id-prefix), and the
+    * FINAL corpus (v2r) coarse-assigned (`wa`) and residual-encoded
+    * (`enc2`) under them — i.e. the maintained/rebuilt index. Ends at
+    * `enc2`; callers append their own SELECT (s26/s27 flatten it, s28
+    * searches it).
+    */
+  private def ivfPqRebuildCtes(kC: Int, itC: Int, dim: Int,
+                               scale: Long, trainCte: String): String = {
     val (m, cbSize, itP) = (PqFixedM, PqFixedCb, PqFixedIters)
     val sub = dim / m
     val pIters = (1 to itP).map { i =>
@@ -916,8 +978,7 @@ object SimilarityQueries {
            LEFT JOIN pupd$i u
              ON pr.s = u.s AND pr.cid = u.cid AND pr.pos = u.pos)"""
     }.mkString(",\n    ")
-    s"""
-    WITH v1r AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vd
+    s"""v1r AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vd
                  FROM embeddings WHERE vec_id % 17 <> 3),
     v2r AS (SELECT vec_id, CASE WHEN vec_id % 13 = 0
                    THEN list_transform(CAST(embedding AS DOUBLE[]), x -> -x)
@@ -959,10 +1020,61 @@ object SimilarityQueries {
                SELECT vec_id, s, cid,
                       row_number() OVER (PARTITION BY vec_id, s
                                          ORDER BY score DESC, cid ASC) AS rn
-               FROM esc2) WHERE rn = 1)
-    SELECT w.vec_id AS id, CAST(w.cid AS BIGINT) AS cid,
-           CAST(e.s AS BIGINT) AS s, CAST(e.cid AS BIGINT) AS code
-    FROM enc2 e JOIN wa w ON e.vec_id = w.vec_id"""
+               FROM esc2) WHERE rn = 1)"""
+  }
+
+  /** DuckDB replay of s28 — searching the MAINTAINED index: the
+    * rebuild CTEs reconstruct the V1-trained, V2-encoded index from
+    * scratch (exactly what the s26 drain must equal), then each V2
+    * query's nProbe probe ranking, per-list query-residual ADC window,
+    * and exact-cosine re-rank run against it — the serving-path twin of
+    * the s24 oracle, over the drifted corpus.
+    */
+  private def ivfPqSearchMaintainedOracle(kC: Int, itC: Int, dim: Int,
+                                          scale: Long, nProbe: Int,
+                                          rerankWindow: Int,
+                                          k: Int): String = {
+    val itP = PqFixedIters
+    val sub = dim / PqFixedM
+    s"""
+    WITH ${ivfPqRebuildCtes(kC, itC, dim, scale,
+        trainCte = "trn AS (SELECT vec_id, vd FROM v1r)")},
+    probes AS (SELECT vec_id AS query_id, cid FROM (
+         SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
+                  ORDER BY score DESC, cid ASC) AS rn
+         FROM wsca WHERE vec_id < 5) WHERE rn <= $nProbe),
+    qres AS (SELECT p.query_id, p.cid AS lcid, xw.pos, xw.x - ct.c AS x
+             FROM probes p JOIN xw ON xw.vec_id = p.query_id
+                  JOIN cent$itC ct ON ct.cid = p.cid AND ct.pos = xw.pos),
+    qrp AS (SELECT query_id, lcid, pos // $sub AS s, pos % $sub AS ppos, x
+            FROM qres),
+    qd AS (SELECT qrp.query_id, qrp.lcid, ct.s, ct.cid,
+              SUM(ct.c * qrp.x) AS qdot
+           FROM qrp JOIN pcent$itP ct
+             ON ct.s = qrp.s AND ct.pos = qrp.ppos
+           GROUP BY 1, 2, 3, 4),
+    adc AS (SELECT qd.query_id, e.vec_id, SUM(qd.qdot) AS adot
+            FROM enc2 e JOIN wa a ON a.vec_id = e.vec_id
+                 JOIN qd ON qd.lcid = a.cid AND qd.s = e.s AND qd.cid = e.cid
+            WHERE qd.query_id <> e.vec_id
+            GROUP BY 1, 2),
+    ar AS (SELECT query_id, vec_id FROM (
+            SELECT query_id, vec_id,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY adot DESC, vec_id ASC) AS arnk
+            FROM adc) WHERE arnk <= $rerankWindow),
+    vr AS (SELECT vec_id, vd AS v FROM v2r),
+    rr AS (SELECT a.query_id, a.vec_id AS neighbor_id,
+                  list_cosine_similarity(q.v, n.v) AS sim
+           FROM ar a JOIN vr q ON q.vec_id = a.query_id
+                     JOIN vr n ON n.vec_id = a.vec_id),
+    rk AS (SELECT query_id, neighbor_id, sim,
+                  row_number() OVER (PARTITION BY query_id
+                                     ORDER BY sim DESC, neighbor_id ASC) AS rank
+           FROM rr)
+    SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id,
+           round(sim, 6) AS sim
+    FROM rk WHERE rank <= $k"""
   }
 
   /** Quantized (vec_id, pos, x) CTE — floor(x·scale) micro-units, the

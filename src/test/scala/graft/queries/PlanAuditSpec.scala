@@ -55,6 +55,7 @@ class PlanAuditSpec extends SparkSpec {
     "s25_continuous_retrain", // streaming drain + retrains at a boundary
     "s26_continuous_ivfpq", // trains both stages at build + streaming drain
     "s27_continuous_ivfpq_retrain", // s26's build shape + in-stream retrain
+    "s28_ivfpq_search_maintained", // trains + drains at build, then searches
     "t25_dsir_weights", // bucket-table aggregate collects at build time
     "t27_classifier_train", // GD iterations collect at build time
     "t34_classifier_train_iter1", // one GD iteration collects at build time
