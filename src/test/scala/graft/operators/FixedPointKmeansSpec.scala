@@ -188,4 +188,24 @@ class FixedPointKmeansSpec extends SparkSpec {
     cb(0).toSeq shouldBe Seq(
       math.floor(-0.3 * 1e6).toLong, math.floor(0.3 * 1e6).toLong)
   }
+
+  test("ivfPqSearchFixedPoint ≡ encode-then-ivfPqSearchIndexed (the s28 composition identity)") {
+    // the build path must be EXACTLY the serving path over a
+    // freshly-encoded index — the refactor's contract
+    val corpus = embeddings
+    val queries = corpus.filter(col("vec_id") < 5)
+    val (coarse, pq) = Similarity.ivfPqTrainFixedPoint(corpus, dim = 64,
+      nLists = 4, m = 4, codebookSize = 4,
+      maxIterCoarse = 1, maxIterPq = 1)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    val direct = rows(Similarity.ivfPqSearchFixedPoint(
+      corpus, queries, k = 5, coarse, pq, nProbe = 2, rerank = 3))
+    val viaIndex = rows(Similarity.ivfPqSearchIndexed(
+      Similarity.ivfPqEncodeFixedPoint(corpus, coarse, pq),
+      corpus, queries, k = 5, coarse, pq, nProbe = 2, rerank = 3))
+    direct should not be empty
+    viaIndex shouldBe direct
+  }
 }
