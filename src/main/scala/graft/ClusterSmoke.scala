@@ -74,7 +74,19 @@ object ClusterSmoke {
           .asInstanceOf[AnyRef]
         cls.getMethod("start", classOf[java.io.PrintWriter])
           .invoke(srv, null)
-        Some(srv)
+        // start() is ASYNCHRONOUS: a bind/boot failure (port already
+        // in use, security policy) surfaces on the server's daemon
+        // thread after start() returns — ping until the server answers
+        // before advertising the multi-JVM path, else src05 would fail
+        // against an unreachable URL instead of recording the skip
+        val ping = cls.getMethod("ping")
+        var pinged = false
+        var tries = 0
+        while (!pinged && tries < 25) {
+          try { ping.invoke(srv); pinged = true }
+          catch { case _: Throwable => tries += 1; Thread.sleep(200) }
+        }
+        if (pinged) Some(srv) else None
       } catch { case _: Throwable => None }
     derbyNet.foreach { _ =>
       val dbDir = java.nio.file.Files.createTempDirectory("graft-derby-net")

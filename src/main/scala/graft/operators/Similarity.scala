@@ -836,16 +836,53 @@ object Similarity {
       corpus, queries, k, coarseCb, pqCbs, nProbe, rerank, scale,
       idCol, vecCol)
 
+  /** Write the IVFADC index PHYSICALLY PARTITIONED by list id — the
+    * storage layout [[ivfPqSearchIndexed]]'s pruning contract assumes:
+    * one `cid=<list>` directory per inverted list, so a probed-list
+    * filter prunes at the FILE index and serving reads nProbe/nLists of
+    * the files, not nProbe/nLists of the rows of every file. Used by
+    * the one-shot build here and by the continuous Loop's versioned
+    * state writes ([[graft.streaming.ContinuousIndexMaintenance]]).
+    * Returns the read-back table (partition column restored), which is
+    * what serving should hold. At production sizing nLists ≈ √n, so
+    * the directory fan-out stays far below file-system limits (1M
+    * vectors → ~1k dirs; 1T vectors → ~1M dirs, shardable by cid
+    * range if a store needs it).
+    */
+  def buildIvfPqIndex(corpus: DataFrame, path: String,
+                      coarseCb: Array[Array[Long]],
+                      pqCbs: Array[Array[Array[Long]]],
+                      scale: Long = 1000000L,
+                      idCol: String = "vec_id",
+                      vecCol: String = "embedding"): DataFrame = {
+    ivfPqEncodeFixedPoint(corpus, coarseCb, pqCbs, scale, idCol, vecCol)
+      .write.mode("overwrite").partitionBy("cid").parquet(path)
+    corpus.sparkSession.read.parquet(path)
+  }
+
   /** IVFADC search against a PRE-BUILT index (gate s28) — the serving
     * path of the composed lifecycle: at 100 TB the (id, list, codes)
     * index is encoded ONCE (s24's build or s26/s27's maintenance) and
-    * stored partitioned by list id; queries must not re-encode the
-    * corpus. `index` is that stored table; `corpus` supplies only the
-    * raw vectors the final exact-cosine re-rank reads, and only for the
-    * ≤ k·rerank candidates per query (a semi-joined point lookup at
-    * scale, never a scan). Same probe/ADC/re-rank movement as
-    * [[ivfPqSearchFixedPoint]], which is now a thin encode-then-search
-    * composition of this.
+    * stored partitioned by list id ([[buildIvfPqIndex]] / the Loop's
+    * partitioned versioned writes); queries must not re-encode the
+    * corpus. The probed-list set (bounded: |Q|·nProbe ids, the same
+    * size class as the codebook plan literals) is derived driver-side
+    * and pushed as a PARTITION FILTER on the index scan, so non-probed
+    * lists are never READ — serving I/O is nProbe/nLists of the index
+    * FILES, not a post-scan row filter (plan-asserted in
+    * IvfPqIndexLayoutSpec; against a non-partitioned index the same
+    * filter degrades gracefully to a row filter).
+    *
+    * `corpus` supplies only the raw vectors the final exact-cosine
+    * re-rank reads, and only for the ≤ k·rerank candidates per query (a
+    * semi-joined point lookup at scale, never a scan). It must cover
+    * every id the index lists: a candidate with no raw vector means the
+    * caller paired a stale corpus snapshot with a newer index (or vice
+    * versa), and the search FAILS LOUDLY on it (raise_error on the
+    * re-rank join's null side) instead of silently dropping the
+    * candidate and quietly mis-ranking top-k. Same probe/ADC/re-rank
+    * movement as [[ivfPqSearchFixedPoint]], which is a thin
+    * encode-then-search composition of this.
     */
   def ivfPqSearchIndexed(index: DataFrame,
                          corpus: DataFrame, queries: DataFrame, k: Int,
@@ -863,8 +900,6 @@ object Similarity {
         "empty corpus?) — there is nothing to encode against")
     val (m, cbSize, sub) = (pqCbs.length, pqCbs(0).length, pqCbs(0)(0).length)
     val cbLit = typedLit(coarseCb.map(_.map(_.toDouble).toSeq).toSeq)
-    // the stored index: (id, list, residual codes)
-    val listed = index
     // each query probes its nProbe top-score lists, carrying the
     // PER-LIST residual the ADC scores against
     val probes = broadcast(quantized(queries, scale, idCol, vecCol)
@@ -877,6 +912,15 @@ object Similarity {
       .withColumn("qr", zip_with(col("xd"),
         element_at(cbLit, col("cid") + 1), (x, c) => x - c))
       .select(col("query_id"), col("cid"), col("qr")))
+    // the probed-list set, collected driver-side (≤ |Q|·nProbe ints —
+    // queries are small by the broadcast contract above) and pushed as
+    // a literal IN filter: on a cid-partitioned index this prunes at
+    // the FILE index (PartitionFilters), the actual 100 TB I/O bound
+    val probedLists = probes.select(col("cid")).distinct()
+      .collect().map(_.getInt(0)).sorted
+    val listed =
+      if (probedLists.isEmpty) index.filter(lit(false))
+      else index.filter(col("cid").isin(probedLists.toIndexedSeq: _*))
     val adot = graft.functions.PqKernels.adcScore(
       col("qr"), col("codes"), pqCbs.flatten.flatten.map(_.toDouble),
       m, cbSize, sub)
@@ -896,7 +940,18 @@ object Similarity {
       col(vecCol).cast("array<double>").as("qv")))
     val wE = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("neighbor_id").asc)
-    cands.join(vecs, Seq("neighbor_id")).join(qvecs, Seq("query_id"))
+    // LEFT join + raise_error: an indexed id with no raw vector is a
+    // stale index/corpus pairing and must kill the query, not silently
+    // vanish from top-k (the inner join's failure mode). Cost: one null
+    // check over the ≤ k·rerank·|Q| candidate rows only.
+    cands.join(vecs, Seq("neighbor_id"), "left").join(qvecs, Seq("query_id"))
+      .withColumn("nv", when(col("nv").isNull, raise_error(concat(
+          lit("ivfPqSearchIndexed: index/corpus skew — candidate id "),
+          col("neighbor_id").cast("string"),
+          lit(" is listed in the index but has no raw vector in " +
+            "`corpus`; pair the index with the corpus snapshot it " +
+            "encodes"))).cast("array<double>"))
+        .otherwise(col("nv")))
       .withColumn("sim", cosine(col("qv"), col("nv")))
       .withColumn("rank", row_number().over(wE).cast("long"))
       .filter(col("rank") <= k)
@@ -943,6 +998,88 @@ object Similarity {
       .join(fresh.select(col("id")), Seq("id"), "left_semi")
     kept.withColumn("moved", lit(false))
       .unionByName(moves.withColumn("moved", lit(true)))
+  }
+
+  /** Per-vector exact-integer assignment distance² against a
+    * fixed-point codebook: dist2 = ‖xd‖² − max_j (2c_j·xd − ‖c_j‖²) =
+    * ‖xd − c_best‖² in micro-units² — the E-step's score complemented
+    * to a distance, every term an integer below 2^53 (‖xd‖² ≤ M²·dim
+    * and the score bound is [[requireFixedPointBounds]]'s), so both
+    * engines compute it bit-identically. One codegen'd scan, no join —
+    * the textbook "distance trending up" drift measurement over a
+    * boundary's DELTA vectors (delta-sized, never the corpus).
+    *
+    * Measured caveat (graft.DriftProbe, r13): on a corpus that is
+    * roughly SYMMETRIC about the origin (random-ish embeddings, weak
+    * coarse structure), distance is blind to sign-flip drift — a
+    * negated vector keeps ‖x‖² and, with near-origin centroids, its
+    * best score's magnitude, so its dist2 distribution matches the
+    * in-distribution one (far-shares within noise of each other at
+    * every threshold percentile, all three SFs). The statistic a list
+    * index should TRIGGER on is [[DriftPolicy]]'s moved-share — the
+    * fraction of delta vectors whose argmax LIST actually changes —
+    * which the same probe measured at 100% on the negated slice vs 0%
+    * on in-distribution adds. Keep dist2 for magnitude/monitoring
+    * dashboards; gate retrains on moved-share.
+    */
+  def assignmentDist2(corpus: DataFrame, codebook: Array[Array[Long]],
+                      scale: Long = 1000000L,
+                      idCol: String = "vec_id", vecCol: String = "embedding")
+      : DataFrame =
+    quantized(corpus, scale, idCol, vecCol)
+      .select(col("id"),
+        (dot(col("xd"), col("xd")) - array_max(fixedScores(codebook)))
+          .cast("long").as("dist2"))
+
+  /** Train a drift threshold on a REFERENCE corpus (the corpus the
+    * current codebook was trained on, production cadence): the exact
+    * integer dist2 at rank ⌈pct·n/100⌉ of (dist2 asc, id asc) order —
+    * a deterministic rank statistic, not a float quantile estimate, so
+    * the retrain DECISION built on it is replayable by an oracle.
+    * Follows the trainers' capped-sample convention (`trainCap`
+    * smallest-id rows — a threshold needs a sample, not the corpus);
+    * both orderings plan as TakeOrderedAndProject (bounded heaps).
+    */
+  def driftThresholdDist2(reference: DataFrame, codebook: Array[Array[Long]],
+                          pct: Int, scale: Long = 1000000L,
+                          trainCap: Int = 100000,
+                          idCol: String = "vec_id",
+                          vecCol: String = "embedding"): Long = {
+    require(pct >= 1 && pct <= 100, s"driftThresholdDist2: pct $pct ∉ [1,100]")
+    val capped = reference.orderBy(col(idCol)).limit(trainCap)
+    val d = assignmentDist2(capped, codebook, scale, idCol, vecCol)
+      .localCheckpoint() // counted then ranked — one kernel pass
+    val n = d.count()
+    require(n > 0, "driftThresholdDist2: empty reference corpus — " +
+      "there is no distribution to train a threshold on")
+    val rank = math.max(1L, math.ceil(n * pct / 100.0).toLong).toInt
+    d.orderBy(col("dist2"), col("id")).limit(rank)
+      .orderBy(col("dist2").desc, col("id").desc).limit(1)
+      .head().getLong(1)
+  }
+
+  /** The drift-retrain decision rule (s29): at a boundary, retrain iff
+    * the MOVED-share of the boundary's delta — delta vectors whose
+    * fresh exact-integer argmax list differs from their stored
+    * assignment, over ALL added∪changed delta vectors (adds have no
+    * prior list, so they dilute the denominator but can't move) —
+    * reaches movedNumer/movedDenom. Evaluated as the integer
+    * cross-product `movedDenom·n_moved ≥ movedNumer·n_tot` (no float
+    * ratio, no rounding boundary), and never on an empty delta (a
+    * removals-only boundary measures nothing). Moved-share is the
+    * statistic an inverted-list index actually cares about — the
+    * fraction of rows the current quantizer would physically relocate
+    * — and the one graft.DriftProbe measured separating cleanly where
+    * the distance statistic is blind (see [[assignmentDist2]]'s
+    * caveat). Every number the decision consumes is an exact integer,
+    * so an oracle can replay WHICH boundary retrains, not just what
+    * the retrain computed.
+    */
+  final case class DriftPolicy(movedNumer: Long, movedDenom: Long) {
+    require(movedDenom > 0 && movedNumer >= 0,
+      s"DriftPolicy: ratio $movedNumer/$movedDenom is not a share")
+    def triggers(nMoved: Long, nTot: Long): Boolean =
+      nTot > 0 && movedDenom * nMoved >= movedNumer * nTot
   }
 
   /** IVF (inverted-file) ANN: a k-means coarse quantizer partitions the

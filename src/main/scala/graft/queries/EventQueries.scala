@@ -914,18 +914,23 @@ object EventQueries {
             val q = parsed.writeStream.format("memory")
               .queryName("q130_sink").outputMode("append")
               .trigger(Trigger.ProcessingTime("50 milliseconds")).start()
-            // drain until all n rows landed — the server writes eagerly,
-            // the poll covers the connect/buffer race; hard 90 s deadline
-            // so a broken transport fails loudly instead of hanging
+            // drain until all n DISTINCT event_ids landed — correctness
+            // is defined over distinct ids, and under the at-least-once
+            // replay this path anticipates (reconnect after restart) a
+            // raw row count could be satisfied by duplicates while ids
+            // are still short; hard 90 s deadline so a broken transport
+            // fails loudly instead of hanging
             val deadline = System.nanoTime() + 90L * 1000 * 1000 * 1000
             var seen = 0L
             while (seen < n && System.nanoTime() < deadline) {
               q.processAllAvailable()
-              seen = s.table("q130_sink").count()
+              seen = s.table("q130_sink")
+                .select(countDistinct(col("event_id"))).head().getLong(0)
               if (seen < n) Thread.sleep(25)
             }
             q.stop(); q.awaitTermination()
-            require(seen >= n, s"q130: socket ingest drained $seen/$n rows")
+            require(seen >= n,
+              s"q130: socket ingest drained $seen/$n distinct event_ids")
             // socket delivery is at-least-once across reconnects (a
             // restarted query replays the feed) — key-dedup on ingest
             // makes the gate restart-robust, like Kafka offset replay

@@ -522,10 +522,10 @@ object SimilarityQueries {
         val cb = Similarity.kmeansTrainFixedPoint(emb,
           k = KmFixedK, maxIter = KmFixedIters)
         Similarity.ivfSearchFixedPoint(emb, emb.filter(col("vec_id") < 5),
-          k = 10, cb, nProbe = 3)
+          k = ServeK, cb, nProbe = ServeNProbe)
       },
       Some(ivfFixedSearchOracle(KmFixedK, KmFixedIters, 64, 1000000L,
-        nProbe = 3, k = 10))),
+        nProbe = ServeNProbe, k = ServeK))),
 
     // END-TO-END PQ, hash-oracled INCLUDING training (s23, r11 — s22's
     // theorem for the product-quantization family, completing the set:
@@ -542,9 +542,10 @@ object SimilarityQueries {
         val cbs = Similarity.pqTrainFixedPoint(emb, dim = 64,
           m = PqFixedM, codebookSize = PqFixedCb, maxIter = PqFixedIters)
         Similarity.pqSearchFixedPoint(emb, emb.filter(col("vec_id") < 5),
-          k = 10, cbs, rerank = 4)
+          k = ServeK, cbs, rerank = ServeRerank)
       },
-      Some(pqFixedSearchOracle(64, 1000000L, rerankWindow = 40, k = 10))),
+      Some(pqFixedSearchOracle(64, 1000000L,
+        rerankWindow = ServeK * ServeRerank, k = ServeK))),
 
     // IVFADC (s24, r12 — the production composition the r11 verdict
     // names): s22's coarse quantizer + s23's PQ, composed with RESIDUAL
@@ -563,10 +564,12 @@ object SimilarityQueries {
           nLists = KmFixedK, m = PqFixedM, codebookSize = PqFixedCb,
           maxIterCoarse = KmFixedIters, maxIterPq = PqFixedIters)
         Similarity.ivfPqSearchFixedPoint(emb, emb.filter(col("vec_id") < 5),
-          k = 10, coarse, pq, nProbe = 3, rerank = 4)
+          k = ServeK, coarse, pq, nProbe = ServeNProbe,
+          rerank = ServeRerank)
       },
       Some(ivfPqSearchOracle(KmFixedK, KmFixedIters, 64, 1000000L,
-        nProbe = 3, rerankWindow = 40, k = 10))),
+        nProbe = ServeNProbe, rerankWindow = ServeK * ServeRerank,
+        k = ServeK))),
 
     // s25 (r12): drift + retrain COMPOSED through one continuous loop —
     // the r11 verdict's item 2. The V1→V2 diff streams in four
@@ -747,11 +750,63 @@ object SimilarityQueries {
             transform(col("embedding"), x => -x))
             .otherwise(col("embedding")))
         Similarity.ivfPqSearchIndexed(run.state, v2,
-          v2.filter(col("vec_id") < 5), k = 10, coarse, pq,
-          nProbe = 3, rerank = 4)
+          v2.filter(col("vec_id") < 5), k = ServeK, coarse, pq,
+          nProbe = ServeNProbe, rerank = ServeRerank)
       },
       Some(ivfPqSearchMaintainedOracle(KmFixedK, KmFixedIters, 64,
-        1000000L, nProbe = 3, rerankWindow = 40, k = 10)))
+        1000000L, nProbe = ServeNProbe,
+        rerankWindow = ServeK * ServeRerank, k = ServeK))),
+
+    // s29 (r13): the retrain boundary CHOSEN BY A MEASURED STATISTIC —
+    // closing the r12 verdict's "marker is fixture-injected" note. No
+    // marker row anywhere: the V1→V2 diff streams in four slices staged
+    // BY KIND (adds; adds + a quarter of the changed rows; the rest of
+    // the negated changed rows; removals), and the loop's drift monitor
+    // measures each boundary's MOVED-share — delta vectors whose
+    // exact-integer argmax list differs from their stored assignment —
+    // against the ≥ 3/5 integer cross-product trigger. Measured at all
+    // three SFs (graft.DriftProbe): boundary 0 = 0%, boundary 1 ≈ 39%
+    // (drift present but under trigger — a QUANTITATIVE decline, not a
+    // structural one), boundary 2 = 100% → retrains; boundary 3's
+    // removals measure nothing. The choice is REQUIRED loudly
+    // (retrainedAt == [2]) at every SF the gate runs at; the oracle
+    // re-trains from scratch on the boundary-2 corpus (V2 values plus
+    // the not-yet-removed V1 rows) and assigns the FINAL corpus under
+    // it — replaying the retrain the statistic chose. The marker-row
+    // path stays the manual override (s25/s27, unchanged).
+    "s29_drift_triggered_retrain" -> QueryDef(
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val v1 = emb.filter(col("vec_id") % 17 =!= 3)
+        val cbOld = Similarity.kmeansTrainFixedPoint(v1,
+          k = KmFixedK, maxIter = KmFixedIters)
+        val state1 = Similarity.assignFixedPoint(v1, cbOld).localCheckpoint()
+        val dir = stageDriftSliceDir(s, d)
+        val schema = org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("vec_id",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("embedding",
+            org.apache.spark.sql.types.ArrayType(
+              org.apache.spark.sql.types.FloatType)),
+          org.apache.spark.sql.types.StructField("status",
+            org.apache.spark.sql.types.StringType)))
+        val stream = s.readStream
+          .option("maxFilesPerTrigger", "1") // 4 slices → 4 boundaries
+          .schema(schema).parquet(dir.toString)
+        val run = graft.streaming.ContinuousIndexMaintenance
+          .continuousAssignmentsWithRetrain(s, v1, state1, cbOld, stream,
+            k = KmFixedK, maxIter = KmFixedIters,
+            driftPolicy = Some(Similarity.DriftPolicy(
+              DriftMovedNumer, DriftMovedDenom)))
+        // the decision IS the gate: staged to cross at boundary 2 only;
+        // loud at every SF (bench/smoke included), not just under oracle
+        require(run.retrainedAt == Seq(2L),
+          s"s29: drift monitor retrained at ${run.retrainedAt}, staged " +
+            "to cross at boundary 2 only — the slice margins no longer " +
+            "hold at this SF; re-measure DriftPct/DriftFar*")
+        run.state.select(col("id"), col("cid"))
+      },
+      Some(driftRetrainOracle(KmFixedK, KmFixedIters, 64, 1000000L)))
   )
 
   private val PqFixedM = 4
@@ -760,6 +815,26 @@ object SimilarityQueries {
 
   private val KmFixedK = 8
   private val KmFixedIters = 3
+
+  // The fixed-point ANN serving point, shared by the gate lambdas AND
+  // their oracle calls (r13): k / nProbe / rerank hoisted so editing
+  // either side alone cannot silently desynchronize the hash gate — the
+  // oracle's candidate window is ALWAYS ServeK · ServeRerank.
+  private val ServeK = 10
+  private val ServeNProbe = 3
+  private val ServeRerank = 4
+
+  // s29's drift policy: retrain when ≥ 3/5 of a boundary's delta
+  // vectors would physically MOVE lists under the current codebook.
+  // Margins measured at sf0.001/0.01/0.1 (graft.DriftProbe, r13):
+  // adds-only boundary 0%, the mixed adds+early-changed boundary
+  // ~38–39%, the negated-changed boundary 100% — the 60% trigger sits
+  // ≥ 21 points clear on both sides at every SF. (The textbook
+  // DISTANCE statistic was measured first and is blind here — negation
+  // preserves dist2 on origin-symmetric embeddings; see
+  // Similarity.assignmentDist2's caveat.)
+  private val DriftMovedNumer = 3L
+  private val DriftMovedDenom = 5L
 
   /** The s18/s21 rebuild oracle: centroids from V1, then every V2
     * vector assigned FROM SCRATCH (no maintenance anywhere) — the
@@ -867,6 +942,60 @@ object SimilarityQueries {
       java.nio.file.Files.write(dir.resolve("_SUCCESS"), Array.empty[Byte])
     }
 
+  /** s29's staged stream source: the V1→V2 vector diff split into four
+    * slices BY KIND — slice 0 the even-id adds; slice 1 the odd-id
+    * adds PLUS a quarter of the changed rows (vec_id%52 = 13 — enough
+    * drift to MEASURE ≈ 39% moved, not enough to trigger at 3/5);
+    * slice 2 the remaining changed (negated) rows (100% moved);
+    * slice 3 the removals — renamed and mtime-spaced so
+    * FileStreamSource delivers slice i as batch i. No marker row
+    * anywhere: the drift statistic must CHOOSE the boundary. Restaged
+    * when embeddings.parquet changes.
+    */
+  private def stageDriftSliceDir(s: org.apache.spark.sql.SparkSession,
+      d: String): java.nio.file.Path =
+    Staging.stageIfStale(d, "vec_drift_slices4", "embeddings.parquet") { dir =>
+      val emb = Tables.embeddings(s, d)
+      val v1 = emb.filter(col("vec_id") % 17 =!= 3)
+      val v2 = emb.filter(col("vec_id") % 19 =!= 5)
+        .withColumn("embedding", when(col("vec_id") % 13 === 0,
+          transform(col("embedding"), x => -x))
+          .otherwise(col("embedding")))
+      val diff = Similarity.vectorSnapshotDiff(v1, v2, "embedding", "vec_id")
+        .filter(col("status") =!= "unchanged")
+        .join(v2.select(col("vec_id"), col("embedding")),
+          col("id") === col("vec_id"), "left")
+        .select(col("id").as("vec_id"), col("embedding"), col("status"))
+        .localCheckpoint() // sliced four ways below
+      java.nio.file.Files.createDirectories(dir)
+      Option(dir.toFile.listFiles()).getOrElse(Array.empty)
+        .foreach(f => if (f.isFile) f.delete())
+      val base = System.currentTimeMillis()
+      val slices: Seq[org.apache.spark.sql.DataFrame] = Seq(
+        diff.filter(col("status") === "added" &&
+          pmod(col("vec_id"), lit(2L)) === 0),
+        diff.filter((col("status") === "added" &&
+            pmod(col("vec_id"), lit(2L)) === 1) ||
+          (col("status") === "changed" &&
+            pmod(col("vec_id"), lit(52L)) === 13)),
+        diff.filter(col("status") === "changed" &&
+          pmod(col("vec_id"), lit(52L)) =!= 13),
+        diff.filter(col("status") === "removed"))
+      slices.zipWithIndex.foreach { case (slice, i) =>
+        val tmp = java.nio.file.Files.createTempDirectory("graft_s29_slice")
+        slice.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+        val part = Option(tmp.toFile.listFiles()).getOrElse(Array.empty)
+          .find(f => f.getName.startsWith("part-") &&
+            f.getName.endsWith(".parquet"))
+          .getOrElse(sys.error(s"s29 staging: no part file under $tmp"))
+        val dest = dir.resolve(f"slice$i%02d.parquet")
+        java.nio.file.Files.move(part.toPath, dest,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        dest.toFile.setLastModified(base + i * 2000L)
+      }
+      java.nio.file.Files.write(dir.resolve("_SUCCESS"), Array.empty[Byte])
+    }
+
   /** DuckDB replay of s25: rebuild the RETRAIN-BOUNDARY corpus (V2
     * state for vec_id%4 ≤ 2 ids, V1 state for %4 = 3 — slices 0..2
     * applied, slice 3 not yet), re-train the fixed-point codebook on
@@ -888,6 +1017,46 @@ object SimilarityQueries {
             FROM embeddings WHERE vec_id % 19 <> 5),
     vmid AS (SELECT * FROM v2r WHERE vec_id % 4 <= 2
              UNION ALL SELECT * FROM v1r WHERE vec_id % 4 = 3),
+    xv AS (SELECT vec_id, i - 1 AS pos,
+             CAST(floor(vd[i] * $scale.0) AS BIGINT) AS x
+           FROM vmid, LATERAL (SELECT unnest(range(1, ${dim + 1})) AS i) t),
+    rtids AS (SELECT vec_id FROM vmid
+              ORDER BY vec_id LIMIT $FixedTrainCap),
+    ${kmChainCte("", "rtids", k, maxIter)},
+    xw AS (SELECT vec_id, i - 1 AS pos,
+             CAST(floor(vd[i] * $scale.0) AS BIGINT) AS x
+           FROM v2r, LATERAL (SELECT unnest(range(1, ${dim + 1})) AS i) t),
+    fsc AS (SELECT xw.vec_id, ct.cid,
+              SUM(2 * ct.c * xw.x) - SUM(ct.c * ct.c) AS score
+            FROM xw JOIN cent$maxIter ct ON xw.pos = ct.pos
+            GROUP BY 1, 2)
+    SELECT vec_id AS id, CAST(cid AS BIGINT) AS cid FROM (
+      SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
+               ORDER BY score DESC, cid ASC) AS rn
+      FROM fsc) WHERE rn = 1"""
+
+  /** DuckDB replay of s29: the drift-CHOSEN retrain boundary. The gate
+    * stages adds (slices 0–1), then the negated changes (slice 2), then
+    * removals (slice 3); the monitor's integer statistic crosses only
+    * at boundary 2 (gate-required loudly), whose corpus = V2 values for
+    * every surviving id PLUS the not-yet-removed V1 rows. The oracle
+    * re-trains the fixed-point codebook from scratch on that corpus's
+    * capped id-prefix and assigns the FINAL corpus (V2) under it —
+    * identical shape to [[continuousRetrainOracle]] with the
+    * statistic-chosen boundary corpus swapped in.
+    */
+  private def driftRetrainOracle(k: Int, maxIter: Int, dim: Int,
+                                 scale: Long): String =
+    s"""
+    WITH v1r AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vd
+                 FROM embeddings WHERE vec_id % 17 <> 3),
+    v2r AS (SELECT vec_id, CASE WHEN vec_id % 13 = 0
+                   THEN list_transform(CAST(embedding AS DOUBLE[]), x -> -x)
+                   ELSE CAST(embedding AS DOUBLE[]) END AS vd
+            FROM embeddings WHERE vec_id % 19 <> 5),
+    vmid AS (SELECT * FROM v2r
+             UNION ALL SELECT * FROM v1r
+             WHERE vec_id NOT IN (SELECT vec_id FROM v2r)),
     xv AS (SELECT vec_id, i - 1 AS pos,
              CAST(floor(vd[i] * $scale.0) AS BIGINT) AS x
            FROM vmid, LATERAL (SELECT unnest(range(1, ${dim + 1})) AS i) t),

@@ -134,7 +134,12 @@ object ContinuousIndexMaintenance {
     new Loop(spark, initialState, idCol, stateDir,
       (base, diff, docs) => Similarity.maintainIvfPqIndex(base, diff,
         docs.select(col(idCol), col(vecCol)), coarseCb, pqCbs, scale,
-        idCol, vecCol))
+        idCol, vecCol),
+      // the served index is PHYSICALLY partitioned by list id, so
+      // ivfPqSearchIndexed's probed-list filter prunes at the file
+      // index — the s28 serving contract (Similarity.buildIvfPqIndex's
+      // layout, kept by every versioned state write)
+      partitionCols = Seq("cid"))
 
   private[graft] def minhashLoop(spark: SparkSession, initialState: DataFrame,
       textCol: String, idCol: String, k: Int, bands: Int, shingleN: Int,
@@ -162,11 +167,20 @@ object ContinuousIndexMaintenance {
     stateDir.getOrElse(java.nio.file.Files
       .createTempDirectory("graft_cim_state").toString)
 
+  /** One boundary's drift measurement (s29): of `measured` delta
+    * vectors, `moved` had a prior assignment and a DIFFERENT fresh
+    * argmax list — the integer pair the [[graft.operators.Similarity.DriftPolicy]]
+    * cross-product decides on.
+    */
+  final case class DriftStat(batchId: Long, moved: Long, measured: Long)
+
   /** The s25 run record: the drained assignment state, per-boundary
-    * stats, and which boundaries retrained the codebook.
+    * stats, which boundaries retrained the codebook, and (when a drift
+    * policy ran) each boundary's measured drift statistic.
     */
   final case class RetrainRun(state: DataFrame, boundaries: Seq[Boundary],
-                              retrainedAt: Seq[Long])
+                              retrainedAt: Seq[Long],
+                              drift: Seq[DriftStat] = Nil)
 
   /** s25: drift AND retrain composed through one continuous loop — the
     * two seams the one-shot gates exercise separately (s21's corpus
@@ -204,10 +218,23 @@ object ContinuousIndexMaintenance {
     * per-loop copy — here it is materialized per version so training is
     * a pure function of on-disk state.
     *
-    * In production the marker would be emitted by a drift monitor
-    * (e.g. mean assignment distance trending up); the mechanism under
-    * test — train at a boundary, rewrite moved rows, maintain under
-    * the new codebook — is the same whatever emits it.
+    * The retrain trigger has two paths (s29 closes the r12 verdict's
+    * "fixture-injected marker" note): the `status='retrain'` MARKER ROW
+    * stays as the manual override, and `driftPolicy` — when supplied —
+    * is the drift MONITOR: at every boundary the loop measures the
+    * delta's MOVED-share (delta vectors whose fresh exact-integer
+    * argmax under the CURRENT codebook differs from their stored
+    * assignment — one delta-sized assignment scan + one id-join
+    * against the assignment state, never a corpus pass) and retrains
+    * when it crosses the policy's integer ratio
+    * ([[graft.operators.Similarity.DriftPolicy]]; the distance-based
+    * statistic was measured BLIND to sign-flip drift on this corpus —
+    * [[graft.operators.Similarity.assignmentDist2]]'s caveat). Every
+    * number the decision consumes is an exact integer, so the boundary
+    * CHOICE is oracle-replayable, not just the retrain it triggers.
+    * The statistic is a pure function of (on-disk codebook base,
+    * on-disk assignment base, batch), so redelivery re-decides
+    * identically — the restart contract is unchanged.
     */
   def continuousAssignmentsWithRetrain(
       spark: SparkSession,
@@ -219,9 +246,11 @@ object ContinuousIndexMaintenance {
       scale: Long = 1000000L,
       idCol: String = "vec_id", vecCol: String = "embedding",
       stateRoot: Option[String] = None,
-      checkpointLocation: Option[String] = None): RetrainRun = {
+      checkpointLocation: Option[String] = None,
+      driftPolicy: Option[Similarity.DriftPolicy] = None): RetrainRun = {
     val loop = new RetrainLoop(spark, initialCorpus, initialState,
-      initialCb, k, maxIter, scale, idCol, vecCol, resolve(stateRoot))
+      initialCb, k, maxIter, scale, idCol, vecCol, resolve(stateRoot),
+      driftPolicy)
     val w = deltaStream.writeStream
       .foreachBatch(loop.processBatch _)
       .trigger(Trigger.AvailableNow())
@@ -278,7 +307,8 @@ object ContinuousIndexMaintenance {
     */
   private[graft] final class Loop(spark: SparkSession,
       initialState: DataFrame, idCol: String, val stateDir: String,
-      maintain: (DataFrame, DataFrame, DataFrame) => DataFrame) {
+      maintain: (DataFrame, DataFrame, DataFrame) => DataFrame,
+      partitionCols: Seq[String] = Nil) {
     val boundaries = scala.collection.mutable.ArrayBuffer.empty[Boundary]
 
     // only ^v\d+$ entries are version directories — a stray file in a
@@ -337,8 +367,9 @@ object ContinuousIndexMaintenance {
       val diff = batch.select(col(idCol).as("id"), col("status"))
       val docs = batch.filter(col("status").isin("added", "changed"))
         .drop("status")
-      maintain(base, diff, docs)
-        .write.mode("overwrite").parquet(s"$stateDir/v$batchId")
+      val w = maintain(base, diff, docs).write.mode("overwrite")
+      (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
+        .parquet(s"$stateDir/v$batchId")
       boundaries += Boundary(batchId, touched, signatured)
     }
 
@@ -363,11 +394,13 @@ object ContinuousIndexMaintenance {
   private[graft] final class RetrainLoop(spark: SparkSession,
       initialCorpus: DataFrame, initialState: DataFrame,
       initialCb: Array[Array[Long]], k: Int, maxIter: Int, scale: Long,
-      idCol: String, vecCol: String, val root: String) {
+      idCol: String, vecCol: String, val root: String,
+      driftPolicy: Option[Similarity.DriftPolicy] = None) {
     import graft.operators.{IndexMaintenance, Similarity}
 
     val boundaries = scala.collection.mutable.ArrayBuffer.empty[Boundary]
     val retrainedAt = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val driftStats = scala.collection.mutable.ArrayBuffer.empty[DriftStat]
 
     private val corpusDir = s"$root/corpus"
     private val assignDir = s"$root/assign"
@@ -431,13 +464,34 @@ object ContinuousIndexMaintenance {
       val diff = delta.select(col(idCol).as("id"), col("status"))
       val docs = delta.filter(col("status").isin("added", "changed"))
         .drop("status")
+      // the drift MONITOR (s29): this boundary's MOVED-share — delta
+      // vectors whose fresh exact-integer argmax under the CURRENT
+      // codebook differs from their stored assignment, over all
+      // added∪changed delta vectors. One delta-sized assignment scan +
+      // one id-join against the assignment state; exact integers end
+      // to end, so the boundary CHOICE replays in the oracle. The
+      // marker row stays the manual override.
+      val drifted = markers == 0 && driftPolicy.exists { p =>
+        val r = Similarity.assignFixedPoint(docs, cbBase, scale, idCol,
+            vecCol)
+          .join(assignBase.select(col("id"), col("cid").as("__old_cid")),
+            Seq("id"), "left")
+          .agg(count(lit(1)).as("n"),
+            sum(when(col("__old_cid").isNotNull &&
+              col("cid") =!= col("__old_cid"), 1L).otherwise(0L))
+              .as("moved")).head()
+        val (nTot, nMoved) =
+          (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+        driftStats += DriftStat(batchId, nMoved, nTot)
+        p.triggers(nMoved, nTot)
+      }
       // 1. corpus version: payload upsert (identity kernel)
       IndexMaintenance.upsert(corpusBase, diff, docs, idCol)(
           _.select(col(idCol).as("id"), col(vecCol)))
         .write.mode("overwrite").parquet(s"$corpusDir/v$batchId")
       val corpusV = spark.read.parquet(s"$corpusDir/v$batchId")
       // 2 + 3. codebook + assignment under this boundary's movement
-      if (markers > 0) {
+      if (markers > 0 || drifted) {
         val newCb = Similarity.kmeansTrainFixedPoint(corpusV, k, maxIter,
           scale, idCol = "id", vecCol = vecCol)
         import spark.implicits._
@@ -461,7 +515,8 @@ object ContinuousIndexMaintenance {
     def result: RetrainRun =
       RetrainRun(latestBelow(assignDir, Long.MaxValue)
         .map(v => spark.read.parquet(s"$assignDir/v$v"))
-        .getOrElse(initialState), boundaries.toSeq, retrainedAt.toSeq)
+        .getOrElse(initialState), boundaries.toSeq, retrainedAt.toSeq,
+        driftStats.toSeq)
   }
 
   /** s27: drift AND retrain composed through one continuous loop for the
@@ -618,15 +673,19 @@ object ContinuousIndexMaintenance {
           dim, nLists, m, codebookSize, maxIterCoarse, maxIterPq, scale,
           idCol = "id", vecCol = vecCol)
         writeCbs(newCoarse, newPq, batchId)
+        // index versions keep the served physical layout: partitioned
+        // by list id, so s28's probed-list filter prunes files
         Similarity.ivfPqEncodeFixedPoint(corpusV, newCoarse, newPq, scale,
             idCol = "id", vecCol = vecCol)
-          .write.mode("overwrite").parquet(s"$indexDir/v$batchId")
+          .write.mode("overwrite").partitionBy("cid")
+          .parquet(s"$indexDir/v$batchId")
         retrainedAt += batchId
       } else {
         IndexMaintenance.upsert(indexBase, diff, docs, idCol)(
             Similarity.ivfPqEncodeFixedPoint(_, coarseBase, pqBase, scale,
               idCol, vecCol))
-          .write.mode("overwrite").parquet(s"$indexDir/v$batchId")
+          .write.mode("overwrite").partitionBy("cid")
+          .parquet(s"$indexDir/v$batchId")
       }
       boundaries += Boundary(batchId, touched, signatured)
     }

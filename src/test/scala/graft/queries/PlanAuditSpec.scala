@@ -56,6 +56,7 @@ class PlanAuditSpec extends SparkSpec {
     "s26_continuous_ivfpq", // trains both stages at build + streaming drain
     "s27_continuous_ivfpq_retrain", // s26's build shape + in-stream retrain
     "s28_ivfpq_search_maintained", // trains + drains at build, then searches
+    "s29_drift_triggered_retrain", // trains at build + drift-monitored drain
     "t25_dsir_weights", // bucket-table aggregate collects at build time
     "t27_classifier_train", // GD iterations collect at build time
     "t34_classifier_train_iter1", // one GD iteration collects at build time
