@@ -13,7 +13,17 @@
 #       with the gate's NAME.
 # A deliberately-dangling roster entry (e.g. add "q999_nope" to
 # ScaleProbe.DefaultProbes) fails step (b) — that is the self-test.
+#   (c) the full gate suite executed + oracle-checked at sf0.001 — the
+#       tri-SF sweep found two real bugs in r12 (gates green at sf0.01
+#       but broken at the tiny SF's edge shapes: empty groups, single-
+#       row lists), so the cheapest SF is structural, not optional.
 set -euo pipefail
 cd "$(dirname "$0")/.."
 sbt -batch Test/compile "Test/testOnly graft.SparkEntrySpec" 2>&1 | tail -20
-echo "preflight OK: Test/compile green, driver contract + probe roster intact"
+OUT=$(mktemp -d /tmp/preflight_sf0001.XXXX)
+scripts/run_verify.sh /root/testdata/sf0.001 "$OUT" 2>&1 \
+  | grep -E "\[verify\].*failed" && {
+    echo "preflight FAILED: gate threw at sf0.001 (see above)"; exit 1; } || true
+python3 scripts/check.py /root/testdata/sf0.001 "$OUT" \
+  | grep -E "^!!|/.* pass" # mismatch lines + the N/N tally (pipefail aborts on a miss)
+echo "preflight OK: Test/compile green, driver contract + probe roster intact, sf0.001 sweep green"

@@ -82,9 +82,19 @@ object ClusterSmoke {
         val ping = cls.getMethod("ping")
         var pinged = false
         var tries = 0
-        while (!pinged && tries < 25) {
+        // NonFatal only: an interrupt must stop the retry loop with the
+        // flag restored, not spin the remaining budget with it swallowed
+        while (!pinged && tries < 25 && !Thread.currentThread().isInterrupted) {
           try { ping.invoke(srv); pinged = true }
-          catch { case _: Throwable => tries += 1; Thread.sleep(200) }
+          catch {
+            case _: InterruptedException =>
+              Thread.currentThread().interrupt()
+            case scala.util.control.NonFatal(_) =>
+              tries += 1
+              try Thread.sleep(200)
+              catch { case _: InterruptedException =>
+                Thread.currentThread().interrupt() }
+          }
         }
         if (pinged) Some(srv) else None
       } catch { case _: Throwable => None }

@@ -4,12 +4,16 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
 import graft.operators.Similarity
+import graft.queries.DriftFixture
 
 /** s29 margin measurement: for each candidate threshold percentile,
-  * print the far-share of each staged drift slice (adds %2=0, adds
-  * %2=1, negated changes, removals are delta-empty) under the V1
-  * codebook — the evidence behind SimilarityQueries.DriftPct /
-  * DriftFar* (see the s29 gate + BENCH_NOTES r13). Run per SF:
+  * print the far-share of each staged drift slice under the V1
+  * codebook, then the MOVED-share of each s29 slice — the evidence
+  * behind SimilarityQueries.DriftMovedNumer/Denom (see the s29 gate +
+  * BENCH_NOTES r14). The snapshots and the slice split come from
+  * [[graft.queries.DriftFixture]] — the SAME definitions the s29 gate
+  * stages, so the probe measures exactly what the gate will see.
+  * Run per SF:
   *
   *   runMain graft.DriftProbe /root/testdata/sf0.01
   */
@@ -25,18 +29,11 @@ object DriftProbe {
     spark.sparkContext.setLogLevel("ERROR")
 
     val emb = Tables.embeddings(spark, sfDir)
-    val v1 = emb.filter(col("vec_id") % 17 =!= 3)
+    val v1 = DriftFixture.v1(emb)
     val cb = Similarity.kmeansTrainFixedPoint(v1, k = 8, maxIter = 3)
-    val v2 = emb.filter(col("vec_id") % 19 =!= 5)
-      .withColumn("embedding", when(col("vec_id") % 13 === 0,
-        transform(col("embedding"), x => -x))
-        .otherwise(col("embedding")))
-    val diff = Similarity.vectorSnapshotDiff(v1, v2, "embedding", "vec_id")
-      .filter(col("status") =!= "unchanged")
-      .join(v2.select(col("vec_id"), col("embedding")),
-        col("id") === col("vec_id"), "left")
-      .select(col("id").as("vec_id"), col("embedding"), col("status"))
-      .localCheckpoint()
+    val diff = DriftFixture.diff(v1, DriftFixture.v2(emb))
+    // dist2 far-share first — the textbook statistic, kept measured so
+    // its blindness to sign-flip drift on this corpus stays documented
     val slices = Seq(
       "adds_even" -> diff.filter(col("status") === "added" &&
         pmod(col("vec_id"), lit(2L)) === 0),
@@ -54,26 +51,21 @@ object DriftProbe {
       }
       println(s"sf=$sfDir pct=$pct thr=$thr  ${shares.mkString("  ")}")
     }
-    // the MOVED-share statistic: fraction of delta vectors whose fresh
-    // exact-integer argmax list differs from the state's assignment
+    // the MOVED-share statistic over the EXACT slices the gate stages:
+    // fraction of delta vectors whose fresh exact-integer argmax list
+    // differs from the state's assignment (slice 3, removals, has no
+    // delta vectors — it prints 0/0)
     val state = Similarity.assignFixedPoint(v1, cb).localCheckpoint()
-    val s29Slices = Seq(
-      "s0_adds_even" -> diff.filter(col("status") === "added" &&
-        pmod(col("vec_id"), lit(2L)) === 0),
-      "s1_adds_odd+chg52" -> diff.filter(
-        (col("status") === "added" && pmod(col("vec_id"), lit(2L)) === 1) ||
-        (col("status") === "changed" && pmod(col("vec_id"), lit(52L)) === 13)),
-      "s2_chg_rest" -> diff.filter(col("status") === "changed" &&
-        pmod(col("vec_id"), lit(52L)) =!= 13))
-    val moved = s29Slices.map { case (name, sl) =>
-      val fresh = Similarity.assignFixedPoint(
-        sl.filter(col("status").isin("added", "changed")), cb)
-      val r = fresh.join(state.select(col("id"), col("cid").as("__old")),
-          Seq("id"), "left")
-        .agg(count(lit(1)), sum(when(col("__old").isNotNull &&
-          col("cid") =!= col("__old"), 1L).otherwise(0L))).head()
-      val (n, m) = (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
-      f"$name=$m/$n (${if (n == 0) 0.0 else 100.0 * m / n}%.1f%%)"
+    val moved = DriftFixture.s29Slices(diff).zipWithIndex.map {
+      case (sl, i) =>
+        val fresh = Similarity.assignFixedPoint(
+          sl.filter(col("status").isin("added", "changed")), cb)
+        val r = fresh.join(state.select(col("id"), col("cid").as("__old")),
+            Seq("id"), "left")
+          .agg(count(lit(1)), sum(when(col("__old").isNotNull &&
+            col("cid") =!= col("__old"), 1L).otherwise(0L))).head()
+        val (n, m) = (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+        f"slice$i=$m/$n (${if (n == 0) 0.0 else 100.0 * m / n}%.1f%%)"
     }
     println(s"sf=$sfDir MOVED  ${moved.mkString("  ")}")
     spark.stop()

@@ -155,6 +155,11 @@ object ScaleProbe {
     // the drained state (no re-encode) — expect s26's decade plus
     // s24's probe term
     "s28_ivfpq_search_maintained",
+    // drift-CHOSEN retrain (s29): s25's boundary floors + a delta-sized
+    // moved-share scan per boundary + the one triggered retrain —
+    // expect floor-dominated like s25/s27 (the statistic never scans
+    // the corpus; measure, don't assume — r13 verdict item)
+    "s29_drift_triggered_retrain",
     // fixed-point classifier training: one token explode + per
     // iteration a doc-keyed margin agg + a 65-key gradient agg over the
     // sparse feature table — expect ~linear in corpus tokens

@@ -901,7 +901,13 @@ object Similarity {
     val (m, cbSize, sub) = (pqCbs.length, pqCbs(0).length, pqCbs(0)(0).length)
     val cbLit = typedLit(coarseCb.map(_.map(_.toDouble).toSeq).toSeq)
     // each query probes its nProbe top-score lists, carrying the
-    // PER-LIST residual the ADC scores against
+    // PER-LIST residual the ADC scores against. Materialized ONCE
+    // (localCheckpoint — broadcast-small by contract) so the driver
+    // collect below and the candidates join read the SAME rows: a
+    // non-deterministic `queries` plan (sample, unordered limit)
+    // re-evaluated at join time could otherwise probe lists the IN
+    // filter already excluded, silently dropping candidates from
+    // top-k — and even deterministic plans would compute twice.
     val probes = broadcast(quantized(queries, scale, idCol, vecCol)
       .select(col("id").as("query_id"), col("xd"),
         posexplode(fixedScores(coarseCb)).as(Seq("cid", "score")))
@@ -911,7 +917,8 @@ object Similarity {
       .filter(col("rnk") <= nProbe)
       .withColumn("qr", zip_with(col("xd"),
         element_at(cbLit, col("cid") + 1), (x, c) => x - c))
-      .select(col("query_id"), col("cid"), col("qr")))
+      .select(col("query_id"), col("cid"), col("qr"))
+      .localCheckpoint())
     // the probed-list set, collected driver-side (≤ |Q|·nProbe ints —
     // queries are small by the broadcast contract above) and pushed as
     // a literal IN filter: on a cid-partitioned index this prunes at

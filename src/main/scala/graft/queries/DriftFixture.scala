@@ -1,0 +1,66 @@
+package graft.queries
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.operators.Similarity
+
+/** THE drift corpus fixture — the single definition of the V1/V2
+  * snapshot predicates and the s29 slice split that the retrain-family
+  * gates (s25/s28/s29), their stream staging, and the margin probe
+  * ([[graft.DriftProbe]]) all share. Hoisted (r14, on advice) because
+  * the %17/%19/%13/%52 predicates were hand-duplicated across those
+  * sites: the measured margins backing the s29 drift trigger
+  * (DriftMovedNumer/Denom) are margins OF THIS SPLIT, so an edit to a
+  * stray copy could silently diverge what the probe measures from what
+  * the gate stages. The DuckDB oracles necessarily restate the
+  * predicates in SQL — the hash gate is what pins those copies.
+  */
+private[graft] object DriftFixture {
+
+  /** V1 = the pre-drift snapshot: every ~17th vector is not yet there
+    * (so V1→V2 has adds on the other side too).
+    */
+  def v1(emb: DataFrame): DataFrame =
+    emb.filter(col("vec_id") % 17 =!= 3)
+
+  /** V2 = the post-drift snapshot: every ~19th vector removed, and —
+    * the drift that MOVES assignments while preserving dist2 on this
+    * origin-symmetric corpus — every 13th embedding sign-flipped.
+    */
+  def v2(emb: DataFrame): DataFrame =
+    emb.filter(col("vec_id") % 19 =!= 5)
+      .withColumn("embedding", when(col("vec_id") % 13 === 0,
+        transform(col("embedding"), x => -x))
+        .otherwise(col("embedding")))
+
+  /** The V1→V2 diff as (vec_id, embedding, status) rows — embedding =
+    * the NEW value for added/changed, null for removed; unchanged rows
+    * excluded. Checkpointed: it is sliced multiple ways downstream.
+    */
+  def diff(v1Snap: DataFrame, v2Snap: DataFrame): DataFrame =
+    Similarity.vectorSnapshotDiff(v1Snap, v2Snap, "embedding", "vec_id")
+      .filter(col("status") =!= "unchanged")
+      .join(v2Snap.select(col("vec_id"), col("embedding")),
+        col("id") === col("vec_id"), "left")
+      .select(col("id").as("vec_id"), col("embedding"), col("status"))
+      .localCheckpoint()
+
+  /** s29's four-slice split of [[diff]] BY KIND, in delivery order:
+    * slice 0 the even-id adds (0% moved); slice 1 the odd-id adds PLUS
+    * a quarter of the changed rows (vec_id%52 = 13 — enough drift to
+    * MEASURE, ~39%, not enough to trigger at 3/5); slice 2 the
+    * remaining changed (negated) rows (100% moved → the trigger);
+    * slice 3 the removals (delta-empty, measures nothing).
+    */
+  def s29Slices(d: DataFrame): Seq[DataFrame] = Seq(
+    d.filter(col("status") === "added" &&
+      pmod(col("vec_id"), lit(2L)) === 0),
+    d.filter((col("status") === "added" &&
+        pmod(col("vec_id"), lit(2L)) === 1) ||
+      (col("status") === "changed" &&
+        pmod(col("vec_id"), lit(52L)) === 13)),
+    d.filter(col("status") === "changed" &&
+      pmod(col("vec_id"), lit(52L)) =!= 13),
+    d.filter(col("status") === "removed"))
+}

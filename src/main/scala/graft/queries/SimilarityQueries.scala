@@ -239,11 +239,8 @@ object SimilarityQueries {
         val v = Tables.embeddings(s, d).join(
           Tables.documents(s, d).select(col("doc_id"), col("lang")),
           col("vec_id") === col("doc_id"))
-        val v1 = v.filter(col("vec_id") % 17 =!= 3)
-        val v2 = v.filter(col("vec_id") % 19 =!= 5)
-          .withColumn("embedding", when(col("vec_id") % 13 === 0,
-            transform(col("embedding"), x => -x))
-            .otherwise(col("embedding")))
+        val v1 = DriftFixture.v1(v)
+        val v2 = DriftFixture.v2(v)
         val cents = Similarity.centroids(v1, "lang", "embedding")
         val state1 = Similarity.assignVectors(v1, cents,
           "vec_id", "lang", "embedding")
@@ -274,7 +271,7 @@ object SimilarityQueries {
         val v = Tables.embeddings(s, d).join(
           Tables.documents(s, d).select(col("doc_id"), col("lang")),
           col("vec_id") === col("doc_id"))
-        val v1 = v.filter(col("vec_id") % 17 =!= 3)
+        val v1 = DriftFixture.v1(v)
         val cents = Similarity.centroids(v1, "lang", "embedding")
           .localCheckpoint()
         val state1 = Similarity.assignVectors(v1, cents,
@@ -497,7 +494,7 @@ object SimilarityQueries {
     "s20_retrain_reassign" -> QueryDef(
       (s, d) => {
         val emb = Tables.embeddings(s, d)
-        val v1 = emb.filter(col("vec_id") % 17 =!= 3)
+        val v1 = DriftFixture.v1(emb)
         val cbOld = Similarity.kmeansTrainFixedPoint(v1,
           k = KmFixedK, maxIter = KmFixedIters)
         val cbNew = Similarity.kmeansTrainFixedPoint(emb,
@@ -588,7 +585,7 @@ object SimilarityQueries {
     "s25_continuous_retrain" -> QueryDef(
       (s, d) => {
         val emb = Tables.embeddings(s, d)
-        val v1 = emb.filter(col("vec_id") % 17 =!= 3)
+        val v1 = DriftFixture.v1(emb)
         val cbOld = Similarity.kmeansTrainFixedPoint(v1,
           k = KmFixedK, maxIter = KmFixedIters)
         val state1 = Similarity.assignFixedPoint(v1, cbOld).localCheckpoint()
@@ -626,7 +623,7 @@ object SimilarityQueries {
     "s26_continuous_ivfpq" -> QueryDef(
       (s, d) => {
         val emb = Tables.embeddings(s, d)
-        val v1 = emb.filter(col("vec_id") % 17 =!= 3)
+        val v1 = DriftFixture.v1(emb)
         val (coarse, pq) = Similarity.ivfPqTrainFixedPoint(v1, dim = 64,
           nLists = KmFixedK, m = PqFixedM, codebookSize = PqFixedCb,
           maxIterCoarse = KmFixedIters, maxIterPq = PqFixedIters)
@@ -675,7 +672,7 @@ object SimilarityQueries {
     "s27_continuous_ivfpq_retrain" -> QueryDef(
       (s, d) => {
         val emb = Tables.embeddings(s, d)
-        val v1 = emb.filter(col("vec_id") % 17 =!= 3)
+        val v1 = DriftFixture.v1(emb)
         val (coarseOld, pqOld) = Similarity.ivfPqTrainFixedPoint(v1,
           dim = 64, nLists = KmFixedK, m = PqFixedM,
           codebookSize = PqFixedCb, maxIterCoarse = KmFixedIters,
@@ -722,7 +719,7 @@ object SimilarityQueries {
     "s28_ivfpq_search_maintained" -> QueryDef(
       (s, d) => {
         val emb = Tables.embeddings(s, d)
-        val v1 = emb.filter(col("vec_id") % 17 =!= 3)
+        val v1 = DriftFixture.v1(emb)
         val (coarse, pq) = Similarity.ivfPqTrainFixedPoint(v1, dim = 64,
           nLists = KmFixedK, m = PqFixedM, codebookSize = PqFixedCb,
           maxIterCoarse = KmFixedIters, maxIterPq = PqFixedIters)
@@ -745,10 +742,7 @@ object SimilarityQueries {
         val run = graft.streaming.ContinuousIndexMaintenance
           .continuousIvfPq(s, state1, stream, coarse, pq,
             "vec_id", "embedding")
-        val v2 = emb.filter(col("vec_id") % 19 =!= 5)
-          .withColumn("embedding", when(col("vec_id") % 13 === 0,
-            transform(col("embedding"), x => -x))
-            .otherwise(col("embedding")))
+        val v2 = DriftFixture.v2(emb)
         Similarity.ivfPqSearchIndexed(run.state, v2,
           v2.filter(col("vec_id") < 5), k = ServeK, coarse, pq,
           nProbe = ServeNProbe, rerank = ServeRerank)
@@ -777,7 +771,7 @@ object SimilarityQueries {
     "s29_drift_triggered_retrain" -> QueryDef(
       (s, d) => {
         val emb = Tables.embeddings(s, d)
-        val v1 = emb.filter(col("vec_id") % 17 =!= 3)
+        val v1 = DriftFixture.v1(emb)
         val cbOld = Similarity.kmeansTrainFixedPoint(v1,
           k = KmFixedK, maxIter = KmFixedIters)
         val state1 = Similarity.assignFixedPoint(v1, cbOld).localCheckpoint()
@@ -879,11 +873,8 @@ object SimilarityQueries {
       val v = Tables.embeddings(s, d).join(
         Tables.documents(s, d).select(col("doc_id"), col("lang")),
         col("vec_id") === col("doc_id"))
-      val v1 = v.filter(col("vec_id") % 17 =!= 3)
-      val v2 = v.filter(col("vec_id") % 19 =!= 5)
-        .withColumn("embedding", when(col("vec_id") % 13 === 0,
-          transform(col("embedding"), x => -x))
-          .otherwise(col("embedding")))
+      val v1 = DriftFixture.v1(v)
+      val v2 = DriftFixture.v2(v)
       Similarity.vectorSnapshotDiff(v1, v2, "embedding", "vec_id")
         .filter(col("status") =!= "unchanged")
         .join(v2.select(col("vec_id"), col("lang"), col("embedding")),
@@ -905,16 +896,7 @@ object SimilarityQueries {
       d: String): java.nio.file.Path =
     Staging.stageIfStale(d, "vec_retrain_slices4", "embeddings.parquet") { dir =>
       val emb = Tables.embeddings(s, d)
-      val v1 = emb.filter(col("vec_id") % 17 =!= 3)
-      val v2 = emb.filter(col("vec_id") % 19 =!= 5)
-        .withColumn("embedding", when(col("vec_id") % 13 === 0,
-          transform(col("embedding"), x => -x))
-          .otherwise(col("embedding")))
-      val diff = Similarity.vectorSnapshotDiff(v1, v2, "embedding", "vec_id")
-        .filter(col("status") =!= "unchanged")
-        .join(v2.select(col("vec_id"), col("embedding")),
-          col("id") === col("vec_id"), "left")
-        .select(col("id").as("vec_id"), col("embedding"), col("status"))
+      val diff = DriftFixture.diff(DriftFixture.v1(emb), DriftFixture.v2(emb))
       val marker = s.range(1).select(
         lit(null).cast("long").as("vec_id"),
         lit(null).cast("array<float>").as("embedding"),
@@ -956,31 +938,14 @@ object SimilarityQueries {
       d: String): java.nio.file.Path =
     Staging.stageIfStale(d, "vec_drift_slices4", "embeddings.parquet") { dir =>
       val emb = Tables.embeddings(s, d)
-      val v1 = emb.filter(col("vec_id") % 17 =!= 3)
-      val v2 = emb.filter(col("vec_id") % 19 =!= 5)
-        .withColumn("embedding", when(col("vec_id") % 13 === 0,
-          transform(col("embedding"), x => -x))
-          .otherwise(col("embedding")))
-      val diff = Similarity.vectorSnapshotDiff(v1, v2, "embedding", "vec_id")
-        .filter(col("status") =!= "unchanged")
-        .join(v2.select(col("vec_id"), col("embedding")),
-          col("id") === col("vec_id"), "left")
-        .select(col("id").as("vec_id"), col("embedding"), col("status"))
-        .localCheckpoint() // sliced four ways below
+      // the ONE slice definition, shared with graft.DriftProbe — the
+      // measured margins and the staged stream cannot diverge
+      val slices = DriftFixture.s29Slices(
+        DriftFixture.diff(DriftFixture.v1(emb), DriftFixture.v2(emb)))
       java.nio.file.Files.createDirectories(dir)
       Option(dir.toFile.listFiles()).getOrElse(Array.empty)
         .foreach(f => if (f.isFile) f.delete())
       val base = System.currentTimeMillis()
-      val slices: Seq[org.apache.spark.sql.DataFrame] = Seq(
-        diff.filter(col("status") === "added" &&
-          pmod(col("vec_id"), lit(2L)) === 0),
-        diff.filter((col("status") === "added" &&
-            pmod(col("vec_id"), lit(2L)) === 1) ||
-          (col("status") === "changed" &&
-            pmod(col("vec_id"), lit(52L)) === 13)),
-        diff.filter(col("status") === "changed" &&
-          pmod(col("vec_id"), lit(52L)) =!= 13),
-        diff.filter(col("status") === "removed"))
       slices.zipWithIndex.foreach { case (slice, i) =>
         val tmp = java.nio.file.Files.createTempDirectory("graft_s29_slice")
         slice.coalesce(1).write.mode("overwrite").parquet(tmp.toString)

@@ -362,6 +362,165 @@ class ContinuousIndexMaintenanceSpec extends SparkSpec {
       flat(S.ivfPqEncodeFixedPoint(fin, cMid, pMid))
   }
 
+  test("serve-while-maintaining: version k is byte-stable under a partial v(k+1), which overwrite then repairs") {
+    // the Loop's isolation claim: batch k+1 is the ONLY writer of
+    // directory v(k+1), every base (and any serving reader pinned
+    // ≤ k) resolves strictly below it, and a half-written v(k+1) —
+    // crash mid-write — is repaired by the redelivered overwrite, never
+    // read. Drive it with the IVFADC loop since serving is the
+    // cid-partitioned search path.
+    import graft.operators.Similarity
+    val dim = 8
+    def v(seed: Long): Seq[Float] =
+      (0 until dim).map(i => ((seed * 31 + i * 7) % 13 - 6).toFloat / 4f)
+    def vecs(rows: Seq[(Long, Seq[Float])]) = rows.toDF("vec_id", "embedding")
+    val v1v = Seq(1L, 2L, 3L, 4L, 6L).map(id => id -> v(id))
+    val (coarse, pq) = Similarity.ivfPqTrainFixedPoint(vecs(v1v), dim = dim,
+      nLists = 2, m = 2, codebookSize = 2, maxIterCoarse = 2, maxIterPq = 1)
+    val init = Similarity.ivfPqEncodeFixedPoint(vecs(v1v), coarse, pq)
+      .localCheckpoint()
+    val stateDir = java.nio.file.Files
+      .createTempDirectory("graft_cim_isolation").toString
+    val loop = ContinuousIndexMaintenance.ivfPqLoop(spark, init, coarse, pq,
+      "vec_id", "embedding", 1000000L, stateDir)
+    loop.processBatch(Seq((2L, v(20L), "changed"))
+      .toDF("vec_id", "embedding", "status"), 0L)
+    // the served version: its physical files and its answers
+    import scala.jdk.CollectionConverters._
+    def fileStamps(dir: String): Set[(String, Long)] = {
+      val root = java.nio.file.Paths.get(dir)
+      val s = java.nio.file.Files.walk(root)
+      try s.iterator().asScala
+        .filter(java.nio.file.Files.isRegularFile(_))
+        .map(p => (root.relativize(p).toString,
+          java.nio.file.Files.size(p))).toSet
+      finally s.close()
+    }
+    val v0 = s"$stateDir/v0"
+    val stampsBefore = fileStamps(v0)
+    // the corpus snapshot v0 encodes: v1 with id 2's batch-0 change
+    val corpus0 = vecs(Seq(1L -> v(1L), 2L -> v(20L), 3L -> v(3L),
+      4L -> v(4L), 6L -> v(6L)))
+    def serve() = Similarity.ivfPqSearchIndexed(
+      spark.read.parquet(v0), corpus0,
+      vecs(Seq(1L -> v(1L))), k = 2, coarse, pq, nProbe = 2, rerank = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val answersBefore = serve()
+    // a maintainer crashes mid-write of v1: garbage part file, no commit
+    val v1dir = java.nio.file.Paths.get(s"$stateDir/v1")
+    java.nio.file.Files.createDirectories(v1dir)
+    java.nio.file.Files.write(v1dir.resolve("part-00000.parquet"),
+      "half-written garbage".getBytes)
+    // version 0 is byte-stable and serves identical answers
+    fileStamps(v0) shouldBe stampsBefore
+    serve() shouldBe answersBefore
+    // the redelivered batch 1 resolves its base BELOW 1 (v0, not the
+    // partial v1) and its overwrite repairs the directory
+    loop.processBatch(Seq((5L, v(5L), "added"))
+      .toDF("vec_id", "embedding", "status"), 1L)
+    def flat(df: org.apache.spark.sql.DataFrame) =
+      df.select("id", "cid", "codes").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getSeq[Int](2))).toSet
+    val v2v = Seq(1L -> v(1L), 2L -> v(20L), 3L -> v(3L), 4L -> v(4L),
+      5L -> v(5L), 6L -> v(6L))
+    flat(loop.result.state) shouldBe
+      flat(Similarity.ivfPqEncodeFixedPoint(vecs(v2v), coarse, pq))
+  }
+
+  test("DriftPolicy.triggers: empty deltas never trigger, exact ratio equality does") {
+    val p = graft.operators.Similarity.DriftPolicy(3L, 5L)
+    p.triggers(nMoved = 0L, nTot = 0L) shouldBe false // removals-only boundary
+    p.triggers(nMoved = 5L, nTot = 0L) shouldBe false // degenerate: no denominator
+    p.triggers(nMoved = 3L, nTot = 5L) shouldBe true  // exact 3/5 — ≥, not >
+    p.triggers(nMoved = 2L, nTot = 5L) shouldBe false // just under
+    p.triggers(nMoved = 0L, nTot = 7L) shouldBe false // adds-only boundary
+    // integer cross-product: no float rounding at awkward ratios
+    p.triggers(nMoved = 600000L, nTot = 999999L) shouldBe true  // 0.6000006…
+    p.triggers(nMoved = 599999L, nTot = 999999L) shouldBe false // 0.5999995…
+    graft.operators.Similarity.DriftPolicy(0L, 1L)
+      .triggers(nMoved = 0L, nTot = 1L) shouldBe true // always-retrain policy
+    an[IllegalArgumentException] should be thrownBy
+      graft.operators.Similarity.DriftPolicy(1L, 0L)
+  }
+
+  test("drift-policy retrain loop (s29 path): the boundary decision re-decides identically across a restart") {
+    // the doc claim at continuousAssignmentsWithRetrain: the moved-share
+    // statistic is a pure function of (on-disk codebook base, on-disk
+    // assignment base, batch), so a redelivered boundary re-decides —
+    // and re-trains — identically. Mirror of the s25 marker redelivery
+    // spec with the DECISION made by the statistic instead of a marker.
+    val S = graft.operators.Similarity
+    val w1 = Seq(
+      (1L, Seq(1.0f, 0.0f)), (2L, Seq(0.0f, 1.0f)),
+      (3L, Seq(0.9f, 0.1f)), (4L, Seq(0.2f, 0.8f)))
+      .toDF("vec_id", "embedding")
+    val cbOld = S.kmeansTrainFixedPoint(w1, k = 2, maxIter = 1)
+    val init = S.assignFixedPoint(w1, cbOld).localCheckpoint()
+    // fixture premise, verified not assumed: id 2's change flips its
+    // argmax list under cbOld (batch 1 moved-share 1/1 ≥ 3/5), id 3's
+    // change does not (batch 0 moved-share 0/1 < 3/5)
+    val oldA = init.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val chg3 = Seq((3L, Seq(0.85f, 0.15f))).toDF("vec_id", "embedding")
+    val chg2 = Seq((2L, Seq(0.95f, 0.05f))).toDF("vec_id", "embedding")
+    S.assignFixedPoint(chg3, cbOld).head().getLong(1) shouldBe oldA(3L)
+    S.assignFixedPoint(chg2, cbOld).head().getLong(1) should not be oldA(2L)
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_drift_redeliver").toString
+    def newLoop() = new ContinuousIndexMaintenance.RetrainLoop(spark, w1,
+      init, cbOld, 2, 1, 1000000L, "vec_id", "embedding", root,
+      driftPolicy = Some(S.DriftPolicy(3L, 5L)))
+    def batch(rows: Seq[(java.lang.Long, Seq[Float], String)]) =
+      rows.toDF("vec_id", "embedding", "status")
+    val b0 = batch(Seq((3L, Seq(0.85f, 0.15f), "changed")))
+    val b1 = batch(Seq((2L, Seq(0.95f, 0.05f), "changed")))
+    val b2 = batch(Seq((5L, Seq(0.6f, 0.4f), "added")))
+    val first = newLoop()
+    first.processBatch(b0, 0L)
+    first.processBatch(b1, 1L) // drift boundary goes UNCOMMITTED…
+    first.retrainedAt shouldBe Seq(1L)
+    first.driftStats.map(s => (s.batchId, s.moved, s.measured)) shouldBe
+      Seq((0L, 0L, 1L), (1L, 1L, 1L))
+    val restarted = newLoop() // …restart: fresh memory, same root
+    restarted.processBatch(b1, 1L) // redelivery re-measures + re-decides
+    restarted.processBatch(b2, 2L) // adds-only: measured, not triggered
+    restarted.retrainedAt shouldBe Seq(1L)
+    restarted.driftStats.map(s => (s.batchId, s.moved, s.measured)) shouldBe
+      Seq((1L, 1L, 1L), (2L, 0L, 1L))
+    // drained state = from-scratch assignment of the final corpus under
+    // the boundary-1 codebook (trained on the post-b1 corpus)
+    val mid = Seq((1L, Seq(1.0f, 0.0f)), (2L, Seq(0.95f, 0.05f)),
+      (3L, Seq(0.85f, 0.15f)), (4L, Seq(0.2f, 0.8f)))
+      .toDF("vec_id", "embedding")
+    val fin = Seq((1L, Seq(1.0f, 0.0f)), (2L, Seq(0.95f, 0.05f)),
+      (3L, Seq(0.85f, 0.15f)), (4L, Seq(0.2f, 0.8f)),
+      (5L, Seq(0.6f, 0.4f))).toDF("vec_id", "embedding")
+    val cbMid = S.kmeansTrainFixedPoint(mid, k = 2, maxIter = 1)
+    restarted.result.state.collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap shouldBe
+      S.assignFixedPoint(fin, cbMid).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  test("a marker row overrides the drift policy: no double-measure, no double-retrain") {
+    // markers > 0 short-circuits the monitor (drifted is not even
+    // evaluated): the manual override retrains exactly once and the
+    // boundary records NO drift stat
+    val S = graft.operators.Similarity
+    val (w1, _, _, _, _) = retrainFixture
+    val cbOld = S.kmeansTrainFixedPoint(w1, k = 2, maxIter = 1)
+    val init = S.assignFixedPoint(w1, cbOld).localCheckpoint()
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_drift_marker").toString
+    val loop = new ContinuousIndexMaintenance.RetrainLoop(spark, w1,
+      init, cbOld, 2, 1, 1000000L, "vec_id", "embedding", root,
+      driftPolicy = Some(S.DriftPolicy(3L, 5L)))
+    loop.processBatch(retrainBatch(Seq(
+      (2L, Seq(0.7f, 0.3f), "changed"),
+      (null.asInstanceOf[java.lang.Long], null, "retrain"))), 0L)
+    loop.retrainedAt shouldBe Seq(0L)
+    loop.driftStats shouldBe empty
+  }
+
   test("redelivered batchId rewrites its version: a mid-stream restart loses nothing") {
     // model the failure directly against the extracted Loop: batch 1 is
     // processed but its offset never commits; a restarted loop (fresh

@@ -530,6 +530,79 @@ class StreamingSpec extends SparkSpec {
     } finally server.close()
   }
 
+  test("socket ingest restart mid-drain: reconnect replays at-least-once, key-dedup lands the oracle rows exactly") {
+    // the q130 restart contract EXECUTED (r12 brief #4): incarnation 1
+    // is stopped mid-drain (the server delivered only half the feed to
+    // its connection), incarnation 2 reconnects and the server —
+    // like a rewound Kafka offset — replays the FULL feed. Raw union
+    // therefore holds real duplicates; dropDuplicates("event_id") must
+    // equal the feed exactly.
+    val n = 40
+    val half = 15
+    val events = (1 to n).map(i => Ev(i.toLong, ts(i % 60), 100L + i,
+      s"type${i % 3}", i + 0.25))
+    val lines = events.map(e =>
+      s"""{"event_id":${e.event_id},"user_id":${e.user_id},""" +
+      s""""event_type":"${e.event_type}","value":${e.value}}""")
+    val ddl = "event_id BIGINT, user_id BIGINT, event_type STRING, " +
+      "value DOUBLE"
+    // phased server: connection 1 receives only the first `half` lines
+    // (then holds, so the client is genuinely mid-stream when stopped);
+    // every later connection receives the full payload
+    val server = new java.net.ServerSocket(
+      0, 1, java.net.InetAddress.getLoopbackAddress)
+    val connections = new java.util.concurrent.atomic.AtomicInteger(0)
+    val serverThread = new Thread(() => {
+      try while (!server.isClosed) {
+        val sock = server.accept()
+        val which = connections.incrementAndGet()
+        try {
+          val payload = (if (which == 1) lines.take(half) else lines)
+            .mkString("", "\n", "\n")
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          val os = sock.getOutputStream
+          os.write(payload); os.flush()
+          sock.getInputStream.read() // hold until the client hangs up
+        } catch { case _: Throwable => () }
+        finally { try sock.close() catch { case _: Throwable => () } }
+      } catch { case _: Throwable => () }
+    }, "graft-socket-restart-server")
+    serverThread.setDaemon(true)
+    serverThread.start()
+    try {
+      def incarnation(sinkName: String, until: Long): Unit = {
+        val q = StreamingIngest.readEventSocket(
+            spark, "127.0.0.1", server.getLocalPort, ddl)
+          .writeStream.format("memory").queryName(sinkName)
+          .outputMode("append")
+          .trigger(Trigger.ProcessingTime("50 milliseconds")).start()
+        val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
+        var seen = 0L
+        while (seen < until && System.nanoTime() < deadline) {
+          q.processAllAvailable()
+          seen = spark.table(sinkName)
+            .select(countDistinct(col("event_id"))).head().getLong(0)
+          if (seen < until) Thread.sleep(20)
+        }
+        q.stop(); q.awaitTermination()
+        seen should be >= until
+      }
+      incarnation("socket_restart_sink1", half) // …stopped mid-drain
+      incarnation("socket_restart_sink2", n)    // restart: full replay
+      connections.get() should be >= 2
+      val raw = spark.table("socket_restart_sink1")
+        .unionByName(spark.table("socket_restart_sink2"))
+      // at-least-once is REAL: the replayed half showed up twice
+      raw.count() should be >= (n + half).toLong
+      // and the ingest-side key dedup lands exactly the feed
+      val got = raw.dropDuplicates("event_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+          r.getDouble(3))).toSet
+      got shouldBe events.map(e =>
+        (e.event_id, e.user_id, e.event_type, e.value)).toSet
+    } finally { try server.close() catch { case _: Throwable => () } }
+  }
+
   test("streaming minhash near-dup (q104) equals the batch banded+agreement pipeline") {
     val streamed = graft.SparkEntry.queries("q104_streaming_minhash_pairs")(spark, sfDir)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
