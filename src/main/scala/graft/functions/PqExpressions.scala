@@ -42,6 +42,17 @@ object PqKernels {
       GraftSqlShim.expression(query.cast("array<double>")),
       GraftSqlShim.expression(codes),
       flatCb, m, cbSize, sub))
+
+  /** ADC squared distance: Σ_j (query_j − centroid(s, codes[s])_j)² —
+    * the asymmetric-distance form ([[PqAdcDist2]]'s note on why the
+    * probed-list search must rank on THIS, not [[adcScore]]).
+    */
+  def adcDist2(query: Column, codes: Column, flatCb: Array[Double],
+               m: Int, cbSize: Int, sub: Int): Column =
+    GraftSqlShim.column(PqAdcDist2(
+      GraftSqlShim.expression(query.cast("array<double>")),
+      GraftSqlShim.expression(codes),
+      flatCb, m, cbSize, sub))
 }
 
 case class PqEncode(child: Expression, flat2c: Array[Double],
@@ -173,6 +184,90 @@ case class PqAdcScore(left: Expression, right: Expression,
          |    }
          |  }
          |  $tot += $p;
+         |}
+         |${ev.value} = $tot;
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** ADC squared distance Σ_j (q_j − ĉ_j)² where ĉ is the candidate's
+  * decoded (sub)vector — the asymmetric distance of Jégou et al.'s
+  * IVFADC, fused into one codegen'd pass over the m·sub positions.
+  *
+  * Why a second kernel: [[PqAdcScore]]'s bare dot q·ĉ ranks correctly
+  * only within ONE ranking space (the flat-PQ searches, where every
+  * candidate is scored against the same query vector). The probed-list
+  * search scores each candidate against its LIST's query residual, and
+  * a dot of residuals is not comparable across lists (it drops both the
+  * per-list query-centroid term and the candidate residual norm) — at
+  * higher nProbe, far-list candidates with large residual dots crowd
+  * true neighbors out of the k·rerank window and recall DEGRADES as
+  * probes increase (measured: 0.81 → 0.29 recall@10 at nProbe 2 → 8,
+  * sf0.01, r14). ‖qr − r̂‖² approximates the list-independent ‖x − y‖²,
+  * so cross-list ranking is sound and more probes buy recall
+  * monotonically (BENCH_NOTES r14 / RECALL.json).
+  *
+  * Exactness: inputs are integer-valued micro-unit doubles (|v| < 2²²);
+  * each square < 2⁴⁴ and the dim-length sum < 2⁵³, so both engines do
+  * exact integer arithmetic and the candidate window replays
+  * bit-for-bit in the DuckDB oracle.
+  */
+case class PqAdcDist2(left: Expression, right: Expression,
+                      flatCb: Array[Double], m: Int, cbSize: Int, sub: Int)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_pq_adc_dist2"
+
+  // left = query (residual) vector (array<double>), right = codes (array<int>)
+  override def nullSafeEval(q: Any, cs: Any): Any = {
+    val qv = q.asInstanceOf[ArrayData]
+    val codes = cs.asInstanceOf[ArrayData]
+    var tot = 0.0
+    var s = 0
+    while (s < m) {
+      val code = codes.getInt(s)
+      val base = (s * cbSize + code) * sub
+      var j = 0
+      while (j < sub) {
+        val idx = s * sub + j
+        val x = if (qv.isNullAt(idx)) 0.0 else qv.getDouble(idx)
+        val d = x - flatCb(base + j)
+        tot += d * d
+        j += 1
+      }
+      s += 1
+    }
+    tot
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cbRef = ctx.addReferenceObj("pqFlatCb", flatCb, "double[]")
+    nullSafeCodeGen(ctx, ev, (q, cs) => {
+      val tot = ctx.freshName("tot")
+      val s = ctx.freshName("s")
+      val j = ctx.freshName("j")
+      val idx = ctx.freshName("idx")
+      val base = ctx.freshName("base")
+      val d = ctx.freshName("d")
+      val x = ctx.freshName("x")
+      val code = ctx.freshName("code")
+      s"""
+         |double $tot = 0.0;
+         |for (int $s = 0; $s < $m; $s++) {
+         |  int $code = $cs.getInt($s);
+         |  int $base = ($s * $cbSize + $code) * $sub;
+         |  for (int $j = 0; $j < $sub; $j++) {
+         |    int $idx = $s * $sub + $j;
+         |    double $x = $q.isNullAt($idx) ? 0.0 : $q.getDouble($idx);
+         |    double $d = $x - $cbRef[$base + $j];
+         |    $tot += $d * $d;
+         |  }
          |}
          |${ev.value} = $tot;
        """.stripMargin

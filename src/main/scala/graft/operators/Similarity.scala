@@ -928,16 +928,22 @@ object Similarity {
     val listed =
       if (probedLists.isEmpty) index.filter(lit(false))
       else index.filter(col("cid").isin(probedLists.toIndexedSeq: _*))
-    val adot = graft.functions.PqKernels.adcScore(
+    // rank candidates by the ASYMMETRIC DISTANCE ‖qr − r̂‖² (ascending),
+    // which approximates the list-independent ‖x − y‖² — comparable
+    // ACROSS probed lists, so raising nProbe buys recall monotonically.
+    // (A bare residual dot is not: it drops the per-list x·c_l term and
+    // the candidate norm, and measured recall@10 FELL 0.81 → 0.29 as
+    // nProbe rose 2 → 8 — PqAdcDist2's scaladoc has the numbers.)
+    val adist2 = graft.functions.PqKernels.adcDist2(
       col("qr"), col("codes"), pqCbs.flatten.flatten.map(_.toDouble),
       m, cbSize, sub)
     val wA = Window.partitionBy(col("query_id"))
-      .orderBy(col("adot").desc, col("id").asc)
+      .orderBy(col("adist2").asc, col("id").asc)
     // a corpus vector lives in exactly ONE list, so the cid equi-join
     // yields each (query, candidate) pair at most once — no dedup stage
     val cands = probes.join(listed, Seq("cid"))
       .filter(col("query_id") =!= col("id"))
-      .withColumn("adot", adot)
+      .withColumn("adist2", adist2)
       .withColumn("arnk", row_number().over(wA))
       .filter(col("arnk") <= k * rerank)
       .select(col("query_id"), col("id").as("neighbor_id"))

@@ -1183,11 +1183,11 @@ object SimilarityQueries {
     qrp AS (SELECT query_id, lcid, pos // $sub AS s, pos % $sub AS ppos, x
             FROM qres),
     qd AS (SELECT qrp.query_id, qrp.lcid, ct.s, ct.cid,
-              SUM(ct.c * qrp.x) AS qdot
+              SUM((qrp.x - ct.c) * (qrp.x - ct.c)) AS sd2
            FROM qrp JOIN pcent$itP ct
              ON ct.s = qrp.s AND ct.pos = qrp.ppos
            GROUP BY 1, 2, 3, 4),
-    adc AS (SELECT qd.query_id, e.vec_id, SUM(qd.qdot) AS adot
+    adc AS (SELECT qd.query_id, e.vec_id, SUM(qd.sd2) AS adist2
             FROM enc2 e JOIN wa a ON a.vec_id = e.vec_id
                  JOIN qd ON qd.lcid = a.cid AND qd.s = e.s AND qd.cid = e.cid
             WHERE qd.query_id <> e.vec_id
@@ -1195,7 +1195,7 @@ object SimilarityQueries {
     ar AS (SELECT query_id, vec_id FROM (
             SELECT query_id, vec_id,
                    row_number() OVER (PARTITION BY query_id
-                                      ORDER BY adot DESC, vec_id ASC) AS arnk
+                                      ORDER BY adist2 ASC, vec_id ASC) AS arnk
             FROM adc) WHERE arnk <= $rerankWindow),
     vr AS (SELECT vec_id, vd AS v FROM v2r),
     rr AS (SELECT a.query_id, a.vec_id AS neighbor_id,
@@ -1476,11 +1476,11 @@ object SimilarityQueries {
     qrp AS (SELECT query_id, lcid, pos // $sub AS s, pos % $sub AS ppos, x
             FROM qres),
     qd AS (SELECT qrp.query_id, qrp.lcid, ct.s, ct.cid,
-              SUM(ct.c * qrp.x) AS qdot
+              SUM((qrp.x - ct.c) * (qrp.x - ct.c)) AS sd2
            FROM qrp JOIN pcent$itP ct
              ON ct.s = qrp.s AND ct.pos = qrp.ppos
            GROUP BY 1, 2, 3, 4),
-    adc AS (SELECT qd.query_id, e.vec_id, SUM(qd.qdot) AS adot
+    adc AS (SELECT qd.query_id, e.vec_id, SUM(qd.sd2) AS adist2
             FROM enc e JOIN ca a ON a.vec_id = e.vec_id
                  JOIN qd ON qd.lcid = a.cid AND qd.s = e.s AND qd.cid = e.cid
             WHERE qd.query_id <> e.vec_id
@@ -1488,7 +1488,7 @@ object SimilarityQueries {
     ar AS (SELECT query_id, vec_id FROM (
             SELECT query_id, vec_id,
                    row_number() OVER (PARTITION BY query_id
-                                      ORDER BY adot DESC, vec_id ASC) AS arnk
+                                      ORDER BY adist2 ASC, vec_id ASC) AS arnk
             FROM adc) WHERE arnk <= $rerankWindow),
     vr AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
     rr AS (SELECT a.query_id, a.vec_id AS neighbor_id,
