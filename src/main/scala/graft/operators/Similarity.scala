@@ -874,8 +874,12 @@ object Similarity {
     * filter degrades gracefully to a row filter).
     *
     * `corpus` supplies only the raw vectors the final exact-cosine
-    * re-rank reads, and only for the ≤ k·rerank candidates per query (a
-    * semi-joined point lookup at scale, never a scan). It must cover
+    * re-rank reads, and only for the ≤ k·rerank candidates per query —
+    * the candidate-id set is pushed down as a literal IN filter on the
+    * corpus scan (r14), so on a parquet corpus row-group stats/blooms
+    * prune the read to the files that hold candidates instead of
+    * re-scanning the whole corpus after the index read was pruned
+    * (plan-asserted in IvfPqIndexLayoutSpec). It must cover
     * every id the index lists: a candidate with no raw vector means the
     * caller paired a stale corpus snapshot with a newer index (or vice
     * versa), and the search FAILS LOUDLY on it (raise_error on the
@@ -892,6 +896,70 @@ object Similarity {
                          scale: Long = 1000000L,
                          idCol: String = "vec_id",
                          vecCol: String = "embedding"): DataFrame = {
+    val cands = ivfPqCandidates(index, queries, k, coarseCb, pqCbs,
+        nProbe, rerank, scale, idCol, vecCol)
+      // materialized ONCE: the candidate-id collect below and the final
+      // re-rank join must read the same ≤ k·rerank·|Q| rows (same
+      // argument as the probes checkpoint in [[ivfPqCandidates]])
+      .localCheckpoint()
+    // the candidate-id set, pushed down as a literal IN filter on the
+    // corpus scan (same movement as the probed-list pushdown): without
+    // it, the exact-cosine re-rank joins against the ENTIRE corpus — a
+    // second full scan per search after the index read was so carefully
+    // pruned. With it, parquet row-group stats/blooms prune the corpus
+    // read to the files that actually hold candidates. Bounded:
+    // ≤ k·rerank·|Q| ids — the same size class as the probes the
+    // broadcast contract already caps.
+    val candIds = cands.select(col("neighbor_id")).distinct()
+      .collect().map(_.getLong(0)).sorted
+    val vecs = (if (candIds.isEmpty) corpus.filter(lit(false))
+      else corpus.filter(col(idCol)
+        .isInCollection(candIds.toIndexedSeq)))
+      .select(col(idCol).as("neighbor_id"),
+        col(vecCol).cast("array<double>").as("nv"))
+    val qvecs = broadcast(queries.select(col(idCol).as("query_id"),
+      col(vecCol).cast("array<double>").as("qv")))
+    val wE = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id").asc)
+    // LEFT join + raise_error: an indexed id with no raw vector is a
+    // stale index/corpus pairing and must kill the query, not silently
+    // vanish from top-k (the inner join's failure mode). Cost: one null
+    // check over the ≤ k·rerank·|Q| candidate rows only.
+    cands.join(vecs, Seq("neighbor_id"), "left").join(qvecs, Seq("query_id"))
+      .withColumn("nv", when(col("nv").isNull, raise_error(concat(
+          lit("ivfPqSearchIndexed: index/corpus skew — candidate id "),
+          col("neighbor_id").cast("string"),
+          lit(" is listed in the index but has no raw vector in " +
+            "`corpus`; pair the index with the corpus snapshot it " +
+            "encodes"))).cast("array<double>"))
+        .otherwise(col("nv")))
+      .withColumn("sim", cosine(col("qv"), col("nv")))
+      .withColumn("rank", row_number().over(wE).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+              round(col("sim"), 6).as("sim"))
+  }
+
+  /** The candidate-generation HALF of [[ivfPqSearchIndexed]], as one
+    * LAZY plan: probe ranking → probed-list partition-pruned index scan
+    * → asymmetric-distance ADC → per-query k·rerank window, returning
+    * (query_id, neighbor_id) pairs. Public seam for two reasons: (a)
+    * callers that want raw ANN candidates without the exact re-rank
+    * (e.g. feeding a downstream ranker) skip the corpus entirely; (b)
+    * the physical-layout contracts live on THIS plan — the
+    * PartitionFilters-on-cid assert and its unpartitioned row-filter
+    * degradation are pinned here by IvfPqIndexLayoutSpec (the re-rank
+    * half materializes candidates to push their ids down onto the
+    * corpus scan, so the index scan is no longer visible in the final
+    * DataFrame's plan).
+    */
+  def ivfPqCandidates(index: DataFrame, queries: DataFrame, k: Int,
+                      coarseCb: Array[Array[Long]],
+                      pqCbs: Array[Array[Array[Long]]],
+                      nProbe: Int, rerank: Int,
+                      scale: Long = 1000000L,
+                      idCol: String = "vec_id",
+                      vecCol: String = "embedding"): DataFrame = {
     require(coarseCb.nonEmpty,
       "ivfPqSearchIndexed: empty coarse codebook — train on a " +
         "non-empty sample")
@@ -941,35 +1009,12 @@ object Similarity {
       .orderBy(col("adist2").asc, col("id").asc)
     // a corpus vector lives in exactly ONE list, so the cid equi-join
     // yields each (query, candidate) pair at most once — no dedup stage
-    val cands = probes.join(listed, Seq("cid"))
+    probes.join(listed, Seq("cid"))
       .filter(col("query_id") =!= col("id"))
       .withColumn("adist2", adist2)
       .withColumn("arnk", row_number().over(wA))
       .filter(col("arnk") <= k * rerank)
       .select(col("query_id"), col("id").as("neighbor_id"))
-    val vecs = corpus.select(col(idCol).as("neighbor_id"),
-      col(vecCol).cast("array<double>").as("nv"))
-    val qvecs = broadcast(queries.select(col(idCol).as("query_id"),
-      col(vecCol).cast("array<double>").as("qv")))
-    val wE = Window.partitionBy(col("query_id"))
-      .orderBy(col("sim").desc, col("neighbor_id").asc)
-    // LEFT join + raise_error: an indexed id with no raw vector is a
-    // stale index/corpus pairing and must kill the query, not silently
-    // vanish from top-k (the inner join's failure mode). Cost: one null
-    // check over the ≤ k·rerank·|Q| candidate rows only.
-    cands.join(vecs, Seq("neighbor_id"), "left").join(qvecs, Seq("query_id"))
-      .withColumn("nv", when(col("nv").isNull, raise_error(concat(
-          lit("ivfPqSearchIndexed: index/corpus skew — candidate id "),
-          col("neighbor_id").cast("string"),
-          lit(" is listed in the index but has no raw vector in " +
-            "`corpus`; pair the index with the corpus snapshot it " +
-            "encodes"))).cast("array<double>"))
-        .otherwise(col("nv")))
-      .withColumn("sim", cosine(col("qv"), col("nv")))
-      .withColumn("rank", row_number().over(wE).cast("long"))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("neighbor_id"),
-              round(col("sim"), 6).as("sim"))
   }
 
   /** s20: the RARE event s18's contract defers — the codebook retrains

@@ -6,12 +6,17 @@ import org.apache.spark.sql.functions._
 /** The s28 serving-layout contract, plan-asserted (the spec
   * Similarity.buildIvfPqIndex's doc cites): an IVFADC index stored
   * `partitionBy("cid")` — by the one-shot builder or by the continuous
-  * Loop's versioned writes — makes ivfPqSearchIndexed's probed-list IN
-  * filter prune at the FILE index (PartitionFilters), so serving reads
-  * nProbe/nLists of the index FILES; on an unpartitioned index the
-  * same filter degrades gracefully to a row filter with identical
-  * answers. This is the 100 TB I/O bound of the composed-ANN serving
-  * path — SourcesSpec's src06 assert, applied to our own layout.
+  * Loop's versioned writes — makes the probed-list IN filter prune at
+  * the FILE index (PartitionFilters), so serving reads nProbe/nLists
+  * of the index FILES; on an unpartitioned index the same filter
+  * degrades gracefully to a row filter with identical answers; and the
+  * re-rank half pushes the bounded candidate-id set down onto the
+  * corpus scan instead of paying a second full pass. The index-layout
+  * asserts run against [[Similarity.ivfPqCandidates]] — the LAZY half
+  * whose plan contains the index scan (the full search materializes
+  * candidates to derive the corpus pushdown, so its final plan starts
+  * after them); the corpus-pushdown assert runs against the full
+  * search. SourcesSpec's src06 assert, applied to our own layout.
   */
 class IvfPqIndexLayoutSpec extends SparkSpec {
 
@@ -26,19 +31,23 @@ class IvfPqIndexLayoutSpec extends SparkSpec {
     Similarity.ivfPqSearchIndexed(index, emb, queries, k = 5,
       cbs._1, cbs._2, nProbe = 2, rerank = 3)
 
+  private def candidates(index: org.apache.spark.sql.DataFrame) =
+    Similarity.ivfPqCandidates(index, queries, k = 5,
+      cbs._1, cbs._2, nProbe = 2, rerank = 3)
+
   private def resultSet(df: org.apache.spark.sql.DataFrame) =
     df.collect().map(r =>
       (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
 
-  // the index scan inside the (large) search plan is the one over our
-  // temp dir; PartitionFilters must carry the probed-list cid IN filter
-  private def indexScanLine(plan: String, dir: String): String =
+  // the scan over `dir` inside a plan; for the index, PartitionFilters
+  // must carry the probed-list cid IN filter
+  private def scanLine(plan: String, dir: String): String =
     plan.linesIterator
       .filter(_.contains("FileScan parquet"))
       .find(_.contains(new java.io.File(dir).getName))
       .getOrElse(fail(s"no FileScan over $dir in plan:\n$plan"))
 
-  test("one-shot buildIvfPqIndex lays out cid= directories; search prunes at the file index") {
+  test("one-shot buildIvfPqIndex lays out cid= directories; the candidate scan prunes at the file index") {
     val dir = java.nio.file.Files
       .createTempDirectory("graft-ivfpq-layout").toString
     val idx = Similarity.buildIvfPqIndex(emb, dir, cbs._1, cbs._2)
@@ -47,10 +56,10 @@ class IvfPqIndexLayoutSpec extends SparkSpec {
       .getOrElse(Array.empty).filter(_.getName.startsWith("cid="))
     cidDirs.length should be > 1
     cidDirs.length should be <= NLists
-    val res = search(idx)
-    val scan = indexScanLine(res.queryExecution.executedPlan.toString, dir)
+    val scan = scanLine(
+      candidates(idx).queryExecution.executedPlan.toString, dir)
     scan should include regex "PartitionFilters: \\[.*cid.* IN \\("
-    resultSet(res).size should be > 0
+    resultSet(search(idx)).size should be > 0
   }
 
   test("pruning is real I/O, not annotation: non-probed cid directories are never read") {
@@ -60,10 +69,10 @@ class IvfPqIndexLayoutSpec extends SparkSpec {
       .createTempDirectory("graft-ivfpq-prune").toString
     val idx = Similarity.buildIvfPqIndex(emb, dir, cbs._1, cbs._2)
     val expected = resultSet(search(idx))
-    // the probed set: exactly what the search derives — the lists the
-    // final PartitionFilters names. Recover it from the plan string.
-    val scan = indexScanLine(
-      search(idx).queryExecution.executedPlan.toString, dir)
+    // the probed set: exactly the lists the candidate scan's
+    // PartitionFilters names. Recover it from the plan string.
+    val scan = scanLine(
+      candidates(idx).queryExecution.executedPlan.toString, dir)
     val in = "cid[^ ]* IN \\(([-0-9,]+)\\)".r
       .findFirstMatchIn(scan)
       .getOrElse(fail(s"no cid IN (...) in scan line: $scan"))
@@ -85,7 +94,7 @@ class IvfPqIndexLayoutSpec extends SparkSpec {
     resultSet(res2) shouldBe expected
   }
 
-  test("the Loop's versioned index writes keep the served layout: search over run.state prunes") {
+  test("the Loop's versioned index writes keep the served layout: the candidate scan prunes") {
     import spark.implicits._
     val stateDir = java.nio.file.Files
       .createTempDirectory("graft-ivfpq-loop-layout").toString
@@ -103,16 +112,34 @@ class IvfPqIndexLayoutSpec extends SparkSpec {
     Option(v0.listFiles()).getOrElse(Array.empty)
       .count(_.getName.startsWith("cid=")) should be > 1
     // …and the served state (read back from disk) prunes under search
-    val res = search(loop.result.state)
-    val scan = indexScanLine(
-      res.queryExecution.executedPlan.toString, s"$stateDir/v0")
+    val scan = scanLine(candidates(loop.result.state)
+      .queryExecution.executedPlan.toString, s"$stateDir/v0")
     scan should include regex "PartitionFilters: \\[.*cid.* IN \\("
     // maintained-index search answers = one-shot-index search answers
     val oneShotDir = java.nio.file.Files
       .createTempDirectory("graft-ivfpq-oneshot").toString
-    resultSet(res) shouldBe
+    resultSet(search(loop.result.state)) shouldBe
       resultSet(search(Similarity.buildIvfPqIndex(emb, oneShotDir,
         cbs._1, cbs._2)))
+  }
+
+  test("the re-rank corpus read is candidate-pruned, not a second full scan") {
+    // after the index read is pruned to nProbe/nLists files, the exact
+    // re-rank must not pay a full corpus pass: the bounded candidate-id
+    // set is pushed down onto the corpus scan (PushedFilters In(vec_id))
+    val idxDir = java.nio.file.Files
+      .createTempDirectory("graft-ivfpq-rrx").toString
+    val corpusDir = java.nio.file.Files
+      .createTempDirectory("graft-ivfpq-corpus").toString
+    emb.write.mode("overwrite").parquet(corpusDir)
+    val corpusPq = spark.read.parquet(corpusDir)
+    val idx = Similarity.buildIvfPqIndex(corpusPq, idxDir, cbs._1, cbs._2)
+    val res = Similarity.ivfPqSearchIndexed(idx, corpusPq, queries, k = 5,
+      cbs._1, cbs._2, nProbe = 2, rerank = 3)
+    val scan = scanLine(
+      res.queryExecution.executedPlan.toString, corpusDir)
+    scan should include regex "PushedFilters: \\[.*[Ii]n\\(vec_id"
+    resultSet(res) shouldBe resultSet(search(idx))
   }
 
   test("unpartitioned index degrades gracefully to a row filter with identical answers") {
@@ -123,12 +150,12 @@ class IvfPqIndexLayoutSpec extends SparkSpec {
     val idxP = Similarity.buildIvfPqIndex(emb, dirP, cbs._1, cbs._2)
     Similarity.ivfPqEncodeFixedPoint(emb, cbs._1, cbs._2)
       .write.mode("overwrite").parquet(dirU) // same rows, flat layout
-    val resU = search(spark.read.parquet(dirU))
-    val scan = indexScanLine(
-      resU.queryExecution.executedPlan.toString, dirU)
+    val scan = scanLine(candidates(spark.read.parquet(dirU))
+      .queryExecution.executedPlan.toString, dirU)
     // no partition column ⇒ the cid IN filter lands on the data side
     scan should include ("PartitionFilters: []")
     scan should include regex "PushedFilters: \\[.*[Ii]n\\(cid"
-    resultSet(resU) shouldBe resultSet(search(idxP))
+    resultSet(search(spark.read.parquet(dirU))) shouldBe
+      resultSet(search(idxP))
   }
 }
