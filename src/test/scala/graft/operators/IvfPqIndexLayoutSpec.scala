@@ -142,6 +142,16 @@ class IvfPqIndexLayoutSpec extends SparkSpec {
     resultSet(res) shouldBe resultSet(search(idx))
   }
 
+  test("an empty query set returns an empty result without erroring on the empty pushdowns") {
+    // both driver-side collects (probed lists, candidate ids) are empty:
+    // the search must degrade to filter(false) plans, not an empty-IN error
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-ivfpq-emptyq").toString
+    val idx = Similarity.buildIvfPqIndex(emb, dir, cbs._1, cbs._2)
+    Similarity.ivfPqSearchIndexed(idx, emb, queries.filter(lit(false)),
+      k = 5, cbs._1, cbs._2, nProbe = 2, rerank = 3).count() shouldBe 0L
+  }
+
   test("unpartitioned index degrades gracefully to a row filter with identical answers") {
     val dirP = java.nio.file.Files
       .createTempDirectory("graft-ivfpq-part").toString
