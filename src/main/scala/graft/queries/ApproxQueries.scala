@@ -9,7 +9,7 @@ import org.apache.spark.sql.types.{IntegerType, StructField, StructType}
   * are what users actually run: HLL++ and quantile sketches are
   * fixed-size, mergeable partial states — one shuffle of sketches, never
   * of values. Sketch internals differ from DuckDB's, so q09 gets a
-  * rows-only gate; ApproxSpec asserts tolerance vs the exact answers.
+  * rows-only gate; Round4OpsSpec asserts tolerance vs the exact answers.
   */
 object ApproxQueries {
 
@@ -91,7 +91,7 @@ object ApproxQueries {
     // rollup (week/month/all-time) is a cheap sketch merge, never a
     // re-scan. The gate emits the estimate next to the exact count and a
     // ±5% flag; sketch internals aren't SQL-replicable → rows-only, with
-    // the tolerance re-asserted in ApproxSpec.
+    // the tolerance re-asserted in Round4OpsSpec.
     "q88_sketch_rollup" -> QueryDef(
       (s, d) => {
         val ev = Tables.events(s, d)

@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 /** Similarity-search suite over `embeddings` (SURVEY §2c): exact
   * brute-force top-k (oracle-checked) and the LSH-bucketed scale path
-  * (rows-only; recall vs exact asserted in SimilaritySpec).
+  * (rows-only; recall vs exact asserted in ExtensionOperatorsSpec).
   */
 object SimilarityQueries {
 
@@ -71,7 +71,7 @@ object SimilarityQueries {
     // product-quantization ANN: 16-byte codes (m=16, 16 centroids each)
     // instead of 256 bytes/vector; ADC candidate scoring + exact re-rank.
     // Rows-only gate (k-means has no SQL oracle); recall floor vs the
-    // exact baseline is asserted in SimilaritySpec.
+    // exact baseline is asserted in ExtensionOperatorsSpec.
     "s08_knn_pq" -> QueryDef(
       (s, d) => {
         val emb = Tables.embeddings(s, d)
