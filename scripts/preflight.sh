@@ -21,9 +21,17 @@ set -euo pipefail
 cd "$(dirname "$0")/.."
 sbt -batch Test/compile "Test/testOnly graft.SparkEntrySpec" 2>&1 | tail -20
 OUT=$(mktemp -d /tmp/preflight_sf0001.XXXX)
-scripts/run_verify.sh /root/testdata/sf0.001 "$OUT" 2>&1 \
-  | grep -E "\[verify\].*failed" && {
-    echo "preflight FAILED: gate threw at sf0.001 (see above)"; exit 1; } || true
+LOG=$(mktemp /tmp/preflight_verify.XXXX.log)
+trap 'rm -rf "$OUT" "$LOG"' EXIT
+# run_verify's own exit status must surface directly — an sbt/JVM crash
+# is a preflight failure in its own right, not a downstream check.py
+# FileNotFoundError pointing at the wrong culprit
+if ! scripts/run_verify.sh /root/testdata/sf0.001 "$OUT" > "$LOG" 2>&1; then
+  echo "preflight FAILED: run_verify.sh exited non-zero"; tail -20 "$LOG"; exit 1
+fi
+if grep -E "\[verify\].*failed" "$LOG"; then
+  echo "preflight FAILED: gate threw at sf0.001 (see above)"; exit 1
+fi
 python3 scripts/check.py /root/testdata/sf0.001 "$OUT" \
   | grep -E "^!!|/.* pass" # mismatch lines + the N/N tally (pipefail aborts on a miss)
 echo "preflight OK: Test/compile green, driver contract + probe roster intact, sf0.001 sweep green"

@@ -83,10 +83,17 @@ object ClusterSmoke {
         var pinged = false
         var tries = 0
         // NonFatal only: an interrupt must stop the retry loop with the
-        // flag restored, not spin the remaining budget with it swallowed
+        // flag restored, not spin the remaining budget with it
+        // swallowed. ping is reflective, so an InterruptedException
+        // thrown INSIDE it arrives wrapped in InvocationTargetException
+        // — unwrap before classifying, or the interrupt would be
+        // consumed as a NonFatal retry.
         while (!pinged && tries < 25 && !Thread.currentThread().isInterrupted) {
           try { ping.invoke(srv); pinged = true }
           catch {
+            case e: java.lang.reflect.InvocationTargetException
+                if e.getCause.isInstanceOf[InterruptedException] =>
+              Thread.currentThread().interrupt()
             case _: InterruptedException =>
               Thread.currentThread().interrupt()
             case scala.util.control.NonFatal(_) =>

@@ -60,6 +60,9 @@ object RecallProbe {
     val queries = emb.orderBy("vec_id").limit(nQ).localCheckpoint()
     val exact = groundTruth(emb, queries, k).collect()
       .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    require(exact.nonEmpty, s"RecallProbe: empty ground truth " +
+      s"(nQueries=$nQ over $n vectors) — recall would be 0/0; " +
+      "pass a positive query count against a corpus of ≥ 2 vectors")
 
     val sqrtN = math.sqrt(n.toDouble).toInt
     val listSweep = Seq(sqrtN / 2, sqrtN, sqrtN * 2)

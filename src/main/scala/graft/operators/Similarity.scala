@@ -896,7 +896,13 @@ object Similarity {
                          scale: Long = 1000000L,
                          idCol: String = "vec_id",
                          vecCol: String = "embedding"): DataFrame = {
-    val cands = ivfPqCandidates(index, queries, k, coarseCb, pqCbs,
+    // pin the query SET once: probes (inside ivfPqCandidates) and the
+    // re-rank's qvecs below must see the same rows — a
+    // non-deterministic `queries` plan (sample, unordered limit)
+    // re-evaluated per consumer could otherwise return candidates for
+    // query ids the re-rank join then silently drops
+    val q = queries.localCheckpoint()
+    val cands = ivfPqCandidates(index, q, k, coarseCb, pqCbs,
         nProbe, rerank, scale, idCol, vecCol)
       // materialized ONCE: the candidate-id collect below and the final
       // re-rank join must read the same ≤ k·rerank·|Q| rows (same
@@ -917,7 +923,7 @@ object Similarity {
         .isInCollection(candIds.toIndexedSeq)))
       .select(col(idCol).as("neighbor_id"),
         col(vecCol).cast("array<double>").as("nv"))
-    val qvecs = broadcast(queries.select(col(idCol).as("query_id"),
+    val qvecs = broadcast(q.select(col(idCol).as("query_id"),
       col(vecCol).cast("array<double>").as("qv")))
     val wE = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("neighbor_id").asc)
@@ -940,13 +946,17 @@ object Similarity {
               round(col("sim"), 6).as("sim"))
   }
 
-  /** The candidate-generation HALF of [[ivfPqSearchIndexed]], as one
-    * LAZY plan: probe ranking → probed-list partition-pruned index scan
-    * → asymmetric-distance ADC → per-query k·rerank window, returning
-    * (query_id, neighbor_id) pairs. Public seam for two reasons: (a)
-    * callers that want raw ANN candidates without the exact re-rank
-    * (e.g. feeding a downstream ranker) skip the corpus entirely; (b)
-    * the physical-layout contracts live on THIS plan — the
+  /** The candidate-generation HALF of [[ivfPqSearchIndexed]]: probe
+    * ranking → probed-list partition-pruned index scan →
+    * asymmetric-distance ADC → per-query k·rerank window, returning
+    * (query_id, neighbor_id) pairs. NOT fully lazy: constructing the
+    * plan runs two bounded driver-side jobs (the probes checkpoint and
+    * the |Q|·nProbe probed-list collect that becomes the index scan's
+    * partition filter); the RETURNED DataFrame is then one lazy plan
+    * over the pruned index. Public seam for two reasons: (a) callers
+    * that want raw ANN candidates without the exact re-rank (e.g.
+    * feeding a downstream ranker) skip the corpus entirely; (b) the
+    * physical-layout contracts live on THIS plan — the
     * PartitionFilters-on-cid assert and its unpartitioned row-filter
     * degradation are pinned here by IvfPqIndexLayoutSpec (the re-rank
     * half materializes candidates to push their ids down onto the
@@ -961,10 +971,10 @@ object Similarity {
                       idCol: String = "vec_id",
                       vecCol: String = "embedding"): DataFrame = {
     require(coarseCb.nonEmpty,
-      "ivfPqSearchIndexed: empty coarse codebook — train on a " +
+      "ivfPqCandidates: empty coarse codebook — train on a " +
         "non-empty sample")
     require(pqCbs.nonEmpty && pqCbs.forall(_.nonEmpty),
-      "ivfPqSearchIndexed: empty residual codebook (trained on an " +
+      "ivfPqCandidates: empty residual codebook (trained on an " +
         "empty corpus?) — there is nothing to encode against")
     val (m, cbSize, sub) = (pqCbs.length, pqCbs(0).length, pqCbs(0)(0).length)
     val cbLit = typedLit(coarseCb.map(_.map(_.toDouble).toSeq).toSeq)

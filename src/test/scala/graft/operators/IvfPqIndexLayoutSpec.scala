@@ -89,8 +89,11 @@ class IvfPqIndexLayoutSpec extends SparkSpec {
         .foreach(f => java.nio.file.Files.write(f.toPath,
           "not a parquet file".getBytes))
     }
-    // fresh read over the corrupted tree: pruned search still answers
-    val res2 = search(spark.read.parquet(dir))
+    // fresh read over the corrupted tree: pruned search still answers.
+    // Schema passed explicitly — inference reads the footer of the
+    // path-sorted FIRST data file, which may be a corrupted non-probed
+    // one; this test must only prove the SCAN never touches them
+    val res2 = search(spark.read.schema(idx.schema).parquet(dir))
     resultSet(res2) shouldBe expected
   }
 
