@@ -160,6 +160,14 @@ object ScaleProbe {
     // expect floor-dominated like s25/s27 (the statistic never scans
     // the corpus; measure, don't assume — r13 verdict item)
     "s29_drift_triggered_retrain",
+    // round-14: list-skew rebalance — one training, one census scan,
+    // then Lloyd passes over SPLIT lists' members only; the staged hot
+    // region is ~half the corpus, so expect ~linear (the split-member
+    // term tracks corpus share, not corpus²)
+    "s30_list_rebalance",
+    // list-starvation merge: one training, one census scan, ONE output
+    // scan (literal rank map + survivor-codebook argmax) — ~linear
+    "s31_list_merge",
     // fixed-point classifier training: one token explode + per
     // iteration a doc-keyed margin agg + a 65-key gradient agg over the
     // sparse feature table — expect ~linear in corpus tokens

@@ -1150,6 +1150,212 @@ object Similarity {
       nTot > 0 && movedDenom * nMoved >= movedNumer * nTot
   }
 
+  /** The list-SKEW split decision rule (s30): an inverted list of
+    * `size` rows among `nLists` lists over `nTot` total rows splits iff
+    * its size reaches splitNumer/splitDenom of the average list size —
+    * evaluated as the integer cross-product `splitDenom·size·nLists ≥
+    * splitNumer·nTot` (no float ratio, no rounding boundary; the
+    * product is exact for size·nLists < 2⁶³/splitDenom — petascale
+    * headroom at production nLists ≈ √n). Singleton lists never split
+    * (a 2-means needs two seeds). Skew is the drift mode [[DriftPolicy]]
+    * does NOT catch: every delta vector can land in its argmax list
+    * (moved-share 0) while one list absorbs the whole delta — serving
+    * cost is proportional to PROBED-list size, so a hot list degrades
+    * every query that probes it even though no assignment is stale.
+    */
+  final case class RebalancePolicy(splitNumer: Long, splitDenom: Long) {
+    require(splitDenom > 0 && splitNumer > 0,
+      s"RebalancePolicy: ratio $splitNumer/$splitDenom is not a size factor")
+    def splits(size: Long, nLists: Int, nTot: Long): Boolean =
+      size >= 2 && splitDenom * size * nLists >= splitNumer * nTot
+  }
+
+  /** IVF list-skew rebalance (gate s30): split every overloaded
+    * inverted list — [[RebalancePolicy]] decides WHICH, measured
+    * against the exact-integer size census — into two sub-lists via a
+    * per-list fixed-point 2-means (id-order seeds, `maxIter` Lloyd
+    * iterations, the same exact-integer score/floor-mean/empty-carry
+    * conventions as [[kmeansTrainFixedPoint]], fused across all split
+    * lists in one plan). Sub-cluster 0 keeps the original list id;
+    * sub-cluster 1 gets a NEW dense id `nLists + rank(cid)` — so
+    * un-split lists, their files, and their assignments are untouched,
+    * exactly what a partitioned index layout wants from a rebalance.
+    * Returns (assignment movement, updated codebook): the movement is
+    * one row per corpus vector `(vec_id, old_cid, cid)` — the physical
+    * relocation plan, where `old_cid ≠ cid` rows are the only index
+    * rows to rewrite — and the codebook replaces each split centroid
+    * with its sub-0 centroid and appends the sub-1 centroids in split
+    * order, ready for [[assignFixedPoint]] / [[ivfSearchFixedPoint]].
+    *
+    * Movement: the census is one groupBy(cid).count (bounded nLists
+    * rows to the driver); seeds are 2·|split| bounded rows; each Lloyd
+    * iteration is ONE scan of the split lists' members (codegen'd
+    * per-list argmax over literal sub-centroids — a CASE keyed by cid,
+    * no join) whose update shuffle carries ≤ 2·|split|·dim partials
+    * after map-side combine; un-split rows never enter any of it. Cost
+    * is Θ(Σ size of split lists), never a corpus pass. Every number —
+    * census, decision, seeds, scores, floor-means, final argmax — is
+    * an exact integer, so the DuckDB oracle replays WHICH lists split
+    * AND where every member lands (the s20/s29 standard: decision and
+    * effect both hash-pinned).
+    */
+  def rebalanceLists(corpus: DataFrame, codebook: Array[Array[Long]],
+                     policy: RebalancePolicy, maxIter: Int = 2,
+                     scale: Long = 1000000L,
+                     idCol: String = "vec_id", vecCol: String = "embedding")
+      : (DataFrame, Array[Array[Long]]) = {
+    val k = codebook.length
+    require(k > 0, "rebalanceLists: empty codebook — nothing to rebalance")
+    val q = quantized(corpus, scale, idCol, vecCol)
+      .withColumn("cid0", nearestOfDots(fixedScores(codebook)).cast("long"))
+      .persist()
+    requireFixedPointBounds(q.select(col("id"), col("xd")), scale)
+    val sizes = q.groupBy(col("cid0")).count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    val nTot = sizes.map(_._2).sum
+    val splitCids = sizes.collect {
+      case (cid, n) if policy.splits(n, k, nTot) => cid
+    }.sorted
+    if (splitCids.isEmpty) {
+      val out = q.select(col("id"), col("cid0").as("old_cid"),
+        col("cid0").as("cid"))
+      q.unpersist() // plan stays valid — the cache is an optimization only
+      return (out, codebook)
+    }
+    val members = q.filter(col("cid0").isin(splitCids: _*))
+    // seeds: the 2 smallest-id members of each split list (bounded
+    // 2·|split| rows — the id-order init convention of every trainer)
+    val seedRows = members
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("cid0")).orderBy(col("id"))))
+      .filter(col("rn") <= 2)
+      .select(col("cid0"), col("rn"), col("xd")).collect()
+    var sub: Map[Long, Array[Array[Long]]] = seedRows
+      .groupBy(_.getLong(0))
+      .map { case (cid, rows) =>
+        cid -> rows.sortBy(_.getInt(1))
+          .map(_.getSeq[Double](2).map(_.toLong).toArray)
+      }
+    // per-row score pair against the row's OWN list's sub-centroids:
+    // a codegen'd CASE over the (bounded) split-cid set — no join
+    def subScores(cents: Map[Long, Array[Array[Long]]]): Column =
+      splitCids.tail.foldLeft(
+        when(col("cid0") === lit(splitCids.head),
+          fixedScores(cents(splitCids.head)))) { (acc, cid) =>
+        acc.when(col("cid0") === lit(cid), fixedScores(cents(cid)))
+      }
+    for (_ <- 0 until maxIter) {
+      val updated = members
+        .withColumn("sub", nearestOfDots(subScores(sub)))
+        .select(col("cid0"), col("sub"), posexplode(col("xd")).as(Seq("pos", "x")))
+        .groupBy(col("cid0"), col("sub"), col("pos"))
+        .agg(sum(col("x").cast("long")).as("s"), count(lit(1)).as("n"))
+        .collect()
+        .groupBy(r => (r.getLong(0), r.getInt(1)))
+        .map { case (key, rows) =>
+          key -> rows.sortBy(_.getInt(2))
+            .map(r => math.floor(r.getLong(3).toDouble / r.getLong(4)).toLong)
+        }
+      sub = sub.map { case (cid, cents) =>
+        cid -> Array(
+          updated.getOrElse((cid, 0), cents(0)),
+          updated.getOrElse((cid, 1), cents(1)))
+      }
+    }
+    val newCidOf: Map[Long, Long] =
+      splitCids.zipWithIndex.map { case (c, i) => c -> (k + i).toLong }.toMap
+    val moved = members
+      .withColumn("sub", nearestOfDots(subScores(sub)))
+      .select(col("id"), col("cid0").as("old_cid"),
+        when(col("sub") === 0, col("cid0"))
+          .otherwise(element_at(typedLit(newCidOf), col("cid0"))).as("cid"))
+    val untouched = q.filter(!col("cid0").isin(splitCids: _*))
+      .select(col("id"), col("cid0").as("old_cid"), col("cid0").as("cid"))
+    val out = untouched.unionByName(moved)
+    val newCb: Array[Array[Long]] =
+      codebook.zipWithIndex.map { case (c, i) =>
+        if (newCidOf.contains(i.toLong)) sub(i.toLong)(0) else c
+      } ++ splitCids.map(c => sub(c)(1))
+    q.unpersist() // one re-scan when `out` is consumed — the cache only
+    (out, newCb)  // served the census/seed/Lloyd driver loop
+  }
+
+  /** The list-STARVATION merge decision rule (s31, [[RebalancePolicy]]'s
+    * complement): a list of `size` rows merges away iff its size is AT
+    * OR BELOW mergeNumer/mergeDenom of the average — the integer
+    * cross-product `mergeDenom·size·nLists ≤ mergeNumer·nTot`. Empty
+    * lists always merge (size 0 passes every bar). A starved list is
+    * the other half of the skew pathology: it wastes a probe slot —
+    * a query that spends one of its nProbe probes on a near-empty list
+    * sees almost no candidates from it, degrading recall at fixed cost.
+    */
+  final case class MergePolicy(mergeNumer: Long, mergeDenom: Long) {
+    require(mergeDenom > 0 && mergeNumer > 0,
+      s"MergePolicy: ratio $mergeNumer/$mergeDenom is not a size factor")
+    def merges(size: Long, nLists: Int, nTot: Long): Boolean =
+      mergeDenom * size * nLists <= mergeNumer * nTot
+  }
+
+  /** IVF list-starvation merge (gate s31) — [[rebalanceLists]]'s
+    * complement, the two halves of one census event: retire every
+    * starved list ([[MergePolicy]] decides WHICH against the same
+    * exact-integer census) and re-encode ITS members against the
+    * surviving centroids — each merged member moves to its fresh
+    * exact-integer argmax among survivors, the plain E-step restricted
+    * to the surviving codebook, NOT a bulk move to one target list (a
+    * retired centroid's members are exactly the vectors whose
+    * second-best list now matters individually). Survivors renumber
+    * densely in cid order — a METADATA rename: at production the
+    * movement DF is the cid-mapping table; no survivor file rewrites,
+    * since every survivor member's row carries old_cid = the physical
+    * location it keeps. Returns (movement, surviving codebook): one
+    * `(vec_id, old_cid, cid)` row per corpus vector, and the codebook
+    * [[assignFixedPoint]]/[[ivfSearchFixedPoint]] serve next.
+    *
+    * Movement: one census aggregate (bounded nLists rows driver-side),
+    * then ONE scan emitting both halves — survivor members map their
+    * cid through a literal rank map (no join), merged members run the
+    * codegen'd argmax over the survivor codebook literals (no join).
+    * Cost is one corpus scan regardless of how many lists retire.
+    * Every number is an exact integer, so the DuckDB oracle replays
+    * WHICH lists retire AND where every orphaned member lands.
+    */
+  def mergeLists(corpus: DataFrame, codebook: Array[Array[Long]],
+                 policy: MergePolicy, scale: Long = 1000000L,
+                 idCol: String = "vec_id", vecCol: String = "embedding")
+      : (DataFrame, Array[Array[Long]]) = {
+    val k = codebook.length
+    require(k > 0, "mergeLists: empty codebook — nothing to merge")
+    val q = quantized(corpus, scale, idCol, vecCol)
+      .withColumn("cid0", nearestOfDots(fixedScores(codebook)).cast("long"))
+      .persist()
+    requireFixedPointBounds(q.select(col("id"), col("xd")), scale)
+    val census = q.groupBy(col("cid0")).count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap.withDefaultValue(0L)
+    val nTot = census.values.sum
+    val merged = (0L until k.toLong).filter(c => policy.merges(census(c), k, nTot))
+    val survivors = (0L until k.toLong).filterNot(merged.contains)
+    require(survivors.nonEmpty,
+      s"mergeLists: the ${policy.mergeNumer}/${policy.mergeDenom} bar " +
+        "retires every list — there is no codebook left to serve; lower it")
+    val rankOf: Map[Long, Long] =
+      survivors.zipWithIndex.map { case (c, i) => c -> i.toLong }.toMap
+    val survCb: Array[Array[Long]] = survivors.map(c => codebook(c.toInt)).toArray
+    val kept = q.filter(col("cid0").isin(survivors: _*))
+      .select(col("id"), col("cid0").as("old_cid"),
+        element_at(typedLit(rankOf), col("cid0")).as("cid"))
+    val out =
+      if (merged.isEmpty) kept
+      else kept.unionByName(
+        q.filter(col("cid0").isin(merged: _*))
+          .select(col("id"), col("cid0").as("old_cid"),
+            // survCb is in survivor-cid order, so the argmax INDEX is
+            // already the dense new cid — no second mapping
+            nearestOfDots(fixedScores(survCb)).cast("long").as("cid")))
+    q.unpersist() // same single-consumption-scan note as rebalanceLists
+    (out, survCb)
+  }
+
   /** IVF (inverted-file) ANN: a k-means coarse quantizer partitions the
     * corpus into `nLists` inverted lists; each query probes its `nProbe`
     * nearest centroids and re-ranks exactly (cosine) within those lists —

@@ -64,3 +64,28 @@ private[graft] object DriftFixture {
       pmod(col("vec_id"), lit(52L)) =!= 13),
     d.filter(col("status") === "removed"))
 }
+
+/** THE list-SKEW fixture (s30) — the single definition of the staged
+  * hot-region corpus the s30 gate rebalances and
+  * [[graft.ListSkewProbe]] measures (the [[DriftFixture]] convention:
+  * one predicate definition, margins measured OF that definition).
+  * The suite corpus's own k-means lists are balanced within ~1.2× of
+  * average at every SF (probe, r14), so skew is staged as the drift
+  * mode it models: AFTER the codebook trained, half the corpus
+  * collapsed toward the origin — every odd-id embedding scaled by the
+  * dyadic 1/64 (exact in float AND double, so both engines quantize
+  * the identical value) — and the stale quantizer concentrates the
+  * whole hot region into its smallest-norm list(s). Assignments are
+  * all FRESH argmaxes (moved-share drift is s29's axis; this is the
+  * orthogonal one), yet the census is pathological — the skew a
+  * rebalance, not a retrain, repairs.
+  */
+private[graft] object SkewFixture {
+
+  /** The post-drift corpus: odd-id vectors ×1/64, even-id unchanged. */
+  def skewed(emb: DataFrame): DataFrame =
+    emb.withColumn("embedding",
+      when(pmod(col("vec_id"), lit(2L)) === 1,
+        transform(col("embedding"), x => x * lit(0.015625f)))
+        .otherwise(col("embedding")))
+}

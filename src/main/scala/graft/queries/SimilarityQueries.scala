@@ -800,7 +800,75 @@ object SimilarityQueries {
             "hold at this SF; re-measure DriftPct/DriftFar*")
         run.state.select(col("id"), col("cid"))
       },
-      Some(driftRetrainOracle(KmFixedK, KmFixedIters, 64, 1000000L)))
+      Some(driftRetrainOracle(KmFixedK, KmFixedIters, 64, 1000000L))),
+
+    // IVF list-SKEW rebalance (s30, r14): the lifecycle drift mode s29
+    // does NOT catch — every delta vector can sit in its argmax list
+    // (moved-share 0) while a few lists absorb most of the corpus, and
+    // serving cost is proportional to PROBED-list size, so hot lists
+    // degrade every query that probes them with no assignment stale.
+    // Staged on the SkewFixture hot-region corpus (the codebook
+    // trained BEFORE the drift; the natural corpus is balanced within
+    // 1.17× of average at every SF — graft.ListSkewProbe). The
+    // exact-integer size census decides WHICH lists split
+    // (RebalancePolicy's cross-product — no float ratio), a fused
+    // per-list fixed-point 2-means decides WHERE members land; sub-0
+    // keeps the list id (un-split lists and their partition files are
+    // untouched), sub-1 gets a dense new id. The oracle re-trains the
+    // coarse codebook from scratch, re-stages the skew, re-censuses,
+    // re-takes the split decision, re-seeds and re-runs the 2-means
+    // chain, and re-lands every member — decision AND effect
+    // hash-pinned (the s20/s29 standard).
+    "s30_list_rebalance" -> QueryDef(
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val cb = Similarity.kmeansTrainFixedPoint(emb,
+          k = KmFixedK, maxIter = KmFixedIters)
+        val (moves, newCb) = Similarity.rebalanceLists(
+          SkewFixture.skewed(emb), cb,
+          Similarity.RebalancePolicy(RebNumer, RebDenom),
+          maxIter = RebIters)
+        // the decision IS the gate (s29's convention): the corpus must
+        // split SOME lists and keep others — loud at every SF
+        require(newCb.length > KmFixedK && newCb.length < 2 * KmFixedK,
+          s"s30: ${newCb.length - KmFixedK} of $KmFixedK lists split — " +
+            "the skew corpus must split some lists and keep others at " +
+            "this SF; re-measure with graft.ListSkewProbe and retune Reb*")
+        moves.select(col("id").as("vec_id"), col("old_cid"), col("cid"))
+      },
+      Some(listRebalanceOracle(KmFixedK, KmFixedIters, RebIters))),
+
+    // IVF list-STARVATION merge (s31, r14) — s30's complement, the
+    // other half of the same census event: the hot-region drift that
+    // overloads the origin-nearest lists simultaneously STARVES the
+    // rest (the SkewFixture census reads ≤ 0.56×avg on the cold side
+    // at every SF), and a starved list wastes a probe slot — a query
+    // spending one of its nProbe probes there sees almost no
+    // candidates, degrading recall at fixed cost. MergePolicy retires
+    // every list at-or-below the bar; each orphaned member re-encodes
+    // to its fresh exact-integer argmax among SURVIVORS (the E-step
+    // restricted to the surviving codebook — not a bulk move);
+    // survivors renumber densely (a metadata rename — the movement DF
+    // IS the cid-mapping table, no survivor file rewrites). The oracle
+    // re-trains, re-stages, re-censuses, re-takes the retire decision,
+    // and re-lands every orphan — decision AND effect hash-pinned.
+    "s31_list_merge" -> QueryDef(
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val cb = Similarity.kmeansTrainFixedPoint(emb,
+          k = KmFixedK, maxIter = KmFixedIters)
+        val (moves, survCb) = Similarity.mergeLists(
+          SkewFixture.skewed(emb), cb,
+          Similarity.MergePolicy(MergeNumer, MergeDenom))
+        // the decision IS the gate: the staged census must retire SOME
+        // lists and keep others — loud at every SF
+        require(survCb.length < KmFixedK && survCb.nonEmpty,
+          s"s31: ${KmFixedK - survCb.length} of $KmFixedK lists " +
+            "retired — the staged census must retire some and keep " +
+            "some; re-measure with graft.ListSkewProbe and retune Merge*")
+        moves.select(col("id").as("vec_id"), col("old_cid"), col("cid"))
+      },
+      Some(listMergeOracle(KmFixedK, KmFixedIters)))
   )
 
   private val PqFixedM = 4
@@ -829,6 +897,30 @@ object SimilarityQueries {
   // Similarity.assignmentDist2's caveat.)
   private val DriftMovedNumer = 3L
   private val DriftMovedDenom = 5L
+
+  // s30's split policy: a list splits when its size reaches
+  // RebNumer/RebDenom = 1.5× the average list size (integer
+  // cross-product on the census — see Similarity.RebalancePolicy).
+  // Margins measured at sf0.001/0.01/0.1 over the staged SkewFixture
+  // corpus (graft.ListSkewProbe, r14): the hot lists census at
+  // 4.58× / {1.73×, 3.36×} / {2.82×, 1.73×} of average while the
+  // largest un-split list reads 0.56× / 0.56× / 0.83× — the 1.5× bar
+  // sits ≥ 0.23 clear above the split side and ≥ 0.67 clear below the
+  // kept side at every SF. (The natural corpus never crosses ANY sane
+  // bar — max 1.17× — which is the point of staging.) The s30 gate's
+  // require() makes a margin violation loud at oracle time. 2-means
+  // iterations fixed at 2 (RebIters).
+  private val RebNumer = 3L
+  private val RebDenom = 2L
+  private val RebIters = 2
+
+  // s31's retire bar: a list merges away at ≤ 2/3 of the average list
+  // size. Margins over the same staged census (graft.ListSkewProbe,
+  // r14): the cold lists sit ≤ 0.56× / 0.56× / 0.48× of average while
+  // the smallest KEPT list reads 4.58× / 1.73× / 0.76× — two-sided
+  // clearance ≥ 16% / 16% / {27% below, 15% above} at the three SFs.
+  private val MergeNumer = 2L
+  private val MergeDenom = 3L
 
   /** The s18/s21 rebuild oracle: centroids from V1, then every V2
     * vector assigned FROM SCRATCH (no maintenance anywhere) — the
@@ -1522,6 +1614,139 @@ object SimilarityQueries {
     ${kmAssignCte("n", s"ncent$maxIter")}
     SELECT na.vec_id AS id, na.cid AS cid, (na.cid <> oa.cid) AS moved
     FROM na JOIN oa ON na.vec_id = oa.vec_id"""
+
+  /** DuckDB replay of s30, from nothing: re-train the coarse codebook
+    * on the NATURAL corpus (s19's chain), re-stage the SkewFixture
+    * hot-region corpus (odd ids ×1/64 — a dyadic scale, so both
+    * engines quantize the identical doubles), re-assign it, re-census
+    * the list sizes, re-take the SPLIT DECISION (the integer
+    * cross-product — which lists are overloaded), re-seed each split
+    * list from its two smallest-id members, re-run the fused per-list
+    * 2-means chain (same exact-integer score/floor-mean/empty-carry
+    * conventions, keyed (cid, sub) the way the PQ chain is keyed
+    * (s, cid)), and re-land every member. A hash mismatch ANYWHERE in
+    * train/stage/census/decide/seed/split/land fails the gate.
+    */
+  private def listRebalanceOracle(k: Int, maxIter: Int,
+                                  rebIters: Int): String = {
+    val iters = (1 to rebIters).map { i =>
+      s"""rsc$i AS (SELECT v.vec_id, v.cid, ct.sub,
+             SUM(2 * ct.c * v.x) - SUM(ct.c * ct.c) AS score
+           FROM mxv v JOIN rcent${i - 1} ct
+             ON v.cid = ct.cid AND v.pos = ct.pos
+           GROUP BY 1, 2, 3),
+    rasg$i AS (SELECT vec_id, cid, sub FROM (
+             SELECT vec_id, cid, sub,
+                    row_number() OVER (PARTITION BY vec_id
+                                       ORDER BY score DESC, sub ASC) AS rn
+             FROM rsc$i) WHERE rn = 1),
+    rupd$i AS (SELECT a.cid, a.sub, v.pos,
+             CAST(floor(CAST(SUM(v.x) AS DOUBLE) / COUNT(*)) AS BIGINT) AS c
+           FROM rasg$i a JOIN mxv v ON v.vec_id = a.vec_id
+           GROUP BY 1, 2, 3),
+    rcent$i AS (SELECT pr.cid, pr.sub, pr.pos, COALESCE(u.c, pr.c) AS c
+           FROM rcent${i - 1} pr
+           LEFT JOIN rupd$i u
+             ON pr.cid = u.cid AND pr.sub = u.sub AND pr.pos = u.pos)"""
+    }.mkString(",\n    ")
+    s"""
+    WITH ${kmXvCte(64, 1000000L)},
+    sxv AS MATERIALIZED (
+      SELECT vec_id, i - 1 AS pos,
+             CAST(floor(CASE WHEN vec_id % 2 = 1
+                    THEN CAST(embedding[i] AS DOUBLE) * 0.015625
+                    ELSE CAST(embedding[i] AS DOUBLE) END
+                  * 1000000.0) AS BIGINT) AS x
+      FROM embeddings, LATERAL (SELECT unnest(range(1, 65)) AS i) t),
+    allv AS (SELECT vec_id FROM embeddings
+             ORDER BY vec_id LIMIT $FixedTrainCap),
+    ${kmChainCte("", "allv", k, maxIter)},
+    ${kmAssignCte("c", s"cent$maxIter", src = "sxv")},
+    szs AS (SELECT cid, COUNT(*) AS n FROM ca GROUP BY 1),
+    ntot AS (SELECT COUNT(*) AS n FROM ca),
+    sp AS (SELECT cid, row_number() OVER (ORDER BY cid) - 1 AS si
+           FROM szs, ntot
+           WHERE szs.n >= 2
+             AND $RebDenom * szs.n * $k >= $RebNumer * ntot.n),
+    mem AS (SELECT ca.vec_id, ca.cid FROM ca JOIN sp USING (cid)),
+    mxv AS (SELECT m.vec_id, m.cid, sxv.pos, sxv.x
+            FROM mem m JOIN sxv ON sxv.vec_id = m.vec_id),
+    sd AS (SELECT cid, vec_id, rn - 1 AS sub FROM (
+             SELECT cid, vec_id,
+                    row_number() OVER (PARTITION BY cid
+                                       ORDER BY vec_id) AS rn
+             FROM mem) WHERE rn <= 2),
+    rcent0 AS (SELECT s.cid, s.sub, v.pos, v.x AS c
+               FROM sd s JOIN mxv v ON v.vec_id = s.vec_id),
+    $iters,
+    fsc AS (SELECT v.vec_id, v.cid, ct.sub,
+                   SUM(2 * ct.c * v.x) - SUM(ct.c * ct.c) AS score
+            FROM mxv v JOIN rcent$rebIters ct
+              ON v.cid = ct.cid AND v.pos = ct.pos
+            GROUP BY 1, 2, 3),
+    fa AS (SELECT vec_id, sub FROM (
+             SELECT vec_id, sub,
+                    row_number() OVER (PARTITION BY vec_id
+                                       ORDER BY score DESC, sub ASC) AS rn
+             FROM fsc) WHERE rn = 1)
+    SELECT ca.vec_id, CAST(ca.cid AS BIGINT) AS old_cid,
+           CAST(CASE WHEN sp.cid IS NULL THEN ca.cid
+                     WHEN fa.sub = 0 THEN ca.cid
+                     ELSE $k + sp.si END AS BIGINT) AS cid
+    FROM ca LEFT JOIN sp ON ca.cid = sp.cid
+            LEFT JOIN fa ON ca.vec_id = fa.vec_id"""
+  }
+
+  /** DuckDB replay of s31, from nothing: re-train on the natural
+    * corpus, re-stage the skew, re-assign, re-census INCLUDING empty
+    * lists (the range-k left join — an empty list always retires),
+    * re-take the RETIRE DECISION (integer cross-product), re-rank the
+    * survivors densely, and re-land every orphaned member at its fresh
+    * exact-integer argmax among the surviving centroids. A hash
+    * mismatch anywhere in train/stage/census/retire/re-encode fails
+    * the gate.
+    */
+  private def listMergeOracle(k: Int, maxIter: Int): String =
+    s"""
+    WITH ${kmXvCte(64, 1000000L)},
+    sxv AS MATERIALIZED (
+      SELECT vec_id, i - 1 AS pos,
+             CAST(floor(CASE WHEN vec_id % 2 = 1
+                    THEN CAST(embedding[i] AS DOUBLE) * 0.015625
+                    ELSE CAST(embedding[i] AS DOUBLE) END
+                  * 1000000.0) AS BIGINT) AS x
+      FROM embeddings, LATERAL (SELECT unnest(range(1, 65)) AS i) t),
+    allv AS (SELECT vec_id FROM embeddings
+             ORDER BY vec_id LIMIT $FixedTrainCap),
+    ${kmChainCte("", "allv", k, maxIter)},
+    ${kmAssignCte("c", s"cent$maxIter", src = "sxv")},
+    szs AS (SELECT cid, COUNT(*) AS n FROM ca GROUP BY 1),
+    ntot AS (SELECT COUNT(*) AS n FROM ca),
+    alc AS (SELECT unnest(range(0, $k)) AS cid),
+    mg AS (SELECT alc.cid FROM alc
+           LEFT JOIN szs ON alc.cid = szs.cid
+           CROSS JOIN ntot
+           WHERE $MergeDenom * COALESCE(szs.n, 0) * $k
+                 <= $MergeNumer * ntot.n),
+    sv AS (SELECT cid, row_number() OVER (ORDER BY cid) - 1 AS srank
+           FROM alc WHERE cid NOT IN (SELECT cid FROM mg)),
+    mm AS (SELECT ca.vec_id FROM ca JOIN mg USING (cid)),
+    mmx AS (SELECT sxv.vec_id, sxv.pos, sxv.x
+            FROM sxv JOIN mm USING (vec_id)),
+    msc AS (SELECT mmx.vec_id, sv.srank,
+                   SUM(2 * ct.c * mmx.x) - SUM(ct.c * ct.c) AS score
+            FROM mmx JOIN cent$maxIter ct ON mmx.pos = ct.pos
+                     JOIN sv ON ct.cid = sv.cid
+            GROUP BY 1, 2),
+    ma AS (SELECT vec_id, srank FROM (
+             SELECT vec_id, srank,
+                    row_number() OVER (PARTITION BY vec_id
+                                       ORDER BY score DESC, srank ASC) AS rn
+             FROM msc) WHERE rn = 1)
+    SELECT ca.vec_id, CAST(ca.cid AS BIGINT) AS old_cid,
+           CAST(COALESCE(sv.srank, ma.srank) AS BIGINT) AS cid
+    FROM ca LEFT JOIN sv ON ca.cid = sv.cid
+            LEFT JOIN ma ON ca.vec_id = ma.vec_id"""
 
   /** Fixed IVF codebook: 8 centroids × 64 dims of dyadic doubles
     * (k/1024, exact in binary and in decimal round-trip) derived from

@@ -1,0 +1,158 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** IVF list-skew rebalance (gate s30): hand-computed split, the
+  * invariants a partitioned index layout needs from a rebalance
+  * (membership preserved, un-split lists untouched, movers only into
+  * fresh dense ids), the no-op policy, and bit-determinism across
+  * partitionings.
+  */
+class RebalanceSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def embeddings = spark.read.parquet(s"$sfDir/embeddings.parquet")
+
+  // c0 = origin, c1 = (1,1); membership in c1 ⇔ x+y > 1 (c0 scores 0)
+  private val Cb = Array(Array(0L, 0L), Array(1000000L, 1000000L))
+
+  test("hand case: census decides, per-list 2-means splits, sub-0 keeps the list id") {
+    // dyadic coordinates → floor-free quantization. List c1 holds two
+    // exact clumps: {1,3} at (1,1) and {2,4,5} at (.75,.5); seeds are
+    // ids 1 and 2, so the 2-means converges to the clumps in one
+    // iteration and the E-step confirms it. List c0 is a singleton —
+    // size < 2 never splits.
+    val vecs = Seq(
+      (0L, Seq(0.0, 0.0)),
+      (1L, Seq(1.0, 1.0)),
+      (2L, Seq(0.75, 0.5)),
+      (3L, Seq(1.0, 1.0)),
+      (4L, Seq(0.75, 0.5)),
+      (5L, Seq(0.75, 0.5))).toDF("vec_id", "embedding")
+    val (moves, newCb) = Similarity.rebalanceLists(
+      vecs, Cb, Similarity.RebalancePolicy(3L, 2L), maxIter = 1)
+    val out = moves.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    out shouldBe Array(
+      (0L, 0L, 0L), // untouched singleton list
+      (1L, 1L, 1L), // sub-0 keeps cid 1 …
+      (2L, 1L, 2L), // … sub-1 moves to the new cid k+0
+      (3L, 1L, 1L),
+      (4L, 1L, 2L),
+      (5L, 1L, 2L))
+    newCb.map(_.toSeq) shouldBe Array(
+      Seq(0L, 0L),              // un-split centroid carried verbatim
+      Seq(1000000L, 1000000L),  // split list's sub-0 centroid
+      Seq(750000L, 500000L))    // appended sub-1 centroid
+  }
+
+  test("membership preserved; movers only into fresh dense ids; kept rows keep their cid") {
+    val cb = Similarity.kmeansTrainFixedPoint(embeddings, k = 8, maxIter = 3)
+    val corpus = graft.queries.SkewFixture.skewed(embeddings)
+    val (moves, newCb) = Similarity.rebalanceLists(
+      corpus, cb, Similarity.RebalancePolicy(3L, 2L))
+    val rows = moves.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val nSplit = newCb.length - cb.length
+    nSplit should be > 0 // the gate's fixture contract at this SF
+    // one output row per corpus vector, no invention, no loss
+    rows.map(_._1).sorted shouldBe
+      embeddings.select("vec_id").as[Long].collect().sorted
+    // old_cid is the fresh E-step under the input codebook
+    val fresh = Similarity.assignFixedPoint(corpus, cb)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rows.foreach { case (id, oldCid, _) => oldCid shouldBe fresh(id) }
+    // a row either keeps its list or moves to a fresh dense id
+    rows.foreach { case (_, oldCid, cid) =>
+      if (cid < cb.length) cid shouldBe oldCid
+      else cid should be < newCb.length.toLong
+    }
+    // each fresh id drains exactly one source list, and every source
+    // list that lost rows is accounted one fresh id (dense numbering)
+    val bySrc = rows.filter(t => t._3 >= cb.length)
+      .groupBy(_._3).map { case (c, ts) => c -> ts.map(_._2).distinct }
+    bySrc.values.foreach(_.length shouldBe 1)
+    bySrc.keys.toSeq.sorted shouldBe
+      (cb.length.toLong until newCb.length.toLong)
+  }
+
+  test("a bar no list reaches returns the identity movement and the codebook unchanged") {
+    val cb = Similarity.kmeansTrainFixedPoint(embeddings, k = 8, maxIter = 3)
+    val (moves, newCb) = Similarity.rebalanceLists(
+      embeddings, cb, Similarity.RebalancePolicy(100L, 1L))
+    newCb shouldBe cb
+    moves.filter(col("old_cid") =!= col("cid")).count() shouldBe 0L
+    moves.count() shouldBe embeddings.count()
+  }
+
+  test("merge hand case: the starved list retires; orphans re-encode among survivors") {
+    val vecs = Seq(
+      (0L, Seq(0.0, 0.0)), // alone in c0 → starved at the 1/2 bar
+      (1L, Seq(1.0, 1.0)),
+      (2L, Seq(0.75, 0.5)),
+      (3L, Seq(1.0, 1.0)),
+      (4L, Seq(0.75, 0.5)),
+      (5L, Seq(0.75, 0.5))).toDF("vec_id", "embedding")
+    val (moves, survCb) = Similarity.mergeLists(
+      vecs, Cb, Similarity.MergePolicy(1L, 2L))
+    val out = moves.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    // c0 (size 1, bar ≤ 1.5) retires; c1 survives as dense cid 0; the
+    // orphan re-encodes to the only survivor
+    out shouldBe Array(
+      (0L, 0L, 0L),
+      (1L, 1L, 0L), (2L, 1L, 0L), (3L, 1L, 0L),
+      (4L, 1L, 0L), (5L, 1L, 0L))
+    survCb.map(_.toSeq) shouldBe Array(Seq(1000000L, 1000000L))
+  }
+
+  test("an EMPTY list retires even though the census never saw it") {
+    // c2 sits far from every vector — zero members, must still merge
+    val cb3 = Cb :+ Array(-4000000L, -4000000L)
+    val vecs = Seq(
+      (0L, Seq(0.0, 0.0)),
+      (1L, Seq(1.0, 1.0)),
+      (2L, Seq(1.0, 1.0))).toDF("vec_id", "embedding")
+    val (moves, survCb) = Similarity.mergeLists(
+      vecs, cb3, Similarity.MergePolicy(1L, 4L)) // bar 0.25 ⇒ only size 0
+    survCb.map(_.toSeq) shouldBe Array(Seq(0L, 0L), Seq(1000000L, 1000000L))
+    moves.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1) shouldBe Array((0L, 0L, 0L), (1L, 1L, 1L), (2L, 1L, 1L))
+  }
+
+  test("merge invariants on the staged corpus; a bar retiring every list is loud") {
+    val cb = Similarity.kmeansTrainFixedPoint(embeddings, k = 8, maxIter = 3)
+    val corpus = graft.queries.SkewFixture.skewed(embeddings)
+    val (moves, survCb) = Similarity.mergeLists(
+      corpus, cb, Similarity.MergePolicy(2L, 3L))
+    survCb.length should be < cb.length
+    val rows = moves.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    rows.map(_._1).sorted shouldBe
+      embeddings.select("vec_id").as[Long].collect().sorted
+    rows.foreach { case (_, _, cid) => cid should be < survCb.length.toLong }
+    // survivor renumbering preserves cid order: old_cid asc ⇔ cid asc
+    // on the kept rows (those whose centroid survived)
+    val keptPairs = rows.filter { case (_, o, _) =>
+      survCb.map(_.toSeq).contains(cb(o.toInt).toSeq) }
+      .map { case (_, o, c) => (o, c) }.distinct.sortBy(_._1)
+    keptPairs.map(_._2) shouldBe keptPairs.map(_._2).sorted
+    an[IllegalArgumentException] should be thrownBy
+      Similarity.mergeLists(corpus, cb, Similarity.MergePolicy(100L, 1L))
+  }
+
+  test("bit-identical movement and codebook across partitionings") {
+    val cb = Similarity.kmeansTrainFixedPoint(embeddings, k = 8, maxIter = 3)
+    val corpus = graft.queries.SkewFixture.skewed(embeddings)
+    def run(df: org.apache.spark.sql.DataFrame) = {
+      val (m, ncb) = Similarity.rebalanceLists(
+        df, cb, Similarity.RebalancePolicy(3L, 2L))
+      (m.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .sortBy(_._1).toSeq, ncb.map(_.toSeq).toSeq)
+    }
+    run(corpus.repartition(1)) shouldBe
+      run(corpus.repartition(13, col("vec_id")))
+  }
+}
