@@ -1356,6 +1356,49 @@ object Similarity {
     (out, survCb)
   }
 
+  /** Apply a [[rebalanceLists]] movement to a cid-PARTITIONED on-disk
+    * assignment index, rewriting ONLY the partitions the movement
+    * touches (gate s32) — the I/O half of the rebalance contract: at
+    * 100 TB the movement names a handful of hot lists, and applying it
+    * must cost Θ(size of touched lists), never an index rewrite. A
+    * partition is touched iff it loses rows (a split source keeps its
+    * sub-0 stayers but must drop its movers) or gains rows (a fresh
+    * sub-1 id). Implementation: one dynamic-partition-overwrite write
+    * of EXACTLY the rows landing in touched cids — Spark's dynamic
+    * mode replaces only the partitions present in the written data, so
+    * untouched `cid=` directories are never opened, rewritten, or even
+    * listed by the write (asserted file-for-file in RebalanceSpec) —
+    * plus a bounded driver-side delete of any touched source directory
+    * the movement fully drained (dynamic overwrite cannot rewrite a
+    * partition to empty). Returns the read-back table.
+    */
+  def applyMovementPartitioned(movement: DataFrame, path: String,
+                               idCol: String = "vec_id"): DataFrame = {
+    val spark = movement.sparkSession
+    val mv = movement.localCheckpoint() // census + write read it twice
+    val touched = mv.filter(col("old_cid") =!= col("cid"))
+      .select(explode(array(col("old_cid"), col("cid"))).as("cid"))
+      .distinct().collect().map(_.getLong(0)).toSet // bounded by 2·nLists
+    if (touched.nonEmpty) {
+      val landing = mv.filter(col("cid").isin(touched.toSeq: _*))
+        .select(col(idCol), col("cid"))
+      val prior = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+      spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      try landing.write.mode("overwrite").partitionBy("cid").parquet(path)
+      finally spark.conf.set("spark.sql.sources.partitionOverwriteMode", prior)
+      // a touched cid with NO landing rows (fully drained source) keeps
+      // its stale directory under dynamic overwrite — drop it explicitly
+      val landed = landing.select(col("cid")).distinct()
+        .collect().map(_.getLong(0)).toSet
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      (touched -- landed).foreach { cid =>
+        fs.delete(new org.apache.hadoop.fs.Path(path, s"cid=$cid"), true)
+      }
+    }
+    spark.read.parquet(path)
+  }
+
   /** IVF (inverted-file) ANN: a k-means coarse quantizer partitions the
     * corpus into `nLists` inverted lists; each query probes its `nProbe`
     * nearest centroids and re-ranks exactly (cosine) within those lists —

@@ -868,7 +868,45 @@ object SimilarityQueries {
             "some; re-measure with graft.ListSkewProbe and retune Merge*")
         moves.select(col("id").as("vec_id"), col("old_cid"), col("cid"))
       },
-      Some(listMergeOracle(KmFixedK, KmFixedIters)))
+      Some(listMergeOracle(KmFixedK, KmFixedIters))),
+
+    // Rebalance APPLIED to the serving layout (s32, r14): the I/O half
+    // of s30's contract. At 100 TB the movement names a handful of hot
+    // lists; applying it must rewrite ONLY the touched `cid=`
+    // partitions of the on-disk index (dynamic partition overwrite +
+    // a bounded drained-dir delete), never the index — untouched
+    // directories are byte-identical, asserted file-for-file in
+    // RebalanceSpec. The gate lays out the pre-rebalance assignment
+    // state one directory per list, rebalances the skewed corpus,
+    // applies the movement, and returns the READ-BACK table, so a
+    // wrong rewrite (stale dir, dropped stayer, unwritten mover)
+    // hash-fails against the replayed s30 landing.
+    "s32_rebalance_apply" -> QueryDef(
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val cb = Similarity.kmeansTrainFixedPoint(emb,
+          k = KmFixedK, maxIter = KmFixedIters)
+        val skewed = SkewFixture.skewed(emb)
+        val out = java.nio.file.Files
+          .createTempDirectory("graft_s32").toString
+        Similarity.assignFixedPoint(skewed, cb)
+          .select(col("id").as("vec_id"), col("cid"))
+          .write.mode("overwrite").partitionBy("cid").parquet(out)
+        val (moves, newCb) = Similarity.rebalanceLists(skewed, cb,
+          Similarity.RebalancePolicy(RebNumer, RebDenom),
+          maxIter = RebIters)
+        require(newCb.length > KmFixedK, // s30's fixture contract
+          "s32: the staged corpus split no list — re-measure with " +
+            "graft.ListSkewProbe and retune Reb*")
+        Similarity.applyMovementPartitioned(
+          moves.select(col("id").as("vec_id"), col("old_cid"), col("cid")),
+          out)
+          // the partition column reads back via type inference (int for
+          // small values) — restore the written BIGINT for the hash
+          .select(col("vec_id"), col("cid").cast("long").as("cid"))
+      },
+      Some(listRebalanceOracle(KmFixedK, KmFixedIters, RebIters,
+        withOldCid = false)))
   )
 
   private val PqFixedM = 4
@@ -1627,8 +1665,8 @@ object SimilarityQueries {
     * (s, cid)), and re-land every member. A hash mismatch ANYWHERE in
     * train/stage/census/decide/seed/split/land fails the gate.
     */
-  private def listRebalanceOracle(k: Int, maxIter: Int,
-                                  rebIters: Int): String = {
+  private def listRebalanceOracle(k: Int, maxIter: Int, rebIters: Int,
+                                  withOldCid: Boolean = true): String = {
     val iters = (1 to rebIters).map { i =>
       s"""rsc$i AS (SELECT v.vec_id, v.cid, ct.sub,
              SUM(2 * ct.c * v.x) - SUM(ct.c * ct.c) AS score
@@ -1689,7 +1727,8 @@ object SimilarityQueries {
                     row_number() OVER (PARTITION BY vec_id
                                        ORDER BY score DESC, sub ASC) AS rn
              FROM fsc) WHERE rn = 1)
-    SELECT ca.vec_id, CAST(ca.cid AS BIGINT) AS old_cid,
+    SELECT ca.vec_id,
+           ${if (withOldCid) "CAST(ca.cid AS BIGINT) AS old_cid," else ""}
            CAST(CASE WHEN sp.cid IS NULL THEN ca.cid
                      WHEN fa.sub = 0 THEN ca.cid
                      ELSE $k + sp.si END AS BIGINT) AS cid

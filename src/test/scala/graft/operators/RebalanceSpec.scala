@@ -143,6 +143,71 @@ class RebalanceSpec extends SparkSpec {
       Similarity.mergeLists(corpus, cb, Similarity.MergePolicy(100L, 1L))
   }
 
+  // (fileName, length, contents-hash) of every data file under cid=<c>
+  private def dirSnapshot(root: String, cid: Long): Seq[(String, Long, Int)] = {
+    val d = new java.io.File(root, s"cid=$cid")
+    Option(d.listFiles()).getOrElse(Array.empty).toSeq
+      .filter(f => f.isFile && !f.getName.startsWith("."))
+      .map { f =>
+        val bytes = java.nio.file.Files.readAllBytes(f.toPath)
+        (f.getName, f.length(), java.util.Arrays.hashCode(bytes))
+      }.sortBy(_._1)
+  }
+
+  test("applying a movement rewrites ONLY the touched partitions — untouched dirs byte-identical") {
+    // the split hand case: cid 0 untouched, cid 1 loses its sub-1
+    // movers to the fresh cid 2
+    val vecs = Seq(
+      (0L, Seq(0.0, 0.0)),
+      (1L, Seq(1.0, 1.0)),
+      (2L, Seq(0.75, 0.5)),
+      (3L, Seq(1.0, 1.0)),
+      (4L, Seq(0.75, 0.5)),
+      (5L, Seq(0.75, 0.5))).toDF("vec_id", "embedding")
+    val out = java.nio.file.Files.createTempDirectory("reb_apply").toString
+    Similarity.assignFixedPoint(vecs, Cb)
+      .select(col("id").as("vec_id"), col("cid"))
+      .write.mode("overwrite").partitionBy("cid").parquet(out)
+    val before0 = dirSnapshot(out, 0L)
+    before0 should not be empty
+    val (moves, _) = Similarity.rebalanceLists(
+      vecs, Cb, Similarity.RebalancePolicy(3L, 2L), maxIter = 1)
+    val back = Similarity.applyMovementPartitioned(
+      moves.select(col("id").as("vec_id"), col("old_cid"), col("cid")), out)
+    // cid=0 was never touched: same files, same bytes
+    dirSnapshot(out, 0L) shouldBe before0
+    // cid=1 rewritten to stayers only; cid=2 created for the movers
+    new java.io.File(out, "cid=2").isDirectory shouldBe true
+    back.select(col("vec_id"), col("cid").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1) shouldBe
+      Array((0L, 0L), (1L, 1L), (2L, 2L), (3L, 1L), (4L, 2L), (5L, 2L))
+  }
+
+  test("a fully drained source partition is deleted, not left stale") {
+    val out = java.nio.file.Files.createTempDirectory("reb_drain").toString
+    Seq((0L, 0L), (1L, 1L), (2L, 1L)).toDF("vec_id", "cid")
+      .write.mode("overwrite").partitionBy("cid").parquet(out)
+    // a hand movement that empties cid 1 entirely (both rows leave)
+    val moves = Seq((0L, 0L, 0L), (1L, 1L, 2L), (2L, 1L, 2L))
+      .toDF("vec_id", "old_cid", "cid")
+    val back = Similarity.applyMovementPartitioned(moves, out)
+    new java.io.File(out, "cid=1").exists() shouldBe false
+    back.select(col("vec_id"), col("cid").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1) shouldBe
+      Array((0L, 0L), (1L, 2L), (2L, 2L))
+  }
+
+  test("an identity movement is a no-op write: every partition keeps its bytes") {
+    val out = java.nio.file.Files.createTempDirectory("reb_noop").toString
+    Seq((0L, 0L), (1L, 1L)).toDF("vec_id", "cid")
+      .write.mode("overwrite").partitionBy("cid").parquet(out)
+    val snaps = Seq(0L, 1L).map(c => c -> dirSnapshot(out, c))
+    val moves = Seq((0L, 0L, 0L), (1L, 1L, 1L))
+      .toDF("vec_id", "old_cid", "cid")
+    Similarity.applyMovementPartitioned(moves, out)
+    snaps.foreach { case (c, snap) => dirSnapshot(out, c) shouldBe snap }
+  }
+
   test("bit-identical movement and codebook across partitionings") {
     val cb = Similarity.kmeansTrainFixedPoint(embeddings, k = 8, maxIter = 3)
     val corpus = graft.queries.SkewFixture.skewed(embeddings)
