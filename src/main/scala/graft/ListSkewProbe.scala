@@ -48,6 +48,22 @@ object ListSkewProbe {
         val split = sizes.filter { case (_, n) => n >= 2 && de * n * k >= nu * nTot }
         println(s"  policy $nu/$de -> splits ${split.map(_._1).mkString("[", ",", "]")} (${split.length}/$k)")
       }
+      // the s33 stability question: after ONE split pass at each
+      // candidate bar, do any children (or survivors) still cross it
+      // under the grown list count? The continuous monitor re-measures
+      // every boundary, so a bar that keeps re-triggering never settles.
+      if (label == "staged-skew") {
+        for ((nu, de) <- Seq((3L, 2L), (2L, 1L), (5L, 2L))) {
+          val (mv, ncb) = Similarity.rebalanceLists(
+            corpus, cb, Similarity.RebalancePolicy(nu, de))
+          val post = mv.groupBy(col("cid")).count().collect()
+            .map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1)
+          val k2 = ncb.length
+          val still = post.filter { case (_, n) => n >= 2 && de * n * k2 >= nu * nTot }
+          println(s"  post-split @$nu/$de k=$k2 census=${post.map(p => s"${p._1}:${p._2}").mkString(",")}" +
+            s" re-cross=${still.map(_._1).mkString("[", ",", "]")}")
+        }
+      }
     }
     spark.stop()
   }

@@ -168,6 +168,9 @@ object ScaleProbe {
     // list-starvation merge: one training, one census scan, ONE output
     // scan (literal rank map + survivor-codebook argmax) — ~linear
     "s31_list_merge",
+    // load-balanced split: census + spread agg + per-list rank window
+    // over split members (~half the corpus by staging) — ~linear
+    "s33_list_split_even",
     // fixed-point classifier training: one token explode + per
     // iteration a doc-keyed margin agg + a 65-key gradient agg over the
     // sparse feature table — expect ~linear in corpus tokens

@@ -1280,6 +1280,115 @@ object Similarity {
     (out, newCb)  // served the census/seed/Lloyd driver loop
   }
 
+  /** IVF list-skew split, LOAD-BALANCED (gate s33) — the splitter the
+    * continuous census monitor (s34) uses where [[rebalanceLists]]'s
+    * 2-means is the geometric one-shot. Measured motivation
+    * (graft.ListSkewProbe, r14): on the staged hot-region corpus the
+    * 2-means split is blind to a TIGHT clump — the hot list is one
+    * genuine cluster, so Lloyd cuts clump-vs-stragglers (286 → 260/26
+    * at sf0.001) and the big child re-crosses every sane bar; a
+    * monitor wired to it would re-trigger forever. This splitter
+    * balances BY CONSTRUCTION: each overloaded list is cut into
+    * `⌈size/T⌉` rank-range chunks (T = ⌈nTot/nLists⌉, the ceiling
+    * average), members ranked by the exact integer value on the
+    * list's max-spread dimension (ties → id), chunk =
+    * ⌊(rank−1)·nChunks/size⌋ — every child ≤ T, so ONE pass settles
+    * any census bar ≥ T·nLists/nTot plus slack, and the monitor
+    * provably quiesces. Chunk 0 keeps the list id (its directory
+    * shrinks in place under [[applyMovementPartitioned]]); chunks ≥ 1
+    * get dense new ids in (cid, chunk) order. Returns the same
+    * (movement, updated codebook) contract as [[rebalanceLists]]:
+    * replaced centroid = chunk 0's floor-mean, appended centroids =
+    * the other chunks' floor-means. Every step — census, decision,
+    * spread, rank, chunk arithmetic, floor-means — is exact integers,
+    * DuckDB-replayable end to end.
+    *
+    * Movement: census aggregate + one spread aggregate over split
+    * members + one ranked scan of split members (window per split
+    * list) + one chunk-keyed floor-mean aggregate; un-split rows never
+    * enter any of it. Θ(Σ split-list sizes), never a corpus pass.
+    */
+  def splitListsEven(corpus: DataFrame, codebook: Array[Array[Long]],
+                     policy: RebalancePolicy, scale: Long = 1000000L,
+                     idCol: String = "vec_id", vecCol: String = "embedding")
+      : (DataFrame, Array[Array[Long]]) = {
+    val k = codebook.length
+    require(k > 0, "splitListsEven: empty codebook — nothing to split")
+    val q = quantized(corpus, scale, idCol, vecCol)
+      .withColumn("cid0", nearestOfDots(fixedScores(codebook)).cast("long"))
+      .persist()
+    requireFixedPointBounds(q.select(col("id"), col("xd")), scale)
+    val census = q.groupBy(col("cid0")).count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val nTot = census.values.sum
+    val splitCids = census.toSeq.collect {
+      case (cid, n) if policy.splits(n, k, nTot) => cid
+    }.sorted
+    if (splitCids.isEmpty) {
+      val out = q.select(col("id"), col("cid0").as("old_cid"),
+        col("cid0").as("cid"))
+      q.unpersist()
+      return (out, codebook)
+    }
+    val target = (nTot + k - 1) / k // T = ⌈average list size⌉
+    val nChunksOf: Map[Long, Long] =
+      splitCids.map(c => c -> ((census(c) + target - 1) / target)).toMap
+    // dense new ids for chunks ≥ 1, in (cid, chunk) order:
+    // newCid = base(cid) + chunk − 1
+    val baseOf: Map[Long, Long] = splitCids
+      .scanLeft(k.toLong) { case (acc, c) => acc + nChunksOf(c) - 1 }
+      .zip(splitCids).map { case (b, c) => c -> b }.toMap
+    val members = q.filter(col("cid0").isin(splitCids: _*))
+    // the split axis per list: the dimension with max integer spread
+    // (ties → lower dim) — one bounded aggregate (|split|·dim rows)
+    val axisOf: Map[Long, Int] = members
+      .select(col("cid0"), posexplode(col("xd")).as(Seq("pos", "x")))
+      .groupBy(col("cid0"), col("pos"))
+      .agg((max(col("x")) - min(col("x"))).as("spread"))
+      .collect().groupBy(_.getLong(0))
+      .map { case (cid, rows) =>
+        cid -> rows.map(r => (r.getInt(1), r.getDouble(2)))
+          .minBy { case (pos, spread) => (-spread, pos) }._1
+      }
+    def caseOver[T](f: Long => Column): Column =
+      splitCids.tail.foldLeft(
+        when(col("cid0") === lit(splitCids.head), f(splitCids.head))) {
+        (acc, cid) => acc.when(col("cid0") === lit(cid), f(cid))
+      }
+    val ranked = members
+      .withColumn("ax", caseOver(c =>
+        element_at(col("xd"), axisOf(c) + 1)))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("cid0")).orderBy(col("ax"), col("id"))))
+      .withColumn("chunk", caseOver(c =>
+        floor((col("rk") - 1) * lit(nChunksOf(c).toDouble) /
+          lit(census(c).toDouble)).cast("long")))
+    val moved = ranked.select(col("id"), col("cid0").as("old_cid"),
+      when(col("chunk") === 0, col("cid0"))
+        .otherwise(caseOver(c => lit(baseOf(c))) + col("chunk") - 1)
+        .as("cid"))
+    val untouched = q.filter(!col("cid0").isin(splitCids: _*))
+      .select(col("id"), col("cid0").as("old_cid"), col("cid0").as("cid"))
+    // chunk floor-mean centroids (bounded: Σ nChunks ≤ nTot/T + |split|)
+    val cents: Map[(Long, Long), Array[Long]] = ranked
+      .select(col("cid0"), col("chunk"),
+        posexplode(col("xd")).as(Seq("pos", "x")))
+      .groupBy(col("cid0"), col("chunk"), col("pos"))
+      .agg(sum(col("x").cast("long")).as("s"), count(lit(1)).as("n"))
+      .collect().groupBy(r => (r.getLong(0), r.getLong(1)))
+      .map { case (key, rows) =>
+        key -> rows.sortBy(_.getInt(2))
+          .map(r => math.floor(r.getLong(3).toDouble / r.getLong(4)).toLong)
+      }
+    val newCb: Array[Array[Long]] =
+      codebook.zipWithIndex.map { case (c, i) =>
+        cents.getOrElse((i.toLong, 0L), c)
+      } ++ splitCids.flatMap(c =>
+        (1L until nChunksOf(c)).map(ch => cents((c, ch))))
+    q.unpersist() // same single-consumption-scan note as rebalanceLists
+    (untouched.unionByName(moved), newCb)
+  }
+
   /** The list-STARVATION merge decision rule (s31, [[RebalancePolicy]]'s
     * complement): a list of `size` rows merges away iff its size is AT
     * OR BELOW mergeNumer/mergeDenom of the average — the integer

@@ -906,7 +906,34 @@ object SimilarityQueries {
           .select(col("vec_id"), col("cid").cast("long").as("cid"))
       },
       Some(listRebalanceOracle(KmFixedK, KmFixedIters, RebIters,
-        withOldCid = false)))
+        withOldCid = false))),
+
+    // LOAD-BALANCED list split (s33, r14): the splitter the continuous
+    // census monitor uses. Measured motivation (graft.ListSkewProbe):
+    // on the staged corpus the hot list is one TIGHT cluster, so s30's
+    // 2-means cuts clump-vs-stragglers (286 → 260/26 at sf0.001) and
+    // the big child re-crosses every sane bar — a monitor wired to it
+    // would re-trigger forever. This splitter cuts each overloaded
+    // list into ⌈size/⌈avg⌉⌉ rank-range chunks on its max-spread
+    // dimension — every child ≤ ⌈avg⌉ BY CONSTRUCTION, one pass
+    // settles (spec-asserted in RebalanceSpec). Chunk 0 keeps the list
+    // id; the oracle re-derives census, decision, axis, ranks, chunk
+    // arithmetic, and every landing — exact integers end to end.
+    "s33_list_split_even" -> QueryDef(
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val cb = Similarity.kmeansTrainFixedPoint(emb,
+          k = KmFixedK, maxIter = KmFixedIters)
+        val (moves, newCb) = Similarity.splitListsEven(
+          SkewFixture.skewed(emb), cb,
+          Similarity.RebalancePolicy(RebNumer, RebDenom))
+        require(newCb.length > KmFixedK && newCb.length < 3 * KmFixedK,
+          s"s33: ${newCb.length - KmFixedK} chunks added to $KmFixedK " +
+            "lists — the staged census must split some lists into a " +
+            "bounded chunk set; re-measure with graft.ListSkewProbe")
+        moves.select(col("id").as("vec_id"), col("old_cid"), col("cid"))
+      },
+      Some(listSplitEvenOracle(KmFixedK, KmFixedIters)))
   )
 
   private val PqFixedM = 4
@@ -1735,6 +1762,65 @@ object SimilarityQueries {
     FROM ca LEFT JOIN sp ON ca.cid = sp.cid
             LEFT JOIN fa ON ca.vec_id = fa.vec_id"""
   }
+
+  /** DuckDB replay of s33, from nothing: re-train on the natural
+    * corpus, re-stage the skew, re-assign, re-census, re-take the
+    * split decision, then re-derive the LOAD-BALANCED cut — the
+    * ceiling-average target T, each split list's chunk count
+    * ⌈n/T⌉, its max-spread axis (ties → lower dim), the (value, id)
+    * rank, the chunk ⌊(rank−1)·nChunks/n⌋ (computed float-identically
+    * to the engine: exact-integer product, double divide, floor), and
+    * the dense (cid, chunk)-ordered new ids. A hash mismatch anywhere
+    * in train/stage/census/decide/axis/rank/chunk/land fails the gate.
+    */
+  private def listSplitEvenOracle(k: Int, maxIter: Int): String =
+    s"""
+    WITH ${kmXvCte(64, 1000000L)},
+    sxv AS MATERIALIZED (
+      SELECT vec_id, i - 1 AS pos,
+             CAST(floor(CASE WHEN vec_id % 2 = 1
+                    THEN CAST(embedding[i] AS DOUBLE) * 0.015625
+                    ELSE CAST(embedding[i] AS DOUBLE) END
+                  * 1000000.0) AS BIGINT) AS x
+      FROM embeddings, LATERAL (SELECT unnest(range(1, 65)) AS i) t),
+    allv AS (SELECT vec_id FROM embeddings
+             ORDER BY vec_id LIMIT $FixedTrainCap),
+    ${kmChainCte("", "allv", k, maxIter)},
+    ${kmAssignCte("c", s"cent$maxIter", src = "sxv")},
+    szs AS (SELECT cid, COUNT(*) AS n FROM ca GROUP BY 1),
+    ntot AS (SELECT COUNT(*) AS n FROM ca),
+    tgt AS (SELECT (n + $k - 1) // $k AS t FROM ntot),
+    sp AS (SELECT szs.cid, szs.n, (szs.n + tgt.t - 1) // tgt.t AS nc
+           FROM szs, ntot, tgt
+           WHERE szs.n >= 2
+             AND $RebDenom * szs.n * $k >= $RebNumer * ntot.n),
+    spb AS (SELECT cid, n, nc,
+                   $k + COALESCE(SUM(nc - 1) OVER (ORDER BY cid
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND 1 PRECEDING), 0) AS base
+            FROM sp),
+    mem AS (SELECT ca.vec_id, ca.cid FROM ca JOIN sp USING (cid)),
+    mxv AS (SELECT m.vec_id, m.cid, sxv.pos, sxv.x
+            FROM mem m JOIN sxv ON sxv.vec_id = m.vec_id),
+    spr AS (SELECT cid, pos, MAX(x) - MIN(x) AS spread
+            FROM mxv GROUP BY 1, 2),
+    ax AS (SELECT cid, pos FROM (
+             SELECT cid, pos, row_number() OVER (PARTITION BY cid
+                      ORDER BY spread DESC, pos ASC) AS rn
+             FROM spr) WHERE rn = 1),
+    rkd AS (SELECT v.cid, v.vec_id,
+                   row_number() OVER (PARTITION BY v.cid
+                                      ORDER BY v.x ASC, v.vec_id ASC) AS rk
+            FROM mxv v JOIN ax ON v.cid = ax.cid AND v.pos = ax.pos),
+    chk AS (SELECT r.cid, r.vec_id, b.base,
+                   CAST(floor(CAST((r.rk - 1) * b.nc AS DOUBLE)
+                        / CAST(b.n AS DOUBLE)) AS BIGINT) AS chunk
+            FROM rkd r JOIN spb b ON r.cid = b.cid)
+    SELECT ca.vec_id, CAST(ca.cid AS BIGINT) AS old_cid,
+           CAST(CASE WHEN c.vec_id IS NULL THEN ca.cid
+                     WHEN c.chunk = 0 THEN ca.cid
+                     ELSE c.base + c.chunk - 1 END AS BIGINT) AS cid
+    FROM ca LEFT JOIN chk c ON ca.vec_id = c.vec_id"""
 
   /** DuckDB replay of s31, from nothing: re-train on the natural
     * corpus, re-stage the skew, re-assign, re-census INCLUDING empty

@@ -143,6 +143,64 @@ class RebalanceSpec extends SparkSpec {
       Similarity.mergeLists(corpus, cb, Similarity.MergePolicy(100L, 1L))
   }
 
+  test("even-split hand case: max-spread axis, rank chunks, chunk 0 keeps the cid") {
+    // list c1 (5 members) splits at the 3/2 bar; T = ⌈6/2⌉ = 3 ⇒ 2
+    // chunks. Spread: dim1 (0.5e6) beats dim0 (0.25e6) ⇒ axis = 1;
+    // rank by (x₁, id) = [2, 4, 5, 1, 3]; chunk = ⌊(rk−1)·2/5⌋ ⇒
+    // {2,4,5} stay on cid 1, {1,3} move to the fresh cid 2.
+    val vecs = Seq(
+      (0L, Seq(0.0, 0.0)),
+      (1L, Seq(1.0, 1.0)),
+      (2L, Seq(0.75, 0.5)),
+      (3L, Seq(1.0, 1.0)),
+      (4L, Seq(0.75, 0.5)),
+      (5L, Seq(0.75, 0.5))).toDF("vec_id", "embedding")
+    val (moves, newCb) = Similarity.splitListsEven(
+      vecs, Cb, Similarity.RebalancePolicy(3L, 2L))
+    moves.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1) shouldBe Array(
+      (0L, 0L, 0L), (1L, 1L, 2L), (2L, 1L, 1L),
+      (3L, 1L, 2L), (4L, 1L, 1L), (5L, 1L, 1L))
+    newCb.map(_.toSeq) shouldBe Array(
+      Seq(0L, 0L),             // un-split centroid carried verbatim
+      Seq(750000L, 500000L),   // chunk-0 floor-mean replaces the split cid
+      Seq(1000000L, 1000000L)) // chunk-1 floor-mean appended
+  }
+
+  test("even split SETTLES in one pass: no child re-crosses the bar it was split at") {
+    // the convergence theorem the 2-means splitter measurably lacks on
+    // a tight clump (ListSkewProbe): every child ≤ ⌈nTot/k⌉
+    val cb = Similarity.kmeansTrainFixedPoint(embeddings, k = 8, maxIter = 3)
+    val corpus = graft.queries.SkewFixture.skewed(embeddings)
+    val pol = Similarity.RebalancePolicy(3L, 2L)
+    val (moves, newCb) = Similarity.splitListsEven(corpus, cb, pol)
+    newCb.length should be > cb.length
+    val post = moves.groupBy(col("cid")).count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    val nTot = post.map(_._2).sum
+    post.foreach { case (cid, n) =>
+      withClue(s"child/list $cid (n=$n) re-crosses the bar: ") {
+        pol.splits(n, newCb.length, nTot) shouldBe false
+      }
+    }
+    // membership preserved through the chunking
+    moves.count() shouldBe embeddings.count()
+    moves.select("id").distinct().count() shouldBe embeddings.count()
+  }
+
+  test("even split is bit-identical across partitionings") {
+    val cb = Similarity.kmeansTrainFixedPoint(embeddings, k = 8, maxIter = 3)
+    val corpus = graft.queries.SkewFixture.skewed(embeddings)
+    def run(df: org.apache.spark.sql.DataFrame) = {
+      val (m, ncb) = Similarity.splitListsEven(
+        df, cb, Similarity.RebalancePolicy(3L, 2L))
+      (m.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .sortBy(_._1).toSeq, ncb.map(_.toSeq).toSeq)
+    }
+    run(corpus.repartition(1)) shouldBe
+      run(corpus.repartition(13, col("vec_id")))
+  }
+
   // (fileName, length, contents-hash) of every data file under cid=<c>
   private def dirSnapshot(root: String, cid: Long): Seq[(String, Long, Int)] = {
     val d = new java.io.File(root, s"cid=$cid")
