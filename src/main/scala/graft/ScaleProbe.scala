@@ -171,6 +171,11 @@ object ScaleProbe {
     // load-balanced split: census + spread agg + per-list rank window
     // over split members (~half the corpus by staging) — ~linear
     "s33_list_split_even",
+    // census-triggered rebalance through the loop: s21's boundary
+    // floors + delta-sized census updates + the one mid-stream s33
+    // cut — expect floor-dominated like s25/s27/s29 (the census never
+    // scans the state past the lineage baseline; measure, don't assume)
+    "s34_continuous_rebalance",
     // fixed-point classifier training: one token explode + per
     // iteration a doc-keyed margin agg + a 65-key gradient agg over the
     // sparse feature table — expect ~linear in corpus tokens

@@ -88,4 +88,33 @@ private[graft] object SkewFixture {
       when(pmod(col("vec_id"), lit(2L)) === 1,
         transform(col("embedding"), x => x * lit(0.015625f)))
         .otherwise(col("embedding")))
+
+  /** s34's three-slice CONTINUOUS form of the same skew event, by
+    * kind and in delivery order: slice 0 removals (vec_id%101 = 7 —
+    * the census dips a sliver, no trigger); slice 1 the hot-region
+    * collapse itself (every PRESENT odd id ×1/64 — the census
+    * crossing the monitor must catch); slice 2 a tiny post-split
+    * maintenance delta (present %250 = 0 ids negated — landed under
+    * the EXPANDED codebook, and small enough that the settled census
+    * stays settled: the measured post-split children sit ≥ 5% under
+    * the bar at every SF with ≤ 8 slice-2 rows to absorb). Slices are
+    * id-disjoint by construction (odd / even-%250), so any batching
+    * is legal; one row per id per slice.
+    */
+  def s34Slices(emb: DataFrame): Seq[DataFrame] = {
+    val removed = col("vec_id") % 101 === 7
+    Seq(
+      emb.filter(removed).select(col("vec_id"),
+        lit(null).cast("array<float>").as("embedding"),
+        lit("removed").as("status")),
+      emb.filter(!removed && pmod(col("vec_id"), lit(2L)) === 1)
+        .select(col("vec_id"),
+          transform(col("embedding"), x => x * lit(0.015625f))
+            .as("embedding"),
+          lit("changed").as("status")),
+      emb.filter(!removed && col("vec_id") % 250 === 0)
+        .select(col("vec_id"),
+          transform(col("embedding"), x => -x).as("embedding"),
+          lit("changed").as("status")))
+  }
 }

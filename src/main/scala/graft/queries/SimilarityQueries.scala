@@ -933,7 +933,55 @@ object SimilarityQueries {
             "bounded chunk set; re-measure with graft.ListSkewProbe")
         moves.select(col("id").as("vec_id"), col("old_cid"), col("cid"))
       },
-      Some(listSplitEvenOracle(KmFixedK, KmFixedIters)))
+      Some(listSplitEvenOracle(KmFixedK, KmFixedIters))),
+
+    // CENSUS-triggered rebalance through the continuous loop (s34,
+    // r14) — the s29 composition for the skew axis: the Loop's third
+    // monitor maintains an exact-integer list-size census
+    // INCREMENTALLY (base version + delta landings − vacated seats,
+    // both delta-sized; the state is scanned once to baseline a
+    // lineage) and, when any list crosses the RebalancePolicy bar,
+    // runs the load-balanced splitter mid-stream and versions the
+    // EXPANDED codebook like a retrain would. Staged as three
+    // boundaries: removals (census dips, no trigger), the hot-region
+    // collapse (the crossing), and a tiny negated trickle maintained
+    // under the expanded codebook (the settled census stays settled —
+    // post-split children sit ≥ 5% under the bar at every SF). No
+    // marker anywhere: the CENSUS chooses the boundary, and the gate's
+    // require makes the choice loud while the oracle replays
+    // train/census/cut/landing AND the boundary-2 maintenance under
+    // the expanded codebook.
+    "s34_continuous_rebalance" -> QueryDef(
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val cb = Similarity.kmeansTrainFixedPoint(emb,
+          k = KmFixedK, maxIter = KmFixedIters)
+        val state0 = Similarity.assignFixedPoint(emb, cb).localCheckpoint()
+        val dir = stageSkewSliceDir(s, d)
+        val schema = org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("vec_id",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("embedding",
+            org.apache.spark.sql.types.ArrayType(
+              org.apache.spark.sql.types.FloatType)),
+          org.apache.spark.sql.types.StructField("status",
+            org.apache.spark.sql.types.StringType)))
+        val stream = s.readStream
+          .option("maxFilesPerTrigger", "1") // 3 slices → 3 boundaries
+          .schema(schema).parquet(dir.toString)
+        val run = graft.streaming.ContinuousIndexMaintenance
+          .continuousAssignmentsWithRetrain(s, emb, state0, cb, stream,
+            k = KmFixedK, maxIter = KmFixedIters,
+            rebalancePolicy = Some(Similarity.RebalancePolicy(
+              RebNumer, RebDenom)))
+        require(run.rebalancedAt == Seq(1L) && run.retrainedAt.isEmpty,
+          s"s34: census monitor rebalanced at ${run.rebalancedAt} " +
+            s"(retrained ${run.retrainedAt}), staged to cross at " +
+            "boundary 1 only and then stay settled — re-measure with " +
+            "graft.ListSkewProbe and retune Reb*")
+        run.state.select(col("id"), col("cid"))
+      },
+      Some(continuousRebalanceOracle(KmFixedK, KmFixedIters)))
   )
 
   private val PqFixedM = 4
@@ -1058,27 +1106,11 @@ object SimilarityQueries {
         lit(null).cast("long").as("vec_id"),
         lit(null).cast("array<float>").as("embedding"),
         lit("retrain").as("status"))
-      java.nio.file.Files.createDirectories(dir)
-      // wipe any stale staged files so a restage can't leave extras
-      Option(dir.toFile.listFiles()).getOrElse(Array.empty)
-        .foreach(f => if (f.isFile) f.delete())
-      val base = System.currentTimeMillis()
-      for (i <- 0 to 3) {
+      val slices = (0 to 3).map { i =>
         val slice0 = diff.filter(pmod(col("vec_id"), lit(4L)) === i)
-        val slice = if (i == 2) slice0.unionByName(marker) else slice0
-        val tmp = java.nio.file.Files.createTempDirectory("graft_s25_slice")
-        slice.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-        val part = Option(tmp.toFile.listFiles()).getOrElse(Array.empty)
-          .find(f => f.getName.startsWith("part-") &&
-            f.getName.endsWith(".parquet"))
-          .getOrElse(sys.error(s"s25 staging: no part file under $tmp"))
-        val dest = dir.resolve(f"slice$i%02d.parquet")
-        java.nio.file.Files.move(part.toPath, dest,
-          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-        // distinct, increasing mtimes pin the batch order
-        dest.toFile.setLastModified(base + i * 2000L)
+        if (i == 2) slice0.unionByName(marker) else slice0
       }
-      java.nio.file.Files.write(dir.resolve("_SUCCESS"), Array.empty[Byte])
+      Staging.writeSliceFiles(dir, slices, "graft_s25_slice")
     }
 
   /** s29's staged stream source: the V1→V2 vector diff split into four
@@ -1099,23 +1131,20 @@ object SimilarityQueries {
       // measured margins and the staged stream cannot diverge
       val slices = DriftFixture.s29Slices(
         DriftFixture.diff(DriftFixture.v1(emb), DriftFixture.v2(emb)))
-      java.nio.file.Files.createDirectories(dir)
-      Option(dir.toFile.listFiles()).getOrElse(Array.empty)
-        .foreach(f => if (f.isFile) f.delete())
-      val base = System.currentTimeMillis()
-      slices.zipWithIndex.foreach { case (slice, i) =>
-        val tmp = java.nio.file.Files.createTempDirectory("graft_s29_slice")
-        slice.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-        val part = Option(tmp.toFile.listFiles()).getOrElse(Array.empty)
-          .find(f => f.getName.startsWith("part-") &&
-            f.getName.endsWith(".parquet"))
-          .getOrElse(sys.error(s"s29 staging: no part file under $tmp"))
-        val dest = dir.resolve(f"slice$i%02d.parquet")
-        java.nio.file.Files.move(part.toPath, dest,
-          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-        dest.toFile.setLastModified(base + i * 2000L)
-      }
-      java.nio.file.Files.write(dir.resolve("_SUCCESS"), Array.empty[Byte])
+      Staging.writeSliceFiles(dir, slices, "graft_s29_slice")
+    }
+
+  /** s34's staged stream source: the SkewFixture three-slice skew
+    * event — removals, the hot-region collapse, the post-split
+    * trickle — delivered as batches 0/1/2. No marker anywhere: the
+    * CENSUS statistic must choose the boundary. Restaged when
+    * embeddings.parquet changes.
+    */
+  private def stageSkewSliceDir(s: org.apache.spark.sql.SparkSession,
+      d: String): java.nio.file.Path =
+    Staging.stageIfStale(d, "vec_skew_slices3", "embeddings.parquet") { dir =>
+      Staging.writeSliceFiles(dir,
+        SkewFixture.s34Slices(Tables.embeddings(s, d)), "graft_s34_slice")
     }
 
   /** DuckDB replay of s25: rebuild the RETRAIN-BOUNDARY corpus (V2
@@ -1821,6 +1850,91 @@ object SimilarityQueries {
                      WHEN c.chunk = 0 THEN ca.cid
                      ELSE c.base + c.chunk - 1 END AS BIGINT) AS cid
     FROM ca LEFT JOIN chk c ON ca.vec_id = c.vec_id"""
+
+  /** DuckDB replay of s34, from nothing — the three staged boundaries
+    * composed: train on the pre-drift corpus; apply slices 0+1
+    * (removals, then the hot-region collapse) and re-derive the
+    * boundary-1 state, census, SPLIT DECISION, and load-balanced cut
+    * exactly as the s33 oracle does; rebuild the EXPANDED codebook the
+    * boundary versioned (surviving centroids + per-chunk floor-means);
+    * then land boundary 2's negated trickle at its fresh exact-integer
+    * argmax under that expanded codebook, overriding the boundary-1
+    * landing for exactly those ids. A hash mismatch anywhere —
+    * training, either delta, the census choice, the cut, the expanded
+    * codebook, or the post-split maintenance — fails the gate.
+    */
+  private def continuousRebalanceOracle(k: Int, maxIter: Int): String =
+    s"""
+    WITH ${kmXvCte(64, 1000000L)},
+    sxv AS MATERIALIZED (
+      SELECT vec_id, i - 1 AS pos,
+             CAST(floor(CASE WHEN vec_id % 2 = 1
+                    THEN CAST(embedding[i] AS DOUBLE) * 0.015625
+                    ELSE CAST(embedding[i] AS DOUBLE) END
+                  * 1000000.0) AS BIGINT) AS x
+      FROM embeddings, LATERAL (SELECT unnest(range(1, 65)) AS i) t
+      WHERE vec_id % 101 <> 7),
+    allv AS (SELECT vec_id FROM embeddings
+             ORDER BY vec_id LIMIT $FixedTrainCap),
+    ${kmChainCte("", "allv", k, maxIter)},
+    ${kmAssignCte("c", s"cent$maxIter", src = "sxv")},
+    szs AS (SELECT cid, COUNT(*) AS n FROM ca GROUP BY 1),
+    ntot AS (SELECT COUNT(*) AS n FROM ca),
+    tgt AS (SELECT (n + $k - 1) // $k AS t FROM ntot),
+    sp AS (SELECT szs.cid, szs.n, (szs.n + tgt.t - 1) // tgt.t AS nc
+           FROM szs, ntot, tgt
+           WHERE szs.n >= 2
+             AND $RebDenom * szs.n * $k >= $RebNumer * ntot.n),
+    spb AS (SELECT cid, n, nc,
+                   $k + COALESCE(SUM(nc - 1) OVER (ORDER BY cid
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND 1 PRECEDING), 0) AS base
+            FROM sp),
+    mem AS (SELECT ca.vec_id, ca.cid FROM ca JOIN sp USING (cid)),
+    mxv AS (SELECT m.vec_id, m.cid, sxv.pos, sxv.x
+            FROM mem m JOIN sxv ON sxv.vec_id = m.vec_id),
+    spr AS (SELECT cid, pos, MAX(x) - MIN(x) AS spread
+            FROM mxv GROUP BY 1, 2),
+    ax AS (SELECT cid, pos FROM (
+             SELECT cid, pos, row_number() OVER (PARTITION BY cid
+                      ORDER BY spread DESC, pos ASC) AS rn
+             FROM spr) WHERE rn = 1),
+    rkd AS (SELECT v.cid, v.vec_id,
+                   row_number() OVER (PARTITION BY v.cid
+                                      ORDER BY v.x ASC, v.vec_id ASC) AS rk
+            FROM mxv v JOIN ax ON v.cid = ax.cid AND v.pos = ax.pos),
+    chk AS (SELECT r.cid, r.vec_id, b.base,
+                   CAST(floor(CAST((r.rk - 1) * b.nc AS DOUBLE)
+                        / CAST(b.n AS DOUBLE)) AS BIGINT) AS chunk
+            FROM rkd r JOIN spb b ON r.cid = b.cid),
+    l1 AS (SELECT ca.vec_id,
+                  CASE WHEN ck.vec_id IS NULL THEN ca.cid
+                       WHEN ck.chunk = 0 THEN ca.cid
+                       ELSE ck.base + ck.chunk - 1 END AS cid
+           FROM ca LEFT JOIN chk ck ON ca.vec_id = ck.vec_id),
+    ecb AS (
+      SELECT cid, pos, c FROM cent$maxIter
+      WHERE cid NOT IN (SELECT cid FROM sp)
+      UNION ALL
+      SELECT CASE WHEN ck.chunk = 0 THEN ck.cid
+                  ELSE ck.base + ck.chunk - 1 END AS cid, v.pos,
+             CAST(floor(CAST(SUM(v.x) AS DOUBLE) / COUNT(*)) AS BIGINT) AS c
+      FROM chk ck JOIN mxv v ON v.vec_id = ck.vec_id
+      GROUP BY 1, 2),
+    b2x AS (SELECT vec_id, i - 1 AS pos,
+              CAST(floor(-CAST(embedding[i] AS DOUBLE)
+                   * 1000000.0) AS BIGINT) AS x
+            FROM embeddings, LATERAL (SELECT unnest(range(1, 65)) AS i) t
+            WHERE vec_id % 250 = 0 AND vec_id % 101 <> 7),
+    b2s AS (SELECT b.vec_id, e.cid,
+              SUM(2 * e.c * b.x) - SUM(e.c * e.c) AS score
+            FROM b2x b JOIN ecb e ON b.pos = e.pos GROUP BY 1, 2),
+    b2a AS (SELECT vec_id, cid FROM (
+              SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
+                       ORDER BY score DESC, cid ASC) AS rn
+              FROM b2s) WHERE rn = 1)
+    SELECT l1.vec_id AS id, CAST(COALESCE(b.cid, l1.cid) AS BIGINT) AS cid
+    FROM l1 LEFT JOIN b2a b ON l1.vec_id = b.vec_id"""
 
   /** DuckDB replay of s31, from nothing: re-train on the natural
     * corpus, re-stage the skew, re-assign, re-census INCLUDING empty

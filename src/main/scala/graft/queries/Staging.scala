@@ -30,4 +30,35 @@ private[queries] object Staging {
     if (stale) write(dir)
     dir
   }
+
+  /** Write `slices` as one parquet FILE each under `dir`, named
+    * slice00…, with distinct increasing mtimes — so FileStreamSource
+    * (maxFilesPerTrigger=1, oldest-first) delivers slice i as batch i.
+    * Hoisted (r14) from the three per-gate stagers that hand-copied
+    * the rename/mtime loop. Ends with the `_SUCCESS` marker
+    * [[stageIfStale]] reads.
+    */
+  def writeSliceFiles(dir: java.nio.file.Path,
+                      slices: Seq[org.apache.spark.sql.DataFrame],
+                      tmpPrefix: String): Unit = {
+    java.nio.file.Files.createDirectories(dir)
+    // wipe any stale staged files so a restage can't leave extras
+    Option(dir.toFile.listFiles()).getOrElse(Array.empty)
+      .foreach(f => if (f.isFile) f.delete())
+    val base = System.currentTimeMillis()
+    slices.zipWithIndex.foreach { case (slice, i) =>
+      val tmp = java.nio.file.Files.createTempDirectory(tmpPrefix)
+      slice.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = Option(tmp.toFile.listFiles()).getOrElse(Array.empty)
+        .find(f => f.getName.startsWith("part-") &&
+          f.getName.endsWith(".parquet"))
+        .getOrElse(sys.error(s"$tmpPrefix staging: no part file under $tmp"))
+      val dest = dir.resolve(f"slice$i%02d.parquet")
+      java.nio.file.Files.move(part.toPath, dest,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      // distinct, increasing mtimes pin the batch order
+      dest.toFile.setLastModified(base + i * 2000L)
+    }
+    java.nio.file.Files.write(dir.resolve("_SUCCESS"), Array.empty[Byte])
+  }
 }

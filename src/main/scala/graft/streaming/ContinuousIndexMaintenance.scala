@@ -174,13 +174,22 @@ object ContinuousIndexMaintenance {
     */
   final case class DriftStat(batchId: Long, moved: Long, measured: Long)
 
+  /** One boundary's census reading (s34): the hottest list's size and
+    * the total — the exact integers the rebalance decision consumed.
+    */
+  final case class CensusStat(batchId: Long, hottest: Long, total: Long)
+
   /** The s25 run record: the drained assignment state, per-boundary
-    * stats, which boundaries retrained the codebook, and (when a drift
-    * policy ran) each boundary's measured drift statistic.
+    * stats, which boundaries retrained the codebook, and — when the
+    * respective monitor ran — each boundary's measured drift statistic
+    * (s29) / census reading + the boundaries the census monitor split
+    * at (s34).
     */
   final case class RetrainRun(state: DataFrame, boundaries: Seq[Boundary],
                               retrainedAt: Seq[Long],
-                              drift: Seq[DriftStat] = Nil)
+                              drift: Seq[DriftStat] = Nil,
+                              rebalancedAt: Seq[Long] = Nil,
+                              census: Seq[CensusStat] = Nil)
 
   /** s25: drift AND retrain composed through one continuous loop — the
     * two seams the one-shot gates exercise separately (s21's corpus
@@ -235,6 +244,28 @@ object ContinuousIndexMaintenance {
     * The statistic is a pure function of (on-disk codebook base,
     * on-disk assignment base, batch), so redelivery re-decides
     * identically — the restart contract is unchanged.
+    *
+    * `rebalancePolicy` (s34) is the third monitor, for the drift axis
+    * neither of the other two sees: list-size SKEW. At every
+    * non-retrain boundary the loop maintains an exact-integer census
+    * of list sizes INCREMENTALLY — base census (a bounded nLists-row
+    * version under `stateRoot/census`) plus this delta's landings and
+    * vacated seats, both delta-sized aggregates; the state is never
+    * re-scanned (the one exception: the first boundary of a lineage
+    * baselines from the initial state, and a retrain boundary
+    * re-baselines from the state its retrain already rewrote). When
+    * any list crosses the policy, the boundary runs
+    * [[graft.operators.Similarity.splitListsEven]] — the load-balanced
+    * splitter, whose every child is ≤ the ceiling average, so the
+    * monitor QUIESCES after one pass instead of re-triggering (the
+    * 2-means splitter measurably does not settle on a tight clump —
+    * graft.ListSkewProbe) — and versions the EXPANDED codebook like a
+    * retrain would. Census, decision, cut, and landings are exact
+    * integers: the oracle replays which boundary rebalances and where
+    * every member lands. Pure function of on-disk bases + batch, so
+    * redelivery re-decides identically. A marker/drift retrain
+    * supersedes the census monitor at its boundary (the retrain
+    * rewrites the codebook wholesale anyway).
     */
   def continuousAssignmentsWithRetrain(
       spark: SparkSession,
@@ -247,10 +278,12 @@ object ContinuousIndexMaintenance {
       idCol: String = "vec_id", vecCol: String = "embedding",
       stateRoot: Option[String] = None,
       checkpointLocation: Option[String] = None,
-      driftPolicy: Option[Similarity.DriftPolicy] = None): RetrainRun = {
+      driftPolicy: Option[Similarity.DriftPolicy] = None,
+      rebalancePolicy: Option[Similarity.RebalancePolicy] = None)
+      : RetrainRun = {
     val loop = new RetrainLoop(spark, initialCorpus, initialState,
       initialCb, k, maxIter, scale, idCol, vecCol, resolve(stateRoot),
-      driftPolicy)
+      driftPolicy, rebalancePolicy)
     val w = deltaStream.writeStream
       .foreachBatch(loop.processBatch _)
       .trigger(Trigger.AvailableNow())
@@ -395,17 +428,21 @@ object ContinuousIndexMaintenance {
       initialCorpus: DataFrame, initialState: DataFrame,
       initialCb: Array[Array[Long]], k: Int, maxIter: Int, scale: Long,
       idCol: String, vecCol: String, val root: String,
-      driftPolicy: Option[Similarity.DriftPolicy] = None) {
+      driftPolicy: Option[Similarity.DriftPolicy] = None,
+      rebalancePolicy: Option[Similarity.RebalancePolicy] = None) {
     import graft.operators.{IndexMaintenance, Similarity}
 
     val boundaries = scala.collection.mutable.ArrayBuffer.empty[Boundary]
     val retrainedAt = scala.collection.mutable.ArrayBuffer.empty[Long]
     val driftStats = scala.collection.mutable.ArrayBuffer.empty[DriftStat]
+    val rebalancedAt = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val censusStats = scala.collection.mutable.ArrayBuffer.empty[CensusStat]
 
     private val corpusDir = s"$root/corpus"
     private val assignDir = s"$root/assign"
     private val cbDir = s"$root/cb"
-    Seq(corpusDir, assignDir, cbDir).foreach(d =>
+    private val censusDir = s"$root/census"
+    Seq(corpusDir, assignDir, cbDir, censusDir).foreach(d =>
       java.nio.file.Files.createDirectories(java.nio.file.Paths.get(d)))
 
     private val VersionDir = "^v(\\d+)$".r
@@ -433,6 +470,28 @@ object ContinuousIndexMaintenance {
       spark.read.parquet(s"$cbDir/v$v").collect()
         .groupBy(_.getLong(0)).toSeq.sortBy(_._1)
         .map(_._2.sortBy(_.getLong(1)).map(_.getLong(2)).toArray).toArray
+
+    private def writeCb(cb: Array[Array[Long]], b: Long): Unit = {
+      import spark.implicits._
+      cb.zipWithIndex.flatMap { case (c, cid) =>
+        c.zipWithIndex.map { case (v, pos) => (cid.toLong, pos.toLong, v) }
+      }.toSeq.toDF("cid", "pos", "c")
+        .write.mode("overwrite").parquet(s"$cbDir/v$b")
+    }
+
+    private def readCensus(v: Long): Map[Long, Long] =
+      spark.read.parquet(s"$censusDir/v$v").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+    private def writeCensus(c: Iterable[(Long, Long)], b: Long): Unit = {
+      import spark.implicits._
+      c.toSeq.sortBy(_._1).toDF("cid", "n").coalesce(1)
+        .write.mode("overwrite").parquet(s"$censusDir/v$b")
+    }
+
+    private def censusOf(state: DataFrame): Map[Long, Long] =
+      state.groupBy(col("cid")).count().collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
 
     def processBatch(batch: DataFrame, batchId: Long): Unit = {
       val delta = batch.filter(col("status") =!= "retrain")
@@ -494,20 +553,72 @@ object ContinuousIndexMaintenance {
       if (markers > 0 || drifted) {
         val newCb = Similarity.kmeansTrainFixedPoint(corpusV, k, maxIter,
           scale, idCol = "id", vecCol = vecCol)
-        import spark.implicits._
-        newCb.zipWithIndex.flatMap { case (c, cid) =>
-          c.zipWithIndex.map { case (v, pos) => (cid.toLong, pos.toLong, v) }
-        }.toSeq.toDF("cid", "pos", "c")
-          .write.mode("overwrite").parquet(s"$cbDir/v$batchId")
+        writeCb(newCb, batchId)
         Similarity.retrainReassign(assignBase.select(col("id"), col("cid")),
             corpusV, newCb, scale, idCol = "id", vecCol = vecCol)
           .select(col("id"), col("cid"))
           .write.mode("overwrite").parquet(s"$assignDir/v$batchId")
         retrainedAt += batchId
-      } else {
-        IndexMaintenance.upsert(assignBase, diff, docs, idCol)(
-            Similarity.assignFixedPoint(_, cbBase, scale, idCol, vecCol))
-          .write.mode("overwrite").parquet(s"$assignDir/v$batchId")
+        // a retrain rewrote every assignment, so the incremental census
+        // re-baselines from the state the retrain already produced (the
+        // retrain boundary pays a corpus-scale pass by definition — one
+        // more aggregate over it is in-family)
+        if (rebalancePolicy.isDefined)
+          writeCensus(censusOf(
+            spark.read.parquet(s"$assignDir/v$batchId")), batchId)
+      } else rebalancePolicy match {
+        case None =>
+          IndexMaintenance.upsert(assignBase, diff, docs, idCol)(
+              Similarity.assignFixedPoint(_, cbBase, scale, idCol, vecCol))
+            .write.mode("overwrite").parquet(s"$assignDir/v$batchId")
+        case Some(pol) =>
+          // the census MONITOR (s34): exact-integer list sizes
+          // maintained INCREMENTALLY — base version + this delta's
+          // landings and vacated seats (both delta-sized; the state is
+          // only scanned to baseline the first boundary of a lineage)
+          val base = latestBelow(censusDir, batchId).map(readCensus)
+            .getOrElse(censusOf(assignBase))
+          val landed = Similarity
+            .assignFixedPoint(docs, cbBase, scale, idCol, vecCol)
+            .groupBy(col("cid")).count().collect()
+            .map(r => r.getLong(0) -> r.getLong(1))
+          val vacated = diff.filter(col("status").isin("removed", "changed"))
+            .join(assignBase.select(col("id"), col("cid")), Seq("id"))
+            .groupBy(col("cid")).count().collect()
+            .map(r => r.getLong(0) -> r.getLong(1))
+          val census = (base.toSeq ++ landed ++
+            vacated.map { case (c, n) => c -> -n })
+            .groupBy(_._1).view.mapValues(_.map(_._2).sum)
+            .filter(_._2 > 0L).toMap
+          val nTot = census.values.sum
+          censusStats += CensusStat(batchId,
+            if (census.isEmpty) 0L else census.values.max, nTot)
+          if (census.exists { case (_, n) =>
+              pol.splits(n, cbBase.length, nTot) }) {
+            // the split is a pure function of (corpus version, codebook
+            // base, policy) — redelivery recuts identically
+            val (movement, newCb) = Similarity.splitListsEven(
+              corpusV, cbBase, pol, scale, idCol = "id", vecCol = vecCol)
+            writeCb(newCb, batchId)
+            val mv = movement.localCheckpoint() // landing + post-census
+            mv.select(col("id"), col("cid"))
+              .write.mode("overwrite").parquet(s"$assignDir/v$batchId")
+            rebalancedAt += batchId
+            // post-split census from the movement's mover counts — the
+            // split lists' members, never the state
+            val movers = mv.filter(col("cid") >= cbBase.length.toLong)
+              .groupBy(col("old_cid"), col("cid")).count().collect()
+              .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+            val post = movers.foldLeft(census) { case (c, (o, nw, n)) =>
+              c.updated(o, c.getOrElse(o, 0L) - n).updated(nw, n)
+            }.filter(_._2 > 0L)
+            writeCensus(post, batchId)
+          } else {
+            IndexMaintenance.upsert(assignBase, diff, docs, idCol)(
+                Similarity.assignFixedPoint(_, cbBase, scale, idCol, vecCol))
+              .write.mode("overwrite").parquet(s"$assignDir/v$batchId")
+            writeCensus(census, batchId)
+          }
       }
       boundaries += Boundary(batchId, touched, signatured)
     }
@@ -516,7 +627,7 @@ object ContinuousIndexMaintenance {
       RetrainRun(latestBelow(assignDir, Long.MaxValue)
         .map(v => spark.read.parquet(s"$assignDir/v$v"))
         .getOrElse(initialState), boundaries.toSeq, retrainedAt.toSeq,
-        driftStats.toSeq)
+        driftStats.toSeq, rebalancedAt.toSeq, censusStats.toSeq)
   }
 
   /** s27: drift AND retrain composed through one continuous loop for the

@@ -543,4 +543,102 @@ class ContinuousIndexMaintenanceSpec extends SparkSpec {
     idx(restarted.result.state) shouldBe
       idx(Dedup.minhashIndexState(df(v2), "text", "doc_id"))
   }
+
+  test("RebalancePolicy.splits: singletons never split, exact equality does") {
+    val p = graft.operators.Similarity.RebalancePolicy(3L, 2L)
+    p.splits(size = 1L, nLists = 2, nTot = 2L) shouldBe false // 2-means/2-chunk needs 2 seeds
+    p.splits(size = 0L, nLists = 8, nTot = 0L) shouldBe false
+    p.splits(size = 3L, nLists = 2, nTot = 4L) shouldBe true  // exactly 1.5× — ≥, not >
+    p.splits(size = 2L, nLists = 2, nTot = 4L) shouldBe false // exactly average
+    an[IllegalArgumentException] should be thrownBy
+      graft.operators.Similarity.RebalancePolicy(0L, 2L)
+  }
+
+  // the s34 hand fixture: c0 = origin (1 member), c1 = (1,1) (every
+  // x+y > 1 vector), c2 = far away (empty). k = 3, bar 5/2 (2.5× avg).
+  private val rebCb = Array(Array(0L, 0L), Array(1000000L, 1000000L),
+    Array(-4000000L, -4000000L))
+  private def rebCorpus = Seq(
+    (0L, Seq(0.0f, 0.0f)),
+    (1L, Seq(1.0f, 1.0f)), (2L, Seq(0.75f, 0.5f)),
+    (3L, Seq(1.0f, 1.0f)), (4L, Seq(0.75f, 0.5f)),
+    (5L, Seq(0.75f, 0.5f))).toDF("vec_id", "embedding")
+
+  test("census-rebalance loop (s34 path): the boundary decision re-decides identically across a restart") {
+    // the doc claim: the census is a pure function of on-disk bases +
+    // batch, so a redelivered boundary re-measures, re-decides, and
+    // re-cuts identically — the s29 restart theorem for the third
+    // monitor. Batch 0 removes a hot-list row (census dips: 4·2·3 = 24
+    // < 5·5 = 25, no trigger); batch 1 adds three hot rows (7·2·3 = 42
+    // ≥ 5·8 = 40, the crossing); batch 2 adds one origin row under the
+    // EXPANDED codebook (max child 3 ⇒ 3·2·5 = 30 < 5·9 = 45, settled).
+    val S = graft.operators.Similarity
+    val pol = S.RebalancePolicy(5L, 2L)
+    val init = S.assignFixedPoint(rebCorpus, rebCb).localCheckpoint()
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_census_redeliver").toString
+    def newLoop() = new ContinuousIndexMaintenance.RetrainLoop(spark,
+      rebCorpus, init, rebCb, 3, 1, 1000000L, "vec_id", "embedding", root,
+      rebalancePolicy = Some(pol))
+    val b0 = retrainBatch(Seq((5L, null, "removed")))
+    val b1 = retrainBatch(Seq(
+      (6L, Seq(0.75f, 0.5f), "added"),
+      (7L, Seq(0.75f, 0.5f), "added"),
+      (8L, Seq(1.0f, 1.0f), "added")))
+    val b2 = retrainBatch(Seq((9L, Seq(0.0f, 0.0f), "added")))
+    val first = newLoop()
+    first.processBatch(b0, 0L)
+    first.processBatch(b1, 1L) // the crossing goes UNCOMMITTED…
+    first.rebalancedAt shouldBe Seq(1L)
+    val restarted = newLoop() // …restart: fresh memory, same root
+    restarted.processBatch(b1, 1L) // redelivery re-censuses + re-cuts
+    restarted.processBatch(b2, 2L)
+    restarted.rebalancedAt shouldBe Seq(1L)
+    restarted.retrainedAt shouldBe empty
+    restarted.censusStats.map(s => (s.batchId, s.hottest, s.total)) shouldBe
+      Seq((1L, 7L, 8L), (2L, 3L, 9L))
+    // drained state ≡ the offline composition: one-shot even split of
+    // the post-b1 corpus, then b2's row landed under the EXPANDED
+    // codebook
+    val postB1 = Seq(
+      (0L, Seq(0.0f, 0.0f)),
+      (1L, Seq(1.0f, 1.0f)), (2L, Seq(0.75f, 0.5f)),
+      (3L, Seq(1.0f, 1.0f)), (4L, Seq(0.75f, 0.5f)),
+      (6L, Seq(0.75f, 0.5f)), (7L, Seq(0.75f, 0.5f)),
+      (8L, Seq(1.0f, 1.0f))).toDF("vec_id", "embedding")
+    val (mv, expandedCb) = S.splitListsEven(postB1, rebCb, pol)
+    expandedCb.length should be > rebCb.length
+    val b2row = Seq((9L, Seq(0.0f, 0.0f))).toDF("vec_id", "embedding")
+    val expected = mv.select(col("id"), col("cid")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap ++
+      S.assignFixedPoint(b2row, expandedCb).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    restarted.result.state.collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap shouldBe expected
+  }
+
+  test("a retrain boundary supersedes the census monitor and re-baselines its census") {
+    // markers win: the boundary retrains, records NO census stat, and
+    // the NEXT boundary's incremental census starts from the retrained
+    // state (a wrong stale base would mis-censure every later decision)
+    val S = graft.operators.Similarity
+    val pol = S.RebalancePolicy(5L, 2L)
+    val init = S.assignFixedPoint(rebCorpus, rebCb).localCheckpoint()
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_census_marker").toString
+    val loop = new ContinuousIndexMaintenance.RetrainLoop(spark,
+      rebCorpus, init, rebCb, 3, 1, 1000000L, "vec_id", "embedding", root,
+      rebalancePolicy = Some(pol))
+    loop.processBatch(retrainBatch(Seq(
+      (2L, Seq(0.8f, 0.55f), "changed"),
+      (null.asInstanceOf[java.lang.Long], null, "retrain"))), 0L)
+    loop.retrainedAt shouldBe Seq(0L)
+    loop.rebalancedAt shouldBe empty
+    loop.censusStats shouldBe empty
+    // the next boundary measures against the RETRAINED state's census:
+    // its total must be the live corpus count, not a stale base
+    loop.processBatch(retrainBatch(Seq((9L, Seq(0.1f, 0.1f), "added"))), 1L)
+    loop.censusStats.map(_.batchId) shouldBe Seq(1L)
+    loop.censusStats.head.total shouldBe 7L // 6 initial + 1 added
+  }
 }
