@@ -1186,6 +1186,14 @@ object Similarity {
     * rows to rewrite — and the codebook replaces each split centroid
     * with its sub-0 centroid and appends the sub-1 centroids in split
     * order, ready for [[assignFixedPoint]] / [[ivfSearchFixedPoint]].
+    * Degenerate-seed caveat: a split list whose two smallest-id members
+    * are IDENTICAL vectors seeds both sub-centroids equally, every
+    * member ties to sub 0, and the appended sub-1 entry serves an
+    * empty list — deterministic and oracle-matched (the numbering is
+    * decided by the census, not the landing), harmless to answers, and
+    * exactly the starvation [[mergeLists]] retires. Callers that need
+    * guaranteed movement use [[splitListsEven]], whose rank chunks
+    * cannot land empty.
     *
     * Movement: the census is one groupBy(cid).count (bounded nLists
     * rows to the driver); seeds are 2·|split| bounded rows; each Lloyd
@@ -1289,12 +1297,13 @@ object Similarity {
     * at sf0.001) and the big child re-crosses every sane bar; a
     * monitor wired to it would re-trigger forever. This splitter
     * balances BY CONSTRUCTION: each overloaded list is cut into
-    * `⌈size/T⌉` rank-range chunks (T = ⌈nTot/nLists⌉, the ceiling
-    * average), members ranked by the exact integer value on the
-    * list's max-spread dimension (ties → id), chunk =
-    * ⌊(rank−1)·nChunks/size⌋ — every child ≤ T, so ONE pass settles
-    * any census bar ≥ T·nLists/nTot plus slack, and the monitor
-    * provably quiesces. Chunk 0 keeps the list id (its directory
+    * `max(2, ⌈size/T⌉)` rank-range chunks (T = ⌈nTot/nLists⌉, the
+    * ceiling average; the floor of 2 keeps a bar-crossing list from
+    * "splitting" into one chunk on tiny-corpus shapes), members ranked
+    * by the exact integer value on the list's max-spread dimension
+    * (ties → id), chunk = ⌊(rank−1)·nChunks/size⌋ — every child ≤
+    * max(T, ⌈size/2⌉), so ONE pass settles any census bar ≥
+    * T·nLists/nTot plus slack, and the monitor provably quiesces. Chunk 0 keeps the list id (its directory
     * shrinks in place under [[applyMovementPartitioned]]); chunks ≥ 1
     * get dense new ids in (cid, chunk) order. Returns the same
     * (movement, updated codebook) contract as [[rebalanceLists]]:
@@ -1310,14 +1319,31 @@ object Similarity {
     */
   def splitListsEven(corpus: DataFrame, codebook: Array[Array[Long]],
                      policy: RebalancePolicy, scale: Long = 1000000L,
-                     idCol: String = "vec_id", vecCol: String = "embedding")
+                     idCol: String = "vec_id", vecCol: String = "embedding",
+                     state: Option[DataFrame] = None)
       : (DataFrame, Array[Array[Long]]) = {
     val k = codebook.length
     require(k > 0, "splitListsEven: empty codebook — nothing to split")
-    val q = quantized(corpus, scale, idCol, vecCol)
-      .withColumn("cid0", nearestOfDots(fixedScores(codebook)).cast("long"))
-      .persist()
+    // `state` (the s34 loop): the CURRENT on-disk (id, cid) assignment.
+    // After a previous split the served state is rank-chunked — NOT the
+    // fresh argmax — so a later cut must base on what is physically in
+    // each list, or its movement would silently mass-reassign rows the
+    // census never tracked. Without `state` (the one-shot gates) the
+    // fresh E-step IS the state, by the maintenance theorem.
+    val q = (state match {
+      case None => quantized(corpus, scale, idCol, vecCol)
+        .withColumn("cid0", nearestOfDots(fixedScores(codebook)).cast("long"))
+      case Some(st) => quantized(corpus, scale, idCol, vecCol)
+        .join(st.select(col("id"), col("cid").as("cid0")), Seq("id"), "left")
+    }).persist()
     requireFixedPointBounds(q.select(col("id"), col("xd")), scale)
+    state.foreach { _ =>
+      val orphans = q.filter(col("cid0").isNull).count()
+      require(orphans == 0L,
+        s"splitListsEven: $orphans corpus rows missing from the supplied " +
+          "assignment state — the caller paired a stale state with a " +
+          "newer corpus (or vice versa); refusing to silently drop them")
+    }
     val census = q.groupBy(col("cid0")).count().collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     val nTot = census.values.sum
@@ -1331,8 +1357,15 @@ object Similarity {
       return (out, codebook)
     }
     val target = (nTot + k - 1) / k // T = ⌈average list size⌉
+    // a list can cross the bar yet have size ≤ T (tiny-corpus shapes:
+    // bar·avg below the ceiling average) — ⌈size/T⌉ would then be ONE
+    // chunk, a "split" that moves nothing while the census stays
+    // crossed, re-triggering a monitor forever. A crossing list always
+    // cuts into at least two chunks; halving strictly shrinks, so the
+    // monitor still terminates.
     val nChunksOf: Map[Long, Long] =
-      splitCids.map(c => c -> ((census(c) + target - 1) / target)).toMap
+      splitCids.map(c =>
+        c -> math.max(2L, (census(c) + target - 1) / target)).toMap
     // dense new ids for chunks ≥ 1, in (cid, chunk) order:
     // newCid = base(cid) + chunk − 1
     val baseOf: Map[Long, Long] = splitCids

@@ -1709,6 +1709,63 @@ object SimilarityQueries {
     SELECT na.vec_id AS id, na.cid AS cid, (na.cid <> oa.cid) AS moved
     FROM na JOIN oa ON na.vec_id = oa.vec_id"""
 
+  /** The staged-skew quantized corpus (`sxv`) shared by every s30–s34
+    * oracle — [[SkewFixture.skewed]] replayed in SQL (odd ids ×1/64,
+    * a dyadic scale so both engines quantize identical doubles),
+    * optionally with an extra predicate (s34's removals slice). One
+    * definition: an edit to the staging transform cannot desynchronize
+    * a subset of the oracles.
+    */
+  private def skewXvCte(where: String = ""): String =
+    s"""sxv AS MATERIALIZED (
+      SELECT vec_id, i - 1 AS pos,
+             CAST(floor(CASE WHEN vec_id % 2 = 1
+                    THEN CAST(embedding[i] AS DOUBLE) * 0.015625
+                    ELSE CAST(embedding[i] AS DOUBLE) END
+                  * 1000000.0) AS BIGINT) AS x
+      FROM embeddings, LATERAL (SELECT unnest(range(1, 65)) AS i) t
+      $where)"""
+
+  /** The load-balanced cut's census/decision/axis/rank/chunk CTE chain
+    * (s33 AND s34 — one definition so the two oracles cannot
+    * desynchronize), over the assignment CTE `ca` and quantized `sxv`,
+    * ending in `sp`/`spb`/`chk`. Mirrors the engine exactly: ceiling-
+    * average target, `GREATEST(2, ⌈n/T⌉)` chunks (a crossing list
+    * always cuts), max-spread axis (ties → lower dim), (value, id)
+    * rank, float-identical ⌊(rank−1)·nChunks/n⌋.
+    */
+  private def splitEvenCtes(k: Int): String =
+    s"""szs AS (SELECT cid, COUNT(*) AS n FROM ca GROUP BY 1),
+    ntot AS (SELECT COUNT(*) AS n FROM ca),
+    tgt AS (SELECT (n + $k - 1) // $k AS t FROM ntot),
+    sp AS (SELECT szs.cid, szs.n,
+                  GREATEST(2, (szs.n + tgt.t - 1) // tgt.t) AS nc
+           FROM szs, ntot, tgt
+           WHERE szs.n >= 2
+             AND $RebDenom * szs.n * $k >= $RebNumer * ntot.n),
+    spb AS (SELECT cid, n, nc,
+                   $k + COALESCE(SUM(nc - 1) OVER (ORDER BY cid
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND 1 PRECEDING), 0) AS base
+            FROM sp),
+    mem AS (SELECT ca.vec_id, ca.cid FROM ca JOIN sp USING (cid)),
+    mxv AS (SELECT m.vec_id, m.cid, sxv.pos, sxv.x
+            FROM mem m JOIN sxv ON sxv.vec_id = m.vec_id),
+    spr AS (SELECT cid, pos, MAX(x) - MIN(x) AS spread
+            FROM mxv GROUP BY 1, 2),
+    ax AS (SELECT cid, pos FROM (
+             SELECT cid, pos, row_number() OVER (PARTITION BY cid
+                      ORDER BY spread DESC, pos ASC) AS rn
+             FROM spr) WHERE rn = 1),
+    rkd AS (SELECT v.cid, v.vec_id,
+                   row_number() OVER (PARTITION BY v.cid
+                                      ORDER BY v.x ASC, v.vec_id ASC) AS rk
+            FROM mxv v JOIN ax ON v.cid = ax.cid AND v.pos = ax.pos),
+    chk AS (SELECT r.cid, r.vec_id, b.base,
+                   CAST(floor(CAST((r.rk - 1) * b.nc AS DOUBLE)
+                        / CAST(b.n AS DOUBLE)) AS BIGINT) AS chunk
+            FROM rkd r JOIN spb b ON r.cid = b.cid)"""
+
   /** DuckDB replay of s30, from nothing: re-train the coarse codebook
     * on the NATURAL corpus (s19's chain), re-stage the SkewFixture
     * hot-region corpus (odd ids ×1/64 — a dyadic scale, so both
@@ -1745,13 +1802,7 @@ object SimilarityQueries {
     }.mkString(",\n    ")
     s"""
     WITH ${kmXvCte(64, 1000000L)},
-    sxv AS MATERIALIZED (
-      SELECT vec_id, i - 1 AS pos,
-             CAST(floor(CASE WHEN vec_id % 2 = 1
-                    THEN CAST(embedding[i] AS DOUBLE) * 0.015625
-                    ELSE CAST(embedding[i] AS DOUBLE) END
-                  * 1000000.0) AS BIGINT) AS x
-      FROM embeddings, LATERAL (SELECT unnest(range(1, 65)) AS i) t),
+    ${skewXvCte()},
     allv AS (SELECT vec_id FROM embeddings
              ORDER BY vec_id LIMIT $FixedTrainCap),
     ${kmChainCte("", "allv", k, maxIter)},
@@ -1805,46 +1856,12 @@ object SimilarityQueries {
   private def listSplitEvenOracle(k: Int, maxIter: Int): String =
     s"""
     WITH ${kmXvCte(64, 1000000L)},
-    sxv AS MATERIALIZED (
-      SELECT vec_id, i - 1 AS pos,
-             CAST(floor(CASE WHEN vec_id % 2 = 1
-                    THEN CAST(embedding[i] AS DOUBLE) * 0.015625
-                    ELSE CAST(embedding[i] AS DOUBLE) END
-                  * 1000000.0) AS BIGINT) AS x
-      FROM embeddings, LATERAL (SELECT unnest(range(1, 65)) AS i) t),
+    ${skewXvCte()},
     allv AS (SELECT vec_id FROM embeddings
              ORDER BY vec_id LIMIT $FixedTrainCap),
     ${kmChainCte("", "allv", k, maxIter)},
     ${kmAssignCte("c", s"cent$maxIter", src = "sxv")},
-    szs AS (SELECT cid, COUNT(*) AS n FROM ca GROUP BY 1),
-    ntot AS (SELECT COUNT(*) AS n FROM ca),
-    tgt AS (SELECT (n + $k - 1) // $k AS t FROM ntot),
-    sp AS (SELECT szs.cid, szs.n, (szs.n + tgt.t - 1) // tgt.t AS nc
-           FROM szs, ntot, tgt
-           WHERE szs.n >= 2
-             AND $RebDenom * szs.n * $k >= $RebNumer * ntot.n),
-    spb AS (SELECT cid, n, nc,
-                   $k + COALESCE(SUM(nc - 1) OVER (ORDER BY cid
-                        ROWS BETWEEN UNBOUNDED PRECEDING
-                        AND 1 PRECEDING), 0) AS base
-            FROM sp),
-    mem AS (SELECT ca.vec_id, ca.cid FROM ca JOIN sp USING (cid)),
-    mxv AS (SELECT m.vec_id, m.cid, sxv.pos, sxv.x
-            FROM mem m JOIN sxv ON sxv.vec_id = m.vec_id),
-    spr AS (SELECT cid, pos, MAX(x) - MIN(x) AS spread
-            FROM mxv GROUP BY 1, 2),
-    ax AS (SELECT cid, pos FROM (
-             SELECT cid, pos, row_number() OVER (PARTITION BY cid
-                      ORDER BY spread DESC, pos ASC) AS rn
-             FROM spr) WHERE rn = 1),
-    rkd AS (SELECT v.cid, v.vec_id,
-                   row_number() OVER (PARTITION BY v.cid
-                                      ORDER BY v.x ASC, v.vec_id ASC) AS rk
-            FROM mxv v JOIN ax ON v.cid = ax.cid AND v.pos = ax.pos),
-    chk AS (SELECT r.cid, r.vec_id, b.base,
-                   CAST(floor(CAST((r.rk - 1) * b.nc AS DOUBLE)
-                        / CAST(b.n AS DOUBLE)) AS BIGINT) AS chunk
-            FROM rkd r JOIN spb b ON r.cid = b.cid)
+    ${splitEvenCtes(k)}
     SELECT ca.vec_id, CAST(ca.cid AS BIGINT) AS old_cid,
            CAST(CASE WHEN c.vec_id IS NULL THEN ca.cid
                      WHEN c.chunk = 0 THEN ca.cid
@@ -1866,47 +1883,12 @@ object SimilarityQueries {
   private def continuousRebalanceOracle(k: Int, maxIter: Int): String =
     s"""
     WITH ${kmXvCte(64, 1000000L)},
-    sxv AS MATERIALIZED (
-      SELECT vec_id, i - 1 AS pos,
-             CAST(floor(CASE WHEN vec_id % 2 = 1
-                    THEN CAST(embedding[i] AS DOUBLE) * 0.015625
-                    ELSE CAST(embedding[i] AS DOUBLE) END
-                  * 1000000.0) AS BIGINT) AS x
-      FROM embeddings, LATERAL (SELECT unnest(range(1, 65)) AS i) t
-      WHERE vec_id % 101 <> 7),
+    ${skewXvCte("WHERE vec_id % 101 <> 7")},
     allv AS (SELECT vec_id FROM embeddings
              ORDER BY vec_id LIMIT $FixedTrainCap),
     ${kmChainCte("", "allv", k, maxIter)},
     ${kmAssignCte("c", s"cent$maxIter", src = "sxv")},
-    szs AS (SELECT cid, COUNT(*) AS n FROM ca GROUP BY 1),
-    ntot AS (SELECT COUNT(*) AS n FROM ca),
-    tgt AS (SELECT (n + $k - 1) // $k AS t FROM ntot),
-    sp AS (SELECT szs.cid, szs.n, (szs.n + tgt.t - 1) // tgt.t AS nc
-           FROM szs, ntot, tgt
-           WHERE szs.n >= 2
-             AND $RebDenom * szs.n * $k >= $RebNumer * ntot.n),
-    spb AS (SELECT cid, n, nc,
-                   $k + COALESCE(SUM(nc - 1) OVER (ORDER BY cid
-                        ROWS BETWEEN UNBOUNDED PRECEDING
-                        AND 1 PRECEDING), 0) AS base
-            FROM sp),
-    mem AS (SELECT ca.vec_id, ca.cid FROM ca JOIN sp USING (cid)),
-    mxv AS (SELECT m.vec_id, m.cid, sxv.pos, sxv.x
-            FROM mem m JOIN sxv ON sxv.vec_id = m.vec_id),
-    spr AS (SELECT cid, pos, MAX(x) - MIN(x) AS spread
-            FROM mxv GROUP BY 1, 2),
-    ax AS (SELECT cid, pos FROM (
-             SELECT cid, pos, row_number() OVER (PARTITION BY cid
-                      ORDER BY spread DESC, pos ASC) AS rn
-             FROM spr) WHERE rn = 1),
-    rkd AS (SELECT v.cid, v.vec_id,
-                   row_number() OVER (PARTITION BY v.cid
-                                      ORDER BY v.x ASC, v.vec_id ASC) AS rk
-            FROM mxv v JOIN ax ON v.cid = ax.cid AND v.pos = ax.pos),
-    chk AS (SELECT r.cid, r.vec_id, b.base,
-                   CAST(floor(CAST((r.rk - 1) * b.nc AS DOUBLE)
-                        / CAST(b.n AS DOUBLE)) AS BIGINT) AS chunk
-            FROM rkd r JOIN spb b ON r.cid = b.cid),
+    ${splitEvenCtes(k)},
     l1 AS (SELECT ca.vec_id,
                   CASE WHEN ck.vec_id IS NULL THEN ca.cid
                        WHEN ck.chunk = 0 THEN ca.cid
@@ -1948,13 +1930,7 @@ object SimilarityQueries {
   private def listMergeOracle(k: Int, maxIter: Int): String =
     s"""
     WITH ${kmXvCte(64, 1000000L)},
-    sxv AS MATERIALIZED (
-      SELECT vec_id, i - 1 AS pos,
-             CAST(floor(CASE WHEN vec_id % 2 = 1
-                    THEN CAST(embedding[i] AS DOUBLE) * 0.015625
-                    ELSE CAST(embedding[i] AS DOUBLE) END
-                  * 1000000.0) AS BIGINT) AS x
-      FROM embeddings, LATERAL (SELECT unnest(range(1, 65)) AS i) t),
+    ${skewXvCte()},
     allv AS (SELECT vec_id FROM embeddings
              ORDER BY vec_id LIMIT $FixedTrainCap),
     ${kmChainCte("", "allv", k, maxIter)},

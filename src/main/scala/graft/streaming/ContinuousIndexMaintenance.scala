@@ -530,9 +530,15 @@ object ContinuousIndexMaintenance {
       // one id-join against the assignment state; exact integers end
       // to end, so the boundary CHOICE replays in the oracle. The
       // marker row stays the manual override.
+      // the delta's fresh exact-integer landings under the current
+      // codebook — computed ONCE and shared by the drift monitor's
+      // moved-share and the census monitor's landed counts (both
+      // delta-sized; checkpointed so neither re-runs the argmax scan)
+      lazy val freshDelta =
+        Similarity.assignFixedPoint(docs, cbBase, scale, idCol, vecCol)
+          .localCheckpoint()
       val drifted = markers == 0 && driftPolicy.exists { p =>
-        val r = Similarity.assignFixedPoint(docs, cbBase, scale, idCol,
-            vecCol)
+        val r = freshDelta
           .join(assignBase.select(col("id"), col("cid").as("__old_cid")),
             Seq("id"), "left")
           .agg(count(lit(1)).as("n"),
@@ -578,11 +584,13 @@ object ContinuousIndexMaintenance {
           // only scanned to baseline the first boundary of a lineage)
           val base = latestBelow(censusDir, batchId).map(readCensus)
             .getOrElse(censusOf(assignBase))
-          val landed = Similarity
-            .assignFixedPoint(docs, cbBase, scale, idCol, vecCol)
+          val landed = freshDelta
             .groupBy(col("cid")).count().collect()
             .map(r => r.getLong(0) -> r.getLong(1))
-          val vacated = diff.filter(col("status").isin("removed", "changed"))
+          // every touched id that EXISTS in the state vacates its seat
+          // — any status: the upsert replaces a re-"added" existing row
+          // too, and a status filter here would leave it a phantom seat
+          val vacated = diff
             .join(assignBase.select(col("id"), col("cid")), Seq("id"))
             .groupBy(col("cid")).count().collect()
             .map(r => r.getLong(0) -> r.getLong(1))
@@ -593,12 +601,21 @@ object ContinuousIndexMaintenance {
           val nTot = census.values.sum
           censusStats += CensusStat(batchId,
             if (census.isEmpty) 0L else census.values.max, nTot)
+          // the post-delta state — the upsert both branches serve from:
+          // the cut must base on what is PHYSICALLY in each list (after
+          // a previous split the state is rank-chunked, not the fresh
+          // argmax), so the splitter receives it as the assignment
+          val upserted = IndexMaintenance.upsert(assignBase, diff, docs,
+            idCol)(
+            Similarity.assignFixedPoint(_, cbBase, scale, idCol, vecCol))
           if (census.exists { case (_, n) =>
               pol.splits(n, cbBase.length, nTot) }) {
-            // the split is a pure function of (corpus version, codebook
-            // base, policy) — redelivery recuts identically
+            // the cut is a pure function of (corpus version, assignment
+            // version, codebook base, policy) — redelivery recuts
+            // identically
             val (movement, newCb) = Similarity.splitListsEven(
-              corpusV, cbBase, pol, scale, idCol = "id", vecCol = vecCol)
+              corpusV, cbBase, pol, scale, idCol = "id", vecCol = vecCol,
+              state = Some(upserted))
             writeCb(newCb, batchId)
             val mv = movement.localCheckpoint() // landing + post-census
             mv.select(col("id"), col("cid"))
@@ -614,8 +631,7 @@ object ContinuousIndexMaintenance {
             }.filter(_._2 > 0L)
             writeCensus(post, batchId)
           } else {
-            IndexMaintenance.upsert(assignBase, diff, docs, idCol)(
-                Similarity.assignFixedPoint(_, cbBase, scale, idCol, vecCol))
+            upserted
               .write.mode("overwrite").parquet(s"$assignDir/v$batchId")
             writeCensus(census, batchId)
           }

@@ -188,6 +188,51 @@ class RebalanceSpec extends SparkSpec {
     moves.select("id").distinct().count() shouldBe embeddings.count()
   }
 
+  test("a bar-crossing list at or below the ceiling average still cuts into two chunks") {
+    // tiny-corpus shape: bar·avg sits below ⌈avg⌉, so ⌈size/T⌉ would be
+    // ONE chunk — a "split" that moves nothing while the census stays
+    // crossed (a monitor would re-trigger forever). Crossing ⇒ ≥ 2
+    // chunks. k=4, nTot=5: c1 (size 2) crosses 3/2 (2·2·4 ≥ 3·5) with
+    // T = ⌈5/4⌉ = 2 ≥ size.
+    val cb4 = Array(Array(0L, 0L), Array(1000000L, 1000000L),
+      Array(-4000000L, -4000000L), Array(4000000L, -4000000L))
+    val vecs = Seq(
+      (0L, Seq(0.0, 0.0)), (1L, Seq(0.25, 0.0)), (2L, Seq(0.0, 0.25)),
+      (3L, Seq(1.0, 1.0)), (4L, Seq(0.75, 0.75)))
+      .toDF("vec_id", "embedding")
+    val (moves, newCb) = Similarity.splitListsEven(
+      vecs, cb4, Similarity.RebalancePolicy(3L, 2L))
+    val byId = moves.collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // c1's two members split 1/1: lower (value, id) rank keeps cid 1
+    byId(3L)._1 shouldBe 1L
+    byId(4L)._1 shouldBe 1L
+    Set(byId(3L)._2, byId(4L)._2).size shouldBe 2
+    newCb.length should be > cb4.length
+  }
+
+  test("even split over a SUPPLIED state bases on it, and is loud on a state/corpus mismatch") {
+    // the s34 loop contract: after a previous split the served state is
+    // rank-chunked, NOT the fresh argmax — the cut must respect it
+    val vecs = Seq(
+      (0L, Seq(0.0, 0.0)),
+      (1L, Seq(1.0, 1.0)), (2L, Seq(0.75, 0.5)),
+      (3L, Seq(1.0, 1.0)), (4L, Seq(0.75, 0.5)),
+      (5L, Seq(0.75, 0.5))).toDF("vec_id", "embedding")
+    // a hand state that disagrees with argmax: id 0 parked in list 1
+    val st = Seq((0L, 1L), (1L, 1L), (2L, 1L), (3L, 1L), (4L, 1L), (5L, 1L))
+      .toDF("id", "cid")
+    val (moves, _) = Similarity.splitListsEven(
+      vecs, Cb, Similarity.RebalancePolicy(3L, 2L), state = Some(st))
+    // every old_cid comes from the state (all 1), never re-derived
+    moves.collect().map(_.getLong(1)).toSet shouldBe Set(1L)
+    // and a state missing corpus rows refuses loudly
+    an[IllegalArgumentException] should be thrownBy
+      Similarity.splitListsEven(vecs, Cb,
+        Similarity.RebalancePolicy(3L, 2L),
+        state = Some(st.filter(col("id") =!= 0L)))
+  }
+
   test("even split is bit-identical across partitionings") {
     val cb = Similarity.kmeansTrainFixedPoint(embeddings, k = 8, maxIter = 3)
     val corpus = graft.queries.SkewFixture.skewed(embeddings)

@@ -617,6 +617,78 @@ class ContinuousIndexMaintenanceSpec extends SparkSpec {
       .map(r => r.getLong(0) -> r.getLong(1)).toMap shouldBe expected
   }
 
+  test("a SECOND census trigger bases on the rank-chunked state, and census stays ≡ state") {
+    // after a split the served state is NOT the fresh argmax (children
+    // are rank-range chunks; the split centroid was replaced) — a later
+    // trigger must cut what is physically in each list, and the written
+    // census must equal a fresh census of the written state at EVERY
+    // boundary (the invariant a re-derived argmax cut silently breaks)
+    val S = graft.operators.Similarity
+    val pol = S.RebalancePolicy(5L, 2L)
+    val init = S.assignFixedPoint(rebCorpus, rebCb).localCheckpoint()
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_census_twice").toString
+    val loop = new ContinuousIndexMaintenance.RetrainLoop(spark,
+      rebCorpus, init, rebCb, 3, 1, 1000000L, "vec_id", "embedding", root,
+      rebalancePolicy = Some(pol))
+    // b0 crosses (c1 grows to 8 of 9: 2·8·3 ≥ 5·9) and splits; b1 adds
+    // four more hot rows that land in the chunked children and cross
+    // again under the grown list count
+    loop.processBatch(retrainBatch(Seq(
+      (6L, Seq(0.75f, 0.5f), "added"),
+      (7L, Seq(0.75f, 0.5f), "added"),
+      (8L, Seq(1.0f, 1.0f), "added"))), 0L)
+    loop.rebalancedAt shouldBe Seq(0L)
+    loop.processBatch(retrainBatch(Seq(
+      (9L, Seq(0.75f, 0.5f), "added"),
+      (10L, Seq(0.76f, 0.5f), "added"),
+      (11L, Seq(0.75f, 0.51f), "added"),
+      (12L, Seq(0.74f, 0.5f), "added"))), 1L)
+    // census ≡ state at every written boundary
+    for (b <- Seq(0L, 1L)) {
+      val st = spark.read.parquet(s"$root/assign/v$b").collect()
+        .map(r => r.getLong(0) -> r.getLong(1))
+      val written = spark.read.parquet(s"$root/census/v$b").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      withClue(s"boundary $b census vs state: ") {
+        st.groupBy(_._2).view.mapValues(_.length.toLong).toMap shouldBe written
+      }
+      st.map(_._1).sorted shouldBe st.map(_._1).distinct.sorted // no dup ids
+    }
+    // membership: 6 initial + 7 added
+    spark.read.parquet(s"$root/assign/v1").count() shouldBe 13L
+    // b1 DID cross again (the adds tie between the two identical chunk
+    // centroids and first-max sends all four to the lower cid: 7 of 13
+    // in one list ≥ the 5/2 bar at k=5) — the second cut ran against
+    // the rank-chunked state, which is what the invariant above pinned
+    loop.rebalancedAt shouldBe Seq(0L, 1L)
+  }
+
+  test("census stays exact when a batch re-\"adds\" an id the state already holds") {
+    // upsert REPLACES a re-added existing row (state size unchanged);
+    // the census must vacate its old seat like a change, or the id is
+    // double-counted forever
+    val S = graft.operators.Similarity
+    val pol = S.RebalancePolicy(100L, 1L) // never triggers — census only
+    val init = S.assignFixedPoint(rebCorpus, rebCb).localCheckpoint()
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_census_readd").toString
+    val loop = new ContinuousIndexMaintenance.RetrainLoop(spark,
+      rebCorpus, init, rebCb, 3, 1, 1000000L, "vec_id", "embedding", root,
+      rebalancePolicy = Some(pol))
+    // id 2 already lives in list 1; "added" again near the origin — it
+    // moves to list 0 and must carry exactly ONE seat
+    loop.processBatch(retrainBatch(Seq(
+      (2L, Seq(0.01f, 0.01f), "added"))), 0L)
+    loop.censusStats.map(s => (s.batchId, s.total)) shouldBe Seq((0L, 6L))
+    val written = spark.read.parquet(s"$root/census/v0").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val st = spark.read.parquet(s"$root/assign/v0").collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    st.length shouldBe 6
+    st.groupBy(_._2).view.mapValues(_.length.toLong).toMap shouldBe written
+  }
+
   test("a retrain boundary supersedes the census monitor and re-baselines its census") {
     // markers win: the boundary retrains, records NO census stat, and
     // the NEXT boundary's incremental census starts from the retrained
