@@ -165,6 +165,10 @@ object ScaleProbe {
     // region is ~half the corpus, so expect ~linear (the split-member
     // term tracks corpus share, not corpus²)
     "s30_list_rebalance",
+    // rebalance applied to the serving layout: s30's movement + one
+    // dynamic-partition write of touched lists (~linear in movers) —
+    // added to the roster r15 (it was the family's one unprobed gate)
+    "s32_rebalance_apply",
     // list-starvation merge: one training, one census scan, ONE output
     // scan (literal rank map + survivor-codebook argmax) — ~linear
     "s31_list_merge",
@@ -176,6 +180,11 @@ object ScaleProbe {
     // cut — expect floor-dominated like s25/s27/s29 (the census never
     // scans the state past the lineage baseline; measure, don't assume)
     "s34_continuous_rebalance",
+    // round-15: the versioned apply (s32's write volume + a manifest
+    // commit — ~linear in movers) and the composed census→drift loop
+    // (s34's boundary floors + one mid-stream cut + one capped retrain
+    // — expect floor-dominated like s25/s27/s29/s34)
+    "s35_rebalance_apply_versioned", "s36_census_then_drift",
     // fixed-point classifier training: one token explode + per
     // iteration a doc-keyed margin agg + a 65-key gradient agg over the
     // sparse feature table — expect ~linear in corpus tokens

@@ -554,8 +554,39 @@ object Similarity {
                           codebook: Array[Array[Long]], nProbe: Int,
                           scale: Long = 1000000L,
                           idCol: String = "vec_id", vecCol: String = "embedding")
+      : DataFrame =
+    ivfSearchState(corpus,
+      assignFixedPoint(corpus, codebook, scale, idCol, vecCol),
+      queries, k, codebook, nProbe, scale, idCol, vecCol)
+
+  /** [[ivfSearchFixedPoint]] against a SUPPLIED physical assignment
+    * state — the search the partitioned serving layout actually runs:
+    * each query's nProbe probe set ranks by exact-integer score against
+    * the codebook (the metadata), but candidates are whatever rows the
+    * probed `(id, cid)` lists PHYSICALLY hold (at 100 TB: the nProbe
+    * `cid=` directories partition pruning leaves, nothing else). The
+    * distinction is invisible while state ≡ argmax (the fresh-build
+    * case — [[ivfSearchFixedPoint]] delegates here with exactly that
+    * state) and load-bearing after a REBALANCE: [[splitListsEven]]'s
+    * rank chunks and [[mergeLists]]' survivor seats are legitimately
+    * NOT the Voronoi cells of their codebook entries, so a probed-by-
+    * centroid query can in principle miss a member the argmax relisting
+    * would have surfaced. Recall of THIS path over a rebalanced state
+    * is therefore the retrieval-quality evidence the rebalance family
+    * stands on — measured by [[graft.RebalanceRecallProbe]] (RECALL.json
+    * `postRebalance`) and floored by RebalanceRecallSpec, the r14 ADC
+    * lesson (a ranking defect no hash gate saw until recall was
+    * measured) applied to the list geometry. Movement: probes
+    * broadcast; ONE shuffle of the state by cid; candidate re-rank
+    * joins bounded by Σ probed-list sizes.
+    */
+  def ivfSearchState(corpus: DataFrame, state: DataFrame,
+                     queries: DataFrame, k: Int,
+                     codebook: Array[Array[Long]], nProbe: Int,
+                     scale: Long = 1000000L,
+                     idCol: String = "vec_id", vecCol: String = "embedding")
       : DataFrame = {
-    val listed = assignFixedPoint(corpus, codebook, scale, idCol, vecCol)
+    val listed = state.select(col("id"), col("cid"))
     val probes = broadcast(
       quantized(queries, scale, idCol, vecCol)
         .select(col("id").as("query_id"),
@@ -1206,11 +1237,20 @@ object Similarity {
     * an exact integer, so the DuckDB oracle replays WHICH lists split
     * AND where every member lands (the s20/s29 standard: decision and
     * effect both hash-pinned).
+    *
+    * `caseMaxLists` (r14 verdict #6): at or below it the per-row
+    * sub-centroid score pair is a codegen'd CASE over the split-cid
+    * set; above it the scores route through a broadcast join against
+    * the 2·|split| sub-centroid rows — a CASE hundreds of branches
+    * wide would blow past JVM method-size limits into interpreted
+    * fallback. Both routes compute identical exact-integer scores
+    * (RobustnessSpec pins bit-equality at an every-list-splits bar).
     */
   def rebalanceLists(corpus: DataFrame, codebook: Array[Array[Long]],
                      policy: RebalancePolicy, maxIter: Int = 2,
                      scale: Long = 1000000L,
-                     idCol: String = "vec_id", vecCol: String = "embedding")
+                     idCol: String = "vec_id", vecCol: String = "embedding",
+                     caseMaxLists: Int = 64)
       : (DataFrame, Array[Array[Long]]) = {
     val k = codebook.length
     require(k > 0, "rebalanceLists: empty codebook — nothing to rebalance")
@@ -1244,17 +1284,45 @@ object Similarity {
         cid -> rows.sortBy(_.getInt(1))
           .map(_.getSeq[Double](2).map(_.toLong).toArray)
       }
-    // per-row score pair against the row's OWN list's sub-centroids:
-    // a codegen'd CASE over the (bounded) split-cid set — no join
+    // per-row score pair against the row's OWN list's sub-centroids.
+    // Two routes, same exact-integer scores either way (r14 verdict #6):
+    // at or below `caseMaxLists` split lists, a codegen'd CASE over the
+    // split-cid set (no join, no shuffle — the hot path for the
+    // handful-of-hot-lists case a census bar produces); above it, a
+    // BROADCAST JOIN against the 2·|split| sub-centroid rows — a CASE
+    // hundreds of branches wide would stress codegen (method-size
+    // limits force interpreted fallback) for zero locality gain. The
+    // join route precomputes the same driver-side doubles fixedScores
+    // embeds (2c and Σc²), so both routes produce bit-identical `sub`
+    // (RobustnessSpec pins it at an every-list-splits bar).
     def subScores(cents: Map[Long, Array[Array[Long]]]): Column =
       splitCids.tail.foldLeft(
         when(col("cid0") === lit(splitCids.head),
           fixedScores(cents(splitCids.head)))) { (acc, cid) =>
         acc.when(col("cid0") === lit(cid), fixedScores(cents(cid)))
       }
+    def withSub(df: DataFrame,
+                cents: Map[Long, Array[Array[Long]]]): DataFrame =
+      if (splitCids.size <= caseMaxLists)
+        df.withColumn("sub", nearestOfDots(subScores(cents)))
+      else {
+        val session = df.sparkSession
+        import session.implicits._
+        val cdf = broadcast(cents.toSeq.map { case (c, arr) =>
+          (c,
+            arr(0).map(x => (2 * x).toDouble).toSeq,
+            arr(0).map(x => x.toDouble * x.toDouble).sum,
+            arr(1).map(x => (2 * x).toDouble).toSeq,
+            arr(1).map(x => x.toDouble * x.toDouble).sum)
+        }.toDF("cid0", "__c0x2", "__cc0", "__c1x2", "__cc1"))
+        val s0 = dot(col("xd"), col("__c0x2")) - col("__cc0")
+        val s1 = dot(col("xd"), col("__c1x2")) - col("__cc1")
+        df.join(cdf, Seq("cid0"))
+          .withColumn("sub", when(s0 >= s1, 0).otherwise(1)) // ties → 0,
+          .drop("__c0x2", "__cc0", "__c1x2", "__cc1") // = first-max
+      }
     for (_ <- 0 until maxIter) {
-      val updated = members
-        .withColumn("sub", nearestOfDots(subScores(sub)))
+      val updated = withSub(members, sub)
         .select(col("cid0"), col("sub"), posexplode(col("xd")).as(Seq("pos", "x")))
         .groupBy(col("cid0"), col("sub"), col("pos"))
         .agg(sum(col("x").cast("long")).as("s"), count(lit(1)).as("n"))
@@ -1272,8 +1340,7 @@ object Similarity {
     }
     val newCidOf: Map[Long, Long] =
       splitCids.zipWithIndex.map { case (c, i) => c -> (k + i).toLong }.toMap
-    val moved = members
-      .withColumn("sub", nearestOfDots(subScores(sub)))
+    val moved = withSub(members, sub)
       .select(col("id"), col("cid0").as("old_cid"),
         when(col("sub") === 0, col("cid0"))
           .otherwise(element_at(typedLit(newCidOf), col("cid0"))).as("cid"))
@@ -1316,6 +1383,24 @@ object Similarity {
     * members + one ranked scan of split members (window per split
     * list) + one chunk-keyed floor-mean aggregate; un-split rows never
     * enter any of it. Θ(Σ split-list sizes), never a corpus pass.
+    *
+    * RETRIEVAL-QUALITY CONTRACT (measured r15 — RECALL.json
+    * `postRebalance`, floors in RebalanceRecallSpec): rank chunks are
+    * NOT Voronoi cells of their floor-mean centroids, so
+    * [[ivfSearchState]] recall over a cut index was measured, not
+    * assumed. At the BUDGET-ADJUSTED operating point — hold the
+    * scanned fraction across the cut, nProbe′ = ⌈nProbe·nLists′/
+    * nLists⌉ — the cut index answers within 0.06 recall of pre-cut at
+    * strictly fewer scanned rows, and one step up beats it outright;
+    * at the high-budget end it dominates (sf0.1: 0.895 vs 0.890 at
+    * 24% fewer rows) while the hottest probed list shrinks 16× (the
+    * worst-case-latency win the cut exists for). A Voronoi-relisting
+    * control of the same expanded codebook brackets the listing
+    * geometry within ~0.13 mid-range (and a kd-box splitter measured
+    * NO better — RECALL.json note #4): mid-budget recall loss under
+    * skew is probe dilution plus the stale codebook, and its recovery
+    * lever is the DRIFT-triggered retrain (s29/s37), not list
+    * geometry. Callers that cut must carry the nProbe adjustment.
     */
   def splitListsEven(corpus: DataFrame, codebook: Array[Array[Long]],
                      policy: RebalancePolicy, scale: Long = 1000000L,
@@ -1337,12 +1422,24 @@ object Similarity {
         .join(st.select(col("id"), col("cid").as("cid0")), Seq("id"), "left")
     }).persist()
     requireFixedPointBounds(q.select(col("id"), col("xd")), scale)
-    state.foreach { _ =>
+    state.foreach { st =>
+      // BOTH directions (r14 advice): a corpus row without a state row
+      // would enter the cut with a null list, and a state row without a
+      // corpus row is a seat the census would count but the cut could
+      // never move — either way the caller paired a stale state with a
+      // mismatched corpus. Two bounded counts (assignment-table sized,
+      // never vector payloads), failing loudly with the direction named.
       val orphans = q.filter(col("cid0").isNull).count()
       require(orphans == 0L,
         s"splitListsEven: $orphans corpus rows missing from the supplied " +
           "assignment state — the caller paired a stale state with a " +
-          "newer corpus (or vice versa); refusing to silently drop them")
+          "newer corpus; refusing to silently drop them")
+      val ghosts = st.select(col("id"))
+        .join(q.select(col("id")), Seq("id"), "left_anti").count()
+      require(ghosts == 0L,
+        s"splitListsEven: $ghosts state rows have no corpus vector — " +
+          "the caller paired a stale corpus with a newer state; their " +
+          "seats would be censused but uncuttable")
     }
     val census = q.groupBy(col("cid0")).count().collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
@@ -1383,22 +1480,25 @@ object Similarity {
         cid -> rows.map(r => (r.getInt(1), r.getDouble(2)))
           .minBy { case (pos, spread) => (-spread, pos) }._1
       }
-    def caseOver[T](f: Long => Column): Column =
-      splitCids.tail.foldLeft(
-        when(col("cid0") === lit(splitCids.head), f(splitCids.head))) {
-        (acc, cid) => acc.when(col("cid0") === lit(cid), f(cid))
-      }
+    // per-list scalars enter the plan as MAP literals (element_at is one
+    // codegen'd lookup whatever the split-set size — the r14 verdict's
+    // CASE-breadth concern never arises for scalar routing; the chunk
+    // arithmetic keeps the exact float shape the oracle replays:
+    // integer-exact product in double, then double divide, then floor)
+    val ncD = typedLit(nChunksOf.map { case (c, n) => c -> n.toDouble })
+    val czD = typedLit(splitCids.map(c => c -> census(c).toDouble).toMap)
     val ranked = members
-      .withColumn("ax", caseOver(c =>
-        element_at(col("xd"), axisOf(c) + 1)))
+      .withColumn("ax",
+        element_at(col("xd"), element_at(typedLit(axisOf), col("cid0")) + 1))
       .withColumn("rk", row_number().over(
         Window.partitionBy(col("cid0")).orderBy(col("ax"), col("id"))))
-      .withColumn("chunk", caseOver(c =>
-        floor((col("rk") - 1) * lit(nChunksOf(c).toDouble) /
-          lit(census(c).toDouble)).cast("long")))
+      .withColumn("chunk",
+        floor((col("rk") - 1) * element_at(ncD, col("cid0")) /
+          element_at(czD, col("cid0"))).cast("long"))
     val moved = ranked.select(col("id"), col("cid0").as("old_cid"),
       when(col("chunk") === 0, col("cid0"))
-        .otherwise(caseOver(c => lit(baseOf(c))) + col("chunk") - 1)
+        .otherwise(element_at(typedLit(baseOf), col("cid0")) +
+          col("chunk") - 1)
         .as("cid"))
     val untouched = q.filter(!col("cid0").isin(splitCids: _*))
       .select(col("id"), col("cid0").as("old_cid"), col("cid0").as("cid"))
@@ -1513,6 +1613,19 @@ object Similarity {
     * plus a bounded driver-side delete of any touched source directory
     * the movement fully drained (dynamic overwrite cannot rewrite a
     * partition to empty). Returns the read-back table.
+    *
+    * ISOLATION CONTRACT — OFFLINE ONLY (r14 verdict #2): this one-shot
+    * apply mutates `path` IN PLACE, so a concurrent reader of the same
+    * directory can observe a half-applied movement (some touched dirs
+    * rewritten, others not yet — the corruption the Loop's versioned
+    * states are spec-proven immune to). Use it only on an index no
+    * query is serving; a serve-while-applying deployment must use
+    * [[applyMovementVersioned]], whose readers resolve a manifest and
+    * never see a version before its last-written commit file exists.
+    * Note also: the dynamic overwrite toggles the SESSION-global
+    * `spark.sql.sources.partitionOverwriteMode` around the write
+    * (restored in `finally`) — racy if other writers share the session,
+    * one more reason this path is offline-only.
     */
   def applyMovementPartitioned(movement: DataFrame, path: String,
                                idCol: String = "vec_id"): DataFrame = {
@@ -1539,6 +1652,162 @@ object Similarity {
       }
     }
     spark.read.parquet(path)
+  }
+
+  // ---- versioned rebalance apply (s35, r15) ----------------------------
+  //
+  // The SERVE-WHILE-APPLYING form of [[applyMovementPartitioned]]: a
+  // manifest-resolved, copy-on-write layout in the snapshot style of the
+  // open table formats (Iceberg/Delta) reduced to exactly what a
+  // cid-partitioned assignment index needs. Layout under `root`:
+  //
+  //   v<k>/cid=<c>/part-*.parquet   — version k's TOUCHED partitions only
+  //   _manifests/v<k>               — "k" + one "cid owner" line per list
+  //
+  // A version's data dirs are written FIRST, its manifest committed LAST
+  // by an atomic rename — a reader resolves the highest committed
+  // manifest and reads, for each cid, ONLY the `v<owner>/cid=<c>`
+  // directory that manifest names. Readers therefore never see a
+  // half-applied movement (a crash or in-flight apply leaves a data dir
+  // with no manifest — invisible), applying stays Θ(touched lists) in
+  // I/O (untouched cids keep their old owner; their bytes are never
+  // rewritten OR copied), and an in-flight reader of version k is
+  // undisturbed because version k's files are immutable forever. The
+  // stale-dir subtlety applyMovementPartitioned deletes its way out of
+  // is handled by OMISSION here: a drained cid simply leaves the
+  // manifest, and v<k-1>'s physical dir for a superseded cid is dead
+  // weight the manifest never routes to (retention/compaction of dead
+  // versions is an offline sweep, out of band by design).
+
+  private def manifestPath(root: String, v: Long) =
+    new org.apache.hadoop.fs.Path(root, s"_manifests/v$v")
+
+  private def fsOf(df: DataFrame, root: String) =
+    new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
+
+  private def writeManifest(fs: org.apache.hadoop.fs.FileSystem,
+                            root: String, v: Long,
+                            owners: Map[Long, Long]): Unit = {
+    val dir = new org.apache.hadoop.fs.Path(root, "_manifests")
+    fs.mkdirs(dir)
+    val tmp = new org.apache.hadoop.fs.Path(dir, s".v$v.tmp")
+    val out = fs.create(tmp, true)
+    try out.write((v.toString +: owners.toSeq.sortBy(_._1)
+        .map { case (c, o) => s"$c $o" }).mkString("\n")
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    require(fs.rename(tmp, manifestPath(root, v)), // the atomic commit
+      s"versioned index $root: manifest v$v rename failed — another " +
+        "writer committed this version concurrently; resolve and retry")
+  }
+
+  private def readManifest(fs: org.apache.hadoop.fs.FileSystem,
+                           root: String, v: Long): Map[Long, Long] = {
+    val in = fs.open(manifestPath(root, v))
+    val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    val lines = txt.linesIterator.toSeq
+    require(lines.headOption.contains(v.toString),
+      s"versioned index $root: manifest v$v is corrupt (header " +
+        s"'${lines.headOption.getOrElse("")}')")
+    lines.tail.map { l =>
+      val Array(c, o) = l.split(" ")
+      c.toLong -> o.toLong
+    }.toMap
+  }
+
+  /** The highest COMMITTED version under `root` — data dirs without a
+    * manifest (a crash, or an apply still in flight) are invisible.
+    */
+  def latestIndexVersion(fs: org.apache.hadoop.fs.FileSystem,
+                         root: String): Option[Long] = {
+    val dir = new org.apache.hadoop.fs.Path(root, "_manifests")
+    if (!fs.exists(dir)) None
+    else {
+      val V = "^v(\\d+)$".r
+      fs.listStatus(dir).toSeq
+        .collect { case s => s.getPath.getName }
+        .collect { case V(n) => n.toLong }
+        .maxOption
+    }
+  }
+
+  /** Lay a `(idCol, cid)` assignment state down as version 0 of a
+    * manifest-resolved index at `root` (one `cid=` directory per list,
+    * manifest committed last).
+    */
+  def initIndexVersioned(state: DataFrame, root: String,
+                         idCol: String = "vec_id"): Unit = {
+    val fs = fsOf(state, root)
+    require(latestIndexVersion(fs, root).isEmpty,
+      s"versioned index $root: already initialized")
+    val st = state.localCheckpoint() // write + owner census read it twice
+    st.select(col(idCol), col("cid"))
+      .write.mode("overwrite").partitionBy("cid").parquet(s"$root/v0")
+    val owners = st.select(col("cid")).distinct().collect()
+      .map(_.getLong(0) -> 0L).toMap
+    writeManifest(fs, root, 0L, owners)
+  }
+
+  /** Apply a movement to the versioned index as version k+1: write the
+    * touched cids' landing rows into a FRESH `v<k+1>/` (never mutating
+    * any committed version), then commit a manifest routing touched
+    * cids to k+1, drained cids to nowhere, and untouched cids to their
+    * existing owners. An identity movement commits nothing and returns
+    * the current version. I/O is Θ(touched lists); a concurrent reader
+    * of any committed version is untouched by construction. Returns
+    * the committed version id.
+    */
+  def applyMovementVersioned(movement: DataFrame, root: String,
+                             idCol: String = "vec_id"): Long = {
+    val fs = fsOf(movement, root)
+    val cur = latestIndexVersion(fs, root).getOrElse(
+      sys.error(s"versioned index $root: not initialized — call " +
+        "initIndexVersioned with the pre-rebalance state first"))
+    val owners = readManifest(fs, root, cur)
+    val mv = movement.localCheckpoint() // touched + write + landed reads
+    val touched = mv.filter(col("old_cid") =!= col("cid"))
+      .select(explode(array(col("old_cid"), col("cid"))).as("cid"))
+      .distinct().collect().map(_.getLong(0)).toSet // bounded by 2·nLists
+    if (touched.isEmpty) return cur
+    val next = cur + 1
+    val landing = mv.filter(col("cid").isin(touched.toSeq: _*))
+      .select(col(idCol), col("cid")).localCheckpoint()
+    // overwrite of the UNCOMMITTED v<next> dir only: a crashed previous
+    // attempt left no manifest, so rewriting it is the redelivery path
+    landing.write.mode("overwrite").partitionBy("cid")
+      .parquet(s"$root/v$next")
+    val landed = landing.select(col("cid")).distinct()
+      .collect().map(_.getLong(0)).toSet
+    writeManifest(fs, root, next,
+      (owners -- touched) ++ landed.iterator.map(_ -> next))
+    next
+  }
+
+  /** Read the versioned index at `version` (default: latest committed):
+    * for each cid, exactly the one `v<owner>/cid=<c>` directory its
+    * manifest names — stale dirs a later version superseded are never
+    * listed, and the per-owner reads stay partition-pruned. Driver-side
+    * work is one manifest (nLists-bounded); the scan unions one pruned
+    * read per DISTINCT owner version (bounded by the rebalance history
+    * depth, typically ≤ a handful before compaction folds it).
+    */
+  def readIndexVersioned(spark: org.apache.spark.sql.SparkSession,
+                         root: String, version: Option[Long] = None,
+                         idCol: String = "vec_id"): DataFrame = {
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val v = version.orElse(latestIndexVersion(fs, root)).getOrElse(
+      sys.error(s"versioned index $root: no committed version"))
+    val owners = readManifest(fs, root, v)
+    require(owners.nonEmpty,
+      s"versioned index $root: manifest v$v routes no lists")
+    owners.toSeq.groupBy(_._2).toSeq.sortBy(_._1).map { case (o, cids) =>
+      spark.read.option("basePath", s"$root/v$o")
+        .parquet(cids.map { case (c, _) => s"$root/v$o/cid=$c" }: _*)
+        .select(col(idCol), col("cid").cast("long").as("cid"))
+    }.reduce(_ unionByName _)
   }
 
   /** IVF (inverted-file) ANN: a k-means coarse quantizer partitions the

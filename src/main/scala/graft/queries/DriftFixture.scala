@@ -117,4 +117,41 @@ private[graft] object SkewFixture {
           transform(col("embedding"), x => -x).as("embedding"),
           lit("changed").as("status")))
   }
+
+  /** s36's three-slice CENSUS-then-DRIFT composition — both monitors
+    * live in one stream, each catching the boundary built for it, the
+    * second deciding UNDER THE FIRST'S GROWN CODEBOOK. In delivery
+    * order: slice 0 removals (%101 = 7 — the census dips a sliver,
+    * neither monitor triggers); slice 1 the hot clump as ADDITIONS —
+    * every present odd-id embedding collapsed ×1/64 and re-landed
+    * under a FRESH id (vec_id + 10⁷): an added row has no stored seat,
+    * so the drift monitor's moved-share reads EXACTLY 0 (the
+    * composition's load-bearing trick — the same hot-region event
+    * staged as changes would trip drift first, s34's scaladoc note)
+    * while the census absorbs the clump into the origin-nearest lists
+    * and crosses the split bar → the census monitor cuts and versions
+    * the EXPANDED codebook; slice 2 negations of the present %10 = 0
+    * ids — a negated vector's exact-integer argmax flips lists
+    * (negation reverses every dot), so the drift monitor — measuring
+    * against the RANK-CHUNKED post-cut state under the GROWN codebook
+    * — reads ~100% moved-share and retrains. Slices are id-disjoint
+    * (removed / fresh 10⁷-offset odd / present %10) — any batching is
+    * legal; one row per id per slice.
+    */
+  def censusThenDriftSlices(emb: DataFrame): Seq[DataFrame] = {
+    val removed = col("vec_id") % 101 === 7
+    Seq(
+      emb.filter(removed).select(col("vec_id"),
+        lit(null).cast("array<float>").as("embedding"),
+        lit("removed").as("status")),
+      emb.filter(!removed && pmod(col("vec_id"), lit(2L)) === 1)
+        .select((col("vec_id") + lit(10000000L)).as("vec_id"),
+          transform(col("embedding"), x => x * lit(0.015625f))
+            .as("embedding"),
+          lit("added").as("status")),
+      emb.filter(!removed && col("vec_id") % 10 === 0)
+        .select(col("vec_id"),
+          transform(col("embedding"), x => -x).as("embedding"),
+          lit("changed").as("status")))
+  }
 }

@@ -981,7 +981,104 @@ object SimilarityQueries {
             "graft.ListSkewProbe and retune Reb*")
         run.state.select(col("id"), col("cid"))
       },
-      Some(continuousRebalanceOracle(KmFixedK, KmFixedIters)))
+      Some(continuousRebalanceOracle(KmFixedK, KmFixedIters))),
+
+    // Rebalance applied through the VERSIONED layout (s35, r15 — the
+    // r14 verdict's isolation item): s32's in-place dynamic overwrite
+    // is offline-only by contract (a concurrent reader can see a
+    // half-applied movement); the serve-while-applying form writes the
+    // touched cids into a FRESH v<k+1>/ and commits a manifest LAST
+    // (atomic rename), so readers resolve committed manifests only and
+    // version k's files are immutable forever — snapshot isolation in
+    // the open-table-format style, reduced to what a cid-partitioned
+    // index needs. I/O stays Θ(touched lists): untouched cids keep
+    // their v0 owner, never copied or rewritten (byte-identity and the
+    // crash/in-flight invisibility cases are spec-pinned in
+    // RebalanceSpec). The gate inits v0 from the pre-rebalance state,
+    // applies the s30 movement as v1, and returns the MANIFEST-ROUTED
+    // read-back — a wrong owner route, dropped stayer, or unwritten
+    // mover hash-fails against the replayed s30 landing (s32's oracle:
+    // the read-back content contract is identical, the write path is
+    // what differs).
+    "s35_rebalance_apply_versioned" -> QueryDef(
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val cb = Similarity.kmeansTrainFixedPoint(emb,
+          k = KmFixedK, maxIter = KmFixedIters)
+        val skewed = SkewFixture.skewed(emb)
+        val root = java.nio.file.Files
+          .createTempDirectory("graft_s35").toString
+        Similarity.initIndexVersioned(
+          Similarity.assignFixedPoint(skewed, cb)
+            .select(col("id").as("vec_id"), col("cid")), root)
+        val (moves, newCb) = Similarity.rebalanceLists(skewed, cb,
+          Similarity.RebalancePolicy(RebNumer, RebDenom),
+          maxIter = RebIters)
+        require(newCb.length > KmFixedK, // s30's fixture contract
+          "s35: the staged corpus split no list — re-measure with " +
+            "graft.ListSkewProbe and retune Reb*")
+        val v = Similarity.applyMovementVersioned(
+          moves.select(col("id").as("vec_id"), col("old_cid"), col("cid")),
+          root)
+        require(v == 1L, s"s35: expected the movement to commit v1, got v$v")
+        Similarity.readIndexVersioned(s, root)
+      },
+      Some(listRebalanceOracle(KmFixedK, KmFixedIters, RebIters,
+        withOldCid = false))),
+
+    // CENSUS monitor then DRIFT monitor composed through ONE stream
+    // (s36, r15 — the r14 verdict's composition item): the supersede
+    // spec proved retrain-over-census at the SAME boundary; this gate
+    // stages the two monitors triggering SEQUENTIALLY, the second
+    // deciding under the first's GROWN codebook. Boundary 0: removals
+    // (census dips, drift sees an empty delta — no trigger). Boundary
+    // 1: the hot clump lands as ADDITIONS — no stored seats, so
+    // moved-share reads exactly 0 while the census crosses → the
+    // census monitor cuts (rebalancedAt = [1]) and versions the
+    // expanded codebook. Boundary 2: negations — the drift monitor
+    // measures their fresh argmax UNDER THE EXPANDED CODEBOOK against
+    // the RANK-CHUNKED post-cut state, reads ~100% moved-share (bar
+    // 3/5), and retrains (retrainedAt = [2]), re-baselining the
+    // census from the retrained state. The requires make both
+    // decisions loud at every SF; the oracle replays the final
+    // landing from nothing — retrain on the post-boundary-2 corpus
+    // (capped id-prefix, negations and the 10⁷-offset additions both
+    // replayed in SQL) and fresh-assign everything — so a wrong
+    // boundary choice, a drift statistic contaminated by the
+    // additions, or a cut that corrupted the state the retrain read
+    // all hash-fail.
+    "s36_census_then_drift" -> QueryDef(
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val cb = Similarity.kmeansTrainFixedPoint(emb,
+          k = KmFixedK, maxIter = KmFixedIters)
+        val state0 = Similarity.assignFixedPoint(emb, cb).localCheckpoint()
+        val dir = stageCensusDriftSliceDir(s, d)
+        val schema = org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("vec_id",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("embedding",
+            org.apache.spark.sql.types.ArrayType(
+              org.apache.spark.sql.types.FloatType)),
+          org.apache.spark.sql.types.StructField("status",
+            org.apache.spark.sql.types.StringType)))
+        val stream = s.readStream
+          .option("maxFilesPerTrigger", "1") // 3 slices → 3 boundaries
+          .schema(schema).parquet(dir.toString)
+        val run = graft.streaming.ContinuousIndexMaintenance
+          .continuousAssignmentsWithRetrain(s, emb, state0, cb, stream,
+            k = KmFixedK, maxIter = KmFixedIters,
+            driftPolicy = Some(Similarity.DriftPolicy(
+              DriftMovedNumer, DriftMovedDenom)),
+            rebalancePolicy = Some(Similarity.RebalancePolicy(
+              RebNumer, RebDenom)))
+        require(run.rebalancedAt == Seq(1L) && run.retrainedAt == Seq(2L),
+          s"s36: staged census@1 then drift@2, got rebalanced at " +
+            s"${run.rebalancedAt}, retrained at ${run.retrainedAt} — " +
+            "re-measure with graft.ListSkewProbe/DriftProbe and retune")
+        run.state.select(col("id"), col("cid"))
+      },
+      Some(censusThenDriftOracle(KmFixedK, KmFixedIters)))
   )
 
   private val PqFixedM = 4
@@ -1145,6 +1242,15 @@ object SimilarityQueries {
     Staging.stageIfStale(d, "vec_skew_slices3", "embeddings.parquet") { dir =>
       Staging.writeSliceFiles(dir,
         SkewFixture.s34Slices(Tables.embeddings(s, d)), "graft_s34_slice")
+    }
+
+  private def stageCensusDriftSliceDir(s: org.apache.spark.sql.SparkSession,
+      d: String): java.nio.file.Path =
+    Staging.stageIfStale(d, "vec_census_drift_slices3",
+      "embeddings.parquet") { dir =>
+      Staging.writeSliceFiles(dir,
+        SkewFixture.censusThenDriftSlices(Tables.embeddings(s, d)),
+        "graft_s36_slice")
     }
 
   /** DuckDB replay of s25: rebuild the RETRAIN-BOUNDARY corpus (V2
@@ -1917,6 +2023,41 @@ object SimilarityQueries {
               FROM b2s) WHERE rn = 1)
     SELECT l1.vec_id AS id, CAST(COALESCE(b.cid, l1.cid) AS BIGINT) AS cid
     FROM l1 LEFT JOIN b2a b ON l1.vec_id = b.vec_id"""
+
+  /** DuckDB replay of s36, from nothing — the composition's endpoint
+    * theorem: boundary 2's drift retrain rewrote EVERY assignment, so
+    * the drained state ≡ fresh exact-integer assignment of the
+    * post-boundary-2 corpus under a codebook retrained on that corpus's
+    * capped id-prefix. The post-b2 corpus is rebuilt in SQL: base
+    * embeddings minus the %101 removals, %10 ids negated (boundary 2),
+    * plus the 10⁷-offset collapsed-odd additions (boundary 1; ×1/64 is
+    * dyadic, so both engines quantize identical doubles). The boundary
+    * CHOICES are pinned loud by the gate's requires; the hash pins the
+    * landing — and transitively the state the retrain read, since the
+    * trainer's id-prefix init and the assignment both range over the
+    * composed corpus.
+    */
+  private def censusThenDriftOracle(k: Int, maxIter: Int): String =
+    s"""
+    WITH xv AS MATERIALIZED (
+      SELECT vec_id, i - 1 AS pos,
+             CAST(floor(CASE WHEN vec_id % 10 = 0
+                    THEN -CAST(embedding[i] AS DOUBLE)
+                    ELSE CAST(embedding[i] AS DOUBLE) END
+                  * 1000000.0) AS BIGINT) AS x
+      FROM embeddings, LATERAL (SELECT unnest(range(1, 65)) AS i) t
+      WHERE vec_id % 101 <> 7
+      UNION ALL
+      SELECT vec_id + 10000000, i - 1,
+             CAST(floor(CAST(embedding[i] AS DOUBLE) * 0.015625
+                  * 1000000.0) AS BIGINT)
+      FROM embeddings, LATERAL (SELECT unnest(range(1, 65)) AS i) t
+      WHERE vec_id % 2 = 1 AND vec_id % 101 <> 7),
+    rtids AS (SELECT vec_id FROM xv GROUP BY vec_id
+              ORDER BY vec_id LIMIT $FixedTrainCap),
+    ${kmChainCte("", "rtids", k, maxIter)},
+    ${kmAssignCte("c", s"cent$maxIter")}
+    SELECT vec_id AS id, CAST(cid AS BIGINT) AS cid FROM ca"""
 
   /** DuckDB replay of s31, from nothing: re-train on the natural
     * corpus, re-stage the skew, re-assign, re-census INCLUDING empty

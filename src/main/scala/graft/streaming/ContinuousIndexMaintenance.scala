@@ -532,8 +532,11 @@ object ContinuousIndexMaintenance {
       // marker row stays the manual override.
       // the delta's fresh exact-integer landings under the current
       // codebook — computed ONCE and shared by the drift monitor's
-      // moved-share and the census monitor's landed counts (both
-      // delta-sized; checkpointed so neither re-runs the argmax scan)
+      // moved-share, the census monitor's landed counts, AND the
+      // non-retrain assignment upsert's kernel (all delta-sized;
+      // checkpointed so none re-runs the argmax scan — the kernel
+      // would otherwise recompute the identical argmax per the
+      // maintenance theorem, a second delta pass for zero information)
       lazy val freshDelta =
         Similarity.assignFixedPoint(docs, cbBase, scale, idCol, vecCol)
           .localCheckpoint()
@@ -574,8 +577,12 @@ object ContinuousIndexMaintenance {
             spark.read.parquet(s"$assignDir/v$batchId")), batchId)
       } else rebalancePolicy match {
         case None =>
+          // kernel = the already-checkpointed freshDelta: `docs` IS the
+          // added∪changed delta, so upsert's semi-join passes it through
+          // and the kernel's argmax is deterministically freshDelta —
+          // reuse the scan instead of re-running it
           IndexMaintenance.upsert(assignBase, diff, docs, idCol)(
-              Similarity.assignFixedPoint(_, cbBase, scale, idCol, vecCol))
+              _ => freshDelta)
             .write.mode("overwrite").parquet(s"$assignDir/v$batchId")
         case Some(pol) =>
           // the census MONITOR (s34): exact-integer list sizes
@@ -606,8 +613,7 @@ object ContinuousIndexMaintenance {
           // a previous split the state is rank-chunked, not the fresh
           // argmax), so the splitter receives it as the assignment
           val upserted = IndexMaintenance.upsert(assignBase, diff, docs,
-            idCol)(
-            Similarity.assignFixedPoint(_, cbBase, scale, idCol, vecCol))
+            idCol)(_ => freshDelta) // the shared delta argmax, see above
           if (census.exists { case (_, n) =>
               pol.splits(n, cbBase.length, nTot) }) {
             // the cut is a pure function of (corpus version, assignment
@@ -616,6 +622,17 @@ object ContinuousIndexMaintenance {
             val (movement, newCb) = Similarity.splitListsEven(
               corpusV, cbBase, pol, scale, idCol = "id", vecCol = vecCol,
               state = Some(upserted))
+            // the incremental census said SOME list crossed the bar; an
+            // identity cut (codebook unchanged) means the splitter's own
+            // census — taken over the physical state — disagreed with
+            // the maintained one: the exact divergence class the r14
+            // review chased. Versioning the unchanged codebook and
+            // recording rebalancedAt would mask it silently; fail loud.
+            require(newCb.length > cbBase.length,
+              s"census monitor: boundary $batchId crossed the split bar " +
+                "on the incremental census, but splitListsEven over the " +
+                "physical state cut nothing — the maintained census has " +
+                "diverged from the assignment state")
             writeCb(newCb, batchId)
             val mv = movement.localCheckpoint() // landing + post-census
             mv.select(col("id"), col("cid"))

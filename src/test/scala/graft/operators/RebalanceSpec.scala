@@ -231,6 +231,12 @@ class RebalanceSpec extends SparkSpec {
       Similarity.splitListsEven(vecs, Cb,
         Similarity.RebalancePolicy(3L, 2L),
         state = Some(st.filter(col("id") =!= 0L)))
+    // …and so does the REVERSE direction (r14 advice): a state row with
+    // no corpus vector is a censused-but-uncuttable ghost seat
+    an[IllegalArgumentException] should be thrownBy
+      Similarity.splitListsEven(vecs, Cb,
+        Similarity.RebalancePolicy(3L, 2L),
+        state = Some(st.unionByName(Seq((99L, 1L)).toDF("id", "cid"))))
   }
 
   test("even split is bit-identical across partitionings") {
@@ -309,6 +315,91 @@ class RebalanceSpec extends SparkSpec {
       .toDF("vec_id", "old_cid", "cid")
     Similarity.applyMovementPartitioned(moves, out)
     snaps.foreach { case (c, snap) => dirSnapshot(out, c) shouldBe snap }
+  }
+
+  // ---- versioned apply (s35): serve-while-applying isolation ----------
+
+  test("versioned apply: manifest routes each cid to its owner; untouched v0 dirs keep their bytes") {
+    val vecs = Seq(
+      (0L, Seq(0.0, 0.0)),
+      (1L, Seq(1.0, 1.0)), (2L, Seq(0.75, 0.5)),
+      (3L, Seq(1.0, 1.0)), (4L, Seq(0.75, 0.5)), (5L, Seq(0.75, 0.5)))
+      .toDF("vec_id", "embedding")
+    val root = java.nio.file.Files.createTempDirectory("reb_ver").toString
+    Similarity.initIndexVersioned(
+      Similarity.assignFixedPoint(vecs, Cb)
+        .select(col("id").as("vec_id"), col("cid")), root)
+    val before0 = dirSnapshot(s"$root/v0", 0L)
+    before0 should not be empty
+    val (moves, _) = Similarity.rebalanceLists(
+      vecs, Cb, Similarity.RebalancePolicy(3L, 2L), maxIter = 1)
+    val v = Similarity.applyMovementVersioned(
+      moves.select(col("id").as("vec_id"), col("old_cid"), col("cid")), root)
+    v shouldBe 1L
+    // v1 holds ONLY the touched cids (1 rewritten, 2 fresh) — the
+    // untouched cid 0 was never copied, rewritten, or listed
+    new java.io.File(s"$root/v1", "cid=1").isDirectory shouldBe true
+    new java.io.File(s"$root/v1", "cid=2").isDirectory shouldBe true
+    new java.io.File(s"$root/v1", "cid=0").exists() shouldBe false
+    dirSnapshot(s"$root/v0", 0L) shouldBe before0
+    Similarity.readIndexVersioned(spark, root)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1) shouldBe
+      Array((0L, 0L), (1L, 1L), (2L, 2L), (3L, 1L), (4L, 2L), (5L, 2L))
+  }
+
+  test("versioned apply: a reader pinned at v0 is undisturbed — even after its superseded dirs are stale") {
+    val root = java.nio.file.Files.createTempDirectory("reb_ver_iso").toString
+    Similarity.initIndexVersioned(
+      Seq((0L, 0L), (1L, 1L), (2L, 1L)).toDF("vec_id", "cid"), root)
+    val preV0 = Similarity.readIndexVersioned(spark, root, Some(0L))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    val moves = Seq((0L, 0L, 0L), (1L, 1L, 2L), (2L, 1L, 1L))
+      .toDF("vec_id", "old_cid", "cid")
+    Similarity.applyMovementVersioned(moves, root)
+    // a reader that resolved version 0 BEFORE the apply still reads
+    // version 0's immutable files — identical rows after the apply
+    Similarity.readIndexVersioned(spark, root, Some(0L))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1) shouldBe
+      preV0
+    // the strongest form (the Loop-spec convention): corrupt v0's now-
+    // SUPERSEDED cid=1 dir — the latest read never routes there
+    val stale = new java.io.File(s"$root/v0/cid=1")
+    stale.listFiles().filter(_.getName.endsWith(".parquet")).foreach { f =>
+      java.nio.file.Files.write(f.toPath, Array[Byte](1, 2, 3))
+    }
+    Similarity.readIndexVersioned(spark, root)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1) shouldBe
+      Array((0L, 0L), (1L, 2L), (2L, 1L))
+  }
+
+  test("versioned apply: an uncommitted (manifest-less) data dir is invisible; identity movement commits nothing") {
+    val root = java.nio.file.Files.createTempDirectory("reb_ver_crash").toString
+    Similarity.initIndexVersioned(
+      Seq((0L, 0L), (1L, 1L)).toDF("vec_id", "cid"), root, idCol = "vec_id")
+    // a crashed apply: v1 data written, manifest never committed
+    Seq((1L, 5L)).toDF("vec_id", "cid")
+      .write.partitionBy("cid").parquet(s"$root/v1")
+    Similarity.readIndexVersioned(spark, root)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1) shouldBe
+      Array((0L, 0L), (1L, 1L))
+    // identity movement: no new version, no new manifest
+    val same = Seq((0L, 0L, 0L), (1L, 1L, 1L)).toDF("vec_id", "old_cid", "cid")
+    Similarity.applyMovementVersioned(same, root) shouldBe 0L
+    new java.io.File(s"$root/_manifests/v1").exists() shouldBe false
+  }
+
+  test("versioned apply: a fully drained cid leaves the manifest (merge-style movement)") {
+    val root = java.nio.file.Files.createTempDirectory("reb_ver_drain").toString
+    Similarity.initIndexVersioned(
+      Seq((0L, 0L), (1L, 1L), (2L, 1L)).toDF("vec_id", "cid"), root)
+    val moves = Seq((0L, 0L, 0L), (1L, 1L, 0L), (2L, 1L, 0L))
+      .toDF("vec_id", "old_cid", "cid")
+    Similarity.applyMovementVersioned(moves, root) shouldBe 1L
+    val back = Similarity.readIndexVersioned(spark, root)
+    back.collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1) shouldBe
+      Array((0L, 0L), (1L, 0L), (2L, 0L))
+    // cid 1 is routed nowhere — v0's physical dir for it is dead weight
+    back.filter(col("cid") === 1L).count() shouldBe 0L
   }
 
   test("bit-identical movement and codebook across partitionings") {

@@ -328,6 +328,27 @@ class RobustnessSpec extends SparkSpec {
       QuantileRollup.percentiles(hist, Seq("g"), Seq.empty)
   }
 
+  test("rebalance sub-scores: the CASE and broadcast-join routes are bit-identical at an every-list-splits bar") {
+    // r14 verdict #6: above `caseMaxLists` split lists the per-row
+    // sub-centroid scores route through a broadcast join instead of a
+    // CASE chain. Pin both routes identical where EVERY list splits
+    // (bar 1/1000: any size-≥2 list crosses) — the adversarial policy
+    // whose CASE breadth the threshold exists to cap.
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val cb = Similarity.kmeansTrainFixedPoint(emb, k = 8, maxIter = 2)
+    val bar = Similarity.RebalancePolicy(1L, 1000L)
+    def run(caseMax: Int) = {
+      val (m, ncb) = Similarity.rebalanceLists(emb, cb, bar,
+        maxIter = 1, caseMaxLists = caseMax)
+      (m.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .sortBy(_._1).toSeq, ncb.map(_.toSeq).toSeq)
+    }
+    val viaCase = run(Int.MaxValue) // every split list through the CASE
+    val viaJoin = run(0)            // every split list through the join
+    viaJoin shouldBe viaCase
+    viaCase._2.length should be > cb.length // the bar really split
+  }
+
   test("quantile rollup: empty input and single-value input both run") {
     val empty = Seq.empty[(Long, String)].toDF("v", "g")
     QuantileRollup.histogram(empty, "v", Seq("g")).count() shouldBe 0L

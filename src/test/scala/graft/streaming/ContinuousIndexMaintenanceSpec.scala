@@ -664,6 +664,65 @@ class ContinuousIndexMaintenanceSpec extends SparkSpec {
     loop.rebalancedAt shouldBe Seq(0L, 1L)
   }
 
+  test("composed monitors (s36 path): census cuts at b0, drift retrains at b1 under the GROWN codebook") {
+    // both monitors in one loop, triggering sequentially. b0: the hot
+    // clump lands as ADDITIONS — no stored seats, so the drift
+    // statistic reads EXACTLY 0/3 (additions can never false-trigger
+    // drift) while the census crosses (2·8·3 ≥ 5·9) and the cut
+    // versions the expanded codebook. b1: two present rows change to
+    // near-origin — their fresh argmax under the EXPANDED codebook
+    // differs from their rank-chunked seats, moved-share 2/2 ≥ 3/5,
+    // the drift monitor retrains, and the drained state equals the
+    // from-scratch assignment of the final corpus under a codebook
+    // trained on it (the retrain endpoint theorem, s25).
+    val S = graft.operators.Similarity
+    val init = S.assignFixedPoint(rebCorpus, rebCb).localCheckpoint()
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_census_then_drift").toString
+    val loop = new ContinuousIndexMaintenance.RetrainLoop(spark,
+      rebCorpus, init, rebCb, 3, 1, 1000000L, "vec_id", "embedding", root,
+      driftPolicy = Some(S.DriftPolicy(3L, 5L)),
+      rebalancePolicy = Some(S.RebalancePolicy(5L, 2L)))
+    loop.processBatch(retrainBatch(Seq(
+      (6L, Seq(0.75f, 0.5f), "added"),
+      (7L, Seq(0.75f, 0.5f), "added"),
+      (8L, Seq(1.0f, 1.0f), "added"))), 0L)
+    loop.rebalancedAt shouldBe Seq(0L)
+    loop.retrainedAt shouldBe empty
+    loop.driftStats.map(s => (s.batchId, s.moved, s.measured)) shouldBe
+      Seq((0L, 0L, 3L)) // additions: measured, never moved
+    loop.processBatch(retrainBatch(Seq(
+      (1L, Seq(0.05f, 0.02f), "changed"),
+      (3L, Seq(0.04f, 0.03f), "changed"))), 1L)
+    loop.rebalancedAt shouldBe Seq(0L)
+    loop.retrainedAt shouldBe Seq(1L)
+    // the b1 statistic measured against the POST-CUT state under the
+    // EXPANDED codebook: both changed rows flip to the origin list
+    loop.driftStats.map(s => (s.batchId, s.moved, s.measured)) shouldBe
+      Seq((0L, 0L, 3L), (1L, 2L, 2L))
+    // census stats only at non-retrain boundaries; the retrain
+    // re-baselined the census from its own state
+    loop.censusStats.map(s => (s.batchId, s.hottest, s.total)) shouldBe
+      Seq((0L, 8L, 9L))
+    spark.read.parquet(s"$root/census/v1").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap shouldBe
+      spark.read.parquet(s"$root/assign/v1").groupBy(col("cid")).count()
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // endpoint theorem: drained state ≡ from-scratch under the retrain
+    val fin = Seq(
+      (0L, Seq(0.0f, 0.0f)),
+      (1L, Seq(0.05f, 0.02f)), (2L, Seq(0.75f, 0.5f)),
+      (3L, Seq(0.04f, 0.03f)), (4L, Seq(0.75f, 0.5f)),
+      (5L, Seq(0.75f, 0.5f)), (6L, Seq(0.75f, 0.5f)),
+      (7L, Seq(0.75f, 0.5f)), (8L, Seq(1.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val cbFin = S.kmeansTrainFixedPoint(fin, k = 3, maxIter = 1)
+    loop.result.state.collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap shouldBe
+      S.assignFixedPoint(fin, cbFin).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
   test("census stays exact when a batch re-\"adds\" an id the state already holds") {
     // upsert REPLACES a re-added existing row (state size unchanged);
     // the census must vacate its old seat like a change, or the id is
