@@ -120,6 +120,63 @@ object RebalanceRecallProbe {
           f""""candRows":$candRows,"hottest":$hottest}""")
       }
     }
+
+    // the COMPOSED index (s37): the same cut applied to the IVFADC
+    // layout at the production sizing RECALL.json's main sweep quotes
+    // (m=16, cb=256, nLists≈√n, rerank=4) — pre vs post-cut recall of
+    // ivfPqSearchIndexed, movers' residual codes re-encoded against
+    // the expanded codebook by rebalanceIvfPqIndex
+    val (coarseP, pqP) = Similarity.ivfPqTrainFixedPoint(emb, dim = 64,
+      nLists = nLists, m = 16, codebookSize = 256,
+      maxIterCoarse = 3, maxIterPq = 2)
+    val idx = Similarity.ivfPqEncodeFixedPoint(corpus, coarseP, pqP)
+      .localCheckpoint()
+    val (rebIdx0, cbAdc) = Similarity.rebalanceIvfPqIndex(idx, corpus,
+      coarseP, pqP, pol)
+    val rebIdx = rebIdx0.localCheckpoint()
+    require(cbAdc.length > coarseP.length,
+      "RebalanceRecallProbe: the ADC index cut nothing")
+    // the recovery lever: BOTH quantizer stages retrained on the
+    // skewed corpus (what the drift monitor's s27 retrain would do) —
+    // the residual codebooks regain coverage of the collapsed region
+    val (coarseR, pqR) = Similarity.ivfPqTrainFixedPoint(corpus, dim = 64,
+      nLists = nLists, m = 16, codebookSize = 256,
+      maxIterCoarse = 3, maxIterPq = 2)
+    val idxR = Similarity.ivfPqEncodeFixedPoint(corpus, coarseR, pqR)
+      .localCheckpoint()
+    // the textbook cosine-serving recipe: L2-NORMALIZE at ingest —
+    // norm-skew cannot exist on a normalized corpus (cosine truth is
+    // unchanged by normalization, so the SAME truth sets apply), and
+    // the PQ dynamic range sees one scale. What the clump costs the
+    // quantizer is isolated by normalized-vs-retrained.
+    val nrm = corpus.withColumn("embedding",
+      Similarity.l2Normalize(col("embedding"))).localCheckpoint()
+    val (coarseN, pqN) = Similarity.ivfPqTrainFixedPoint(nrm, dim = 64,
+      nLists = nLists, m = 16, codebookSize = 256,
+      maxIterCoarse = 3, maxIterPq = 2)
+    val idxN = Similarity.ivfPqEncodeFixedPoint(nrm, coarseN, pqN)
+      .localCheckpoint()
+    for ((phase, pidx, pcorpus, pcb, ppq) <- Seq(
+        ("pre_adc", idx, corpus, coarseP, pqP),
+        ("post_split_adc", rebIdx, corpus, cbAdc, pqP),
+        ("retrained_adc", idxR, corpus, coarseR, pqR),
+        ("normalized_adc", idxN, nrm, coarseN, pqN));
+        nProbe <- Seq(2, 4, 8, 12, 16, 24).filter(_ <= pcb.length)) {
+      val pq2 = pcorpus.orderBy("vec_id").limit(20).localCheckpoint()
+      val got = Similarity.ivfPqSearchIndexed(pidx, pcorpus, pq2, k,
+          pcb, ppq, nProbe, rerank = 4).collect()
+        .groupBy(_.getLong(0)).view
+        .mapValues(_.map(_.getLong(2)).toSet).toMap
+      val recall = truth.map { case (q, t) =>
+        got.getOrElse(q, Set.empty).count(t).toDouble / t.size
+      }.sum / truth.size
+      val hottest = censusTop(pidx.select(col("id"),
+        col("cid").cast("long").as("cid")))
+      println(f"""{"probe":"rebalance_recall","phase":"$phase",""" +
+        f""""sf":"$sfDir","n":$n,"nLists":${pcb.length},""" +
+        f""""nProbe":$nProbe,"k":$k,"recall":$recall%.4f,""" +
+        f""""hottest":$hottest}""")
+    }
     spark.stop()
   }
 }

@@ -185,6 +185,9 @@ object ScaleProbe {
     // (s34's boundary floors + one mid-stream cut + one capped retrain
     // — expect floor-dominated like s25/s27/s29/s34)
     "s35_rebalance_apply_versioned", "s36_census_then_drift",
+    // IVFADC rebalance: the s33 cut + one re-encode kernel pass over
+    // split-list members (~the hot share of the corpus) — ~linear
+    "s37_ivfpq_rebalance",
     // fixed-point classifier training: one token explode + per
     // iteration a doc-keyed margin agg + a 65-key gradient agg over the
     // sparse feature table — expect ~linear in corpus tokens

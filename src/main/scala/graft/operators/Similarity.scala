@@ -20,6 +20,32 @@ import graft.functions.GraftFunctions.dot
   */
 object Similarity {
 
+  /** L2-normalize a float-array embedding column (unit vectors, double
+    * arithmetic, cast back to float) — THE ingest step for a
+    * cosine-serving quantized index, measured r15
+    * (RECALL.json `postRebalanceAdc`): cosine truth is unchanged by
+    * normalization, but every L2-trained stage — coarse k-means lists,
+    * residual PQ dynamic range, ADC ranking — sees one scale, so
+    * norm-skew can neither concentrate the census (the staged collapse
+    * reads hottest 256/500 raw vs 31/500 normalized) nor starve the
+    * residual quantizer (recall@10 at the production operating point:
+    * 0.235 stale-raw / 0.485 even after a full two-stage retrain on
+    * the raw skew / 0.920 normalized — the shared PQ codebooks cannot
+    * resolve within a 1/64-norm clump, and no listing or retrain fixes
+    * what the dynamic range lost). Floored in IvfPqRecallSpec. The
+    * rebalance family (s30–s37) remains the tool for CARDINALITY skew
+    * — genuinely dense regions, near-duplicate clumps — where
+    * normalization is a no-op by construction. Zero vectors pass
+    * through as zero (0/0 guarded to 0), matching cosine's convention.
+    */
+  def l2Normalize(vec: Column): Column = {
+    val nrm = sqrt(aggregate(vec, lit(0.0d),
+      (a, y) => a + y.cast("double") * y.cast("double")))
+    transform(vec, x =>
+      when(nrm === 0.0d, lit(0.0f))
+        .otherwise((x.cast("double") / nrm).cast("float")))
+  }
+
   /** Cosine similarity of two float-array columns, computed in double
     * (deterministic left-to-right fold, matching the DuckDB oracle).
     */
@@ -1520,6 +1546,94 @@ object Similarity {
         (1L until nChunksOf(c)).map(ch => cents((c, ch))))
     q.unpersist() // same single-consumption-scan note as rebalanceLists
     (untouched.unionByName(moved), newCb)
+  }
+
+  /** IVFADC list-skew rebalance (gate s37, r15) — [[splitListsEven]]
+    * lifted to the COMPOSED (id, cid, codes) production index: census
+    * the PHYSICAL lists (the index's cid column is the state — after
+    * drift the lists are whatever maintenance landed, not a fresh
+    * argmax), cut every overloaded one into rank chunks (the s33
+    * arithmetic exactly, over the corpus vectors of the index's
+    * members), and re-encode the RESIDUAL CODES of every SPLIT-LIST
+    * member against its chunk's floor-mean centroid. Chunk 0 members
+    * re-encode too: the cut REPLACES the split centroid with chunk 0's
+    * floor-mean, so every old code in that list quantized a residual
+    * against a centroid that no longer exists — carrying them would
+    * silently corrupt every ADC distance in the rebalanced lists (the
+    * r14 ADC lesson, met by construction instead of by measurement
+    * this time). Un-split lists' rows are carried VERBATIM
+    * (spec-asserted row-for-row): their centroid, residuals, and codes
+    * are all untouched, which is what makes the apply Θ(split sizes)
+    * in both compute and — through [[applyMovementVersioned]], whose
+    * movement rows may carry the codes as payload — I/O. The shared
+    * residual-PQ codebooks are NOT retrained (that is the drift/marker
+    * retrain's job, s27); retrieval quality of the cut ADC index is
+    * measured in RECALL.json `postRebalanceAdc` with the budget-
+    * adjusted operating point, and floored in IvfPqRecallSpec.
+    * Returns (rebalanced index, expanded coarse codebook) ready for
+    * [[ivfPqSearchIndexed]].
+    *
+    * Movement: the s33 cut (census + spread + ranked scan of split
+    * members) + ONE quantized corpus scan semi-joined down to split
+    * members for the re-encode kernel; un-split rows never enter the
+    * re-encode. Exact integers end to end — census, cut, residuals,
+    * codes — so the DuckDB oracle replays decision AND effect.
+    */
+  def rebalanceIvfPqIndex(index: DataFrame, corpus: DataFrame,
+                          coarseCb: Array[Array[Long]],
+                          pqCbs: Array[Array[Array[Long]]],
+                          policy: RebalancePolicy, scale: Long = 1000000L,
+                          idCol: String = "vec_id",
+                          vecCol: String = "embedding")
+      : (DataFrame, Array[Array[Long]]) = {
+    val state = index.select(col("id"), col("cid").cast("long").as("cid"))
+    val (movement, newCb) = splitListsEven(corpus, coarseCb, policy,
+      scale, idCol, vecCol, state = Some(state))
+    if (newCb.length == coarseCb.length) return (index, coarseCb)
+    val mv = movement.localCheckpoint() // split-set + re-encode reads
+    // a list is split iff it has movers (chunks ≥ 1 are never empty);
+    // chunk-0 stayers share their movers' old_cid, so this names every
+    // list whose centroid the cut replaced — bounded by nLists
+    val splitSet = mv.filter(col("cid") =!= col("old_cid"))
+      .select(col("old_cid")).distinct().collect()
+      .map(_.getLong(0)).toSet
+    val carried = index
+      .filter(!col("cid").isin(splitSet.toSeq: _*))
+      .select(col("id"), col("cid").cast("long").as("cid"), col("codes"))
+    val reenc = encodeAtState(corpus,
+      mv.filter(col("old_cid").isin(splitSet.toSeq: _*))
+        .select(col("id"), col("cid")),
+      newCb, pqCbs, scale, idCol, vecCol)
+    (carried.unionByName(reenc), newCb)
+  }
+
+  /** [[ivfPqEncodeFixedPoint]] against a SUPPLIED (id, cid) assignment:
+    * residual codes computed for the list each vector PHYSICALLY sits
+    * in rather than its fresh argmax — the encode twin of
+    * [[ivfSearchState]], and the re-encode kernel of
+    * [[rebalanceIvfPqIndex]] (after a cut the landed list is a rank
+    * chunk, not the argmax, and the residual must subtract THAT
+    * chunk's centroid or every ADC distance in the list is garbage).
+    * One quantized scan + one id-equi-join against the supplied state;
+    * rows of `state` absent from `corpus` are dropped (inner join) —
+    * callers that need the mismatch loud validate upstream
+    * ([[splitListsEven]]'s bidirectional check).
+    */
+  def encodeAtState(corpus: DataFrame, state: DataFrame,
+                    coarseCb: Array[Array[Long]],
+                    pqCbs: Array[Array[Array[Long]]],
+                    scale: Long = 1000000L,
+                    idCol: String = "vec_id",
+                    vecCol: String = "embedding"): DataFrame = {
+    require(coarseCb.nonEmpty, "encodeAtState: empty coarse codebook")
+    val cbLit = typedLit(coarseCb.map(_.map(_.toDouble).toSeq).toSeq)
+    quantized(corpus, scale, idCol, vecCol)
+      .join(state.select(col("id"), col("cid").cast("long").as("cid")),
+        Seq("id"))
+      .withColumn("rd", zip_with(col("xd"),
+        element_at(cbLit, col("cid").cast("int") + 1), (x, c) => x - c))
+      .select(col("id"), col("cid"),
+        pqEncodeFixed(pqCbs, col("rd")).as("codes"))
   }
 
   /** The list-STARVATION merge decision rule (s31, [[RebalancePolicy]]'s

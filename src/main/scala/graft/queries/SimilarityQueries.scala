@@ -1078,7 +1078,43 @@ object SimilarityQueries {
             "re-measure with graft.ListSkewProbe/DriftProbe and retune")
         run.state.select(col("id"), col("cid"))
       },
-      Some(censusThenDriftOracle(KmFixedK, KmFixedIters)))
+      Some(censusThenDriftOracle(KmFixedK, KmFixedIters))),
+
+    // IVFADC rebalance (s37, r15): the s33 cut lifted to the COMPOSED
+    // production index — census the PHYSICAL (id, cid, codes) lists,
+    // cut the overloaded ones, and re-encode the residual codes of
+    // EVERY split-list member against its chunk's floor-mean centroid
+    // (chunk 0 included: the cut replaced that centroid, so every old
+    // code in the list quantized a residual against a centroid that no
+    // longer exists — carrying them would corrupt every ADC distance
+    // in the rebalanced lists, the r14 ADC lesson met by construction).
+    // Un-split lists carry verbatim (spec-asserted row-for-row). The
+    // oracle replays everything from nothing: both quantizer trainings
+    // on the natural corpus, the skewed index encode, census, cut,
+    // expanded codebook, the split members' re-encode against it, and
+    // the carried rows' original codes — decision and effect, s20/s29
+    // standard.
+    "s37_ivfpq_rebalance" -> QueryDef(
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val (coarse, pq) = Similarity.ivfPqTrainFixedPoint(emb, dim = 64,
+          nLists = KmFixedK, m = PqFixedM, codebookSize = PqFixedCb,
+          maxIterCoarse = KmFixedIters, maxIterPq = PqFixedIters)
+        val skewed = SkewFixture.skewed(emb)
+        val index = Similarity.ivfPqEncodeFixedPoint(skewed, coarse, pq)
+          .localCheckpoint()
+        val (reb, newCb) = Similarity.rebalanceIvfPqIndex(index, skewed,
+          coarse, pq, Similarity.RebalancePolicy(RebNumer, RebDenom))
+        require(newCb.length > KmFixedK && newCb.length < 3 * KmFixedK,
+          s"s37: ${newCb.length - KmFixedK} chunks added to $KmFixedK " +
+            "lists — the staged census must split some lists into a " +
+            "bounded chunk set; re-measure with graft.ListSkewProbe")
+        reb.select(col("id"), col("cid"), posexplode(col("codes")))
+          .toDF("id", "cid", "s", "code")
+          .select(col("id"), col("cid").cast("long").as("cid"),
+            col("s").cast("long").as("s"), col("code").cast("long").as("code"))
+      },
+      Some(ivfPqRebalanceOracle(KmFixedK, KmFixedIters)))
   )
 
   private val PqFixedM = 4
@@ -1840,9 +1876,9 @@ object SimilarityQueries {
     * always cuts), max-spread axis (ties → lower dim), (value, id)
     * rank, float-identical ⌊(rank−1)·nChunks/n⌋.
     */
-  private def splitEvenCtes(k: Int): String =
-    s"""szs AS (SELECT cid, COUNT(*) AS n FROM ca GROUP BY 1),
-    ntot AS (SELECT COUNT(*) AS n FROM ca),
+  private def splitEvenCtes(k: Int, asg: String = "ca"): String =
+    s"""szs AS (SELECT cid, COUNT(*) AS n FROM $asg GROUP BY 1),
+    ntot AS (SELECT COUNT(*) AS n FROM $asg),
     tgt AS (SELECT (n + $k - 1) // $k AS t FROM ntot),
     sp AS (SELECT szs.cid, szs.n,
                   GREATEST(2, (szs.n + tgt.t - 1) // tgt.t) AS nc
@@ -1854,7 +1890,7 @@ object SimilarityQueries {
                         ROWS BETWEEN UNBOUNDED PRECEDING
                         AND 1 PRECEDING), 0) AS base
             FROM sp),
-    mem AS (SELECT ca.vec_id, ca.cid FROM ca JOIN sp USING (cid)),
+    mem AS (SELECT a.vec_id, a.cid FROM $asg a JOIN sp USING (cid)),
     mxv AS (SELECT m.vec_id, m.cid, sxv.pos, sxv.x
             FROM mem m JOIN sxv ON sxv.vec_id = m.vec_id),
     spr AS (SELECT cid, pos, MAX(x) - MIN(x) AS spread
@@ -2058,6 +2094,113 @@ object SimilarityQueries {
     ${kmChainCte("", "rtids", k, maxIter)},
     ${kmAssignCte("c", s"cent$maxIter")}
     SELECT vec_id AS id, CAST(cid AS BIGINT) AS cid FROM ca"""
+
+  /** DuckDB replay of s37, from nothing: train coarse + residual-PQ on
+    * the NATURAL corpus (the stale-quantizer convention), coarse-assign
+    * the SKEWED corpus (`wa` — the physical index lists), re-derive the
+    * census/decision/cut over `wa` (the shared [[splitEvenCtes]] chain),
+    * rebuild the EXPANDED codebook (surviving centroids + chunk
+    * floor-means), then emit the rebalanced index: un-split rows with
+    * their ORIGINAL codes (skewed residuals vs the original centroid —
+    * recomputed from scratch, which the carried rows must equal), and
+    * every split-list member re-encoded against its chunk centroid at
+    * its new cid. Flattened to (id, cid, s, code), the s26 convention.
+    */
+  private def ivfPqRebalanceOracle(kC: Int, itC: Int): String = {
+    val (m, cbSize, itP) = (PqFixedM, PqFixedCb, PqFixedIters)
+    val dim = 64
+    val sub = dim / m
+    val pIters = (1 to itP).map { i =>
+      s"""psc$i AS (SELECT xrt.vec_id, ct.s, ct.cid,
+             SUM(2 * ct.c * xrt.x) - SUM(ct.c * ct.c) AS score
+           FROM xrt JOIN pcent${i - 1} ct
+             ON xrt.s = ct.s AND xrt.ppos = ct.pos
+           GROUP BY 1, 2, 3),
+    pasg$i AS (SELECT vec_id, s, cid FROM (
+             SELECT vec_id, s, cid,
+                    row_number() OVER (PARTITION BY vec_id, s
+                                       ORDER BY score DESC, cid ASC) AS rn
+             FROM psc$i) WHERE rn = 1),
+    pupd$i AS (SELECT a.s, a.cid, xrt.ppos AS pos,
+             CAST(floor(CAST(SUM(xrt.x) AS DOUBLE) / COUNT(*)) AS BIGINT) AS c
+           FROM pasg$i a JOIN xrt ON a.vec_id = xrt.vec_id AND a.s = xrt.s
+           GROUP BY 1, 2, 3),
+    pcent$i AS (SELECT pr.s, pr.cid, pr.pos, COALESCE(u.c, pr.c) AS c
+           FROM pcent${i - 1} pr
+           LEFT JOIN pupd$i u
+             ON pr.s = u.s AND pr.cid = u.cid AND pr.pos = u.pos)"""
+    }.mkString(",\n    ")
+    s"""
+    WITH ${kmXvCte(dim, 1000000L)},
+    ${skewXvCte()},
+    allv AS (SELECT vec_id FROM embeddings
+             ORDER BY vec_id LIMIT $FixedTrainCap),
+    ${kmChainCte("", "allv", kC, itC)},
+    ${kmAssignCte("c", s"cent$itC")},
+    res AS (SELECT xv.vec_id, xv.pos, xv.x - ct.c AS x
+            FROM xv JOIN ca ON xv.vec_id = ca.vec_id
+                 JOIN cent$itC ct ON ct.cid = ca.cid AND ct.pos = xv.pos),
+    xrp AS (SELECT vec_id, pos // $sub AS s, pos % $sub AS ppos, x FROM res),
+    xrt AS (SELECT xrp.* FROM xrp JOIN allv USING (vec_id)),
+    pids AS (SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS cid
+             FROM (SELECT vec_id FROM allv ORDER BY vec_id LIMIT $cbSize)),
+    pcent0 AS (SELECT i.cid, xrt.s, xrt.ppos AS pos, xrt.x AS c
+               FROM pids i JOIN xrt ON i.vec_id = xrt.vec_id),
+    $pIters,
+    ${kmAssignCte("w", s"cent$itC", "sxv")},
+    ${splitEvenCtes(kC, asg = "wa")},
+    l1 AS (SELECT wa.vec_id,
+                  CASE WHEN ck.vec_id IS NULL THEN wa.cid
+                       WHEN ck.chunk = 0 THEN wa.cid
+                       ELSE ck.base + ck.chunk - 1 END AS cid
+           FROM wa LEFT JOIN chk ck ON wa.vec_id = ck.vec_id),
+    ecb AS (
+      SELECT cid, pos, c FROM cent$itC
+      WHERE cid NOT IN (SELECT cid FROM sp)
+      UNION ALL
+      SELECT CASE WHEN ck.chunk = 0 THEN ck.cid
+                  ELSE ck.base + ck.chunk - 1 END AS cid, v.pos,
+             CAST(floor(CAST(SUM(v.x) AS DOUBLE) / COUNT(*)) AS BIGINT) AS c
+      FROM chk ck JOIN mxv v ON v.vec_id = ck.vec_id
+      GROUP BY 1, 2),
+    rw AS (SELECT sxv.vec_id, sxv.pos, sxv.x - ct.c AS x
+           FROM sxv JOIN wa ON sxv.vec_id = wa.vec_id
+                JOIN cent$itC ct ON ct.cid = wa.cid AND ct.pos = sxv.pos
+           WHERE wa.cid NOT IN (SELECT cid FROM sp)),
+    rwp AS (SELECT vec_id, pos // $sub AS s, pos % $sub AS ppos, x FROM rw),
+    esc0 AS (SELECT rwp.vec_id, ct.s, ct.cid,
+               SUM(2 * ct.c * rwp.x) - SUM(ct.c * ct.c) AS score
+             FROM rwp JOIN pcent$itP ct
+               ON rwp.s = ct.s AND rwp.ppos = ct.pos
+             GROUP BY 1, 2, 3),
+    enc0 AS (SELECT vec_id, s, cid FROM (
+               SELECT vec_id, s, cid,
+                      row_number() OVER (PARTITION BY vec_id, s
+                                         ORDER BY score DESC, cid ASC) AS rn
+               FROM esc0) WHERE rn = 1),
+    rs AS (SELECT sxv.vec_id, sxv.pos, sxv.x - e.c AS x
+           FROM sxv JOIN mem ON sxv.vec_id = mem.vec_id
+                JOIN l1 ON l1.vec_id = sxv.vec_id
+                JOIN ecb e ON e.cid = l1.cid AND e.pos = sxv.pos),
+    rsp AS (SELECT vec_id, pos // $sub AS s, pos % $sub AS ppos, x FROM rs),
+    esc1 AS (SELECT rsp.vec_id, ct.s, ct.cid,
+               SUM(2 * ct.c * rsp.x) - SUM(ct.c * ct.c) AS score
+             FROM rsp JOIN pcent$itP ct
+               ON rsp.s = ct.s AND rsp.ppos = ct.pos
+             GROUP BY 1, 2, 3),
+    enc1 AS (SELECT vec_id, s, cid FROM (
+               SELECT vec_id, s, cid,
+                      row_number() OVER (PARTITION BY vec_id, s
+                                         ORDER BY score DESC, cid ASC) AS rn
+               FROM esc1) WHERE rn = 1)
+    SELECT w.vec_id AS id, CAST(w.cid AS BIGINT) AS cid,
+           CAST(e.s AS BIGINT) AS s, CAST(e.cid AS BIGINT) AS code
+    FROM enc0 e JOIN wa w ON e.vec_id = w.vec_id
+    UNION ALL
+    SELECT l1.vec_id AS id, CAST(l1.cid AS BIGINT) AS cid,
+           CAST(e.s AS BIGINT) AS s, CAST(e.cid AS BIGINT) AS code
+    FROM enc1 e JOIN l1 ON e.vec_id = l1.vec_id"""
+  }
 
   /** DuckDB replay of s31, from nothing: re-train on the natural
     * corpus, re-stage the skew, re-assign, re-census INCLUDING empty

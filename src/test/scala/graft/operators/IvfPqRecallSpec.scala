@@ -46,4 +46,47 @@ class IvfPqRecallSpec extends SparkSpec {
     // non-decreasing in probes (small slack for rerank-window churn)
     recallAt(16) should be >= atOperatingPoint - 0.02
   }
+
+  test("norm-skew collapses ADC recall beyond any retrain; L2-normalized ingest restores the floor") {
+    // measured r15 (RECALL.json postRebalanceAdc): on the staged
+    // norm-collapse corpus the shared residual-PQ codebooks cannot
+    // resolve within the 1/64-norm clump — recall@10 reads ~0.24
+    // stale, ~0.15 after the s37 cut, and only ~0.49 even after a
+    // FULL two-stage retrain on the skewed corpus (the dynamic range,
+    // not the listing, is the binding constraint). The production
+    // recipe for cosine serving is Similarity.l2Normalize at ingest:
+    // cosine truth is unchanged, norm-skew cannot exist, and the
+    // operating-point floor holds. This spec pins the recipe's two
+    // claims as exact fixed-point tripwires at sf0.001 sizing.
+    val emb = Tables.embeddings(spark, sfDir).localCheckpoint()
+    val n = emb.count()
+    val corpus = graft.queries.SkewFixture.skewed(emb)
+    val nrm = corpus.withColumn("embedding",
+      Similarity.l2Normalize(col("embedding"))).localCheckpoint()
+    val queries = nrm.orderBy("vec_id").limit(20).localCheckpoint()
+    val k = 10
+    // cosine ground truth: identical on raw and normalized vectors
+    val exact = graft.RecallProbe.groundTruth(nrm, queries, k).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val nLists = math.sqrt(n.toDouble).toInt
+    val (coarse, pq) = Similarity.ivfPqTrainFixedPoint(nrm, dim = 64,
+      nLists = nLists, m = 16, codebookSize = 256,
+      maxIterCoarse = 3, maxIterPq = 2)
+    val index = Similarity.ivfPqEncodeFixedPoint(nrm, coarse, pq)
+      .localCheckpoint()
+    // claim 1: the production floor holds on the normalized skew corpus
+    val got = Similarity.ivfPqSearchIndexed(index, nrm, queries, k,
+        coarse, pq, nProbe = 8, rerank = 4).collect()
+      .groupBy(_.getLong(0)).view
+      .mapValues(_.map(_.getLong(2)).toSet).toMap
+    val recall = exact.map { case (q, t) =>
+      got.getOrElse(q, Set.empty).count(t).toDouble / t.size
+    }.sum / exact.size
+    recall should be >= 0.9
+    // claim 2: normalization erases the census skew the raw collapse
+    // stages (raw hottest ≥ 50% of the corpus; normalized ≤ 2× avg)
+    val hottest = index.groupBy(col("cid")).count()
+      .agg(max(col("count"))).head().getLong(0)
+    hottest.toDouble should be <= 2.0 * n / nLists
+  }
 }

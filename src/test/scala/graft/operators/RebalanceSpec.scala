@@ -317,6 +317,81 @@ class RebalanceSpec extends SparkSpec {
     snaps.foreach { case (c, snap) => dirSnapshot(out, c) shouldBe snap }
   }
 
+  // ---- IVFADC rebalance (s37): the cut lifted to the composed index ---
+
+  test("ADC rebalance: un-split lists carried VERBATIM; every split-list member re-encoded") {
+    val emb = embeddings
+    val (coarse, pq) = Similarity.ivfPqTrainFixedPoint(emb, dim = 64,
+      nLists = 8, m = 4, codebookSize = 8, maxIterCoarse = 3, maxIterPq = 2)
+    val corpus = graft.queries.SkewFixture.skewed(emb)
+    val index = Similarity.ivfPqEncodeFixedPoint(corpus, coarse, pq)
+      .localCheckpoint()
+    val (reb, newCb) = Similarity.rebalanceIvfPqIndex(index, corpus,
+      coarse, pq, Similarity.RebalancePolicy(3L, 2L))
+    newCb.length should be > coarse.length
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getSeq[Int](2).toSeq))
+    val before = rows(index.select(col("id"),
+      col("cid").cast("long").as("cid"), col("codes")))
+    val after = rows(reb)
+    // membership preserved, exactly one row per vector
+    after.map(_._1).sorted shouldBe before.map(_._1).sorted
+    // the split set = lists that lost a mover; everything else verbatim
+    val movedFrom = before.map(r => r._1 -> r._2).toMap
+    val splitSet = after.collect {
+      case (id, cid, _) if cid != movedFrom(id) => movedFrom(id)
+    }.toSet
+    splitSet should not be empty
+    val beforeByid = before.map(r => r._1 -> r).toMap
+    after.foreach { case (id, cid, codes) =>
+      val (_, oldCid, oldCodes) = beforeByid(id)
+      if (!splitSet.contains(oldCid)) {
+        // carried row: identical cid AND identical codes
+        (cid, codes) shouldBe ((oldCid, oldCodes))
+      } else {
+        // split-list member: landed under a valid expanded id, and its
+        // codes were RE-encoded (chunk 0 included — the centroid was
+        // replaced, so identical-codes-by-luck is possible per row but
+        // the bit-level landing is pinned by the s37 DuckDB oracle,
+        // which recomputes every residual and code from nothing)
+        cid should be < newCb.length.toLong
+      }
+    }
+    // at least one split-list member's codes actually changed (the
+    // centroid moved under it) — the re-encode is not a no-op
+    val changedCodes = after.count { case (id, _, codes) =>
+      splitSet.contains(movedFrom(id)) && codes != beforeByid(id)._3
+    }
+    changedCodes should be > 0
+  }
+
+  test("ADC rebalance: deterministic across partitionings, and searchable with the expanded codebook") {
+    val emb = embeddings
+    val (coarse, pq) = Similarity.ivfPqTrainFixedPoint(emb, dim = 64,
+      nLists = 8, m = 4, codebookSize = 8, maxIterCoarse = 3, maxIterPq = 2)
+    val corpus = graft.queries.SkewFixture.skewed(emb)
+    def run(df: org.apache.spark.sql.DataFrame) = {
+      val idx = Similarity.ivfPqEncodeFixedPoint(df, coarse, pq)
+      val (reb, ncb) = Similarity.rebalanceIvfPqIndex(idx, df, coarse, pq,
+        Similarity.RebalancePolicy(3L, 2L))
+      (reb.collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getSeq[Int](2).toSeq)).sortBy(_._1).toSeq, ncb.map(_.toSeq).toSeq)
+    }
+    val a = run(corpus.repartition(1))
+    a shouldBe run(corpus.repartition(13, col("vec_id")))
+    // the rebalanced index serves through the standard indexed search
+    val (reb, ncb) = {
+      val idx = Similarity.ivfPqEncodeFixedPoint(corpus, coarse, pq)
+      Similarity.rebalanceIvfPqIndex(idx, corpus, coarse, pq,
+        Similarity.RebalancePolicy(3L, 2L))
+    }
+    val queries = corpus.orderBy("vec_id").limit(5)
+    val got = Similarity.ivfPqSearchIndexed(reb, corpus, queries, 5,
+      ncb, pq, nProbe = 4, rerank = 4)
+    got.groupBy(col("query_id")).count().collect()
+      .foreach(_.getLong(1) shouldBe 5L)
+  }
+
   // ---- versioned apply (s35): serve-while-applying isolation ----------
 
   test("versioned apply: manifest routes each cid to its owner; untouched v0 dirs keep their bytes") {
