@@ -1847,9 +1847,12 @@ object Similarity {
     }
   }
 
-  /** Lay a `(idCol, cid)` assignment state down as version 0 of a
-    * manifest-resolved index at `root` (one `cid=` directory per list,
-    * manifest committed last).
+  /** Lay an assignment state down as version 0 of a manifest-resolved
+    * index at `root` (one `cid=` directory per list, manifest committed
+    * last). Besides `idCol` and `cid`, the state may carry any payload
+    * columns — e.g. the residual `codes` of an IVFADC index
+    * ([[rebalanceIvfPqIndex]]) — which land inside the partition files
+    * like any other column.
     */
   def initIndexVersioned(state: DataFrame, root: String,
                          idCol: String = "vec_id"): Unit = {
@@ -1857,9 +1860,8 @@ object Similarity {
     require(latestIndexVersion(fs, root).isEmpty,
       s"versioned index $root: already initialized")
     val st = state.localCheckpoint() // write + owner census read it twice
-    st.select(col(idCol), col("cid"))
-      .write.mode("overwrite").partitionBy("cid").parquet(s"$root/v0")
-    val owners = st.select(col("cid")).distinct().collect()
+    st.write.mode("overwrite").partitionBy("cid").parquet(s"$root/v0")
+    val owners = st.select(col("cid").cast("long")).distinct().collect()
       .map(_.getLong(0) -> 0L).toMap
     writeManifest(fs, root, 0L, owners)
   }
@@ -1868,10 +1870,14 @@ object Similarity {
     * touched cids' landing rows into a FRESH `v<k+1>/` (never mutating
     * any committed version), then commit a manifest routing touched
     * cids to k+1, drained cids to nowhere, and untouched cids to their
-    * existing owners. An identity movement commits nothing and returns
-    * the current version. I/O is Θ(touched lists); a concurrent reader
-    * of any committed version is untouched by construction. Returns
-    * the committed version id.
+    * existing owners. Movement columns beyond (`idCol`, `old_cid`,
+    * `cid`) are PAYLOAD and land in the new version's files — the
+    * IVFADC rebalance passes its re-encoded `codes` this way, so the
+    * touched-only I/O contract covers the composed index too. An
+    * identity movement commits nothing and returns the current
+    * version. I/O is Θ(touched lists); a concurrent reader of any
+    * committed version is untouched by construction. Returns the
+    * committed version id.
     */
   def applyMovementVersioned(movement: DataFrame, root: String,
                              idCol: String = "vec_id"): Long = {
@@ -1887,7 +1893,7 @@ object Similarity {
     if (touched.isEmpty) return cur
     val next = cur + 1
     val landing = mv.filter(col("cid").isin(touched.toSeq: _*))
-      .select(col(idCol), col("cid")).localCheckpoint()
+      .drop("old_cid").localCheckpoint() // idCol + cid + any payload
     // overwrite of the UNCOMMITTED v<next> dir only: a crashed previous
     // attempt left no manifest, so rewriting it is the redelivery path
     landing.write.mode("overwrite").partitionBy("cid")
@@ -1902,7 +1908,10 @@ object Similarity {
   /** Read the versioned index at `version` (default: latest committed):
     * for each cid, exactly the one `v<owner>/cid=<c>` directory its
     * manifest names — stale dirs a later version superseded are never
-    * listed, and the per-owner reads stay partition-pruned. Driver-side
+    * listed, and the per-owner reads stay partition-pruned. Payload
+    * columns (e.g. an IVFADC index's `codes`) come back with the rows;
+    * only `cid` is normalized (partition-column type inference reads
+    * small values as int — restored to the written BIGINT). Driver-side
     * work is one manifest (nLists-bounded); the scan unions one pruned
     * read per DISTINCT owner version (bounded by the rebalance history
     * depth, typically ≤ a handful before compaction folds it).
@@ -1920,7 +1929,7 @@ object Similarity {
     owners.toSeq.groupBy(_._2).toSeq.sortBy(_._1).map { case (o, cids) =>
       spark.read.option("basePath", s"$root/v$o")
         .parquet(cids.map { case (c, _) => s"$root/v$o/cid=$c" }: _*)
-        .select(col(idCol), col("cid").cast("long").as("cid"))
+        .withColumn("cid", col("cid").cast("long"))
     }.reduce(_ unionByName _)
   }
 

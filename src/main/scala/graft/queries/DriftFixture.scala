@@ -124,7 +124,9 @@ private[graft] object SkewFixture {
     * order: slice 0 removals (%101 = 7 — the census dips a sliver,
     * neither monitor triggers); slice 1 the hot clump as ADDITIONS —
     * every present odd-id embedding collapsed ×1/64 and re-landed
-    * under a FRESH id (vec_id + 10⁷): an added row has no stored seat,
+    * under a FRESH id (vec_id + 10⁹ — past any ScaleProbe copy shift,
+    * whose c·10⁷ id offsets would otherwise collide with the clump and
+    * turn the additions into changes): an added row has no stored seat,
     * so the drift monitor's moved-share reads EXACTLY 0 (the
     * composition's load-bearing trick — the same hot-region event
     * staged as changes would trip drift first, s34's scaladoc note)
@@ -135,7 +137,7 @@ private[graft] object SkewFixture {
     * (negation reverses every dot), so the drift monitor — measuring
     * against the RANK-CHUNKED post-cut state under the GROWN codebook
     * — reads ~100% moved-share and retrains. Slices are id-disjoint
-    * (removed / fresh 10⁷-offset odd / present %10) — any batching is
+    * (removed / fresh 10⁹-offset odd / present %10) — any batching is
     * legal; one row per id per slice.
     */
   def censusThenDriftSlices(emb: DataFrame): Seq[DataFrame] = {
@@ -145,7 +147,7 @@ private[graft] object SkewFixture {
         lit(null).cast("array<float>").as("embedding"),
         lit("removed").as("status")),
       emb.filter(!removed && pmod(col("vec_id"), lit(2L)) === 1)
-        .select((col("vec_id") + lit(10000000L)).as("vec_id"),
+        .select((col("vec_id") + lit(1000000000L)).as("vec_id"),
           transform(col("embedding"), x => x * lit(0.015625f))
             .as("embedding"),
           lit("added").as("status")),

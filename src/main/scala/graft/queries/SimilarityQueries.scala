@@ -1042,7 +1042,7 @@ object SimilarityQueries {
     // census from the retrained state. The requires make both
     // decisions loud at every SF; the oracle replays the final
     // landing from nothing — retrain on the post-boundary-2 corpus
-    // (capped id-prefix, negations and the 10⁷-offset additions both
+    // (capped id-prefix, negations and the 10⁹-offset additions both
     // replayed in SQL) and fresh-assign everything — so a wrong
     // boundary choice, a drift statistic contaminated by the
     // additions, or a cut that corrupted the state the retrain read
@@ -1282,7 +1282,10 @@ object SimilarityQueries {
 
   private def stageCensusDriftSliceDir(s: org.apache.spark.sql.SparkSession,
       d: String): java.nio.file.Path =
-    Staging.stageIfStale(d, "vec_census_drift_slices3",
+    // cache key bumped r15 (…3b): the fresh-id offset moved 10⁷ → 10⁹
+    // (ScaleProbe copy-shift collision) and staleness is keyed on the
+    // SOURCE table's mtime, which that edit does not touch
+    Staging.stageIfStale(d, "vec_census_drift_slices3b",
       "embeddings.parquet") { dir =>
       Staging.writeSliceFiles(dir,
         SkewFixture.censusThenDriftSlices(Tables.embeddings(s, d)),
@@ -2066,7 +2069,7 @@ object SimilarityQueries {
     * post-boundary-2 corpus under a codebook retrained on that corpus's
     * capped id-prefix. The post-b2 corpus is rebuilt in SQL: base
     * embeddings minus the %101 removals, %10 ids negated (boundary 2),
-    * plus the 10⁷-offset collapsed-odd additions (boundary 1; ×1/64 is
+    * plus the 10⁹-offset collapsed-odd additions (boundary 1; ×1/64 is
     * dyadic, so both engines quantize identical doubles). The boundary
     * CHOICES are pinned loud by the gate's requires; the hash pins the
     * landing — and transitively the state the retrain read, since the
@@ -2084,7 +2087,7 @@ object SimilarityQueries {
       FROM embeddings, LATERAL (SELECT unnest(range(1, 65)) AS i) t
       WHERE vec_id % 101 <> 7
       UNION ALL
-      SELECT vec_id + 10000000, i - 1,
+      SELECT vec_id + 1000000000, i - 1,
              CAST(floor(CAST(embedding[i] AS DOUBLE) * 0.015625
                   * 1000000.0) AS BIGINT)
       FROM embeddings, LATERAL (SELECT unnest(range(1, 65)) AS i) t

@@ -477,6 +477,29 @@ class RebalanceSpec extends SparkSpec {
     back.filter(col("cid") === 1L).count() shouldBe 0L
   }
 
+  test("versioned apply carries PAYLOAD columns: the ADC index's codes route through v<k+1>") {
+    // the composed-index apply path: movement rows carry the re-encoded
+    // codes; touched cids land them in the fresh version, untouched
+    // cids keep serving their v0 files (codes included)
+    val root = java.nio.file.Files.createTempDirectory("reb_ver_payload").toString
+    Similarity.initIndexVersioned(
+      Seq((0L, 0L, Seq(1, 2)), (1L, 1L, Seq(3, 4)), (2L, 1L, Seq(5, 6)))
+        .toDF("vec_id", "cid", "codes"), root)
+    val moves = Seq(
+      (0L, 0L, 0L, Seq(1, 2)),   // untouched
+      (1L, 1L, 1L, Seq(7, 8)),   // stays in cid 1, codes re-encoded
+      (2L, 1L, 2L, Seq(9, 10)))  // moves to fresh cid 2 with new codes
+      .toDF("vec_id", "old_cid", "cid", "codes")
+    Similarity.applyMovementVersioned(moves, root) shouldBe 1L
+    val back = Similarity.readIndexVersioned(spark, root).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getSeq[Int](1).toSeq))
+      .sortBy(_._1)
+    back shouldBe Array(
+      (0L, 0L, Seq(1, 2)),  // untouched: v0's codes
+      (1L, 1L, Seq(7, 8)),  // rewritten in place with the new codes
+      (2L, 2L, Seq(9, 10))) // landed in the fresh list with its codes
+  }
+
   test("bit-identical movement and codebook across partitionings") {
     val cb = Similarity.kmeansTrainFixedPoint(embeddings, k = 8, maxIter = 3)
     val corpus = graft.queries.SkewFixture.skewed(embeddings)
