@@ -156,9 +156,13 @@ object RebalanceRecallProbe {
       maxIterCoarse = 3, maxIterPq = 2)
     val idxN = Similarity.ivfPqEncodeFixedPoint(nrm, coarseN, pqN)
       .localCheckpoint()
+    val (mrgIdx0, cbMrgAdc) = Similarity.mergeIvfPqIndex(idx, corpus,
+      coarseP, pqP, mpol)
+    val mrgIdx = mrgIdx0.localCheckpoint()
     for ((phase, pidx, pcorpus, pcb, ppq) <- Seq(
         ("pre_adc", idx, corpus, coarseP, pqP),
         ("post_split_adc", rebIdx, corpus, cbAdc, pqP),
+        ("post_merge_adc", mrgIdx, corpus, cbMrgAdc, pqP),
         ("retrained_adc", idxR, corpus, coarseR, pqR),
         ("normalized_adc", idxN, nrm, coarseN, pqN));
         nProbe <- Seq(2, 4, 8, 12, 16, 24).filter(_ <= pcb.length)) {

@@ -188,6 +188,9 @@ object ScaleProbe {
     // IVFADC rebalance: the s33 cut + one re-encode kernel pass over
     // split-list members (~the hot share of the corpus) — ~linear
     "s37_ivfpq_rebalance",
+    // IVFADC merge: census + orphan-only argmax/re-encode kernel +
+    // a map-literal renumber on carried rows — ~linear in orphans
+    "s38_ivfpq_merge",
     // fixed-point classifier training: one token explode + per
     // iteration a doc-keyed margin agg + a 65-key gradient agg over the
     // sparse feature table — expect ~linear in corpus tokens

@@ -1933,6 +1933,117 @@ object Similarity {
     }.reduce(_ unionByName _)
   }
 
+  /** IVFADC list-starvation merge (gate s38, r15) — [[mergeLists]]
+    * lifted to the COMPOSED (id, cid, codes) index, [[rebalanceIvfPqIndex]]'s
+    * complement: census the PHYSICAL lists (empty lists included — a
+    * list with no index rows always retires), retire every starved one
+    * ([[MergePolicy]]), renumber survivors densely, and land each
+    * orphaned member at its fresh exact-integer argmax among the
+    * SURVIVING centroids with its residual codes RE-ENCODED against
+    * that centroid ([[encodeAtState]] — the orphan's old codes
+    * quantized a residual against its retired centroid and would
+    * corrupt its ADC distances in the new list). Survivor members are
+    * the cheap half: their centroid is untouched, so their codes carry
+    * VERBATIM and only the cid renumbers — at production the survivor
+    * movement is the metadata rename [[mergeLists]] documents, zero
+    * file rewrites of survivor lists, and the orphan re-encode is
+    * Θ(starved-list bytes). Returns (merged index, surviving codebook)
+    * ready for [[ivfPqSearchIndexed]].
+    *
+    * Movement: one census aggregate (nLists-bounded), one codegen'd
+    * survivor-argmax + re-encode kernel pass over ORPHANS only, and a
+    * map-literal cid renumber on the carried rows. Exact integers end
+    * to end — the DuckDB oracle replays decision and effect.
+    */
+  def mergeIvfPqIndex(index: DataFrame, corpus: DataFrame,
+                      coarseCb: Array[Array[Long]],
+                      pqCbs: Array[Array[Array[Long]]],
+                      policy: MergePolicy, scale: Long = 1000000L,
+                      idCol: String = "vec_id",
+                      vecCol: String = "embedding")
+      : (DataFrame, Array[Array[Long]]) = {
+    val k = coarseCb.length
+    require(k > 0, "mergeIvfPqIndex: empty codebook — nothing to merge")
+    val census = index.groupBy(col("cid").cast("long").as("cid")).count()
+      .collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap.withDefaultValue(0L)
+    val nTot = census.values.sum
+    val merged = (0L until k.toLong).filter(c => policy.merges(census(c), k, nTot))
+    val survivors = (0L until k.toLong).filterNot(merged.contains)
+    require(survivors.nonEmpty,
+      s"mergeIvfPqIndex: the ${policy.mergeNumer}/${policy.mergeDenom} " +
+        "bar retires every list — there is no codebook left to serve")
+    val rankOf: Map[Long, Long] =
+      survivors.zipWithIndex.map { case (c, i) => c -> i.toLong }.toMap
+    val survCb: Array[Array[Long]] = survivors.map(c => coarseCb(c.toInt)).toArray
+    if (merged.isEmpty) return (index, coarseCb)
+    val kept = index.filter(col("cid").isin(survivors: _*))
+      .select(col("id"),
+        element_at(typedLit(rankOf), col("cid").cast("long")).as("cid"),
+        col("codes"))
+    // orphans: fresh survivor argmax (the rank IS the dense new cid,
+    // survCb being in survivor order), then re-encode against it
+    val orphanIds = index.filter(col("cid").isin(merged: _*)).select(col("id"))
+    val orphanAssign = quantized(corpus, scale, idCol, vecCol)
+      .join(orphanIds, Seq("id"), "left_semi")
+      .select(col("id"),
+        nearestOfDots(fixedScores(survCb)).cast("long").as("cid"))
+    val reenc = encodeAtState(corpus, orphanAssign, survCb, pqCbs,
+      scale, idCol, vecCol)
+    (kept.unionByName(reenc), survCb)
+  }
+
+  /** Retention sweep for the versioned index (the "dead weight the
+    * manifest never routes to" the apply deliberately leaves behind):
+    * keep the newest `keepVersions` committed manifests, drop the
+    * older manifests, then delete every `v<k>/cid=` data directory no
+    * KEPT manifest routes to. Referenced-ness, not directory age,
+    * decides deletion — a kept manifest may still route a cid to a
+    * directory many versions old (untouched lists never rewrite), and
+    * that directory survives any number of sweeps. Deletion order is
+    * crash-safe for surviving readers: dropped MANIFESTS go first (a
+    * crash mid-sweep leaves unreferenced dirs, which are dead weight,
+    * never a manifest routing to deleted data). `keepVersions` is the
+    * reader-pin horizon: a reader pinned at a dropped version fails
+    * loudly on its next manifest resolve, which is the retention
+    * contract (same trade as any table format's VACUUM). Returns
+    * (manifests dropped, data directories deleted).
+    */
+  def vacuumIndexVersioned(spark: org.apache.spark.sql.SparkSession,
+                           root: String, keepVersions: Int = 2)
+      : (Long, Long) = {
+    require(keepVersions >= 1,
+      "vacuumIndexVersioned: must keep at least the latest version")
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val mdir = new org.apache.hadoop.fs.Path(root, "_manifests")
+    val V = "^v(\\d+)$".r
+    val versions = fs.listStatus(mdir).toSeq
+      .map(_.getPath.getName).collect { case V(n) => n.toLong }.sorted
+    require(versions.nonEmpty, s"versioned index $root: no manifests")
+    val (dropped, kept) =
+      versions.splitAt(math.max(0, versions.size - keepVersions))
+    val referenced: Set[(Long, Long)] = kept.flatMap { v =>
+      readManifest(fs, root, v).map { case (cid, owner) => (owner, cid) }
+    }.toSet
+    dropped.foreach(v => fs.delete(manifestPath(root, v), false))
+    var deleted = 0L
+    val D = "^cid=(-?\\d+)$".r
+    versions.foreach { v =>
+      val vdir = new org.apache.hadoop.fs.Path(root, s"v$v")
+      if (fs.exists(vdir)) {
+        fs.listStatus(vdir).foreach { st =>
+          st.getPath.getName match {
+            case D(c) if !referenced((v, c.toLong)) =>
+              fs.delete(st.getPath, true); deleted += 1
+            case _ => () // marker/_SUCCESS files; an empty shell dir
+          }            // costs nothing and keeps the sweep idempotent
+        }
+      }
+    }
+    (dropped.size.toLong, deleted)
+  }
+
   /** IVF (inverted-file) ANN: a k-means coarse quantizer partitions the
     * corpus into `nLists` inverted lists; each query probes its `nProbe`
     * nearest centroids and re-ranks exactly (cosine) within those lists —

@@ -1114,7 +1114,39 @@ object SimilarityQueries {
           .select(col("id"), col("cid").cast("long").as("cid"),
             col("s").cast("long").as("s"), col("code").cast("long").as("code"))
       },
-      Some(ivfPqRebalanceOracle(KmFixedK, KmFixedIters)))
+      Some(ivfPqRebalanceOracle(KmFixedK, KmFixedIters))),
+
+    // IVFADC merge (s38, r15): s37's complement — the starvation half
+    // of the census event on the COMPOSED index. Survivor members are
+    // the cheap half: their centroid is untouched, so codes carry
+    // VERBATIM and only the cid renumbers (the metadata rename — zero
+    // survivor file rewrites at production); each orphan lands at its
+    // fresh survivor argmax with its residual codes re-encoded against
+    // that centroid (its old codes quantized a residual against the
+    // RETIRED centroid). The oracle replays trainings, encode, the
+    // range-k census (empty lists always retire), the retire decision,
+    // survivor renumbering, the orphan landings, and both code halves.
+    "s38_ivfpq_merge" -> QueryDef(
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val (coarse, pq) = Similarity.ivfPqTrainFixedPoint(emb, dim = 64,
+          nLists = KmFixedK, m = PqFixedM, codebookSize = PqFixedCb,
+          maxIterCoarse = KmFixedIters, maxIterPq = PqFixedIters)
+        val skewed = SkewFixture.skewed(emb)
+        val index = Similarity.ivfPqEncodeFixedPoint(skewed, coarse, pq)
+          .localCheckpoint()
+        val (mrg, survCb) = Similarity.mergeIvfPqIndex(index, skewed,
+          coarse, pq, Similarity.MergePolicy(MergeNumer, MergeDenom))
+        require(survCb.length < KmFixedK && survCb.nonEmpty,
+          s"s38: ${KmFixedK - survCb.length} of $KmFixedK lists " +
+            "retired — the staged census must retire some and keep " +
+            "some; re-measure with graft.ListSkewProbe and retune Merge*")
+        mrg.select(col("id"), col("cid"), posexplode(col("codes")))
+          .toDF("id", "cid", "s", "code")
+          .select(col("id"), col("cid").cast("long").as("cid"),
+            col("s").cast("long").as("s"), col("code").cast("long").as("code"))
+      },
+      Some(ivfPqMergeOracle(KmFixedK, KmFixedIters)))
   )
 
   private val PqFixedM = 4
@@ -2109,7 +2141,15 @@ object SimilarityQueries {
     * every split-list member re-encoded against its chunk centroid at
     * its new cid. Flattened to (id, cid, s, code), the s26 convention.
     */
-  private def ivfPqRebalanceOracle(kC: Int, itC: Int): String = {
+  /** The shared oracle prefix of the composed-index skew gates
+    * (s37/s38): both quantizer stages trained from scratch on the
+    * NATURAL corpus (coarse chain over the capped id-prefix, residual
+    * PQ chain over the natural residuals), plus the SKEWED corpus
+    * quantized (`sxv`) and coarse-assigned (`wa` — the physical index
+    * lists of a fresh encode). Ends at `wa`; callers append their
+    * cut/merge and re-encode CTEs.
+    */
+  private def ivfPqSkewPrefixCtes(kC: Int, itC: Int): String = {
     val (m, cbSize, itP) = (PqFixedM, PqFixedCb, PqFixedIters)
     val dim = 64
     val sub = dim / m
@@ -2133,8 +2173,7 @@ object SimilarityQueries {
            LEFT JOIN pupd$i u
              ON pr.s = u.s AND pr.cid = u.cid AND pr.pos = u.pos)"""
     }.mkString(",\n    ")
-    s"""
-    WITH ${kmXvCte(dim, 1000000L)},
+    s"""${kmXvCte(dim, 1000000L)},
     ${skewXvCte()},
     allv AS (SELECT vec_id FROM embeddings
              ORDER BY vec_id LIMIT $FixedTrainCap),
@@ -2150,7 +2189,14 @@ object SimilarityQueries {
     pcent0 AS (SELECT i.cid, xrt.s, xrt.ppos AS pos, xrt.x AS c
                FROM pids i JOIN xrt ON i.vec_id = xrt.vec_id),
     $pIters,
-    ${kmAssignCte("w", s"cent$itC", "sxv")},
+    ${kmAssignCte("w", s"cent$itC", "sxv")}"""
+  }
+
+  private def ivfPqRebalanceOracle(kC: Int, itC: Int): String = {
+    val itP = PqFixedIters
+    val sub = 64 / PqFixedM
+    s"""
+    WITH ${ivfPqSkewPrefixCtes(kC, itC)},
     ${splitEvenCtes(kC, asg = "wa")},
     l1 AS (SELECT wa.vec_id,
                   CASE WHEN ck.vec_id IS NULL THEN wa.cid
@@ -2203,6 +2249,79 @@ object SimilarityQueries {
     SELECT l1.vec_id AS id, CAST(l1.cid AS BIGINT) AS cid,
            CAST(e.s AS BIGINT) AS s, CAST(e.cid AS BIGINT) AS code
     FROM enc1 e JOIN l1 ON e.vec_id = l1.vec_id"""
+  }
+
+  /** DuckDB replay of s38, from nothing — s31's census/retire/re-land
+    * chain over the PHYSICAL index lists (`wa`), composed with the PQ
+    * stage: survivor members keep their ORIGINAL codes (recomputed
+    * from scratch here, which the carried rows must equal) under the
+    * dense survivor rank; each orphan re-encodes its residual against
+    * its fresh survivor-argmax centroid. Flattened (id, cid, s, code).
+    */
+  private def ivfPqMergeOracle(kC: Int, itC: Int): String = {
+    val itP = PqFixedIters
+    val sub = 64 / PqFixedM
+    s"""
+    WITH ${ivfPqSkewPrefixCtes(kC, itC)},
+    szs AS (SELECT cid, COUNT(*) AS n FROM wa GROUP BY 1),
+    ntot AS (SELECT COUNT(*) AS n FROM wa),
+    alc AS (SELECT unnest(range(0, $kC)) AS cid),
+    mg AS (SELECT alc.cid FROM alc
+           LEFT JOIN szs ON alc.cid = szs.cid
+           CROSS JOIN ntot
+           WHERE $MergeDenom * COALESCE(szs.n, 0) * $kC
+                 <= $MergeNumer * ntot.n),
+    sv AS (SELECT cid, row_number() OVER (ORDER BY cid) - 1 AS srank
+           FROM alc WHERE cid NOT IN (SELECT cid FROM mg)),
+    mm AS (SELECT wa.vec_id FROM wa JOIN mg USING (cid)),
+    mmx AS (SELECT sxv.vec_id, sxv.pos, sxv.x
+            FROM sxv JOIN mm USING (vec_id)),
+    msc AS (SELECT mmx.vec_id, sv.srank, sv.cid AS ocid,
+                   SUM(2 * ct.c * mmx.x) - SUM(ct.c * ct.c) AS score
+            FROM mmx JOIN cent$itC ct ON mmx.pos = ct.pos
+                 JOIN sv ON ct.cid = sv.cid
+            GROUP BY 1, 2, 3),
+    ma AS (SELECT vec_id, srank, ocid FROM (
+             SELECT vec_id, srank, ocid,
+                    row_number() OVER (PARTITION BY vec_id
+                                       ORDER BY score DESC, srank ASC) AS rn
+             FROM msc) WHERE rn = 1),
+    rw AS (SELECT sxv.vec_id, sxv.pos, sxv.x - ct.c AS x
+           FROM sxv JOIN wa ON sxv.vec_id = wa.vec_id
+                JOIN cent$itC ct ON ct.cid = wa.cid AND ct.pos = sxv.pos
+           WHERE wa.cid NOT IN (SELECT cid FROM mg)),
+    rwp AS (SELECT vec_id, pos // $sub AS s, pos % $sub AS ppos, x FROM rw),
+    esc0 AS (SELECT rwp.vec_id, ct.s, ct.cid,
+               SUM(2 * ct.c * rwp.x) - SUM(ct.c * ct.c) AS score
+             FROM rwp JOIN pcent$itP ct
+               ON rwp.s = ct.s AND rwp.ppos = ct.pos
+             GROUP BY 1, 2, 3),
+    enc0 AS (SELECT vec_id, s, cid FROM (
+               SELECT vec_id, s, cid,
+                      row_number() OVER (PARTITION BY vec_id, s
+                                         ORDER BY score DESC, cid ASC) AS rn
+               FROM esc0) WHERE rn = 1),
+    rs AS (SELECT sxv.vec_id, sxv.pos, sxv.x - ct.c AS x
+           FROM sxv JOIN ma ON sxv.vec_id = ma.vec_id
+                JOIN cent$itC ct ON ct.cid = ma.ocid AND ct.pos = sxv.pos),
+    rsp AS (SELECT vec_id, pos // $sub AS s, pos % $sub AS ppos, x FROM rs),
+    esc1 AS (SELECT rsp.vec_id, ct.s, ct.cid,
+               SUM(2 * ct.c * rsp.x) - SUM(ct.c * ct.c) AS score
+             FROM rsp JOIN pcent$itP ct
+               ON rsp.s = ct.s AND rsp.ppos = ct.pos
+             GROUP BY 1, 2, 3),
+    enc1 AS (SELECT vec_id, s, cid FROM (
+               SELECT vec_id, s, cid,
+                      row_number() OVER (PARTITION BY vec_id, s
+                                         ORDER BY score DESC, cid ASC) AS rn
+               FROM esc1) WHERE rn = 1)
+    SELECT w.vec_id AS id, CAST(sv.srank AS BIGINT) AS cid,
+           CAST(e.s AS BIGINT) AS s, CAST(e.cid AS BIGINT) AS code
+    FROM enc0 e JOIN wa w ON e.vec_id = w.vec_id JOIN sv ON w.cid = sv.cid
+    UNION ALL
+    SELECT ma.vec_id AS id, CAST(ma.srank AS BIGINT) AS cid,
+           CAST(e.s AS BIGINT) AS s, CAST(e.cid AS BIGINT) AS code
+    FROM enc1 e JOIN ma ON e.vec_id = ma.vec_id"""
   }
 
   /** DuckDB replay of s31, from nothing: re-train on the natural

@@ -392,6 +392,43 @@ class RebalanceSpec extends SparkSpec {
       .foreach(_.getLong(1) shouldBe 5L)
   }
 
+  test("ADC merge: survivors carry codes VERBATIM under the dense rank; orphans land among survivors") {
+    val emb = embeddings
+    val (coarse, pq) = Similarity.ivfPqTrainFixedPoint(emb, dim = 64,
+      nLists = 8, m = 4, codebookSize = 8, maxIterCoarse = 3, maxIterPq = 2)
+    val corpus = graft.queries.SkewFixture.skewed(emb)
+    val index = Similarity.ivfPqEncodeFixedPoint(corpus, coarse, pq)
+      .localCheckpoint()
+    val (mrg, survCb) = Similarity.mergeIvfPqIndex(index, corpus,
+      coarse, pq, Similarity.MergePolicy(2L, 3L))
+    survCb.length should be < coarse.length
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getSeq[Int](2).toSeq))
+    val before = rows(index.select(col("id"),
+      col("cid").cast("long").as("cid"), col("codes"))).map(r => r._1 -> r).toMap
+    val after = rows(mrg)
+    after.map(_._1).sorted shouldBe before.keys.toSeq.sorted
+    // survivors = old cids whose centroid survived, in cid order
+    val survOld = coarse.indices.map(_.toLong).filter(c =>
+      survCb.map(_.toSeq).contains(coarse(c.toInt).toSeq))
+    val rankOf = survOld.zipWithIndex.map { case (c, i) => c -> i.toLong }.toMap
+    after.foreach { case (id, cid, codes) =>
+      val (_, oldCid, oldCodes) = before(id)
+      rankOf.get(oldCid) match {
+        case Some(rank) => // survivor member: renumbered, codes verbatim
+          (cid, codes) shouldBe ((rank, oldCodes))
+        case None => // orphan: landed among survivors (re-encoded codes
+          cid should be < survCb.length.toLong // pinned by the oracle)
+      }
+    }
+    // the merged index serves through the standard indexed search
+    val queries = corpus.orderBy("vec_id").limit(5)
+    Similarity.ivfPqSearchIndexed(mrg, corpus, queries, 5, survCb, pq,
+        nProbe = 2, rerank = 4)
+      .groupBy(col("query_id")).count().collect()
+      .foreach(_.getLong(1) shouldBe 5L)
+  }
+
   // ---- versioned apply (s35): serve-while-applying isolation ----------
 
   test("versioned apply: manifest routes each cid to its owner; untouched v0 dirs keep their bytes") {
@@ -498,6 +535,41 @@ class RebalanceSpec extends SparkSpec {
       (0L, 0L, Seq(1, 2)),  // untouched: v0's codes
       (1L, 1L, Seq(7, 8)),  // rewritten in place with the new codes
       (2L, 2L, Seq(9, 10))) // landed in the fresh list with its codes
+  }
+
+  test("vacuum: referenced-ness decides deletion — an old dir the latest manifest still routes survives") {
+    val root = java.nio.file.Files.createTempDirectory("reb_ver_vac").toString
+    Similarity.initIndexVersioned(
+      Seq((0L, 0L), (1L, 1L), (2L, 1L)).toDF("vec_id", "cid"), root)
+    // v1: split cid 1 → {1, 2}; cid 0 stays owned by v0
+    Similarity.applyMovementVersioned(
+      Seq((1L, 1L, 1L), (2L, 1L, 2L)).toDF("vec_id", "old_cid", "cid"),
+      root) shouldBe 1L
+    // v2: merge id 1 into cid 0 (drains cid 1; touches 0 and 1 — the
+    // movement carries one row per corpus vector, as always)
+    Similarity.applyMovementVersioned(
+      Seq((0L, 0L, 0L), (1L, 1L, 0L), (2L, 2L, 2L))
+        .toDF("vec_id", "old_cid", "cid"), root) shouldBe 2L
+    val before = Similarity.readIndexVersioned(spark, root).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    val (droppedM, deletedD) =
+      Similarity.vacuumIndexVersioned(spark, root, keepVersions = 1)
+    droppedM shouldBe 2L // manifests v0, v1 dropped
+    // survivors: v2/cid=0 (latest), v2/cid=1, and v1/cid=2 — an OLD
+    // version's dir the latest manifest still routes to. Deleted:
+    // v0/cid=0, v0/cid=1 (superseded), v1/cid=1 (superseded by v2)
+    deletedD shouldBe 3L
+    new java.io.File(s"$root/v1/cid=2").isDirectory shouldBe true
+    new java.io.File(s"$root/v0/cid=0").exists() shouldBe false
+    new java.io.File(s"$root/v1/cid=1").exists() shouldBe false
+    // the latest read is byte-for-byte unaffected
+    Similarity.readIndexVersioned(spark, root).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1) shouldBe before
+    // a reader pinned below the horizon now fails loudly (the contract)
+    an[Exception] should be thrownBy
+      Similarity.readIndexVersioned(spark, root, Some(0L)).collect()
+    // idempotent: a second sweep finds nothing
+    Similarity.vacuumIndexVersioned(spark, root, 1) shouldBe ((0L, 0L))
   }
 
   test("bit-identical movement and codebook across partitionings") {

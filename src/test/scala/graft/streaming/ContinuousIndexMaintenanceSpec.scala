@@ -723,6 +723,44 @@ class ContinuousIndexMaintenanceSpec extends SparkSpec {
         .map(r => r.getLong(0) -> r.getLong(1)).toMap
   }
 
+  test("composed monitors: redelivery of the DRIFT boundary after a committed cut re-decides identically") {
+    // the composition's restart seam: the census cut at b0 committed,
+    // the drift boundary b1 went uncommitted — a restarted loop
+    // redelivers b1, re-measures moved-share against the on-disk
+    // post-cut state UNDER THE GROWN CODEBOOK (latestBelow resolves
+    // cb/v0), re-decides retrain, and lands the identical state
+    val S = graft.operators.Similarity
+    val init = S.assignFixedPoint(rebCorpus, rebCb).localCheckpoint()
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_composed_redeliver").toString
+    def newLoop() = new ContinuousIndexMaintenance.RetrainLoop(spark,
+      rebCorpus, init, rebCb, 3, 1, 1000000L, "vec_id", "embedding", root,
+      driftPolicy = Some(S.DriftPolicy(3L, 5L)),
+      rebalancePolicy = Some(S.RebalancePolicy(5L, 2L)))
+    val b0 = retrainBatch(Seq(
+      (6L, Seq(0.75f, 0.5f), "added"),
+      (7L, Seq(0.75f, 0.5f), "added"),
+      (8L, Seq(1.0f, 1.0f), "added")))
+    val b1 = retrainBatch(Seq(
+      (1L, Seq(0.05f, 0.02f), "changed"),
+      (3L, Seq(0.04f, 0.03f), "changed")))
+    val first = newLoop()
+    first.processBatch(b0, 0L)
+    first.processBatch(b1, 1L) // the retrain goes UNCOMMITTED…
+    first.rebalancedAt shouldBe Seq(0L)
+    first.retrainedAt shouldBe Seq(1L)
+    val firstState = first.result.state.collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val restarted = newLoop() // …restart: fresh memory, same root
+    restarted.processBatch(b1, 1L) // redelivery re-measures + re-retrains
+    restarted.rebalancedAt shouldBe empty // b0 was committed, not replayed
+    restarted.retrainedAt shouldBe Seq(1L)
+    restarted.driftStats.map(s => (s.batchId, s.moved, s.measured)) shouldBe
+      Seq((1L, 2L, 2L)) // measured against the GROWN codebook's state
+    restarted.result.state.collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap shouldBe firstState
+  }
+
   test("census stays exact when a batch re-\"adds\" an id the state already holds") {
     // upsert REPLACES a re-added existing row (state size unchanged);
     // the census must vacate its old seat like a change, or the id is
