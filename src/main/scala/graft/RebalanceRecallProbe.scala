@@ -164,22 +164,29 @@ object RebalanceRecallProbe {
         ("post_split_adc", rebIdx, corpus, cbAdc, pqP),
         ("post_merge_adc", mrgIdx, corpus, cbMrgAdc, pqP),
         ("retrained_adc", idxR, corpus, coarseR, pqR),
-        ("normalized_adc", idxN, nrm, coarseN, pqN));
-        nProbe <- Seq(2, 4, 8, 12, 16, 24).filter(_ <= pcb.length)) {
-      val pq2 = pcorpus.orderBy("vec_id").limit(20).localCheckpoint()
-      val got = Similarity.ivfPqSearchIndexed(pidx, pcorpus, pq2, k,
-          pcb, ppq, nProbe, rerank = 4).collect()
-        .groupBy(_.getLong(0)).view
-        .mapValues(_.map(_.getLong(2)).toSet).toMap
-      val recall = truth.map { case (q, t) =>
-        got.getOrElse(q, Set.empty).count(t).toDouble / t.size
-      }.sum / truth.size
-      val hottest = censusTop(pidx.select(col("id"),
-        col("cid").cast("long").as("cid")))
-      println(f"""{"probe":"rebalance_recall","phase":"$phase",""" +
-        f""""sf":"$sfDir","n":$n,"nLists":${pcb.length},""" +
-        f""""nProbe":$nProbe,"k":$k,"recall":$recall%.4f,""" +
-        f""""hottest":$hottest}""")
+        ("normalized_adc", idxN, nrm, coarseN, pqN))) {
+      // the phase's query set MUST be the truth's: same nQ ids (the
+      // vec_id order is corpus-stable, so nrm's rows differ only in
+      // the normalized embedding — cosine truth is normalization-
+      // invariant). Hoisted out of the nProbe loop: one checkpoint
+      // per phase, not per operating point. (r15 advice: a hardcoded
+      // limit(20) here miscounted recall for any nQ != 20.)
+      val pq2 = pcorpus.orderBy("vec_id").limit(nQ).localCheckpoint()
+      for (nProbe <- Seq(2, 4, 8, 12, 16, 24).filter(_ <= pcb.length)) {
+        val got = Similarity.ivfPqSearchIndexed(pidx, pcorpus, pq2, k,
+            pcb, ppq, nProbe, rerank = 4).collect()
+          .groupBy(_.getLong(0)).view
+          .mapValues(_.map(_.getLong(2)).toSet).toMap
+        val recall = truth.map { case (q, t) =>
+          got.getOrElse(q, Set.empty).count(t).toDouble / t.size
+        }.sum / truth.size
+        val hottest = censusTop(pidx.select(col("id"),
+          col("cid").cast("long").as("cid")))
+        println(f"""{"probe":"rebalance_recall","phase":"$phase",""" +
+          f""""sf":"$sfDir","n":$n,"nLists":${pcb.length},""" +
+          f""""nProbe":$nProbe,"k":$k,"recall":$recall%.4f,""" +
+          f""""hottest":$hottest}""")
+      }
     }
     spark.stop()
   }

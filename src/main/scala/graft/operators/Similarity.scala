@@ -1227,6 +1227,55 @@ object Similarity {
       size >= 2 && splitDenom * size * nLists >= splitNumer * nTot
   }
 
+  /** The NORM-COLLAPSE tripwire (r15 verdict #2): r15 measured that a
+    * norm-skewed clump (vectors at 1/64 scale sharing residual-PQ
+    * codebooks with natural-scale vectors) silently destroys ADC
+    * recall (0.235@10) while EVERY existing monitor stays quiet —
+    * moved-share reads 0 (each clump vector can sit in its argmax
+    * list) and the census only sees cardinality, not scale. The
+    * dispersion statistic is the corpus's squared-norm ENVELOPE
+    * (minN2, maxN2): exact integers (Σx² of the quantized vector), so
+    * the flag decision is oracle-replayable. Flags when the norm
+    * RATIO max/min exceeds ratioNumer/ratioDenom, i.e. the integer
+    * cross-product `ratioDenom²·maxN2 > ratioNumer²·minN2` (norm² is
+    * the square of the norm, hence the squared ratio; products stay
+    * in Long for maxN2·denom² < 2⁶³ — dim·scale² ≈ 2⁴⁶ at the suite's
+    * 64-dim/10⁶ scale, leaving 2¹⁷ of ratio headroom). A zero vector
+    * (minN2 = 0) always flags — it is unservable under cosine anyway.
+    * The flag's documented operator action: L2-normalize the ingest
+    * ([[l2Normalize]] — the measured 0.920-recall recipe, RECALL.json
+    * `normalized_adc`) or re-train the quantizers; a rebalance CANNOT
+    * recover it (measured: the cut holds 0.235, a full retrain only
+    * 0.485). The envelope is maintained monotonically (adds/changes
+    * widen it; removals never narrow it) — a deliberate
+    * over-approximation: once a collapse has been seen the tripwire
+    * stays tripped until the operator re-baselines, never the reverse.
+    */
+  final case class NormPolicy(ratioNumer: Long, ratioDenom: Long) {
+    require(ratioDenom > 0 && ratioNumer > 0 && ratioNumer >= ratioDenom,
+      s"NormPolicy: ratio $ratioNumer/$ratioDenom is not a norm factor ≥ 1")
+    def flags(minN2: Long, maxN2: Long): Boolean =
+      ratioDenom * ratioDenom * maxN2 > ratioNumer * ratioNumer * minN2
+  }
+
+  /** The exact-integer squared-norm envelope of `df`'s quantized
+    * vectors — (minN2, maxN2), the [[NormPolicy]] statistic. One
+    * delta-sized aggregate (Σx² per row, then min/max); None on an
+    * empty frame.
+    */
+  def normEnvelope(df: DataFrame, scale: Long = 1000000L,
+                   idCol: String = "vec_id",
+                   vecCol: String = "embedding"): Option[(Long, Long)] = {
+    // xd is integer-VALUED doubles (the fixed-point convention): Σx²
+    // ≤ M²·dim, which requireFixedPointBounds keeps under 2⁵¹ — the
+    // double sum is exact and the Long cast lossless
+    val n2 = quantized(df, scale, idCol, vecCol)
+      .select(aggregate(col("xd"), lit(0.0d), (acc, x) => acc + x * x)
+        .cast("long").as("n2"))
+    val r = n2.agg(min(col("n2")), max(col("n2"))).head()
+    if (r.isNullAt(0)) None else Some((r.getLong(0), r.getLong(1)))
+  }
+
   /** IVF list-skew rebalance (gate s30): split every overloaded
     * inverted list — [[RebalancePolicy]] decides WHICH, measured
     * against the exact-integer size census — into two sub-lists via a
@@ -1586,10 +1635,31 @@ object Similarity {
                           idCol: String = "vec_id",
                           vecCol: String = "embedding")
       : (DataFrame, Array[Array[Long]]) = {
+    val (idx, cb, _) = rebalanceIvfPqMovement(index, corpus, coarseCb,
+      pqCbs, policy, scale, idCol, vecCol)
+    (idx, cb)
+  }
+
+  /** [[rebalanceIvfPqIndex]] exposing the cut's MOVEMENT alongside the
+    * rebalanced index — (index, expanded codebook, movement). The
+    * movement is [[splitListsEven]]'s `(id, old_cid, cid)` contract
+    * (identity rows for an uncut census); the continuous census
+    * monitor (s39) consumes it to advance its exact-integer census
+    * incrementally (split lists' mover counts) instead of re-scanning
+    * the index, and a versioned-layout deployment feeds it (with the
+    * re-encoded codes joined on as payload) to
+    * [[applyMovementVersioned]].
+    */
+  private[graft] def rebalanceIvfPqMovement(index: DataFrame,
+      corpus: DataFrame, coarseCb: Array[Array[Long]],
+      pqCbs: Array[Array[Array[Long]]], policy: RebalancePolicy,
+      scale: Long = 1000000L, idCol: String = "vec_id",
+      vecCol: String = "embedding")
+      : (DataFrame, Array[Array[Long]], DataFrame) = {
     val state = index.select(col("id"), col("cid").cast("long").as("cid"))
     val (movement, newCb) = splitListsEven(corpus, coarseCb, policy,
       scale, idCol, vecCol, state = Some(state))
-    if (newCb.length == coarseCb.length) return (index, coarseCb)
+    if (newCb.length == coarseCb.length) return (index, coarseCb, movement)
     val mv = movement.localCheckpoint() // split-set + re-encode reads
     // a list is split iff it has movers (chunks ≥ 1 are never empty);
     // chunk-0 stayers share their movers' old_cid, so this names every
@@ -1603,8 +1673,12 @@ object Similarity {
     val reenc = encodeAtState(corpus,
       mv.filter(col("old_cid").isin(splitSet.toSeq: _*))
         .select(col("id"), col("cid")),
-      newCb, pqCbs, scale, idCol, vecCol)
-    (carried.unionByName(reenc), newCb)
+      newCb, pqCbs, scale, idCol, vecCol,
+      // movement rows are splitListsEven's own corpus scan — state ⊆
+      // corpus by construction, and the bidirectional check above it
+      // already ran; skip the redundant ghost count
+      validate = false)
+    (carried.unionByName(reenc), newCb, mv)
   }
 
   /** [[ivfPqEncodeFixedPoint]] against a SUPPLIED (id, cid) assignment:
@@ -1614,18 +1688,35 @@ object Similarity {
     * [[rebalanceIvfPqIndex]] (after a cut the landed list is a rank
     * chunk, not the argmax, and the residual must subtract THAT
     * chunk's centroid or every ADC distance in the list is garbage).
-    * One quantized scan + one id-equi-join against the supplied state;
-    * rows of `state` absent from `corpus` are dropped (inner join) —
-    * callers that need the mismatch loud validate upstream
-    * ([[splitListsEven]]'s bidirectional check).
+    * One quantized scan + one id-equi-join against the supplied state.
+    * The id join is INNER, so a state row with no corpus vector would
+    * silently vanish from the encode — the silent-drop class
+    * [[splitListsEven]] fails loudly on. `validate` (default ON — the
+    * function is public and the loud-failure contract must not depend
+    * on every call site remembering, r15 advice) counts those ghosts
+    * and fails with the direction named; internal callers whose state
+    * is DERIVED from the same corpus scan (so state ⊆ corpus by
+    * construction: [[rebalanceIvfPqIndex]]'s movement rows,
+    * [[mergeIvfPqIndex]]'s orphan argmax) pass `validate = false` and
+    * skip the bounded count.
     */
   def encodeAtState(corpus: DataFrame, state: DataFrame,
                     coarseCb: Array[Array[Long]],
                     pqCbs: Array[Array[Array[Long]]],
                     scale: Long = 1000000L,
                     idCol: String = "vec_id",
-                    vecCol: String = "embedding"): DataFrame = {
+                    vecCol: String = "embedding",
+                    validate: Boolean = true): DataFrame = {
     require(coarseCb.nonEmpty, "encodeAtState: empty coarse codebook")
+    if (validate) {
+      val ghosts = state.select(col("id"))
+        .join(corpus.select(col(idCol).as("id")), Seq("id"), "left_anti")
+        .count() // assignment-table sized, never vector payloads
+      require(ghosts == 0L,
+        s"encodeAtState: $ghosts state rows have no corpus vector — " +
+          "they would silently vanish through the encode's inner join; " +
+          "the caller paired a stale corpus with a newer state")
+    }
     val cbLit = typedLit(coarseCb.map(_.map(_.toDouble).toSeq).toSeq)
     quantized(corpus, scale, idCol, vecCol)
       .join(state.select(col("id"), col("cid").cast("long").as("cid")),
@@ -1800,23 +1891,56 @@ object Similarity {
     new org.apache.hadoop.fs.Path(root)
       .getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
 
-  private def writeManifest(fs: org.apache.hadoop.fs.FileSystem,
+  private def manifestText(v: Long, owners: Map[Long, Long]): String =
+    (v.toString +: owners.toSeq.sortBy(_._1)
+      .map { case (c, o) => s"$c $o" }).mkString("\n")
+
+  /** Commit manifest v under `root`. The commit primitive is a
+    * NO-OVERWRITE rename ([[org.apache.hadoop.fs.FileContext]] with
+    * default rename options, which fails on an existing destination —
+    * plain `FileSystem.rename` on RawLocalFileSystem/POSIX silently
+    * REPLACES the destination and returns true, so "rename fails when
+    * the version exists" was never actually enforced there, r15
+    * advice). The tmp file is writer-unique (UUID), so two in-flight
+    * writers never share a staging path either. If the destination
+    * already exists: byte-identical content is the redelivery rewrite
+    * (a committed manifest is a pure function of its version's inputs)
+    * and commits as a no-op; different content is a second writer that
+    * raced this one and fails loud. The exists-then-rename window on
+    * stores whose FileContext rename is check-then-act rather than
+    * atomic is why [[applyMovementVersioned]]'s contract is
+    * SINGLE-WRITER per root (readers are unrestricted).
+    */
+  private[operators] def writeManifest(fs: org.apache.hadoop.fs.FileSystem,
                             root: String, v: Long,
                             owners: Map[Long, Long]): Unit = {
     val dir = new org.apache.hadoop.fs.Path(root, "_manifests")
     fs.mkdirs(dir)
-    val tmp = new org.apache.hadoop.fs.Path(dir, s".v$v.tmp")
+    val tmp = new org.apache.hadoop.fs.Path(dir,
+      s".v$v.${java.util.UUID.randomUUID()}.tmp")
+    val bytes = manifestText(v, owners)
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8)
     val out = fs.create(tmp, true)
-    try out.write((v.toString +: owners.toSeq.sortBy(_._1)
-        .map { case (c, o) => s"$c $o" }).mkString("\n")
-      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    finally out.close()
-    require(fs.rename(tmp, manifestPath(root, v)), // the atomic commit
-      s"versioned index $root: manifest v$v rename failed — another " +
-        "writer committed this version concurrently; resolve and retry")
+    try out.write(bytes) finally out.close()
+    val dest = manifestPath(root, v)
+    val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+      dest.toUri, fs.getConf)
+    try fc.rename(fc.makeQualified(tmp), fc.makeQualified(dest))
+    catch {
+      case _: org.apache.hadoop.fs.FileAlreadyExistsException |
+           _: java.io.FileNotFoundException |
+           _: java.io.IOException if fs.exists(dest) =>
+        fs.delete(tmp, false)
+        val existing = try Some(readManifest(fs, root, v))
+          catch { case _: Exception => None }
+        require(existing.contains(owners),
+          s"versioned index $root: manifest v$v already committed with " +
+            "different content — another writer raced this apply; the " +
+            "layout is single-writer per root, resolve and retry")
+    }
   }
 
-  private def readManifest(fs: org.apache.hadoop.fs.FileSystem,
+  private[operators] def readManifest(fs: org.apache.hadoop.fs.FileSystem,
                            root: String, v: Long): Map[Long, Long] = {
     val in = fs.open(manifestPath(root, v))
     val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
@@ -1878,6 +2002,16 @@ object Similarity {
     * version. I/O is Θ(touched lists); a concurrent reader of any
     * committed version is untouched by construction. Returns the
     * committed version id.
+    *
+    * WRITER CONTRACT — single applier per root: readers are
+    * unrestricted (that is the layout's point), but two CONCURRENT
+    * appliers would race both the data write (they share the
+    * uncommitted `v<k+1>/` directory) and the manifest commit. The
+    * commit primitive makes the manifest race LOUD (no-overwrite
+    * rename + content comparison, [[writeManifest]]) rather than
+    * silent, but loud-and-retried is still a coordination failure the
+    * caller owns — serialize appliers (the streaming loops do this by
+    * construction: one foreachBatch at a time per lineage).
     */
   def applyMovementVersioned(movement: DataFrame, root: String,
                              idCol: String = "vec_id"): Long = {
@@ -1964,6 +2098,28 @@ object Similarity {
       : (DataFrame, Array[Array[Long]]) = {
     val k = coarseCb.length
     require(k > 0, "mergeIvfPqIndex: empty codebook — nothing to merge")
+    // BOTH silent-drop directions loud (r15 advice — the merge half of
+    // the check splitListsEven/rebalanceIvfPqIndex already carry): an
+    // index id with no corpus vector would vanish through the orphan
+    // re-encode's inner joins, and an index cid outside [0, k) matches
+    // neither the survivors filter nor the merged one — either way the
+    // caller paired a stale index with a mismatched corpus/codebook.
+    // Two bounded counts (id/cid columns only, never codes payloads).
+    val ghosts = index.select(col("id"))
+      .join(corpus.select(col(idCol).as("id")), Seq("id"), "left_anti")
+      .count()
+    require(ghosts == 0L,
+      s"mergeIvfPqIndex: $ghosts index rows have no corpus vector — " +
+        "their members would silently vanish through the orphan " +
+        "re-encode; the caller paired a stale corpus with a newer index")
+    val strays = index
+      .filter(col("cid").cast("long") < 0L ||
+        col("cid").cast("long") >= k.toLong).count()
+    require(strays == 0L,
+      s"mergeIvfPqIndex: $strays index rows sit in lists outside the " +
+        s"$k-list codebook — they would match neither the survivor " +
+        "carry nor the retire re-encode; the caller paired a stale " +
+        "codebook with a newer index")
     val census = index.groupBy(col("cid").cast("long").as("cid")).count()
       .collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap.withDefaultValue(0L)
@@ -1989,7 +2145,10 @@ object Similarity {
       .select(col("id"),
         nearestOfDots(fixedScores(survCb)).cast("long").as("cid"))
     val reenc = encodeAtState(corpus, orphanAssign, survCb, pqCbs,
-      scale, idCol, vecCol)
+      // orphanAssign is this function's own corpus scan (state ⊆
+      // corpus by construction) and the ghost count above already
+      // proved every index id has a corpus vector
+      scale, idCol, vecCol, validate = false)
     (kept.unionByName(reenc), survCb)
   }
 
@@ -2002,8 +2161,13 @@ object Similarity {
     * directory many versions old (untouched lists never rewrite), and
     * that directory survives any number of sweeps. Deletion order is
     * crash-safe for surviving readers: dropped MANIFESTS go first (a
-    * crash mid-sweep leaves unreferenced dirs, which are dead weight,
-    * never a manifest routing to deleted data). `keepVersions` is the
+    * crash mid-sweep leaves unreferenced dirs, never a manifest
+    * routing to deleted data) — and the data walk enumerates `v<k>`
+    * directories from the ROOT LISTING, not from surviving manifests,
+    * so a re-run after that crash reclaims dirs whose manifests are
+    * already gone (r15 advice: a manifest-driven walk would leak them
+    * permanently). Dirs above the highest committed manifest are an
+    * apply in flight and are left alone. `keepVersions` is the
     * reader-pin horizon: a reader pinned at a dropped version fails
     * loudly on its next manifest resolve, which is the retention
     * contract (same trade as any table format's VACUUM). Returns
@@ -2024,12 +2188,32 @@ object Similarity {
     val (dropped, kept) =
       versions.splitAt(math.max(0, versions.size - keepVersions))
     val referenced: Set[(Long, Long)] = kept.flatMap { v =>
-      readManifest(fs, root, v).map { case (cid, owner) => (owner, cid) }
+      // .toSeq BEFORE the key swap: mapping a Map re-keys by OWNER and
+      // collapses every manifest entry sharing an owner version to one
+      // survivor — e.g. the common "init routed every cid to v0" shape
+      // — silently deleting still-referenced sibling dirs (caught by
+      // the r16 in-flight vacuum spec)
+      readManifest(fs, root, v).toSeq
+        .map { case (cid, owner) => (owner, cid) }
     }.toSet
     dropped.foreach(v => fs.delete(manifestPath(root, v), false))
     var deleted = 0L
     val D = "^cid=(-?\\d+)$".r
-    versions.foreach { v =>
+    // enumerate data dirs from the FILESYSTEM, not from manifest
+    // versions (r15 advice): a crash after the dropped manifests were
+    // deleted but before their unreferenced dirs were removed leaves
+    // dirs whose manifests are gone — a manifest-driven walk could
+    // never revisit them, leaking them permanently; the root listing
+    // makes a re-run reclaim them. Uncommitted dirs ABOVE the highest
+    // manifest are an apply in flight and must survive: the in-flight
+    // writer's commit would otherwise route to deleted data.
+    val highest = versions.max
+    val dataVersions = fs.listStatus(
+        new org.apache.hadoop.fs.Path(root)).toSeq
+      .filter(_.isDirectory).map(_.getPath.getName)
+      .collect { case V(n) => n.toLong }
+      .filter(_ <= highest).sorted
+    dataVersions.foreach { v =>
       val vdir = new org.apache.hadoop.fs.Path(root, s"v$v")
       if (fs.exists(vdir)) {
         fs.listStatus(vdir).foreach { st =>

@@ -572,6 +572,161 @@ class RebalanceSpec extends SparkSpec {
     Similarity.vacuumIndexVersioned(spark, root, 1) shouldBe ((0L, 0L))
   }
 
+  test("ADC merge is loud on BOTH silent-drop directions: ghost index ids and out-of-range cids") {
+    val emb = embeddings
+    val (coarse, pq) = Similarity.ivfPqTrainFixedPoint(emb, dim = 64,
+      nLists = 8, m = 4, codebookSize = 8, maxIterCoarse = 2, maxIterPq = 1)
+    val corpus = graft.queries.SkewFixture.skewed(emb).localCheckpoint()
+    val index = Similarity.ivfPqEncodeFixedPoint(corpus, coarse, pq)
+      .localCheckpoint()
+    // ghost direction: an index id with no corpus vector would vanish
+    // through the orphan re-encode's inner joins
+    val ghosted = index.unionByName(index.limit(1)
+      .withColumn("id", lit(999999999L)))
+    val e1 = the[IllegalArgumentException] thrownBy
+      Similarity.mergeIvfPqIndex(ghosted, corpus, coarse, pq,
+        Similarity.MergePolicy(2L, 3L))
+    e1.getMessage should include("have no corpus vector")
+    // stray direction: a cid outside [0, k) matches neither the
+    // survivor carry nor the retire re-encode
+    val strayed = index.withColumn("cid",
+      when(col("id") === index.orderBy("id").first().getLong(0),
+        lit(coarse.length.toLong)).otherwise(col("cid")))
+    val e2 = the[IllegalArgumentException] thrownBy
+      Similarity.mergeIvfPqIndex(strayed, corpus, coarse, pq,
+        Similarity.MergePolicy(2L, 3L))
+    e2.getMessage should include("outside")
+    // the clean pairing still merges (the checks cost two bounded
+    // counts, not behavior)
+    val (mrg, survCb) = Similarity.mergeIvfPqIndex(index, corpus,
+      coarse, pq, Similarity.MergePolicy(2L, 3L))
+    mrg.count() shouldBe index.count()
+    survCb.length should be < coarse.length
+  }
+
+  test("encodeAtState validates by default: a state row with no corpus vector is loud, not dropped") {
+    val corpus = Seq((0L, Seq(1.0f, 0.0f)), (1L, Seq(0.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val cb = Array(Array(1000000L, 0L), Array(0L, 1000000L))
+    val pq = Array(Array(Array(0L, 0L), Array(1000000L, 1000000L)))
+    val ok = Similarity.encodeAtState(corpus,
+      Seq((0L, 0L), (1L, 1L)).toDF("id", "cid"), cb, pq)
+    ok.count() shouldBe 2L
+    val e = the[IllegalArgumentException] thrownBy
+      Similarity.encodeAtState(corpus,
+        Seq((0L, 0L), (7L, 1L)).toDF("id", "cid"), cb, pq).count()
+    e.getMessage should include("no corpus vector")
+  }
+
+  // ---- manifest commit + vacuum crash paths (r15 advice) --------------
+
+  test("manifest commit: a redelivered identical commit is a no-op; a raced different commit is loud") {
+    val root = java.nio.file.Files.createTempDirectory("reb_ver_race").toString
+    val df = Seq((0L, 0L)).toDF("vec_id", "cid")
+    Similarity.initIndexVersioned(df, root)
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // redelivery rewrite: byte-identical content commits as a no-op
+    // (the v0 manifest exists; plain FileSystem.rename on the local FS
+    // would have silently REPLACED it and reported success)
+    noException should be thrownBy
+      Similarity.writeManifest(fs, root, 0L, Map(0L -> 0L))
+    // a second writer with DIFFERENT routing fails loud instead of
+    // clobbering the committed manifest
+    val e = the[IllegalArgumentException] thrownBy
+      Similarity.writeManifest(fs, root, 0L, Map(0L -> 0L, 5L -> 0L))
+    e.getMessage should include("single-writer")
+    // the committed manifest is untouched by the failed race
+    Similarity.readManifest(fs, root, 0L) shouldBe Map(0L -> 0L)
+    // no staging litter left behind by either path
+    fs.listStatus(new org.apache.hadoop.fs.Path(root, "_manifests"))
+      .map(_.getPath.getName).count(_.endsWith(".tmp")) shouldBe 0
+  }
+
+  test("vacuum re-run reclaims dirs whose manifests a crashed sweep already deleted") {
+    val root = java.nio.file.Files.createTempDirectory("reb_ver_crashvac").toString
+    Similarity.initIndexVersioned(
+      Seq((0L, 0L), (1L, 1L)).toDF("vec_id", "cid"), root)
+    Similarity.applyMovementVersioned(
+      Seq((0L, 0L, 0L), (1L, 1L, 0L)).toDF("vec_id", "old_cid", "cid"),
+      root) shouldBe 1L
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // the crash: a keep=1 sweep deleted the v0 manifest, then died
+    // before removing v0's unreferenced dirs — they are now orphans no
+    // surviving manifest names
+    fs.delete(new org.apache.hadoop.fs.Path(root, "_manifests/v0"), false)
+    new java.io.File(s"$root/v0/cid=0").isDirectory shouldBe true
+    // the re-run walks v<k> dirs from the ROOT listing (not from
+    // surviving manifests), so it reclaims both superseded v0 dirs
+    val (droppedM, deletedD) =
+      Similarity.vacuumIndexVersioned(spark, root, keepVersions = 1)
+    droppedM shouldBe 0L
+    deletedD shouldBe 2L
+    new java.io.File(s"$root/v0/cid=0").exists() shouldBe false
+    new java.io.File(s"$root/v0/cid=1").exists() shouldBe false
+    Similarity.readIndexVersioned(spark, root).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1) shouldBe
+      Array((0L, 0L), (1L, 0L))
+  }
+
+  test("vacuum leaves an IN-FLIGHT apply's uncommitted data dir alone") {
+    val root = java.nio.file.Files.createTempDirectory("reb_ver_inflight").toString
+    Similarity.initIndexVersioned(
+      Seq((0L, 0L), (1L, 1L)).toDF("vec_id", "cid"), root)
+    // an apply in flight: v1 data landed, manifest not yet committed
+    Seq((1L, 2L)).toDF("vec_id", "cid")
+      .write.partitionBy("cid").parquet(s"$root/v1")
+    val (droppedM, deletedD) =
+      Similarity.vacuumIndexVersioned(spark, root, keepVersions = 1)
+    droppedM shouldBe 0L
+    deletedD shouldBe 0L
+    // the in-flight writer's commit still routes to intact data
+    new java.io.File(s"$root/v1/cid=2").isDirectory shouldBe true
+  }
+
+  test("vacuum under a LIVE pinned reader: loud failure or correct rows, never wrong rows") {
+    // the one interleaving the retention contract doesn't pin on disk
+    // (r15 verdict #7): a reader resolved version 0 and is MID-SCAN of
+    // a to-be-dropped directory when the sweep runs. The contract is
+    // "fails loud, never wrong rows": whatever the iterator yields
+    // after the sweep must be v0 rows; truncation or invention fails
+    // the assertion, an exception is the documented loud mode.
+    val root = java.nio.file.Files.createTempDirectory("reb_ver_race_rd").toString
+    val n = 200
+    Similarity.initIndexVersioned(
+      (0 until n).map(i => (i.toLong, (i % 2).toLong))
+        .toDF("vec_id", "cid"), root)
+    Similarity.applyMovementVersioned(
+      (0 until n).map(i => (i.toLong, (i % 2).toLong, ((i % 2) ^ 1).toLong))
+        .toDF("vec_id", "old_cid", "cid"), root) shouldBe 1L
+    val v0Rows = Similarity.readIndexVersioned(spark, root, Some(0L))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // open the pinned reader and drain it PARTIALLY before the sweep
+    val it = Similarity.readIndexVersioned(spark, root, Some(0L))
+      .toLocalIterator()
+    val got = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    var i = 0
+    while (it.hasNext && i < 10) { // partial drain
+      val r = it.next(); got += ((r.getLong(0), r.getLong(1))); i += 1
+    }
+    Similarity.vacuumIndexVersioned(spark, root, keepVersions = 1)
+    val outcome = try {
+      while (it.hasNext) {
+        val r = it.next(); got += ((r.getLong(0), r.getLong(1)))
+      }
+      "completed"
+    } catch { case _: Exception => "loud" }
+    // every row yielded — before or after the sweep — is a true v0 row
+    got.foreach(r => v0Rows should contain(r))
+    got.distinct.size shouldBe got.size
+    if (outcome == "completed") // buffered scans may legally finish,
+      got.toSet shouldBe v0Rows // but only with exactly v0's content
+    // and the pinned reader cannot RE-resolve below the horizon
+    an[Exception] should be thrownBy
+      Similarity.readIndexVersioned(spark, root, Some(0L)).collect()
+  }
+
   test("bit-identical movement and codebook across partitionings") {
     val cb = Similarity.kmeansTrainFixedPoint(embeddings, k = 8, maxIter = 3)
     val corpus = graft.queries.SkewFixture.skewed(embeddings)
