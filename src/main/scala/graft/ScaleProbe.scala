@@ -191,6 +191,11 @@ object ScaleProbe {
     // IVFADC merge: census + orphan-only argmax/re-encode kernel +
     // a map-literal renumber on carried rows — ~linear in orphans
     "s38_ivfpq_merge",
+    // round-16: the census monitor on the CONTINUOUS composed loop —
+    // s26's boundary floors + delta-sized census updates + the one
+    // mid-stream s37 cut (re-encode over split members only) — expect
+    // floor-dominated like s34/s36 (measure, don't assume)
+    "s39_continuous_ivfpq_rebalance",
     // fixed-point classifier training: one token explode + per
     // iteration a doc-keyed margin agg + a 65-key gradient agg over the
     // sparse feature table — expect ~linear in corpus tokens

@@ -1146,7 +1146,67 @@ object SimilarityQueries {
           .select(col("id"), col("cid").cast("long").as("cid"),
             col("s").cast("long").as("s"), col("code").cast("long").as("code"))
       },
-      Some(ivfPqMergeOracle(KmFixedK, KmFixedIters)))
+      Some(ivfPqMergeOracle(KmFixedK, KmFixedIters))),
+
+    // CONTINUOUS census monitor on the COMPOSED IVFADC loop (s39, r16
+    // — the r15 verdict's #1): s37/s38 were one-shot offline repairs;
+    // the production serving story needs the cut to fire INSIDE the
+    // stream that maintains the index. Same staged three boundaries as
+    // s34 (the physical lists of a composed encode ARE the coarse
+    // argmax, and ivfPqTrainFixedPoint's coarse stage is
+    // kmeansTrainFixedPoint with identical args — so s34's measured
+    // census margins carry verbatim): boundary 0 removals (dip, no
+    // trigger), boundary 1 the hot-region collapse as an encode upsert
+    // — the incremental census (delta encode landings − vacated seats,
+    // the ONE delta encode shared with the upsert kernel) crosses and
+    // the boundary runs the s37 cut over the post-delta PHYSICAL
+    // (id, cid, codes) lists: rank-chunk split PLUS every split-list
+    // member's residual codes re-encoded against its chunk centroid,
+    // and the EXPANDED coarse codebook versioned; boundary 2 the
+    // negated trickle, encoded under the expanded codebook (settled
+    // census stays settled). No marker anywhere — the census chooses;
+    // the require makes the choice loud and the oracle replays
+    // trainings, both deltas, census, cut, both re-encodes, and the
+    // boundary-2 landing: decision AND effect (s20/s29 standard).
+    "s39_continuous_ivfpq_rebalance" -> QueryDef(
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val (coarse, pq) = Similarity.ivfPqTrainFixedPoint(emb, dim = 64,
+          nLists = KmFixedK, m = PqFixedM, codebookSize = PqFixedCb,
+          maxIterCoarse = KmFixedIters, maxIterPq = PqFixedIters)
+        val state0 = Similarity.ivfPqEncodeFixedPoint(emb, coarse, pq)
+          .localCheckpoint()
+        val dir = stageSkewSliceDir(s, d)
+        val schema = org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("vec_id",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("embedding",
+            org.apache.spark.sql.types.ArrayType(
+              org.apache.spark.sql.types.FloatType)),
+          org.apache.spark.sql.types.StructField("status",
+            org.apache.spark.sql.types.StringType)))
+        val stream = s.readStream
+          .option("maxFilesPerTrigger", "1") // 3 slices → 3 boundaries
+          .schema(schema).parquet(dir.toString)
+        val run = graft.streaming.ContinuousIndexMaintenance
+          .continuousIvfPqWithRetrain(s, emb, state0, coarse, pq, stream,
+            dim = 64, nLists = KmFixedK, m = PqFixedM,
+            codebookSize = PqFixedCb, maxIterCoarse = KmFixedIters,
+            maxIterPq = PqFixedIters,
+            rebalancePolicy = Some(Similarity.RebalancePolicy(
+              RebNumer, RebDenom)))
+        require(run.rebalancedAt == Seq(1L) && run.retrainedAt.isEmpty,
+          s"s39: census monitor rebalanced at ${run.rebalancedAt} " +
+            s"(retrained ${run.retrainedAt}), staged to cut at " +
+            "boundary 1 only and then stay settled — re-measure with " +
+            "graft.ListSkewProbe and retune Reb*")
+        run.state.select(col("id"), col("cid"), posexplode(col("codes")))
+          .toDF("id", "cid", "s", "code")
+          .select(col("id"), col("cid").cast("long").as("cid"),
+            col("s").cast("long").as("s"),
+            col("code").cast("long").as("code"))
+      },
+      Some(continuousIvfPqRebalanceOracle(KmFixedK, KmFixedIters)))
   )
 
   private val PqFixedM = 4
@@ -2149,7 +2209,8 @@ object SimilarityQueries {
     * lists of a fresh encode). Ends at `wa`; callers append their
     * cut/merge and re-encode CTEs.
     */
-  private def ivfPqSkewPrefixCtes(kC: Int, itC: Int): String = {
+  private def ivfPqSkewPrefixCtes(kC: Int, itC: Int,
+                                  skewWhere: String = ""): String = {
     val (m, cbSize, itP) = (PqFixedM, PqFixedCb, PqFixedIters)
     val dim = 64
     val sub = dim / m
@@ -2174,7 +2235,7 @@ object SimilarityQueries {
              ON pr.s = u.s AND pr.cid = u.cid AND pr.pos = u.pos)"""
     }.mkString(",\n    ")
     s"""${kmXvCte(dim, 1000000L)},
-    ${skewXvCte()},
+    ${skewXvCte(skewWhere)},
     allv AS (SELECT vec_id FROM embeddings
              ORDER BY vec_id LIMIT $FixedTrainCap),
     ${kmChainCte("", "allv", kC, itC)},
@@ -2322,6 +2383,115 @@ object SimilarityQueries {
     SELECT ma.vec_id AS id, CAST(ma.srank AS BIGINT) AS cid,
            CAST(e.s AS BIGINT) AS s, CAST(e.cid AS BIGINT) AS code
     FROM enc1 e JOIN ma ON e.vec_id = ma.vec_id"""
+  }
+
+  /** DuckDB replay of s39, from nothing — [[continuousRebalanceOracle]]
+    * (the s34 three-boundary census composition) lifted to the COMPOSED
+    * IVFADC index: both quantizer stages trained on the natural corpus,
+    * boundary 0+1 applied (removals, then the hot-region collapse as an
+    * encode upsert — `wa` is the boundary-1 PHYSICAL lists), the
+    * census/decision/cut re-derived over `wa` (the shared
+    * [[splitEvenCtes]] chain), the EXPANDED codebook rebuilt, then
+    * three code families emitted exactly as the streaming loop's final
+    * index must hold them: un-split-list rows carry their original
+    * residual codes (vs the original centroid at their argmax list),
+    * split-list members re-encode against their chunk centroid at
+    * their post-cut cid, and boundary 2's negated trickle re-encodes
+    * wholesale under the EXPANDED codebook at its fresh argmax (the
+    * upsert's replacement). A hash mismatch anywhere — training,
+    * either delta, the census choice, the cut, the expanded codebook,
+    * either re-encode, or the boundary-2 maintenance — fails the gate:
+    * decision AND effect, the s20/s29 standard.
+    */
+  private def continuousIvfPqRebalanceOracle(kC: Int, itC: Int): String = {
+    val itP = PqFixedIters
+    val sub = 64 / PqFixedM
+    s"""
+    WITH ${ivfPqSkewPrefixCtes(kC, itC, "WHERE vec_id % 101 <> 7")},
+    ${splitEvenCtes(kC, asg = "wa")},
+    l1 AS (SELECT wa.vec_id,
+                  CASE WHEN ck.vec_id IS NULL THEN wa.cid
+                       WHEN ck.chunk = 0 THEN wa.cid
+                       ELSE ck.base + ck.chunk - 1 END AS cid
+           FROM wa LEFT JOIN chk ck ON wa.vec_id = ck.vec_id),
+    ecb AS (
+      SELECT cid, pos, c FROM cent$itC
+      WHERE cid NOT IN (SELECT cid FROM sp)
+      UNION ALL
+      SELECT CASE WHEN ck.chunk = 0 THEN ck.cid
+                  ELSE ck.base + ck.chunk - 1 END AS cid, v.pos,
+             CAST(floor(CAST(SUM(v.x) AS DOUBLE) / COUNT(*)) AS BIGINT) AS c
+      FROM chk ck JOIN mxv v ON v.vec_id = ck.vec_id
+      GROUP BY 1, 2),
+    b2x AS (SELECT vec_id, i - 1 AS pos,
+              CAST(floor(-CAST(embedding[i] AS DOUBLE)
+                   * 1000000.0) AS BIGINT) AS x
+            FROM embeddings, LATERAL (SELECT unnest(range(1, 65)) AS i) t
+            WHERE vec_id % 250 = 0 AND vec_id % 101 <> 7),
+    b2s AS (SELECT b.vec_id, e.cid,
+              SUM(2 * e.c * b.x) - SUM(e.c * e.c) AS score
+            FROM b2x b JOIN ecb e ON b.pos = e.pos GROUP BY 1, 2),
+    b2a AS (SELECT vec_id, cid FROM (
+              SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
+                       ORDER BY score DESC, cid ASC) AS rn
+              FROM b2s) WHERE rn = 1),
+    rw AS (SELECT sxv.vec_id, sxv.pos, sxv.x - ct.c AS x
+           FROM sxv JOIN wa ON sxv.vec_id = wa.vec_id
+                JOIN cent$itC ct ON ct.cid = wa.cid AND ct.pos = sxv.pos
+           WHERE wa.cid NOT IN (SELECT cid FROM sp)
+             AND sxv.vec_id % 250 <> 0),
+    rwp AS (SELECT vec_id, pos // $sub AS s, pos % $sub AS ppos, x FROM rw),
+    esc0 AS (SELECT rwp.vec_id, ct.s, ct.cid,
+               SUM(2 * ct.c * rwp.x) - SUM(ct.c * ct.c) AS score
+             FROM rwp JOIN pcent$itP ct
+               ON rwp.s = ct.s AND rwp.ppos = ct.pos
+             GROUP BY 1, 2, 3),
+    enc0 AS (SELECT vec_id, s, cid FROM (
+               SELECT vec_id, s, cid,
+                      row_number() OVER (PARTITION BY vec_id, s
+                                         ORDER BY score DESC, cid ASC) AS rn
+               FROM esc0) WHERE rn = 1),
+    rs AS (SELECT sxv.vec_id, sxv.pos, sxv.x - e.c AS x
+           FROM sxv JOIN mem ON sxv.vec_id = mem.vec_id
+                JOIN l1 ON l1.vec_id = sxv.vec_id
+                JOIN ecb e ON e.cid = l1.cid AND e.pos = sxv.pos
+           WHERE sxv.vec_id % 250 <> 0),
+    rsp AS (SELECT vec_id, pos // $sub AS s, pos % $sub AS ppos, x FROM rs),
+    esc1 AS (SELECT rsp.vec_id, ct.s, ct.cid,
+               SUM(2 * ct.c * rsp.x) - SUM(ct.c * ct.c) AS score
+             FROM rsp JOIN pcent$itP ct
+               ON rsp.s = ct.s AND rsp.ppos = ct.pos
+             GROUP BY 1, 2, 3),
+    enc1 AS (SELECT vec_id, s, cid FROM (
+               SELECT vec_id, s, cid,
+                      row_number() OVER (PARTITION BY vec_id, s
+                                         ORDER BY score DESC, cid ASC) AS rn
+               FROM esc1) WHERE rn = 1),
+    rb AS (SELECT b2x.vec_id, b2x.pos, b2x.x - e.c AS x
+           FROM b2x JOIN b2a ON b2x.vec_id = b2a.vec_id
+                JOIN ecb e ON e.cid = b2a.cid AND e.pos = b2x.pos),
+    rbp AS (SELECT vec_id, pos // $sub AS s, pos % $sub AS ppos, x FROM rb),
+    esc2 AS (SELECT rbp.vec_id, ct.s, ct.cid,
+               SUM(2 * ct.c * rbp.x) - SUM(ct.c * ct.c) AS score
+             FROM rbp JOIN pcent$itP ct
+               ON rbp.s = ct.s AND rbp.ppos = ct.pos
+             GROUP BY 1, 2, 3),
+    enc2 AS (SELECT vec_id, s, cid FROM (
+               SELECT vec_id, s, cid,
+                      row_number() OVER (PARTITION BY vec_id, s
+                                         ORDER BY score DESC, cid ASC) AS rn
+               FROM esc2) WHERE rn = 1)
+    SELECT w.vec_id AS id, CAST(w.cid AS BIGINT) AS cid,
+           CAST(e.s AS BIGINT) AS s, CAST(e.cid AS BIGINT) AS code
+    FROM enc0 e JOIN wa w ON e.vec_id = w.vec_id
+    UNION ALL
+    SELECT l1.vec_id AS id, CAST(l1.cid AS BIGINT) AS cid,
+           CAST(e.s AS BIGINT) AS s, CAST(e.cid AS BIGINT) AS code
+    FROM enc1 e JOIN l1 ON e.vec_id = l1.vec_id
+    UNION ALL
+    SELECT b.vec_id AS id, CAST(b.cid AS BIGINT) AS cid,
+           CAST(e.s AS BIGINT) AS s, CAST(e.cid AS BIGINT) AS code
+    FROM enc2 e JOIN b2a b ON e.vec_id = b.vec_id"""
   }
 
   /** DuckDB replay of s31, from nothing: re-train on the natural

@@ -179,6 +179,13 @@ object ContinuousIndexMaintenance {
     */
   final case class CensusStat(batchId: Long, hottest: Long, total: Long)
 
+  /** One boundary's norm-envelope reading (r16, the norm-collapse
+    * tripwire): the corpus's squared-norm envelope AFTER this
+    * boundary's delta widened it — the exact integers
+    * [[graft.operators.Similarity.NormPolicy]] decided on.
+    */
+  final case class NormStat(batchId: Long, minN2: Long, maxN2: Long)
+
   /** The s25 run record: the drained assignment state, per-boundary
     * stats, which boundaries retrained the codebook, and — when the
     * respective monitor ran — each boundary's measured drift statistic
@@ -189,7 +196,9 @@ object ContinuousIndexMaintenance {
                               retrainedAt: Seq[Long],
                               drift: Seq[DriftStat] = Nil,
                               rebalancedAt: Seq[Long] = Nil,
-                              census: Seq[CensusStat] = Nil)
+                              census: Seq[CensusStat] = Nil,
+                              norms: Seq[NormStat] = Nil,
+                              normFlaggedAt: Seq[Long] = Nil)
 
   /** s25: drift AND retrain composed through one continuous loop — the
     * two seams the one-shot gates exercise separately (s21's corpus
@@ -266,6 +275,24 @@ object ContinuousIndexMaintenance {
     * redelivery re-decides identically. A marker/drift retrain
     * supersedes the census monitor at its boundary (the retrain
     * rewrites the codebook wholesale anyway).
+    *
+    * `normPolicy` (r16) is the fourth monitor, the NORM-COLLAPSE
+    * tripwire for the failure mode r15 measured to be invisible to
+    * every other signal ([[graft.operators.Similarity.NormPolicy]]):
+    * the loop maintains the corpus's exact-integer squared-norm
+    * ENVELOPE (baselined from the initial corpus at the lineage's
+    * first boundary, widened by each delta's
+    * [[graft.operators.Similarity.normEnvelope]] — delta-sized after
+    * the baseline, versioned like the census) and records the
+    * boundaries where the envelope ratio crosses the policy. The flag
+    * is ADVISORY — it names the recovery ("L2-normalize ingest or
+    * retrain quantizers") rather than triggering one, because the
+    * measured collapse is NOT recoverable by any movement this loop
+    * can take (the cut holds 0.235 recall, a full retrain 0.485,
+    * normalized ingest 0.920 — RECALL.json `postRebalanceAdc`).
+    * Monotone by design: removals never narrow the envelope, so the
+    * tripwire stays tripped until the operator re-baselines a new
+    * lineage.
     */
   def continuousAssignmentsWithRetrain(
       spark: SparkSession,
@@ -279,11 +306,12 @@ object ContinuousIndexMaintenance {
       stateRoot: Option[String] = None,
       checkpointLocation: Option[String] = None,
       driftPolicy: Option[Similarity.DriftPolicy] = None,
-      rebalancePolicy: Option[Similarity.RebalancePolicy] = None)
+      rebalancePolicy: Option[Similarity.RebalancePolicy] = None,
+      normPolicy: Option[Similarity.NormPolicy] = None)
       : RetrainRun = {
     val loop = new RetrainLoop(spark, initialCorpus, initialState,
       initialCb, k, maxIter, scale, idCol, vecCol, resolve(stateRoot),
-      driftPolicy, rebalancePolicy)
+      driftPolicy, rebalancePolicy, normPolicy)
     val w = deltaStream.writeStream
       .foreachBatch(loop.processBatch _)
       .trigger(Trigger.AvailableNow())
@@ -429,7 +457,8 @@ object ContinuousIndexMaintenance {
       initialCb: Array[Array[Long]], k: Int, maxIter: Int, scale: Long,
       idCol: String, vecCol: String, val root: String,
       driftPolicy: Option[Similarity.DriftPolicy] = None,
-      rebalancePolicy: Option[Similarity.RebalancePolicy] = None) {
+      rebalancePolicy: Option[Similarity.RebalancePolicy] = None,
+      normPolicy: Option[Similarity.NormPolicy] = None) {
     import graft.operators.{IndexMaintenance, Similarity}
 
     val boundaries = scala.collection.mutable.ArrayBuffer.empty[Boundary]
@@ -437,12 +466,15 @@ object ContinuousIndexMaintenance {
     val driftStats = scala.collection.mutable.ArrayBuffer.empty[DriftStat]
     val rebalancedAt = scala.collection.mutable.ArrayBuffer.empty[Long]
     val censusStats = scala.collection.mutable.ArrayBuffer.empty[CensusStat]
+    val normStats = scala.collection.mutable.ArrayBuffer.empty[NormStat]
+    val normFlaggedAt = scala.collection.mutable.ArrayBuffer.empty[Long]
 
     private val corpusDir = s"$root/corpus"
     private val assignDir = s"$root/assign"
     private val cbDir = s"$root/cb"
     private val censusDir = s"$root/census"
-    Seq(corpusDir, assignDir, cbDir, censusDir).foreach(d =>
+    private val normDir = s"$root/norm"
+    Seq(corpusDir, assignDir, cbDir, censusDir, normDir).foreach(d =>
       java.nio.file.Files.createDirectories(java.nio.file.Paths.get(d)))
 
     private val VersionDir = "^v(\\d+)$".r
@@ -492,6 +524,39 @@ object ContinuousIndexMaintenance {
     private def censusOf(state: DataFrame): Map[Long, Long] =
       state.groupBy(col("cid")).count().collect()
         .map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+    private def readNorm(v: Long): (Long, Long) = {
+      val r = spark.read.parquet(s"$normDir/v$v").head()
+      (r.getLong(0), r.getLong(1))
+    }
+
+    private def writeNorm(env: (Long, Long), b: Long): Unit = {
+      import spark.implicits._
+      Seq(env).toDF("minN2", "maxN2").coalesce(1)
+        .write.mode("overwrite").parquet(s"$normDir/v$b")
+    }
+
+    /** The norm-collapse tripwire (see [[continuousAssignmentsWithRetrain]]):
+      * widen the on-disk envelope with this boundary's delta (the
+      * lineage's first boundary baselines from the corpus base — the
+      * one corpus-scale pass), version it, and record the flag. Pure
+      * function of (on-disk envelope base, batch) — redelivery
+      * re-decides identically, the loops' standing restart contract.
+      */
+    private def normTick(docs: DataFrame, corpusBase: DataFrame,
+                         batchId: Long): Unit =
+      normPolicy.foreach { pol =>
+        val base = latestBelow(normDir, batchId).map(readNorm)
+          .getOrElse(Similarity.normEnvelope(corpusBase, scale,
+            idCol = "id", vecCol = vecCol)
+            .getOrElse((Long.MaxValue, Long.MinValue)))
+        val env = Similarity.normEnvelope(docs, scale, idCol, vecCol)
+          .fold(base) { case (dmin, dmax) =>
+            (math.min(base._1, dmin), math.max(base._2, dmax)) }
+        writeNorm(env, batchId)
+        normStats += NormStat(batchId, env._1, env._2)
+        if (pol.flags(env._1, env._2)) normFlaggedAt += batchId
+      }
 
     def processBatch(batch: DataFrame, batchId: Long): Unit = {
       val delta = batch.filter(col("status") =!= "retrain")
@@ -558,6 +623,9 @@ object ContinuousIndexMaintenance {
           _.select(col(idCol).as("id"), col(vecCol)))
         .write.mode("overwrite").parquet(s"$corpusDir/v$batchId")
       val corpusV = spark.read.parquet(s"$corpusDir/v$batchId")
+      // the norm-collapse tripwire runs at EVERY boundary (retrain
+      // included — the envelope is a corpus property, not a codebook's)
+      normTick(docs, corpusBase, batchId)
       // 2 + 3. codebook + assignment under this boundary's movement
       if (markers > 0 || drifted) {
         val newCb = Similarity.kmeansTrainFixedPoint(corpusV, k, maxIter,
@@ -660,7 +728,8 @@ object ContinuousIndexMaintenance {
       RetrainRun(latestBelow(assignDir, Long.MaxValue)
         .map(v => spark.read.parquet(s"$assignDir/v$v"))
         .getOrElse(initialState), boundaries.toSeq, retrainedAt.toSeq,
-        driftStats.toSeq, rebalancedAt.toSeq, censusStats.toSeq)
+        driftStats.toSeq, rebalancedAt.toSeq, censusStats.toSeq,
+        normStats.toSeq, normFlaggedAt.toSeq)
   }
 
   /** s27: drift AND retrain composed through one continuous loop for the
@@ -679,6 +748,32 @@ object ContinuousIndexMaintenance {
     * two-stage codebook serialized as (stage, sub, cid, pos, c) rows:
     * every base resolves strictly below the batch id, so redelivery —
     * even of the retrain boundary — rewrites byte-compatibly.
+    *
+    * `rebalancePolicy` (s39, r16 — the r15 verdict's #1) lifts the s34
+    * census monitor to THIS composed loop, closing the serving story's
+    * last seam: s37/s38 were one-shot offline repairs, while the
+    * production IVFADC index drifts hot lists under a live stream. At
+    * every non-retrain boundary the loop maintains the exact-integer
+    * census of the PHYSICAL (id, cid, codes) lists incrementally (base
+    * census + this delta's encode landings and vacated seats, all
+    * delta-sized — the same shared-kernel trick as the assignment
+    * loop: ONE delta encode feeds the census landings AND the upsert
+    * kernel); when a list crosses the bar, the boundary runs the s37
+    * cut ([[graft.operators.Similarity.rebalanceIvfPqIndex]]'s
+    * movement form) over the post-delta physical state — splitting by
+    * rank chunks AND re-encoding every split-list member's residual
+    * codes against its chunk centroid (the r14 ADC lesson, met by
+    * construction in the streaming path too) — then versions the
+    * EXPANDED coarse codebook so later boundaries encode deltas under
+    * it. Census, decision, cut, landings, and codes are exact
+    * integers end to end (the s39 oracle replays decision AND
+    * effect); the divergence guard is the assignment loop's: a
+    * census-crossed boundary whose physical cut moves nothing fails
+    * loud. A marker retrain supersedes the census at its boundary and
+    * re-baselines it from the retrained index. `normPolicy` is the
+    * same norm-collapse tripwire as the assignment loop's — it
+    * matters MOST here, since the measured 0.235-recall collapse is
+    * an ADC property ([[graft.operators.Similarity.NormPolicy]]).
     */
   def continuousIvfPqWithRetrain(
       spark: SparkSession,
@@ -692,10 +787,13 @@ object ContinuousIndexMaintenance {
       scale: Long = 1000000L,
       idCol: String = "vec_id", vecCol: String = "embedding",
       stateRoot: Option[String] = None,
-      checkpointLocation: Option[String] = None): RetrainRun = {
+      checkpointLocation: Option[String] = None,
+      rebalancePolicy: Option[Similarity.RebalancePolicy] = None,
+      normPolicy: Option[Similarity.NormPolicy] = None): RetrainRun = {
     val loop = new IvfPqRetrainLoop(spark, initialCorpus, initialState,
       initialCoarse, initialPq, dim, nLists, m, codebookSize,
-      maxIterCoarse, maxIterPq, scale, idCol, vecCol, resolve(stateRoot))
+      maxIterCoarse, maxIterPq, scale, idCol, vecCol, resolve(stateRoot),
+      rebalancePolicy, normPolicy)
     val w = deltaStream.writeStream
       .foreachBatch(loop.processBatch _)
       .trigger(Trigger.AvailableNow())
@@ -716,16 +814,24 @@ object ContinuousIndexMaintenance {
       initialCoarse: Array[Array[Long]], initialPq: Array[Array[Array[Long]]],
       dim: Int, nLists: Int, m: Int, codebookSize: Int,
       maxIterCoarse: Int, maxIterPq: Int, scale: Long,
-      idCol: String, vecCol: String, val root: String) {
+      idCol: String, vecCol: String, val root: String,
+      rebalancePolicy: Option[Similarity.RebalancePolicy] = None,
+      normPolicy: Option[Similarity.NormPolicy] = None) {
     import graft.operators.{IndexMaintenance, Similarity}
 
     val boundaries = scala.collection.mutable.ArrayBuffer.empty[Boundary]
     val retrainedAt = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val rebalancedAt = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val censusStats = scala.collection.mutable.ArrayBuffer.empty[CensusStat]
+    val normStats = scala.collection.mutable.ArrayBuffer.empty[NormStat]
+    val normFlaggedAt = scala.collection.mutable.ArrayBuffer.empty[Long]
 
     private val corpusDir = s"$root/corpus"
     private val indexDir = s"$root/index"
     private val cbDir = s"$root/cb"
-    Seq(corpusDir, indexDir, cbDir).foreach(d =>
+    private val censusDir = s"$root/census"
+    private val normDir = s"$root/norm"
+    Seq(corpusDir, indexDir, cbDir, censusDir, normDir).foreach(d =>
       java.nio.file.Files.createDirectories(java.nio.file.Paths.get(d)))
 
     private val VersionDir = "^v(\\d+)$".r
@@ -779,6 +885,53 @@ object ContinuousIndexMaintenance {
       (coarse, pq)
     }
 
+    private def readCensus(v: Long): Map[Long, Long] =
+      spark.read.parquet(s"$censusDir/v$v").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+    private def writeCensus(c: Iterable[(Long, Long)], b: Long): Unit = {
+      import spark.implicits._
+      c.toSeq.sortBy(_._1).toDF("cid", "n").coalesce(1)
+        .write.mode("overwrite").parquet(s"$censusDir/v$b")
+    }
+
+    // index versions are read back through a cid= partition layout, so
+    // the partition column may come back INT — normalize before getLong
+    private def censusOf(state: DataFrame): Map[Long, Long] =
+      state.groupBy(col("cid").cast("long").as("cid")).count().collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+    private def readNorm(v: Long): (Long, Long) = {
+      val r = spark.read.parquet(s"$normDir/v$v").head()
+      (r.getLong(0), r.getLong(1))
+    }
+
+    private def writeNorm(env: (Long, Long), b: Long): Unit = {
+      import spark.implicits._
+      Seq(env).toDF("minN2", "maxN2").coalesce(1)
+        .write.mode("overwrite").parquet(s"$normDir/v$b")
+    }
+
+    /** [[RetrainLoop]]'s norm-collapse tripwire, verbatim semantics —
+      * it matters MOST on this loop (the measured collapse is an ADC
+      * recall property). Envelope baselined from the corpus base at
+      * the lineage's first boundary, widened per delta, versioned.
+      */
+    private def normTick(docs: DataFrame, corpusBase: DataFrame,
+                         batchId: Long): Unit =
+      normPolicy.foreach { pol =>
+        val base = latestBelow(normDir, batchId).map(readNorm)
+          .getOrElse(Similarity.normEnvelope(corpusBase, scale,
+            idCol = "id", vecCol = vecCol)
+            .getOrElse((Long.MaxValue, Long.MinValue)))
+        val env = Similarity.normEnvelope(docs, scale, idCol, vecCol)
+          .fold(base) { case (dmin, dmax) =>
+            (math.min(base._1, dmin), math.max(base._2, dmax)) }
+        writeNorm(env, batchId)
+        normStats += NormStat(batchId, env._1, env._2)
+        if (pol.flags(env._1, env._2)) normFlaggedAt += batchId
+      }
+
     def processBatch(batch: DataFrame, batchId: Long): Unit = {
       val delta = batch.filter(col("status") =!= "retrain")
       val s = batch.groupBy(col(idCol))
@@ -811,6 +964,8 @@ object ContinuousIndexMaintenance {
           _.select(col(idCol).as("id"), col(vecCol)))
         .write.mode("overwrite").parquet(s"$corpusDir/v$batchId")
       val corpusV = spark.read.parquet(s"$corpusDir/v$batchId")
+      // the norm-collapse tripwire runs at EVERY boundary
+      normTick(docs, corpusBase, batchId)
       // 2 + 3. codebooks + index under this boundary's movement
       if (markers > 0) {
         val (newCoarse, newPq) = Similarity.ivfPqTrainFixedPoint(corpusV,
@@ -824,12 +979,91 @@ object ContinuousIndexMaintenance {
           .write.mode("overwrite").partitionBy("cid")
           .parquet(s"$indexDir/v$batchId")
         retrainedAt += batchId
+        // a retrain rewrote every index row; the census re-baselines
+        // from the state the retrain already produced (one aggregate
+        // over a boundary that pays a corpus-scale pass by definition)
+        if (rebalancePolicy.isDefined)
+          writeCensus(censusOf(
+            spark.read.parquet(s"$indexDir/v$batchId")), batchId)
       } else {
-        IndexMaintenance.upsert(indexBase, diff, docs, idCol)(
-            Similarity.ivfPqEncodeFixedPoint(_, coarseBase, pqBase, scale,
-              idCol, vecCol))
-          .write.mode("overwrite").partitionBy("cid")
-          .parquet(s"$indexDir/v$batchId")
+        // the delta's encode under the CURRENT codebooks — computed
+        // once and shared by the census landings AND the upsert kernel
+        // (the assignment loop's freshDelta trick: the kernel's encode
+        // over `docs` is deterministically this frame)
+        lazy val enc = Similarity.ivfPqEncodeFixedPoint(docs, coarseBase,
+          pqBase, scale, idCol, vecCol).localCheckpoint()
+        rebalancePolicy match {
+          case None =>
+            IndexMaintenance.upsert(indexBase, diff, docs, idCol)(_ => enc)
+              .write.mode("overwrite").partitionBy("cid")
+              .parquet(s"$indexDir/v$batchId")
+          case Some(pol) =>
+            // the census MONITOR over the PHYSICAL lists (s39):
+            // exact-integer sizes maintained incrementally — base
+            // version + this delta's encode landings and vacated
+            // seats, both delta-sized; the index is only scanned to
+            // baseline a lineage (or re-baseline after a retrain)
+            val base = latestBelow(censusDir, batchId).map(readCensus)
+              .getOrElse(censusOf(indexBase))
+            val landed = enc
+              .groupBy(col("cid").cast("long").as("cid")).count().collect()
+              .map(r => r.getLong(0) -> r.getLong(1))
+            val vacated = diff
+              .join(indexBase.select(col("id"),
+                col("cid").cast("long").as("cid")), Seq("id"))
+              .groupBy(col("cid")).count().collect()
+              .map(r => r.getLong(0) -> r.getLong(1))
+            val census = (base.toSeq ++ landed ++
+              vacated.map { case (c, n) => c -> -n })
+              .groupBy(_._1).view.mapValues(_.map(_._2).sum)
+              .filter(_._2 > 0L).toMap
+            val nTot = census.values.sum
+            censusStats += CensusStat(batchId,
+              if (census.isEmpty) 0L else census.values.max, nTot)
+            // the post-delta physical state both branches serve from
+            val upserted = IndexMaintenance.upsert(indexBase, diff, docs,
+              idCol)(_ => enc)
+            if (census.exists { case (_, n) =>
+                pol.splits(n, coarseBase.length, nTot) }) {
+              // the s37 cut over the physical (id, cid, codes) lists:
+              // rank-chunk split + every split-list member's residual
+              // codes re-encoded against its chunk centroid; un-split
+              // rows carry verbatim. Pure function of (corpus version,
+              // index version, codebook base, policy) — redelivery
+              // recuts identically.
+              val (rebIdx, newCoarse, movement) =
+                Similarity.rebalanceIvfPqMovement(upserted, corpusV,
+                  coarseBase, pqBase, pol, scale, idCol = "id",
+                  vecCol = vecCol)
+              // the divergence guard (the assignment loop's): the
+              // incremental census crossed, so the physical cut must
+              // move something — an identity cut means the maintained
+              // census diverged from the index; fail loud, never mask
+              require(newCoarse.length > coarseBase.length,
+                s"ivfpq census monitor: boundary $batchId crossed the " +
+                  "split bar on the incremental census, but the physical " +
+                  "cut split nothing — the maintained census has " +
+                  "diverged from the index state")
+              writeCbs(newCoarse, pqBase, batchId)
+              val mv = movement.localCheckpoint() // write + post-census
+              rebIdx.write.mode("overwrite").partitionBy("cid")
+                .parquet(s"$indexDir/v$batchId")
+              rebalancedAt += batchId
+              // post-split census from the movement's mover counts —
+              // split lists' members only, never an index scan
+              val movers = mv.filter(col("cid") >= coarseBase.length.toLong)
+                .groupBy(col("old_cid"), col("cid")).count().collect()
+                .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+              val post = movers.foldLeft(census) { case (c, (o, nw, n)) =>
+                c.updated(o, c.getOrElse(o, 0L) - n).updated(nw, n)
+              }.filter(_._2 > 0L)
+              writeCensus(post, batchId)
+            } else {
+              upserted.write.mode("overwrite").partitionBy("cid")
+                .parquet(s"$indexDir/v$batchId")
+              writeCensus(census, batchId)
+            }
+        }
       }
       boundaries += Boundary(batchId, touched, signatured)
     }
@@ -837,6 +1071,8 @@ object ContinuousIndexMaintenance {
     def result: RetrainRun =
       RetrainRun(latestBelow(indexDir, Long.MaxValue)
         .map(v => spark.read.parquet(s"$indexDir/v$v"))
-        .getOrElse(initialState), boundaries.toSeq, retrainedAt.toSeq)
+        .getOrElse(initialState), boundaries.toSeq, retrainedAt.toSeq,
+        rebalancedAt = rebalancedAt.toSeq, census = censusStats.toSeq,
+        norms = normStats.toSeq, normFlaggedAt = normFlaggedAt.toSeq)
   }
 }

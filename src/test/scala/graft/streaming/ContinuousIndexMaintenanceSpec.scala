@@ -786,6 +786,263 @@ class ContinuousIndexMaintenanceSpec extends SparkSpec {
     st.groupBy(_._2).view.mapValues(_.length.toLong).toMap shouldBe written
   }
 
+  // the 2-dim IVFADC hand fixture for the s39 specs: the s34 coarse
+  // codebook plus ONE residual subspace of two entries — small enough
+  // that every landing and code is hand-checkable, composed enough
+  // that a wrong re-encode (codes vs a replaced centroid) shows up
+  private val rebPq: Array[Array[Array[Long]]] =
+    Array(Array(Array(0L, 0L), Array(200000L, 200000L)))
+
+  private def ivfPqRows(df: org.apache.spark.sql.DataFrame) =
+    df.select(col("id"), col("cid").cast("long").as("cid"), col("codes"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getSeq[Int](2).toSeq)).toSet
+
+  test("ivfpq census loop (s39 path): the cut boundary re-decides identically across a restart, census ≡ physical lists") {
+    // the s34 redelivery theorem lifted to the COMPOSED index: the
+    // census is a pure function of on-disk bases + batch, so a
+    // redelivered cut boundary re-measures, re-decides, re-CUTS, and
+    // re-ENCODES identically. Same staged boundaries as the s34
+    // redelivery spec (physical composed lists ARE the coarse argmax).
+    val S = graft.operators.Similarity
+    val pol = S.RebalancePolicy(5L, 2L)
+    val init = S.ivfPqEncodeFixedPoint(rebCorpus, rebCb, rebPq)
+      .localCheckpoint()
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_ivfpq_census_redeliver").toString
+    def newLoop() = new ContinuousIndexMaintenance.IvfPqRetrainLoop(spark,
+      rebCorpus, init, rebCb, rebPq, 2, 3, 1, 2, 1, 1, 1000000L,
+      "vec_id", "embedding", root, rebalancePolicy = Some(pol))
+    val b0 = retrainBatch(Seq((5L, null, "removed")))
+    val b1 = retrainBatch(Seq(
+      (6L, Seq(0.75f, 0.5f), "added"),
+      (7L, Seq(0.75f, 0.5f), "added"),
+      (8L, Seq(1.0f, 1.0f), "added")))
+    val b2 = retrainBatch(Seq((9L, Seq(0.0f, 0.0f), "added")))
+    val first = newLoop()
+    first.processBatch(b0, 0L)
+    first.processBatch(b1, 1L) // the cut goes UNCOMMITTED…
+    first.rebalancedAt shouldBe Seq(1L)
+    val restarted = newLoop() // …restart: fresh memory, same root
+    restarted.processBatch(b1, 1L) // redelivery re-censuses + re-cuts
+    restarted.processBatch(b2, 2L)
+    restarted.rebalancedAt shouldBe Seq(1L)
+    restarted.retrainedAt shouldBe empty
+    restarted.censusStats.map(s => (s.batchId, s.hottest, s.total)) shouldBe
+      Seq((1L, 7L, 8L), (2L, 3L, 9L))
+    // census ≡ a fresh census of the PHYSICAL written index at every
+    // boundary (the invariant the divergence guard protects)
+    for (b <- Seq(0L, 1L, 2L)) {
+      val written = spark.read.parquet(s"$root/census/v$b").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      spark.read.parquet(s"$root/index/v$b")
+        .groupBy(col("cid").cast("long")).count().collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap shouldBe written
+    }
+    // drained index ≡ the offline composition: one-shot s37 cut of the
+    // post-b1 index, then b2's row encoded under the EXPANDED codebook
+    val postB1 = Seq(
+      (0L, Seq(0.0f, 0.0f)),
+      (1L, Seq(1.0f, 1.0f)), (2L, Seq(0.75f, 0.5f)),
+      (3L, Seq(1.0f, 1.0f)), (4L, Seq(0.75f, 0.5f)),
+      (6L, Seq(0.75f, 0.5f)), (7L, Seq(0.75f, 0.5f)),
+      (8L, Seq(1.0f, 1.0f))).toDF("vec_id", "embedding")
+    val idxB1 = S.ivfPqEncodeFixedPoint(postB1, rebCb, rebPq)
+      .localCheckpoint()
+    val (cutIdx, expandedCb) = S.rebalanceIvfPqIndex(idxB1, postB1,
+      rebCb, rebPq, pol)
+    expandedCb.length should be > rebCb.length
+    val b2row = Seq((9L, Seq(0.0f, 0.0f))).toDF("vec_id", "embedding")
+    val expected = ivfPqRows(cutIdx) ++
+      ivfPqRows(S.ivfPqEncodeFixedPoint(b2row, expandedCb, rebPq))
+    ivfPqRows(restarted.result.state) shouldBe expected
+    // and the expanded codebook was VERSIONED at the cut boundary: the
+    // on-disk coarse stage the next boundary resolved equals it
+    spark.read.parquet(s"$root/cb/v1").filter(col("stage") === 0)
+      .count() shouldBe expandedCb.length.toLong * 2L // 2 dims per cid
+  }
+
+  test("norm-collapse tripwire: the staged 1/64 collapse flags the boundary; normalized ingest stays quiet") {
+    // r15 measured the failure mode (0.235 ADC recall) invisible to
+    // moved-share AND census; the tripwire must flag it from the
+    // exact-integer envelope BEFORE any recall is lost. Corpus norms
+    // sit within 8× of each other; the collapse delta lands 1/64-norm
+    // rows → the envelope ratio crosses 8/1 exactly at that boundary.
+    val S = graft.operators.Similarity
+    val npol = S.NormPolicy(8L, 1L)
+    val corpus = Seq( // no zero vector: the baseline must be clean
+      (1L, Seq(1.0f, 1.0f)), (2L, Seq(0.75f, 0.5f)),
+      (3L, Seq(1.0f, 1.0f)), (4L, Seq(0.75f, 0.5f)),
+      (5L, Seq(0.75f, 0.5f))).toDF("vec_id", "embedding")
+    val cb = Array(Array(0L, 0L), Array(1000000L, 1000000L))
+    val init = S.assignFixedPoint(corpus, cb).localCheckpoint()
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_norm_trip").toString
+    val loop = new ContinuousIndexMaintenance.RetrainLoop(spark,
+      corpus, init, cb, 2, 1, 1000000L, "vec_id", "embedding", root,
+      normPolicy = Some(npol))
+    // b0: a natural-scale delta — envelope widens a little, no flag
+    loop.processBatch(retrainBatch(Seq(
+      (6L, Seq(0.9f, 0.8f), "added"))), 0L)
+    loop.normFlaggedAt shouldBe empty
+    // b1: the collapse — the SAME clump shape that kept every other
+    // monitor quiet in r15 (additions: moved-share 0; census: these
+    // two rows cross no size bar)
+    loop.processBatch(retrainBatch(Seq(
+      (7L, Seq(0.75f / 64, 0.5f / 64), "added"),
+      (8L, Seq(1.0f / 64, 1.0f / 64), "added"))), 1L)
+    loop.normFlaggedAt shouldBe Seq(1L)
+    // the envelope is exact integers both sides of the flag
+    val s1 = loop.normStats.find(_.batchId == 1L).get
+    assert(npol.flags(s1.minN2, s1.maxN2))
+    val s0 = loop.normStats.find(_.batchId == 0L).get
+    assert(!npol.flags(s0.minN2, s0.maxN2))
+    // monotone: a later benign boundary does NOT unflag the regime
+    loop.processBatch(retrainBatch(Seq(
+      (9L, Seq(0.8f, 0.7f), "added"))), 2L)
+    loop.normFlaggedAt shouldBe Seq(1L, 2L)
+
+    // the pinned production recipe: L2-normalized ingest — the same
+    // collapse event, normalized, keeps the envelope ratio ~1 and the
+    // tripwire NEVER fires (and the ivfpq loop shares the machinery)
+    def l2(v: Seq[Float]): Seq[Float] = {
+      val n = math.sqrt(v.map(x => x.toDouble * x).sum)
+      v.map(x => (x / n).toFloat)
+    }
+    val nCorpus = Seq(
+      (1L, l2(Seq(1.0f, 1.0f))), (2L, l2(Seq(0.75f, 0.5f))),
+      (3L, l2(Seq(1.0f, 1.0f))), (4L, l2(Seq(0.75f, 0.5f))),
+      (5L, l2(Seq(0.75f, 0.5f)))).toDF("vec_id", "embedding")
+    val nInit = S.ivfPqEncodeFixedPoint(nCorpus, rebCb, rebPq)
+      .localCheckpoint()
+    val nRoot = java.nio.file.Files
+      .createTempDirectory("graft_norm_quiet").toString
+    val nLoop = new ContinuousIndexMaintenance.IvfPqRetrainLoop(spark,
+      nCorpus, nInit, rebCb, rebPq, 2, 3, 1, 2, 1, 1, 1000000L,
+      "vec_id", "embedding", nRoot, normPolicy = Some(npol))
+    nLoop.processBatch(retrainBatch(Seq(
+      (7L, l2(Seq(0.75f / 64, 0.5f / 64)), "added"),
+      (8L, l2(Seq(1.0f / 64, 1.0f / 64)), "added"))), 0L)
+    nLoop.normFlaggedAt shouldBe empty
+    nLoop.normStats should have size 1
+  }
+
+  test("census-divergence crash RUNBOOK: the guard kills the query loudly; wiping the census lineage re-baselines and proceeds") {
+    // the loud guard (require: census crossed but the physical cut
+    // moved nothing) is spec-pinned; this pins what RECOVERY looks
+    // like — the operator wipes the census versions, restarts the
+    // lineage, and the redelivered boundary re-baselines its census
+    // from the PHYSICAL state and proceeds with correct decisions.
+    val S = graft.operators.Similarity
+    val pol = S.RebalancePolicy(5L, 2L)
+    val init = S.assignFixedPoint(rebCorpus, rebCb).localCheckpoint()
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_census_runbook").toString
+    def newLoop() = new ContinuousIndexMaintenance.RetrainLoop(spark,
+      rebCorpus, init, rebCb, 3, 1, 1000000L, "vec_id", "embedding", root,
+      rebalancePolicy = Some(pol))
+    val first = newLoop()
+    first.processBatch(retrainBatch(Seq(
+      (9L, Seq(0.1f, 0.1f), "added"))), 0L) // benign; census v0 commits
+    first.rebalancedAt shouldBe empty
+    // the divergence: census v0 is corrupted to claim a phantom hot
+    // list (the empty c2 at 40 seats) the physical state doesn't hold
+    import spark.implicits._
+    Seq((0L, 1L), (1L, 6L), (2L, 40L)).toDF("cid", "n").coalesce(1)
+      .write.mode("overwrite").parquet(s"$root/census/v0")
+    // next boundary: the maintained census crosses on the phantom, the
+    // physical cut moves nothing — the guard kills the query LOUDLY
+    val b1 = retrainBatch(Seq((10L, Seq(0.12f, 0.08f), "added")))
+    val crashed = newLoop()
+    val e = the[IllegalArgumentException] thrownBy
+      crashed.processBatch(b1, 1L)
+    e.getMessage should include("diverged")
+    // ...and loudly means NO state version was committed for b1
+    new java.io.File(s"$root/assign/v1").exists() shouldBe false
+    // RECOVERY: wipe the census lineage (the runbook step), restart;
+    // the redelivered b1 re-baselines from the physical assign state
+    val cdir = new java.io.File(s"$root/census")
+    cdir.listFiles().foreach(f => {
+      def rm(x: java.io.File): Unit = {
+        if (x.isDirectory) x.listFiles().foreach(rm); x.delete(); () }
+      rm(f)
+    })
+    val recovered = newLoop()
+    recovered.processBatch(b1, 1L)
+    recovered.rebalancedAt shouldBe empty
+    recovered.censusStats.map(s => (s.batchId, s.hottest, s.total)) shouldBe
+      Seq((1L, 5L, 8L)) // 6 initial + 9 + 10; hottest is the true c1 (5)
+    // census v1 ≡ the physical state — the lineage is healthy again
+    spark.read.parquet(s"$root/census/v1").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap shouldBe
+      spark.read.parquet(s"$root/assign/v1").groupBy(col("cid")).count()
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  test("composed monitors, one boundary deeper: a SECOND census cut lands correctly over the RETRAINED codebook") {
+    // the r15 chain ended at the retrain (cut@b0 → retrain@b1); this
+    // proves the census re-baseline after the retrain is itself
+    // correct under a SUBSEQUENT decision: a second clump crosses at
+    // b2 and the cut bases on the retrained codebook AND the
+    // re-baselined census — all three decisions replayed offline.
+    val S = graft.operators.Similarity
+    val pol = S.RebalancePolicy(5L, 2L)
+    val init = S.assignFixedPoint(rebCorpus, rebCb).localCheckpoint()
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_three_decisions").toString
+    val loop = new ContinuousIndexMaintenance.RetrainLoop(spark,
+      rebCorpus, init, rebCb, 3, 1, 1000000L, "vec_id", "embedding", root,
+      driftPolicy = Some(S.DriftPolicy(3L, 5L)),
+      rebalancePolicy = Some(S.RebalancePolicy(5L, 2L)))
+    // b0: the s36 census crossing (additions: moved-share 0)
+    loop.processBatch(retrainBatch(Seq(
+      (6L, Seq(0.75f, 0.5f), "added"),
+      (7L, Seq(0.75f, 0.5f), "added"),
+      (8L, Seq(1.0f, 1.0f), "added"))), 0L)
+    // b1: the s36 drift retrain (changes flip lists under the grown cb)
+    loop.processBatch(retrainBatch(Seq(
+      (1L, Seq(0.05f, 0.02f), "changed"),
+      (3L, Seq(0.04f, 0.03f), "changed"))), 1L)
+    loop.rebalancedAt shouldBe Seq(0L)
+    loop.retrainedAt shouldBe Seq(1L)
+    // b2: a second clump — 20 adds at the retrained codebook's hot
+    // centroid cross the re-baselined census (26 of 29 ≥ 5/2 · avg)
+    loop.processBatch(retrainBatch(
+      (100L until 120L).map(i =>
+        (java.lang.Long.valueOf(i), Seq(0.75f, 0.5f), "added"))), 2L)
+    loop.rebalancedAt shouldBe Seq(0L, 2L)
+    loop.retrainedAt shouldBe Seq(1L)
+    // offline replay of ALL THREE decisions' endpoint: the retrain
+    // endpoint theorem gives b1's state ≡ fresh assignment of the b1
+    // corpus under a codebook trained on it; b2 upserts the adds'
+    // fresh argmax; the second cut is the one-shot even split of the
+    // b2 corpus OVER that physical state
+    val finB1 = Seq(
+      (0L, Seq(0.0f, 0.0f)),
+      (1L, Seq(0.05f, 0.02f)), (2L, Seq(0.75f, 0.5f)),
+      (3L, Seq(0.04f, 0.03f)), (4L, Seq(0.75f, 0.5f)),
+      (5L, Seq(0.75f, 0.5f)), (6L, Seq(0.75f, 0.5f)),
+      (7L, Seq(0.75f, 0.5f)), (8L, Seq(1.0f, 1.0f)))
+    val cbRetrained = S.kmeansTrainFixedPoint(
+      finB1.toDF("vec_id", "embedding"), k = 3, maxIter = 1)
+    val adds = (100L until 120L).map(i => (i, Seq(0.75f, 0.5f)))
+    val corpusB2 = (finB1 ++ adds).toDF("vec_id", "embedding")
+    val stateB2 = S.assignFixedPoint(corpusB2.toDF(), cbRetrained)
+      .localCheckpoint() // b1 endpoint ⊕ b2 upsert = fresh assign of all
+    val (mv2, cb2) = S.splitListsEven(corpusB2, cbRetrained, pol,
+      state = Some(stateB2))
+    cb2.length should be > cbRetrained.length
+    loop.result.state.collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap shouldBe
+      mv2.select(col("id"), col("cid")).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // and the census the NEXT decision would read ≡ the physical state
+    spark.read.parquet(s"$root/census/v2").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap shouldBe
+      spark.read.parquet(s"$root/assign/v2").groupBy(col("cid")).count()
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
   test("a retrain boundary supersedes the census monitor and re-baselines its census") {
     // markers win: the boundary retrains, records NO census stat, and
     // the NEXT boundary's incremental census starts from the retrained
