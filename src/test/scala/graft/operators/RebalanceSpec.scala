@@ -572,6 +572,57 @@ class RebalanceSpec extends SparkSpec {
     Similarity.vacuumIndexVersioned(spark, root, 1) shouldBe ((0L, 0L))
   }
 
+  test("the ADC cut's movement feeds the versioned serving layout: apply + manifest read ≡ the rebalanced index") {
+    // the s39 serving seam: the streaming census cut exposes its
+    // movement (rebalanceIvfPqMovement) so a deployment can route it
+    // through applyMovementVersioned with the re-encoded codes as
+    // payload — touched cids (split sources AND fresh chunks, chunk-0
+    // stayers included: their codes changed even though their cid
+    // didn't) land in v1, untouched cids keep serving their v0 files
+    // with carried-verbatim codes. The manifest read must equal the
+    // in-memory rebalanced index row-for-row, codes included.
+    val emb = embeddings
+    val (coarse, pq) = Similarity.ivfPqTrainFixedPoint(emb, dim = 64,
+      nLists = 8, m = 4, codebookSize = 8, maxIterCoarse = 2, maxIterPq = 1)
+    val corpus = graft.queries.SkewFixture.skewed(emb).localCheckpoint()
+    val index = Similarity.ivfPqEncodeFixedPoint(corpus, coarse, pq)
+      .localCheckpoint()
+    val (rebIdx0, newCb, mv) = Similarity.rebalanceIvfPqMovement(index,
+      corpus, coarse, pq, Similarity.RebalancePolicy(3L, 2L))
+    newCb.length should be > coarse.length
+    val rebIdx = rebIdx0.localCheckpoint()
+    val root = java.nio.file.Files
+      .createTempDirectory("reb_ver_adc_serve").toString
+    Similarity.initIndexVersioned(
+      index.select(col("id").as("vec_id"),
+        col("cid").cast("long").as("cid"), col("codes")), root)
+    // movement + payload: each row's POST-cut codes joined from the
+    // rebalanced index (un-split rows keep their original codes, so
+    // the join is total)
+    val payload = mv.join(rebIdx.select(col("id"),
+        col("cid").cast("long").as("cid"), col("codes")),
+      Seq("id", "cid"))
+      .select(col("id").as("vec_id"), col("old_cid"), col("cid"),
+        col("codes"))
+    Similarity.applyMovementVersioned(payload, root) shouldBe 1L
+    def rows(df: org.apache.spark.sql.DataFrame, idc: String) = df
+      .select(col(idc), col("cid").cast("long"), col("codes")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getSeq[Int](2).toSeq)).toSet
+    rows(Similarity.readIndexVersioned(spark, root), "vec_id") shouldBe
+      rows(rebIdx, "id")
+    // and the untouched lists' v0 files were never rewritten: every
+    // cid the movement didn't touch is still owned by v0
+    val touched = mv.filter(col("old_cid") =!= col("cid"))
+      .select(explode(array(col("old_cid"), col("cid"))))
+      .distinct().collect().map(_.getLong(0)).toSet
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val owners = Similarity.readManifest(fs, root, 1L)
+    owners.foreach { case (cid, owner) =>
+      owner shouldBe (if (touched(cid)) 1L else 0L)
+    }
+  }
+
   test("ADC merge is loud on BOTH silent-drop directions: ghost index ids and out-of-range cids") {
     val emb = embeddings
     val (coarse, pq) = Similarity.ivfPqTrainFixedPoint(emb, dim = 64,
