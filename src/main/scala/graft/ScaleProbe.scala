@@ -196,6 +196,10 @@ object ScaleProbe {
     // mid-stream s37 cut (re-encode over split members only) — expect
     // floor-dominated like s34/s36 (measure, don't assume)
     "s39_continuous_ivfpq_rebalance",
+    // round-16: drift-chosen two-stage retrain — s27's boundary floors
+    // + a delta-sized moved-share join per boundary + the one triggered
+    // retrain/re-encode — expect floor-dominated like s27/s29
+    "s40_ivfpq_drift_retrain",
     // fixed-point classifier training: one token explode + per
     // iteration a doc-keyed margin agg + a 65-key gradient agg over the
     // sparse feature table — expect ~linear in corpus tokens

@@ -1206,7 +1206,62 @@ object SimilarityQueries {
             col("s").cast("long").as("s"),
             col("code").cast("long").as("code"))
       },
-      Some(continuousIvfPqRebalanceOracle(KmFixedK, KmFixedIters)))
+      Some(continuousIvfPqRebalanceOracle(KmFixedK, KmFixedIters))),
+
+    // DRIFT-CHOSEN retrain on the COMPOSED loop (s40, r16): monitor
+    // parity — the composed loop's retrain was marker-only (s27, the
+    // "fixture-injected" shape the r12 verdict flagged and s29 closed
+    // for assignments). Same staged four slices as s29, same statistic
+    // (the delta encode's cid IS the fresh coarse argmax, and the
+    // coarse stage is kmeansTrainFixedPoint verbatim — so the measured
+    // s29 margins, 0% / ~39% / 100% vs the 3/5 bar, carry bit-exact):
+    // the monitor measures every boundary's moved-share against the
+    // stored index lists and crosses ONLY at boundary 2, triggering
+    // the TWO-STAGE retrain + full re-encode; boundary 3's removals
+    // maintain under the new codebooks. The require makes the choice
+    // loud at every SF; the oracle re-trains both stages from scratch
+    // on the boundary-2 corpus and encodes the FINAL corpus under
+    // them — the retrain the statistic chose, decision AND effect.
+    "s40_ivfpq_drift_retrain" -> QueryDef(
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val v1 = DriftFixture.v1(emb)
+        val (coarseOld, pqOld) = Similarity.ivfPqTrainFixedPoint(v1,
+          dim = 64, nLists = KmFixedK, m = PqFixedM,
+          codebookSize = PqFixedCb, maxIterCoarse = KmFixedIters,
+          maxIterPq = PqFixedIters)
+        val state1 = Similarity.ivfPqEncodeFixedPoint(v1, coarseOld, pqOld)
+          .localCheckpoint()
+        val dir = stageDriftSliceDir(s, d) // s29's staged slices
+        val schema = org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("vec_id",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("embedding",
+            org.apache.spark.sql.types.ArrayType(
+              org.apache.spark.sql.types.FloatType)),
+          org.apache.spark.sql.types.StructField("status",
+            org.apache.spark.sql.types.StringType)))
+        val stream = s.readStream
+          .option("maxFilesPerTrigger", "1") // 4 slices → 4 boundaries
+          .schema(schema).parquet(dir.toString)
+        val run = graft.streaming.ContinuousIndexMaintenance
+          .continuousIvfPqWithRetrain(s, v1, state1, coarseOld, pqOld,
+            stream, dim = 64, nLists = KmFixedK, m = PqFixedM,
+            codebookSize = PqFixedCb, maxIterCoarse = KmFixedIters,
+            maxIterPq = PqFixedIters,
+            driftPolicy = Some(Similarity.DriftPolicy(
+              DriftMovedNumer, DriftMovedDenom)))
+        require(run.retrainedAt == Seq(2L),
+          s"s40: drift monitor retrained at ${run.retrainedAt}, staged " +
+            "to cross at boundary 2 only — the slice margins no longer " +
+            "hold at this SF; re-measure DriftPct/DriftFar*")
+        run.state.select(col("id"), col("cid"), posexplode(col("codes")))
+          .toDF("id", "cid", "s", "code")
+          .select(col("id"), col("cid").cast("long").as("cid"),
+            col("s").cast("long").as("s"),
+            col("code").cast("long").as("code"))
+      },
+      Some(ivfPqDriftRetrainOracle(KmFixedK, KmFixedIters, 64, 1000000L)))
   )
 
   private val PqFixedM = 4
@@ -1488,6 +1543,21 @@ object SimilarityQueries {
     ivfPqEncodeRebuildOracle(kC, itC, dim, scale,
       trainCte = """trn AS (SELECT vec_id, vd FROM v2r WHERE vec_id % 4 <= 2
              UNION ALL SELECT vec_id, vd FROM v1r WHERE vec_id % 4 = 3)""")
+
+  /** DuckDB replay of s40 — s27's rebuild with the DRIFT-CHOSEN
+    * boundary's training corpus: the monitor crosses at boundary 2
+    * (gate-required loudly), whose corpus = V2 values for every
+    * surviving id PLUS the not-yet-removed V1 rows (removals land at
+    * boundary 3) — [[driftRetrainOracle]]'s vmid, feeding the
+    * two-stage rebuild; the drained index must equal the FINAL corpus
+    * (V2) encoded under those codebooks row-for-row.
+    */
+  private def ivfPqDriftRetrainOracle(kC: Int, itC: Int, dim: Int,
+                                      scale: Long): String =
+    ivfPqEncodeRebuildOracle(kC, itC, dim, scale,
+      trainCte = """trn AS (SELECT vec_id, vd FROM v2r
+             UNION ALL SELECT vec_id, vd FROM v1r
+             WHERE vec_id NOT IN (SELECT vec_id FROM v2r))""")
 
   /** Shared rebuild-oracle body for the continuous IVFADC gates: train
     * coarse + residual-PQ from scratch on the `trn` CTE (supplied by

@@ -774,6 +774,24 @@ object ContinuousIndexMaintenance {
     * same norm-collapse tripwire as the assignment loop's — it
     * matters MOST here, since the measured 0.235-recall collapse is
     * an ADC property ([[graft.operators.Similarity.NormPolicy]]).
+    *
+    * `driftPolicy` (s40, r16) completes the monitor parity with the
+    * assignment loop: the composed loop's retrain was marker-only
+    * (s27 — fixture-injected, the exact note the r12 verdict raised
+    * for s25 and s29 closed). The statistic is s29's, measured on the
+    * composed state: the boundary's delta ENCODE (already computed —
+    * its cid IS the fresh exact-integer coarse argmax) left-joins the
+    * stored (id, cid) index rows; moved-share ≥ the policy's integer
+    * cross-product triggers the TWO-STAGE retrain (coarse + residual
+    * PQ on the post-delta corpus) and the full re-encode — s27's
+    * marker movement, now chosen by measurement. Because the coarse
+    * stage IS kmeansTrainFixedPoint, the statistic's integers are
+    * bit-identical to the assignment loop's on the same staging — the
+    * s29 margins (0% / ~39% / 100% at the 3/5 bar, measured at all
+    * three SFs by graft.DriftProbe) carry verbatim. A drift retrain
+    * supersedes the census monitor at its boundary exactly as a
+    * marker does (and re-baselines the census from the retrained
+    * index); the marker stays the manual override.
     */
   def continuousIvfPqWithRetrain(
       spark: SparkSession,
@@ -788,12 +806,13 @@ object ContinuousIndexMaintenance {
       idCol: String = "vec_id", vecCol: String = "embedding",
       stateRoot: Option[String] = None,
       checkpointLocation: Option[String] = None,
+      driftPolicy: Option[Similarity.DriftPolicy] = None,
       rebalancePolicy: Option[Similarity.RebalancePolicy] = None,
       normPolicy: Option[Similarity.NormPolicy] = None): RetrainRun = {
     val loop = new IvfPqRetrainLoop(spark, initialCorpus, initialState,
       initialCoarse, initialPq, dim, nLists, m, codebookSize,
       maxIterCoarse, maxIterPq, scale, idCol, vecCol, resolve(stateRoot),
-      rebalancePolicy, normPolicy)
+      driftPolicy, rebalancePolicy, normPolicy)
     val w = deltaStream.writeStream
       .foreachBatch(loop.processBatch _)
       .trigger(Trigger.AvailableNow())
@@ -815,12 +834,14 @@ object ContinuousIndexMaintenance {
       dim: Int, nLists: Int, m: Int, codebookSize: Int,
       maxIterCoarse: Int, maxIterPq: Int, scale: Long,
       idCol: String, vecCol: String, val root: String,
+      driftPolicy: Option[Similarity.DriftPolicy] = None,
       rebalancePolicy: Option[Similarity.RebalancePolicy] = None,
       normPolicy: Option[Similarity.NormPolicy] = None) {
     import graft.operators.{IndexMaintenance, Similarity}
 
     val boundaries = scala.collection.mutable.ArrayBuffer.empty[Boundary]
     val retrainedAt = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val driftStats = scala.collection.mutable.ArrayBuffer.empty[DriftStat]
     val rebalancedAt = scala.collection.mutable.ArrayBuffer.empty[Long]
     val censusStats = scala.collection.mutable.ArrayBuffer.empty[CensusStat]
     val normStats = scala.collection.mutable.ArrayBuffer.empty[NormStat]
@@ -966,8 +987,32 @@ object ContinuousIndexMaintenance {
       val corpusV = spark.read.parquet(s"$corpusDir/v$batchId")
       // the norm-collapse tripwire runs at EVERY boundary
       normTick(docs, corpusBase, batchId)
+      // the delta's encode under the CURRENT codebooks — computed once
+      // and shared by the drift monitor's moved-share, the census
+      // landings, AND the upsert kernel (the assignment loop's
+      // freshDelta trick; its cid IS the fresh coarse argmax)
+      lazy val enc = Similarity.ivfPqEncodeFixedPoint(docs, coarseBase,
+        pqBase, scale, idCol, vecCol).localCheckpoint()
+      // the drift MONITOR (s40): s29's moved-share statistic on the
+      // composed state — delta rows whose fresh coarse argmax differs
+      // from their stored index list, over all added∪changed rows.
+      // Delta-sized (one id-join against the index's (id, cid) columns)
+      // and exact integers, so the boundary CHOICE oracle-replays.
+      val drifted = markers == 0 && driftPolicy.exists { p =>
+        val r = enc.select(col("id"), col("cid").cast("long").as("cid"))
+          .join(indexBase.select(col("id"),
+            col("cid").cast("long").as("__old_cid")), Seq("id"), "left")
+          .agg(count(lit(1)).as("n"),
+            sum(when(col("__old_cid").isNotNull &&
+              col("cid") =!= col("__old_cid"), 1L).otherwise(0L))
+              .as("moved")).head()
+        val (nTot, nMoved) =
+          (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+        driftStats += DriftStat(batchId, nMoved, nTot)
+        p.triggers(nMoved, nTot)
+      }
       // 2 + 3. codebooks + index under this boundary's movement
-      if (markers > 0) {
+      if (markers > 0 || drifted) {
         val (newCoarse, newPq) = Similarity.ivfPqTrainFixedPoint(corpusV,
           dim, nLists, m, codebookSize, maxIterCoarse, maxIterPq, scale,
           idCol = "id", vecCol = vecCol)
@@ -986,12 +1031,6 @@ object ContinuousIndexMaintenance {
           writeCensus(censusOf(
             spark.read.parquet(s"$indexDir/v$batchId")), batchId)
       } else {
-        // the delta's encode under the CURRENT codebooks — computed
-        // once and shared by the census landings AND the upsert kernel
-        // (the assignment loop's freshDelta trick: the kernel's encode
-        // over `docs` is deterministically this frame)
-        lazy val enc = Similarity.ivfPqEncodeFixedPoint(docs, coarseBase,
-          pqBase, scale, idCol, vecCol).localCheckpoint()
         rebalancePolicy match {
           case None =>
             IndexMaintenance.upsert(indexBase, diff, docs, idCol)(_ => enc)
@@ -1072,7 +1111,7 @@ object ContinuousIndexMaintenance {
       RetrainRun(latestBelow(indexDir, Long.MaxValue)
         .map(v => spark.read.parquet(s"$indexDir/v$v"))
         .getOrElse(initialState), boundaries.toSeq, retrainedAt.toSeq,
-        rebalancedAt = rebalancedAt.toSeq, census = censusStats.toSeq,
-        norms = normStats.toSeq, normFlaggedAt = normFlaggedAt.toSeq)
+        driftStats.toSeq, rebalancedAt.toSeq, censusStats.toSeq,
+        normStats.toSeq, normFlaggedAt.toSeq)
   }
 }

@@ -862,6 +862,83 @@ class ContinuousIndexMaintenanceSpec extends SparkSpec {
       .count() shouldBe expandedCb.length.toLong * 2L // 2 dims per cid
   }
 
+  test("ivfpq drift monitor (s40 path): the statistic chooses the two-stage retrain and supersedes the census") {
+    // monitor parity on the composed loop: additions measure 0 moved
+    // (no stored seats), a list-flipping change crosses the 3/5 bar,
+    // the boundary retrains BOTH stages on the post-delta corpus, and
+    // the census — running alongside — is superseded at the retrain
+    // boundary and re-baselined from the retrained index.
+    val S = graft.operators.Similarity
+    val init = S.ivfPqEncodeFixedPoint(rebCorpus, rebCb, rebPq)
+      .localCheckpoint()
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_ivfpq_drift").toString
+    val loop = new ContinuousIndexMaintenance.IvfPqRetrainLoop(spark,
+      rebCorpus, init, rebCb, rebPq, 2, 3, 1, 2, 1, 1, 1000000L,
+      "vec_id", "embedding", root,
+      driftPolicy = Some(S.DriftPolicy(3L, 5L)),
+      rebalancePolicy = Some(S.RebalancePolicy(100L, 1L))) // census only
+    loop.processBatch(retrainBatch(Seq(
+      (6L, Seq(0.8f, 0.7f), "added"))), 0L)
+    loop.retrainedAt shouldBe empty
+    loop.driftStats.map(s => (s.batchId, s.moved, s.measured)) shouldBe
+      Seq((0L, 0L, 1L)) // an addition has no seat to move from
+    // two present rows flip to the origin list: moved-share 2/2 ≥ 3/5
+    loop.processBatch(retrainBatch(Seq(
+      (2L, Seq(0.05f, 0.02f), "changed"),
+      (4L, Seq(0.04f, 0.03f), "changed"))), 1L)
+    loop.retrainedAt shouldBe Seq(1L)
+    loop.driftStats.map(s => (s.batchId, s.moved, s.measured)) shouldBe
+      Seq((0L, 0L, 1L), (1L, 2L, 2L))
+    // census: recorded at the non-retrain boundary only; re-baselined
+    // from the retrained index at b1 (≡ the physical state)
+    loop.censusStats.map(_.batchId) shouldBe Seq(0L)
+    spark.read.parquet(s"$root/census/v1").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap shouldBe
+      spark.read.parquet(s"$root/index/v1")
+        .groupBy(col("cid").cast("long")).count().collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // endpoint theorem, composed form: drained ≡ the final corpus
+    // encoded under codebooks trained on it (both stages)
+    val fin = Seq(
+      (0L, Seq(0.0f, 0.0f)),
+      (1L, Seq(1.0f, 1.0f)), (2L, Seq(0.05f, 0.02f)),
+      (3L, Seq(1.0f, 1.0f)), (4L, Seq(0.04f, 0.03f)),
+      (5L, Seq(0.75f, 0.5f)), (6L, Seq(0.8f, 0.7f)))
+      .toDF("vec_id", "embedding")
+    val (cbFin, pqFin) = S.ivfPqTrainFixedPoint(fin, dim = 2, nLists = 3,
+      m = 1, codebookSize = 2, maxIterCoarse = 1, maxIterPq = 1)
+    ivfPqRows(loop.result.state) shouldBe
+      ivfPqRows(S.ivfPqEncodeFixedPoint(fin, cbFin, pqFin))
+  }
+
+  test("ivfpq drift monitor: redelivery of the retrain boundary re-measures and re-retrains identically") {
+    val S = graft.operators.Similarity
+    val init = S.ivfPqEncodeFixedPoint(rebCorpus, rebCb, rebPq)
+      .localCheckpoint()
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_ivfpq_drift_redeliver").toString
+    def newLoop() = new ContinuousIndexMaintenance.IvfPqRetrainLoop(spark,
+      rebCorpus, init, rebCb, rebPq, 2, 3, 1, 2, 1, 1, 1000000L,
+      "vec_id", "embedding", root,
+      driftPolicy = Some(S.DriftPolicy(3L, 5L)))
+    val b0 = retrainBatch(Seq((6L, Seq(0.8f, 0.7f), "added")))
+    val b1 = retrainBatch(Seq(
+      (2L, Seq(0.05f, 0.02f), "changed"),
+      (4L, Seq(0.04f, 0.03f), "changed")))
+    val first = newLoop()
+    first.processBatch(b0, 0L)
+    first.processBatch(b1, 1L) // the retrain goes UNCOMMITTED…
+    first.retrainedAt shouldBe Seq(1L)
+    val firstRows = ivfPqRows(first.result.state)
+    val restarted = newLoop() // …restart: fresh memory, same root
+    restarted.processBatch(b1, 1L) // re-measures against on-disk bases
+    restarted.retrainedAt shouldBe Seq(1L)
+    restarted.driftStats.map(s => (s.batchId, s.moved, s.measured)) shouldBe
+      Seq((1L, 2L, 2L))
+    ivfPqRows(restarted.result.state) shouldBe firstRows
+  }
+
   test("norm-collapse tripwire: the staged 1/64 collapse flags the boundary; normalized ingest stays quiet") {
     // r15 measured the failure mode (0.235 ADC recall) invisible to
     // moved-share AND census; the tripwire must flag it from the
