@@ -172,6 +172,10 @@ object RebalanceRecallProbe {
       // per phase, not per operating point. (r15 advice: a hardcoded
       // limit(20) here miscounted recall for any nQ != 20.)
       val pq2 = pcorpus.orderBy("vec_id").limit(nQ).localCheckpoint()
+      // phase-invariant like pq2: one census per phase, not per
+      // operating point (r16 review — the non-ADC loop already hoists)
+      val hottest = censusTop(pidx.select(col("id"),
+        col("cid").cast("long").as("cid")))
       for (nProbe <- Seq(2, 4, 8, 12, 16, 24).filter(_ <= pcb.length)) {
         val got = Similarity.ivfPqSearchIndexed(pidx, pcorpus, pq2, k,
             pcb, ppq, nProbe, rerank = 4).collect()
@@ -180,8 +184,6 @@ object RebalanceRecallProbe {
         val recall = truth.map { case (q, t) =>
           got.getOrElse(q, Set.empty).count(t).toDouble / t.size
         }.sum / truth.size
-        val hottest = censusTop(pidx.select(col("id"),
-          col("cid").cast("long").as("cid")))
         println(f"""{"probe":"rebalance_recall","phase":"$phase",""" +
           f""""sf":"$sfDir","n":$n,"nLists":${pcb.length},""" +
           f""""nProbe":$nProbe,"k":$k,"recall":$recall%.4f,""" +

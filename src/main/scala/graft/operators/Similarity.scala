@@ -1254,8 +1254,13 @@ object Similarity {
   final case class NormPolicy(ratioNumer: Long, ratioDenom: Long) {
     require(ratioDenom > 0 && ratioNumer > 0 && ratioNumer >= ratioDenom,
       s"NormPolicy: ratio $ratioNumer/$ratioDenom is not a norm factor ≥ 1")
+    // BigInt cross-products: numer²·minN2 can reach 2⁶³ at a 64× bar on
+    // a 2⁵¹ envelope — a Long product would wrap negative and silently
+    // invert the flag (r16 review); the decision is two driver-side
+    // multiplications, so exactness costs nothing
     def flags(minN2: Long, maxN2: Long): Boolean =
-      ratioDenom * ratioDenom * maxN2 > ratioNumer * ratioNumer * minN2
+      BigInt(ratioDenom) * BigInt(ratioDenom) * BigInt(maxN2) >
+        BigInt(ratioNumer) * BigInt(ratioNumer) * BigInt(minN2)
   }
 
   /** The exact-integer squared-norm envelope of `df`'s quantized
@@ -1267,9 +1272,15 @@ object Similarity {
                    idCol: String = "vec_id",
                    vecCol: String = "embedding"): Option[(Long, Long)] = {
     // xd is integer-VALUED doubles (the fixed-point convention): Σx²
-    // ≤ M²·dim, which requireFixedPointBounds keeps under 2⁵¹ — the
-    // double sum is exact and the Long cast lossless
-    val n2 = quantized(df, scale, idCol, vecCol)
+    // ≤ M²·dim, which the bounds check keeps under 2⁵¹ — the double
+    // sum is exact and the Long cast lossless. The check is ENFORCED
+    // here, not assumed (r16 review): the tripwire runs on raw ingest
+    // deltas no trainer has vetted, and an upward norm anomaly big
+    // enough to overflow the sum is exactly the event it must not
+    // mis-measure — out-of-range input fails loud instead
+    val q = quantized(df, scale, idCol, vecCol).localCheckpoint()
+    requireFixedPointBounds(q.select(col("id"), col("xd")), scale)
+    val n2 = q
       .select(aggregate(col("xd"), lit(0.0d), (acc, x) => acc + x * x)
         .cast("long").as("n2"))
     val r = n2.agg(min(col("n2")), max(col("n2"))).head()
@@ -1927,10 +1938,15 @@ object Similarity {
       dest.toUri, fs.getConf)
     try fc.rename(fc.makeQualified(tmp), fc.makeQualified(dest))
     catch {
-      case _: org.apache.hadoop.fs.FileAlreadyExistsException |
-           _: java.io.FileNotFoundException |
-           _: java.io.IOException if fs.exists(dest) =>
+      // FileAlreadyExists/FileNotFound are IOException subtypes — one
+      // alternative, one guard (r16 review). Either way the rename did
+      // NOT land, so the writer-unique tmp must not be leaked: deleted
+      // on the already-committed path below, and on the rethrow path
+      // too (a transient store error would otherwise orphan a distinct
+      // UUID-named file per retry, litter nothing ever sweeps).
+      case e: java.io.IOException =>
         fs.delete(tmp, false)
+        if (!fs.exists(dest)) throw e
         val existing = try Some(readManifest(fs, root, v))
           catch { case _: Exception => None }
         require(existing.contains(owners),

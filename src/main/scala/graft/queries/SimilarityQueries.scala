@@ -277,16 +277,7 @@ object SimilarityQueries {
         val state1 = Similarity.assignVectors(v1, cents,
           "vec_id", "lang", "embedding").localCheckpoint()
         val dir = stageVecDiffDir(s, d)
-        val schema = org.apache.spark.sql.types.StructType(Seq(
-          org.apache.spark.sql.types.StructField("vec_id",
-            org.apache.spark.sql.types.LongType),
-          org.apache.spark.sql.types.StructField("lang",
-            org.apache.spark.sql.types.StringType),
-          org.apache.spark.sql.types.StructField("embedding",
-            org.apache.spark.sql.types.ArrayType(
-              org.apache.spark.sql.types.FloatType)),
-          org.apache.spark.sql.types.StructField("status",
-            org.apache.spark.sql.types.StringType)))
+        val schema = VecDeltaLangSchema
         val stream = s.readStream
           .option("maxFilesPerTrigger", "2") // 4 staged files → 2 boundaries
           .schema(schema).parquet(dir.toString)
@@ -590,14 +581,7 @@ object SimilarityQueries {
           k = KmFixedK, maxIter = KmFixedIters)
         val state1 = Similarity.assignFixedPoint(v1, cbOld).localCheckpoint()
         val dir = stageRetrainSliceDir(s, d)
-        val schema = org.apache.spark.sql.types.StructType(Seq(
-          org.apache.spark.sql.types.StructField("vec_id",
-            org.apache.spark.sql.types.LongType),
-          org.apache.spark.sql.types.StructField("embedding",
-            org.apache.spark.sql.types.ArrayType(
-              org.apache.spark.sql.types.FloatType)),
-          org.apache.spark.sql.types.StructField("status",
-            org.apache.spark.sql.types.StringType)))
+        val schema = VecDeltaSchema
         val stream = s.readStream
           .option("maxFilesPerTrigger", "1") // 4 slices → 4 boundaries
           .schema(schema).parquet(dir.toString)
@@ -630,16 +614,7 @@ object SimilarityQueries {
         val state1 = Similarity.ivfPqEncodeFixedPoint(v1, coarse, pq)
           .localCheckpoint()
         val dir = stageVecDiffDir(s, d)
-        val schema = org.apache.spark.sql.types.StructType(Seq(
-          org.apache.spark.sql.types.StructField("vec_id",
-            org.apache.spark.sql.types.LongType),
-          org.apache.spark.sql.types.StructField("lang",
-            org.apache.spark.sql.types.StringType),
-          org.apache.spark.sql.types.StructField("embedding",
-            org.apache.spark.sql.types.ArrayType(
-              org.apache.spark.sql.types.FloatType)),
-          org.apache.spark.sql.types.StructField("status",
-            org.apache.spark.sql.types.StringType)))
+        val schema = VecDeltaLangSchema
         val stream = s.readStream
           .option("maxFilesPerTrigger", "2") // 4 staged files → 2 boundaries
           .schema(schema).parquet(dir.toString)
@@ -680,14 +655,7 @@ object SimilarityQueries {
         val state1 = Similarity.ivfPqEncodeFixedPoint(v1, coarseOld, pqOld)
           .localCheckpoint()
         val dir = stageRetrainSliceDir(s, d)
-        val schema = org.apache.spark.sql.types.StructType(Seq(
-          org.apache.spark.sql.types.StructField("vec_id",
-            org.apache.spark.sql.types.LongType),
-          org.apache.spark.sql.types.StructField("embedding",
-            org.apache.spark.sql.types.ArrayType(
-              org.apache.spark.sql.types.FloatType)),
-          org.apache.spark.sql.types.StructField("status",
-            org.apache.spark.sql.types.StringType)))
+        val schema = VecDeltaSchema
         val stream = s.readStream
           .option("maxFilesPerTrigger", "1") // 4 slices → 4 boundaries
           .schema(schema).parquet(dir.toString)
@@ -726,16 +694,7 @@ object SimilarityQueries {
         val state1 = Similarity.ivfPqEncodeFixedPoint(v1, coarse, pq)
           .localCheckpoint()
         val dir = stageVecDiffDir(s, d)
-        val schema = org.apache.spark.sql.types.StructType(Seq(
-          org.apache.spark.sql.types.StructField("vec_id",
-            org.apache.spark.sql.types.LongType),
-          org.apache.spark.sql.types.StructField("lang",
-            org.apache.spark.sql.types.StringType),
-          org.apache.spark.sql.types.StructField("embedding",
-            org.apache.spark.sql.types.ArrayType(
-              org.apache.spark.sql.types.FloatType)),
-          org.apache.spark.sql.types.StructField("status",
-            org.apache.spark.sql.types.StringType)))
+        val schema = VecDeltaLangSchema
         val stream = s.readStream
           .option("maxFilesPerTrigger", "2") // 4 staged files → 2 boundaries
           .schema(schema).parquet(dir.toString)
@@ -776,14 +735,7 @@ object SimilarityQueries {
           k = KmFixedK, maxIter = KmFixedIters)
         val state1 = Similarity.assignFixedPoint(v1, cbOld).localCheckpoint()
         val dir = stageDriftSliceDir(s, d)
-        val schema = org.apache.spark.sql.types.StructType(Seq(
-          org.apache.spark.sql.types.StructField("vec_id",
-            org.apache.spark.sql.types.LongType),
-          org.apache.spark.sql.types.StructField("embedding",
-            org.apache.spark.sql.types.ArrayType(
-              org.apache.spark.sql.types.FloatType)),
-          org.apache.spark.sql.types.StructField("status",
-            org.apache.spark.sql.types.StringType)))
+        val schema = VecDeltaSchema
         val stream = s.readStream
           .option("maxFilesPerTrigger", "1") // 4 slices → 4 boundaries
           .schema(schema).parquet(dir.toString)
@@ -958,14 +910,7 @@ object SimilarityQueries {
           k = KmFixedK, maxIter = KmFixedIters)
         val state0 = Similarity.assignFixedPoint(emb, cb).localCheckpoint()
         val dir = stageSkewSliceDir(s, d)
-        val schema = org.apache.spark.sql.types.StructType(Seq(
-          org.apache.spark.sql.types.StructField("vec_id",
-            org.apache.spark.sql.types.LongType),
-          org.apache.spark.sql.types.StructField("embedding",
-            org.apache.spark.sql.types.ArrayType(
-              org.apache.spark.sql.types.FloatType)),
-          org.apache.spark.sql.types.StructField("status",
-            org.apache.spark.sql.types.StringType)))
+        val schema = VecDeltaSchema
         val stream = s.readStream
           .option("maxFilesPerTrigger", "1") // 3 slices → 3 boundaries
           .schema(schema).parquet(dir.toString)
@@ -1054,14 +999,7 @@ object SimilarityQueries {
           k = KmFixedK, maxIter = KmFixedIters)
         val state0 = Similarity.assignFixedPoint(emb, cb).localCheckpoint()
         val dir = stageCensusDriftSliceDir(s, d)
-        val schema = org.apache.spark.sql.types.StructType(Seq(
-          org.apache.spark.sql.types.StructField("vec_id",
-            org.apache.spark.sql.types.LongType),
-          org.apache.spark.sql.types.StructField("embedding",
-            org.apache.spark.sql.types.ArrayType(
-              org.apache.spark.sql.types.FloatType)),
-          org.apache.spark.sql.types.StructField("status",
-            org.apache.spark.sql.types.StringType)))
+        val schema = VecDeltaSchema
         val stream = s.readStream
           .option("maxFilesPerTrigger", "1") // 3 slices → 3 boundaries
           .schema(schema).parquet(dir.toString)
@@ -1177,14 +1115,7 @@ object SimilarityQueries {
         val state0 = Similarity.ivfPqEncodeFixedPoint(emb, coarse, pq)
           .localCheckpoint()
         val dir = stageSkewSliceDir(s, d)
-        val schema = org.apache.spark.sql.types.StructType(Seq(
-          org.apache.spark.sql.types.StructField("vec_id",
-            org.apache.spark.sql.types.LongType),
-          org.apache.spark.sql.types.StructField("embedding",
-            org.apache.spark.sql.types.ArrayType(
-              org.apache.spark.sql.types.FloatType)),
-          org.apache.spark.sql.types.StructField("status",
-            org.apache.spark.sql.types.StringType)))
+        val schema = VecDeltaSchema
         val stream = s.readStream
           .option("maxFilesPerTrigger", "1") // 3 slices → 3 boundaries
           .schema(schema).parquet(dir.toString)
@@ -1233,14 +1164,7 @@ object SimilarityQueries {
         val state1 = Similarity.ivfPqEncodeFixedPoint(v1, coarseOld, pqOld)
           .localCheckpoint()
         val dir = stageDriftSliceDir(s, d) // s29's staged slices
-        val schema = org.apache.spark.sql.types.StructType(Seq(
-          org.apache.spark.sql.types.StructField("vec_id",
-            org.apache.spark.sql.types.LongType),
-          org.apache.spark.sql.types.StructField("embedding",
-            org.apache.spark.sql.types.ArrayType(
-              org.apache.spark.sql.types.FloatType)),
-          org.apache.spark.sql.types.StructField("status",
-            org.apache.spark.sql.types.StringType)))
+        val schema = VecDeltaSchema
         val stream = s.readStream
           .option("maxFilesPerTrigger", "1") // 4 slices → 4 boundaries
           .schema(schema).parquet(dir.toString)
@@ -1263,6 +1187,27 @@ object SimilarityQueries {
       },
       Some(ivfPqDriftRetrainOracle(KmFixedK, KmFixedIters, 64, 1000000L)))
   )
+
+  /** The vector delta-stream schemas — ONE definition each for the ten
+    * continuous gates that read staged (vec_id[, lang], embedding,
+    * status) slices (r16 review: ten verbatim StructType copies meant a
+    * delta-contract change had to touch all of them or a gate would
+    * silently read mismatched parquet).
+    */
+  private val VecDeltaSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("vec_id",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("embedding",
+      org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.FloatType)),
+    org.apache.spark.sql.types.StructField("status",
+      org.apache.spark.sql.types.StringType)))
+
+  private val VecDeltaLangSchema = org.apache.spark.sql.types.StructType(
+    Seq(org.apache.spark.sql.types.StructField("vec_id",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("lang",
+      org.apache.spark.sql.types.StringType)) ++ VecDeltaSchema.fields.tail)
 
   private val PqFixedM = 4
   private val PqFixedCb = 8

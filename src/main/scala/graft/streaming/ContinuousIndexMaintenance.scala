@@ -792,6 +792,19 @@ object ContinuousIndexMaintenance {
     * supersedes the census monitor at its boundary exactly as a
     * marker does (and re-baselines the census from the retrained
     * index); the marker stays the manual override.
+    *
+    * POST-CUT SEMANTICS (shared with the assignment loop, deliberate):
+    * the statistic measures against the PHYSICAL stored seats, and
+    * after a census cut those are rank chunks, not Voronoi cells — a
+    * delta re-touching a previously split region reads as moved even
+    * where values barely changed, biasing the monitor TOWARD retrain
+    * on post-cut churn. That bias is the s36 composition's
+    * load-bearing behavior (the cut is the stopgap, the retrain the
+    * recovery — RECALL.json pins that post-cut mid-range recall wants
+    * the retrain), and the delta contract is the d14 diff vocabulary:
+    * "changed" rows changed. A deployment replaying unchanged rows as
+    * "changed" should expect the retrain to fire early, not never —
+    * the conservative direction for retrieval quality.
     */
   def continuousIvfPqWithRetrain(
       spark: SparkSession,
