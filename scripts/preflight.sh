@@ -34,4 +34,12 @@ if grep -E "\[verify\].*failed" "$LOG"; then
 fi
 python3 scripts/check.py /root/testdata/sf0.001 "$OUT" \
   | grep -E "^!!|/.* pass" # mismatch lines + the N/N tally (pipefail aborts on a miss)
-echo "preflight OK: Test/compile green, driver contract + probe roster intact, sf0.001 sweep green"
+#   (d) the correctness-artifact roster tripwire (r16 verdict #2): the
+#       newest non-adjudicated CORRECTNESS_r*.json must cover the gate
+#       roster the current tree just ran — an empty/truncated driver
+#       artifact (the r16 `{}` damage mode) fails HERE instead of
+#       waiting for a judge to open a 2-byte file. Selftest first:
+#       prove the checker itself still fails on `{}`.
+python3 scripts/roster_check.py --selftest
+python3 scripts/roster_check.py . "$OUT"
+echo "preflight OK: Test/compile green, driver contract + probe roster intact, sf0.001 sweep green, correctness-artifact roster tripwire armed"

@@ -1238,9 +1238,14 @@ object Similarity {
     * the flag decision is oracle-replayable. Flags when the norm
     * RATIO max/min exceeds ratioNumer/ratioDenom, i.e. the integer
     * cross-product `ratioDenom²·maxN2 > ratioNumer²·minN2` (norm² is
-    * the square of the norm, hence the squared ratio; products stay
-    * in Long for maxN2·denom² < 2⁶³ — dim·scale² ≈ 2⁴⁶ at the suite's
-    * 64-dim/10⁶ scale, leaving 2¹⁷ of ratio headroom). A zero vector
+    * the square of the norm, hence the squared ratio). The
+    * cross-products are computed in BigInt ON PURPOSE — do not
+    * "optimize" them back to Long: numer²·minN2 exceeds 2⁶³ at
+    * perfectly legitimate operating points (a 64× bar on a 2⁵¹
+    * envelope), and a wrapped Long product silently INVERTS the flag
+    * on exactly the anomalous input the tripwire exists to catch
+    * (r16 review). The decision is two driver-side multiplications
+    * per boundary, so exactness costs nothing. A zero vector
     * (minN2 = 0) always flags — it is unservable under cosine anyway.
     * The flag's documented operator action: L2-normalize the ingest
     * ([[l2Normalize]] — the measured 0.920-recall recipe, RECALL.json
@@ -1272,14 +1277,30 @@ object Similarity {
                    idCol: String = "vec_id",
                    vecCol: String = "embedding"): Option[(Long, Long)] = {
     // xd is integer-VALUED doubles (the fixed-point convention): Σx²
-    // ≤ M²·dim, which the bounds check keeps under 2⁵¹ — the double
-    // sum is exact and the Long cast lossless. The check is ENFORCED
-    // here, not assumed (r16 review): the tripwire runs on raw ingest
+    // ≤ M²·dim, kept under 2⁵³ by the bespoke check below — every
+    // partial sum of the left-to-right fold is then an exact integer
+    // double and the Long cast lossless. The check is ENFORCED here,
+    // not assumed (r16 review): the tripwire runs on raw ingest
     // deltas no trainer has vetted, and an upward norm anomaly big
     // enough to overflow the sum is exactly the event it must not
-    // mis-measure — out-of-range input fails loud instead
+    // mis-measure — out-of-range input fails loud instead. The bound
+    // is the ENVELOPE's own (dim·M² < 2⁵³, per-row exactness), not
+    // requireFixedPointBounds's (r16 advice): the trainer guard's
+    // second clause bounds n·M update SUMS that do not exist here,
+    // and would fail loudly on very large corpora whose envelope
+    // arithmetic is perfectly exact.
     val q = quantized(df, scale, idCol, vecCol).localCheckpoint()
-    requireFixedPointBounds(q.select(col("id"), col("xd")), scale)
+    val bounds = q.agg(
+      max(array_max(transform(col("xd"), x => abs(x)))).as("m"),
+      max(size(col("xd"))).as("dim")).head()
+    if (!bounds.isNullAt(0)) {
+      val (m, dim) = (bounds.getDouble(0), bounds.getInt(1))
+      require(m * m * math.max(dim, 1) < math.pow(2, 53),
+        f"normEnvelope: quantized magnitude $m%.0f at dim=$dim " +
+          f"(scale=$scale) overflows the 2^53-exact per-row Σx² — " +
+          "the envelope would silently stop being integer " +
+          "arithmetic; lower the scale")
+    }
     val n2 = q
       .select(aggregate(col("xd"), lit(0.0d), (acc, x) => acc + x * x)
         .cast("long").as("n2"))
@@ -1940,19 +1961,34 @@ object Similarity {
     catch {
       // FileAlreadyExists/FileNotFound are IOException subtypes — one
       // alternative, one guard (r16 review). Either way the rename did
-      // NOT land, so the writer-unique tmp must not be leaked: deleted
-      // on the already-committed path below, and on the rethrow path
-      // too (a transient store error would otherwise orphan a distinct
-      // UUID-named file per retry, litter nothing ever sweeps).
+      // NOT land.
       case e: java.io.IOException =>
-        fs.delete(tmp, false)
         if (!fs.exists(dest)) throw e
-        val existing = try Some(readManifest(fs, root, v))
-          catch { case _: Exception => None }
-        require(existing.contains(owners),
+        // the destination exists: distinguish the redelivery rewrite
+        // (byte-identical — commits as a no-op) from a racing second
+        // writer. A FAILED read-back here is NEITHER: it is a
+        // diagnosis failure, and collapsing it into the race message
+        // would mis-blame a writer whose content may be identical
+        // (r16 advice) — surface the read error with its cause.
+        val existing = try readManifest(fs, root, v)
+          catch {
+            case re: Exception => throw new java.io.IOException(
+              s"versioned index $root: manifest v$v already exists but " +
+                "could not be read back to verify the redelivery " +
+                "rewrite — resolve the read failure and retry " +
+                "(NOT necessarily a racing writer)", re)
+          }
+        require(existing == owners,
           s"versioned index $root: manifest v$v already committed with " +
             "different content — another writer raced this apply; the " +
             "layout is single-writer per root, resolve and retry")
+    } finally {
+      // the writer-unique tmp must never outlive the call: the
+      // successful rename consumed it, and EVERY failure path —
+      // IOException or not (r16 advice: a non-IOException rename
+      // throw previously leaked it) — would otherwise orphan one
+      // UUID-named file per retry, litter nothing ever sweeps.
+      if (fs.exists(tmp)) fs.delete(tmp, false)
     }
   }
 
