@@ -156,15 +156,27 @@ object RebalanceRecallProbe {
       maxIterCoarse = 3, maxIterPq = 2)
     val idxN = Similarity.ivfPqEncodeFixedPoint(nrm, coarseN, pqN)
       .localCheckpoint()
+    // the s41 EXECUTED recovery (r17): the same normalize-then-retrain
+    // recipe in its fixed-point form — l2NormalizeFixedPoint output fed
+    // at scale 1 — exactly what continuousIvfPqWithRetrain's recovery
+    // boundary builds and serves. normalized_adc (float l2Normalize)
+    // is the recipe's ceiling; this phase is the recovery's own floor.
+    val nrmFp = Similarity.l2NormalizeFixedPoint(corpus).localCheckpoint()
+    val (coarseF, pqF) = Similarity.ivfPqTrainFixedPoint(nrmFp, dim = 64,
+      nLists = nLists, m = 16, codebookSize = 256,
+      maxIterCoarse = 3, maxIterPq = 2, scale = 1L)
+    val idxF = Similarity.ivfPqEncodeFixedPoint(nrmFp, coarseF, pqF, 1L)
+      .localCheckpoint()
     val (mrgIdx0, cbMrgAdc) = Similarity.mergeIvfPqIndex(idx, corpus,
       coarseP, pqP, mpol)
     val mrgIdx = mrgIdx0.localCheckpoint()
-    for ((phase, pidx, pcorpus, pcb, ppq) <- Seq(
-        ("pre_adc", idx, corpus, coarseP, pqP),
-        ("post_split_adc", rebIdx, corpus, cbAdc, pqP),
-        ("post_merge_adc", mrgIdx, corpus, cbMrgAdc, pqP),
-        ("retrained_adc", idxR, corpus, coarseR, pqR),
-        ("normalized_adc", idxN, nrm, coarseN, pqN))) {
+    for ((phase, pidx, pcorpus, pcb, ppq, pscale) <- Seq(
+        ("pre_adc", idx, corpus, coarseP, pqP, 1000000L),
+        ("post_split_adc", rebIdx, corpus, cbAdc, pqP, 1000000L),
+        ("post_merge_adc", mrgIdx, corpus, cbMrgAdc, pqP, 1000000L),
+        ("retrained_adc", idxR, corpus, coarseR, pqR, 1000000L),
+        ("normalized_adc", idxN, nrm, coarseN, pqN, 1000000L),
+        ("recovered_fp_adc", idxF, nrmFp, coarseF, pqF, 1L))) {
       // the phase's query set MUST be the truth's: same nQ ids (the
       // vec_id order is corpus-stable, so nrm's rows differ only in
       // the normalized embedding — cosine truth is normalization-
@@ -178,7 +190,7 @@ object RebalanceRecallProbe {
         col("cid").cast("long").as("cid")))
       for (nProbe <- Seq(2, 4, 8, 12, 16, 24).filter(_ <= pcb.length)) {
         val got = Similarity.ivfPqSearchIndexed(pidx, pcorpus, pq2, k,
-            pcb, ppq, nProbe, rerank = 4).collect()
+            pcb, ppq, nProbe, rerank = 4, scale = pscale).collect()
           .groupBy(_.getLong(0)).view
           .mapValues(_.map(_.getLong(2)).toSet).toMap
         val recall = truth.map { case (q, t) =>

@@ -200,6 +200,12 @@ object ScaleProbe {
     // + a delta-sized moved-share join per boundary + the one triggered
     // retrain/re-encode — expect floor-dominated like s27/s29
     "s40_ivfpq_drift_retrain",
+    // round-17: the norm-collapse RECOVERY — s27's boundary floors +
+    // a delta-sized envelope aggregate per boundary + the one
+    // triggered normalized two-stage retrain/re-encode (the recovery
+    // pays a corpus-scale pass by definition, like a retrain) —
+    // expect floor-dominated like s40
+    "s41_ivfpq_norm_recovery",
     // fixed-point classifier training: one token explode + per
     // iteration a doc-keyed margin agg + a 65-key gradient agg over the
     // sparse feature table — expect ~linear in corpus tokens

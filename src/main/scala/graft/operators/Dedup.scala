@@ -164,7 +164,10 @@ object Dedup {
       minhashAdmissionIndex(existing, textCol, idCol, k, bands, shingleN, bucketCap),
       textCol, idCol, k, bands, shingleN, threshold)
 
-  private def bandedSigs(df: DataFrame, textCol: String, idCol: String,
+  // private[graft]: the continuous Loop's delta boundaries write
+  // kernel(batch) rows directly (O(delta) lineage, r17) — the same
+  // kernel maintainMinhashIndex hands to IndexMaintenance.upsert
+  private[graft] def bandedSigs(df: DataFrame, textCol: String, idCol: String,
                          k: Int, bands: Int, shingleN: Int): DataFrame = {
     val rows = k / bands
     val s = df.select(col(idCol).as("id"),

@@ -46,6 +46,52 @@ object Similarity {
         .otherwise((x.cast("double") / nrm).cast("float")))
   }
 
+  /** Fixed-point L2 normalization (s41, r17) — the EXECUTABLE form of
+    * the norm-collapse recovery [[NormPolicy]] names, exact enough to
+    * hash-oracle: each quantized vector xq = ⌊x·scale⌋ maps to
+    * x'ᵢ = ⌊xqᵢ·scale / √(Σxq²)⌋ (all-zero for the zero vector), i.e.
+    * unit norm in `scale` micro-units. Determinism argument, the part
+    * that makes this the MAINTENANCE form rather than [[l2Normalize]]
+    * (whose float-space sum order and re-quantization rounding are
+    * engine-dependent): Σxq² is an exact integer under the enforced
+    * dim·M² < 2⁵³ bound (every partial sum exact, hence
+    * order-independent); xqᵢ·scale is an exact integer product under
+    * the enforced M·scale < 2⁵³ bound; √ and ÷ are IEEE
+    * correctly-rounded single operations; ⌊·⌋ of the identical double
+    * is identical — so DuckDB replays every output integer
+    * bit-for-bit. Output: (idCol, vecCol) with vecCol an
+    * integer-valued DOUBLE array already in quantized space — feed
+    * downstream fixed-point trainers/encoders with scale = 1
+    * (⌊x·1⌋ = x, so their internal quantization is the identity).
+    * Output magnitudes are ≤ scale, comfortably inside the trainers'
+    * own 2⁵³ score bounds at any dim the suite runs.
+    */
+  def l2NormalizeFixedPoint(df: DataFrame, scale: Long = 1000000L,
+                            idCol: String = "vec_id",
+                            vecCol: String = "embedding"): DataFrame = {
+    val q = quantized(df, scale, idCol, vecCol)
+    val b = q.agg(
+      max(array_max(transform(col("xd"), x => abs(x)))).as("m"),
+      max(size(col("xd"))).as("dim")).head()
+    if (!b.isNullAt(0)) {
+      val (m, dim) = (b.getDouble(0), b.getInt(1))
+      require(m * m * math.max(dim, 1) < math.pow(2, 53),
+        f"l2NormalizeFixedPoint: quantized magnitude $m%.0f at " +
+          f"dim=$dim (scale=$scale) overflows the 2^53-exact Σx² — " +
+          "lower the scale")
+      require(m * scale.toDouble < math.pow(2, 53),
+        f"l2NormalizeFixedPoint: $m%.0f·$scale overflows the " +
+          "2^53-exact numerator — lower the scale")
+    }
+    q.withColumn("__n2",
+        aggregate(col("xd"), lit(0.0d), (a, x) => a + x * x))
+      .select(col("id").as(idCol),
+        transform(col("xd"), x =>
+          when(col("__n2") === 0.0d, lit(0.0d))
+            .otherwise(floor(x * lit(scale.toDouble) / sqrt(col("__n2")))))
+          .as(vecCol))
+  }
+
   /** Cosine similarity of two float-array columns, computed in double
     * (deterministic left-to-right fold, matching the DuckDB oracle).
     */
@@ -1255,8 +1301,29 @@ object Similarity {
     * widen it; removals never narrow it) — a deliberate
     * over-approximation: once a collapse has been seen the tripwire
     * stays tripped until the operator re-baselines, never the reverse.
+    *
+    * `recover` (s41, r17 — the r16 verdict's #3) EXECUTES that named
+    * action instead of only flagging it, on the composed IVFADC loop
+    * ([[graft.streaming.ContinuousIndexMaintenance.continuousIvfPqWithRetrain]]):
+    * the first flagged boundary switches the loop's ENCODE SPACE to
+    * fixed-point-normalized ([[l2NormalizeFixedPoint]] — the 0.920
+    * recipe made exactly replayable), re-trains both quantizer stages
+    * on the normalized post-delta corpus, re-encodes the whole corpus,
+    * and persists the mode in the norm lineage so every later
+    * boundary's delta encode, drift statistic, and retrain stay in
+    * normalized space. The corpus lineage keeps RAW vectors (the
+    * source of truth; normalization is an encode-path property), the
+    * raw envelope keeps recording (the ingest anomaly is still real
+    * and still monotone), and the recovery fires at most once per
+    * lineage — recorded in `RetrainRun.normRecoveredAt`. The
+    * assignment loop stays flag-only BY DESIGN: the measured
+    * 0.235-recall catastrophe is an ADC property (residual codebooks
+    * shared across norm regimes); the exact-integer argmax path
+    * degrades far more gently and its operator holds the retrain
+    * lever already.
     */
-  final case class NormPolicy(ratioNumer: Long, ratioDenom: Long) {
+  final case class NormPolicy(ratioNumer: Long, ratioDenom: Long,
+                              recover: Boolean = false) {
     require(ratioDenom > 0 && ratioNumer > 0 && ratioNumer >= ratioDenom,
       s"NormPolicy: ratio $ratioNumer/$ratioDenom is not a norm factor ≥ 1")
     // BigInt cross-products: numer²·minN2 can reach 2⁶³ at a 64× bar on
@@ -2066,7 +2133,47 @@ object Similarity {
     * construction: one foreachBatch at a time per lineage).
     */
   def applyMovementVersioned(movement: DataFrame, root: String,
-                             idCol: String = "vec_id"): Long = {
+                             idCol: String = "vec_id"): Long =
+    applyMovementVersionedHooked(movement, root, idCol)
+
+  /** [[applyMovementVersioned]] with a spec seam: `interleave` runs in
+    * the claim→commit window, where a CONCURRENT second applier (a
+    * violated single-writer contract) would land. The r17 fencing
+    * makes every staged interleave of two live appliers end
+    * loud-or-correct, never silently corrupt:
+    *
+    *  1. the landing is written to a WRITER-UNIQUE staging dir
+    *     (`.v<next>.<uuid>.staging` — never the shared `v<next>`), so
+    *     no applier can ever scribble into bytes another applier has
+    *     claimed or committed;
+    *  2. `v<next>` is CLAIMED by a no-overwrite FileContext rename of
+    *     the staging dir. An existing COMMITTED v<next> fails the
+    *     claim loud (the race message names the single-writer
+    *     contract); an existing UNCOMMITTED v<next> is reclaimed once
+    *     (delete + re-rename) — that is the redelivery path for a
+    *     crashed previous attempt, safe under the documented contract;
+    *  3. a claim MARKER (`_claim_<uuid>`, `_`-prefixed so parquet
+    *     readers ignore it) rides inside the staged dir, and the
+    *     commit re-checks it AFTER the interleave window: an applier
+    *     whose claim was reclaimed by a racing writer fails loud HERE,
+    *     before it could commit a manifest routing at bytes it did not
+    *     write — the corruption mode the pre-r17 shared-overwrite
+    *     write allowed;
+    *  4. the staging dir is deleted on every exit path, and
+    *     [[vacuumIndexVersioned]] reclaims crashed appliers' orphaned
+    *     staging dirs once their version is superseded — a loser's
+    *     uncommitted dir is never stranded.
+    *
+    * The check-then-commit window between 3 and the manifest rename is
+    * irreducible without an atomic conditional primitive the FS API
+    * does not offer — which is WHY the layout's contract stays
+    * single-writer; the fencing turns a violated contract from silent
+    * corruption into a loud loser.
+    */
+  private[operators] def applyMovementVersionedHooked(
+      movement: DataFrame, root: String,
+      idCol: String = "vec_id",
+      interleave: () => Unit = () => ()): Long = {
     val fs = fsOf(movement, root)
     val cur = latestIndexVersion(fs, root).getOrElse(
       sys.error(s"versioned index $root: not initialized — call " +
@@ -2078,17 +2185,63 @@ object Similarity {
       .distinct().collect().map(_.getLong(0)).toSet // bounded by 2·nLists
     if (touched.isEmpty) return cur
     val next = cur + 1
-    val landing = mv.filter(col("cid").isin(touched.toSeq: _*))
-      .drop("old_cid").localCheckpoint() // idCol + cid + any payload
-    // overwrite of the UNCOMMITTED v<next> dir only: a crashed previous
-    // attempt left no manifest, so rewriting it is the redelivery path
-    landing.write.mode("overwrite").partitionBy("cid")
-      .parquet(s"$root/v$next")
-    val landed = landing.select(col("cid")).distinct()
-      .collect().map(_.getLong(0)).toSet
-    writeManifest(fs, root, next,
-      (owners -- touched) ++ landed.iterator.map(_ -> next))
-    next
+    val token = java.util.UUID.randomUUID().toString
+    val staging = new org.apache.hadoop.fs.Path(root,
+      s".v$next.$token.staging")
+    try {
+      val landing = mv.filter(col("cid").isin(touched.toSeq: _*))
+        .drop("old_cid").localCheckpoint() // idCol + cid + any payload
+      landing.write.mode("overwrite").partitionBy("cid")
+        .parquet(staging.toString)
+      fs.create(new org.apache.hadoop.fs.Path(staging,
+        s"_claim_$token"), true).close()
+      val landed = landing.select(col("cid")).distinct()
+        .collect().map(_.getLong(0)).toSet
+      claimVersionDir(fs, root, next, staging)
+      interleave()
+      require(fs.exists(new org.apache.hadoop.fs.Path(
+          new org.apache.hadoop.fs.Path(root, s"v$next"),
+          s"_claim_$token")),
+        s"versioned index $root: v$next was reclaimed by another " +
+          "applier while this apply was in flight — the layout is " +
+          "single-writer per root; this apply LOST and committed " +
+          "nothing")
+      writeManifest(fs, root, next,
+        (owners -- touched) ++ landed.iterator.map(_ -> next))
+      next
+    } finally {
+      // consumed by the claim rename on the happy path; on any failure
+      // the writer-unique staging must not be stranded
+      if (fs.exists(staging)) fs.delete(staging, true)
+    }
+  }
+
+  /** Claim `v<next>` for one applier: no-overwrite rename of its
+    * staged dir. A COMMITTED v<next> → loud race failure; an
+    * UNCOMMITTED one is reclaimed ONCE (the crashed-attempt redelivery
+    * path — safe under the single-writer contract; under a violated
+    * one, the reclaimed applier's commit-time claim check goes loud
+    * instead of corrupting).
+    */
+  private def claimVersionDir(fs: org.apache.hadoop.fs.FileSystem,
+                              root: String, next: Long,
+                              staging: org.apache.hadoop.fs.Path): Unit = {
+    val dest = new org.apache.hadoop.fs.Path(root, s"v$next")
+    val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+      dest.toUri, fs.getConf)
+    def rename(): Unit =
+      fc.rename(fc.makeQualified(staging), fc.makeQualified(dest))
+    try rename()
+    catch {
+      case e: java.io.IOException =>
+        require(!fs.exists(manifestPath(root, next)),
+          s"versioned index $root: v$next is already COMMITTED — " +
+            "another applier raced this one; the layout is " +
+            "single-writer per root, resolve and retry")
+        if (!fs.exists(dest)) throw e // not the exists case: surface it
+        fs.delete(dest, true)
+        rename()
+    }
   }
 
   /** Read the versioned index at `version` (default: latest committed):
@@ -2277,6 +2430,22 @@ object Similarity {
         }
       }
     }
+    // crashed appliers' orphaned STAGING dirs (`.v<k>.<uuid>.staging`,
+    // r17 fencing): reclaimable once version k is committed-or-
+    // superseded (k ≤ the highest committed manifest). A LIVE in-flight
+    // apply stages for highest+1 and survives the sweep; a stale stager
+    // at k ≤ highest has already lost by definition — its manifest
+    // commit would fail the no-overwrite rename — so the loser's
+    // uncommitted dir is never stranded.
+    val Stg = "^\\.v(\\d+)\\..*\\.staging$".r
+    fs.listStatus(new org.apache.hadoop.fs.Path(root)).toSeq
+      .filter(_.isDirectory).foreach { st =>
+        st.getPath.getName match {
+          case Stg(k) if k.toLong <= highest =>
+            fs.delete(st.getPath, true); deleted += 1
+          case _ => ()
+        }
+      }
     (dropped.size.toLong, deleted)
   }
 

@@ -157,3 +157,56 @@ private[graft] object SkewFixture {
           lit("changed").as("status")))
   }
 }
+
+/** THE norm-collapse fixture (s41, r17) — the staged event the
+  * tripwire-with-recovery gate drains and the recovery recall probe
+  * measures (the [[DriftFixture]] convention: one predicate
+  * definition). The suite embeddings are ~unit-norm (measured N2
+  * envelope ratio ≈ 1 at every SF), so the margins are structural:
+  * slice 0's ×2 widens the N2 envelope to ~4× — under the gate's 8/1
+  * norm bar (64× in N2) by 16×; slice 1's ×1/64 collapse drops minN2
+  * ~4096× — over the bar by ≥ 64× regardless of slice 0. Every
+  * transform is a dyadic float scale or a negation: exact in float
+  * AND double, so both engines quantize identical values. Slices are
+  * id-disjoint by construction (the %13/%11/%23 guards), so any
+  * batching is legal and the oracle's CASE needs no priority order.
+  * In delivery order:
+  *   slice 0 — benign natural-scale variation (%23 = 1 ids ×2): the
+  *     envelope widens, NO flag — the tripwire must not cry wolf;
+  *   slice 1 — the collapse (%11 = 4 ids ×1/64): flags → the recovery
+  *     boundary (normalized two-stage retrain + full re-encode);
+  *   slice 2 — post-recovery maintenance (%13 = 6 ids negated):
+  *     delta-encoded in the NORMALIZED space under the recovery
+  *     codebooks.
+  */
+private[graft] object NormFixture {
+  private val s2 = col("vec_id") % 13 === 6
+  private val s1 = col("vec_id") % 11 === 4 && !s2
+  private val s0 = col("vec_id") % 23 === 1 && !s1 && !s2
+
+  def slices(emb: DataFrame): Seq[DataFrame] = Seq(
+    emb.filter(s0).select(col("vec_id"),
+      transform(col("embedding"), x => x * lit(2.0f)).as("embedding"),
+      lit("changed").as("status")),
+    emb.filter(s1).select(col("vec_id"),
+      transform(col("embedding"), x => x * lit(0.015625f)).as("embedding"),
+      lit("changed").as("status")),
+    emb.filter(s2).select(col("vec_id"),
+      transform(col("embedding"), x => -x).as("embedding"),
+      lit("changed").as("status")))
+
+  /** The corpus AFTER slice k (0-based), for probes/specs that need the
+    * boundary corpora offline. */
+  def corpusAfter(emb: DataFrame, k: Int): DataFrame = {
+    val base = col("embedding")
+    val v = k match {
+      case 0 => when(s0, transform(base, x => x * lit(2.0f))).otherwise(base)
+      case 1 => when(s1, transform(base, x => x * lit(0.015625f)))
+        .when(s0, transform(base, x => x * lit(2.0f))).otherwise(base)
+      case _ => when(s2, transform(base, x => -x))
+        .when(s1, transform(base, x => x * lit(0.015625f)))
+        .when(s0, transform(base, x => x * lit(2.0f))).otherwise(base)
+    }
+    emb.select(col("vec_id"), v.as("embedding"))
+  }
+}

@@ -1185,7 +1185,58 @@ object SimilarityQueries {
             col("s").cast("long").as("s"),
             col("code").cast("long").as("code"))
       },
-      Some(ivfPqDriftRetrainOracle(KmFixedK, KmFixedIters, 64, 1000000L)))
+      Some(ivfPqDriftRetrainOracle(KmFixedK, KmFixedIters, 64, 1000000L))),
+
+    // NORM-COLLAPSE RECOVERY EXECUTED on the composed loop (s41, r17 —
+    // the r16 verdict's #3): the tripwire stops being advisory. Staged
+    // three slices (NormFixture): boundary 0's ×2 widens the envelope
+    // but stays 16× under the 8/1 bar (no flag — the tripwire must not
+    // cry wolf); boundary 1's ×1/64 collapse crosses it ≥ 256× over
+    // and — with NormPolicy.recover — the boundary EXECUTES the
+    // measured 0.920-recall recipe: both quantizer stages re-trained
+    // on the fixed-point-NORMALIZED post-delta corpus
+    // (l2NormalizeFixedPoint — exact integers, so the decision AND the
+    // normalized re-encode replay in DuckDB), the whole corpus
+    // re-encoded, the mode persisted in the norm lineage; boundary 2's
+    // negations maintain delta-only in the normalized space under the
+    // recovery codebooks. The require makes decision + flag loud at
+    // every SF; the oracle re-trains both stages from scratch on the
+    // normalized boundary-1 corpus and encodes the normalized FINAL
+    // corpus under them — decision AND effect (the s39/s40 standard).
+    "s41_ivfpq_norm_recovery" -> QueryDef(
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val (coarse, pq) = Similarity.ivfPqTrainFixedPoint(emb, dim = 64,
+          nLists = KmFixedK, m = PqFixedM, codebookSize = PqFixedCb,
+          maxIterCoarse = KmFixedIters, maxIterPq = PqFixedIters)
+        val state0 = Similarity.ivfPqEncodeFixedPoint(emb, coarse, pq)
+          .localCheckpoint()
+        val dir = stageNormSliceDir(s, d)
+        val stream = s.readStream
+          .option("maxFilesPerTrigger", "1") // 3 slices → 3 boundaries
+          .schema(VecDeltaSchema).parquet(dir.toString)
+        val run = graft.streaming.ContinuousIndexMaintenance
+          .continuousIvfPqWithRetrain(s, emb, state0, coarse, pq, stream,
+            dim = 64, nLists = KmFixedK, m = PqFixedM,
+            codebookSize = PqFixedCb, maxIterCoarse = KmFixedIters,
+            maxIterPq = PqFixedIters,
+            normPolicy = Some(Similarity.NormPolicy(
+              NormBarNumer, NormBarDenom, recover = true)))
+        require(run.normRecoveredAt == Seq(1L) &&
+            run.normFlaggedAt.headOption.contains(1L) &&
+            run.retrainedAt.isEmpty,
+          s"s41: recovery at ${run.normRecoveredAt}, flags at " +
+            s"${run.normFlaggedAt} (retrained ${run.retrainedAt}) — " +
+            "staged to flag AND recover at boundary 1 only; the " +
+            "envelope margins no longer hold at this SF; re-measure " +
+            "NormFixture and retune NormBar*")
+        run.state.select(col("id"), col("cid"), posexplode(col("codes")))
+          .toDF("id", "cid", "s", "code")
+          .select(col("id"), col("cid").cast("long").as("cid"),
+            col("s").cast("long").as("s"),
+            col("code").cast("long").as("code"))
+      },
+      Some(ivfPqNormRecoveryOracle(KmFixedK, KmFixedIters, 64, 1000000L)))
   )
 
   /** The vector delta-stream schemas — ONE definition each for the ten
@@ -1259,6 +1310,16 @@ object SimilarityQueries {
   // clearance ≥ 16% / 16% / {27% below, 15% above} at the three SFs.
   private val MergeNumer = 2L
   private val MergeDenom = 3L
+
+  // s41's norm-collapse bar: flag (and recover) when the corpus norm
+  // envelope ratio reaches 8× (64× in N2, the squared statistic).
+  // Margins are STRUCTURAL on this corpus (measured r17, exact-integer
+  // envelope at all three SFs): the natural N2 ratio is 1.00001× —
+  // unit-norm embeddings — so the benign ×2 slice reads 4.0× in N2,
+  // 16× UNDER the bar, and the ×1/64 collapse reads ≥ 16384×, 256×
+  // OVER it. The s41 gate's require() makes a margin violation loud.
+  private val NormBarNumer = 8L
+  private val NormBarDenom = 1L
 
   /** The s18/s21 rebuild oracle: centroids from V1, then every V2
     * vector assigned FROM SCRATCH (no maintenance anywhere) — the
@@ -1370,6 +1431,19 @@ object SimilarityQueries {
     Staging.stageIfStale(d, "vec_skew_slices3", "embeddings.parquet") { dir =>
       Staging.writeSliceFiles(dir,
         SkewFixture.s34Slices(Tables.embeddings(s, d)), "graft_s34_slice")
+    }
+
+  /** s41's staged stream source: the NormFixture three-slice collapse
+    * event — benign ×2, the ×1/64 collapse, post-recovery negations —
+    * delivered as batches 0/1/2. No marker anywhere: the norm ENVELOPE
+    * must choose the recovery boundary. Restaged when
+    * embeddings.parquet changes.
+    */
+  private def stageNormSliceDir(s: org.apache.spark.sql.SparkSession,
+      d: String): java.nio.file.Path =
+    Staging.stageIfStale(d, "vec_norm_slices3", "embeddings.parquet") { dir =>
+      Staging.writeSliceFiles(dir,
+        NormFixture.slices(Tables.embeddings(s, d)), "graft_s41_slice")
     }
 
   private def stageCensusDriftSliceDir(s: org.apache.spark.sql.SparkSession,
@@ -1504,6 +1578,57 @@ object SimilarityQueries {
              UNION ALL SELECT vec_id, vd FROM v1r
              WHERE vec_id NOT IN (SELECT vec_id FROM v2r))""")
 
+  /** The [[NormFixture]] corpus views: nmid = after slices 0+1 (the
+    * recovery boundary's training corpus), nfin = after slice 2 (the
+    * final corpus). The CASE guards restate the fixture's id-disjoint
+    * slice predicates in SQL — the hash gate pins the copies.
+    */
+  private val NormViewsCte: String =
+    s"""nmid AS (SELECT vec_id,
+           CASE WHEN vec_id % 11 = 4 AND vec_id % 13 <> 6
+                  THEN list_transform(CAST(embedding AS DOUBLE[]),
+                         x -> x / 64)
+                WHEN vec_id % 23 = 1 AND vec_id % 11 <> 4
+                     AND vec_id % 13 <> 6
+                  THEN list_transform(CAST(embedding AS DOUBLE[]),
+                         x -> x * 2)
+                ELSE CAST(embedding AS DOUBLE[]) END AS vd
+         FROM embeddings),
+    nfin AS (SELECT vec_id,
+           CASE WHEN vec_id % 13 = 6
+                  THEN list_transform(CAST(embedding AS DOUBLE[]),
+                         x -> -x)
+                WHEN vec_id % 11 = 4
+                  THEN list_transform(CAST(embedding AS DOUBLE[]),
+                         x -> x / 64)
+                WHEN vec_id % 23 = 1 AND vec_id % 11 <> 4
+                  THEN list_transform(CAST(embedding AS DOUBLE[]),
+                         x -> x * 2)
+                ELSE CAST(embedding AS DOUBLE[]) END AS vd
+         FROM embeddings)"""
+
+  /** DuckDB replay of s41 — the norm-collapse RECOVERY, decision and
+    * effect: the recovery boundary (gate-required to be boundary 1,
+    * the collapse slice) re-trains both quantizer stages on the
+    * fixed-point-NORMALIZED post-collapse corpus (nmid) and the final
+    * index is the NORMALIZED final corpus (nfin) encoded under them —
+    * the maintained drain (recovery base + slice 2's normalized delta
+    * upsert) must equal it row-for-row. `normalized = true` routes
+    * both quantizations through the exact-integer L2 form
+    * ([[quantCte]]); everything downstream is the standard two-stage
+    * rebuild on those integers.
+    */
+  private def ivfPqNormRecoveryOracle(kC: Int, itC: Int, dim: Int,
+                                      scale: Long): String =
+    s"""
+    WITH ${ivfPqRebuildCtes(kC, itC, dim, scale,
+        trainCte = "trn AS (SELECT vec_id, vd FROM nmid)",
+        preamble = NormViewsCte, finalView = "nfin",
+        normalized = true)}
+    SELECT w.vec_id AS id, CAST(w.cid AS BIGINT) AS cid,
+           CAST(e.s AS BIGINT) AS s, CAST(e.cid AS BIGINT) AS code
+    FROM enc2 e JOIN wa w ON e.vec_id = w.vec_id"""
+
   /** Shared rebuild-oracle body for the continuous IVFADC gates: train
     * coarse + residual-PQ from scratch on the `trn` CTE (supplied by
     * `trainCte` over the v1r/v2r drift views), then coarse-assign and
@@ -1519,15 +1644,62 @@ object SimilarityQueries {
            CAST(e.s AS BIGINT) AS s, CAST(e.cid AS BIGINT) AS code
     FROM enc2 e JOIN wa w ON e.vec_id = w.vec_id"""
 
-  /** The shared CTE prefix: drift views (v1r/v2r), both quantizer
-    * stages trained from scratch on `trn` (capped id-prefix), and the
-    * FINAL corpus (v2r) coarse-assigned (`wa`) and residual-encoded
-    * (`enc2`) under them — i.e. the maintained/rebuilt index. Ends at
-    * `enc2`; callers append their own SELECT (s26/s27 flatten it, s28
-    * searches it).
+  /** Quantize `view`(vec_id, vd) into `out`(vec_id, pos, x). With
+    * `normalized` (s41), the fixed-point L2 normalization replayed:
+    * xq = ⌊vd·scale⌋ exactly as the raw path, then
+    * x = ⌊xq·scale / √(Σxq²)⌋ — Σxq² an exact integer, xq·scale an
+    * exact integer product, √ and ÷ IEEE correctly-rounded, so the
+    * floor is bit-identical to
+    * [[graft.operators.Similarity.l2NormalizeFixedPoint]] (whose
+    * scaladoc carries the exactness argument). Zero vectors map to
+    * all-zero, matching the Spark side's guard.
+    */
+  private def quantCte(view: String, out: String, dim: Int, scale: Long,
+                       normalized: Boolean): String =
+    if (!normalized)
+      s"""$out AS MATERIALIZED (
+      SELECT vec_id, i - 1 AS pos,
+             CAST(floor(vd[i] * $scale.0) AS BIGINT) AS x
+      FROM $view, LATERAL (SELECT unnest(range(1, ${dim + 1})) AS i) t)"""
+    else
+      s"""${out}q AS (
+      SELECT vec_id, i - 1 AS pos,
+             CAST(floor(vd[i] * $scale.0) AS BIGINT) AS xq
+      FROM $view, LATERAL (SELECT unnest(range(1, ${dim + 1})) AS i) t),
+    ${out}n AS (SELECT vec_id, SUM(xq * xq) AS n2
+                FROM ${out}q GROUP BY 1),
+    $out AS MATERIALIZED (
+      SELECT q.vec_id, q.pos,
+             CASE WHEN n.n2 = 0 THEN 0
+                  ELSE CAST(floor(CAST(q.xq * $scale AS DOUBLE)
+                         / sqrt(CAST(n.n2 AS DOUBLE))) AS BIGINT) END AS x
+      FROM ${out}q q JOIN ${out}n n ON q.vec_id = n.vec_id)"""
+
+  /** The drift corpus views shared by the s26–s40 rebuild oracles —
+    * the default `preamble` of [[ivfPqRebuildCtes]]. */
+  private val DriftViewsCte: String =
+    s"""v1r AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vd
+                 FROM embeddings WHERE vec_id % 17 <> 3),
+    v2r AS (SELECT vec_id, CASE WHEN vec_id % 13 = 0
+                   THEN list_transform(CAST(embedding AS DOUBLE[]), x -> -x)
+                   ELSE CAST(embedding AS DOUBLE[]) END AS vd
+            FROM embeddings WHERE vec_id % 19 <> 5)"""
+
+  /** The shared CTE prefix: the corpus views of `preamble` (default:
+    * the drift views v1r/v2r), both quantizer stages trained from
+    * scratch on `trn` (capped id-prefix), and the FINAL corpus
+    * (`finalView`, default v2r) coarse-assigned (`wa`) and
+    * residual-encoded (`enc2`) under them — i.e. the
+    * maintained/rebuilt index. `normalized` routes BOTH quantizations
+    * through the s41 fixed-point L2 form (the recovery's encode
+    * space). Ends at `enc2`; callers append their own SELECT (s26/s27
+    * flatten it, s28 searches it, s41 flattens the normalized form).
     */
   private def ivfPqRebuildCtes(kC: Int, itC: Int, dim: Int,
-                               scale: Long, trainCte: String): String = {
+                               scale: Long, trainCte: String,
+                               preamble: String = DriftViewsCte,
+                               finalView: String = "v2r",
+                               normalized: Boolean = false): String = {
     val (m, cbSize, itP) = (PqFixedM, PqFixedCb, PqFixedIters)
     val sub = dim / m
     val pIters = (1 to itP).map { i =>
@@ -1550,17 +1722,9 @@ object SimilarityQueries {
            LEFT JOIN pupd$i u
              ON pr.s = u.s AND pr.cid = u.cid AND pr.pos = u.pos)"""
     }.mkString(",\n    ")
-    s"""v1r AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vd
-                 FROM embeddings WHERE vec_id % 17 <> 3),
-    v2r AS (SELECT vec_id, CASE WHEN vec_id % 13 = 0
-                   THEN list_transform(CAST(embedding AS DOUBLE[]), x -> -x)
-                   ELSE CAST(embedding AS DOUBLE[]) END AS vd
-            FROM embeddings WHERE vec_id % 19 <> 5),
+    s"""$preamble,
     $trainCte,
-    xv AS MATERIALIZED (
-      SELECT vec_id, i - 1 AS pos,
-             CAST(floor(vd[i] * $scale.0) AS BIGINT) AS x
-      FROM trn, LATERAL (SELECT unnest(range(1, ${dim + 1})) AS i) t),
+    ${quantCte("trn", "xv", dim, scale, normalized)},
     allv AS (SELECT vec_id FROM trn ORDER BY vec_id LIMIT $FixedTrainCap),
     ${kmChainCte("", "allv", kC, itC)},
     ${kmAssignCte("c", s"cent$itC")},
@@ -1574,10 +1738,7 @@ object SimilarityQueries {
     pcent0 AS (SELECT i.cid, xrt.s, xrt.ppos AS pos, xrt.x AS c
                FROM pids i JOIN xrt ON i.vec_id = xrt.vec_id),
     $pIters,
-    xw AS MATERIALIZED (
-      SELECT vec_id, i - 1 AS pos,
-             CAST(floor(vd[i] * $scale.0) AS BIGINT) AS x
-      FROM v2r, LATERAL (SELECT unnest(range(1, ${dim + 1})) AS i) t),
+    ${quantCte(finalView, "xw", dim, scale, normalized)},
     ${kmAssignCte("w", s"cent$itC", "xw")},
     rw AS (SELECT xw.vec_id, xw.pos, xw.x - ct.c AS x
            FROM xw JOIN wa ON xw.vec_id = wa.vec_id

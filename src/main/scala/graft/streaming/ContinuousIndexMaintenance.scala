@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 
-import graft.operators.{Dedup, Multimodal, Similarity}
+import graft.operators.{Dedup, IndexMaintenance, Multimodal, Similarity}
 
 /** The continuous form of the [[graft.operators.IndexMaintenance]] seam
   * — the q128 pattern for per-id derived state, one generic Loop with a
@@ -34,18 +34,26 @@ import graft.operators.{Dedup, Multimodal, Similarity}
   *    (last-writer-wins, the natural crawl semantics) — also
   *    spec-asserted.
   *  - State versions are written to batchId-KEYED directories: version
-  *    k is a pure function of version k−1 and batch k, so Structured
-  *    Streaming's redelivery of an uncommitted batchId REWRITES the
-  *    same version (overwrite mode) instead of corrupting the chain —
-  *    the same restart-idempotence argument as
+  *    k is a pure function of the on-disk chain below k and batch k, so
+  *    Structured Streaming's redelivery of an uncommitted batchId
+  *    REWRITES the same artifact (overwrite mode) instead of corrupting
+  *    the chain — the same restart-idempotence argument as
   *    [[ContinuousGraphMaintenance]]'s accumulator, for REPLACED rather
   *    than accumulated state.
+  *  - Ordinary boundaries persist O(DELTA), not O(corpus): a `d<k>/`
+  *    delta version (kernel rows + per-id tombstones); a full `v<k>/`
+  *    base lands only per [[LineagePolicy]] (every compactEvery-th
+  *    boundary, or at boundaries that already pay a corpus-scale pass —
+  *    retrain, census cut), and the vacuum retires superseded chains
+  *    (r16 verdict #1 — the pre-r17 full-rewrite-per-boundary shape was
+  *    the one 100 TB scale-killer the r16 audit found).
   *
-  * Scale shape: per boundary ONE anti-join of the current state against
-  * the batch's touched ids (batch-sized, broadcastable), the family
-  * kernel over the batch's added/changed rows only, and one state
-  * rewrite. Driver state: the boundary stats — row data lives in the
-  * versioned parquet state, not on the driver.
+  * Scale shape: per boundary the family kernel over the batch's
+  * added/changed rows only and one DELTA-sized state write; reads
+  * compose the latest base with ≤ compactEvery trailing deltas (one
+  * window + one anti-join, all delta-sized). Driver state: the boundary
+  * stats — row data lives in the versioned parquet state, not on the
+  * driver.
   *
   * Reference analog: none — the reference re-ingests fixed task
   * partitions at-most-once (worker/.../JobRunner semantics); a
@@ -64,6 +72,196 @@ object ContinuousIndexMaintenance {
     */
   final case class Run(state: DataFrame, boundaries: Seq[Boundary])
 
+  /** Storage policy for a loop's versioned state lineage (r16 verdict
+    * #1 — r17's 100 TB scale fix). Before it, EVERY boundary wrote the
+    * FULL state as a new version and nothing ever vacuumed the lineage:
+    * O(corpus) write amplification per micro-batch and
+    * O(corpus × boundaries) retained storage — untenable at a
+    * minutes-cadence over 100 TB. With it, an ordinary boundary
+    * persists only its DELTA (the family kernel's rows for the batch's
+    * added∪changed ids plus one tombstone per touched id — O(batch),
+    * the boundary's entire information content per the maintenance
+    * theorem), and a FULL base version is written only (a) when the
+    * chain below the boundary already trails `compactEvery − 1` deltas,
+    * or (b) at boundaries that pay a corpus-scale pass by definition
+    * (retrain, census cut — their outputs ARE full states), the natural
+    * compaction points. State at any boundary = latest base + trailing
+    * deltas composed last-writer-wins per id ([[Lineage.stateBelow]] —
+    * ≤ compactEvery delta reads, one window, one anti-join; bounded,
+    * never a history walk).
+    *
+    * The load-bearing restart rule is UNCHANGED: artifacts (base or
+    * delta) land in batchId-keyed directories with overwrite; a batch's
+    * bases are the latest ON-DISK artifacts strictly below its id; and
+    * every artifact — INCLUDING the compact-or-delta decision, which
+    * counts on-disk deltas strictly below k — is a pure function of
+    * (chain below k, batch k), so Structured Streaming's redelivery of
+    * an uncommitted batch rewrites byte-compatibly, whether the
+    * boundary was a delta, a compaction, or a retrain.
+    *
+    * `vacuum` bounds retained storage at O(2·corpus +
+    * 2·compactEvery·delta): at the end of every boundary k each
+    * lineage deletes artifacts strictly below the latest BASE strictly
+    * below k. Safety (the referenced-ness rule of
+    * [[graft.operators.Similarity.vacuumIndexVersioned]] specialized to
+    * a linear chain): batch k is the ONLY batch that can ever be
+    * redelivered (k fires only after k−1 committed), and its recompute
+    * resolves exactly the latest base below k plus the deltas between —
+    * preserved by construction (k's own freshly-written base is never
+    * the horizon). Long-horizon readers serve from the
+    * manifest-committed serving layout
+    * ([[graft.operators.Similarity.applyMovementVersioned]] +
+    * [[graft.operators.Similarity.vacuumIndexVersioned]]'s pinned
+    * `keepVersions`), not the loop lineage; `vacuum = false` retains
+    * every version for forensics.
+    */
+  final case class LineagePolicy(compactEvery: Int = 8,
+                                 vacuum: Boolean = true) {
+    require(compactEvery >= 1,
+      s"LineagePolicy: compactEvery $compactEvery must be ≥ 1 " +
+        "(1 = every boundary writes a full base, the pre-r17 shape)")
+  }
+
+  private[graft] object Lineage {
+    val BaseDir = "^v(\\d+)$".r
+    val DeltaDir = "^d(\\d+)$".r
+    /** Delta-row disposition column: "u" = upsert rows (the kernel's
+      * output for the batch), "r" = tombstone. EVERY touched id gets a
+      * tombstone — added and changed too, not just removed — because a
+      * kernel may legitimately emit ZERO rows for an id (a text too
+      * short to band, say) and the compose must still evict that id's
+      * base rows, exactly as [[graft.operators.IndexMaintenance.upsert]]'s
+      * anti-join does in the one-shot form.
+      */
+    val Status = "__g_status"
+    private[streaming] val Ver = "__g_v"
+    private[streaming] val MaxVer = "__g_maxv"
+  }
+
+  /** One versioned state directory on the Hadoop FS API (r16 verdict
+    * #4: `java.nio.file` tied the loops to the local filesystem while
+    * the serving layout and JobRunner spoke Hadoop FS; every
+    * create/list/delete here resolves through
+    * `path.getFileSystem(conf)` — the registry seam the s3a contract
+    * spec exercises, so the loops run against `s3a://` roots
+    * unchanged). Artifacts: `v<k>/` full base versions, `d<k>/` delta
+    * versions. Only those two name shapes are lineage-owned: stray
+    * entries in a caller-supplied dir (checkpoint crumbs, editor
+    * droppings) are ignored by resolution and untouched by the vacuum.
+    */
+  private[graft] final class Lineage(spark: SparkSession, val dir: String) {
+    import org.apache.hadoop.fs.Path
+    private val root = new Path(dir)
+    private val fs =
+      root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(root)
+
+    private def entries(): Seq[String] =
+      fs.listStatus(root).toSeq.map(_.getPath.getName)
+
+    /** (latest base strictly below `b`, delta ids strictly between that
+      * base and `b`, ascending). No base yet → (None, every delta < b).
+      */
+    def chainBelow(b: Long): (Option[Long], Seq[Long]) = {
+      val names = entries()
+      val base = names.collect {
+        case Lineage.BaseDir(n) if n.toLong < b => n.toLong }.maxOption
+      val lo = base.getOrElse(Long.MinValue)
+      (base, names.collect {
+        case Lineage.DeltaDir(n) if n.toLong < b && n.toLong > lo =>
+          n.toLong
+      }.sorted)
+    }
+
+    def writeBase(df: DataFrame, v: Long,
+                  partitionCols: Seq[String] = Nil): Unit = {
+      val w = df.write.mode("overwrite")
+      (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
+        .parquet(s"$dir/v$v")
+    }
+
+    /** Deltas are written UNPARTITIONED on purpose: they are
+      * batch-sized (a scan costs nothing to prune), and partitioning
+      * them would route null-keyed tombstones through the Hive default
+      * partition and erase the key's type for no read benefit.
+      */
+    def writeDelta(df: DataFrame, v: Long): Unit =
+      df.write.mode("overwrite").parquet(s"$dir/d$v")
+
+    def readBase(v: Long): DataFrame = spark.read.parquet(s"$dir/v$v")
+
+    /** The composed state strictly below boundary `b`: the latest base
+      * (or `initial`) minus every id the trailing deltas touched, plus
+      * each touched id's upsert rows from the LATEST delta touching it
+      * (last-writer-wins — the cross-batch override contract). One
+      * window over the ≤ compactEvery unioned deltas + one anti-join,
+      * all delta-sized; the base is never re-read beyond the anti-join.
+      */
+    def stateBelow(b: Long, initial: => DataFrame,
+                   idCol: String = "id"): DataFrame = {
+      val (baseV, deltaVs) = chainBelow(b)
+      val base = baseV.map(readBase).getOrElse(initial)
+      if (deltaVs.isEmpty) base
+      else {
+        val deltas = deltaVs.map(v => spark.read.parquet(s"$dir/d$v")
+          .withColumn(Lineage.Ver, lit(v))).reduce(_ unionByName _)
+        val winners = deltas.withColumn(Lineage.MaxVer,
+            max(col(Lineage.Ver)).over(org.apache.spark.sql.expressions
+              .Window.partitionBy(col(idCol))))
+          .filter(col(Lineage.Ver) === col(Lineage.MaxVer))
+        base.join(winners.select(col(idCol)).distinct(),
+            Seq(idCol), "left_anti")
+          .unionByName(winners.filter(col(Lineage.Status) === "u")
+            .drop(Lineage.Status, Lineage.Ver, Lineage.MaxVer))
+      }
+    }
+
+    /** Deltas the chain below `b` currently trails — the
+      * compact-or-delta decision input. Pure function of disk strictly
+      * below b (a boundary's own writes never change its decision), so
+      * redelivery re-decides identically.
+      */
+    def deltasBelow(b: Long): Int = chainBelow(b)._2.size
+
+    /** The retention sweep: delete every lineage artifact strictly
+      * below the latest BASE strictly below `b`. Preserves exactly the
+      * chain batch b's redelivery resolves against; owns only
+      * `v<k>`/`d<k>` names. Returns artifacts deleted.
+      */
+    def vacuumBelow(b: Long): Long =
+      chainBelow(b)._1.fold(0L) { horizon =>
+        var n = 0L
+        entries().foreach { name =>
+          val id = name match {
+            case Lineage.BaseDir(v) => Some(v.toLong)
+            case Lineage.DeltaDir(v) => Some(v.toLong)
+            case _ => None
+          }
+          if (id.exists(_ < horizon)) {
+            fs.delete(new Path(root, name), true); n += 1
+          }
+        }
+        n
+      }
+  }
+
+  /** Assemble a boundary's delta version: the kernel's upsert rows plus
+    * one tombstone per touched id, shaped to the kernel's schema
+    * (payload columns null). See [[Lineage.Status]] for why added and
+    * changed ids are tombstoned too.
+    */
+  private def deltaRows(kernelRows: DataFrame, diff: DataFrame): DataFrame = {
+    val fields = kernelRows.schema.fields.toSeq
+    val tomb = diff
+      .filter(col("status").isin("removed", "changed", "added"))
+      .select(fields.map { f =>
+        if (f.name == "id") col("id").cast(f.dataType).as("id")
+        else lit(null).cast(f.dataType).as(f.name)
+      }: _*)
+      .withColumn(Lineage.Status, lit("r"))
+    kernelRows.withColumn(Lineage.Status, lit("u")).unionByName(tomb)
+  }
+
   /** Drain `deltaStream` of (idCol, textCol, status) rows through
     * [[Dedup.maintainMinhashIndex]] — q129. See [[drain]] for the
     * restart contract.
@@ -75,10 +273,11 @@ object ContinuousIndexMaintenance {
                       k: Int = 32, bands: Int = 8,
                       shingleN: Int = 3,
                       stateDir: Option[String] = None,
-                      checkpointLocation: Option[String] = None): Run =
+                      checkpointLocation: Option[String] = None,
+                      lineagePolicy: LineagePolicy = LineagePolicy()): Run =
     drain(deltaStream, checkpointLocation,
       minhashLoop(spark, initialState, textCol, idCol, k, bands, shingleN,
-        resolve(stateDir)))
+        resolve(stateDir), lineagePolicy))
 
   /** Drain `deltaStream` of (idCol, payload binary, status) rows through
     * [[Multimodal.maintainPhashState]] — m10, the continuous form of
@@ -90,9 +289,11 @@ object ContinuousIndexMaintenance {
                       deltaStream: DataFrame,
                       idCol: String,
                       stateDir: Option[String] = None,
-                      checkpointLocation: Option[String] = None): Run =
+                      checkpointLocation: Option[String] = None,
+                      lineagePolicy: LineagePolicy = LineagePolicy()): Run =
     drain(deltaStream, checkpointLocation,
-      phashLoop(spark, initialState, idCol, resolve(stateDir)))
+      phashLoop(spark, initialState, idCol, resolve(stateDir),
+        lineagePolicy))
 
   /** Drain `deltaStream` of (idCol, groupCol, vecCol, status) rows
     * through [[Similarity.maintainAssignments]] under the FIXED
@@ -105,10 +306,12 @@ object ContinuousIndexMaintenance {
                             cents: DataFrame,
                             idCol: String, groupCol: String, vecCol: String,
                             stateDir: Option[String] = None,
-                            checkpointLocation: Option[String] = None): Run =
+                            checkpointLocation: Option[String] = None,
+                            lineagePolicy: LineagePolicy = LineagePolicy())
+      : Run =
     drain(deltaStream, checkpointLocation,
       assignLoop(spark, initialState, cents, idCol, groupCol, vecCol,
-        resolve(stateDir)))
+        resolve(stateDir), lineagePolicy))
 
   /** Drain `deltaStream` of (idCol, vecCol, status) rows through
     * [[Similarity.maintainIvfPqIndex]] under FIXED two-stage codebooks —
@@ -123,45 +326,62 @@ object ContinuousIndexMaintenance {
                       idCol: String, vecCol: String,
                       scale: Long = 1000000L,
                       stateDir: Option[String] = None,
-                      checkpointLocation: Option[String] = None): Run =
+                      checkpointLocation: Option[String] = None,
+                      lineagePolicy: LineagePolicy = LineagePolicy()): Run =
     drain(deltaStream, checkpointLocation,
       ivfPqLoop(spark, initialState, coarseCb, pqCbs, idCol, vecCol,
-        scale, resolve(stateDir)))
+        scale, resolve(stateDir), lineagePolicy))
+
+  // The Loop factories hand the family KERNEL (docs → fresh state rows
+  // for the batch's added∪changed ids) — the exact function their
+  // one-shot maintainer (maintainMinhashIndex / maintainPhashState /
+  // maintainAssignments / maintainIvfPqIndex) hands to
+  // IndexMaintenance.upsert — so a delta boundary can persist the
+  // kernel's O(batch) output directly, and a compaction boundary runs
+  // the identical upsert the one-shot form does. The rebuild theorems
+  // carry unchanged: compose(base, deltas) ≡ upsert-folding the same
+  // batches (spec-asserted against the one-shot oracles).
 
   private[graft] def ivfPqLoop(spark: SparkSession, initialState: DataFrame,
       coarseCb: Array[Array[Long]], pqCbs: Array[Array[Array[Long]]],
-      idCol: String, vecCol: String, scale: Long, stateDir: String): Loop =
+      idCol: String, vecCol: String, scale: Long, stateDir: String,
+      policy: LineagePolicy = LineagePolicy()): Loop =
     new Loop(spark, initialState, idCol, stateDir,
-      (base, diff, docs) => Similarity.maintainIvfPqIndex(base, diff,
+      docs => Similarity.ivfPqEncodeFixedPoint(
         docs.select(col(idCol), col(vecCol)), coarseCb, pqCbs, scale,
         idCol, vecCol),
       // the served index is PHYSICALLY partitioned by list id, so
       // ivfPqSearchIndexed's probed-list filter prunes at the file
       // index — the s28 serving contract (Similarity.buildIvfPqIndex's
-      // layout, kept by every versioned state write)
-      partitionCols = Seq("cid"))
+      // layout, kept by every BASE version write; deltas are
+      // batch-sized and scanned whole by construction)
+      partitionCols = Seq("cid"), policy = policy)
 
   private[graft] def minhashLoop(spark: SparkSession, initialState: DataFrame,
       textCol: String, idCol: String, k: Int, bands: Int, shingleN: Int,
-      stateDir: String): Loop =
+      stateDir: String, policy: LineagePolicy = LineagePolicy()): Loop =
     new Loop(spark, initialState, idCol, stateDir,
-      (base, diff, docs) => Dedup.maintainMinhashIndex(base, diff,
+      docs => Dedup.bandedSigs(
         docs.select(col(idCol), col(textCol)), textCol, idCol,
-        k, bands, shingleN))
+        k, bands, shingleN),
+      policy = policy)
 
   private[graft] def phashLoop(spark: SparkSession, initialState: DataFrame,
-      idCol: String, stateDir: String): Loop =
+      idCol: String, stateDir: String,
+      policy: LineagePolicy = LineagePolicy()): Loop =
     new Loop(spark, initialState, idCol, stateDir,
-      (base, diff, docs) => Multimodal.maintainPhashState(base, diff,
-        docs.select(col(idCol), col("payload")), idCol))
+      docs => Multimodal.perceptualHash(
+        docs.select(col(idCol), col("payload")), idCol),
+      policy = policy)
 
   private[graft] def assignLoop(spark: SparkSession, initialState: DataFrame,
       cents: DataFrame, idCol: String, groupCol: String, vecCol: String,
-      stateDir: String): Loop =
+      stateDir: String, policy: LineagePolicy = LineagePolicy()): Loop =
     new Loop(spark, initialState, idCol, stateDir,
-      (base, diff, docs) => Similarity.maintainAssignments(base, diff,
+      docs => Similarity.assignVectors(
         docs.select(col(idCol), col(groupCol), col(vecCol)),
-        cents, idCol, groupCol, vecCol))
+        cents, idCol, groupCol, vecCol),
+      policy = policy)
 
   private def resolve(stateDir: Option[String]): String =
     stateDir.getOrElse(java.nio.file.Files
@@ -198,7 +418,8 @@ object ContinuousIndexMaintenance {
                               rebalancedAt: Seq[Long] = Nil,
                               census: Seq[CensusStat] = Nil,
                               norms: Seq[NormStat] = Nil,
-                              normFlaggedAt: Seq[Long] = Nil)
+                              normFlaggedAt: Seq[Long] = Nil,
+                              normRecoveredAt: Seq[Long] = Nil)
 
   /** s25: drift AND retrain composed through one continuous loop — the
     * two seams the one-shot gates exercise separately (s21's corpus
@@ -307,11 +528,12 @@ object ContinuousIndexMaintenance {
       checkpointLocation: Option[String] = None,
       driftPolicy: Option[Similarity.DriftPolicy] = None,
       rebalancePolicy: Option[Similarity.RebalancePolicy] = None,
-      normPolicy: Option[Similarity.NormPolicy] = None)
+      normPolicy: Option[Similarity.NormPolicy] = None,
+      lineagePolicy: LineagePolicy = LineagePolicy())
       : RetrainRun = {
     val loop = new RetrainLoop(spark, initialCorpus, initialState,
       initialCb, k, maxIter, scale, idCol, vecCol, resolve(stateRoot),
-      driftPolicy, rebalancePolicy, normPolicy)
+      driftPolicy, rebalancePolicy, normPolicy, lineagePolicy)
     val w = deltaStream.writeStream
       .foreachBatch(loop.processBatch _)
       .trigger(Trigger.AvailableNow())
@@ -351,49 +573,31 @@ object ContinuousIndexMaintenance {
 
   /** The per-boundary state machine, extracted (the q128 Loop pattern)
     * so the redelivery contract is spec-assertable, generic over the
-    * family maintainer: `maintain(base, diff, docs)` where `diff` is
-    * the batch's (id, status) view and `docs` its added/changed rows
-    * with payload columns. Version k lands in a batchId-keyed directory
-    * with OVERWRITE, and — the load-bearing rule — batch k's BASE is
-    * always the latest on-disk version with id BELOW k (falling back to
-    * the initial state), never an in-memory pointer: after a failure,
-    * Structured Streaming redelivers only the uncommitted batch k, and
-    * a loop that resumed from memory (or from a half-written version k)
-    * would lose or double-apply deltas. Batch k fires only after k−1
-    * committed, so every version below k is fully written; a partial
-    * directory can only be k itself, which the `< k` rule excludes and
-    * the overwrite rewrite repairs. Version k is thus a pure function
-    * of (version k−1, batch k) — redelivery REWRITES it,
-    * byte-compatibly, instead of re-applying the delta.
+    * family KERNEL: `kernel(docs)` derives fresh state rows from a
+    * batch's added/changed rows with payload columns. Artifact k lands
+    * in a batchId-keyed directory with OVERWRITE, and — the
+    * load-bearing rule — batch k's BASE is always resolved from the
+    * on-disk chain strictly BELOW k (falling back to the initial
+    * state), never an in-memory pointer: after a failure, Structured
+    * Streaming redelivers only the uncommitted batch k, and a loop that
+    * resumed from memory (or from a half-written artifact k) would lose
+    * or double-apply deltas. Batch k fires only after k−1 committed, so
+    * every artifact below k is fully written; a partial directory can
+    * only be k itself, which the `< k` rule excludes and the overwrite
+    * rewrite repairs. Artifact k — a delta (kernel rows + tombstones),
+    * or a full base when [[LineagePolicy.compactEvery]] says so — is
+    * thus a pure function of (chain below k, batch k): redelivery
+    * REWRITES it byte-compatibly, including the compact-or-delta
+    * decision itself (it counts on-disk deltas strictly below k).
     */
   private[graft] final class Loop(spark: SparkSession,
       initialState: DataFrame, idCol: String, val stateDir: String,
-      maintain: (DataFrame, DataFrame, DataFrame) => DataFrame,
-      partitionCols: Seq[String] = Nil) {
+      kernel: DataFrame => DataFrame,
+      partitionCols: Seq[String] = Nil,
+      policy: LineagePolicy = LineagePolicy()) {
     val boundaries = scala.collection.mutable.ArrayBuffer.empty[Boundary]
 
-    // only ^v\d+$ entries are version directories — a stray file in a
-    // caller-supplied stateDir (checkpoint crumbs, editor droppings)
-    // must be ignored, not NumberFormatException the drain
-    private val VersionDir = "^v(\\d+)$".r
-
-    private def versionsBelow(b: Long): Seq[Long] = {
-      val s = java.nio.file.Files.list(java.nio.file.Paths.get(stateDir))
-      try {
-        val it = s.iterator()
-        val buf = scala.collection.mutable.ArrayBuffer.empty[Long]
-        while (it.hasNext) {
-          it.next().getFileName.toString match {
-            case VersionDir(id) if id.toLong < b => buf += id.toLong
-            case _ => ()
-          }
-        }
-        buf.toSeq
-      } finally s.close()
-    }
-
-    private def stateAt(v: Long): DataFrame =
-      spark.read.parquet(s"$stateDir/v$v")
+    private val lin = new Lineage(spark, stateDir)
 
     def processBatch(batch: DataFrame, batchId: Long): Unit = {
       // ONE stats pass per boundary: the duplicate-id guard (one diff
@@ -421,27 +625,34 @@ object ContinuousIndexMaintenance {
           "boundary contract is one diff row per id; pre-aggregate " +
           "the batch to its final per-id status upstream"
       })
-      val base = versionsBelow(batchId).sorted.lastOption
-        .map(stateAt).getOrElse(initialState)
       // the d14 diff vocabulary arrives as rows; rebuild the two sides
-      // the maintainer expects (its `diff` and `newCorpus` views)
+      // the maintenance seam expects (its `diff` and delta-docs views)
       val diff = batch.select(col(idCol).as("id"), col("status"))
       val docs = batch.filter(col("status").isin("added", "changed"))
         .drop("status")
-      val w = maintain(base, diff, docs).write.mode("overwrite")
-      (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
-        .parquet(s"$stateDir/v$batchId")
+      if (lin.deltasBelow(batchId) + 1 >= policy.compactEvery) {
+        // compaction boundary: fold the chain + this batch into a full
+        // base — the identical upsert the one-shot maintainer runs
+        lin.writeBase(IndexMaintenance.upsert(
+            lin.stateBelow(batchId, initialState), diff, docs, idCol)(
+            _ => kernel(docs)),
+          batchId, partitionCols)
+      } else {
+        // ordinary boundary: persist O(batch) — the kernel's rows plus
+        // tombstones; the unchanged corpus is neither read nor written
+        lin.writeDelta(deltaRows(kernel(docs), diff), batchId)
+      }
+      if (policy.vacuum) lin.vacuumBelow(batchId)
       boundaries += Boundary(batchId, touched, signatured)
     }
 
-    /** The served state is the latest ON-DISK version — not an
-      * in-memory pointer — so a restarted Loop over a stable stateDir
-      * whose stream had nothing left to redeliver still serves the
-      * drained state rather than silently re-baselining.
+    /** The served state is composed from the latest ON-DISK chain — not
+      * an in-memory pointer — so a restarted Loop over a stable
+      * stateDir whose stream had nothing left to redeliver still serves
+      * the drained state rather than silently re-baselining.
       */
     def result: Run =
-      Run(versionsBelow(Long.MaxValue).sorted.lastOption
-        .map(stateAt).getOrElse(initialState), boundaries.toSeq)
+      Run(lin.stateBelow(Long.MaxValue, initialState), boundaries.toSeq)
   }
 
   /** The s25 state machine (see [[continuousAssignmentsWithRetrain]]):
@@ -458,8 +669,8 @@ object ContinuousIndexMaintenance {
       idCol: String, vecCol: String, val root: String,
       driftPolicy: Option[Similarity.DriftPolicy] = None,
       rebalancePolicy: Option[Similarity.RebalancePolicy] = None,
-      normPolicy: Option[Similarity.NormPolicy] = None) {
-    import graft.operators.{IndexMaintenance, Similarity}
+      normPolicy: Option[Similarity.NormPolicy] = None,
+      policy: LineagePolicy = LineagePolicy()) {
 
     val boundaries = scala.collection.mutable.ArrayBuffer.empty[Boundary]
     val retrainedAt = scala.collection.mutable.ArrayBuffer.empty[Long]
@@ -469,56 +680,42 @@ object ContinuousIndexMaintenance {
     val normStats = scala.collection.mutable.ArrayBuffer.empty[NormStat]
     val normFlaggedAt = scala.collection.mutable.ArrayBuffer.empty[Long]
 
-    private val corpusDir = s"$root/corpus"
-    private val assignDir = s"$root/assign"
-    private val cbDir = s"$root/cb"
-    private val censusDir = s"$root/census"
-    private val normDir = s"$root/norm"
-    Seq(corpusDir, assignDir, cbDir, censusDir, normDir).foreach(d =>
-      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(d)))
-
-    private val VersionDir = "^v(\\d+)$".r
-    private def latestBelow(dir: String, b: Long): Option[Long] = {
-      val s = java.nio.file.Files.list(java.nio.file.Paths.get(dir))
-      try {
-        val it = s.iterator()
-        var best: Option[Long] = None
-        while (it.hasNext) {
-          it.next().getFileName.toString match {
-            case VersionDir(id) if id.toLong < b =>
-              if (best.forall(_ < id.toLong)) best = Some(id.toLong)
-            case _ => ()
-          }
-        }
-        best
-      } finally s.close()
-    }
+    // corpus + assignment are delta-chained lineages (O(batch) at
+    // ordinary boundaries); cb/census/norm are bounded-size snapshots
+    // (k·dim / nLists / 1 rows) written as bases, vacuumed on the same
+    // sweep. All five on the Hadoop FS API (r16 verdict #4).
+    private val corpusLin = new Lineage(spark, s"$root/corpus")
+    private val assignLin = new Lineage(spark, s"$root/assign")
+    private val cbLin = new Lineage(spark, s"$root/cb")
+    private val censusLin = new Lineage(spark, s"$root/census")
+    private val normLin = new Lineage(spark, s"$root/norm")
+    private val lineages =
+      Seq(corpusLin, assignLin, cbLin, censusLin, normLin)
 
     // normalized (id, vecCol) corpus-state view of the caller's corpus
     private val initCorpusN = initialCorpus
       .select(col(idCol).as("id"), col(vecCol))
 
     private def readCb(v: Long): Array[Array[Long]] =
-      spark.read.parquet(s"$cbDir/v$v").collect()
+      cbLin.readBase(v).collect()
         .groupBy(_.getLong(0)).toSeq.sortBy(_._1)
         .map(_._2.sortBy(_.getLong(1)).map(_.getLong(2)).toArray).toArray
 
     private def writeCb(cb: Array[Array[Long]], b: Long): Unit = {
       import spark.implicits._
-      cb.zipWithIndex.flatMap { case (c, cid) =>
+      cbLin.writeBase(cb.zipWithIndex.flatMap { case (c, cid) =>
         c.zipWithIndex.map { case (v, pos) => (cid.toLong, pos.toLong, v) }
-      }.toSeq.toDF("cid", "pos", "c")
-        .write.mode("overwrite").parquet(s"$cbDir/v$b")
+      }.toSeq.toDF("cid", "pos", "c"), b)
     }
 
     private def readCensus(v: Long): Map[Long, Long] =
-      spark.read.parquet(s"$censusDir/v$v").collect()
+      censusLin.readBase(v).collect()
         .map(r => r.getLong(0) -> r.getLong(1)).toMap
 
     private def writeCensus(c: Iterable[(Long, Long)], b: Long): Unit = {
       import spark.implicits._
-      c.toSeq.sortBy(_._1).toDF("cid", "n").coalesce(1)
-        .write.mode("overwrite").parquet(s"$censusDir/v$b")
+      censusLin.writeBase(
+        c.toSeq.sortBy(_._1).toDF("cid", "n").coalesce(1), b)
     }
 
     private def censusOf(state: DataFrame): Map[Long, Long] =
@@ -526,14 +723,18 @@ object ContinuousIndexMaintenance {
         .map(r => r.getLong(0) -> r.getLong(1)).toMap
 
     private def readNorm(v: Long): (Long, Long) = {
-      val r = spark.read.parquet(s"$normDir/v$v").head()
+      // select by NAME before the positional reads (r16 advice):
+      // correctness must not hinge on writeNorm's column order
+      // surviving a future schema change
+      val r = normLin.readBase(v)
+        .select(col("minN2"), col("maxN2")).head()
       (r.getLong(0), r.getLong(1))
     }
 
     private def writeNorm(env: (Long, Long), b: Long): Unit = {
       import spark.implicits._
-      Seq(env).toDF("minN2", "maxN2").coalesce(1)
-        .write.mode("overwrite").parquet(s"$normDir/v$b")
+      normLin.writeBase(
+        Seq(env).toDF("minN2", "maxN2").coalesce(1), b)
     }
 
     /** The norm-collapse tripwire (see [[continuousAssignmentsWithRetrain]]):
@@ -546,7 +747,7 @@ object ContinuousIndexMaintenance {
     private def normTick(docs: DataFrame, corpusBase: DataFrame,
                          batchId: Long): Unit =
       normPolicy.foreach { pol =>
-        val base = latestBelow(normDir, batchId).map(readNorm)
+        val base = normLin.chainBelow(batchId)._1.map(readNorm)
           .getOrElse(Similarity.normEnvelope(corpusBase, scale,
             idCol = "id", vecCol = vecCol)
             .getOrElse((Long.MaxValue, Long.MinValue)))
@@ -577,13 +778,9 @@ object ContinuousIndexMaintenance {
         s"continuous retrain maintenance: batch $batchId carries " +
           s"duplicate rows per '$idCol' — one diff row per id per " +
           "boundary; pre-aggregate the batch upstream")
-      val corpusBase = latestBelow(corpusDir, batchId)
-        .map(v => spark.read.parquet(s"$corpusDir/v$v"))
-        .getOrElse(initCorpusN)
-      val assignBase = latestBelow(assignDir, batchId)
-        .map(v => spark.read.parquet(s"$assignDir/v$v"))
-        .getOrElse(initialState)
-      val cbBase = latestBelow(cbDir, batchId)
+      val corpusBase = corpusLin.stateBelow(batchId, initCorpusN)
+      val assignBase = assignLin.stateBelow(batchId, initialState)
+      val cbBase = cbLin.chainBelow(batchId)._1
         .map(readCb).getOrElse(initialCb)
       val diff = delta.select(col(idCol).as("id"), col("status"))
       val docs = delta.filter(col("status").isin("added", "changed"))
@@ -618,46 +815,57 @@ object ContinuousIndexMaintenance {
         driftStats += DriftStat(batchId, nMoved, nTot)
         p.triggers(nMoved, nTot)
       }
-      // 1. corpus version: payload upsert (identity kernel)
-      IndexMaintenance.upsert(corpusBase, diff, docs, idCol)(
-          _.select(col(idCol).as("id"), col(vecCol)))
-        .write.mode("overwrite").parquet(s"$corpusDir/v$batchId")
-      val corpusV = spark.read.parquet(s"$corpusDir/v$batchId")
+      // 1. corpus version: O(batch) delta at ordinary boundaries; a
+      // full base at RETRAIN boundaries (training scans the corpus
+      // anyway — the natural compaction point, materializing what the
+      // trainer would otherwise recompose per iteration) or when the
+      // chain trailed compactEvery−1 deltas
+      val willRetrain = markers > 0 || drifted
+      if (willRetrain ||
+          corpusLin.deltasBelow(batchId) + 1 >= policy.compactEvery)
+        corpusLin.writeBase(IndexMaintenance.upsert(corpusBase, diff,
+          docs, idCol)(_.select(col(idCol).as("id"), col(vecCol))),
+          batchId)
+      else
+        corpusLin.writeDelta(deltaRows(
+          docs.select(col(idCol).as("id"), col(vecCol)), diff), batchId)
+      val corpusV = corpusLin.stateBelow(batchId + 1, initCorpusN)
       // the norm-collapse tripwire runs at EVERY boundary (retrain
       // included — the envelope is a corpus property, not a codebook's)
       normTick(docs, corpusBase, batchId)
       // 2 + 3. codebook + assignment under this boundary's movement
-      if (markers > 0 || drifted) {
+      if (willRetrain) {
         val newCb = Similarity.kmeansTrainFixedPoint(corpusV, k, maxIter,
           scale, idCol = "id", vecCol = vecCol)
         writeCb(newCb, batchId)
-        Similarity.retrainReassign(assignBase.select(col("id"), col("cid")),
-            corpusV, newCb, scale, idCol = "id", vecCol = vecCol)
-          .select(col("id"), col("cid"))
-          .write.mode("overwrite").parquet(s"$assignDir/v$batchId")
+        assignLin.writeBase(
+          Similarity.retrainReassign(assignBase.select(col("id"), col("cid")),
+              corpusV, newCb, scale, idCol = "id", vecCol = vecCol)
+            .select(col("id"), col("cid")), batchId)
         retrainedAt += batchId
         // a retrain rewrote every assignment, so the incremental census
         // re-baselines from the state the retrain already produced (the
         // retrain boundary pays a corpus-scale pass by definition — one
         // more aggregate over it is in-family)
         if (rebalancePolicy.isDefined)
-          writeCensus(censusOf(
-            spark.read.parquet(s"$assignDir/v$batchId")), batchId)
+          writeCensus(censusOf(assignLin.readBase(batchId)), batchId)
       } else rebalancePolicy match {
         case None =>
           // kernel = the already-checkpointed freshDelta: `docs` IS the
           // added∪changed delta, so upsert's semi-join passes it through
           // and the kernel's argmax is deterministically freshDelta —
           // reuse the scan instead of re-running it
-          IndexMaintenance.upsert(assignBase, diff, docs, idCol)(
-              _ => freshDelta)
-            .write.mode("overwrite").parquet(s"$assignDir/v$batchId")
+          if (assignLin.deltasBelow(batchId) + 1 >= policy.compactEvery)
+            assignLin.writeBase(IndexMaintenance.upsert(assignBase, diff,
+              docs, idCol)(_ => freshDelta), batchId)
+          else
+            assignLin.writeDelta(deltaRows(freshDelta, diff), batchId)
         case Some(pol) =>
           // the census MONITOR (s34): exact-integer list sizes
           // maintained INCREMENTALLY — base version + this delta's
           // landings and vacated seats (both delta-sized; the state is
           // only scanned to baseline the first boundary of a lineage)
-          val base = latestBelow(censusDir, batchId).map(readCensus)
+          val base = censusLin.chainBelow(batchId)._1.map(readCensus)
             .getOrElse(censusOf(assignBase))
           val landed = freshDelta
             .groupBy(col("cid")).count().collect()
@@ -703,8 +911,9 @@ object ContinuousIndexMaintenance {
                 "diverged from the assignment state")
             writeCb(newCb, batchId)
             val mv = movement.localCheckpoint() // landing + post-census
-            mv.select(col("id"), col("cid"))
-              .write.mode("overwrite").parquet(s"$assignDir/v$batchId")
+            // the cut rewrites the full assignment state by definition
+            // — a natural compaction point, landed as a base
+            assignLin.writeBase(mv.select(col("id"), col("cid")), batchId)
             rebalancedAt += batchId
             // post-split census from the movement's mover counts — the
             // split lists' members, never the state
@@ -716,18 +925,20 @@ object ContinuousIndexMaintenance {
             }.filter(_._2 > 0L)
             writeCensus(post, batchId)
           } else {
-            upserted
-              .write.mode("overwrite").parquet(s"$assignDir/v$batchId")
+            if (assignLin.deltasBelow(batchId) + 1 >= policy.compactEvery)
+              assignLin.writeBase(upserted, batchId)
+            else
+              assignLin.writeDelta(deltaRows(freshDelta, diff), batchId)
             writeCensus(census, batchId)
           }
       }
+      if (policy.vacuum) lineages.foreach(_.vacuumBelow(batchId))
       boundaries += Boundary(batchId, touched, signatured)
     }
 
     def result: RetrainRun =
-      RetrainRun(latestBelow(assignDir, Long.MaxValue)
-        .map(v => spark.read.parquet(s"$assignDir/v$v"))
-        .getOrElse(initialState), boundaries.toSeq, retrainedAt.toSeq,
+      RetrainRun(assignLin.stateBelow(Long.MaxValue, initialState),
+        boundaries.toSeq, retrainedAt.toSeq,
         driftStats.toSeq, rebalancedAt.toSeq, censusStats.toSeq,
         normStats.toSeq, normFlaggedAt.toSeq)
   }
@@ -773,7 +984,24 @@ object ContinuousIndexMaintenance {
     * re-baselines it from the retrained index. `normPolicy` is the
     * same norm-collapse tripwire as the assignment loop's — it
     * matters MOST here, since the measured 0.235-recall collapse is
-    * an ADC property ([[graft.operators.Similarity.NormPolicy]]).
+    * an ADC property ([[graft.operators.Similarity.NormPolicy]]) —
+    * and with `recover = true` (s41, r17) it stops being advisory ON
+    * THIS LOOP: the first flagged boundary re-trains both stages on
+    * the fixed-point-NORMALIZED post-delta corpus
+    * ([[graft.operators.Similarity.l2NormalizeFixedPoint]] — the
+    * measured 0.92-recall recipe, RECALL.json `normRecovery`),
+    * re-encodes the whole corpus, and persists the encode-space mode
+    * in the norm lineage so every later boundary's delta encode,
+    * drift statistic, and retrain run in normalized space (the corpus
+    * lineage stays RAW — normalization is an encode-path property).
+    * Pure function of on-disk bases + batch, so a redelivered
+    * recovery boundary re-decides and rewrites identically; fires at
+    * most once per lineage, reported in
+    * [[RetrainRun.normRecoveredAt]].
+    *
+    * `lineagePolicy` (r17) governs the state lineage's storage shape
+    * — O(delta) boundary writes, compaction cadence, vacuum; see
+    * [[LineagePolicy]].
     *
     * `driftPolicy` (s40, r16) completes the monitor parity with the
     * assignment loop: the composed loop's retrain was marker-only
@@ -821,11 +1049,12 @@ object ContinuousIndexMaintenance {
       checkpointLocation: Option[String] = None,
       driftPolicy: Option[Similarity.DriftPolicy] = None,
       rebalancePolicy: Option[Similarity.RebalancePolicy] = None,
-      normPolicy: Option[Similarity.NormPolicy] = None): RetrainRun = {
+      normPolicy: Option[Similarity.NormPolicy] = None,
+      lineagePolicy: LineagePolicy = LineagePolicy()): RetrainRun = {
     val loop = new IvfPqRetrainLoop(spark, initialCorpus, initialState,
       initialCoarse, initialPq, dim, nLists, m, codebookSize,
       maxIterCoarse, maxIterPq, scale, idCol, vecCol, resolve(stateRoot),
-      driftPolicy, rebalancePolicy, normPolicy)
+      driftPolicy, rebalancePolicy, normPolicy, lineagePolicy)
     val w = deltaStream.writeStream
       .foreachBatch(loop.processBatch _)
       .trigger(Trigger.AvailableNow())
@@ -849,8 +1078,8 @@ object ContinuousIndexMaintenance {
       idCol: String, vecCol: String, val root: String,
       driftPolicy: Option[Similarity.DriftPolicy] = None,
       rebalancePolicy: Option[Similarity.RebalancePolicy] = None,
-      normPolicy: Option[Similarity.NormPolicy] = None) {
-    import graft.operators.{IndexMaintenance, Similarity}
+      normPolicy: Option[Similarity.NormPolicy] = None,
+      policy: LineagePolicy = LineagePolicy()) {
 
     val boundaries = scala.collection.mutable.ArrayBuffer.empty[Boundary]
     val retrainedAt = scala.collection.mutable.ArrayBuffer.empty[Long]
@@ -859,31 +1088,18 @@ object ContinuousIndexMaintenance {
     val censusStats = scala.collection.mutable.ArrayBuffer.empty[CensusStat]
     val normStats = scala.collection.mutable.ArrayBuffer.empty[NormStat]
     val normFlaggedAt = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val normRecoveredAt = scala.collection.mutable.ArrayBuffer.empty[Long]
 
-    private val corpusDir = s"$root/corpus"
-    private val indexDir = s"$root/index"
-    private val cbDir = s"$root/cb"
-    private val censusDir = s"$root/census"
-    private val normDir = s"$root/norm"
-    Seq(corpusDir, indexDir, cbDir, censusDir, normDir).foreach(d =>
-      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(d)))
-
-    private val VersionDir = "^v(\\d+)$".r
-    private def latestBelow(dir: String, b: Long): Option[Long] = {
-      val s = java.nio.file.Files.list(java.nio.file.Paths.get(dir))
-      try {
-        val it = s.iterator()
-        var best: Option[Long] = None
-        while (it.hasNext) {
-          it.next().getFileName.toString match {
-            case VersionDir(id) if id.toLong < b =>
-              if (best.forall(_ < id.toLong)) best = Some(id.toLong)
-            case _ => ()
-          }
-        }
-        best
-      } finally s.close()
-    }
+    // corpus + index delta-chained, cb/census/norm bounded snapshots —
+    // [[RetrainLoop]]'s layout with the composed index in the
+    // assignment's seat; all on the Hadoop FS API (r16 verdict #4)
+    private val corpusLin = new Lineage(spark, s"$root/corpus")
+    private val indexLin = new Lineage(spark, s"$root/index")
+    private val cbLin = new Lineage(spark, s"$root/cb")
+    private val censusLin = new Lineage(spark, s"$root/census")
+    private val normLin = new Lineage(spark, s"$root/norm")
+    private val lineages =
+      Seq(corpusLin, indexLin, cbLin, censusLin, normLin)
 
     private val initCorpusN = initialCorpus
       .select(col(idCol).as("id"), col(vecCol))
@@ -900,13 +1116,14 @@ object ContinuousIndexMaintenance {
           c.zipWithIndex.map { case (x, pos) =>
             (1, s, cid.toLong, pos.toLong, x) } }
       }
-      (coarseRows ++ pqRows).toSeq.toDF("stage", "sub", "cid", "pos", "c")
-        .write.mode("overwrite").parquet(s"$cbDir/v$v")
+      cbLin.writeBase(
+        (coarseRows ++ pqRows).toSeq.toDF("stage", "sub", "cid", "pos", "c"),
+        v)
     }
 
     private def readCbs(v: Long)
         : (Array[Array[Long]], Array[Array[Array[Long]]]) = {
-      val rows = spark.read.parquet(s"$cbDir/v$v").collect()
+      val rows = cbLin.readBase(v).collect()
       val coarse = rows.filter(_.getInt(0) == 0)
         .groupBy(_.getLong(2)).toSeq.sortBy(_._1)
         .map(_._2.sortBy(_.getLong(3)).map(_.getLong(4)).toArray).toArray
@@ -920,13 +1137,13 @@ object ContinuousIndexMaintenance {
     }
 
     private def readCensus(v: Long): Map[Long, Long] =
-      spark.read.parquet(s"$censusDir/v$v").collect()
+      censusLin.readBase(v).collect()
         .map(r => r.getLong(0) -> r.getLong(1)).toMap
 
     private def writeCensus(c: Iterable[(Long, Long)], b: Long): Unit = {
       import spark.implicits._
-      c.toSeq.sortBy(_._1).toDF("cid", "n").coalesce(1)
-        .write.mode("overwrite").parquet(s"$censusDir/v$b")
+      censusLin.writeBase(
+        c.toSeq.sortBy(_._1).toDF("cid", "n").coalesce(1), b)
     }
 
     // index versions are read back through a cid= partition layout, so
@@ -935,35 +1152,57 @@ object ContinuousIndexMaintenance {
       state.groupBy(col("cid").cast("long").as("cid")).count().collect()
         .map(r => r.getLong(0) -> r.getLong(1)).toMap
 
-    private def readNorm(v: Long): (Long, Long) = {
-      val r = spark.read.parquet(s"$normDir/v$v").head()
-      (r.getLong(0), r.getLong(1))
+    private def readNorm(v: Long): (Long, Long, String) = {
+      // select by NAME before the positional reads (r16 advice):
+      // correctness must not hinge on writeNorm's column order
+      // surviving a future schema change
+      val r = normLin.readBase(v)
+        .select(col("minN2"), col("maxN2"), col("mode")).head()
+      (r.getLong(0), r.getLong(1), r.getString(2))
     }
 
-    private def writeNorm(env: (Long, Long), b: Long): Unit = {
+    private def writeNorm(env: (Long, Long), mode: String, b: Long): Unit = {
       import spark.implicits._
-      Seq(env).toDF("minN2", "maxN2").coalesce(1)
-        .write.mode("overwrite").parquet(s"$normDir/v$b")
+      normLin.writeBase(
+        Seq((env._1, env._2, mode)).toDF("minN2", "maxN2", "mode")
+          .coalesce(1), b)
     }
 
-    /** [[RetrainLoop]]'s norm-collapse tripwire, verbatim semantics —
-      * it matters MOST on this loop (the measured collapse is an ADC
-      * recall property). Envelope baselined from the corpus base at
-      * the lineage's first boundary, widened per delta, versioned.
+    /** [[RetrainLoop]]'s norm-collapse tripwire — it matters MOST on
+      * this loop (the measured collapse is an ADC recall property) —
+      * PLUS the s41 recovery decision (r17): the norm version now
+      * carries the lineage's encode-space MODE ("raw" | "l2"), and a
+      * [[graft.operators.Similarity.NormPolicy]] with `recover` set
+      * transitions raw → l2 at the first flagged boundary. Returns
+      * (mode this boundary operates under, whether THIS boundary
+      * executes the recovery). Pure function of (norm chain below k,
+      * corpus base, batch) — redelivery re-decides identically, the
+      * loops' standing restart contract. The envelope itself stays the
+      * RAW ingest envelope in both modes (the anomaly is real and
+      * monotone; `recover` changes the encode space, not the monitor).
       */
     private def normTick(docs: DataFrame, corpusBase: DataFrame,
-                         batchId: Long): Unit =
-      normPolicy.foreach { pol =>
-        val base = latestBelow(normDir, batchId).map(readNorm)
-          .getOrElse(Similarity.normEnvelope(corpusBase, scale,
-            idCol = "id", vecCol = vecCol)
-            .getOrElse((Long.MaxValue, Long.MinValue)))
-        val env = Similarity.normEnvelope(docs, scale, idCol, vecCol)
-          .fold(base) { case (dmin, dmax) =>
-            (math.min(base._1, dmin), math.max(base._2, dmax)) }
-        writeNorm(env, batchId)
-        normStats += NormStat(batchId, env._1, env._2)
-        if (pol.flags(env._1, env._2)) normFlaggedAt += batchId
+                         batchId: Long): (String, Boolean) =
+      normPolicy match {
+        case None => ("raw", false)
+        case Some(pol) =>
+          val (bMin, bMax, bMode) =
+            normLin.chainBelow(batchId)._1.map(readNorm).getOrElse {
+              val e = Similarity.normEnvelope(corpusBase, scale,
+                idCol = "id", vecCol = vecCol)
+                .getOrElse((Long.MaxValue, Long.MinValue))
+              (e._1, e._2, "raw")
+            }
+          val env = Similarity.normEnvelope(docs, scale, idCol, vecCol)
+            .fold((bMin, bMax)) { case (dmin, dmax) =>
+              (math.min(bMin, dmin), math.max(bMax, dmax)) }
+          val flagged = pol.flags(env._1, env._2)
+          val recoverNow = pol.recover && bMode == "raw" && flagged
+          val mode = if (recoverNow || bMode == "l2") "l2" else "raw"
+          writeNorm(env, mode, batchId)
+          normStats += NormStat(batchId, env._1, env._2)
+          if (flagged) normFlaggedAt += batchId
+          (mode, recoverNow)
       }
 
     def processBatch(batch: DataFrame, batchId: Long): Unit = {
@@ -982,36 +1221,42 @@ object ContinuousIndexMaintenance {
         s"continuous ivfpq retrain maintenance: batch $batchId carries " +
           s"duplicate rows per '$idCol' — one diff row per id per " +
           "boundary; pre-aggregate the batch upstream")
-      val corpusBase = latestBelow(corpusDir, batchId)
-        .map(v => spark.read.parquet(s"$corpusDir/v$v"))
-        .getOrElse(initCorpusN)
-      val indexBase = latestBelow(indexDir, batchId)
-        .map(v => spark.read.parquet(s"$indexDir/v$v"))
-        .getOrElse(initialState)
-      val (coarseBase, pqBase) = latestBelow(cbDir, batchId)
+      val corpusBase = corpusLin.stateBelow(batchId, initCorpusN)
+      val indexBase = indexLin.stateBelow(batchId, initialState)
+      val (coarseBase, pqBase) = cbLin.chainBelow(batchId)._1
         .map(readCbs).getOrElse((initialCoarse, initialPq))
       val diff = delta.select(col(idCol).as("id"), col("status"))
       val docs = delta.filter(col("status").isin("added", "changed"))
         .drop("status")
-      // 1. corpus version: payload upsert (identity kernel)
-      IndexMaintenance.upsert(corpusBase, diff, docs, idCol)(
-          _.select(col(idCol).as("id"), col(vecCol)))
-        .write.mode("overwrite").parquet(s"$corpusDir/v$batchId")
-      val corpusV = spark.read.parquet(s"$corpusDir/v$batchId")
-      // the norm-collapse tripwire runs at EVERY boundary
-      normTick(docs, corpusBase, batchId)
+      // the tripwire + RECOVERY decision + encode-space mode (s41) —
+      // decided FIRST so every kernel below runs in the right space
+      val (encMode, recoverNow) = normTick(docs, corpusBase, batchId)
+      // lift a corpus-shaped frame into the boundary's encode space:
+      // in "l2" mode, fixed-point-normalized values fed at scale 1
+      // (already quantized — the trainers' ⌊x·1⌋ is the identity)
+      def inMode(df: DataFrame, id: String): (DataFrame, Long) =
+        if (encMode == "l2")
+          (Similarity.l2NormalizeFixedPoint(df, scale, id, vecCol), 1L)
+        else (df, scale)
       // the delta's encode under the CURRENT codebooks — computed once
       // and shared by the drift monitor's moved-share, the census
       // landings, AND the upsert kernel (the assignment loop's
       // freshDelta trick; its cid IS the fresh coarse argmax)
-      lazy val enc = Similarity.ivfPqEncodeFixedPoint(docs, coarseBase,
-        pqBase, scale, idCol, vecCol).localCheckpoint()
+      lazy val enc = {
+        val (dm, sc) = inMode(docs, idCol)
+        Similarity.ivfPqEncodeFixedPoint(dm, coarseBase,
+          pqBase, sc, idCol, vecCol).localCheckpoint()
+      }
       // the drift MONITOR (s40): s29's moved-share statistic on the
       // composed state — delta rows whose fresh coarse argmax differs
       // from their stored index list, over all added∪changed rows.
       // Delta-sized (one id-join against the index's (id, cid) columns)
       // and exact integers, so the boundary CHOICE oracle-replays.
-      val drifted = markers == 0 && driftPolicy.exists { p =>
+      // Decided BEFORE the corpus write so the retrain boundary can
+      // compact the corpus in the same pass it trains over (r17). A
+      // recovery boundary supersedes it (the recovery retrains BOTH
+      // stages anyway, in the new space).
+      val drifted = markers == 0 && !recoverNow && driftPolicy.exists { p =>
         val r = enc.select(col("id"), col("cid").cast("long").as("cid"))
           .join(indexBase.select(col("id"),
             col("cid").cast("long").as("__old_cid")), Seq("id"), "left")
@@ -1024,38 +1269,64 @@ object ContinuousIndexMaintenance {
         driftStats += DriftStat(batchId, nMoved, nTot)
         p.triggers(nMoved, nTot)
       }
+      // 1. corpus version: O(batch) delta at ordinary boundaries; a
+      // full base at RETRAIN/RECOVERY boundaries (both trainer stages
+      // scan the corpus anyway — the natural compaction point) or when
+      // the chain trailed compactEvery−1 deltas. The corpus lineage
+      // stores RAW vectors in every mode — normalization is an
+      // encode-path property, not a corpus rewrite.
+      val willRetrain = recoverNow || markers > 0 || drifted
+      if (willRetrain ||
+          corpusLin.deltasBelow(batchId) + 1 >= policy.compactEvery)
+        corpusLin.writeBase(IndexMaintenance.upsert(corpusBase, diff,
+          docs, idCol)(_.select(col(idCol).as("id"), col(vecCol))),
+          batchId)
+      else
+        corpusLin.writeDelta(deltaRows(
+          docs.select(col(idCol).as("id"), col(vecCol)), diff), batchId)
+      val corpusV = corpusLin.stateBelow(batchId + 1, initCorpusN)
       // 2 + 3. codebooks + index under this boundary's movement
-      if (markers > 0 || drifted) {
-        val (newCoarse, newPq) = Similarity.ivfPqTrainFixedPoint(corpusV,
-          dim, nLists, m, codebookSize, maxIterCoarse, maxIterPq, scale,
+      if (willRetrain) {
+        // a RECOVERY boundary is the retrain movement in the NEW
+        // encode space (inMode already reads "l2" at it): both stages
+        // trained on the fixed-point-normalized post-delta corpus,
+        // whole corpus re-encoded — the measured 0.920-recall recipe
+        // executed, not just named (s41)
+        val (tc, sc) = inMode(corpusV, "id")
+        val (newCoarse, newPq) = Similarity.ivfPqTrainFixedPoint(tc,
+          dim, nLists, m, codebookSize, maxIterCoarse, maxIterPq, sc,
           idCol = "id", vecCol = vecCol)
         writeCbs(newCoarse, newPq, batchId)
-        // index versions keep the served physical layout: partitioned
-        // by list id, so s28's probed-list filter prunes files
-        Similarity.ivfPqEncodeFixedPoint(corpusV, newCoarse, newPq, scale,
-            idCol = "id", vecCol = vecCol)
-          .write.mode("overwrite").partitionBy("cid")
-          .parquet(s"$indexDir/v$batchId")
-        retrainedAt += batchId
+        // index BASE versions keep the served physical layout:
+        // partitioned by list id, so s28's probed-list filter prunes
+        // files (deltas are batch-sized, scanned whole by design)
+        indexLin.writeBase(
+          Similarity.ivfPqEncodeFixedPoint(tc, newCoarse, newPq,
+            sc, idCol = "id", vecCol = vecCol),
+          batchId, partitionCols = Seq("cid"))
+        if (recoverNow) normRecoveredAt += batchId
+        else retrainedAt += batchId
         // a retrain rewrote every index row; the census re-baselines
         // from the state the retrain already produced (one aggregate
         // over a boundary that pays a corpus-scale pass by definition)
         if (rebalancePolicy.isDefined)
-          writeCensus(censusOf(
-            spark.read.parquet(s"$indexDir/v$batchId")), batchId)
+          writeCensus(censusOf(indexLin.readBase(batchId)), batchId)
       } else {
         rebalancePolicy match {
           case None =>
-            IndexMaintenance.upsert(indexBase, diff, docs, idCol)(_ => enc)
-              .write.mode("overwrite").partitionBy("cid")
-              .parquet(s"$indexDir/v$batchId")
+            if (indexLin.deltasBelow(batchId) + 1 >= policy.compactEvery)
+              indexLin.writeBase(IndexMaintenance.upsert(indexBase, diff,
+                docs, idCol)(_ => enc), batchId,
+                partitionCols = Seq("cid"))
+            else
+              indexLin.writeDelta(deltaRows(enc, diff), batchId)
           case Some(pol) =>
             // the census MONITOR over the PHYSICAL lists (s39):
             // exact-integer sizes maintained incrementally — base
             // version + this delta's encode landings and vacated
             // seats, both delta-sized; the index is only scanned to
             // baseline a lineage (or re-baseline after a retrain)
-            val base = latestBelow(censusDir, batchId).map(readCensus)
+            val base = censusLin.chainBelow(batchId)._1.map(readCensus)
               .getOrElse(censusOf(indexBase))
             val landed = enc
               .groupBy(col("cid").cast("long").as("cid")).count().collect()
@@ -1098,8 +1369,10 @@ object ContinuousIndexMaintenance {
                   "diverged from the index state")
               writeCbs(newCoarse, pqBase, batchId)
               val mv = movement.localCheckpoint() // write + post-census
-              rebIdx.write.mode("overwrite").partitionBy("cid")
-                .parquet(s"$indexDir/v$batchId")
+              // the cut rewrites the full physical index — a natural
+              // compaction point, landed as a partitioned base
+              indexLin.writeBase(rebIdx, batchId,
+                partitionCols = Seq("cid"))
               rebalancedAt += batchId
               // post-split census from the movement's mover counts —
               // split lists' members only, never an index scan
@@ -1111,20 +1384,23 @@ object ContinuousIndexMaintenance {
               }.filter(_._2 > 0L)
               writeCensus(post, batchId)
             } else {
-              upserted.write.mode("overwrite").partitionBy("cid")
-                .parquet(s"$indexDir/v$batchId")
+              if (indexLin.deltasBelow(batchId) + 1 >= policy.compactEvery)
+                indexLin.writeBase(upserted, batchId,
+                  partitionCols = Seq("cid"))
+              else
+                indexLin.writeDelta(deltaRows(enc, diff), batchId)
               writeCensus(census, batchId)
             }
         }
       }
+      if (policy.vacuum) lineages.foreach(_.vacuumBelow(batchId))
       boundaries += Boundary(batchId, touched, signatured)
     }
 
     def result: RetrainRun =
-      RetrainRun(latestBelow(indexDir, Long.MaxValue)
-        .map(v => spark.read.parquet(s"$indexDir/v$v"))
-        .getOrElse(initialState), boundaries.toSeq, retrainedAt.toSeq,
+      RetrainRun(indexLin.stateBelow(Long.MaxValue, initialState),
+        boundaries.toSeq, retrainedAt.toSeq,
         driftStats.toSeq, rebalancedAt.toSeq, censusStats.toSeq,
-        normStats.toSeq, normFlaggedAt.toSeq)
+        normStats.toSeq, normFlaggedAt.toSeq, normRecoveredAt.toSeq)
   }
 }

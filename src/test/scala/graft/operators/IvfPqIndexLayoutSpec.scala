@@ -103,9 +103,15 @@ class IvfPqIndexLayoutSpec extends SparkSpec {
       .createTempDirectory("graft-ivfpq-loop-layout").toString
     val init = Similarity.ivfPqEncodeFixedPoint(
       emb.filter(col("vec_id") % 7 =!= 0), cbs._1, cbs._2).localCheckpoint()
+    // compactEvery = 1: every boundary a BASE — this spec pins the
+    // SERVED layout of base versions (cid-partitioned, pruned); the
+    // delta-chain serve path has its own spec
+    // (ContinuousIndexMaintenanceSpec "serve-while-maintaining")
     val loop = graft.streaming.ContinuousIndexMaintenance.ivfPqLoop(
       spark, init, cbs._1, cbs._2, "vec_id", "embedding", 1000000L,
-      stateDir)
+      stateDir,
+      graft.streaming.ContinuousIndexMaintenance.LineagePolicy(
+        compactEvery = 1))
     val delta = emb.filter(col("vec_id") % 7 === 0)
       .withColumn("status", lit("added"))
       .select(col("vec_id"), col("embedding"), col("status"))

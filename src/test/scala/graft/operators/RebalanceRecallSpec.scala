@@ -89,4 +89,51 @@ class RebalanceRecallSpec extends SparkSpec {
     val (mrgR, _) = measure(stateMerge, cbMerge, 2)
     mrgR should be >= measure(state0, cb, 2)._1
   }
+
+  test("s41 recovery floor: the fixed-point-normalized retrain restores ADC recall on the collapsed corpus") {
+    // RECALL.json `normRecovery` pinned as a fixed-point tripwire
+    // (r17): the stale-codebook index over the collapsed corpus loses
+    // most of its ADC recall (the regime the norm tripwire flags —
+    // r15's 0.235-class measurement); the s41 recovery — exactly what
+    // continuousIvfPqWithRetrain's recovery boundary builds and
+    // serves: l2NormalizeFixedPoint + both stages retrained + encode,
+    // all at scale 1 — restores the ≥ 0.9 operating floor of the
+    // measured normalized-ingest recipe.
+    val emb = Tables.embeddings(spark, sfDir).localCheckpoint()
+    val n = emb.count()
+    val corpus = graft.queries.SkewFixture.skewed(emb).localCheckpoint()
+    val k = 10
+    val queries = corpus.orderBy("vec_id").limit(20).localCheckpoint()
+    val truth = graft.RecallProbe.groundTruth(corpus, queries, k).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val nLists = math.max(4, math.sqrt(n.toDouble).toInt)
+    def recallOf(pidx: org.apache.spark.sql.DataFrame,
+                 pcorpus: org.apache.spark.sql.DataFrame,
+                 pcb: Array[Array[Long]], ppq: Array[Array[Array[Long]]],
+                 scale: Long): Double = {
+      // the phase's query set = the truth's nQ ids from ITS corpus
+      // (cosine truth is normalization-invariant, vec_id order stable)
+      val q2 = pcorpus.orderBy("vec_id").limit(20).localCheckpoint()
+      val got = Similarity.ivfPqSearchIndexed(pidx, pcorpus, q2, k,
+          pcb, ppq, nProbe = 8, rerank = 4, scale = scale).collect()
+        .groupBy(_.getLong(0)).view
+        .mapValues(_.map(_.getLong(2)).toSet).toMap
+      truth.map { case (q, t) =>
+        got.getOrElse(q, Set.empty).count(t).toDouble / t.size
+      }.sum / truth.size
+    }
+    val (coarseP, pqP) = Similarity.ivfPqTrainFixedPoint(emb, dim = 64,
+      nLists = nLists, m = 16, codebookSize = 256,
+      maxIterCoarse = 3, maxIterPq = 2)
+    val pre = recallOf(Similarity.ivfPqEncodeFixedPoint(corpus, coarseP,
+      pqP).localCheckpoint(), corpus, coarseP, pqP, 1000000L)
+    val nrmFp = Similarity.l2NormalizeFixedPoint(corpus).localCheckpoint()
+    val (coarseF, pqF) = Similarity.ivfPqTrainFixedPoint(nrmFp, dim = 64,
+      nLists = nLists, m = 16, codebookSize = 256,
+      maxIterCoarse = 3, maxIterPq = 2, scale = 1L)
+    val rec = recallOf(Similarity.ivfPqEncodeFixedPoint(nrmFp, coarseF,
+      pqF, 1L).localCheckpoint(), nrmFp, coarseF, pqF, 1L)
+    pre should be <= 0.5 // the collapse is real (measured 0.17–0.26)
+    rec should be >= 0.9 // the recovery restores the operating floor
+  }
 }

@@ -694,6 +694,52 @@ class RebalanceSpec extends SparkSpec {
       .map(_.getPath.getName).count(_.endsWith(".tmp")) shouldBe 0
   }
 
+  test("TWO-APPLIER interleave: the loser fails loud naming the contract, the winner's version serves, the vacuum strands nothing") {
+    // r16 verdict #5: two LIVE appliers interleaving apply → commit →
+    // vacuum on one root (a violated single-writer contract). Applier
+    // A claims v1 and pauses in its claim→commit window; applier B
+    // runs a COMPLETE apply inside it. B's claim reclaims A's
+    // uncommitted v1 (indistinguishable from a crashed attempt — the
+    // documented redelivery path) and commits; A's commit-time claim
+    // check then fails LOUD instead of routing a manifest at B's
+    // bytes — the silent-corruption mode the pre-r17 shared-overwrite
+    // data write allowed.
+    val root = java.nio.file.Files
+      .createTempDirectory("reb_two_appliers").toString
+    Similarity.initIndexVersioned(
+      Seq((0L, 0L), (1L, 1L), (2L, 0L)).toDF("vec_id", "cid"), root)
+    val movA = Seq((0L, 0L, 1L), (1L, 1L, 1L), (2L, 0L, 0L))
+      .toDF("vec_id", "old_cid", "cid")
+    val movB = Seq((0L, 0L, 0L), (1L, 1L, 0L), (2L, 0L, 0L))
+      .toDF("vec_id", "old_cid", "cid")
+    var bVersion = -1L
+    val e = the[IllegalArgumentException] thrownBy
+      Similarity.applyMovementVersionedHooked(movA, root,
+        interleave = { () =>
+          bVersion = Similarity.applyMovementVersioned(movB, root)
+        })
+    e.getMessage should include("single-writer")
+    bVersion shouldBe 1L // the interleaved applier WON and committed
+    // the winner's version serves ITS movement, bit-intact
+    Similarity.readIndexVersioned(spark, root).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet shouldBe
+      Set((0L, 0L), (1L, 0L), (2L, 0L))
+    // no staging litter from either applier's exit paths
+    new java.io.File(root).listFiles().map(_.getName)
+      .filter(_.endsWith(".staging")) shouldBe empty
+    // a CRASHED loser's orphaned staging dir (superseded version) is
+    // reclaimed by the sweep…
+    val orphan = new java.io.File(s"$root/.v1.deadbeef.staging")
+    orphan.mkdirs() shouldBe true
+    Similarity.vacuumIndexVersioned(spark, root, keepVersions = 2)
+    orphan.exists() shouldBe false
+    // …while an in-flight stager ABOVE the highest commit survives
+    val inflight = new java.io.File(s"$root/.v2.cafe.staging")
+    inflight.mkdirs() shouldBe true
+    Similarity.vacuumIndexVersioned(spark, root, keepVersions = 2)
+    inflight.exists() shouldBe true
+  }
+
   test("vacuum re-run reclaims dirs whose manifests a crashed sweep already deleted") {
     val root = java.nio.file.Files.createTempDirectory("reb_ver_crashvac").toString
     Similarity.initIndexVersioned(

@@ -396,31 +396,37 @@ class ContinuousIndexMaintenanceSpec extends SparkSpec {
           java.nio.file.Files.size(p))).toSet
       finally s.close()
     }
-    val v0 = s"$stateDir/v0"
-    val stampsBefore = fileStamps(v0)
-    // the corpus snapshot v0 encodes: v1 with id 2's batch-0 change
+    // boundary 0 persisted a DELTA (r17 lineage): one encode row for
+    // the changed id + one tombstone — O(batch) bytes, never the index
+    val d0 = s"$stateDir/d0"
+    spark.read.parquet(d0).count() shouldBe 2L
+    val stampsBefore = fileStamps(d0)
+    // the corpus below boundary 1 encodes: v1 with id 2's batch-0 change
     val corpus0 = vecs(Seq(1L -> v(1L), 2L -> v(20L), 3L -> v(3L),
       4L -> v(4L), 6L -> v(6L)))
+    val lin = new ContinuousIndexMaintenance.Lineage(spark, stateDir)
     def serve() = Similarity.ivfPqSearchIndexed(
-      spark.read.parquet(v0), corpus0,
+      lin.stateBelow(1L, init), corpus0,
       vecs(Seq(1L -> v(1L))), k = 2, coarse, pq, nProbe = 2, rerank = 2)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     val answersBefore = serve()
-    // a maintainer crashes mid-write of v1: garbage part file, no commit
-    val v1dir = java.nio.file.Paths.get(s"$stateDir/v1")
-    java.nio.file.Files.createDirectories(v1dir)
-    java.nio.file.Files.write(v1dir.resolve("part-00000.parquet"),
+    // a maintainer crashes mid-write of d1: garbage part file, no commit
+    val d1dir = java.nio.file.Paths.get(s"$stateDir/d1")
+    java.nio.file.Files.createDirectories(d1dir)
+    java.nio.file.Files.write(d1dir.resolve("part-00000.parquet"),
       "half-written garbage".getBytes)
-    // version 0 is byte-stable and serves identical answers
-    fileStamps(v0) shouldBe stampsBefore
+    // the committed chain is byte-stable and serves identical answers
+    // (a reader below boundary 1 never opens the partial d1)
+    fileStamps(d0) shouldBe stampsBefore
     serve() shouldBe answersBefore
-    // the redelivered batch 1 resolves its base BELOW 1 (v0, not the
-    // partial v1) and its overwrite repairs the directory
+    // the redelivered batch 1 resolves its base BELOW 1 (the d0 chain,
+    // not the partial d1) and its overwrite repairs the directory
     loop.processBatch(Seq((5L, v(5L), "added"))
       .toDF("vec_id", "embedding", "status"), 1L)
     def flat(df: org.apache.spark.sql.DataFrame) =
-      df.select("id", "cid", "codes").collect()
-        .map(r => (r.getLong(0), r.getInt(1), r.getSeq[Int](2))).toSet
+      df.select(col("id"), col("cid").cast("long").as("cid"), col("codes"))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getSeq[Int](2))).toSet
     val v2v = Seq(1L -> v(1L), 2L -> v(20L), 3L -> v(3L), 4L -> v(4L),
       5L -> v(5L), 6L -> v(6L))
     flat(loop.result.state) shouldBe
@@ -780,7 +786,11 @@ class ContinuousIndexMaintenanceSpec extends SparkSpec {
     loop.censusStats.map(s => (s.batchId, s.total)) shouldBe Seq((0L, 6L))
     val written = spark.read.parquet(s"$root/census/v0").collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
-    val st = spark.read.parquet(s"$root/assign/v0").collect()
+    // boundary 0 persisted a DELTA (r17 lineage); the physical state is
+    // the composed chain — init + d0 — which must carry exactly one
+    // seat for the re-added id
+    val st = new ContinuousIndexMaintenance.Lineage(spark, s"$root/assign")
+      .stateBelow(1L, init).collect()
       .map(r => r.getLong(0) -> r.getLong(1))
     st.length shouldBe 6
     st.groupBy(_._2).view.mapValues(_.length.toLong).toMap shouldBe written
@@ -810,9 +820,12 @@ class ContinuousIndexMaintenanceSpec extends SparkSpec {
       .localCheckpoint()
     val root = java.nio.file.Files
       .createTempDirectory("graft_ivfpq_census_redeliver").toString
+    // vacuum off: the spec audits census ≡ physical state at EVERY
+    // historical boundary, which needs the full lineage retained
     def newLoop() = new ContinuousIndexMaintenance.IvfPqRetrainLoop(spark,
       rebCorpus, init, rebCb, rebPq, 2, 3, 1, 2, 1, 1, 1000000L,
-      "vec_id", "embedding", root, rebalancePolicy = Some(pol))
+      "vec_id", "embedding", root, rebalancePolicy = Some(pol),
+      policy = ContinuousIndexMaintenance.LineagePolicy(vacuum = false))
     val b0 = retrainBatch(Seq((5L, null, "removed")))
     val b1 = retrainBatch(Seq(
       (6L, Seq(0.75f, 0.5f), "added"),
@@ -830,12 +843,15 @@ class ContinuousIndexMaintenanceSpec extends SparkSpec {
     restarted.retrainedAt shouldBe empty
     restarted.censusStats.map(s => (s.batchId, s.hottest, s.total)) shouldBe
       Seq((1L, 7L, 8L), (2L, 3L, 9L))
-    // census ≡ a fresh census of the PHYSICAL written index at every
-    // boundary (the invariant the divergence guard protects)
+    // census ≡ a fresh census of the PHYSICAL composed index at every
+    // boundary (the invariant the divergence guard protects) — the
+    // physical state below b+1 is the r17 chain: ordinary boundaries
+    // are deltas, the cut boundary a base
+    val idxLin = new ContinuousIndexMaintenance.Lineage(spark, s"$root/index")
     for (b <- Seq(0L, 1L, 2L)) {
       val written = spark.read.parquet(s"$root/census/v$b").collect()
         .map(r => r.getLong(0) -> r.getLong(1)).toMap
-      spark.read.parquet(s"$root/index/v$b")
+      idxLin.stateBelow(b + 1, init)
         .groupBy(col("cid").cast("long")).count().collect()
         .map(r => r.getLong(0) -> r.getLong(1)).toMap shouldBe written
     }
@@ -1034,8 +1050,10 @@ class ContinuousIndexMaintenanceSpec extends SparkSpec {
     val e = the[IllegalArgumentException] thrownBy
       crashed.processBatch(b1, 1L)
     e.getMessage should include("diverged")
-    // ...and loudly means NO state version was committed for b1
+    // ...and loudly means NO state artifact was committed for b1 —
+    // neither a base nor a delta (r17 chain)
     new java.io.File(s"$root/assign/v1").exists() shouldBe false
+    new java.io.File(s"$root/assign/d1").exists() shouldBe false
     // RECOVERY: wipe the census lineage (the runbook step), restart;
     // the redelivered b1 re-baselines from the physical assign state
     val cdir = new java.io.File(s"$root/census")
@@ -1049,10 +1067,12 @@ class ContinuousIndexMaintenanceSpec extends SparkSpec {
     recovered.rebalancedAt shouldBe empty
     recovered.censusStats.map(s => (s.batchId, s.hottest, s.total)) shouldBe
       Seq((1L, 5L, 8L)) // 6 initial + 9 + 10; hottest is the true c1 (5)
-    // census v1 ≡ the physical state — the lineage is healthy again
+    // census v1 ≡ the physical composed state — healthy again (the
+    // no-trigger boundary persisted a delta, so compose the chain)
     spark.read.parquet(s"$root/census/v1").collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap shouldBe
-      spark.read.parquet(s"$root/assign/v1").groupBy(col("cid")).count()
+      new ContinuousIndexMaintenance.Lineage(spark, s"$root/assign")
+        .stateBelow(2L, init).groupBy(col("cid")).count()
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
   }
 
@@ -1143,5 +1163,202 @@ class ContinuousIndexMaintenanceSpec extends SparkSpec {
     loop.processBatch(retrainBatch(Seq((9L, Seq(0.1f, 0.1f), "added"))), 1L)
     loop.censusStats.map(_.batchId) shouldBe Seq(1L)
     loop.censusStats.head.total shouldBe 7L // 6 initial + 1 added
+  }
+
+  test("norm-collapse RECOVERY (s41): the flagged boundary retrains normalized, redelivery re-decides, and later boundaries maintain in the normalized space") {
+    // the tripwire's named action executed: boundary 1's collapse flags
+    // the envelope AND (recover = true) re-trains both stages on the
+    // fixed-point-NORMALIZED post-delta corpus, re-encoding everything;
+    // the mode persists in the norm lineage, so a redelivered recovery
+    // boundary re-decides from disk and boundary 2's delta encodes
+    // normalized under the recovery codebooks.
+    val S = graft.operators.Similarity
+    // no zero vector: minN2 = 0 would flag the baseline itself
+    val corpus = Seq(
+      (1L, Seq(1.0f, 1.0f)), (2L, Seq(0.75f, 0.5f)),
+      (3L, Seq(1.0f, 1.0f)), (4L, Seq(0.75f, 0.5f)),
+      (5L, Seq(0.75f, 0.5f))).toDF("vec_id", "embedding")
+    val init = S.ivfPqEncodeFixedPoint(corpus, rebCb, rebPq)
+      .localCheckpoint()
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_norm_recover").toString
+    def newLoop() = new ContinuousIndexMaintenance.IvfPqRetrainLoop(spark,
+      corpus, init, rebCb, rebPq, 2, 3, 1, 2, 1, 1, 1000000L,
+      "vec_id", "embedding", root,
+      normPolicy = Some(S.NormPolicy(8L, 1L, recover = true)))
+    val b0 = retrainBatch(Seq((6L, Seq(0.9f, 0.8f), "added")))
+    val b1 = retrainBatch(Seq(
+      (7L, Seq(0.75f / 64, 0.5f / 64), "added")))
+    val b2 = retrainBatch(Seq((2L, Seq(-0.75f, -0.5f), "changed")))
+    val first = newLoop()
+    first.processBatch(b0, 0L) // natural scale: widens, no flag
+    first.normFlaggedAt shouldBe empty
+    first.normRecoveredAt shouldBe empty
+    first.processBatch(b1, 1L) // the collapse: flag + RECOVERY…
+    first.normFlaggedAt shouldBe Seq(1L)
+    first.normRecoveredAt shouldBe Seq(1L)
+    first.retrainedAt shouldBe empty // recovery is its own event
+    val firstRows = ivfPqRows(first.result.state)
+    // …which went UNCOMMITTED: restart redelivers boundary 1 and the
+    // decision + normalized retrain replay identically from disk
+    val restarted = newLoop()
+    restarted.processBatch(b1, 1L)
+    restarted.normRecoveredAt shouldBe Seq(1L)
+    ivfPqRows(restarted.result.state) shouldBe firstRows
+    // boundary 2 maintains DELTA-ONLY in the normalized space: the
+    // drained index ≡ the normalized FINAL corpus encoded under the
+    // codebooks the recovery trained on the normalized BOUNDARY-1
+    // corpus (the s27 endpoint theorem, in the recovery's space)
+    restarted.processBatch(b2, 2L)
+    restarted.normRecoveredAt shouldBe Seq(1L) // fires at most once
+    val mid = Seq(
+      (1L, Seq(1.0f, 1.0f)), (2L, Seq(0.75f, 0.5f)),
+      (3L, Seq(1.0f, 1.0f)), (4L, Seq(0.75f, 0.5f)),
+      (5L, Seq(0.75f, 0.5f)), (6L, Seq(0.9f, 0.8f)),
+      (7L, Seq(0.75f / 64, 0.5f / 64))).toDF("vec_id", "embedding")
+    val fin = Seq(
+      (1L, Seq(1.0f, 1.0f)), (2L, Seq(-0.75f, -0.5f)),
+      (3L, Seq(1.0f, 1.0f)), (4L, Seq(0.75f, 0.5f)),
+      (5L, Seq(0.75f, 0.5f)), (6L, Seq(0.9f, 0.8f)),
+      (7L, Seq(0.75f / 64, 0.5f / 64))).toDF("vec_id", "embedding")
+    val (cbR, pqR) = S.ivfPqTrainFixedPoint(
+      S.l2NormalizeFixedPoint(mid), dim = 2, nLists = 3, m = 1,
+      codebookSize = 2, maxIterCoarse = 1, maxIterPq = 1, scale = 1L)
+    ivfPqRows(restarted.result.state) shouldBe
+      ivfPqRows(S.ivfPqEncodeFixedPoint(
+        S.l2NormalizeFixedPoint(fin), cbR, pqR, 1L))
+  }
+
+  // ---- r17: O(delta) lineage — compaction, vacuum, byte-compat, s3a ----
+
+  private def lineageNames(dir: String): Set[String] = {
+    val f = new java.io.File(dir)
+    f.listFiles().map(_.getName)
+      .filter(n => n.matches("^v\\d+$") || n.matches("^d\\d+$")).toSet
+  }
+
+  /** Rewrite byte-compatibility proxy: the part-file names embed the
+    * writer's job UUID (necessarily fresh per attempt), so the stable
+    * signature is the sorted data-file SIZE profile + the logical rows
+    * (asserted separately by the callers).
+    */
+  private def sizeProfile(dir: String): Seq[Long] = {
+    import scala.jdk.CollectionConverters._
+    val root = java.nio.file.Paths.get(dir)
+    val s = java.nio.file.Files.walk(root)
+    try s.iterator().asScala
+      .filter(p => java.nio.file.Files.isRegularFile(p) &&
+        p.getFileName.toString.endsWith(".parquet"))
+      .map(java.nio.file.Files.size(_)).toSeq.sorted
+    finally s.close()
+  }
+
+  test("a redelivered DELTA boundary rewrites the same d<k> artifact byte-compatibly") {
+    val stateDir = java.nio.file.Files
+      .createTempDirectory("graft_cim_delta_redeliver").toString
+    val init = Dedup.minhashIndexState(df(v1), "text", "doc_id")
+      .localCheckpoint()
+    def newLoop() = ContinuousIndexMaintenance.minhashLoop(spark, init,
+      "text", "doc_id", 32, 8, 3, stateDir)
+    val batch = diffRows.toDF("doc_id", "text", "status")
+    val first = newLoop()
+    first.processBatch(batch, 0L) // delta d0; commit is then lost
+    lineageNames(stateDir) shouldBe Set("d0")
+    val before = sizeProfile(s"$stateDir/d0")
+    val rowsBefore = spark.read.parquet(s"$stateDir/d0").collect().toSet
+    val restarted = newLoop() // fresh memory, same chain
+    restarted.processBatch(batch, 0L) // redelivery overwrites d0
+    lineageNames(stateDir) shouldBe Set("d0")
+    sizeProfile(s"$stateDir/d0") shouldBe before
+    spark.read.parquet(s"$stateDir/d0").collect().toSet shouldBe rowsBefore
+    idx(restarted.result.state) shouldBe
+      idx(Dedup.minhashIndexState(df(v2), "text", "doc_id"))
+  }
+
+  test("restart ACROSS a compaction boundary: the compact-or-delta decision re-decides from disk and the drained state equals the rebuild") {
+    // compactEvery = 2: boundary 0 is a delta, boundary 1 a base. The
+    // crash loses boundary 1's commit; the restarted loop must re-read
+    // the chain (d0 on disk → 1 trailing delta → COMPACT), rewrite v1
+    // byte-compatibly, and keep serving the rebuild-equivalent state.
+    val stateDir = java.nio.file.Files
+      .createTempDirectory("graft_cim_compact_restart").toString
+    val init = Dedup.minhashIndexState(df(v1), "text", "doc_id")
+      .localCheckpoint()
+    val pol = ContinuousIndexMaintenance.LineagePolicy(compactEvery = 2)
+    def newLoop() = ContinuousIndexMaintenance.minhashLoop(spark, init,
+      "text", "doc_id", 32, 8, 3, stateDir, pol)
+    val b0 = Seq(diffRows.head).toDF("doc_id", "text", "status")
+    val b1 = diffRows.drop(1).toDF("doc_id", "text", "status")
+    val first = newLoop()
+    first.processBatch(b0, 0L)
+    lineageNames(stateDir) shouldBe Set("d0")
+    first.processBatch(b1, 1L) // compaction... uncommitted
+    lineageNames(stateDir) shouldBe Set("d0", "v1")
+    val before = sizeProfile(s"$stateDir/v1")
+    val rowsBefore = spark.read.parquet(s"$stateDir/v1").collect().toSet
+    val restarted = newLoop()
+    restarted.processBatch(b1, 1L) // re-decides COMPACT from disk
+    lineageNames(stateDir) shouldBe Set("d0", "v1")
+    sizeProfile(s"$stateDir/v1") shouldBe before
+    spark.read.parquet(s"$stateDir/v1").collect().toSet shouldBe rowsBefore
+    idx(restarted.result.state) shouldBe
+      idx(Dedup.minhashIndexState(df(v2), "text", "doc_id"))
+  }
+
+  test("vacuum retires superseded chains and the vacuumed root still serves and resumes") {
+    // compactEvery = 2 over five boundaries walks: d0 → +v1 → d2 (d0
+    // vacuumed) → +v3 → d4 (v1, d2 vacuumed). The retained set is
+    // exactly the redelivery chain of the NEXT boundary; the drained
+    // state still equals the one-shot rebuild, and a restarted loop
+    // over the vacuumed root serves it unchanged.
+    val stateDir = java.nio.file.Files
+      .createTempDirectory("graft_cim_vacuum").toString
+    val init = Dedup.minhashIndexState(df(v1), "text", "doc_id")
+      .localCheckpoint()
+    val pol = ContinuousIndexMaintenance.LineagePolicy(compactEvery = 2)
+    def newLoop() = ContinuousIndexMaintenance.minhashLoop(spark, init,
+      "text", "doc_id", 32, 8, 3, stateDir, pol)
+    val loop = newLoop()
+    val steps = Seq(
+      Seq((2L, "intermediate text version here", "changed")),
+      Seq((3L, null.asInstanceOf[String], "removed")),
+      Seq((2L, "one two three four five seven", "changed")),
+      Seq((5L, "new doc body arrives here now", "added")),
+      Seq((6L, "late extra document lands last", "added")))
+    steps.zipWithIndex.foreach { case (rows, i) =>
+      loop.processBatch(rows.toDF("doc_id", "text", "status"), i.toLong)
+    }
+    lineageNames(stateDir) shouldBe Set("v3", "d4")
+    val v2plus = v2 :+ (6L, "late extra document lands last")
+    idx(loop.result.state) shouldBe
+      idx(Dedup.minhashIndexState(df(v2plus), "text", "doc_id"))
+    // restart over the vacuumed root with nothing to redeliver: the
+    // served state is the on-disk chain, not a re-baseline
+    idx(newLoop().result.state) shouldBe
+      idx(Dedup.minhashIndexState(df(v2plus), "text", "doc_id"))
+  }
+
+  test("the loop lineage runs unchanged against a registry-resolved s3a:// root") {
+    // r16 verdict #4: the lineage speaks the Hadoop FS API, so the
+    // same stub FileSystem the S3A contract spec registers serves the
+    // loop's create/list/compose/vacuum seams — nothing engine-side
+    // knows the scheme.
+    spark.sparkContext.hadoopConfiguration.set(
+      "fs.s3a.impl", classOf[graft.sources.S3AStubFileSystem].getName)
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_cim_s3a")
+    val stateDir = s"s3a://graft-test$tmp/state"
+    val init = Dedup.minhashIndexState(df(v1), "text", "doc_id")
+      .localCheckpoint()
+    val pol = ContinuousIndexMaintenance.LineagePolicy(compactEvery = 2)
+    val loop = ContinuousIndexMaintenance.minhashLoop(spark, init,
+      "text", "doc_id", 32, 8, 3, stateDir, pol)
+    val b0 = Seq(diffRows.head).toDF("doc_id", "text", "status")
+    val b1 = diffRows.drop(1).toDF("doc_id", "text", "status")
+    loop.processBatch(b0, 0L) // delta write over s3a
+    loop.processBatch(b1, 1L) // compaction + (no-op) vacuum over s3a
+    new java.io.File(s"$tmp/state/v1").isDirectory shouldBe true
+    idx(loop.result.state) shouldBe
+      idx(Dedup.minhashIndexState(df(v2), "text", "doc_id"))
   }
 }
