@@ -1354,9 +1354,15 @@ object ContinuousIndexMaintenance {
               // rows carry verbatim. Pure function of (corpus version,
               // index version, codebook base, policy) — redelivery
               // recuts identically.
+              // the cut runs in the boundary's ENCODE SPACE (r17): in
+              // l2 mode the stored codes and codebooks are normalized,
+              // so the split members' residual re-encode must read the
+              // normalized corpus at scale 1 — a raw-corpus cut would
+              // silently corrupt every split member's codes
+              val (cutCorpus, cutScale) = inMode(corpusV, "id")
               val (rebIdx, newCoarse, movement) =
-                Similarity.rebalanceIvfPqMovement(upserted, corpusV,
-                  coarseBase, pqBase, pol, scale, idCol = "id",
+                Similarity.rebalanceIvfPqMovement(upserted, cutCorpus,
+                  coarseBase, pqBase, pol, cutScale, idCol = "id",
                   vecCol = vecCol)
               // the divergence guard (the assignment loop's): the
               // incremental census crossed, so the physical cut must

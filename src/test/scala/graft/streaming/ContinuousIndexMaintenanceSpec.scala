@@ -1229,6 +1229,66 @@ class ContinuousIndexMaintenanceSpec extends SparkSpec {
         S.l2NormalizeFixedPoint(fin), cbR, pqR, 1L))
   }
 
+  test("post-recovery census cut runs in the NORMALIZED encode space") {
+    // after an s41 recovery the stored codes/codebooks live in the
+    // normalized space — a later census cut must re-encode split
+    // members against the NORMALIZED corpus at scale 1 (a raw-corpus
+    // cut would silently corrupt every split member's codes; r17
+    // self-review pin).
+    val S = graft.operators.Similarity
+    // norms within the 8/1 bar (ratio ≤ 3.9) and lists balanced under
+    // rebCb, so neither the tripwire nor the census fires early
+    val corpus = Seq(
+      (1L, Seq(1.0f, 1.0f)), (2L, Seq(0.3f, 0.2f)),
+      (3L, Seq(1.0f, 1.0f)), (4L, Seq(0.3f, 0.2f)),
+      (5L, Seq(-0.75f, -0.5f))).toDF("vec_id", "embedding")
+    val init = S.ivfPqEncodeFixedPoint(corpus, rebCb, rebPq)
+      .localCheckpoint()
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_norm_recover_cut").toString
+    val pol = S.RebalancePolicy(2L, 1L)
+    val loop = new ContinuousIndexMaintenance.IvfPqRetrainLoop(spark,
+      corpus, init, rebCb, rebPq, 2, 3, 1, 2, 1, 1, 1000000L,
+      "vec_id", "embedding", root,
+      rebalancePolicy = Some(pol),
+      normPolicy = Some(S.NormPolicy(8L, 1L, recover = true)))
+    loop.processBatch(retrainBatch(Seq((6L, Seq(0.9f, 0.8f), "added"))), 0L)
+    loop.rebalancedAt shouldBe empty
+    loop.processBatch(retrainBatch(Seq(
+      (7L, Seq(0.75f / 64, 0.5f / 64), "added"))), 1L)
+    loop.normRecoveredAt shouldBe Seq(1L) // the recovery boundary
+    loop.rebalancedAt shouldBe empty
+    // a hot clump of near-(1,1) DIRECTIONS lands in one normalized
+    // list and crosses the 2/1 bar → the cut fires at boundary 2
+    val b2 = Seq(
+      (8L, Seq(0.9f, 0.9f)), (9L, Seq(0.95f, 0.85f)),
+      (10L, Seq(1.0f, 0.9f)), (11L, Seq(0.9f, 1.0f)),
+      (12L, Seq(0.95f, 0.95f)), (13L, Seq(1.0f, 1.0f)))
+    loop.processBatch(retrainBatch(b2.map { case (i, v) =>
+      (java.lang.Long.valueOf(i), v, "added") }), 2L)
+    loop.rebalancedAt shouldBe Seq(2L)
+    // drained ≡ the offline composition IN THE NORMALIZED SPACE:
+    // recovery codebooks from the normalized post-b1 corpus, b2's
+    // delta encoded under them, then the one-shot cut over the
+    // normalized final corpus at scale 1
+    val mid = corpus.unionByName(Seq(
+        (6L, Seq(0.9f, 0.8f)), (7L, Seq(0.75f / 64, 0.5f / 64)))
+      .toDF("vec_id", "embedding"))
+    val fin = mid.unionByName(b2.toDF("vec_id", "embedding"))
+    val midN = S.l2NormalizeFixedPoint(mid).localCheckpoint()
+    val finN = S.l2NormalizeFixedPoint(fin)
+      .select(col("vec_id").as("id"), col("embedding")).localCheckpoint()
+    val (cbR, pqR) = S.ivfPqTrainFixedPoint(midN, dim = 2, nLists = 3,
+      m = 1, codebookSize = 2, maxIterCoarse = 1, maxIterPq = 1,
+      scale = 1L)
+    val upserted = S.ivfPqEncodeFixedPoint(finN, cbR, pqR, 1L,
+      idCol = "id")
+    val (rebIdx, cbExp, _) = S.rebalanceIvfPqMovement(upserted, finN,
+      cbR, pqR, pol, 1L, idCol = "id")
+    cbExp.length should be > cbR.length
+    ivfPqRows(loop.result.state) shouldBe ivfPqRows(rebIdx)
+  }
+
   // ---- r17: O(delta) lineage — compaction, vacuum, byte-compat, s3a ----
 
   private def lineageNames(dir: String): Set[String] = {
