@@ -54,7 +54,21 @@ object DataQuality {
         Seq(min(c).cast("string").as(s"${f.name}__mins"),
             max(c).cast("string").as(s"${f.name}__maxs")))
     }
-    val row = df.agg(count(lit(1)).as("__n"), aggs: _*)
+    // Unsplittable-input spread (r17, guide §2.5): a single-file /
+    // single-row-group scan caps the aggregate's parallelism at one
+    // task no matter the split config, and the exact path's Expand
+    // (rows × #distinct-columns) then runs serially. When the scan
+    // plans fewer partitions than the session's cores, one projected
+    // repartition (just the profiled columns, input-sized) spreads the
+    // aggregate; at corpus scale the scan already carries ≥ cores
+    // splits and this is a no-op. Aggregate results are partition-
+    // order-independent (exact counts/min/max; avg rounded 6 dp).
+    val base = df.select(cols.map(col): _*)
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    val spread =
+      if (base.rdd.getNumPartitions < target) base.repartition(target)
+      else base
+    val row = spread.agg(count(lit(1)).as("__n"), aggs: _*)
     val reports = fields.map { f =>
       val (minN, maxN, avgN, minS, maxS) =
         if (isNum(f.dataType))

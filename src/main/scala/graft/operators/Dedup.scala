@@ -29,6 +29,20 @@ object Dedup {
   /** LSH buckets larger than this are dropped before candidate self-joins. */
   val DefaultBucketCap = 1000
 
+  /** Unsplittable-input spread (r17, guide §2.5): the per-row hash
+    * kernels (minhash signatures, simhash votes, shingle explodes) run
+    * in the SCAN stage, so a single-file / single-row-group input caps
+    * them at one task no matter the split configuration. When the
+    * input plans fewer partitions than the session's cores, one
+    * id-keyed repartition (deterministic hash partitioning; row set
+    * unchanged) spreads the kernel; at corpus scale the scan already
+    * carries ≥ cores splits and this is a no-op.
+    */
+  private[graft] def spreadIfNarrow(df: DataFrame, key: Column): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(key) else df
+  }
+
   /** Word-level n-grams of a text column (NON-distinct; texts shorter
     * than n fall back to one whole-text gram). Single source of truth for
     * gram construction — every operator and hand-matched oracle derives
@@ -66,7 +80,8 @@ object Dedup {
                    shingleN: Int, dfCap: Int): DataFrame = {
     // tokenize once: inlining shingles(textCol) would re-split the text
     // per reference inside the gram builder
-    val sh = df.withColumn("_ws", split(col(textCol), " "))
+    val sh = spreadIfNarrow(df, col(idCol))
+      .withColumn("_ws", split(col(textCol), " "))
       .select(col(idCol).as("id"),
         explode(array_distinct(ngramsOfWords(col("_ws"), shingleN))).as("s"))
     if (dfCap <= 0) sh
@@ -170,7 +185,7 @@ object Dedup {
   private[graft] def bandedSigs(df: DataFrame, textCol: String, idCol: String,
                          k: Int, bands: Int, shingleN: Int): DataFrame = {
     val rows = k / bands
-    val s = df.select(col(idCol).as("id"),
+    val s = spreadIfNarrow(df, col(idCol)).select(col(idCol).as("id"),
       minhashSigKernel(col(textCol), shingleN, k).as("sig"))
     val bandHashes = array((0 until bands).map(b =>
       graft.functions.PortableHash.md5_64(concat_ws(",",
@@ -508,7 +523,10 @@ object Dedup {
     * Hamming distances.)
     */
   def simhash(df: DataFrame, textCol: String, idCol: String): DataFrame = {
-    val tok = df.select(col(idCol).as("id"), explode(split(col(textCol), " ")).as("w"))
+    // the 64 per-bit partial sums run map-side in the scan stage —
+    // spread an unsplittable input first (see spreadIfNarrow)
+    val tok = spreadIfNarrow(df, col(idCol))
+      .select(col(idCol).as("id"), explode(split(col(textCol), " ")).as("w"))
       .withColumn("h", graft.functions.PortableHash.md5_64(col("w")))
     simhashFromHashes(tok)
   }

@@ -55,6 +55,25 @@ object GraphRank {
   private def maxOf(df: DataFrame, c: String): Long =
     df.agg(coalesce(max(col(c)), lit(0L))).head.getLong(0)
 
+  /** Node-count bar under which the node-sized side of a per-iteration
+    * join is broadcast-hinted (r17, guide §3.1): the iterative operators
+    * join edge-sized tables (checkpointed each round, so Catalyst has NO
+    * size statistics and always falls back to a sort-merge join that
+    * re-sorts the edge table every round) against node-sized rank/label
+    * tables. The node count is already a driver scalar in the rank
+    * family — one deliberate `count` elsewhere — so the hint is exact,
+    * not an estimate: ≤ 10M narrow rows (a few hundred MB built) hash-
+    * broadcasts and the edge table never moves or sorts again; above the
+    * bar the join stays sort-merge, which survives any node count.
+    * Callers with wide rows (the dense label vectors) scale the bar down
+    * by the row width.
+    */
+  val BroadcastNodesMax: Long = 10000000L
+
+  private def hintNodeSide(df: DataFrame, n: Long,
+      bar: Long = BroadcastNodesMax): DataFrame =
+    if (n <= bar) broadcast(df) else df
+
   /** Loud enforcement of the documented `a · b < 2⁶³` contracts: Spark's
     * non-ANSI Long sum wraps silently while the DuckDB oracle sums in
     * HUGEINT, so an overflow at scale would otherwise surface as a
@@ -205,22 +224,35 @@ object GraphRank {
     // totalUnits*maxWeight < 2^63 contract is ENFORCED below (scale
     // weights down, not up — scaling ALL weights by a common factor
     // provably leaves ranks bit-identical, since (k*a) div (k*b) = a div b).
-    val e = (weightCol match {
+    // ONE exchange builds the whole per-iteration join input (r17,
+    // guide §2.4): hash-partitioning by src alone already clusters
+    // (src, dst), so the dedup/parallel-edge aggregate AND the
+    // out-weight window both run on the repartitioned layout with no
+    // further shuffle — the pre-r17 shape (distinct's own exchange, a
+    // checkpoint, a groupBy+join for outw, a second checkpoint)
+    // shuffled and materialized the edge table twice.
+    val e0 = (weightCol match {
       case None =>
         edges
           .select(col(srcCol).cast("long").as("src"),
             col(dstCol).cast("long").as("dst"))
           .where(col("src").isNotNull && col("dst").isNotNull)
-          .distinct()
+          .repartition(col("src"))
+          .dropDuplicates("src", "dst")
           .withColumn("w", lit(1L))
       case Some(wc) =>
         edges
           .select(col(srcCol).cast("long").as("src"),
             col(dstCol).cast("long").as("dst"), col(wc).cast("long").as("w"))
           .where(col("src").isNotNull && col("dst").isNotNull && col("w") > 0)
+          .repartition(col("src"))
           .groupBy(col("src"), col("dst")).agg(sum(col("w")).as("w"))
     })
-      .repartition(col("src"))
+    // (src, dst, w, outw): the out-weight is a window sum over the src
+    // partitioning instead of a separate aggregate + join-back
+    val eo = e0
+      .withColumn("outw", sum(col("w")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("src"))))
       .localCheckpoint()
     // loud overflow guard: the per-edge product r*w is bounded by
     // totalUnits*max(w); a silent Long wrap would produce confidently
@@ -229,10 +261,10 @@ object GraphRank {
     // mismatch). One max() aggregate on the already-materialized edge
     // table — weighted path only, since unweighted w = 1 cannot wrap.
     if (weightCol.isDefined) requireProductFits(
-      maxOf(e, "w"), totalUnits,
+      maxOf(eo, "w"), totalUnits,
       "pageRank/trustRank: totalUnits * max(edge weight)")
-    val bare = e.select(col("src").as("node"))
-      .union(e.select(col("dst").as("node")))
+    val bare = eo.select(col("src").as("node"))
+      .union(eo.select(col("dst").as("node")))
       .distinct()
     // teleport weight per node: 1 everywhere (unbiased), 1 on seeds
     // (TrustRank), or the seed's integer weight (topic-sensitive /
@@ -255,11 +287,13 @@ object GraphRank {
         bare.join(seedTw, Seq("node"), "left")
           .select(col("node"), coalesce(col("tw"), lit(0L)).as("tw"))
     }).localCheckpoint()
-    val n = nodes.count() // driver scalar: one Long
+    // driver scalars: node count + total teleport weight in ONE
+    // aggregate job over the checkpointed node table (r17 — they were
+    // two separate actions)
+    val nrow = nodes.agg(count(lit(1)).as("n"),
+      coalesce(sum(col("tw")), lit(0L)).as("t")).head()
+    val (n, twTotal) = (nrow.getLong(0), nrow.getLong(1))
     require(n > 0, "rank on an empty edge list")
-    // total teleport weight (m seeds when unweighted) — one driver Long
-    val twTotal = nodes.agg(coalesce(sum(col("tw")), lit(0L)).as("t"))
-      .head.getLong(0)
     require(twTotal > 0, "trustRank with no seed present in the graph")
     // weighted-teleport overflow guard: the per-node base numerator is
     // (dampDen−dampNum)·totalUnits·tw — BigInt-checked so the guard
@@ -289,10 +323,6 @@ object GraphRank {
       s"rank: dampDen * total teleport weight = $dampDen * $twTotal " +
         "overflows Long (2^63): scale seed weights down by a common " +
         "factor (bit-identical, since (k*a) div (k*b) = a div b)")
-    val outw = e.groupBy("src").agg(sum(col("w")).as("outw"))
-    // (src, dst, w, outw) — the per-iteration join input, materialized once
-    val eo = e.join(outw, "src").localCheckpoint()
-
     // initial and teleport mass split across targets proportional to tw
     // (uniform tw ∈ {0,1} reduces to the classic totalUnits div m and
     // ((dampDen−dampNum)·totalUnits) div (dampDen·m) — same operands,
@@ -313,21 +343,30 @@ object GraphRank {
         nodes.join(init, Seq("node"), "left")
           .select(col("node"), col("tw"),
             coalesce(col("__init"), r0Col).as("r"))
-          .localCheckpoint()
+          .localCheckpoint(false)
     }
     var i = 0
     while (i < iterations) {
-      // integer per-edge contribution: exact, order-free
-      val inSum = eo.join(ranks, eo("src") === ranks("node"))
+      // integer per-edge contribution: exact, order-free. Both joins
+      // carry a node-sized side (n is exact, from the aggregate above):
+      // under the bar they hash-broadcast, so the edge table is neither
+      // shuffled nor re-sorted in ANY round (r17, guide §3.1)
+      val rh = hintNodeSide(ranks, n)
+      val inSum = eo.join(rh, eo("src") === rh("node"))
         .select(col("dst"), expr("r * w div outw").as("c"))
         .groupBy(col("dst").as("node"))
         .agg(sum(col("c")).as("insum")) // Long sum: order-independent
-      ranks = nodes.join(inSum, Seq("node"), "left")
+      ranks = nodes.join(hintNodeSide(inSum, n), Seq("node"), "left")
         .select(col("node"), col("tw"),
           (baseCol +
             expr(s"$dampNum * coalesce(insum, 0L) div $dampDen"))
             .as("r"))
-        .localCheckpoint() // truncate lineage so round N's plan is O(1)
+        // LAZY lineage truncation (r17, guide §1.2): the plan is cut to
+        // a LogicalRDD at every round either way, but eager=false defers
+        // materialization to the ONE action that consumes the final
+        // ranks instead of dispatching a job per round — same blocks,
+        // iterations-many fewer job round-trips
+        .localCheckpoint(false)
       i += 1
     }
     ranks.select(col("node"), col("r").as("rank_units"),
@@ -433,25 +472,30 @@ object GraphRank {
     // ever exist and the result would be silently empty — fail loudly
     require(alphaNum < alphaDen,
       "alphaNum must be < alphaDen: the (alphaDen-alphaNum) share is the seed clamp mass")
-    val e = (weightCol match {
+    // ONE exchange builds the per-iteration join input (r17, guide
+    // §2.4) — the biasedRank edge-prep shape: partition by src, dedup /
+    // parallel-edge-add on the same layout, out-weight as a window sum
+    val e0 = (weightCol match {
       case None =>
         edges
           .select(col(srcCol).cast("long").as("src"),
             col(dstCol).cast("long").as("dst"))
           .where(col("src").isNotNull && col("dst").isNotNull)
-          .distinct()
+          .repartition(col("src"))
+          .dropDuplicates("src", "dst")
           .withColumn("w", lit(1L))
       case Some(wc) =>
         edges
           .select(col(srcCol).cast("long").as("src"),
             col(dstCol).cast("long").as("dst"), col(wc).cast("long").as("w"))
           .where(col("src").isNotNull && col("dst").isNotNull && col("w") > 0)
+          .repartition(col("src"))
           .groupBy(col("src"), col("dst")).agg(sum(col("w")).as("w"))
     })
-      .repartition(col("src"))
+    val eo = e0
+      .withColumn("outw", sum(col("w")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("src"))))
       .localCheckpoint()
-    val outw = e.groupBy("src").agg(sum(col("w")).as("outw"))
-    val eo = e.join(outw, "src").localCheckpoint()
     // clamp table: the (1-alpha) share of a seed's unit mass, on its label
     val clampUnits = ((alphaDen - alphaNum) * unitsPerSeed) / alphaDen
     val clamp = seeds
@@ -464,7 +508,7 @@ object GraphRank {
     // loud overflow guard (see requireLabelMassFits): one count on the
     // checkpointed clamp table + (weighted only) one max on the edges
     requireLabelMassFits(clamp.count(), clampUnits, alphaNum, alphaDen,
-      if (weightCol.isDefined) maxOf(e, "w") else 1L, "labelPropagation")
+      if (weightCol.isDefined) maxOf(eo, "w") else 1L, "labelPropagation")
 
     var mass = initMasses match {
       case None => clamp.select(col("node"), col("label"), col("clamp").as("mass"))
@@ -496,7 +540,7 @@ object GraphRank {
             .partitionBy(col("node")).orderBy(col("mass").desc, col("label").asc)
           updated.withColumn("__rn", row_number().over(wTop))
             .where(col("__rn") <= l).drop("__rn")
-      }).localCheckpoint()
+      }).localCheckpoint(false) // lazy lineage truncation (r17, see biasedRank)
       i += 1
     }
     mass
@@ -663,25 +707,30 @@ object GraphRank {
     val L = labels.size
     val labelArr = array(labels.map(lit): _*)
 
-    val e = (weightCol match {
+    // ONE exchange builds the per-iteration join input (r17, guide
+    // §2.4) — the biasedRank edge-prep shape: partition by src, dedup /
+    // parallel-edge-add on the same layout, out-weight as a window sum
+    val e0 = (weightCol match {
       case None =>
         edges
           .select(col(srcCol).cast("long").as("src"),
             col(dstCol).cast("long").as("dst"))
           .where(col("src").isNotNull && col("dst").isNotNull)
-          .distinct()
+          .repartition(col("src"))
+          .dropDuplicates("src", "dst")
           .withColumn("w", lit(1L))
       case Some(wc) =>
         edges
           .select(col(srcCol).cast("long").as("src"),
             col(dstCol).cast("long").as("dst"), col(wc).cast("long").as("w"))
           .where(col("src").isNotNull && col("dst").isNotNull && col("w") > 0)
+          .repartition(col("src"))
           .groupBy(col("src"), col("dst")).agg(sum(col("w")).as("w"))
     })
-      .repartition(col("src"))
+    val eo = e0
+      .withColumn("outw", sum(col("w")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("src"))))
       .localCheckpoint()
-    val outw = e.groupBy("src").agg(sum(col("w")).as("outw"))
-    val eo = e.join(outw, "src").localCheckpoint()
 
     val clampUnits = ((alphaDen - alphaNum) * unitsPerSeed) / alphaDen
     val seedRows = seeds
@@ -702,7 +751,7 @@ object GraphRank {
     // same loud overflow guard as the sparse path: a seed node clamps at
     // most L slots, so seed PAIRS ≤ clamp rows · L bounds the mass total
     requireLabelMassFits(clamp.count() * L, clampUnits, alphaNum, alphaDen,
-      if (weightCol.isDefined) maxOf(e, "w") else 1L, "labelPropagationDense")
+      if (weightCol.isDefined) maxOf(eo, "w") else 1L, "labelPropagationDense")
 
     var mass = initMasses match {
       case None => clamp.select(col("node"), col("cv").as("m"))
@@ -743,7 +792,7 @@ object GraphRank {
           (expr(s"$alphaNum * coalesce(element_at(iv, ${j + 1}), 0L) div $alphaDen") +
             coalesce(col("cv")(j), lit(0L)))): _*).as("m"))
         .where(expr("exists(m, x -> x > 0)"))
-        .localCheckpoint()
+        .localCheckpoint(false) // lazy lineage truncation (r17, see biasedRank)
       i += 1
     }
     // reconstruct the sparse row set, then the same deterministic argmax
@@ -826,23 +875,31 @@ object GraphRank {
     var auths = nodes.withColumn("a", lit(r0))
     var i = 0
     while (i < iterations) {
-      val aRaw = nodes.join(
-        e.join(hubs, e("src") === hubs("node"))
-          .groupBy(col("dst").as("node")).agg(sum(col("h")).as("a_raw")),
+      // every join here carries a node-sized side (n is exact):
+      // broadcast under the bar (r17, guide §3.1)
+      val hh = hintNodeSide(hubs, n)
+      val aRaw = nodes.join(hintNodeSide(
+        e.join(hh, e("src") === hh("node"))
+          .groupBy(col("dst").as("node")).agg(sum(col("h")).as("a_raw")), n),
         Seq("node"), "left")
         .select(col("node"), coalesce(col("a_raw"), lit(0L)).as("a"))
       // T_a = Σ_u h_u·outdeg(u): exactly Σ_v a_raw(v), from node-sized input
-      val tA = hubs.join(outdeg, "node")
+      val tA = hubs.join(hintNodeSide(outdeg, n), "node")
         .agg(coalesce(sum(col("h") * col("odeg")), lit(0L)).as("__t"))
-      auths = rescale(aRaw, tA, "a").localCheckpoint()
-      val hRaw = nodes.join(
-        e.join(auths, e("dst") === auths("node"))
-          .groupBy(col("src").as("node")).agg(sum(col("a")).as("h_raw")),
+      // lazy lineage truncation (r17, see biasedRank): the two phase
+      // tables still cache on first use, so the twice-per-iteration
+      // consumers (next phase's raw join + its degree-weighted total)
+      // compute them once — without a dispatched job per phase
+      auths = rescale(aRaw, tA, "a").localCheckpoint(false)
+      val ah = hintNodeSide(auths, n)
+      val hRaw = nodes.join(hintNodeSide(
+        e.join(ah, e("dst") === ah("node"))
+          .groupBy(col("src").as("node")).agg(sum(col("a")).as("h_raw")), n),
         Seq("node"), "left")
         .select(col("node"), coalesce(col("h_raw"), lit(0L)).as("h"))
-      val tH = auths.join(indeg, "node")
+      val tH = auths.join(hintNodeSide(indeg, n), "node")
         .agg(coalesce(sum(col("a") * col("ideg")), lit(0L)).as("__t"))
-      hubs = rescale(hRaw, tH, "h").localCheckpoint()
+      hubs = rescale(hRaw, tH, "h").localCheckpoint(false)
       i += 1
     }
     auths.join(hubs, "node")
@@ -926,8 +983,11 @@ object GraphRank {
             col(dstCol).cast("long").as("dst"))
           .where(col("src").isNotNull && col("dst").isNotNull &&
             col("src") =!= col("dst"))
+        // ONE exchange (r17, guide §2.4): partition by src first — it
+        // clusters (src, dst), so the dedup runs on the same layout
         raw.union(raw.select(col("dst").as("src"), col("src").as("dst")))
-          .distinct()
+          .repartition(col("src"))
+          .dropDuplicates("src", "dst")
           .withColumn("w", lit(1L))
       case Some(wc) =>
         // weighted: parallel edges ADD; the undirected pair weight is
@@ -938,11 +998,15 @@ object GraphRank {
           .where(col("src").isNotNull && col("dst").isNotNull &&
             col("w") > 0 && col("src") =!= col("dst"))
         raw.unionAll(raw.select(col("dst").as("src"), col("src").as("dst"), col("w")))
+          .repartition(col("src"))
           .groupBy(col("src"), col("dst")).agg(sum(col("w")).as("w"))
     })
-      .repartition(col("src"))
       .localCheckpoint()
     val nodes = e.select(col("src").as("node")).distinct().localCheckpoint()
+    // exact node count for the broadcast bar (one aggregate over the
+    // checkpointed node table): under it the per-round vote join
+    // hash-broadcasts the label table (r17, guide §3.1)
+    val n = nodes.count()
 
     var labels = initLabels match {
       case None => nodes.withColumn("label", col("node"))
@@ -962,7 +1026,8 @@ object GraphRank {
     var i = 0
     while (i < iterations) {
       // votes = every neighbor's label at edge weight + the self-vote
-      val votes = e.join(labels, e("src") === labels("node"))
+      val lh = hintNodeSide(labels, n)
+      val votes = e.join(lh, e("src") === lh("node"))
         .select(e("dst").as("node"), col("label"), col("w").as("v"))
         .unionAll(labels.select(col("node"), col("label"),
           lit(selfWeight).as("v")))
@@ -973,7 +1038,7 @@ object GraphRank {
         .withColumn("__rn", row_number().over(w))
         .where(col("__rn") === 1)
         .select(col("node"), col("label"))
-        .localCheckpoint() // truncate lineage: round N's plan stays O(1)
+        .localCheckpoint(false) // lazy lineage truncation (r17, see biasedRank)
       i += 1
     }
     val sizes = labels.groupBy(col("label")).agg(count(lit(1)).as("csize"))
@@ -1081,16 +1146,25 @@ object GraphRank {
       .where(col("src").isNotNull && col("dst").isNotNull && col("src") =!= col("dst"))
     var e = (weightCol match {
       case None =>
+        // ONE exchange (r17, guide §2.4): partition by src first — it
+        // clusters (src, dst), so the dedup runs on the same layout
         raw0.union(raw0.select(col("dst").as("src"), col("src").as("dst")))
-          .distinct()
+          .repartition(col("src"))
+          .dropDuplicates("src", "dst")
           .withColumn("w", lit(1L))
       case Some(_) =>
         val raw = raw0.where(col("w") > 0)
         raw.unionAll(raw.select(col("dst").as("src"), col("src").as("dst"), col("w")))
+          .repartition(col("src"))
           .groupBy(col("src"), col("dst")).agg(sum(col("w")).as("w"))
     })
-      .repartition(col("src"))
       .localCheckpoint()
+    // exact node count (symmetrized: every node appears as a src) for
+    // the broadcast bar — under it, both per-round survivor semi-joins
+    // hash-broadcast `alive` and the edge table is NEVER re-shuffled
+    // (the dst-side semi-join otherwise exchanges the whole edge table
+    // by dst every round — r17, guide §3.1)
+    val n = e.select(col("src")).distinct().count()
     var i = 0
     while (i < rounds) {
       val alive = e.groupBy(col("src").as("node"))
@@ -1098,10 +1172,12 @@ object GraphRank {
         .where(col("deg") >= k)
         .select(col("node"))
       e = e
-        .join(alive.withColumnRenamed("node", "src"), Seq("src"), "semi")
-        .join(alive.withColumnRenamed("node", "dst"), Seq("dst"), "semi")
+        .join(hintNodeSide(alive.withColumnRenamed("node", "src"), n),
+          Seq("src"), "semi")
+        .join(hintNodeSide(alive.withColumnRenamed("node", "dst"), n),
+          Seq("dst"), "semi")
         .select(col("src"), col("dst"), col("w"))
-        .localCheckpoint()
+        .localCheckpoint(false) // lazy lineage truncation (r17, see biasedRank)
       i += 1
     }
     val deg = e.groupBy(col("src").as("node")).agg(sum(col("w")).as("degree"))
@@ -1171,10 +1247,13 @@ object GraphRank {
       .localCheckpoint()
     val nodes = eNew.select(col("src").as("node"))
       .union(eNew.select(col("dst").as("node"))).distinct()
+      .localCheckpoint()
     val seedSet = seeds.select(col(seeds.columns.head).cast("long").as("node"))
       .where(col("node").isNotNull).distinct()
       .join(nodes, Seq("node"), "semi") // seeds outside the graph drop
-    expandRings(seedSet, eNew, maxHops)
+    // every ring is bounded by the node count — the exact broadcast bar
+    // for the per-hop ring joins (r17, guide §3.1)
+    expandRings(seedSet, eNew, maxHops, nHint = nodes.count())
   }
 
   /** Shared bounded ring expansion: `frontier0` at hop 0, then `hops`
@@ -1182,16 +1261,18 @@ object GraphRank {
     * per round. Used by [[staleFrontier]] and [[hopDistances]].
     */
   private def expandRings(frontier0: DataFrame, eNew: DataFrame,
-                          hops: Int): DataFrame = {
+                          hops: Int, nHint: Long = Long.MaxValue): DataFrame = {
     var frontier = frontier0.withColumn("hop", lit(0L)).localCheckpoint()
     var i = 1
     while (i <= hops) {
-      val ring = frontier.where(col("hop") === (i - 1))
+      // the ring is node-bounded — broadcast under the bar so the
+      // src-keyed edge table never re-sorts/moves (r17, guide §3.1)
+      val ring = hintNodeSide(frontier.where(col("hop") === (i - 1)), nHint)
       val next = eNew.join(ring, eNew("src") === ring("node"))
         .select(eNew("dst").as("node"), lit(i.toLong).as("hop"))
       frontier = frontier.unionByName(next)
         .groupBy(col("node")).agg(min(col("hop")).as("hop"))
-        .localCheckpoint()
+        .localCheckpoint(false) // lazy lineage truncation (r17, see biasedRank)
       i += 1
     }
     frontier
@@ -1222,20 +1303,25 @@ object GraphRank {
     val raw = edges
       .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
       .where(col("src").isNotNull && col("dst").isNotNull)
+    // ONE exchange (r17, guide §2.4): partition by src first — it
+    // clusters (src, dst), so the dedup runs on the same layout
     val e = raw.union(raw.select(col("dst").as("src"), col("src").as("dst")))
-      .distinct()
       .repartition(col("src"))
+      .dropDuplicates("src", "dst")
       .localCheckpoint()
     var lab = e.select(col("src").as("node")).distinct()
       .withColumn("comp", col("node"))
       .localCheckpoint()
+    // exact node count for the broadcast bar (r17, guide §3.1)
+    val n = lab.count()
     var i = 0
     while (i < rounds) {
-      lab = e.join(lab, e("src") === lab("node"))
+      val lh = hintNodeSide(lab, n)
+      lab = e.join(lh, e("src") === lh("node"))
         .select(e("dst").as("node"), col("comp"))
         .unionByName(lab.select(col("node"), col("comp")))
         .groupBy(col("node")).agg(min(col("comp")).as("comp"))
-        .localCheckpoint()
+        .localCheckpoint(false) // lazy lineage truncation (r17, see biasedRank)
       i += 1
     }
     // converged ⇔ every edge's endpoints agree — 1-row broadcast flag
@@ -1357,6 +1443,10 @@ object GraphRank {
       .union(eNew.join(changed.select(col("src")).distinct(), Seq("src"), "semi")
         .select(col("dst").as("node")))
       .distinct()
-    expandRings(dirty0, eNew, hops)
+    // every ring is bounded by the new graph's node count — the exact
+    // broadcast bar for the per-hop ring joins (r17, guide §3.1)
+    val nHint = eNew.select(col("src").as("node"))
+      .union(eNew.select(col("dst").as("node"))).distinct().count()
+    expandRings(dirty0, eNew, hops, nHint = nHint)
   }
 }

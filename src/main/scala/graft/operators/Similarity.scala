@@ -1356,23 +1356,31 @@ object Similarity {
     // second clause bounds n·M update SUMS that do not exist here,
     // and would fail loudly on very large corpora whose envelope
     // arithmetic is perfectly exact.
-    val q = quantized(df, scale, idCol, vecCol).localCheckpoint()
-    val bounds = q.agg(
-      max(array_max(transform(col("xd"), x => abs(x)))).as("m"),
-      max(size(col("xd"))).as("dim")).head()
-    if (!bounds.isNullAt(0)) {
-      val (m, dim) = (bounds.getDouble(0), bounds.getInt(1))
+    // ONE aggregate job (r17, guide §1.2 — this ran per boundary as a
+    // checkpoint + a bounds aggregate + a min/max aggregate, three jobs
+    // for one delta-sized statistic): the exactness bound and the
+    // envelope are computed in the same pass, and the bound is CHECKED
+    // before the envelope values are trusted — a violating row makes
+    // the require throw and the (garbage) n2 extremes are never used,
+    // the same fail-loud contract as the three-job shape.
+    val r = quantized(df, scale, idCol, vecCol)
+      .select(col("xd"),
+        aggregate(col("xd"), lit(0.0d), (acc, x) => acc + x * x)
+          .cast("long").as("n2"))
+      .agg(
+        max(array_max(transform(col("xd"), x => abs(x)))).as("m"),
+        max(size(col("xd"))).as("dim"),
+        min(col("n2")).as("minN2"), max(col("n2")).as("maxN2")).head()
+    if (r.isNullAt(0)) None
+    else {
+      val (m, dim) = (r.getDouble(0), r.getInt(1))
       require(m * m * math.max(dim, 1) < math.pow(2, 53),
         f"normEnvelope: quantized magnitude $m%.0f at dim=$dim " +
           f"(scale=$scale) overflows the 2^53-exact per-row Σx² — " +
           "the envelope would silently stop being integer " +
           "arithmetic; lower the scale")
+      Some((r.getLong(2), r.getLong(3)))
     }
-    val n2 = q
-      .select(aggregate(col("xd"), lit(0.0d), (acc, x) => acc + x * x)
-        .cast("long").as("n2"))
-    val r = n2.agg(min(col("n2")), max(col("n2"))).head()
-    if (r.isNullAt(0)) None else Some((r.getLong(0), r.getLong(1)))
   }
 
   /** IVF list-skew rebalance (gate s30): split every overloaded

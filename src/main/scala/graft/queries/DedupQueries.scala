@@ -557,8 +557,10 @@ object DedupQueries {
     "d13_sql_minhash" -> QueryDef(
       (s, d) => {
         graft.plans.GraftExtensions.register(s)
-        Tables.documents(s, d).createOrReplaceTempView("documents_sql")
-        s.sql(sqlMinhashSparkSql)
+        val docs = Tables.documents(s, d)
+        docs.createOrReplaceTempView("documents_sql")
+        s.sql(sqlMinhashSparkSql(spread =
+          docs.rdd.getNumPartitions < s.sparkContext.defaultParallelism))
       },
       Some(minhashLshOracle(k = 32, bands = 8, dfCap = 0))),
 
@@ -741,12 +743,20 @@ object DedupQueries {
     * → bucket cap → candidate pairs → exact Jaccard over the uncapped
     * 3-shingle sets, semi-joined to candidates.
     */
-  private val sqlMinhashSparkSql: String = {
+  private def sqlMinhashSparkSql(spread: Boolean): String = {
     val md5_64 = (e: String) =>
       s"CAST(conv(substring(md5(CAST($e AS BINARY)), 1, 15), 16, 10) AS BIGINT)"
+    // `spread` (r17, guide §2.5): when the documents scan is
+    // unsplittable (single file / row group) the signature kernel runs
+    // serially — a no-arg REPARTITION hint (sized by
+    // spark.sql.shuffle.partitions, the caller's cluster knob) spreads
+    // it; the builder only sets it when the scan plans fewer partitions
+    // than the session's cores, so a corpus-scale run never pays a
+    // payload shuffle for parallelism it already has.
+    val hint = if (spread) "/*+ REPARTITION */ " else ""
     s"""
     WITH sigs AS (
-      SELECT doc_id, graft_minhash_sig(text, 3, 32) AS sig FROM documents_sql),
+      SELECT $hint doc_id, graft_minhash_sig(text, 3, 32) AS sig FROM documents_sql),
     banded AS (
       SELECT doc_id, b,
              ${md5_64("concat_ws(',', transform(slice(sig, b * 4 + 1, 4), x -> CAST(x AS STRING)))")} AS bh

@@ -768,6 +768,11 @@ object EventQueries {
           val sigs = s.readStream
             .option("maxFilesPerTrigger", "1") // 4 files → 4 batches
             .schema(schema).parquet(dir.toString)
+            // one file per micro-batch = a one-task scan stage; spread
+            // the signature kernel over the stream's shuffle partitions
+            // (r17, guide §2.5 — the batch is file-sized by the source
+            // contract, so the repartition is batch-sized by design)
+            .repartition(col("doc_id"))
             .select(col("doc_id"),
               graft.operators.Dedup.minhashSigKernel(col("text"), 3, k).as("sig"))
           val bandHashes = array((0 until bands).map(b =>

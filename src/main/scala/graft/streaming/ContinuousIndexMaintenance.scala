@@ -245,6 +245,53 @@ object ContinuousIndexMaintenance {
       }
   }
 
+  /** One delta-sized pass for EVERY per-boundary monitor statistic
+    * (r17, guide §1.2/§3.2): the drift moved-share, the census
+    * landings, and the vacated seats were three separate jobs — a
+    * fresh-kernel⋈state join, a kernel aggregate, and a diff⋈state
+    * join — each shuffling the corpus-sized state table by id. This
+    * computes all three from ONE aggregated collect: the state side is
+    * reduced to the touched ids first with a broadcast LEFT-SEMI join
+    * (the batch's id set is micro-batch-bounded by construction — the
+    * IndexMaintenance "broadcastable touched-id set" contract), so the
+    * state is scanned once and never shuffled, and the collect is
+    * bounded by |statuses| · (nLists+1)² rows, driver-safe at any
+    * corpus scale. Rows: (status, fresh cid or null, stored cid or
+    * null, count).
+    */
+  private def monitorStats(diff: DataFrame, enc: DataFrame,
+      base: DataFrame): Array[(String, Long, Long, Long)] = {
+    val touchedOld = base
+      .select(col("id"), col("cid").cast("long").as("__old"))
+      .join(broadcast(diff.select(col("id"))), Seq("id"), "left_semi")
+    diff
+      .join(enc.select(col("id"), col("cid").cast("long").as("__new")),
+        Seq("id"), "left")
+      .join(touchedOld, Seq("id"), "left")
+      .groupBy(col("status"), col("__new"), col("__old"))
+      .agg(count(lit(1)).as("__n")).collect()
+      .map(r => (r.getString(0),
+        if (r.isNullAt(1)) Long.MinValue else r.getLong(1),
+        if (r.isNullAt(2)) Long.MinValue else r.getLong(2),
+        r.getLong(3)))
+  }
+
+  /** [[monitorStats]] readers — Long.MinValue encodes "absent". */
+  private def statMoved(st: Array[(String, Long, Long, Long)]): (Long, Long) = {
+    val enc = st.filter { case (s, nw, _, _) =>
+      (s == "added" || s == "changed") && nw != Long.MinValue }
+    (enc.collect { case (_, nw, old, n)
+        if old != Long.MinValue && nw != old => n }.sum,
+      enc.map(_._4).sum)
+  }
+  private def statLanded(st: Array[(String, Long, Long, Long)]): Array[(Long, Long)] =
+    st.filter { case (s, nw, _, _) =>
+        (s == "added" || s == "changed") && nw != Long.MinValue }
+      .groupBy(_._2).view.mapValues(_.map(_._4).sum).toArray
+  private def statVacated(st: Array[(String, Long, Long, Long)]): Array[(Long, Long)] =
+    st.filter(_._3 != Long.MinValue)
+      .groupBy(_._3).view.mapValues(_.map(_._4).sum).toArray
+
   /** Assemble a boundary's delta version: the kernel's upsert rows plus
     * one tombstone per touched id, shaped to the kernel's schema
     * (payload columns null). See [[Lineage.Status]] for why added and
@@ -802,16 +849,12 @@ object ContinuousIndexMaintenance {
       lazy val freshDelta =
         Similarity.assignFixedPoint(docs, cbBase, scale, idCol, vecCol)
           .localCheckpoint()
+      // ONE delta-sized pass feeds the drift moved-share AND the census
+      // landings/vacated seats (r17 — see monitorStats: they were three
+      // separate state-shuffling jobs per boundary)
+      lazy val mstats = monitorStats(diff, freshDelta, assignBase)
       val drifted = markers == 0 && driftPolicy.exists { p =>
-        val r = freshDelta
-          .join(assignBase.select(col("id"), col("cid").as("__old_cid")),
-            Seq("id"), "left")
-          .agg(count(lit(1)).as("n"),
-            sum(when(col("__old_cid").isNotNull &&
-              col("cid") =!= col("__old_cid"), 1L).otherwise(0L))
-              .as("moved")).head()
-        val (nTot, nMoved) =
-          (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+        val (nMoved, nTot) = statMoved(mstats)
         driftStats += DriftStat(batchId, nMoved, nTot)
         p.triggers(nMoved, nTot)
       }
@@ -867,16 +910,12 @@ object ContinuousIndexMaintenance {
           // only scanned to baseline the first boundary of a lineage)
           val base = censusLin.chainBelow(batchId)._1.map(readCensus)
             .getOrElse(censusOf(assignBase))
-          val landed = freshDelta
-            .groupBy(col("cid")).count().collect()
-            .map(r => r.getLong(0) -> r.getLong(1))
-          // every touched id that EXISTS in the state vacates its seat
-          // — any status: the upsert replaces a re-"added" existing row
-          // too, and a status filter here would leave it a phantom seat
-          val vacated = diff
-            .join(assignBase.select(col("id"), col("cid")), Seq("id"))
-            .groupBy(col("cid")).count().collect()
-            .map(r => r.getLong(0) -> r.getLong(1))
+          // landings + vacated seats from the shared monitorStats pass
+          // — every touched id that EXISTS in the state vacates its
+          // seat, any status: the upsert replaces a re-"added" existing
+          // row too, and a status filter would leave it a phantom seat
+          val landed = statLanded(mstats)
+          val vacated = statVacated(mstats)
           val census = (base.toSeq ++ landed ++
             vacated.map { case (c, n) => c -> -n })
             .groupBy(_._1).view.mapValues(_.map(_._2).sum)
@@ -1256,16 +1295,12 @@ object ContinuousIndexMaintenance {
       // compact the corpus in the same pass it trains over (r17). A
       // recovery boundary supersedes it (the recovery retrains BOTH
       // stages anyway, in the new space).
+      // ONE delta-sized pass feeds the drift moved-share AND the census
+      // landings/vacated seats (r17 — see monitorStats: they were three
+      // separate index-shuffling jobs per boundary)
+      lazy val mstats = monitorStats(diff, enc, indexBase)
       val drifted = markers == 0 && !recoverNow && driftPolicy.exists { p =>
-        val r = enc.select(col("id"), col("cid").cast("long").as("cid"))
-          .join(indexBase.select(col("id"),
-            col("cid").cast("long").as("__old_cid")), Seq("id"), "left")
-          .agg(count(lit(1)).as("n"),
-            sum(when(col("__old_cid").isNotNull &&
-              col("cid") =!= col("__old_cid"), 1L).otherwise(0L))
-              .as("moved")).head()
-        val (nTot, nMoved) =
-          (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+        val (nMoved, nTot) = statMoved(mstats)
         driftStats += DriftStat(batchId, nMoved, nTot)
         p.triggers(nMoved, nTot)
       }
@@ -1328,14 +1363,9 @@ object ContinuousIndexMaintenance {
             // baseline a lineage (or re-baseline after a retrain)
             val base = censusLin.chainBelow(batchId)._1.map(readCensus)
               .getOrElse(censusOf(indexBase))
-            val landed = enc
-              .groupBy(col("cid").cast("long").as("cid")).count().collect()
-              .map(r => r.getLong(0) -> r.getLong(1))
-            val vacated = diff
-              .join(indexBase.select(col("id"),
-                col("cid").cast("long").as("cid")), Seq("id"))
-              .groupBy(col("cid")).count().collect()
-              .map(r => r.getLong(0) -> r.getLong(1))
+            // landings + vacated seats from the shared monitorStats pass
+            val landed = statLanded(mstats)
+            val vacated = statVacated(mstats)
             val census = (base.toSeq ++ landed ++
               vacated.map { case (c, n) => c -> -n })
               .groupBy(_._1).view.mapValues(_.map(_._2).sum)
