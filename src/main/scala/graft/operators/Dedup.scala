@@ -185,7 +185,7 @@ object Dedup {
   private[graft] def bandedSigs(df: DataFrame, textCol: String, idCol: String,
                          k: Int, bands: Int, shingleN: Int): DataFrame = {
     val rows = k / bands
-    val s = spreadIfNarrow(df, col(idCol)).select(col(idCol).as("id"),
+    val s = df.select(col(idCol).as("id"),
       minhashSigKernel(col(textCol), shingleN, k).as("sig"))
     val bandHashes = array((0 until bands).map(b =>
       graft.functions.PortableHash.md5_64(concat_ws(",",
@@ -523,10 +523,11 @@ object Dedup {
     * Hamming distances.)
     */
   def simhash(df: DataFrame, textCol: String, idCol: String): DataFrame = {
-    // the 64 per-bit partial sums run map-side in the scan stage —
-    // spread an unsplittable input first (see spreadIfNarrow)
-    val tok = spreadIfNarrow(df, col(idCol))
-      .select(col(idCol).as("id"), explode(split(col(textCol), " ")).as("w"))
+    // measured r17: a spreadIfNarrow here read consistently SLOWER
+    // in-suite (+0.4–0.7 s on d04 across two full bench runs) — the
+    // explode already fans out cheaply and the 64-bit vote aggregate's
+    // map-side combine is not the gate's floor; left unspread.
+    val tok = df.select(col(idCol).as("id"), explode(split(col(textCol), " ")).as("w"))
       .withColumn("h", graft.functions.PortableHash.md5_64(col("w")))
     simhashFromHashes(tok)
   }

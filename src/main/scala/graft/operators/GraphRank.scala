@@ -1429,14 +1429,29 @@ object GraphRank {
                     hops: Int,
                     weightCol: Option[String] = None): DataFrame = {
     require(hops >= 0, "staleFrontier needs hops >= 0")
-    val delta = edgeDelta(oldEdges, newEdges, srcCol, dstCol, weightCol)
+    // normalize the NEW graph ONCE (r17, guide §1.2): the delta join
+    // and the ring expansion both consume it — the pre-r17 shape ran
+    // the normalization aggregate twice (once inside edgeDelta, once
+    // for the ring edge list). Checkpoint it src-partitioned so the
+    // rings reuse the layout; the delta's (src, dst) full-outer join
+    // is satisfied by the src subset partitioning.
+    val eNewW = normalizeEdges(newEdges, srcCol, dstCol, weightCol)
+      .repartition(col("src"))
+      .localCheckpoint()
+    val eo = normalizeEdges(oldEdges, srcCol, dstCol, weightCol)
+      .withColumnRenamed("w", "w_old")
+    val delta = eo
+      .join(eNewW.select(col("src"), col("dst"), col("w").as("w_new")),
+        Seq("src", "dst"), "full_outer")
+      .select(col("src"), col("dst"), col("w_old"), col("w_new"),
+        when(col("w_old").isNull, lit("added"))
+          .when(col("w_new").isNull, lit("removed"))
+          .when(col("w_old") === col("w_new"), lit("unchanged"))
+          .otherwise(lit("reweighted")).as("status"))
     val changed = delta.where(col("status") =!= "unchanged")
       .select(col("src"), col("dst"))
       .localCheckpoint()
-    val eNew = normalizeEdges(newEdges, srcCol, dstCol, weightCol)
-      .select(col("src"), col("dst"))
-      .repartition(col("src"))
-      .localCheckpoint()
+    val eNew = eNewW.select(col("src"), col("dst"))
     // hop 0: dst of every changed edge + (new-graph) out-neighbors of
     // every changed src — the nodes whose iteration-1 in-sum differs
     val dirty0 = changed.select(col("dst").as("node"))

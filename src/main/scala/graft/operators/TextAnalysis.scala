@@ -692,7 +692,11 @@ object TextAnalysis {
     // single-loop histogram kernel: the declarative 64×(filter+size)
     // formulation re-scanned the id array per bucket (19.5 s of the
     // 21.6 s gate at sf0.1); BucketHistogram is bit-identical per row
-    val feats = df.select(
+    // spread an unsplittable input (r17, guide §2.5): the histogram
+    // kernel AND every iteration's 65-column gradient aggregate read
+    // the checkpointed blocks — a one-task scan would leave all of it
+    // serial; no-op when the scan already carries ≥ cores splits
+    val feats = Dedup.spreadIfNarrow(df, col(textCol)).select(
         labelCol.cast("double").as("y"),
         graft.functions.BucketHistogram.of(
           transform(ws, w => pmod(graft.functions.PortableHash.md5_64(w),
@@ -760,7 +764,8 @@ object TextAnalysis {
       : (Array[Long], DataFrame) = {
     val spark = df.sparkSession
     val P = 1000000L
-    val xb = df.select(col(idCol).as("id"), labelCol.cast("long").as("y"),
+    val xb = Dedup.spreadIfNarrow(df, col(idCol))
+      .select(col(idCol).as("id"), labelCol.cast("long").as("y"),
         explode(transform(split(col(textCol), " "),
           w => pmod(graft.functions.PortableHash.md5_64(w),
             lit(buckets.toLong)))).as("j"))
