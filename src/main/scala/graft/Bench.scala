@@ -107,11 +107,12 @@ object Bench {
     val causesJson = retriedNames.map { n =>
       s""""$n":{"slow":${slowCause(n)},"disagree":${disagreeCause(n)}}"""
     }.mkString("{", ",", "}")
+    val cpusDetail = if (cpus.forall(_.isDigit) && cpus.nonEmpty) cpus else "-1"
     try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_DETAIL.json"),
-      s"""{"total":${fmt(total)},"n":${results.size},"sf":"$sfDir","runs":2,"retried":$retried,"retried_queries":$retriedJson,"retried_causes":$causesJson,"failed":$failedJson,"queries":${jsonMap(results)}}
+      s"""{"total":${fmt(total)},"n":${results.size},"sf":"$sfDir","cpus":$cpusDetail,"runs":2,"retried":$retried,"retried_queries":$retriedJson,"retried_causes":$causesJson,"failed":$failedJson,"queries":${jsonMap(results)}}
 """.getBytes("UTF-8"))
     catch { case _: Throwable => () }
-    println(line(total, results, sfDir))
+    println(line(total, results, sfDir, cpus))
     spark.stop()
   }
 
@@ -125,8 +126,16 @@ object Bench {
     * (BenchLineSpec enforces the budget at worst-case widths).
     */
   private[graft] def line(total: Double, results: Seq[(String, Double)],
-                          sfDir: String): String = {
+                          sfDir: String, cpus: String = "32"): String = {
+    // a non-numeric $SPARK_GRAFT_CPUS (local[*] experiments) must not
+    // corrupt the JSON line the harness parses
+    val cpusJson = if (cpus.forall(_.isDigit) && cpus.nonEmpty) cpus else "-1"
     val shown = results.filter { case (k, _) => headline.contains(k) }
-    s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${jsonMap(shown)},"n_queries":${results.size},"sf":"$sfDir","runs":2}"""
+    // "cpus" stamps the honored $SPARK_GRAFT_CPUS on the line itself so
+    // the driver's suspect_cpus_ignored heuristic can verify the core
+    // count instead of inferring it from scaling ratios (r17 verdict #5
+    // — the ≈1 ratios at sf0.1 are the per-job fixed-cost floor, not an
+    // ignored knob)
+    s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${jsonMap(shown)},"n_queries":${results.size},"sf":"$sfDir","cpus":$cpusJson,"runs":2}"""
   }
 }

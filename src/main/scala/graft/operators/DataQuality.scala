@@ -62,11 +62,19 @@ object DataQuality {
     // repartition (just the profiled columns, input-sized) spreads the
     // aggregate; at corpus scale the scan already carries ≥ cores
     // splits and this is a no-op. Aggregate results are partition-
-    // order-independent (exact counts/min/max; avg rounded 6 dp).
+    // independent for the exact statistics (counts, min, max, exact
+    // distinct); avg over doubles is NOT associative, so its 6-dp
+    // rounding is best-effort under re-partitioning — deterministic
+    // for a fixed input and core count, but a different partitioning
+    // could in principle flip the last digit at a rounding boundary
+    // (r17 advice; documented rather than decimal-reworked so the
+    // established oracle arithmetic stays byte-identical).
+    // The width probe is Dedup.planWidth (r18) — no second physical
+    // planning pass on the build path.
     val base = df.select(cols.map(col): _*)
     val target = df.sparkSession.sparkContext.defaultParallelism
     val spread =
-      if (base.rdd.getNumPartitions < target) base.repartition(target)
+      if (Dedup.planWidth(base).exists(_ < target)) base.repartition(target)
       else base
     val row = spread.agg(count(lit(1)).as("__n"), aggs: _*)
     val reports = fields.map { f =>

@@ -29,6 +29,61 @@ object Dedup {
   /** LSH buckets larger than this are dropped before candidate self-joins. */
   val DefaultBucketCap = 1000
 
+  /** Planned scan width WITHOUT a physical-planning pass (r18, r17
+    * verdict #8): the pre-r18 probe (`df.rdd.getNumPartitions`) forced
+    * a full second physical plan per query build — invisible at sf0.1,
+    * but it doubles driver-side planning cost for the affected paths
+    * at 100 TB plan sizes. For file scans this replicates Spark's
+    * split-packing arithmetic (FilePartition.maxSplitBytes + the
+    * greedy desc-size bin packing) over the FileIndex's cached
+    * listing; for checkpointed inputs it reads the EXISTING RDD's
+    * partition count (no planning — the RDD already exists). Any other
+    * leaf shape (local relations, multi-source joins whose output
+    * width is set by the shuffle, not the scan) returns None and the
+    * caller leaves the input alone — the spread sites only ever feed
+    * single-leaf file/RDD inputs, where the estimate is exact for
+    * splittable formats (all graft fixtures are parquet).
+    */
+  private[graft] def planWidth(df: DataFrame): Option[Int] = {
+    import org.apache.spark.sql.execution.LogicalRDD
+    import org.apache.spark.sql.execution.datasources.{FilePartition,
+      HadoopFsRelation, LogicalRelation}
+    val sess = df.sparkSession
+    val leaves = df.queryExecution.analyzed.collectLeaves()
+    // only a single-leaf plan has a scan-determined width — a join or
+    // union's output width is set downstream (shuffle/union arity),
+    // exactly the shapes the pre-r18 probe never fired on
+    if (leaves.size != 1) return None
+    val widths = leaves.map {
+      case lr: LogicalRelation => lr.relation match {
+        case fs: HadoopFsRelation =>
+          val openCost = sess.sessionState.conf.filesOpenCostInBytes
+          val lens = fs.location.listFiles(Nil, Nil)
+            .flatMap(_.files).map(_.getLen).filter(_ > 0L)
+          val split = FilePartition.maxSplitBytes(sess,
+            lens.map(_ + openCost).sum)
+          // Spark's packing: chunk each (splittable) file at the split
+          // size, sort chunks by size desc, close a bin when the next
+          // chunk would overflow it; every chunk charges len + openCost
+          val chunks = lens.flatMap { len =>
+            (0L until len by split).map(off => math.min(split, len - off))
+          }.sortBy(-_)
+          var parts = 0
+          var acc = 0L
+          chunks.foreach { len =>
+            if (parts == 0 || acc + len > split) { parts += 1; acc = 0L }
+            acc += len + openCost
+          }
+          Some(parts)
+        case _ => None
+      }
+      case l: LogicalRDD => Some(l.rdd.getNumPartitions)
+      case _ => None
+    }
+    if (widths.nonEmpty && widths.forall(_.isDefined)) Some(widths.flatten.sum)
+    else None
+  }
+
   /** Unsplittable-input spread (r17, guide §2.5): the per-row hash
     * kernels (minhash signatures, simhash votes, shingle explodes) run
     * in the SCAN stage, so a single-file / single-row-group input caps
@@ -36,11 +91,17 @@ object Dedup {
     * input plans fewer partitions than the session's cores, one
     * id-keyed repartition (deterministic hash partitioning; row set
     * unchanged) spreads the kernel; at corpus scale the scan already
-    * carries ≥ cores splits and this is a no-op.
+    * carries ≥ cores splits and this is a no-op. The width probe is
+    * [[planWidth]] (r18) — no physical-planning pass on the build path.
     */
   private[graft] def spreadIfNarrow(df: DataFrame, key: Column): DataFrame = {
     val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < target) df.repartition(key) else df
+    // explicit width (r18): a keyed repartition WITHOUT a partition
+    // count is AQE-coalescible, and on a tiny-bytes/heavy-kernel input
+    // the advisory size coalesces the spread right back to one task —
+    // the exact shape this rescue exists for. The explicit count is
+    // the session's core knob, not a constant.
+    if (planWidth(df).exists(_ < target)) df.repartition(target, key) else df
   }
 
   /** Word-level n-grams of a text column (NON-distinct; texts shorter
@@ -273,16 +334,25 @@ object Dedup {
                                 k: Int = 32, bands: Int = 8, shingleN: Int = 3,
                                 threshold: Double = 0.8): DataFrame = {
     val exB = index
+    // three verification consumers read the candidate set — cache it
+    // lazily (r18) so the banded join runs once per action, not thrice
     val cands = bandedSigs(batch, textCol, idCol, k, bands, shingleN).as("n")
       .join(exB.as("e"),
         col("n.band") === col("e.band") &&
         col("n.band_hash") === col("e.band_hash"))
       .select(col("n.id").as("id_new"), col("e.id").as("id_existing"))
       .distinct()
-    // exact verify over UNCAPPED distinct shingle sets, candidate docs only
+      .localCheckpoint(false)
+    // exact verify over UNCAPPED distinct shingle sets, candidate docs
+    // only: the semi-join runs BEFORE the shingle explode (r18 — the
+    // pre-r18 shape exploded every document and filtered the rows
+    // after, which re-shingled the WHOLE existing corpus per call; per
+    // micro-batch in q106. Semi-join on id commutes with the per-row
+    // explode, so the row set is identical.)
     def sh(df: DataFrame, keep: DataFrame) = df
-      .select(col(idCol).as("id"), explode(shingles(col(textCol), shingleN)).as("s"))
+      .select(col(idCol).as("id"), col(textCol))
       .join(keep, Seq("id"), "left_semi")
+      .select(col("id"), explode(shingles(col(textCol), shingleN)).as("s"))
     val shNew = sh(batch, cands.select(col("id_new").as("id")))
     val shEx = sh(existing, cands.select(col("id_existing").as("id")))
     val common = cands

@@ -48,31 +48,79 @@ object GraphRank {
     */
   val DefaultUnits: Long = 1000000000L
 
-  /** Driver-scalar max of a Long column on an already-materialized small
-    * aggregate input (0 on an empty table) — used by the loud overflow
-    * guards, never on raw corpus data.
-    */
-  private def maxOf(df: DataFrame, c: String): Long =
-    df.agg(coalesce(max(col(c)), lit(0L))).head.getLong(0)
-
   /** Node-count bar under which the node-sized side of a per-iteration
     * join is broadcast-hinted (r17, guide §3.1): the iterative operators
     * join edge-sized tables (checkpointed each round, so Catalyst has NO
     * size statistics and always falls back to a sort-merge join that
     * re-sorts the edge table every round) against node-sized rank/label
     * tables. The node count is already a driver scalar in the rank
-    * family — one deliberate `count` elsewhere — so the hint is exact,
-    * not an estimate: ≤ 10M narrow rows (a few hundred MB built) hash-
-    * broadcasts and the edge table never moves or sorts again; above the
-    * bar the join stays sort-merge, which survives any node count.
-    * Callers with wide rows (the dense label vectors) scale the bar down
-    * by the row width.
+    * family, so the hint is exact, not an estimate; above the bar the
+    * join stays sort-merge, which survives any node count. Callers with
+    * wide rows (the dense label vectors) scale the bar down by the row
+    * width ([[denseBar]]).
+    *
+    * Sized in BYTES, not just rows (r18, r17-advice): a narrow
+    * (node, 2×long) row is ~24 B of column data, so 2M rows ≈ 48 MB of
+    * collected rows — comfortably under the 1 GB driver.maxResultSize
+    * default even with several rounds' broadcasts resident at once
+    * (lazy per-round checkpointing defers every round's
+    * BroadcastExchange into the one consuming action, so up to
+    * `iterations` built relations can coexist before the ContextCleaner
+    * collects: 5 rounds × ~3× HashedRelation build overhead ≈ 0.7 GB
+    * peak at the bar — bounded. The pre-r18 10M-row bar allowed ~240 MB
+    * collects and multi-GB resident peaks, an OOM shape the r17 advice
+    * flagged). Above 2M nodes the per-round sort-merge join is the
+    * honest scale shape anyway.
     */
-  val BroadcastNodesMax: Long = 10000000L
+  val BroadcastNodesMax: Long = 2000000L
 
   private def hintNodeSide(df: DataFrame, n: Long,
       bar: Long = BroadcastNodesMax): DataFrame =
     if (n <= bar) broadcast(df) else df
+
+  /** [[BroadcastNodesMax]] scaled for rows carrying a length-L Long
+    * vector (~8L+16 B each) instead of the narrow ~24 B row — same
+    * collected-bytes budget, fewer rows.
+    */
+  private def denseBar(l: Int): Long =
+    math.max(1L, BroadcastNodesMax * 24L / (16L + 8L * l.toLong))
+
+  /** The per-iteration edge input every iterative operator here joins
+    * against, built with ONE exchange (r17, guide §2.4): partition by
+    * src FIRST (hash-partitioning by src already clusters (src, dst)),
+    * dedup / parallel-edge-add on that layout, and the out-weight as a
+    * window sum over the same partitioning instead of a separate
+    * aggregate + join-back. Returns (src, dst, w, outw), src-partitioned,
+    * LAZILY checkpointed (r18): the plan is cut to a LogicalRDD but no
+    * job is dispatched — the first consumer (normally the fused scalar
+    * aggregate below) materializes the blocks once and every iteration
+    * reuses them. private[graft] so a caller that already paid this
+    * exchange (the continuous loop's per-boundary graph) can hand the
+    * SAME prepped table to staleFrontier and pageRankResume instead of
+    * re-normalizing per consumer.
+    */
+  private[graft] def prepEdges(edges: DataFrame, srcCol: String,
+      dstCol: String, weightCol: Option[String]): DataFrame =
+    (weightCol match {
+      case None =>
+        edges
+          .select(col(srcCol).cast("long").as("src"),
+            col(dstCol).cast("long").as("dst"))
+          .where(col("src").isNotNull && col("dst").isNotNull)
+          .repartition(col("src"))
+          .dropDuplicates("src", "dst")
+          .withColumn("w", lit(1L))
+      case Some(wc) =>
+        edges
+          .select(col(srcCol).cast("long").as("src"),
+            col(dstCol).cast("long").as("dst"), col(wc).cast("long").as("w"))
+          .where(col("src").isNotNull && col("dst").isNotNull && col("w") > 0)
+          .repartition(col("src"))
+          .groupBy(col("src"), col("dst")).agg(sum(col("w")).as("w"))
+    })
+      .withColumn("outw", sum(col("w")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("src"))))
+      .localCheckpoint(false)
 
   /** Loud enforcement of the documented `a · b < 2⁶³` contracts: Spark's
     * non-ANSI Long sum wraps silently while the DuckDB oracle sums in
@@ -85,25 +133,15 @@ object GraphRank {
         "dividing all weights by a common factor leaves results " +
         "bit-identical, since (k*a) div (k*b) = a div b")
 
-  /** Loud uniqueness contract on resume-state tables: every resume entry
-    * point joins (or full-joins) the supplied state back into the
-    * recurrence, so a DUPLICATED state row would silently multiply its
-    * node's contribution through every remaining iteration — the same
-    * confidently-wrong-number failure mode as a silent Long wrap, and
-    * just as invisible until an oracle mismatch. One aggregate job on the
-    * node-sized state table at the resume seam, matching the
-    * fail-loudly-not-wrap convention of [[requireProductFits]].
-    */
-  private def requireUniqueKeys(df: DataFrame, keys: Seq[String],
-      what: String): Unit = {
-    val dup = df.groupBy(keys.map(col): _*).agg(count(lit(1)).as("__n"))
-      .where(col("__n") > 1)
-    require(dup.isEmpty,
-      s"$what: the supplied state table has duplicate rows per " +
-        s"(${keys.mkString(", ")}) — e.g. ${dup.take(3).mkString("; ")} — " +
-        "which would silently inflate every iteration's sums: aggregate " +
-        "the state to one row per key before resuming")
-  }
+  // Resume-state uniqueness contract: every resume entry point joins
+  // (or full-joins) the supplied state back into the recurrence, so a
+  // DUPLICATED state row would silently multiply its node's
+  // contribution through every remaining iteration — the same
+  // confidently-wrong-number failure mode as a silent Long wrap. Each
+  // resume seam enforces it with a max-duplicate-count aggregate FUSED
+  // into its single scalar job (r18 — the pre-r18 requireUniqueKeys
+  // helper cost one extra job per resume call); duplicate examples are
+  // recomputed on the error path only.
 
   /** Label-propagation worst-case mass bound, checked in BigInt so the
     * guard itself cannot wrap: total live mass is at most
@@ -208,6 +246,20 @@ object GraphRank {
       totalUnits, weightCol, initRanks = Some(ranks),
       seedWeightCol = seedWeightCol)
 
+  /** [[pageRankResume]] on a pre-built (src, dst, w, outw) edge table
+    * (see [[prepEdges]]) — the continuous loop hands the boundary's ONE
+    * prepped graph to the frontier measurement AND the resume instead
+    * of paying the normalization exchange twice per boundary (r18).
+    * Weighted semantics: `w` is the already-summed parallel-edge weight.
+    */
+  private[graft] def pageRankResumePrepped(prepped: DataFrame,
+                     ranks: DataFrame, iterations: Int,
+                     dampNum: Long = 85, dampDen: Long = 100,
+                     totalUnits: Long = DefaultUnits): DataFrame =
+    biasedRank(prepped, "src", "dst", None, iterations, dampNum, dampDen,
+      totalUnits, weightCol = Some("w"), initRanks = Some(ranks),
+      prepped = Some(prepped))
+
   private def biasedRank(edges: DataFrame, srcCol: String, dstCol: String,
                seedsOpt: Option[DataFrame],
                iterations: Int,
@@ -215,54 +267,16 @@ object GraphRank {
                totalUnits: Long,
                weightCol: Option[String] = None,
                initRanks: Option[DataFrame] = None,
-               seedWeightCol: Option[String] = None): DataFrame = {
+               seedWeightCol: Option[String] = None,
+               prepped: Option[DataFrame] = None): DataFrame = {
     require(iterations >= 1 && dampNum >= 0 && dampNum <= dampDen)
-    // dedup + materialize the edge lineage exactly once; repartition by
-    // src so each iteration's rank join reuses the layout. Weighted
-    // edges: integer weights, parallel edges ADD (the link-count
-    // semantics); contribution becomes (r*w) div W_src. The
-    // totalUnits*maxWeight < 2^63 contract is ENFORCED below (scale
+    // (src, dst, w, outw), src-partitioned, lazily checkpointed — see
+    // prepEdges. Weighted edges: integer weights, parallel edges ADD
+    // (the link-count semantics); contribution becomes (r*w) div W_src.
+    // The totalUnits*maxWeight < 2^63 contract is ENFORCED below (scale
     // weights down, not up — scaling ALL weights by a common factor
     // provably leaves ranks bit-identical, since (k*a) div (k*b) = a div b).
-    // ONE exchange builds the whole per-iteration join input (r17,
-    // guide §2.4): hash-partitioning by src alone already clusters
-    // (src, dst), so the dedup/parallel-edge aggregate AND the
-    // out-weight window both run on the repartitioned layout with no
-    // further shuffle — the pre-r17 shape (distinct's own exchange, a
-    // checkpoint, a groupBy+join for outw, a second checkpoint)
-    // shuffled and materialized the edge table twice.
-    val e0 = (weightCol match {
-      case None =>
-        edges
-          .select(col(srcCol).cast("long").as("src"),
-            col(dstCol).cast("long").as("dst"))
-          .where(col("src").isNotNull && col("dst").isNotNull)
-          .repartition(col("src"))
-          .dropDuplicates("src", "dst")
-          .withColumn("w", lit(1L))
-      case Some(wc) =>
-        edges
-          .select(col(srcCol).cast("long").as("src"),
-            col(dstCol).cast("long").as("dst"), col(wc).cast("long").as("w"))
-          .where(col("src").isNotNull && col("dst").isNotNull && col("w") > 0)
-          .repartition(col("src"))
-          .groupBy(col("src"), col("dst")).agg(sum(col("w")).as("w"))
-    })
-    // (src, dst, w, outw): the out-weight is a window sum over the src
-    // partitioning instead of a separate aggregate + join-back
-    val eo = e0
-      .withColumn("outw", sum(col("w")).over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col("src"))))
-      .localCheckpoint()
-    // loud overflow guard: the per-edge product r*w is bounded by
-    // totalUnits*max(w); a silent Long wrap would produce confidently
-    // wrong ranks (Spark's non-ANSI sum wraps where DuckDB's HUGEINT
-    // doesn't, so the failure would surface as a confusing hash
-    // mismatch). One max() aggregate on the already-materialized edge
-    // table — weighted path only, since unweighted w = 1 cannot wrap.
-    if (weightCol.isDefined) requireProductFits(
-      maxOf(eo, "w"), totalUnits,
-      "pageRank/trustRank: totalUnits * max(edge weight)")
+    val eo = prepped.getOrElse(prepEdges(edges, srcCol, dstCol, weightCol))
     val bare = eo.select(col("src").as("node"))
       .union(eo.select(col("dst").as("node")))
       .distinct()
@@ -286,13 +300,55 @@ object GraphRank {
         })
         bare.join(seedTw, Seq("node"), "left")
           .select(col("node"), coalesce(col("tw"), lit(0L)).as("tw"))
-    }).localCheckpoint()
-    // driver scalars: node count + total teleport weight in ONE
-    // aggregate job over the checkpointed node table (r17 — they were
-    // two separate actions)
-    val nrow = nodes.agg(count(lit(1)).as("n"),
-      coalesce(sum(col("tw")), lit(0L)).as("t")).head()
-    val (n, twTotal) = (nrow.getLong(0), nrow.getLong(1))
+    }).localCheckpoint(false)
+    // the resume state, normalized before the scalar job so its
+    // duplicate-key guard rides the same action
+    val initOpt = initRanks.map(_.select(col("node").cast("long").as("node"),
+      col("rank_units").cast("long").as("__init")))
+    // EVERY driver scalar in ONE action (r18, guide §1.2): node count +
+    // teleport total + max seed weight over the node table, the
+    // weighted path's max edge weight, and the resume path's worst
+    // duplicate-key count — crossJoins of 1-row aggregates, so one job
+    // materializes the lazy edge/node checkpoints AND gathers the
+    // guards' inputs (the pre-r18 shape dispatched up to five separate
+    // jobs here: two eager checkpoint materializations plus one job per
+    // guard aggregate).
+    var scalars = nodes.agg(count(lit(1)).as("__n"),
+      coalesce(sum(col("tw")), lit(0L)).as("__t"),
+      coalesce(max(col("tw")), lit(0L)).as("__maxtw"))
+      .crossJoin(if (weightCol.isDefined)
+          eo.agg(coalesce(max(col("w")), lit(0L)).as("__maxw"))
+        else eo.sparkSession.range(1).select(lit(1L).as("__maxw")))
+    initOpt.foreach { init =>
+      scalars = scalars.crossJoin(init.groupBy(col("node"))
+        .agg(count(lit(1)).as("__c"))
+        .agg(coalesce(max(col("__c")), lit(0L)).as("__dup")))
+    }
+    val srow = scalars.head()
+    val (n, twTotal, maxTw, maxW) =
+      (srow.getLong(0), srow.getLong(1), srow.getLong(2), srow.getLong(3))
+    // loud resume-state uniqueness contract (see the class-level note):
+    // a duplicated state row would silently multiply its node's
+    // contribution through every remaining iteration. Examples are
+    // recomputed on the error path only.
+    initOpt.foreach { init =>
+      if (srow.getLong(4) > 1L) {
+        val dup = init.groupBy(col("node")).agg(count(lit(1)).as("__c"))
+          .where(col("__c") > 1)
+        require(false,
+          "pageRankResume: the supplied state table has duplicate rows " +
+            s"per (node) — e.g. ${dup.take(3).mkString("; ")} — which " +
+            "would silently inflate every iteration's sums: aggregate " +
+            "the state to one row per key before resuming")
+      }
+    }
+    // loud overflow guard: the per-edge product r*w is bounded by
+    // totalUnits*max(w); a silent Long wrap would produce confidently
+    // wrong ranks (Spark's non-ANSI sum wraps where DuckDB's HUGEINT
+    // doesn't, so the failure would surface as a confusing hash
+    // mismatch). Weighted path only — unweighted w = 1 cannot wrap.
+    if (weightCol.isDefined) requireProductFits(
+      maxW, totalUnits, "pageRank/trustRank: totalUnits * max(edge weight)")
     require(n > 0, "rank on an empty edge list")
     require(twTotal > 0, "trustRank with no seed present in the graph")
     // weighted-teleport overflow guard: the per-node base numerator is
@@ -300,7 +356,6 @@ object GraphRank {
     // itself cannot wrap (the unweighted max(tw) = 1 case is the
     // already-safe classic bound)
     if (seedWeightCol.isDefined) {
-      val maxTw = maxOf(nodes, "tw")
       require(BigInt(dampDen - dampNum) * BigInt(totalUnits) * BigInt(maxTw)
           <= BigInt(Long.MaxValue),
         s"trustRank: (dampDen-dampNum) * totalUnits * max(seed weight) = " +
@@ -331,15 +386,13 @@ object GraphRank {
     val baseCol = expr(
       s"(${dampDen - dampNum}L * ${totalUnits}L * tw) div (${dampDen}L * ${twTotal}L)")
 
-    var ranks = initRanks match {
+    var ranks = initOpt match {
       case None =>
         nodes.withColumn("r", r0Col)
-      case Some(ir) =>
+      case Some(init) =>
         // warm start: provided ranks win; nodes absent from the table
-        // (new to the graph) cold-start at the teleport value
-        val init = ir.select(col("node").cast("long").as("node"),
-          col("rank_units").cast("long").as("__init"))
-        requireUniqueKeys(init, Seq("node"), "pageRankResume")
+        // (new to the graph) cold-start at the teleport value.
+        // Uniqueness was enforced by the fused scalar job above.
         nodes.join(init, Seq("node"), "left")
           .select(col("node"), col("tw"),
             coalesce(col("__init"), r0Col).as("r"))
@@ -472,30 +525,9 @@ object GraphRank {
     // ever exist and the result would be silently empty — fail loudly
     require(alphaNum < alphaDen,
       "alphaNum must be < alphaDen: the (alphaDen-alphaNum) share is the seed clamp mass")
-    // ONE exchange builds the per-iteration join input (r17, guide
-    // §2.4) — the biasedRank edge-prep shape: partition by src, dedup /
-    // parallel-edge-add on the same layout, out-weight as a window sum
-    val e0 = (weightCol match {
-      case None =>
-        edges
-          .select(col(srcCol).cast("long").as("src"),
-            col(dstCol).cast("long").as("dst"))
-          .where(col("src").isNotNull && col("dst").isNotNull)
-          .repartition(col("src"))
-          .dropDuplicates("src", "dst")
-          .withColumn("w", lit(1L))
-      case Some(wc) =>
-        edges
-          .select(col(srcCol).cast("long").as("src"),
-            col(dstCol).cast("long").as("dst"), col(wc).cast("long").as("w"))
-          .where(col("src").isNotNull && col("dst").isNotNull && col("w") > 0)
-          .repartition(col("src"))
-          .groupBy(col("src"), col("dst")).agg(sum(col("w")).as("w"))
-    })
-    val eo = e0
-      .withColumn("outw", sum(col("w")).over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col("src"))))
-      .localCheckpoint()
+    // (src, dst, w, outw), src-partitioned, lazily checkpointed (r18,
+    // see prepEdges — the shared biasedRank edge-prep shape)
+    val eo = prepEdges(edges, srcCol, dstCol, weightCol)
     // clamp table: the (1-alpha) share of a seed's unit mass, on its label
     val clampUnits = ((alphaDen - alphaNum) * unitsPerSeed) / alphaDen
     val clamp = seeds
@@ -504,26 +536,66 @@ object GraphRank {
       .where(col("node").isNotNull && col("label").isNotNull)
       .distinct()
       .withColumn("clamp", lit(clampUnits))
-      .localCheckpoint()
-    // loud overflow guard (see requireLabelMassFits): one count on the
-    // checkpointed clamp table + (weighted only) one max on the edges
-    requireLabelMassFits(clamp.count(), clampUnits, alphaNum, alphaDen,
-      if (weightCol.isDefined) maxOf(eo, "w") else 1L, "labelPropagation")
-
-    var mass = initMasses match {
-      case None => clamp.select(col("node"), col("label"), col("clamp").as("mass"))
-      case Some(m) => // warm start: the provided table IS the state
-        val st = m.select(col("node").cast("long").as("node"),
-          col("label").cast("long").as("label"),
-          col("mass").cast("long").as("mass"))
-          .where(col("mass") > 0)
-          .localCheckpoint()
-        requireUniqueKeys(st, Seq("node", "label"), "labelPropagationResume")
-        st
+      .localCheckpoint(false)
+    val stOpt = initMasses.map(m => // warm start: the provided table IS the state
+      m.select(col("node").cast("long").as("node"),
+        col("label").cast("long").as("label"),
+        col("mass").cast("long").as("mass"))
+        .where(col("mass") > 0)
+        .localCheckpoint(false))
+    // EVERY driver scalar in ONE action (r18, the biasedRank shape):
+    // seed-pair count + live label universe, the graph's node count
+    // (prices the per-round broadcast below), the weighted path's max
+    // edge weight, and the resume path's worst duplicate-key count —
+    // one job materializes the lazy checkpoints and feeds every guard.
+    var scalars = clamp.agg(count(lit(1)).as("__seeds"),
+        count_distinct(col("label")).as("__labels"))
+      .crossJoin(eo.select(col("src").as("node"))
+        .union(eo.select(col("dst").as("node")))
+        .distinct().agg(count(lit(1)).as("__nodes")))
+      .crossJoin(if (weightCol.isDefined)
+          eo.agg(coalesce(max(col("w")), lit(0L)).as("__maxw"))
+        else edges.sparkSession.range(1).select(lit(1L).as("__maxw")))
+    stOpt.foreach { st =>
+      scalars = scalars.crossJoin(st.groupBy(col("node"), col("label"))
+        .agg(count(lit(1)).as("__c"))
+        .agg(coalesce(max(col("__c")), lit(0L)).as("__dup")))
     }
+    val srow = scalars.head()
+    val (seedPairs, labelUniverse, nNodes, maxW) =
+      (srow.getLong(0), srow.getLong(1), srow.getLong(2), srow.getLong(3))
+    stOpt.foreach { st =>
+      if (srow.getLong(4) > 1L) {
+        val dup = st.groupBy(col("node"), col("label"))
+          .agg(count(lit(1)).as("__c")).where(col("__c") > 1)
+        require(false,
+          "labelPropagationResume: the supplied state table has duplicate " +
+            s"rows per (node, label) — e.g. ${dup.take(3).mkString("; ")} — " +
+            "which would silently inflate every iteration's sums: " +
+            "aggregate the state to one row per key before resuming")
+      }
+    }
+    // loud overflow guard (see requireLabelMassFits)
+    requireLabelMassFits(seedPairs, clampUnits, alphaNum, alphaDen,
+      if (weightCol.isDefined) maxW else 1L, "labelPropagation")
+    // per-round broadcast bar (r18, guide §3.1 — the r17 rank treatment
+    // applied to the label family, which was left sort-merge): the mass
+    // table is bounded by nodes × live-labels-per-node rows (the label
+    // universe is CLOSED — clamp is the only label source — and the
+    // beam caps it further), an exact bound from the scalar job above.
+    // Under the bar the src-partitioned edge table is never re-sorted
+    // or re-shuffled in any round; above it sort-merge survives any size.
+    val liveLabels = math.max(1L,
+      maxLabelsPerNode.fold(labelUniverse)(l => math.min(labelUniverse, l.toLong)))
+    val massBroadcastable =
+      BigInt(nNodes) * BigInt(liveLabels) <= BigInt(BroadcastNodesMax)
+
+    var mass = stOpt.getOrElse(
+      clamp.select(col("node"), col("label"), col("clamp").as("mass")))
     var i = 0
     while (i < iterations) {
-      val in = eo.join(mass, eo("src") === mass("node"))
+      val mh = if (massBroadcastable) broadcast(mass) else mass
+      val in = eo.join(mh, eo("src") === mh("node"))
         .select(col("dst"), col("label"), expr("mass * w div outw").as("c"))
         .groupBy(col("dst").as("node"), col("label"))
         .agg(sum(col("c")).as("insum")) // Long sum: order-free
@@ -535,6 +607,16 @@ object GraphRank {
         .where(col("mass") > 0) // keep the table sparse
       mass = (maxLabelsPerNode match {
         case None => updated
+        case Some(1) =>
+          // the argmax beam is a hash aggregation, not a window sort
+          // (r18, guide §2.3): min over struct(-mass, label) encodes the
+          // (mass DESC, label ASC) tie-break — mass > 0, so the negation
+          // cannot overflow — and reconstructs the identical winner row
+          updated.groupBy(col("node"))
+            .agg(min(struct((-col("mass")).as("__nm"),
+              col("label").as("label"))).as("__t"))
+            .select(col("node"), col("__t.label").as("label"),
+              (-col("__t.__nm")).as("mass"))
         case Some(l) => // beam cut: deterministic, replayable window
           val wTop = org.apache.spark.sql.expressions.Window
             .partitionBy(col("node")).orderBy(col("mass").desc, col("label").asc)
@@ -550,17 +632,20 @@ object GraphRank {
     * node (mass DESC, label ASC) + the per-node label count — shared by
     * every label-propagation entry point.
     */
-  private def labelArgmax(mass: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(col("node"))
-      .orderBy(col("mass").desc, col("label").asc)
-    mass
-      .withColumn("n_labels", count(lit(1)).over(Window.partitionBy(col("node"))))
-      .withColumn("__rn", row_number().over(w))
-      .where(col("__rn") === 1)
-      .select(col("node"), col("label"), col("mass").as("mass_units"),
-        col("n_labels"))
-  }
+  private def labelArgmax(mass: DataFrame): DataFrame =
+    // ONE hash aggregation replaces the pre-r18 two window passes (a
+    // per-node sort + a second windowed count over the same partition):
+    // min over struct(-mass, label) encodes the (mass DESC, label ASC)
+    // tie-break exactly — mass > 0 by the sparse-table contract, so the
+    // negation cannot overflow — and the winner row is reconstructed
+    // from the struct (guide §2.3: hash-agg beats sort-agg; same
+    // deterministic result, no Sort in the plan)
+    mass.groupBy(col("node"))
+      .agg(min(struct((-col("mass")).as("__nm"),
+          col("label").as("label"))).as("__t"),
+        count(lit(1)).as("n_labels"))
+      .select(col("node"), col("__t.label").as("label"),
+        (-col("__t.__nm")).as("mass_units"), col("n_labels"))
 
   /** A label universe at or under this size runs the dense vector path
     * — small enough that the L per-slot codegen'd sums stay cheap and a
@@ -707,30 +792,9 @@ object GraphRank {
     val L = labels.size
     val labelArr = array(labels.map(lit): _*)
 
-    // ONE exchange builds the per-iteration join input (r17, guide
-    // §2.4) — the biasedRank edge-prep shape: partition by src, dedup /
-    // parallel-edge-add on the same layout, out-weight as a window sum
-    val e0 = (weightCol match {
-      case None =>
-        edges
-          .select(col(srcCol).cast("long").as("src"),
-            col(dstCol).cast("long").as("dst"))
-          .where(col("src").isNotNull && col("dst").isNotNull)
-          .repartition(col("src"))
-          .dropDuplicates("src", "dst")
-          .withColumn("w", lit(1L))
-      case Some(wc) =>
-        edges
-          .select(col(srcCol).cast("long").as("src"),
-            col(dstCol).cast("long").as("dst"), col(wc).cast("long").as("w"))
-          .where(col("src").isNotNull && col("dst").isNotNull && col("w") > 0)
-          .repartition(col("src"))
-          .groupBy(col("src"), col("dst")).agg(sum(col("w")).as("w"))
-    })
-    val eo = e0
-      .withColumn("outw", sum(col("w")).over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col("src"))))
-      .localCheckpoint()
+    // (src, dst, w, outw), src-partitioned, lazily checkpointed (r18,
+    // see prepEdges — the shared biasedRank edge-prep shape)
+    val eo = prepEdges(edges, srcCol, dstCol, weightCol)
 
     val clampUnits = ((alphaDen - alphaNum) * unitsPerSeed) / alphaDen
     val seedRows = seeds
@@ -738,49 +802,97 @@ object GraphRank {
         col(seedLabelCol).cast("long").as("label"))
       .where(col("node").isNotNull && col("label").isNotNull)
       .distinct()
-    val offUniverse = seedRows.filter(!col("label").isin(labels: _*))
-    require(offUniverse.isEmpty,
-      s"seed labels outside the declared universe: ${offUniverse.take(5).mkString(", ")}")
     // dense clamp vector per seed node: clampUnits at each seed label's slot
     val clamp = seedRows
       .groupBy(col("node"))
       .agg(array((0 until L).map(i =>
         max(when(col("label") === lit(labels(i)), lit(clampUnits))
           .otherwise(lit(0L)))): _*).as("cv"))
-      .localCheckpoint()
-    // same loud overflow guard as the sparse path: a seed node clamps at
-    // most L slots, so seed PAIRS ≤ clamp rows · L bounds the mass total
-    requireLabelMassFits(clamp.count() * L, clampUnits, alphaNum, alphaDen,
-      if (weightCol.isDefined) maxOf(eo, "w") else 1L, "labelPropagationDense")
-
-    var mass = initMasses match {
-      case None => clamp.select(col("node"), col("cv").as("m"))
-      case Some(m0) =>
-        // warm start from the persisted SPARSE state: load each node's
-        // rows into its length-L vector (absent slot ≡ pruned sparse row
-        // ≡ 0 — the same identity the cold-path equivalence rests on)
-        val st = m0.select(col("node").cast("long").as("node"),
-          col("label").cast("long").as("label"),
-          col("mass").cast("long").as("mass"))
-          .where(col("mass") > 0)
-          .localCheckpoint()
-        requireUniqueKeys(st, Seq("node", "label"), "labelPropagationDense resume")
+      .localCheckpoint(false)
+    val stOpt = initMasses.map(m0 =>
+      // warm start from the persisted SPARSE state (loaded into the
+      // length-L vectors below once the guards pass)
+      m0.select(col("node").cast("long").as("node"),
+        col("label").cast("long").as("label"),
+        col("mass").cast("long").as("mass"))
+        .where(col("mass") > 0)
+        .localCheckpoint(false))
+    // EVERY driver scalar in ONE action (r18, the biasedRank shape):
+    // clamp rows + off-universe seed count, node count (prices the
+    // per-round broadcast), weighted max edge weight, and the resume
+    // path's duplicate-key/off-universe counts
+    var scalars = seedRows.agg(count(lit(1)).as("__pairs"),
+        coalesce(sum(when(!col("label").isin(labels: _*), 1L)
+          .otherwise(0L)), lit(0L)).as("__off"))
+      .crossJoin(clamp.agg(count(lit(1)).as("__clamps")))
+      .crossJoin(eo.select(col("src").as("node"))
+        .union(eo.select(col("dst").as("node")))
+        .distinct().agg(count(lit(1)).as("__nodes")))
+      .crossJoin(if (weightCol.isDefined)
+          eo.agg(coalesce(max(col("w")), lit(0L)).as("__maxw"))
+        else edges.sparkSession.range(1).select(lit(1L).as("__maxw")))
+    stOpt.foreach { st =>
+      scalars = scalars.crossJoin(st
+        .groupBy(col("node"), col("label")).agg(count(lit(1)).as("__c"))
+        .agg(coalesce(max(col("__c")), lit(0L)).as("__dup"),
+          coalesce(sum(when(!col("label").isin(labels: _*), 1L)
+            .otherwise(0L)), lit(0L)).as("__offst")))
+    }
+    val srow = scalars.head()
+    val (offSeeds, clampRows, nNodes, maxW) =
+      (srow.getLong(1), srow.getLong(2), srow.getLong(3), srow.getLong(4))
+    if (offSeeds > 0) {
+      val offUniverse = seedRows.filter(!col("label").isin(labels: _*))
+      require(false,
+        s"seed labels outside the declared universe: ${offUniverse.take(5).mkString(", ")}")
+    }
+    stOpt.foreach { st =>
+      if (srow.getLong(5) > 1L) {
+        val dup = st.groupBy(col("node"), col("label"))
+          .agg(count(lit(1)).as("__c")).where(col("__c") > 1)
+        require(false,
+          "labelPropagationDense resume: the supplied state table has " +
+            s"duplicate rows per (node, label) — e.g. " +
+            s"${dup.take(3).mkString("; ")} — which would silently inflate " +
+            "every iteration's sums: aggregate the state to one row per " +
+            "key before resuming")
+      }
+      if (srow.getLong(6) > 0L) {
         val offState = st.filter(!col("label").isin(labels: _*))
-        require(offState.isEmpty,
+        require(false,
           "labelPropagationDense resume: state labels outside the declared " +
             s"universe: ${offState.take(5).mkString(", ")} — the clamped " +
             "recurrence cannot produce them, so the state was built with " +
             "DIFFERENT seeds and resuming it here would be wrong")
+      }
+    }
+    // same loud overflow guard as the sparse path: a seed node clamps at
+    // most L slots, so seed PAIRS ≤ clamp rows · L bounds the mass total
+    requireLabelMassFits(clampRows * L, clampUnits, alphaNum, alphaDen,
+      if (weightCol.isDefined) maxW else 1L, "labelPropagationDense")
+    // per-round broadcast bar (r18, guide §3.1): the dense mass table is
+    // ≤ one row per node, each carrying a length-L Long vector — the bar
+    // scales down by the row width (see denseBar); above it the
+    // per-round join stays sort-merge
+    val massBroadcastable = nNodes <= denseBar(L)
+
+    var mass = stOpt match {
+      case None => clamp.select(col("node"), col("cv").as("m"))
+      case Some(st) =>
+        // load each node's sparse rows into its length-L vector (absent
+        // slot ≡ pruned sparse row ≡ 0 — the same identity the
+        // cold-path equivalence rests on)
         st.groupBy(col("node"))
           .agg(array((0 until L).map(i =>
             max(when(col("label") === lit(labels(i)), col("mass"))
               .otherwise(lit(0L)))): _*).as("m"))
-          .localCheckpoint()
+          .localCheckpoint(false)
     }
     var i = 0
     while (i < iterations) {
       // ONE row per (edge × mass-carrying src): the dense win
-      val contrib = eo.join(mass, eo("src") === mass("node"))
+      val mh = if (massBroadcastable) broadcast(mass) else mass
+      val contrib = eo.join(mh, eo("src") === mh("node"))
         .select(col("dst"), array((0 until L).map(j =>
           expr(s"element_at(m, ${j + 1}) * w div outw")): _*).as("c"))
       val in = contrib.groupBy(col("dst").as("node"))
@@ -795,21 +907,26 @@ object GraphRank {
         .localCheckpoint(false) // lazy lineage truncation (r17, see biasedRank)
       i += 1
     }
-    // reconstruct the sparse row set, then the same deterministic argmax
-    import org.apache.spark.sql.expressions.Window
-    val sparse = mass
-      .select(col("node"), posexplode(col("m")).as(Seq("idx", "mass")))
-      .where(col("mass") > 0)
-      .select(col("node"), element_at(labelArr, col("idx") + 1).as("label"),
-        col("mass"))
-    val w = Window.partitionBy(col("node"))
-      .orderBy(col("mass").desc, col("label").asc)
-    sparse
-      .withColumn("n_labels", count(lit(1)).over(Window.partitionBy(col("node"))))
-      .withColumn("__rn", row_number().over(w))
-      .where(col("__rn") === 1)
-      .select(col("node"), col("label"), col("mass").as("mass_units"),
-        col("n_labels"))
+    // final argmax computed PER ROW (r18): a dense mass row already
+    // holds its node's whole label distribution, so the winner and the
+    // label count are array expressions — no explode, no exchange, no
+    // window sort (the pre-r18 shape posexploded to sparse rows and ran
+    // two window passes over a node-keyed shuffle). Tie-break identical
+    // to the sparse path's: min over struct(-mass, label) ≡ (mass DESC,
+    // label ASC); mass > 0, so the negation cannot overflow.
+    val pairs = filter(
+      zip_with(col("m"), labelArr, (mv, lb) =>
+        struct(mv.as("mass"), lb.as("label"))),
+      p => p("mass") > 0)
+    mass
+      .select(col("node"),
+        array_min(transform(pairs, p =>
+          struct((-p("mass")).as("__nm"), p("label").as("label")))).as("__t"),
+        size(pairs).cast("long").as("n_labels"))
+      .where(col("n_labels") > 0) // no positive slot ⇒ no claim (the
+                                  // sparse-row-set honesty convention)
+      .select(col("node"), col("__t.label").as("label"),
+        (-col("__t.__nm")).as("mass_units"), col("n_labels"))
   }
 
   /** HITS (Kleinberg 1999) in the same exact integer fixed-point: per
@@ -844,25 +961,30 @@ object GraphRank {
       .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
       .where(col("src").isNotNull && col("dst").isNotNull)
       .distinct()
-      .localCheckpoint()
+      .localCheckpoint(false)
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node")))
       .distinct()
-      .localCheckpoint()
-    val n = nodes.count()
+      .localCheckpoint(false)
+    // node count + edge count in ONE action (r18): the job also
+    // materializes the two lazy checkpoints above. The edge count feeds
+    // the loud overflow guard — raw phase totals are bounded by
+    // |E|·totalUnits (every edge delivers ≤ totalUnits of score).
+    val srow = nodes.agg(count(lit(1)).as("__n"))
+      .crossJoin(e.agg(count(lit(1)).as("__e"))).head()
+    val (n, nEdges) = (srow.getLong(0), srow.getLong(1))
     require(n > 0, "hits on an empty edge list")
-    // loud overflow guard: raw phase totals are bounded by |E|·totalUnits
-    // (every edge delivers ≤ totalUnits of score) — one count on the
-    // already-checkpointed edge table
-    requireProductFits(e.count(), totalUnits, "hits: totalUnits * |E|")
+    requireProductFits(nEdges, totalUnits, "hits: totalUnits * |E|")
     val r0 = totalUnits / n
 
-    // degree tables, computed once: the renorm totals are degree-weighted
-    // node sums (see class doc), so no phase re-runs its edge aggregate
+    // degree tables, computed once (lazily checkpointed: the first
+    // round's consumers materialize them; every later phase reuses the
+    // cached blocks): the renorm totals are degree-weighted node sums
+    // (see class doc), so no phase re-runs its edge aggregate
     val outdeg = e.groupBy(col("src").as("node"))
-      .agg(count(lit(1)).as("odeg")).localCheckpoint()
+      .agg(count(lit(1)).as("odeg")).localCheckpoint(false)
     val indeg = e.groupBy(col("dst").as("node"))
-      .agg(count(lit(1)).as("ideg")).localCheckpoint()
+      .agg(count(lit(1)).as("ideg")).localCheckpoint(false)
 
     // renormalize raw integer scores to ~totalUnits total mass; the
     // 1-row total is broadcast so both engines divide by the same T
@@ -1001,27 +1123,49 @@ object GraphRank {
           .repartition(col("src"))
           .groupBy(col("src"), col("dst")).agg(sum(col("w")).as("w"))
     })
-      .localCheckpoint()
-    val nodes = e.select(col("src").as("node")).distinct().localCheckpoint()
-    // exact node count for the broadcast bar (one aggregate over the
-    // checkpointed node table): under it the per-round vote join
-    // hash-broadcasts the label table (r17, guide §3.1)
-    val n = nodes.count()
+      .localCheckpoint(false)
+    val nodes = e.select(col("src").as("node")).distinct()
+      .localCheckpoint(false)
+    // the resume table may use the public output's `community` column
+    // name or the raw `label`; normalized before the scalar job so its
+    // duplicate-key guard rides the same action
+    val initOpt = initLabels.map { il =>
+      val lcol = if (il.columns.contains("label")) "label" else "community"
+      il.select(col("node").cast("long").as("node"),
+        col(lcol).cast("long").as("__init"))
+    }
+    // node count (the per-round broadcast bar, r17 guide §3.1) and the
+    // resume path's duplicate-key guard in ONE action (r18): the count
+    // also materializes the lazy edge/node checkpoints
+    var scalars = nodes.agg(count(lit(1)).as("__n"))
+    initOpt.foreach { init =>
+      scalars = scalars.crossJoin(init.groupBy(col("node"))
+        .agg(count(lit(1)).as("__c"))
+        .agg(coalesce(max(col("__c")), lit(0L)).as("__dup")))
+    }
+    val srow = scalars.head()
+    val n = srow.getLong(0)
+    initOpt.foreach { init =>
+      if (srow.getLong(1) > 1L) {
+        val dup = init.groupBy(col("node")).agg(count(lit(1)).as("__c"))
+          .where(col("__c") > 1)
+        require(false,
+          "labelCommunitiesResume: the supplied state table has duplicate " +
+            s"rows per (node) — e.g. ${dup.take(3).mkString("; ")} — which " +
+            "would silently inflate every iteration's sums: aggregate the " +
+            "state to one row per key before resuming")
+      }
+    }
 
-    var labels = initLabels match {
+    var labels = initOpt match {
       case None => nodes.withColumn("label", col("node"))
-      case Some(il) =>
+      case Some(init) =>
         // warm start: provided labels win; nodes new to the graph
-        // cold-start in their own community. The resume table may use
-        // the public output's `community` column name or the raw `label`.
-        val lcol = if (il.columns.contains("label")) "label" else "community"
-        val init = il.select(col("node").cast("long").as("node"),
-          col(lcol).cast("long").as("__init"))
-        requireUniqueKeys(init, Seq("node"), "labelCommunitiesResume")
+        // cold-start in their own community
         nodes.join(init, Seq("node"), "left")
           .select(col("node"),
             coalesce(col("__init"), col("node")).as("label"))
-          .localCheckpoint()
+          .localCheckpoint(false)
     }
     var i = 0
     while (i < iterations) {
@@ -1031,18 +1175,23 @@ object GraphRank {
         .select(e("dst").as("node"), col("label"), col("w").as("v"))
         .unionAll(labels.select(col("node"), col("label"),
           lit(selfWeight).as("v")))
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("node")).orderBy(col("c").desc, col("label").asc)
+      // per-round argmax as a second HASH aggregation instead of a
+      // window sort (r18, guide §2.3): min over struct(-c, label)
+      // encodes the (votes DESC, label ASC) tie-break exactly — vote
+      // sums are ≥ 0, so the negation cannot overflow — with map-side
+      // partial aggregation where row_number had to sort every
+      // node-partition per round
       labels = votes
         .groupBy(col("node"), col("label")).agg(sum(col("v")).as("c"))
-        .withColumn("__rn", row_number().over(w))
-        .where(col("__rn") === 1)
-        .select(col("node"), col("label"))
+        .groupBy(col("node"))
+        .agg(min(struct((-col("c")).as("__nc"),
+          col("label").as("label"))).as("__t"))
+        .select(col("node"), col("__t.label").as("label"))
         .localCheckpoint(false) // lazy lineage truncation (r17, see biasedRank)
       i += 1
     }
     val sizes = labels.groupBy(col("label")).agg(count(lit(1)).as("csize"))
-    labels.join(sizes, "label")
+    labels.join(hintNodeSide(sizes, n), "label")
       .select(col("node"), col("label").as("community"), col("csize"))
   }
 
@@ -1158,7 +1307,7 @@ object GraphRank {
           .repartition(col("src"))
           .groupBy(col("src"), col("dst")).agg(sum(col("w")).as("w"))
     })
-      .localCheckpoint()
+      .localCheckpoint(false) // lazy: the count below materializes it (r18)
     // exact node count (symmetrized: every node appears as a src) for
     // the broadcast bar — under it, both per-round survivor semi-joins
     // hash-broadcast `alive` and the edge table is NEVER re-shuffled
@@ -1244,10 +1393,10 @@ object GraphRank {
     val eNew = normalizeEdges(edges, srcCol, dstCol, weightCol)
       .select(col("src"), col("dst"))
       .repartition(col("src"))
-      .localCheckpoint()
+      .localCheckpoint(false) // lazy: the count below materializes it (r18)
     val nodes = eNew.select(col("src").as("node"))
       .union(eNew.select(col("dst").as("node"))).distinct()
-      .localCheckpoint()
+      .localCheckpoint(false)
     val seedSet = seeds.select(col(seeds.columns.head).cast("long").as("node"))
       .where(col("node").isNotNull).distinct()
       .join(nodes, Seq("node"), "semi") // seeds outside the graph drop
@@ -1262,7 +1411,7 @@ object GraphRank {
     */
   private def expandRings(frontier0: DataFrame, eNew: DataFrame,
                           hops: Int, nHint: Long = Long.MaxValue): DataFrame = {
-    var frontier = frontier0.withColumn("hop", lit(0L)).localCheckpoint()
+    var frontier = frontier0.withColumn("hop", lit(0L)).localCheckpoint(false)
     var i = 1
     while (i <= hops) {
       // the ring is node-bounded — broadcast under the bar so the
@@ -1308,11 +1457,12 @@ object GraphRank {
     val e = raw.union(raw.select(col("dst").as("src"), col("src").as("dst")))
       .repartition(col("src"))
       .dropDuplicates("src", "dst")
-      .localCheckpoint()
+      .localCheckpoint(false) // lazy: the count below materializes it (r18)
     var lab = e.select(col("src").as("node")).distinct()
       .withColumn("comp", col("node"))
-      .localCheckpoint()
-    // exact node count for the broadcast bar (r17, guide §3.1)
+      .localCheckpoint(false)
+    // exact node count for the broadcast bar (r17, guide §3.1); the one
+    // action also materializes both lazy checkpoints above
     val n = lab.count()
     var i = 0
     while (i < rounds) {
@@ -1427,17 +1577,41 @@ object GraphRank {
   def staleFrontier(oldEdges: DataFrame, newEdges: DataFrame,
                     srcCol: String, dstCol: String,
                     hops: Int,
-                    weightCol: Option[String] = None): DataFrame = {
+                    weightCol: Option[String] = None): DataFrame =
+    staleFrontierImpl(oldEdges, newEdges, srcCol, dstCol, hops, weightCol,
+      preppedNew = None)
+
+  /** [[staleFrontier]] on a pre-built (src, dst, w, …) normalized new
+    * graph (see [[prepEdges]]) — the continuous loop hands its boundary
+    * graph to the frontier AND the resume so the normalization exchange
+    * is paid once per boundary (r18).
+    */
+  private[graft] def staleFrontierPrepped(oldEdges: DataFrame,
+                    prepped: DataFrame,
+                    srcCol: String, dstCol: String,
+                    hops: Int,
+                    weightCol: Option[String]): DataFrame =
+    staleFrontierImpl(oldEdges, prepped, srcCol, dstCol, hops, weightCol,
+      preppedNew = Some(prepped))
+
+  private def staleFrontierImpl(oldEdges: DataFrame, newEdges: DataFrame,
+                    srcCol: String, dstCol: String,
+                    hops: Int,
+                    weightCol: Option[String],
+                    preppedNew: Option[DataFrame]): DataFrame = {
     require(hops >= 0, "staleFrontier needs hops >= 0")
     // normalize the NEW graph ONCE (r17, guide §1.2): the delta join
     // and the ring expansion both consume it — the pre-r17 shape ran
     // the normalization aggregate twice (once inside edgeDelta, once
-    // for the ring edge list). Checkpoint it src-partitioned so the
-    // rings reuse the layout; the delta's (src, dst) full-outer join
-    // is satisfied by the src subset partitioning.
-    val eNewW = normalizeEdges(newEdges, srcCol, dstCol, weightCol)
-      .repartition(col("src"))
-      .localCheckpoint()
+    // for the ring edge list). src-partitioned so the rings reuse the
+    // layout; the delta's (src, dst) full-outer join is satisfied by
+    // the src subset partitioning. A caller-supplied prepped graph
+    // (the continuous loop) skips the build entirely; the lazy
+    // checkpoint (r18) folds materialization into the first consumer.
+    val eNewW = preppedNew.map(_.select(col("src"), col("dst"), col("w")))
+      .getOrElse(normalizeEdges(newEdges, srcCol, dstCol, weightCol)
+        .repartition(col("src"))
+        .localCheckpoint(false))
     val eo = normalizeEdges(oldEdges, srcCol, dstCol, weightCol)
       .withColumnRenamed("w", "w_old")
     val delta = eo
@@ -1450,7 +1624,7 @@ object GraphRank {
           .otherwise(lit("reweighted")).as("status"))
     val changed = delta.where(col("status") =!= "unchanged")
       .select(col("src"), col("dst"))
-      .localCheckpoint()
+      .localCheckpoint(false) // lazy (r18): the nHint count materializes it
     val eNew = eNewW.select(col("src"), col("dst"))
     // hop 0: dst of every changed edge + (new-graph) out-neighbors of
     // every changed src — the nodes whose iteration-1 in-sum differs

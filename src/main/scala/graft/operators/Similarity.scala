@@ -1371,9 +1371,16 @@ object Similarity {
         max(array_max(transform(col("xd"), x => abs(x)))).as("m"),
         max(size(col("xd"))).as("dim"),
         min(col("n2")).as("minN2"), max(col("n2")).as("maxN2")).head()
-    if (r.isNullAt(0)) None
+    // emptiness is decided on the n2 extremes, NOT the magnitude bound
+    // (r17 advice): a frame whose every vector is EMPTY has null m
+    // (array_max of an empty array) but n2 = 0 per row — the fused pass
+    // must return Some((0, 0)) exactly like the pre-fusion two-pass
+    // shape, so the norm-collapse tripwire widens to zero instead of
+    // keeping a stale envelope
+    if (r.isNullAt(2)) None
     else {
-      val (m, dim) = (r.getDouble(0), r.getInt(1))
+      val m = if (r.isNullAt(0)) 0.0 else r.getDouble(0)
+      val dim = if (r.isNullAt(1)) 0 else r.getInt(1)
       require(m * m * math.max(dim, 1) < math.pow(2, 53),
         f"normEnvelope: quantized magnitude $m%.0f at dim=$dim " +
           f"(scale=$scale) overflows the 2^53-exact per-row Σx² — " +

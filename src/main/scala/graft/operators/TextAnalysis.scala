@@ -678,8 +678,15 @@ object TextAnalysis {
     * partition.
     *
     * Deterministic: features are pure hash functions, init is zeros,
-    * and the driver loop is data-independent — a retrain is
-    * bit-identical (spec-asserted, like s10).
+    * and the driver loop is data-independent — a retrain on the SAME
+    * partitioning is bit-identical (spec-asserted, like s10). The
+    * r17 unsplittable-input spread hash-shuffles the feature build
+    * before the double-precision gradient avgs, so across DIFFERENT
+    * partitionings / cluster fetch orders the float sums are
+    * order-dependent and only rounded-6dp-stable, not bit-stable
+    * (r17 advice) — the exact-replay contract lives in the
+    * fixed-point twin ([[trainClassifierFixedPoint]], t36), whose
+    * Long sums are order-free under any shuffle.
     *
     * Returns (trained weights incl. bias, per-iteration history
     * (iter, loss, accuracy) as a DataFrame).

@@ -559,8 +559,11 @@ object DedupQueries {
         graft.plans.GraftExtensions.register(s)
         val docs = Tables.documents(s, d)
         docs.createOrReplaceTempView("documents_sql")
-        s.sql(sqlMinhashSparkSql(spread =
-          docs.rdd.getNumPartitions < s.sparkContext.defaultParallelism))
+        s.sql(sqlMinhashSparkSql(
+          spread = // width probe without a second physical-planning
+            // pass (r18) — see Dedup.planWidth
+            Dedup.planWidth(docs).exists(_ < s.sparkContext.defaultParallelism),
+          numPartitions = s.sparkContext.defaultParallelism))
       },
       Some(minhashLshOracle(k = 32, bands = 8, dfCap = 0))),
 
@@ -743,17 +746,20 @@ object DedupQueries {
     * → bucket cap → candidate pairs → exact Jaccard over the uncapped
     * 3-shingle sets, semi-joined to candidates.
     */
-  private def sqlMinhashSparkSql(spread: Boolean): String = {
+  private def sqlMinhashSparkSql(spread: Boolean, numPartitions: Int): String = {
     val md5_64 = (e: String) =>
       s"CAST(conv(substring(md5(CAST($e AS BINARY)), 1, 15), 16, 10) AS BIGINT)"
     // `spread` (r17, guide §2.5): when the documents scan is
     // unsplittable (single file / row group) the signature kernel runs
-    // serially — a no-arg REPARTITION hint (sized by
-    // spark.sql.shuffle.partitions, the caller's cluster knob) spreads
-    // it; the builder only sets it when the scan plans fewer partitions
-    // than the session's cores, so a corpus-scale run never pays a
-    // payload shuffle for parallelism it already has.
-    val hint = if (spread) "/*+ REPARTITION */ " else ""
+    // serially — a REPARTITION hint spreads it; the builder only sets
+    // it when the scan plans fewer partitions than the session's
+    // cores, so a corpus-scale run never pays a payload shuffle for
+    // parallelism it already has. The count is EXPLICIT (r18): the
+    // r17 no-arg hint was AQE-coalescible, and on a tiny-bytes/
+    // heavy-kernel input the advisory size coalesced the spread right
+    // back to one task (measured: 14 jobs / 15 tasks on d13). Sized by
+    // the session's core knob, never a constant.
+    val hint = if (spread) s"/*+ REPARTITION($numPartitions) */ " else ""
     s"""
     WITH sigs AS (
       SELECT $hint doc_id, graft_minhash_sig(text, 3, 32) AS sig FROM documents_sql),

@@ -112,10 +112,13 @@ object ContinuousGraphMaintenance {
     require(resumeIterations >= 1,
       "continuousRank needs resumeIterations >= 1")
     // the last full equilibrium, computed once — every boundary's
-    // warm-start state AND the no-increment fallback result
+    // warm-start state AND the no-increment fallback result. Lazy
+    // checkpoint (r18): the first boundary's resume materializes it;
+    // no job is dispatched when the stream turns out to be empty until
+    // the fallback itself is consumed.
     val warmFull = GraphRank.pageRank(oldEdges, srcCol, dstCol,
       oldIterations, dampNum, dampDen, totalUnits, Some(weightCol))
-      .localCheckpoint()
+      .localCheckpoint(false)
     val warmState = warmFull.select(col("node"), col("rank_units"))
 
     val loop = new Loop(spark, oldEdges, warmFull, warmState,
@@ -161,6 +164,18 @@ object ContinuousGraphMaintenance {
     // oldEdges until the first increment lands
     private var served: DataFrame = oldEdges
     private var published = false
+    // the accumulated partials table, composed IN MEMORY between
+    // boundaries (r18): None until this incarnation's first boundary,
+    // which reads the FULL accumDir (disk stays the ground truth, so a
+    // restarted/redelivering loop re-baselines from the artifacts);
+    // after that each boundary extends the chain with its own
+    // just-written batch partials instead of re-reading O(total
+    // accumulated) parquet per boundary. Sound because batchIds are
+    // strictly increasing within one incarnation (foreachBatch never
+    // redelivers without a restart, and a restart builds a fresh Loop
+    // with accum = None), so the in-memory union is byte-equal to the
+    // on-disk union at every boundary.
+    private var accum: Option[DataFrame] = None
 
     def processBatch(batch: DataFrame, batchId: Long): Unit = {
       // map-side-combined partials, keyed by batchId (see class doc);
@@ -169,16 +184,33 @@ object ContinuousGraphMaintenance {
       batch.groupBy(col(srcCol), col(dstCol))
         .agg(sum(col(weightCol)).as(weightCol))
         .write.mode("overwrite").parquet(s"$accumDir/batch=$batchId")
-      // pin the boundary's accumulated snapshot (later batches must
-      // not leak into this boundary's delta); drop the discovered
-      // partition column — the graph is the union of all partials
-      val current = spark.read.parquet(accumDir)
-        .select(col(srcCol), col(dstCol), col(weightCol))
-        .localCheckpoint()
-      val frontierSize = GraphRank.staleFrontier(served, current,
+      // pin the boundary's accumulated snapshot (the parquet reads list
+      // their files NOW, so later batches cannot leak into this
+      // boundary's delta); lazy checkpoint (r18) — the frontier count
+      // below materializes the blocks, where the pre-r18 eager
+      // checkpoint of a full accumDir re-read dispatched an extra
+      // O(total)-read job per boundary
+      val current = (accum match {
+        case Some(prev) => prev.unionAll(
+          spark.read.parquet(s"$accumDir/batch=$batchId")
+            .select(col(srcCol), col(dstCol), col(weightCol)))
+        case None => spark.read.parquet(accumDir)
+          .select(col(srcCol), col(dstCol), col(weightCol))
+      }).localCheckpoint(false)
+      accum = Some(current)
+      // normalize the boundary graph ONCE (r18): the frontier
+      // measurement and the resume consume the same prepped table —
+      // previously each normalized `current` separately per boundary
+      val prepped = GraphRank.prepEdges(current, srcCol, dstCol,
+        Some(weightCol))
+      val frontierSize = GraphRank.staleFrontierPrepped(served, prepped,
         srcCol, dstCol, hops = resumeIterations - 1, Some(weightCol))
         .count()
-      if (current.isEmpty || (frontierSize == 0 && published)) {
+      // skip-check order (r18): the common skip (empty delta on an
+      // already-published lineage) is decided from the frontier scalar
+      // alone; the raw-emptiness probe (one cached-block limit-1 job)
+      // only runs when the frontier says something changed
+      if ((frontierSize == 0 && published) || current.isEmpty) {
         // empty delta ⇔ identical normalized graphs ⇔ the resume
         // would republish the same ranks bit-for-bit: skip it. An
         // EMPTY accumulated graph (only empty batches so far) also
@@ -187,9 +219,8 @@ object ContinuousGraphMaintenance {
         // violation, not a publishable equilibrium.
         boundaries += Boundary(batchId, frontierSize, recomputed = false)
       } else {
-        GraphRank.pageRankResume(current, srcCol, dstCol, warmState,
-          resumeIterations, dampNum, dampDen, totalUnits,
-          Some(weightCol))
+        GraphRank.pageRankResumePrepped(prepped, warmState,
+          resumeIterations, dampNum, dampDen, totalUnits)
           .write.mode("overwrite").parquet(ranksDir)
         published = true
         boundaries += Boundary(batchId, frontierSize, recomputed = true)

@@ -848,7 +848,9 @@ object ContinuousIndexMaintenance {
       // maintenance theorem, a second delta pass for zero information)
       lazy val freshDelta =
         Similarity.assignFixedPoint(docs, cbBase, scale, idCol, vecCol)
-          .localCheckpoint()
+          .localCheckpoint(false) // lazy (r18): the first consumer (the
+          // monitor collect or the upsert write) materializes the
+          // blocks — no dedicated job per boundary
       // ONE delta-sized pass feeds the drift moved-share AND the census
       // landings/vacated seats (r17 — see monitorStats: they were three
       // separate state-shuffling jobs per boundary)
@@ -949,7 +951,9 @@ object ContinuousIndexMaintenance {
                 "physical state cut nothing — the maintained census has " +
                 "diverged from the assignment state")
             writeCb(newCb, batchId)
-            val mv = movement.localCheckpoint() // landing + post-census
+            val mv = movement.localCheckpoint(false) // landing + post-census
+            // (lazy, r18: the state write materializes it; the movers
+            // collect below reuses the cached blocks)
             // the cut rewrites the full assignment state by definition
             // — a natural compaction point, landed as a base
             assignLin.writeBase(mv.select(col("id"), col("cid")), batchId)
@@ -1284,7 +1288,9 @@ object ContinuousIndexMaintenance {
       lazy val enc = {
         val (dm, sc) = inMode(docs, idCol)
         Similarity.ivfPqEncodeFixedPoint(dm, coarseBase,
-          pqBase, sc, idCol, vecCol).localCheckpoint()
+          pqBase, sc, idCol, vecCol).localCheckpoint(false) // lazy (r18):
+          // the first consumer (monitor collect or upsert write)
+          // materializes — no dedicated job per boundary
       }
       // the drift MONITOR (s40): s29's moved-share statistic on the
       // composed state — delta rows whose fresh coarse argmax differs
@@ -1404,7 +1410,8 @@ object ContinuousIndexMaintenance {
                   "cut split nothing — the maintained census has " +
                   "diverged from the index state")
               writeCbs(newCoarse, pqBase, batchId)
-              val mv = movement.localCheckpoint() // write + post-census
+              val mv = movement.localCheckpoint(false) // post-census
+              // (lazy, r18: the movers collect below materializes it)
               // the cut rewrites the full physical index — a natural
               // compaction point, landed as a partitioned base
               indexLin.writeBase(rebIdx, batchId,

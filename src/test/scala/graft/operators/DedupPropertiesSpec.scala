@@ -306,4 +306,29 @@ class DedupPropertiesSpec extends SparkSpec {
       Dedup.snapshotDiff(v, v, "text", "doc_id"), v, "text", "doc_id")
     idxRows(maintained) shouldBe idxRows(state)
   }
+
+  test("planWidth: matches the physical scan width without planning, and the spread still fires on narrow inputs (r18)") {
+    import spark.implicits._
+    // a single small parquet file: the classic unsplittable-narrow shape
+    val dir = java.nio.file.Files.createTempDirectory("graft_pw").toString
+    (1 to 100).map(i => (i.toLong, s"text body $i"))
+      .toDF("doc_id", "text").coalesce(1).write.mode("overwrite")
+      .parquet(s"$dir/one")
+    val one = spark.read.parquet(s"$dir/one")
+    val est = Dedup.planWidth(one)
+    est shouldBe defined
+    // exactness against the physical plan on the shape that matters:
+    // the estimate must agree with what Spark actually plans
+    est.get shouldBe one.rdd.getNumPartitions
+    val target = spark.sparkContext.defaultParallelism
+    est.get should be < target // the spread conditional still fires
+    // a checkpointed input reads the EXISTING rdd's width — no planning
+    val ck = (1 to 10).map(i => (i.toLong, s"t$i")).toDF("doc_id", "text")
+      .repartition(1).localCheckpoint()
+    Dedup.planWidth(ck) shouldBe Some(1)
+    // multi-leaf inputs (width set by the shuffle, not a scan) opt out
+    Dedup.planWidth(one.join(ck, "doc_id")) shouldBe None
+    // narrow transformations on top of the scan keep the estimate
+    Dedup.planWidth(one.filter(col("doc_id") > 5)) shouldBe est
+  }
 }

@@ -1421,4 +1421,21 @@ class ContinuousIndexMaintenanceSpec extends SparkSpec {
     idx(loop.result.state) shouldBe
       idx(Dedup.minhashIndexState(df(v2), "text", "doc_id"))
   }
+
+  test("normEnvelope: all-empty vectors widen to (0, 0); only a truly empty frame is None (r18)") {
+    // r17 fused the envelope into one aggregate; the r17 advice found
+    // the fused None-gate keyed on the magnitude bound (null for empty
+    // arrays) where the pre-fusion two-pass shape returned Some((0, 0))
+    // — the tripwire must widen to zero norms, not keep a stale base
+    import graft.operators.Similarity
+    val empties = Seq((1L, Seq.empty[Double]), (2L, Seq.empty[Double]))
+      .toDF("vec_id", "embedding")
+    Similarity.normEnvelope(empties) shouldBe Some((0L, 0L))
+    val none = Seq.empty[(Long, Seq[Double])].toDF("vec_id", "embedding")
+    Similarity.normEnvelope(none) shouldBe None
+    // mixed: the empty row contributes its zero norm to the min
+    val mixed = Seq((1L, Seq.empty[Double]), (2L, Seq(3.0, 4.0)))
+      .toDF("vec_id", "embedding")
+    Similarity.normEnvelope(mixed, scale = 1L) shouldBe Some((0L, 25L))
+  }
 }
