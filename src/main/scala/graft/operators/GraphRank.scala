@@ -59,18 +59,17 @@ object GraphRank {
     * wide rows (the dense label vectors) scale the bar down by the row
     * width ([[denseBar]]).
     *
-    * Sized in BYTES, not just rows (r18, r17-advice): a narrow
-    * (node, 2×long) row is ~24 B of column data, so 2M rows ≈ 48 MB of
-    * collected rows — comfortably under the 1 GB driver.maxResultSize
-    * default even with several rounds' broadcasts resident at once
-    * (lazy per-round checkpointing defers every round's
-    * BroadcastExchange into the one consuming action, so up to
-    * `iterations` built relations can coexist before the ContextCleaner
-    * collects: 5 rounds × ~3× HashedRelation build overhead ≈ 0.7 GB
-    * peak at the bar — bounded. The pre-r18 10M-row bar allowed ~240 MB
-    * collects and multi-GB resident peaks, an OOM shape the r17 advice
-    * flagged). Above 2M nodes the per-round sort-merge join is the
-    * honest scale shape anyway.
+    * Sized in BYTES, not just rows (r18, r17-advice), and MEASURED
+    * (graft.BroadcastBarProbe, the biasedRank 3-long row shape): at
+    * this 2M-row bar the built relation's dataSize is 83 MB
+    * (collect 1.6 s, build 0.9 s); at the pre-r18 10M-row bar it was
+    * 617 MB — with lazy per-round checkpointing deferring every
+    * round's BroadcastExchange into the one consuming action, up to
+    * `iterations` built relations coexist before the ContextCleaner
+    * collects, so the old bar risked multi-GB resident peaks (the OOM
+    * shape the r17 advice flagged) while this bar peaks well under
+    * driver.maxResultSize at ~0.4 GB for 5 rounds. Above 2M nodes the
+    * per-round sort-merge join is the honest scale shape anyway.
     */
   val BroadcastNodesMax: Long = 2000000L
 
@@ -608,10 +607,14 @@ object GraphRank {
       mass = (maxLabelsPerNode match {
         case None => updated
         case Some(1) =>
-          // the argmax beam is a hash aggregation, not a window sort
-          // (r18, guide §2.3): min over struct(-mass, label) encodes the
-          // (mass DESC, label ASC) tie-break — mass > 0, so the negation
-          // cannot overflow — and reconstructs the identical winner row
+          // the argmax beam is a min-struct AGGREGATION, not a window
+          // sort (r18, guide §2.3): min over struct(-mass, label)
+          // encodes the (mass DESC, label ASC) tie-break — mass > 0, so
+          // the negation cannot overflow — and reconstructs the
+          // identical winner row. The struct buffer plans as a
+          // SortAggregate, but its map-side PARTIAL reduces every
+          // partition to ≤ 1 row per node BEFORE the exchange, where
+          // row_number shuffled and sorted the whole table
           updated.groupBy(col("node"))
             .agg(min(struct((-col("mass")).as("__nm"),
               col("label").as("label"))).as("__t"))
@@ -633,13 +636,15 @@ object GraphRank {
     * every label-propagation entry point.
     */
   private def labelArgmax(mass: DataFrame): DataFrame =
-    // ONE hash aggregation replaces the pre-r18 two window passes (a
+    // ONE aggregation replaces the pre-r18 two window passes (a
     // per-node sort + a second windowed count over the same partition):
     // min over struct(-mass, label) encodes the (mass DESC, label ASC)
     // tie-break exactly — mass > 0 by the sparse-table contract, so the
     // negation cannot overflow — and the winner row is reconstructed
-    // from the struct (guide §2.3: hash-agg beats sort-agg; same
-    // deterministic result, no Sort in the plan)
+    // from the struct. The struct buffer plans as a SortAggregate, but
+    // its map-side PARTIAL reduces every partition to ≤ 1 row per node
+    // BEFORE the exchange (guide §2.3): the shuffle carries node-sized
+    // data where the window shuffled and twice-sorted every mass row
     mass.groupBy(col("node"))
       .agg(min(struct((-col("mass")).as("__nm"),
           col("label").as("label"))).as("__t"),
@@ -1175,12 +1180,14 @@ object GraphRank {
         .select(e("dst").as("node"), col("label"), col("w").as("v"))
         .unionAll(labels.select(col("node"), col("label"),
           lit(selfWeight).as("v")))
-      // per-round argmax as a second HASH aggregation instead of a
-      // window sort (r18, guide §2.3): min over struct(-c, label)
+      // per-round argmax as a second min-struct aggregation instead of
+      // a window sort (r18, guide §2.3): min over struct(-c, label)
       // encodes the (votes DESC, label ASC) tie-break exactly — vote
-      // sums are ≥ 0, so the negation cannot overflow — with map-side
-      // partial aggregation where row_number had to sort every
-      // node-partition per round
+      // sums are ≥ 0, so the negation cannot overflow. The struct
+      // buffer plans as a SortAggregate, but its map-side partial
+      // reduces each partition to ≤ 1 row per node before the
+      // exchange, where row_number shuffled + sorted every vote row
+      // per round
       labels = votes
         .groupBy(col("node"), col("label")).agg(sum(col("v")).as("c"))
         .groupBy(col("node"))
